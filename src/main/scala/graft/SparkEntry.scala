@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.cdc.{Cdc, ProductsFixture}
+import graft.ops._
+import graft.scd2.Scd2
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the reference's end-to-end scenario (README.md:271-307) as
+    * one declarative batch program — seed the history table, stream one
+    * insert event and one update event through
+    * route → flatten → SCD2 merge, return the resulting history.
+    * Self-contained (inline fixtures) so it runs under any session. */
+  def entry(spark: SparkSession): DataFrame = {
+    val seedHistory = Scd2.withScd2Columns(
+      ProductsFixture.seed(spark), to_timestamp(lit("2023-08-01 00:00:00")))
+
+    val insertEv = Cdc.toEvents(ProductsFixture.insertProbe(spark), Cdc.Insert,
+      seqStart = 1, ts = to_timestamp(lit("2023-09-27 10:00:00")))
+    val updateEv = Cdc.toEvents(ProductsFixture.updateProbe(spark), Cdc.Update,
+      seqStart = 2, ts = to_timestamp(lit("2023-09-27 11:00:00")))
+    val cdcStream = insertEv.unionByName(updateEv)
+
+    val routed = Cdc.route(cdcStream)
+    val processed = routed(Cdc.Insert).unionByName(routed(Cdc.Update))
+    val flat = Cdc.castTo(
+      Cdc.flatten(processed, ProductsFixture.schema.fieldNames.toSeq),
+      ProductsFixture.schema)
+    val batch = flat.select(
+      (ProductsFixture.schema.fieldNames.toSeq :+ "ts" :+ "seq").map(col): _*)
+
+    Scd2.applyBatch(seedHistory, batch.withColumnRenamed("seq", "event_seq"),
+      Seq("ProductID"), "ts", "event_seq")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Scd2Queries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Scd2Queries.oracles
 }

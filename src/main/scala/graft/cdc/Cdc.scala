@@ -1,0 +1,110 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDC event model and the reference's restructuring operators, Spark-first.
+  *
+  * The reference tails a MySQL binlog with `CaptureChangeMySQL`
+  * (reference: nifi/templates/final_template.xml:4100-4382) producing one
+  * JSON document per row-change event with a `columns` array of
+  * `{id,name,column_type,value}` structs, then:
+  *   - routes by `cdc.event.type` (`RouteOnAttribute`, final_template.xml:1901-1983),
+  *   - pivots the columns array into a flat object (Jolt shift
+  *     `"columns":{"*":{"@(value)":"[#1].@(1,name)"}}`, final_template.xml:5160-5172).
+  *
+  * Here the event stream is just a DataFrame with this schema; the pivot is
+  * `map_from_arrays` + field expansion (all whole-stage-codegen'd Catalyst
+  * expressions — no per-event JSON re-parsing, no row-at-a-time transform).
+  */
+object Cdc {
+
+  /** CDC event schema (FIXTURES.md §A.4). */
+  val columnStruct: StructType = StructType(Seq(
+    StructField("id", IntegerType, nullable = true),
+    StructField("name", StringType, nullable = false),
+    StructField("column_type", IntegerType, nullable = true),
+    StructField("value", StringType, nullable = true)))
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("database", StringType, nullable = true),
+    StructField("table_name", StringType, nullable = true),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("columns", ArrayType(columnStruct), nullable = true)))
+
+  /** Event types the flow processes; delete/begin/commit/ddl are emitted by
+    * the source but dropped by routing (reference README.md:28). */
+  val Insert = "insert"
+  val Update = "update"
+  val processedTypes: Seq[String] = Seq(Insert, Update)
+
+  /** R1 `RouteOnAttribute`: multi-way route on the event-type column.
+    * Returns the named relationships as filtered views of one scan —
+    * Catalyst shares/prunes the underlying plan, so this is routing
+    * without a NiFi-style queue per edge. */
+  def route(events: DataFrame, eventType: Column = col("event_type")): Map[String, DataFrame] = Map(
+    Insert -> events.filter(eventType === Insert),
+    Update -> events.filter(eventType === Update),
+    "unmatched" -> events.filter(!eventType.isin(processedTypes: _*)))
+
+  /** T1/T2 Jolt-shift equivalent: pivot `columns` (array of {name,value})
+    * into one flat column per field name. Column values are strings (the
+    * binlog wire format); callers cast to the target schema with
+    * [[castTo]]. Purely narrow — no shuffle. */
+  def flatten(events: DataFrame, fields: Seq[String]): DataFrame = {
+    val m = map_from_arrays(col("columns.name"), col("columns.value"))
+    val flat = fields.map(f => m.getItem(f).as(f))
+    // The Jolt shift replaces the event content entirely; envelope columns
+    // survive only when they don't collide with a pivoted field name.
+    val passthrough = events.columns
+      .filterNot(c => c == "columns" || fields.contains(c)).map(col).toSeq
+    events.select(passthrough ++ flat: _*)
+  }
+
+  /** Reference `Translate Field Names=true` (final_template.xml:1843-1844):
+    * JDBC sinks match JSON field names to table columns case- and
+    * underscore-insensitively. Explicit, tested equivalent: rename the
+    * DataFrame's columns to the target schema's names under that
+    * normalization. Unmatched fields are dropped (the sink's
+    * `Ignore Unmatched Fields` policy). */
+  def normalize(name: String): String = name.toLowerCase.replace("_", "")
+
+  def translateFieldNames(df: DataFrame, target: Seq[String]): DataFrame = {
+    val byNorm = target.map(t => normalize(t) -> t).toMap
+    val cols = df.columns.toSeq.flatMap { c =>
+      byNorm.get(normalize(c)).map(t => col(c).as(t))
+    }
+    df.select(cols: _*)
+  }
+
+  /** Cast the string-valued flattened CDC fields to a typed schema. */
+  def castTo(df: DataFrame, schema: StructType): DataFrame = {
+    val cols = schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq
+    val passthrough = df.columns.filterNot(schema.fieldNames.contains)
+      .map(col).toSeq
+    df.select(passthrough ++ cols: _*)
+  }
+
+  /** Build synthetic CDC events from a snapshot DataFrame: one event per
+    * row, `columns` carrying every field as {name,value} strings. This is
+    * the initial-snapshot path (`retrieve-all-records=true`,
+    * final_template.xml:4321-4323) and the test-fixture generator. */
+  def toEvents(snapshot: DataFrame, eventType: String, seqStart: Long,
+               ts: Column, database: String = "sample_data",
+               table: String = "products_catalog"): DataFrame = {
+    val cols = snapshot.columns.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("id"), lit(c).as("name"),
+        lit(0).as("column_type"), col(c).cast(StringType).as("value"))
+    }
+    snapshot.select(
+      (monotonically_increasing_id() + lit(seqStart)).as("seq"),
+      lit(eventType).as("event_type"),
+      lit(database).as("database"),
+      lit(table).as("table_name"),
+      ts.as("ts"),
+      array(cols.toIndexedSeq: _*).as("columns"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.scd2
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-Changing-Dimension Type 2 engine — the reference's core capability.
+  *
+  * The reference maintains `products_catalog_history` with bookkeeping
+  * columns `valid_from`, `valid_until`, `Is_current` (reference:
+  * mysql/sql-scripts/03-create-table.sql.txt:33-35):
+  *   - insert  → append row with valid_from=now, valid_until=NULL,
+  *     is_current='Y' (Jolt defaults, final_template.xml:5283-5312);
+  *   - update  → append the new version (Task 1) AND expire the previously
+  *     current row (Task 2: modify-overwrite valid_until/Is_current,
+  *     final_template.xml:2400-2420, then `PutDatabaseRecord` UPDATE,
+  *     final_template.xml:4515-4797).
+  *
+  * The reference has two documented defects we fix by construction
+  * (SURVEY.md §7.4): its UPDATE keys only on ProductID so it clobbers every
+  * version of the product (reference README.md:186), and Task 1 / Task 2 can
+  * race (README.md:190-195). Here expiry + append happen in ONE declarative
+  * batch merge ([[applyBatch]]), so neither bug can occur.
+  *
+  * Scale notes (100 TB history, 1000 executors):
+  *   - [[applyBatch]] touches history with a single equi-join against the
+  *     *per-batch* key set, which is broadcast — the history side is
+  *     map-side only: no shuffle, no sort of the big table.
+  *   - [[fromEvents]] windows over the *batch*, not the history; the only
+  *     shuffle is by key over new events.
+  *   - Idempotent overwrite of history partitions (partitionBy(key-bucket))
+  *     is the intended sink layout; see graft.streaming for the wiring.
+  */
+object Scd2 {
+  val ValidFrom = "valid_from"
+  val ValidUntil = "valid_until"
+  val IsCurrent = "is_current"
+  val scd2Cols: Seq[String] = Seq(ValidFrom, ValidUntil, IsCurrent)
+
+  /** T3/T4 "Add SCD2 columns" (Jolt default ×3,
+    * final_template.xml:5283-5312): tag incoming rows as the new current
+    * version. The reference writes epoch-millis (`now():toNumber()`); we
+    * keep TimestampType end-to-end (SURVEY.md §7.4 item 3). */
+  def withScd2Columns(df: DataFrame, validFrom: Column): DataFrame =
+    df.withColumn(ValidFrom, validFrom.cast("timestamp"))
+      .withColumn(ValidUntil, lit(null).cast("timestamp"))
+      .withColumn(IsCurrent, lit("Y"))
+
+  /** T5 "update the required fields" (modify-overwrite-beta,
+    * final_template.xml:2400-2420): expire rows. */
+  def expire(df: DataFrame, until: Column): DataFrame =
+    df.withColumn(ValidUntil, until.cast("timestamp"))
+      .withColumn(IsCurrent, lit("N"))
+
+  /** Versionize an event set: each event becomes one SCD2 version row,
+    * `valid_until` chained to the successor's `valid_from` within the same
+    * key (strict event-time semantics; fixes the reference's wall-clock
+    * mixing). `seqCol` breaks ts ties deterministically. The ts column is
+    * replaced by `valid_from`. */
+  def fromEvents(events: DataFrame, keys: Seq[String], tsCol: String,
+                 seqCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), col(seqCol))
+    events
+      .withColumn(ValidFrom, col(tsCol))
+      .withColumn(ValidUntil, lead(col(tsCol), 1).over(w))
+      .withColumn(IsCurrent,
+        when(col(ValidUntil).isNull, lit("Y")).otherwise(lit("N")))
+      .drop(tsCol)
+  }
+
+  /** The transactional SCD2 merge: apply a batch of change events to an
+    * existing SCD2 history in one shot (SURVEY.md §3.3 restatement).
+    *
+    * For every key touched by the batch, the currently-open history row is
+    * expired at the key's first new event time; all batch events become
+    * chained version rows. Inserts (keys absent from history) need no
+    * special-casing — the left join simply finds nothing to expire.
+    *
+    * One broadcast join against the batch's key set + one window over the
+    * batch: history is never shuffled. Applying batches sequentially is
+    * equivalent to [[fromEvents]] over the concatenated event log (tested
+    * property), and replaying is idempotent given an idempotent sink.
+    */
+  def applyBatch(history: DataFrame, batch: DataFrame, keys: Seq[String],
+                 tsCol: String, seqCol: String): DataFrame = {
+    val newVersions = fromEvents(batch, keys, tsCol, seqCol)
+    val firstNew = batch.groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("__first_ts"))
+    val expireCond = col(IsCurrent) === "Y" && col("__first_ts").isNotNull
+    val updated = history.join(broadcast(firstNew), keys, "left")
+      .withColumn(ValidUntil,
+        when(expireCond, col("__first_ts")).otherwise(col(ValidUntil)))
+      .withColumn(IsCurrent,
+        when(expireCond, lit("N")).otherwise(col(IsCurrent)))
+      .drop("__first_ts")
+    updated.unionByName(newVersions.select(updated.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** The "current rows" dimension view — the reference's lookup subquery
+    * `(SELECT * FROM products_catalog_history WHERE Is_current='Y')`
+    * (final_template.xml:1440). */
+  def current(history: DataFrame): DataFrame =
+    history.filter(col(IsCurrent) === "Y")
+}

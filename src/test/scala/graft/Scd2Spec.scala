@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Scd2Queries
+import graft.scd2.Scd2
+import org.apache.spark.sql.functions._
+
+class Scd2Spec extends SparkSpec {
+
+  test("entry reproduces the reference README probe: 4 history rows, correct SCD2 state") {
+    val hist = SparkEntry.entry(spark).cache()
+    assert(hist.count() === 4)
+    // exactly one current row per key
+    val perKey = hist.filter(col("is_current") === "Y")
+      .groupBy("ProductID").count().collect()
+    assert(perKey.forall(_.getLong(1) == 1L) && perKey.length == 3)
+    // 9014: v1 expired at v2's valid_from, v2 current with Price=100
+    val v9014 = hist.filter(col("ProductID") === 9014)
+      .orderBy("valid_from").collect()
+    assert(v9014.length === 2)
+    val (old, cur) = (v9014(0), v9014(1))
+    assert(old.getAs[String]("is_current") === "N")
+    assert(old.getAs[java.sql.Timestamp]("valid_until") ===
+      cur.getAs[java.sql.Timestamp]("valid_from"))
+    assert(cur.getAs[String]("is_current") === "Y")
+    assert(cur.getAs[java.sql.Timestamp]("valid_until") === null)
+    assert(cur.getAs[Double]("Price") === 100.0)
+    assert(old.getAs[Double]("Price") === 56.0)
+  }
+
+  test("applyBatch over a split log equals full reconstruction") {
+    val full = Scd2Queries.scd2Snapshot(spark, sf)
+    val merged = Scd2Queries.scd2ApplyBatch(spark, sf)
+    assert(merged.count() === full.count())
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
+  test("SCD2 invariants: one current row per key; intervals chain") {
+    val snap = Scd2Queries.scd2Snapshot(spark, sf).cache()
+    val bad = snap.filter(col("is_current") === "Y")
+      .groupBy("user_id").count().filter(col("count") =!= 1)
+    assert(bad.isEmpty)
+    // each non-current row's valid_until equals the successor's valid_from
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    val chained = snap.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+    assert(chained.filter(
+      (col("is_current") === "N" && (col("valid_until") =!= col("next_from"))) ||
+      (col("is_current") === "Y" && col("valid_until").isNotNull)).isEmpty)
+  }
+
+  test("routing partitions the stream: insert+update+unmatched = all") {
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val parts = Seq("route_insert", "route_update", "route_unmatched")
+      .map(q => Scd2Queries.queries(q)(spark, sf).count())
+    assert(parts.sum === n)
+  }
+
+  test("flatten pivot round-trips the snapshot") {
+    val flat = Scd2Queries.cdcFlattenPivot(spark, sf)
+    assert(flat.count() === Tables.events(spark, sf).count())
+    assert(flat.columns.toSeq === Seq("event_id", "user_id", "event_type"))
+  }
+}
