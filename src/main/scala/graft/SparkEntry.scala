@@ -36,12 +36,19 @@ object SparkEntry {
       Seq("ProductID"), "ts", "event_seq")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * training-data-pipeline surface (dedup / similarity / text). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Scd2Queries.queries
+    Scd2Queries.queries ++ LookupQueries.queries ++ ExtractQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ RelationalQueries.queries ++
+      MediaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Scd2Queries.oracles
+    Scd2Queries.oracles ++ LookupQueries.oracles ++ ExtractQueries.oracles ++
+      TextQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ RelationalQueries.oracles ++
+      MediaQueries.oracles
 }

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text / hashing primitives shared by the dedup, similarity and
+  * text-analysis operators (the training-data-pipeline surface layered on
+  * top of the reference's CDC/SCD2 engine).
+  *
+  * Every primitive is a pure composition of codegen'd Catalyst expressions
+  * (no UDFs) and is chosen to be *bit-identical reproducible in ANSI SQL /
+  * DuckDB*, so each operator can be oracle-checked:
+  *   - the portable 60-bit hash is `conv(substr(md5(s),1,15),16,10)` —
+  *     15 hex digits = 60 bits, always fits a signed BIGINT in both engines;
+  *   - tokenization is a literal `\s+` split after lower();
+  *   - shingles are word n-grams joined with a single space.
+  *
+  * Scale notes: all functions here are narrow (per-row) — they pipeline
+  * inside whole-stage codegen and never shuffle; the shuffling happens in
+  * the operators that consume them (explode → groupBy patterns), which cap
+  * shingle document-frequency to bound skew (see DedupQueries).
+  */
+object TextFunctions {
+
+  /** Deterministic 60-bit non-negative hash portable across Spark/DuckDB:
+    * DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT */
+  def md5Long(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash families for MinHash. */
+  def md5Long(seed: Int, s: Column): Column =
+    md5Long(concat(lit(seed.toString), lit(":"), s))
+
+  /** Lowercased whitespace tokens. Empty text → empty array (split of ""
+    * yields [""], which we filter). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Distinct word n-gram shingles, space-joined.
+    * DuckDB: list_distinct(list_transform(generate_series(1, len(toks)-n+1),
+    *         i -> array_to_string(toks[i:i+n-1], ' '))) */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    // guard: sequence(1, k) with k<1 would count DOWN in Spark
+    array_distinct(
+      when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** Count of matches of a regex (DuckDB: length(regexp_extract_all)). */
+  def countMatches(s: Column, regex: String): Column =
+    size(regexp_extract_all(s, lit(regex), lit(0)))
+
+  /** A BPE-ish subword token count: word pieces + digits + punctuation
+    * counted separately, the regex every tokenizer-ish splitter uses.
+    * Portable: same RE2-compatible pattern in DuckDB. */
+  val bpeTokenRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column = countMatches(text, bpeTokenRegex)
+
+  def whitespaceTokenCount(text: Column): Column = size(tokens(text))
+}

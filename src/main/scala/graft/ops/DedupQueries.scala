@@ -1,0 +1,328 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`
+  * and `embeddings` (north-star surface; BASELINE.json): exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (the 100 TB story, tested at sf*):
+  *  - Exact dedup is a single hash aggregation on a 60-bit content hash —
+  *    one shuffle of (hash, doc_id), no text movement.
+  *  - Jaccard runs on an *inverted index* (explode shingles → equi-join on
+  *    shingle → per-pair counts): work is proportional to shared-shingle
+  *    pairs, not n². Shingles with document frequency > [[maxShingleDf]]
+  *    are dropped (standard stopword-shingle cap) which both bounds skew
+  *    (the hot-key problem at scale) and keeps candidate sets tight.
+  *  - MinHash compresses each doc to a k=12 signature (k map-side passes
+  *    over the shingle array, no extra shuffle), LSH bands the signature
+  *    4×3 so candidate generation is an equi-join on band keys — the
+  *    classic shingle→minhash→band→bucket-join pipeline.
+  *  - SimHash compresses to one 60-bit int; near-dup candidates come from
+  *    a pigeonhole band join (4 chunks of 15 bits: any pair within
+  *    hamming ≤ 3 must agree on ≥1 chunk), verified with bit_count(xor).
+  *  - Embedding near-dup: brute-force is the correctness baseline;
+  *    blocking joins belong to SimilarityQueries' IVF path.
+  *
+  * All hashes are the portable md5-60bit (TextFunctions.md5Long) so every
+  * operator has an exact DuckDB oracle.
+  */
+object DedupQueries {
+  val maxShingleDf = 100
+  val jaccardThreshold = 0.8
+  val minhashK = 12
+  val lshBands = 4 // × 3 rows per band
+  val simhashBits = 60
+  val simhashMaxHamming = 8
+  val cosineThreshold = 0.45
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+
+  /** Exact dedup: canonical = min doc_id per 60-bit content hash. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, dir)
+      .withColumn("content_hash", md5Long(col("text")))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+      .select(col("doc_id"), col("content_hash"),
+        col("canonical_id"), (col("doc_id") === col("canonical_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** doc_id → distinct 3-gram shingles + count (shared subplan). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+
+  /** Inverted index with the document-frequency cap applied. */
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    shingled(s, dir)
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+  }
+
+  /** N-gram Jaccard near-dup pairs (a < b, jaccard ≥ τ). */
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val a = invertedIndex(s, dir).select(
+      col("doc_id").as("a"), col("n_sh").as("na"), col("shingle"))
+    val b = invertedIndex(s, dir).select(
+      col("doc_id").as("b"), col("n_sh").as("nb"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
+      .withColumn("jaccard",
+        round(col("common") / (col("na") + col("nb") - col("common")), 6))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("a", "b", "common", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  /** MinHash signatures: k independent md5 families, min over shingles. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val sigCols = (0 until minhashK).map { k =>
+      array_min(transform(col("sh"), sh => md5Long(k, sh))).as(s"mh$k")
+    }
+    shingled(s, dir).select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** Per-doc MinHash signature (oracle-checks the sketch math itself). */
+  def dedupMinhashSig(s: SparkSession, dir: String): DataFrame =
+    minhashSigs(s, dir).orderBy("doc_id")
+
+  /** LSH candidates: pairs agreeing on ≥1 of 4 bands (3 rows each),
+    * scored by full-signature agreement (est. jaccard = matches/k). */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(s, dir)
+    val bands = (0 until lshBands).map { b =>
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        concat_ws("-", (0 until 3).map(r => col(s"mh${b * 3 + r}")): _*)
+          .as("key"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val matches = (0 until minhashK)
+      .map(k => when(col(s"xs.mh$k") === col(s"ys.mh$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(minhashSigs(s, dir).as("xs"), col("a") === col("xs.doc_id"))
+      .join(minhashSigs(s, dir).as("ys"), col("b") === col("ys.doc_id"))
+      .select(col("a"), col("b"), matches.as("sig_matches"))
+      .withColumn("est_jaccard", round(col("sig_matches") / lit(minhashK.toDouble), 6))
+      .filter(col("sig_matches") >= 8)
+      .orderBy("a", "b")
+  }
+
+  /** 60-bit SimHash per doc: sign-sum of token-hash bits weighted by
+    * term frequency. One explode + one groupBy; the 60 bit-sums are
+    * map-side-combined partial aggregates. */
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5Long(col("tok")))
+    val bitSums = (0 until simhashBits).map { j =>
+      sum(when((shiftright(col("h"), j) % 2) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$j")
+    }
+    val packed = (0 until simhashBits).map { j =>
+      when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_ + _)
+    tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  def dedupSimhashSig(s: SparkSession, dir: String): DataFrame =
+    simhash(s, dir).orderBy("doc_id")
+
+  /** SimHash near-dup pairs: pigeonhole-banded join (hamming ≤ 8 over 60
+    * bits can't be guaranteed by 4 bands; candidates are pairs agreeing on
+    * ≥1 15-bit chunk — the standard recall/cost trade — then verified
+    * exactly with bit_count(xor). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhash(s, dir)
+    val chunks = (0 until 4).map { c =>
+      sig.select(col("doc_id"), col("simhash"), lit(c).as("chunk"),
+        (shiftright(col("simhash"), c * 15) % 32768).as("key"))
+    }.reduce(_ unionByName _)
+    chunks.as("x").join(chunks.as("y"), Seq("chunk", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= simhashMaxHamming)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
+  /** Embedding-cosine near-dup pairs (brute-force baseline; float math is
+    * done in double with a left fold in both engines, rounded to 4dp). */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm",
+        sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)))
+    val a = v.select(col("vec_id").as("a"), col("e").as("ea"), col("norm").as("nna"))
+    val b = v.select(col("vec_id").as("b"), col("e").as("eb"), col("norm").as("nnb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("dot",
+        aggregate(zip_with(col("ea"), col("eb"), _ * _), lit(0.0), _ + _))
+      .withColumn("cosine", round(col("dot") / (col("nna") * col("nnb")), 4))
+      .filter(col("cosine") >= cosineThreshold)
+      .select("a", "b", "cosine")
+      .orderBy("a", "b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_minhash_sig" -> (dedupMinhashSig _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash_sig" -> (dedupSimhashSig _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  // ---- oracles ----------------------------------------------------------
+
+  private val shingleCte =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             t -> t != '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN length(t) >= 3
+      |      THEN list_transform(generate_series(1, length(t) - 2),
+      |           i -> array_to_string(t[i:i+2], ' '))
+      |      ELSE CAST([] AS VARCHAR[]) END) AS sh
+      |  FROM toks)""".stripMargin
+
+  private val invIdxCte =
+    s"""$shingleCte,
+       |ex AS (SELECT doc_id, length(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+       |keep AS (SELECT shingle FROM ex GROUP BY shingle
+       |         HAVING count(*) <= $maxShingleDf),
+       |idx AS (SELECT ex.* FROM ex JOIN keep USING (shingle))""".stripMargin
+
+  private def duckMd5Long(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  private val sigCte = {
+    val sigExprs = (0 until minhashK).map { k =>
+      s"list_min(list_transform(sh, s -> ${duckMd5Long(s"'$k:' || s")})) AS mh$k"
+    }.mkString(",\n         ")
+    s"""$shingleCte,
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $sigExprs
+       |  FROM sh)""".stripMargin
+  }
+
+  private val simhashCte = {
+    val bitSums = (0 until simhashBits)
+      .map(j => s"sum(CASE WHEN (h >> $j) % 2 = 1 THEN cnt ELSE -cnt END) AS s$j")
+      .mkString(",\n         ")
+    val packed = (0 until simhashBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END")
+      .mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             t -> t != '') AS t
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+       |hashed AS (SELECT doc_id, cnt, ${duckMd5Long("tok")} AS h FROM tf),
+       |bitsums AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM hashed GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $packed AS simhash FROM bitsums)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT doc_id, ${duckMd5Long("text")} AS content_hash,
+         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+         |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH $invIdxCte
+         |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common,
+         |  round(CAST(count(*) AS DOUBLE) /
+         |        (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6)
+         |    AS jaccard
+         |FROM idx a JOIN idx b
+         |  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING jaccard >= $jaccardThreshold
+         |ORDER BY a, b""".stripMargin,
+    "dedup_minhash_sig" ->
+      s"""WITH $sigCte
+         |SELECT * FROM sigs ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_lsh" -> {
+      val bandRows = (0 until lshBands).map { bnd =>
+        val key = (0 until 3).map(r => s"mh${bnd * 3 + r}").mkString(" || '-' || ")
+        s"SELECT doc_id, $bnd AS band, $key AS key FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      val matches = (0 until minhashK)
+        .map(k => s"CASE WHEN xs.mh$k = ys.mh$k THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $sigCte,
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT a, b, $matches AS sig_matches,
+         |       round(CAST($matches AS DOUBLE) / $minhashK, 6) AS est_jaccard
+         |FROM cand JOIN sigs xs ON cand.a = xs.doc_id
+         |          JOIN sigs ys ON cand.b = ys.doc_id
+         |WHERE $matches >= 8
+         |ORDER BY a, b""".stripMargin
+    },
+    "dedup_simhash_sig" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" -> {
+      val chunkRows = (0 until 4).map { c =>
+        s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${c * 15}) % 32768 AS key FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $simhashCte,
+         |chunks AS (
+         |  $chunkRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |         x.simhash AS ha, y.simhash AS hb
+         |  FROM chunks x JOIN chunks y
+         |    ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= $simhashMaxHamming
+         |ORDER BY a, b""".stripMargin
+    },
+    "dedup_embedding" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e,
+         |         sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+         |              x -> x * x), 'sum')) AS norm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS a, b.vec_id AS b,
+         |  round(list_aggregate(list_transform(generate_series(1, length(a.e)),
+         |          i -> a.e[i] * b.e[i]), 'sum') / (a.norm * b.norm), 4)
+         |    AS cosine
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE round(list_aggregate(list_transform(generate_series(1, length(a.e)),
+         |          i -> a.e[i] * b.e[i]), 'sum') / (a.norm * b.norm), 4)
+         |      >= $cosineThreshold
+         |ORDER BY a, b""".stripMargin)
+}

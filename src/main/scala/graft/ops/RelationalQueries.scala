@@ -1,0 +1,183 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational surface over the TPC-H-ish testdata — the engine
+  * breadth a user of the reference would reach for next (SURVEY.md §2.10
+  * lists these categories as absent from the reference; they're the
+  * natural extension surface): scan+filter+aggregate, multi-way joins
+  * with broadcast dims, ranking windows, rollup, set ops, as-of join.
+  *
+  * Scale notes per query are inline; the common rules: dims are
+  * broadcast, aggregates are partial (map-side combine is automatic for
+  * hash aggregates), the as-of join is the union+window formulation (one
+  * shuffle by key — no range-explosion), filters sit directly on the scan
+  * so parquet row-group pruning and column pruning apply.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-shaped: pricing summary over lineitem. One scan, one
+    * partial+final hash aggregate; no join. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        // money sums go through DECIMAL so the aggregate is EXACT and
+        // independent of accumulation order (float sums of 100k+ values
+        // differ across engines/runs at ~1e-4 — not oracle-safe)
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-shaped: top-10 unshipped-revenue orders. lineitem (big)
+    * joins orders (mid) then customer (small, broadcast); revenue agg is
+    * partial; top-k is a sort of the aggregated (small) side only. */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(22,6)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Ranking window: top-3 orders by totalprice per customer. */
+  def windowTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rank")
+  }
+
+  /** Rollup aggregate over (priority, status). */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** Set ops on the event stream: signup∩purchase and signup∖purchase
+    * user sets, tagged and unioned (one result set). */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val both = users("signup").intersect(users("purchase"))
+      .withColumn("set_op", lit("intersect"))
+    val only = users("signup").except(users("purchase"))
+      .withColumn("set_op", lit("except"))
+    both.unionByName(only).orderBy("set_op", "user_id")
+  }
+
+  /** As-of join: for each purchase event, the most recent prior-or-same
+    * (ts, event_id) 'view' event of the same user. Union+window
+    * formulation: ONE shuffle by user_id, no range-join explosion —
+    * the scalable as-of pattern. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select("user_id", "event_id", "event_type", "ts")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viewId = when(col("event_type") === "view", col("event_id"))
+    ev.withColumn("asof_view_id", last(viewId, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "asof_view_id")
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join" -> (q3Join _),
+    "window_topk" -> (windowTopk _),
+    "rollup_agg" -> (rollupAgg _),
+    "set_ops" -> (setOps _),
+    "asof_join" -> (asofJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        |       AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "window_topk" ->
+      """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+    "rollup_agg" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
+        .stripMargin,
+    "set_ops" ->
+      """WITH s AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'signup'),
+        |     p AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'purchase')
+        |SELECT user_id, 'intersect' AS set_op
+        |FROM (SELECT user_id FROM s INTERSECT SELECT user_id FROM p)
+        |UNION ALL
+        |SELECT user_id, 'except' AS set_op
+        |FROM (SELECT user_id FROM s EXCEPT SELECT user_id FROM p)
+        |ORDER BY set_op, user_id""".stripMargin,
+    "asof_join" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, asof_view_id
+        |FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS asof_view_id
+        |  FROM events WHERE event_type IN ('view', 'purchase'))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+}

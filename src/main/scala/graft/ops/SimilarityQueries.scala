@@ -1,0 +1,167 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north-star surface;
+  * BASELINE.json): brute-force cosine top-k as the correctness baseline
+  * and an IVF (inverted-file) bucketed variant as the scale path.
+  *
+  * Scale design:
+  *  - The query set is small and BROADCAST; the corpus side streams
+  *    map-side (no corpus shuffle). The only shuffle is the per-query
+  *    top-k (tiny: |queries| × candidates rows reduced by the window).
+  *  - IVF: a centroid table (one row per coarse cell, here the 10 label
+  *    cells seeded by each cell's min-vec_id vector — deterministic, no
+  *    float-accumulation ambiguity) is broadcast; each query probes its
+  *    `nprobe`=2 nearest cells and only scans those cells' vectors — at
+  *    100 TB the corpus is partitioned/bucketed by cell id, so a probe
+  *    touches 2/10 of the data instead of all of it.
+  *  - All float math: cast to double, left-fold dot product, round(4) —
+  *    bit-reproducible in the DuckDB oracle.
+  */
+object SimilarityQueries {
+  val topK = 10
+  val nprobe = 4
+  val queryStride = 50 // vec_id % stride == 0 → query set
+
+  private def vectors(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm",
+        sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)))
+
+  private def cosine(ea: Column, eb: Column, na: Column, nb: Column): Column =
+    round(aggregate(zip_with(ea, eb, _ * _), lit(0.0), _ + _) / (na * nb), 4)
+
+  /** Brute-force exact top-k neighbors for each query vector. */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val v = vectors(s, dir)
+    val q = v.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q"), col("e").as("qe"), col("norm").as("qn"))
+    val scored = broadcast(q).join(v, col("q") =!= col("vec_id"))
+      .select(col("q"), col("vec_id").as("neighbor"),
+        cosine(col("qe"), col("e"), col("qn"), col("norm")).as("cosine"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("q", "rank", "neighbor", "cosine")
+      .orderBy("q", "rank")
+  }
+
+  /** Deterministic coarse "centroids": seed vectors at a fixed vec_id
+    * stride (≈ corpus/29 cells, so cell size stays ~29 as the corpus
+    * grows). Seeds, not k-means means, because means are float-sum
+    * order-dependent and thus not reproducible across engines; Voronoi
+    * cells over seeds are still a *geometric* partition, which is what
+    * gives IVF its recall (the `label` column is NOT geometric — measured
+    * 12% same-label rate among true top-10 neighbors). */
+  val seedStride = 29
+
+  private def seeds(s: SparkSession, dir: String): DataFrame =
+    vectors(s, dir).filter(col("vec_id") % seedStride === 1)
+      .select(col("vec_id").as("cell"), col("e").as("ce"), col("norm").as("cn"))
+
+  /** IVF build path: assign every corpus vector to its nearest seed cell —
+    * broadcast seeds, one map-side pass over the corpus, then a tiny
+    * per-vector argmax window. At 100 TB this materializes once and the
+    * table is partitioned/bucketed by `cell`. */
+  private def assigned(s: SparkSession, dir: String): DataFrame = {
+    val v = vectors(s, dir)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("scos").desc, col("cell"))
+    v.join(broadcast(seeds(s, dir)))
+      .select(col("vec_id"), col("e"), col("norm"), col("cell"),
+        cosine(col("e"), col("ce"), col("norm"), col("cn")).as("scos"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .drop("scos", "r")
+  }
+
+  /** IVF top-k: probe the nprobe nearest cells, rank only their vectors.
+    * Probes nprobe/|cells| of the corpus; recall is data-dependent (this
+    * synthetic corpus has weak cluster structure; see OpsSpec). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val q = vectors(s, dir).filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q"), col("e").as("qe"), col("norm").as("qn"))
+    val wc = Window.partitionBy(col("q"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val cells = broadcast(q).join(broadcast(seeds(s, dir)))
+      .select(col("q"), col("qe"), col("qn"), col("cell"),
+        cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("ccos"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select(col("q"), col("qe"), col("qn"), col("cell"))
+    val scored = cells.join(assigned(s, dir), Seq("cell"))
+      .filter(col("q") =!= col("vec_id"))
+      .select(col("q"), col("vec_id").as("neighbor"),
+        cosine(col("qe"), col("e"), col("qn"), col("norm")).as("cosine"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("q", "rank", "neighbor", "cosine")
+      .orderBy("q", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_force" -> (annBruteForce _),
+    "ann_ivf" -> (annIvf _))
+
+  private val vCte =
+    """v AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+      |         sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+      |              x -> x * x), 'sum')) AS norm
+      |  FROM embeddings)""".stripMargin
+
+  private def duckCos(ea: String, eb: String, na: String, nb: String) =
+    s"""round(list_aggregate(list_transform(generate_series(1, length($ea)),
+       |          i -> $ea[i] * $eb[i]), 'sum') / ($na * $nb), 4)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_brute_force" ->
+      s"""WITH $vCte,
+         |scored AS (
+         |  SELECT q.vec_id AS q, v.vec_id AS neighbor,
+         |         ${duckCos("q.e", "v.e", "q.norm", "v.norm")} AS cosine
+         |  FROM v q JOIN v ON q.vec_id % $queryStride = 0
+         |                 AND q.vec_id != v.vec_id)
+         |SELECT q, rank, neighbor, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q
+         |            ORDER BY cosine DESC, neighbor) AS rank
+         |  FROM scored)
+         |WHERE rank <= $topK ORDER BY q, rank""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH $vCte,
+         |seeds AS (SELECT vec_id AS cell, e AS ce, norm AS cn
+         |          FROM v WHERE vec_id % $seedStride = 1),
+         |assign AS (
+         |  SELECT vec_id, e, norm, cell FROM (
+         |    SELECT v.vec_id, v.e, v.norm, s.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             ${duckCos("v.e", "s.ce", "v.norm", "s.cn")} DESC,
+         |             s.cell) AS r
+         |    FROM v CROSS JOIN seeds s) WHERE r = 1),
+         |queries AS (SELECT vec_id AS q, e AS qe, norm AS qn
+         |            FROM v WHERE vec_id % $queryStride = 0),
+         |probed AS (
+         |  SELECT q, qe, qn, cell,
+         |         row_number() OVER (PARTITION BY q ORDER BY
+         |           ${duckCos("qe", "ce", "qn", "cn")} DESC, cell) AS crank
+         |  FROM queries CROSS JOIN seeds),
+         |cells AS (SELECT q, qe, qn, cell FROM probed WHERE crank <= $nprobe),
+         |scored AS (
+         |  SELECT c.q, a.vec_id AS neighbor,
+         |         ${duckCos("c.qe", "a.e", "c.qn", "a.norm")} AS cosine
+         |  FROM cells c JOIN assign a USING (cell) WHERE c.q != a.vec_id)
+         |SELECT q, rank, neighbor, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q
+         |            ORDER BY cosine DESC, neighbor) AS rank
+         |  FROM scored)
+         |WHERE rank <= $topK ORDER BY q, rank""".stripMargin)
+}

@@ -1,0 +1,167 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (north-star surface beyond the reference; BASELINE.json): token
+  * counting, language ID, quality scoring, document fingerprinting.
+  *
+  * Everything is a narrow, codegen'd projection — at 100 TB these run at
+  * parquet scan speed, column-pruned to (doc_id, text). No UDFs: the
+  * heuristics are regex/array Catalyst expressions, bit-identical to the
+  * DuckDB oracles.
+  */
+object TextQueries {
+
+  /** Whitespace + BPE-ish token counts. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      whitespaceTokenCount(col("text")).cast("long").as("ws_tokens"),
+      bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Stopword-hit language ID. Each language scores by occurrences of its
+    * marker words (word-boundary regex count over the lowered text);
+    * argmax wins, ties broken by language code. Real pipelines use n-gram
+    * models; the *operator shape* (N regex counts + greatest + argmax) is
+    * identical. */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|a)\\b",
+    "de" -> "\\b(der|die|und|das|ist)\\b",
+    "es" -> "\\b(el|la|de|que|y)\\b",
+    "fr" -> "\\b(le|la|et|les|des)\\b",
+    "zh" -> "\\b(de|shi|le|wo|ni)\\b")
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val lowered = lower(col("text"))
+    val scored = langMarkers.map { case (lang, re) =>
+      struct(countMatches(lowered, re).as("score"), lit(lang).as("lang"))
+    }
+    // argmax(score, tie → smallest lang code): sort scored structs by
+    // (score desc, lang asc) = array_max over (score, negated-lang) is not
+    // expressible; use array_sort + element_at instead.
+    val best = element_at(
+      array_sort(array(scored: _*),
+        (a, b) => when(a("score") > b("score"), -1)
+          .when(a("score") < b("score"), 1)
+          .when(a("lang") < b("lang"), -1)
+          .when(a("lang") > b("lang"), 1)
+          .otherwise(0)), 1)
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      best("lang").as("pred_lang"),
+      best("score").cast("long").as("pred_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
+    * length, and a composite 0-100 score — the standard cheap filters. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val nChars = length(txt).cast("double")
+    val nTokens = whitespaceTokenCount(txt).cast("double")
+    val punct = countMatches(txt, "[^A-Za-z0-9\\s]").cast("double")
+    val stop = countMatches(lower(txt), "\\b(the|a|and|of|to)\\b").cast("double")
+    val punctRatio = round(punct / greatest(nChars, lit(1.0)), 6)
+    val stopRatio = round(stop / greatest(nTokens, lit(1.0)), 6)
+    val meanWordLen = round(nChars / greatest(nTokens, lit(1.0)), 6)
+    val score = round(
+      least(nTokens / lit(4.0), lit(50.0))
+        + least(stop * lit(5.0), lit(30.0))
+        - least(punct, lit(20.0)) + lit(20.0), 6)
+    Tables.documents(s, dir).select(
+      col("doc_id"), nTokens.cast("long").as("n_tokens"),
+      punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
+      meanWordLen.as("mean_word_len"), score.as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: min-k sketch (k smallest 60-bit shingle hashes,
+    * ascending) — the winnowing-style selection of a stable, order-free
+    * content signature; two documents sharing most of their sketch are
+    * near-duplicates. Exposed as the sketch's elements for oracle
+    * comparability. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val sketch = slice(
+      array_sort(transform(shingles(tokens(col("text")), 3), sh => md5Long(sh))),
+      1, 8)
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat_ws(",", transform(sketch, _.cast("string"))).as("sketch"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> (tokenCount _),
+    "text_lang_id" -> (langId _),
+    "text_quality" -> (qualityScore _),
+    "text_fingerprint" -> (fingerprint _))
+
+  private def duckCount(input: String, re: String) =
+    s"length(regexp_extract_all($input, '$re'))"
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
+         |       t -> t != '')) AS BIGINT) AS ws_tokens,
+         |  CAST(${duckCount("text", "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")} AS BIGINT)
+         |    AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" -> {
+      val scores = langMarkers.map { case (lang, re) =>
+        s"{'score': ${duckCount("lower(text)", re.replace("\\", "\\"))}, 'lang': '$lang'}"
+      }.mkString("[", ", ", "]")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |         unnest($scores) AS sc
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, labeled_lang, sc.lang AS pred_lang,
+         |         CAST(sc.score AS BIGINT) AS pred_score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY sc.score DESC, sc.lang) AS rn
+         |  FROM scored)
+         |SELECT doc_id, labeled_lang, pred_lang, pred_score
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+    "text_quality" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS n_chars,
+         |    CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
+         |         t -> t != '')) AS DOUBLE) AS n_tokens,
+         |    CAST(${duckCount("text", "[^A-Za-z0-9\\s]")} AS DOUBLE) AS punct,
+         |    CAST(${duckCount("lower(text)", "\\b(the|a|and|of|to)\\b")} AS DOUBLE) AS stop
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round(punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
+         |  round(stop / greatest(n_tokens, 1.0), 6) AS stopword_ratio,
+         |  round(n_chars / greatest(n_tokens, 1.0), 6) AS mean_word_len,
+         |  round(least(n_tokens / 4.0, 50.0) + least(stop * 5.0, 30.0)
+         |        - least(punct, 20.0) + 20.0, 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     t -> t != '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN length(t) >= 3
+        |      THEN list_transform(generate_series(1, length(t) - 2),
+        |           i -> array_to_string(t[i:i+2], ' '))
+        |      ELSE [] END) AS shingles
+        |  FROM toks)
+        |SELECT doc_id,
+        |  array_to_string(
+        |    list_sort(list_transform(shingles,
+        |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))[1:8], ',')
+        |    AS sketch
+        |FROM sh ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops._
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+
+  test("lookup matched/unmatched partition the probe set") {
+    val m = LookupQueries.lookupMatched(spark, sf).count()
+    val u = LookupQueries.lookupUnmatched(spark, sf).count()
+    val maxId = Tables.events(spark, sf)
+      .agg(max(col("event_id"))).first().getLong(0)
+    val probes = Tables.events(spark, sf)
+      .filter(col("event_id") > maxId / 2 && col("event_type") === "purchase")
+      .count()
+    assert(m + u === probes)
+    assert(u > 0, "unmatched route must be non-trivial")
+  }
+
+  test("withResultSet nests the old row as a struct") {
+    val df = LookupQueries.withResultSet(spark, sf)
+    assert(df.schema("resultSet").dataType.typeName === "struct")
+    assert(df.count() > 0)
+  }
+
+  test("exact dedup keeps exactly one canonical row per content hash") {
+    val d = DedupQueries.dedupExact(spark, sf)
+    val perHash = d.groupBy("content_hash")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("keepers"))
+    assert(perHash.filter(col("keepers") =!= 1).isEmpty)
+  }
+
+  test("jaccard near-dups are symmetric-free (a<b) and above threshold") {
+    val d = DedupQueries.dedupJaccard(spark, sf).cache()
+    assert(d.filter(col("a") >= col("b")).isEmpty)
+    assert(d.filter(col("jaccard") < DedupQueries.jaccardThreshold).isEmpty)
+  }
+
+  test("minhash LSH candidates recover the true jaccard near-dups") {
+    val truth = DedupQueries.dedupJaccard(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupQueries.dedupMinhashLsh(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(lsh),
+      s"LSH missed ${truth -- lsh} of the jaccard>=0.8 pairs")
+  }
+
+  test("ann_ivf recall vs brute force at sf0.01 (Voronoi cells, nprobe=4)") {
+    val dir = "/root/testdata/sf0.01" // 500 vectors, ~17 cells
+    val bf = SimilarityQueries.annBruteForce(spark, dir)
+      .select("q", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityQueries.annIvf(spark, dir)
+      .select("q", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    // this synthetic corpus has weak cluster structure (max cosine ~0.5),
+    // so probing ~24% of cells geometrically yields ~2x random coverage
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
+
+  test("media decode round-trips the typed Encoder path") {
+    val d = MediaQueries.mediaDecode(spark, sf).cache()
+    assert(d.count() === Tables.documents(spark, sf).count())
+    assert(d.filter(col("width") < 16 || col("height") < 16).isEmpty)
+    assert(d.filter(!col("format").isin("png", "jpeg")).isEmpty)
+    // payload length == n_chars only for pure-ASCII text; bytes >= chars always
+    val joined = d.join(Tables.documents(spark, sf), "doc_id")
+    assert(joined.filter(col("payload_bytes") < col("n_chars")).isEmpty)
+  }
+
+  test("shingles produce n-grams and handle short docs") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "").toDF("text")
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got === List(List("a b c", "b c d"), Nil, Nil))
+  }
+
+  test("asof join: every purchase maps to the latest prior view") {
+    val d = RelationalQueries.asofJoin(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+    // spot-check one user end-to-end
+    val row = d.filter(col("asof_view_id").isNotNull).orderBy("event_id").first()
+    val (uid, eid, viewId) = (row.getLong(0), row.getLong(1), row.getLong(3))
+    val purchase = ev.filter(col("event_id") === eid).first()
+    val view = ev.filter(col("event_id") === viewId).first()
+    assert(view.getAs[String]("event_type") === "view")
+    assert(view.getAs[java.sql.Timestamp]("ts").compareTo(
+      purchase.getAs[java.sql.Timestamp]("ts")) <= 0)
+  }
+}

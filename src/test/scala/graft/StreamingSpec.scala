@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Scd2Queries
+import graft.scd2.Scd2
+import graft.streaming.Scd2Stream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+
+  private def events() =
+    Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "value", "ts")
+
+  test("micro-batched applyMicroBatch over thirds equals one-shot reconstruction") {
+    val ev = events().cache()
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val histDir = s"$tmp/history"
+    val cuts = Seq(-1L, 300L, 600L, 100000L)
+    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+      val batch = ev.filter(col("event_id") > lo && col("event_id") <= hi)
+      Scd2Stream.applyMicroBatch(spark, batch, histDir,
+        Seq("user_id"), "ts", "event_id")
+    }
+    val streamed = spark.read.parquet(histDir)
+    val full = Scd2.fromEvents(ev, Seq("user_id"), "ts", "event_id")
+    assert(streamed.count() === full.count())
+    assert(streamed.exceptAll(full).isEmpty && full.exceptAll(streamed).isEmpty)
+  }
+
+  test("replaying a committed micro-batch is a no-op (exactly-once sink)") {
+    val ev = events()
+    val tmp = Files.createTempDirectory("graft-stream2").toString
+    val histDir = s"$tmp/history"
+    val b1 = ev.filter(col("event_id") <= 2000)
+    val b2 = ev.filter(col("event_id") > 2000 && col("event_id") <= 4000)
+    Scd2Stream.applyMicroBatch(spark, b1, histDir,
+      Seq("user_id"), "ts", "event_id", batchId = Some(0L))
+    Scd2Stream.applyMicroBatch(spark, b2, histDir,
+      Seq("user_id"), "ts", "event_id", batchId = Some(1L))
+    val once = spark.read.parquet(histDir).collect().toSet
+    Scd2Stream.applyMicroBatch(spark, b2, histDir,
+      Seq("user_id"), "ts", "event_id", batchId = Some(1L)) // replay
+    val twice = spark.read.parquet(histDir).collect().toSet
+    assert(twice === once)
+  }
+
+  test("streaming start() runs the merge through a real StreamingQuery") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-stream3").toString
+    val mem = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
+    val evStream = mem.toDF()
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    val q = Scd2Stream.start(spark, evStream, s"$tmp/history",
+      s"$tmp/ckpt", Seq("user_id"), "ts", "event_id", triggerMs = 50L)
+    val rows = events().filter(col("event_id") <= 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getTimestamp(4)))
+    mem.addData(rows.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val hist = spark.read.parquet(s"$tmp/history")
+    val expect = Scd2.fromEvents(events().filter(col("event_id") <= 500),
+      Seq("user_id"), "ts", "event_id")
+    assert(hist.count() === expect.count())
+    assert(hist.exceptAll(expect).isEmpty)
+  }
+}
