@@ -1,0 +1,31 @@
+package graft
+
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Engine extension point, wired the public way:
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  *
+  * Registers the engine's native Catalyst expressions (currently
+  * `dot_product`; the natural home for future custom rules/strategies).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(VectorExpressions.dotProductDescriptor)
+  }
+}
+
+object GraftSession {
+  /** Session builder preconfigured for the graft engine: extensions
+    * registered, UTC, AQE, sane local shuffle parallelism. */
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32)
+      : org.apache.spark.sql.SparkSession.Builder =
+    org.apache.spark.sql.SparkSession.builder()
+      .master(master)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+}

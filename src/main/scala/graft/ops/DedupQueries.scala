@@ -35,6 +35,13 @@ object DedupQueries {
   val jaccardThreshold = 0.8
   val minhashK = 12
   val lshBands = 4 // × 3 rows per band
+  /** Universal-hash family for MinHash: h_k = (a_k·h + b_k) mod p over the
+    * md5-60bit base hash reduced mod p. One md5 per shingle instead of k —
+    * the family itself is codegen'd integer arithmetic. p is prime,
+    * 30-bit, so a_k·h stays well inside BIGINT in both engines. */
+  val minhashP = 1000000007L
+  val minhashA: Seq[Long] = (0 until minhashK).map(k => ((2L * k + 1) * 2654435761L) % minhashP)
+  val minhashB: Seq[Long] = (0 until minhashK).map(k => (k * 1779033703L) % minhashP)
   val simhashBits = 60
   val simhashMaxHamming = 8
   val cosineThreshold = 0.45
@@ -60,23 +67,33 @@ object DedupQueries {
       .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
       .withColumn("n_sh", size(col("sh")))
 
-  /** Inverted index with the document-frequency cap applied. */
-  private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Exploded shingle-hash postings: ONE md5 per shingle (codegen'd
+    * projection after a codegen'd explode — no interpreted higher-order
+    * lambdas), reduced mod [[minhashP]]. Everything downstream (jaccard
+    * join keys, the whole MinHash family) is integer arithmetic on `h`. */
+  private def hashPostings(s: SparkSession, dir: String): DataFrame =
     shingled(s, dir)
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
-  }
+      .select(col("doc_id"), col("n_sh"),
+        (md5Long(col("shingle")) % minhashP).as("h"))
 
-  /** N-gram Jaccard near-dup pairs (a < b, jaccard ≥ τ). */
+  /** N-gram Jaccard near-dup pairs (a < b, jaccard ≥ τ).
+    *
+    * Inverted-index formulation: the hashed postings are materialized
+    * ONCE (`localCheckpoint` — at production scale this is the persisted
+    * index table), the document-frequency cap is applied with a broadcast
+    * semi-join (no postings shuffle), and the pair join + per-pair count
+    * are fully whole-stage-codegen'd. Work is proportional to
+    * Σ df² over kept shingles, bounded by [[maxShingleDf]] — the
+    * standard stopword-shingle/skew cap. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val a = invertedIndex(s, dir).select(
-      col("doc_id").as("a"), col("n_sh").as("na"), col("shingle"))
-    val b = invertedIndex(s, dir).select(
-      col("doc_id").as("b"), col("n_sh").as("nb"), col("shingle"))
-    a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+    val post = hashPostings(s, dir).localCheckpoint()
+    val keep = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select("h")
+    val idx = post.join(broadcast(keep), Seq("h"))
+    val a = idx.select(col("h"), col("doc_id").as("a"), col("n_sh").as("na"))
+    val b = idx.select(col("h"), col("doc_id").as("b"), col("n_sh").as("nb"))
+    a.join(b, Seq("h")).filter(col("a") < col("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
       .withColumn("jaccard",
@@ -86,12 +103,16 @@ object DedupQueries {
       .orderBy("a", "b")
   }
 
-  /** MinHash signatures: k independent md5 families, min over shingles. */
+  /** MinHash signatures: min over shingles of each affine family member.
+    * explode → project → 12 partial min-aggregates: every stage is
+    * whole-stage-codegen'd, and the map-side combine reduces each
+    * partition to one row per doc before the (tiny) shuffle. */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     val sigCols = (0 until minhashK).map { k =>
-      array_min(transform(col("sh"), sh => md5Long(k, sh))).as(s"mh$k")
+      min((col("h") * minhashA(k) + minhashB(k)) % minhashP).as(s"mh$k")
     }
-    shingled(s, dir).select(col("doc_id") +: sigCols: _*)
+    hashPostings(s, dir).groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** Per-doc MinHash signature (oracle-checks the sketch math itself). */
@@ -99,24 +120,36 @@ object DedupQueries {
     minhashSigs(s, dir).orderBy("doc_id")
 
   /** LSH candidates: pairs agreeing on ≥1 of 4 bands (3 rows each),
-    * scored by full-signature agreement (est. jaccard = matches/k). */
+    * scored by full-signature agreement (est. jaccard = matches/k).
+    *
+    * The full signature rides along the band rows (one explode, not a
+    * 4-way union), so the band self-join verifies candidates in-row —
+    * signatures are computed once per join side and there are NO extra
+    * verification joins. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(s, dir)
-    val bands = (0 until lshBands).map { b =>
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        concat_ws("-", (0 until 3).map(r => col(s"mh${b * 3 + r}")): _*)
-          .as("key"))
-    }.reduce(_ unionByName _)
-    val cand = bands.as("x").join(bands.as("y"), Seq("band", "key"))
+    // signatures materialized once (the persisted-signature-table pattern)
+    val sig = minhashSigs(s, dir).select(col("doc_id"),
+      array((0 until minhashK).map(k => col(s"mh$k")): _*).as("sig"))
+      .localCheckpoint()
+    val bandKeys = array((0 until lshBands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("-",
+          element_at(col("sig"), b * 3 + 1).cast("string"),
+          element_at(col("sig"), b * 3 + 2).cast("string"),
+          element_at(col("sig"), b * 3 + 3).cast("string")).as("key"))): _*)
+    val bands = sig
+      .select(col("doc_id"), col("sig"), explode(bandKeys).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val matches = aggregate(
+      zip_with(col("x.sig"), col("y.sig"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), _ + _)
+    bands.as("x").join(bands.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    val matches = (0 until minhashK)
-      .map(k => when(col(s"xs.mh$k") === col(s"ys.mh$k"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(minhashSigs(s, dir).as("xs"), col("a") === col("xs.doc_id"))
-      .join(minhashSigs(s, dir).as("ys"), col("b") === col("ys.doc_id"))
-      .select(col("a"), col("b"), matches.as("sig_matches"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        matches.as("sig_matches"))
+      .distinct()
       .withColumn("est_jaccard", round(col("sig_matches") / lit(minhashK.toDouble), 6))
       .filter(col("sig_matches") >= 8)
       .orderBy("a", "b")
@@ -149,11 +182,16 @@ object DedupQueries {
     * ≥1 15-bit chunk — the standard recall/cost trade — then verified
     * exactly with bit_count(xor). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhash(s, dir)
-    val chunks = (0 until 4).map { c =>
-      sig.select(col("doc_id"), col("simhash"), lit(c).as("chunk"),
-        (shiftright(col("simhash"), c * 15) % 32768).as("key"))
-    }.reduce(_ unionByName _)
+    val sig = simhash(s, dir).localCheckpoint()
+    // explode, not a 4-way union: the simhash aggregation runs once per
+    // join side instead of 4x
+    val chunkArr = array((0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        (shiftright(col("simhash"), c * 15) % 32768).as("key"))): _*)
+    val chunks = sig
+      .select(col("doc_id"), col("simhash"), explode(chunkArr).as("ck"))
+      .select(col("doc_id"), col("simhash"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
     chunks.as("x").join(chunks.as("y"), Seq("chunk", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -165,19 +203,20 @@ object DedupQueries {
       .orderBy("a", "b")
   }
 
-  /** Embedding-cosine near-dup pairs (brute-force baseline; float math is
-    * done in double with a left fold in both engines, rounded to 4dp). */
+  /** Embedding-cosine near-dup pairs (brute-force baseline). The inner
+    * loop is the codegen'd [[graft.functions.DotProduct]] expression —
+    * same left-fold accumulation order as the oracle, ~10x the throughput
+    * of the interpreted higher-order-function formulation. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("norm",
-        sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("norm", sqrt(dotProduct(col("e"), col("e"))))
     val a = v.select(col("vec_id").as("a"), col("e").as("ea"), col("norm").as("nna"))
     val b = v.select(col("vec_id").as("b"), col("e").as("eb"), col("norm").as("nnb"))
     a.crossJoin(b).filter(col("a") < col("b"))
-      .withColumn("dot",
-        aggregate(zip_with(col("ea"), col("eb"), _ * _), lit(0.0), _ + _))
-      .withColumn("cosine", round(col("dot") / (col("nna") * col("nnb")), 4))
+      .withColumn("cosine",
+        round(dotProduct(col("ea"), col("eb")) / (col("nna") * col("nnb")), 4))
       .filter(col("cosine") >= cosineThreshold)
       .select("a", "b", "cosine")
       .orderBy("a", "b")
@@ -207,24 +246,24 @@ object DedupQueries {
       |      ELSE CAST([] AS VARCHAR[]) END) AS sh
       |  FROM toks)""".stripMargin
 
-  private val invIdxCte =
-    s"""$shingleCte,
-       |ex AS (SELECT doc_id, length(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
-       |keep AS (SELECT shingle FROM ex GROUP BY shingle
-       |         HAVING count(*) <= $maxShingleDf),
-       |idx AS (SELECT ex.* FROM ex JOIN keep USING (shingle))""".stripMargin
-
   private def duckMd5Long(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  private val hashedCte =
+    s"""$shingleCte,
+       |hsh AS (
+       |  SELECT doc_id, length(sh) AS n_sh,
+       |         list_transform(sh, s -> ${duckMd5Long("s")} % $minhashP) AS hs
+       |  FROM sh)""".stripMargin
 
   private val sigCte = {
     val sigExprs = (0 until minhashK).map { k =>
-      s"list_min(list_transform(sh, s -> ${duckMd5Long(s"'$k:' || s")})) AS mh$k"
+      s"list_min(list_transform(hs, h -> (h * ${minhashA(k)} + ${minhashB(k)}) % $minhashP)) AS mh$k"
     }.mkString(",\n         ")
-    s"""$shingleCte,
+    s"""$hashedCte,
        |sigs AS (
        |  SELECT doc_id,
        |         $sigExprs
-       |  FROM sh)""".stripMargin
+       |  FROM hsh)""".stripMargin
   }
 
   private val simhashCte = {
@@ -256,7 +295,11 @@ object DedupQueries {
          |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
          |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" ->
-      s"""WITH $invIdxCte
+      s"""WITH $hashedCte,
+         |ex AS (SELECT doc_id, n_sh, unnest(hs) AS shingle FROM hsh),
+         |keep AS (SELECT shingle FROM ex GROUP BY shingle
+         |         HAVING count(*) <= $maxShingleDf),
+         |idx AS (SELECT ex.* FROM ex JOIN keep USING (shingle))
          |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common,
          |  round(CAST(count(*) AS DOUBLE) /
          |        (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6)

@@ -27,15 +27,18 @@ object SimilarityQueries {
   val nprobe = 4
   val queryStride = 50 // vec_id % stride == 0 → query set
 
+  import graft.functions.VectorFunctions.dotProduct
+
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("e"))
-      .withColumn("norm",
-        sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("norm", sqrt(dotProduct(col("e"), col("e"))))
 
+  /** Codegen'd cosine (graft.functions.DotProduct) — identical fold order
+    * to the DuckDB oracle's list_aggregate, bit-for-bit equal results. */
   private def cosine(ea: Column, eb: Column, na: Column, nb: Column): Column =
-    round(aggregate(zip_with(ea, eb, _ * _), lit(0.0), _ + _) / (na * nb), 4)
+    round(dotProduct(ea, eb) / (na * nb), 4)
 
   /** Brute-force exact top-k neighbors for each query vector. */
   def annBruteForce(s: SparkSession, dir: String): DataFrame = {
