@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.VectorExpressions
+import graft.functions.{ShingleExpressions, VectorExpressions}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Engine extension point, wired the public way:
@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExpressions.dotProductDescriptor)
+    ext.injectFunction(ShingleExpressions.wordShinglesDescriptor)
   }
 }
 

@@ -31,22 +31,24 @@ object TextFunctions {
   def md5Long(seed: Int, s: Column): Column =
     md5Long(concat(lit(seed.toString), lit(":"), s))
 
-  /** Lowercased whitespace tokens. Empty text → empty array (split of ""
-    * yields [""], which we filter). */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+  /** Lowercased whitespace tokens. Codegen-only formulation: trimming
+    * first means `\s+`-split can never produce empty tokens, so no
+    * interpreted `filter` lambda is needed (HOFs are CodegenFallback —
+    * they break whole-stage codegen in the hottest scan loop). Empty /
+    * all-whitespace text → empty array, identical to the filtered split. */
+  def tokens(text: Column): Column = {
+    val t = trim(lower(text))
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
 
-  /** Distinct word n-gram shingles, space-joined.
+  /** Distinct word n-gram shingles, space-joined, first-occurrence order —
+    * the codegen'd [[WordShingles]] expression (null toks → empty, matching
+    * the built-in-HOF formulation it replaces).
     * DuckDB: list_distinct(list_transform(generate_series(1, len(toks)-n+1),
     *         i -> array_to_string(toks[i:i+n-1], ' '))) */
-  def shingles(toks: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => array_join(slice(toks, i, lit(n)), " "))
-    // guard: sequence(1, k) with k<1 would count DOWN in Spark
-    array_distinct(
-      when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
-  }
+  def shingles(toks: Column, n: Int): Column =
+    coalesce(call_function("word_shingles", toks, lit(n)),
+      array().cast("array<string>"))
 
   /** Count of matches of a regex (DuckDB: length(regexp_extract_all)). */
   def countMatches(s: Column, regex: String): Column =

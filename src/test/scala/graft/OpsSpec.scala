@@ -76,6 +76,20 @@ class OpsSpec extends SparkSpec {
     assert(got === List(List("a b c", "b c d"), Nil, Nil))
   }
 
+  test("codegen word_shingles ≡ the built-in HOF formulation on real docs") {
+    import org.apache.spark.sql.functions._
+    val toks = TextFunctions.tokens(col("text"))
+    val hof = array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => array_join(slice(toks, i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>")))
+    val d = Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"),
+        TextFunctions.shingles(toks, 3).as("fast"), hof.as("ref"))
+    assert(d.filter(not(col("fast") === col("ref"))).isEmpty)
+  }
+
   test("asof join: every purchase maps to the latest prior view") {
     val d = RelationalQueries.asofJoin(spark, sf).cache()
     val ev = Tables.events(spark, sf)
