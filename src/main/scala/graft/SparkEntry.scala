@@ -42,7 +42,7 @@ object SparkEntry {
     Scd2Queries.queries ++ LookupQueries.queries ++ ExtractQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ RelationalQueries.queries ++
-      MediaQueries.queries
+      MediaQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +50,5 @@ object SparkEntry {
     Scd2Queries.oracles ++ LookupQueries.oracles ++ ExtractQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ RelationalQueries.oracles ++
-      MediaQueries.oracles
+      MediaQueries.oracles ++ AnalyticsQueries.oracles
 }

@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-series / OLAP analytics over the `events` stream table — the
+  * batch faces of the streaming surface (SURVEY.md §2.10 lists these
+  * categories as absent from the reference) plus aggregation breadth a
+  * training-data pipeline needs at 100 TB.
+  *
+  * Scale notes:
+  *  - `sessionize` uses Spark's native `session_window` — one shuffle by
+  *    (user, window) with partial merge; the same operator drives the
+  *    streaming path with watermarked state eviction.
+  *  - `windowAgg` is a tumbling event-time window: at scale this is the
+  *    canonical pre-aggregation (one partial+final hash agg; window start
+  *    is a pure projection of ts, so no blow-up).
+  *  - `saltedAgg` demonstrates the hot-key pattern: 5 event types over
+  *    billions of rows would reduce to 5 final-stage keys; salting fans
+  *    the partial aggregate over 16× more reducers, the final combine is
+  *    over (types × 16) rows. Results are bit-identical to the direct
+  *    group-by (sums go through DECIMAL — order-independent).
+  *  - `approxDistinct` is the sketch path (HLL++): mergeable partial
+  *    state, constant memory per group — the only viable distinct-count
+  *    at 100 TB. No exact oracle by construction (driver records the
+  *    weaker rows-only check; the spec pins ≤5% relative error vs exact).
+  */
+object AnalyticsQueries {
+  val sessionGap = "30 minutes"
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  /** Session windows per user (gap = 30 min), Spark-native
+    * `session_window`. Oracle is the classic gaps-and-islands SQL —
+    * boundary semantics line up exactly (a gap of precisely 30:00 starts
+    * a new session in both formulations: Spark windows are end-exclusive). */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), sessionGap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Tumbling 1-hour event-time windows × event_type: count, exact
+    * distinct users, value sum. The batch twin of the streaming
+    * watermarked window aggregate. */
+  def windowAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("n_users"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** CUBE over (event_type, hour-of-day): all 4 grouping-set combinations
+    * in one pass (partial-aggregated per set). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .cube(col("event_type"), hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .orderBy(col("event_type").asc_nulls_first,
+        col("hour_of_day").asc_nulls_first)
+
+  /** Exact interpolated percentiles of value per event_type (p50/p90/p99,
+    * rounded 6dp — Spark `percentile` and DuckDB `quantile_cont` share the
+    * (1-f)·a + f·b interpolation). At 100 TB the sketch twin is
+    * approx_percentile; the exact form is the oracle-checkable baseline. */
+  def percentileAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      .select(col("event_type"),
+        round(element_at(col("p"), 1), 6).as("p50"),
+        round(element_at(col("p"), 2), 6).as("p90"),
+        round(element_at(col("p"), 3), 6).as("p99"))
+      .orderBy("event_type")
+
+  /** Pivot: order counts + total price per priority × status (explicit
+    * pivot values → deterministic schema, map-side combined). */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("f_cnt"),
+        col("O").as("o_cnt"), col("P").as("p_cnt"))
+      .orderBy("o_orderpriority")
+
+  /** Hot-key-safe aggregation: salt the partial stage 16 ways, combine
+    * partials. Bit-identical to the direct group-by (DECIMAL sums). */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pc"),
+        sum(col("value").cast("decimal(18,6)")).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pc")).as("n_events"),
+        sum(col("pv")).cast("double").as("total_value"))
+      .orderBy("event_type")
+
+  /** HLL++ approximate distinct users per event_type — the mergeable
+    * constant-memory sketch path. Spec-checked (≤5% vs exact); no SQL
+    * oracle (sketch estimates are engine-specific by construction). */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize" -> (sessionize _),
+    "window_agg" -> (windowAgg _),
+    "cube_agg" -> (cubeAgg _),
+    "percentile_agg" -> (percentileAgg _),
+    "pivot_agg" -> (pivotAgg _),
+    "salted_agg" -> (saltedAgg _),
+    "approx_distinct" -> (approxDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "sessionize" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+         |           FROM events),
+         |brk AS (
+         |  SELECT *, CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         |                 OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS b
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |grp AS (
+         |  SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts
+         |                         ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM brk)
+         |SELECT user_id, min(ts) AS session_start,
+         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+         |FROM grp GROUP BY user_id, g
+         |ORDER BY user_id, session_start""".stripMargin,
+    "window_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "cube_agg" ->
+      """SELECT event_type,
+        |  CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS hour_of_day,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY CUBE (1, 2)
+        |ORDER BY event_type NULLS FIRST, hour_of_day NULLS FIRST""".stripMargin,
+    "percentile_agg" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "pivot_agg" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

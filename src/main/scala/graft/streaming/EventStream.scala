@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** A raw event row as fed to the streaming analytics operators. */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Running per-user aggregate maintained by [[EventStream.runningUserTotals]]. */
+case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+/** Structured Streaming analytics over the event stream — the streaming
+  * twins of [[graft.ops.AnalyticsQueries]] (SURVEY.md §2.10: the reference
+  * has no watermarks/event-time windows/session windows; these are the
+  * operators a production version of its pipeline needs next).
+  *
+  * Each operator returns a transformed streaming DataFrame — the caller
+  * picks sink/trigger/output-mode. State stores are keyed exactly like the
+  * batch shuffles (window × group key), so executor state is bounded by
+  * the watermark horizon, not the stream length:
+  *
+  *  - tumbling windows: state per (hour, event_type) — evicted once the
+  *    watermark passes window end;
+  *  - session windows: merging state per (user, open session) — the
+  *    native `session_window` operator merges adjacent state on arrival;
+  *  - dedup: one (event_id, ts) entry per in-horizon event — the
+  *    streaming face of exact dedup, and the idempotence guard an
+  *    at-least-once CDC source needs;
+  *  - `mapGroupsWithState`: arbitrary per-key state (here: running user
+  *    totals) — the extension point the reference's DistributedMapCache
+  *    could never offer safely.
+  */
+object EventStream {
+
+  /** Watermarked tumbling 1-hour window × event_type aggregate (the
+    * streaming twin of AnalyticsQueries.windowAgg). */
+  def windowedAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Watermarked session windows per user (the streaming twin of
+    * AnalyticsQueries.sessionize; same gap → same sessions). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * state is one entry per in-horizon event, evicted by the watermark. */
+  def dedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom per-key state via `mapGroupsWithState`: running event count
+    * and value total per user, updated each micro-batch. Emits the new
+    * running total for every user seen in the batch (update-mode sink). */
+  def runningUserTotals(events: Dataset[Ev]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (uid, evs, state) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          evs.foreach { e => n += 1; tot += e.value }
+          val next = UserTotal(uid, n, math.rint(tot * 1e6) / 1e6)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: the batch events table cast to Dataset[Ev]. */
+  def asEvents(spark: SparkSession, df: DataFrame): Dataset[Ev] = {
+    import spark.implicits._
+    df.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).as[Ev]
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.ops.AnalyticsQueries
+import graft.streaming.{Ev, EventStream}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming analytics operators driven through real StreamingQueries
+  * (MemoryStream source, memory sink): the streaming results must agree
+  * with their batch twins over the same data. */
+class EventStreamSpec extends SparkSpec {
+
+  private def evRows(limit: Long): Seq[Ev] = {
+    Tables.events(spark, sf)
+      .filter(col("event_id") <= limit)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .toIndexedSeq
+  }
+
+  private def ckpt(): String =
+    Files.createTempDirectory("graft-es").toString
+
+  test("streaming windowed agg (complete mode) equals the batch window agg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.windowedAgg(mem.toDF())
+      .writeStream.format("memory").queryName("wagg")
+      .outputMode("complete").option("checkpointLocation", ckpt()).start()
+    val rows = evRows(2000)
+    mem.addData(rows.take(1000))
+    mem.addData(rows.drop(1000))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("wagg")
+    val want = Tables.events(spark, sf).filter(col("event_id") <= 2000)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("streaming session windows equal the batch sessionize boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.sessionAgg(mem.toDF())
+      .writeStream.format("memory").queryName("sagg")
+      .outputMode("complete").option("checkpointLocation", ckpt()).start()
+    mem.addData(evRows(1500))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sagg")
+    val want = Tables.events(spark, sf).filter(col("event_id") <= 1500)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("streaming dedup drops in-horizon duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.dedup(mem.toDF())
+      .writeStream.format("memory").queryName("dedupq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    val rows = evRows(300)
+    mem.addData(rows)
+    mem.addData(rows) // exact replay: at-least-once source
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedupq")
+    assert(got.count() === rows.size)
+    assert(got.select("event_id").distinct().count() === rows.size)
+  }
+
+  test("mapGroupsWithState accumulates running user totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("update").option("checkpointLocation", ckpt()).start()
+    val rows = evRows(1000)
+    val (b1, b2) = rows.splitAt(500)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    // latest state per user must equal the one-shot batch aggregate
+    val got = spark.table("totals")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "n_events")
+    val want = Tables.events(spark, sf).filter(col("event_id") <= 1000)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty)
+  }
+}

@@ -90,6 +90,33 @@ class OpsSpec extends SparkSpec {
     assert(d.filter(not(col("fast") === col("ref"))).isEmpty)
   }
 
+  test("approx_distinct within 5% of exact per event_type") {
+    val approx = AnalyticsQueries.approxDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(approx(t) - n).toDouble / n <= 0.05,
+        s"$t: approx=${approx(t)} exact=$n")
+    }
+  }
+
+  test("sessions are disjoint per user and gap-bounded") {
+    val rows = AnalyticsQueries.sessionize(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+    rows.groupBy(_._1).values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) => assert(s2 >= e1)
+        case _ =>
+      }
+    }
+    val gapMs = 30L * 60 * 1000
+    rows.foreach { case (_, s, e) => assert(e - s >= gapMs) }
+  }
+
   test("asof join: every purchase maps to the latest prior view") {
     val d = RelationalQueries.asofJoin(spark, sf).cache()
     val ev = Tables.events(spark, sf)
