@@ -1,0 +1,192 @@
+package graft.sources
+
+import java.util
+
+import graft.cdc.Cdc
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-cdc`: a DataSource V2 CDC event source — the Spark-native
+  * re-expression of the reference's `CaptureChangeMySQL` binlog tail
+  * (reference: nifi/templates/final_template.xml:4100-4382).
+  *
+  * What maps to what:
+  *  - binlog position persisted in a DistributedMapCache
+  *    (final_template.xml:1510-1519, 4317-4318) → the streaming offset
+  *    log: offsets here are plain event sequence numbers, serialized to
+  *    the checkpoint by the engine — restart resumes exactly where the
+  *    last committed batch ended;
+  *  - `MAX_EVENTS_PER_FLOWFILE` / 200 ms poll (final_template.xml:4294-4299,
+  *    4363) → [[ReadLimit]] admission control: `maxEventsPerTrigger`
+  *    bounds each micro-batch;
+  *  - `retrieve-all-records=true` initial snapshot (final_template.xml:
+  *    4321-4323) → the first `products` events are `insert`s (one per
+  *    product), everything after is an `update` — same shape the binlog
+  *    replay would produce;
+  *  - one JSON doc per row-change with a `columns` array of {name,value}
+  *    → rows of [[Cdc.eventSchema]], ready for `Cdc.flatten`.
+  *
+  * The event payload is a deterministic function of the sequence number
+  * (seeded product catalog), so tests and both read paths (batch +
+  * micro-batch) agree bit-for-bit. Partition planning splits the offset
+  * range evenly — each executor synthesizes its slice independently, no
+  * driver materialization, no shuffle.
+  *
+  * Options: `rows` (total events), `products` (catalog size),
+  * `maxEventsPerTrigger` (admission cap), `numPartitions`.
+  */
+class CdcSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Cdc.eventSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new CdcTable(new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] class CdcTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "graft-cdc"
+  override def schema(): StructType = Cdc.eventSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val conf = CdcConf(
+      rows = opts.getLong("rows", 1000L),
+      products = opts.getInt("products", 100),
+      maxPerTrigger = opts.getLong("maxEventsPerTrigger", 1000L),
+      numPartitions = opts.getInt("numPartitions", 4))
+    () => new CdcScan(conf)
+  }
+}
+
+private[sources] case class CdcConf(rows: Long, products: Int,
+                                    maxPerTrigger: Long, numPartitions: Int)
+
+private[sources] class CdcScan(conf: CdcConf) extends Scan {
+  override def readSchema(): StructType = Cdc.eventSchema
+  override def description(): String = s"graft-cdc(rows=${conf.rows})"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      CdcSource.splitRange(0L, conf.rows, conf.numPartitions)
+    override def createReaderFactory(): PartitionReaderFactory =
+      CdcReaderFactory(conf.products)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcMicroBatchStream(conf)
+}
+
+private[sources] case class CdcOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private[sources] class CdcMicroBatchStream(conf: CdcConf)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = CdcOffset(0L)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(conf.maxPerTrigger)
+
+  override def latestOffset(): Offset = CdcOffset(conf.rows)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[CdcOffset].n
+    val cap = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _ => conf.maxPerTrigger
+    }
+    CdcOffset(math.min(from + cap, conf.rows))
+  }
+
+  override def reportLatestOffset(): Offset = CdcOffset(conf.rows)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    CdcSource.splitRange(start.asInstanceOf[CdcOffset].n,
+      end.asInstanceOf[CdcOffset].n, conf.numPartitions)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CdcReaderFactory(conf.products)
+
+  override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class CdcRange(start: Long, end: Long) extends InputPartition
+
+private[sources] case class CdcReaderFactory(products: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[CdcRange]
+    new PartitionReader[InternalRow] {
+      private var i = r.start - 1
+      override def next(): Boolean = { i += 1; i < r.end }
+      override def get(): InternalRow = CdcSource.eventRow(i, products)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Deterministic event generator + partition math (shared by both read
+  * paths and by the test oracle). */
+object CdcSource {
+  /** 2023-09-01T00:00:00Z, the stream's epoch (micros). */
+  val baseMicros: Long = 1693526400L * 1000000L
+
+  def splitRange(start: Long, end: Long, parts: Int): Array[InputPartition] = {
+    val n = math.max(1, math.min(parts.toLong, end - start)).toInt
+    (0 until n).map { p =>
+      val lo = start + (end - start) * p / n
+      val hi = start + (end - start) * (p + 1) / n
+      CdcRange(lo, hi): InputPartition
+    }.toArray
+  }
+
+  /** Catalog row values for event `i` (strings — the binlog wire format). */
+  def productOf(i: Long, products: Int): (Int, Int, Double) = {
+    val pid = 9000 + (i % products).toInt
+    val version = (i / products).toInt
+    val price = 50.0 + (i % products) + 10.0 * version
+    (pid, version, price)
+  }
+
+  private val dbName = UTF8String.fromString("sample_data")
+  private val tableName = UTF8String.fromString("products_catalog")
+  private val insertT = UTF8String.fromString(Cdc.Insert)
+  private val updateT = UTF8String.fromString(Cdc.Update)
+
+  def eventRow(i: Long, products: Int): InternalRow = {
+    val (pid, version, price) = productOf(i, products)
+    def colRow(id: Int, name: String, value: String): InternalRow =
+      new GenericInternalRow(Array[Any](id, UTF8String.fromString(name), 0,
+        if (value == null) null else UTF8String.fromString(value)))
+    val cols = new GenericArrayData(Array[Any](
+      colRow(0, "ProductID", pid.toString),
+      colRow(1, "ProductName", s"product-$pid"),
+      colRow(2, "ProductBrand", s"brand-${pid % 7}"),
+      colRow(3, "Target_Gender", if (pid % 2 == 0) "Female" else "Male"),
+      colRow(4, "Price", price.toString),
+      colRow(5, "Currency", "Euro"),
+      colRow(6, "Description", s"catalog item $pid v$version"),
+      colRow(7, "Launch_date", "2023-07-01"),
+      colRow(8, "Loaded_at", "2023-08-01")))
+    new GenericInternalRow(Array[Any](
+      i,
+      if (version == 0) insertT else updateT,
+      dbName,
+      tableName,
+      baseMicros + i * 1000000L,
+      cols))
+  }
+}
