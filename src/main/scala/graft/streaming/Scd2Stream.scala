@@ -49,6 +49,57 @@ object Scd2Stream {
       }
       .start()
 
+  /** One micro-batch against a BUCKETED history: the table is laid out as
+    * `historyDir/__bucket=N/` (N = murmur3(key) mod nBuckets) and a batch
+    * only reads + rewrites the buckets its keys hash into — the 100 TB
+    * answer to [[applyMicroBatch]]'s full-table rewrite. With k touched
+    * buckets out of B, a micro-batch costs O(history·k/B + batch), and
+    * partition pruning serves point-lookups by key from one bucket.
+    * Untouched buckets are never opened (dynamic partition overwrite).
+    *
+    * Same exactly-once commit-log contract as [[applyMicroBatch]]. */
+  def applyMicroBatchBucketed(spark: SparkSession, batch: DataFrame,
+                              historyDir: String, keys: Seq[String],
+                              tsCol: String, seqCol: String, nBuckets: Int = 64,
+                              batchId: Option[Long] = None): Unit = {
+    val commitLog = new java.io.File(historyDir + ".commits")
+    if (batchId.exists(committedIds(commitLog).contains)) return
+    if (batch.isEmpty) return
+    val bucket = pmod(hash(keys.map(col): _*), lit(nBuckets))
+    val tagged = batch.withColumn("__bucket", bucket)
+    val touched = tagged.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val dirs = touched.map(b => s"$historyDir/__bucket=$b")
+      .filter(d => new java.io.File(d).exists())
+    val merged =
+      if (dirs.nonEmpty) {
+        val hist = spark.read.option("basePath", historyDir)
+          .parquet(dirs.toIndexedSeq: _*)
+        Scd2.applyBatch(hist.drop("__bucket"), batch, keys, tsCol, seqCol)
+      } else {
+        Scd2.fromEvents(batch, keys, tsCol, seqCol)
+      }
+    merged.withColumn("__bucket", bucket)
+      .write.partitionBy("__bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(historyDir)
+    batchId.foreach(appendCommit(commitLog, _))
+  }
+
+  /** Read a bucketed history back as a plain SCD2 table. */
+  def readBucketed(spark: SparkSession, historyDir: String): DataFrame =
+    spark.read.parquet(historyDir).drop("__bucket")
+
+  private def committedIds(commitLog: java.io.File): Set[Long] =
+    if (commitLog.exists())
+      scala.io.Source.fromFile(commitLog).getLines().map(_.toLong).toSet
+    else Set.empty
+
+  private def appendCommit(commitLog: java.io.File, id: Long): Unit = {
+    val w = new java.io.FileWriter(commitLog, true)
+    try w.write(s"$id\n") finally w.close()
+  }
+
   /** One micro-batch: read current history, merge, atomically replace.
     *
     * Exactly-once on replay: with a `batchId` (foreachBatch supplies one),
@@ -59,11 +110,7 @@ object Scd2Stream {
                       keys: Seq[String], tsCol: String, seqCol: String,
                       batchId: Option[Long] = None): Unit = {
     val commitLog = new java.io.File(historyDir + ".commits")
-    val committed: Set[Long] =
-      if (commitLog.exists())
-        scala.io.Source.fromFile(commitLog).getLines().map(_.toLong).toSet
-      else Set.empty
-    if (batchId.exists(committed.contains)) return
+    if (batchId.exists(committedIds(commitLog).contains)) return
     if (batch.isEmpty) return
     val dir = new java.io.File(historyDir)
     val merged =
@@ -81,9 +128,6 @@ object Scd2Stream {
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
     if (!fresh.renameTo(dir))
       throw new java.io.IOException(s"atomic swap failed: $tmp -> $historyDir")
-    batchId.foreach { id =>
-      val w = new java.io.FileWriter(commitLog, true)
-      try w.write(s"$id\n") finally w.close()
-    }
+    batchId.foreach(appendCommit(commitLog, _))
   }
 }

