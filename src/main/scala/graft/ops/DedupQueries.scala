@@ -222,6 +222,50 @@ object DedupQueries {
       .orderBy("a", "b")
   }
 
+  /** Random-hyperplane LSH over embeddings — the scale path that replaces
+    * [[dedupEmbedding]]'s O(n²) cross join with a band equi-join.
+    *
+    * 16 sign bits (dot against deterministic pseudo-random hyperplanes,
+    * integer-arithmetic-generated so the DuckDB oracle reproduces them
+    * bit-for-bit) → 4 bands × 4 bits → candidates = pairs agreeing on ≥1
+    * band → exact cosine verification. At 100 TB the signature table is
+    * materialized once and the band join shuffles only (band, key,
+    * vec_id) rows — work scales with collisions, not n². */
+  val lshPlanes = 16
+  val embeddingDim = 64
+
+  private[ops] def planeVec(j: Int): Seq[Double] =
+    (0 until embeddingDim).map(d =>
+      ((j * embeddingDim.toLong + d) * 2654435761L % 1000000007L)
+        / 1000000007.0 - 0.5)
+
+  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm", sqrt(dotProduct(col("e"), col("e"))))
+    val sigBits = (0 until lshPlanes).map { j =>
+      when(dotProduct(col("e"), typedLit(planeVec(j))) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = v.withColumn("sig", sigBits)
+    val bandArr = array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("sig"), b * 4) % 16).as("key"))): _*)
+    val bands = sig
+      .select(col("vec_id"), col("e"), col("norm"), explode(bandArr).as("bk"))
+      .select(col("vec_id"), col("e"), col("norm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(dotProduct(col("x.e"), col("y.e"))
+          / (col("x.norm") * col("y.norm")), 4).as("cosine"))
+      .filter(col("cosine") >= cosineThreshold)
+      .distinct()
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -229,7 +273,8 @@ object DedupQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash_sig" -> (dedupSimhashSig _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_embedding" -> (dedupEmbedding _))
+    "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _))
 
   // ---- oracles ----------------------------------------------------------
 
@@ -367,5 +412,37 @@ object DedupQueries {
          |WHERE round(list_aggregate(list_transform(generate_series(1, length(a.e)),
          |          i -> a.e[i] * b.e[i]), 'sum') / (a.norm * b.norm), 4)
          |      >= $cosineThreshold
+         |ORDER BY a, b""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e,
+         |         sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+         |              x -> x * x), 'sum')) AS norm
+         |  FROM embeddings),
+         |bits AS (
+         |  SELECT vec_id, j,
+         |    CASE WHEN list_aggregate(list_transform(
+         |           generate_series(1, $embeddingDim),
+         |           i -> e[i] * ((((j * $embeddingDim + i - 1) * 2654435761)
+         |                         % 1000000007) / 1000000007.0 - 0.5)),
+         |         'sum') > 0
+         |      THEN (1::BIGINT << j) ELSE 0 END AS bit
+         |  FROM v, (SELECT unnest(generate_series(0, ${lshPlanes - 1})) AS j)),
+         |sig AS (SELECT vec_id, sum(bit)::BIGINT AS sig FROM bits GROUP BY vec_id),
+         |bands AS (
+         |  SELECT vec_id, b AS band, (sig >> (4 * b)) % 16 AS key
+         |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
+         |SELECT a, b, cosine FROM (
+         |  SELECT cand.a, cand.b,
+         |    round(list_aggregate(list_transform(generate_series(1, $embeddingDim),
+         |            i -> va.e[i] * vb.e[i]), 'sum') / (va.norm * vb.norm), 4)
+         |      AS cosine
+         |  FROM cand JOIN v va ON cand.a = va.vec_id
+         |            JOIN v vb ON cand.b = vb.vec_id)
+         |WHERE cosine >= $cosineThreshold
          |ORDER BY a, b""".stripMargin)
 }

@@ -90,6 +90,15 @@ class OpsSpec extends SparkSpec {
     assert(d.filter(not(col("fast") === col("ref"))).isEmpty)
   }
 
+  test("embedding LSH pairs are a subset of brute-force pairs, nonempty") {
+    val brute = DedupQueries.dedupEmbedding(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupQueries.dedupEmbeddingLsh(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(brute))
+  }
+
   test("approx_distinct within 5% of exact per event_type") {
     val approx = AnalyticsQueries.approxDistinct(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
