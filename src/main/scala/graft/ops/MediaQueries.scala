@@ -77,9 +77,56 @@ object MediaQueries {
           .as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
 
+  case class FeatureRow(doc_id: Long, features: Array[Long])
+
+  /** STUB feature-extraction kernel: k deterministic pseudo-features from
+    * the payload hash (a real pipeline runs the image model here; the
+    * mapPartitions batch shape, typed Encoders and downstream plumbing are
+    * the real thing). Integer-valued so the oracle comparison is exact. */
+  val nFeatures = 8
+  def featureStub(payload: Array[Byte]): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString.substring(0, 15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    Array.tabulate(nFeatures)(j => (h + j * 2654435761L) % 1000000007L)
+  }
+
+  /** Feature extraction over the media table — one iterator pass per
+    * partition; features surfaced as a joined string (the persisted form
+    * would be an array<float> column feeding SimilarityQueries' ANN). */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = mediaTable(s, dir)
+      .select(col("doc_id"), col("payload"), col("source")).as[MediaRow]
+      .mapPartitions(_.map(m => FeatureRow(m.doc_id, featureStub(m.payload))))
+      .toDF()
+    feats.select(col("doc_id"),
+        concat_ws(",", transform(col("features"), _.cast("string")))
+          .as("features"))
+      .orderBy("doc_id")
+  }
+
+  /** Resize planning: fit each frame into a 224×224 box preserving aspect
+    * ratio (integer math — the metadata half of a thumbnail pass; the
+    * pixel kernel lives behind the same stub boundary as decode). */
+  val fitBox = 224L
+  def mediaResize(s: SparkSession, dir: String): DataFrame =
+    mediaDecode(s, dir)
+      .withColumn("long_side", greatest(col("width"), col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("long_side") <= fitBox, col("width"))
+          .otherwise(floor(col("width") * fitBox / col("long_side")).cast("long"))
+          .as("out_w"),
+        when(col("long_side") <= fitBox, col("height"))
+          .otherwise(floor(col("height") * fitBox / col("long_side")).cast("long"))
+          .as("out_h"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_decode" -> (mediaDecode _),
-    "media_frame_sample" -> (frameSample _))
+    "media_frame_sample" -> (frameSample _),
+    "media_features" -> (mediaFeatures _),
+    "media_resize" -> (mediaResize _))
 
   private val decodedCte =
     """decoded AS (
@@ -97,6 +144,24 @@ object MediaQueries {
     "media_decode" ->
       s"""WITH $decodedCte
          |SELECT doc_id, payload_bytes, width, height, n_frames, format
+         |FROM decoded ORDER BY doc_id""".stripMargin,
+    "media_features" ->
+      s"""SELECT doc_id,
+         |  array_to_string(list_transform(generate_series(0, ${nFeatures - 1}),
+         |    j -> (h + j * 2654435761) % 1000000007), ',') AS features
+         |FROM (SELECT doc_id,
+         |        ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "media_resize" ->
+      s"""WITH $decodedCte
+         |SELECT doc_id, width, height,
+         |  CASE WHEN greatest(width, height) <= $fitBox THEN width
+         |       ELSE CAST(floor(width * $fitBox / greatest(width, height))
+         |                 AS BIGINT) END AS out_w,
+         |  CASE WHEN greatest(width, height) <= $fitBox THEN height
+         |       ELSE CAST(floor(height * $fitBox / greatest(width, height))
+         |                 AS BIGINT) END AS out_h
          |FROM decoded ORDER BY doc_id""".stripMargin,
     "media_frame_sample" ->
       s"""WITH $decodedCte
