@@ -59,6 +59,55 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** TPC-H Q5-shaped: revenue per nation for one region — the 6-table
+    * star join. Fact (lineitem) streams map-side through a chain of
+    * BROADCAST dims (supplier→nation→region collapses to a tiny key set;
+    * customer is semi-filtered by the same nation set); the only shuffle
+    * is the final per-nation aggregate. */
+  def q5Join(s: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(s, dir)
+      .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(22,6)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q14-shaped: promo revenue share per brand (fact × broadcast
+    * part dim, conditional aggregation — exact DECIMAL ratio). */
+  def q14Agg(s: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(22,6)")
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(22,6)")))
+          .cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .withColumn("promo_share",
+        round(lit(100) * col("promo_revenue") / col("total_revenue"), 6))
+      .orderBy("p_brand")
+  }
+
   /** Ranking window: top-3 orders by totalprice per customer. */
   def windowTopk(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -114,6 +163,8 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
+    "q5_join" -> (q5Join _),
+    "q14_agg" -> (q14Agg _),
     "window_topk" -> (windowTopk _),
     "rollup_agg" -> (rollupAgg _),
     "set_ops" -> (setOps _),
@@ -144,6 +195,34 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1994-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q14_agg" ->
+      """SELECT p_brand,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+        |       ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        |       AS DOUBLE) AS total_revenue,
+        |  round(100 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+        |       ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE) /
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        |            AS DOUBLE), 6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "window_topk" ->
       """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
