@@ -76,6 +76,15 @@ class OpsSpec extends SparkSpec {
     assert(got === List(List("a b c", "b c d"), Nil, Nil))
   }
 
+  test("native expressions are registered on the SQL surface") {
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |       word_shingles(array('a', 'b', 'c'), 2) AS sh""".stripMargin)
+      .head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getSeq[String](1).toList === List("a b", "b c"))
+  }
+
   test("codegen word_shingles ≡ the built-in HOF formulation on real docs") {
     import org.apache.spark.sql.functions._
     val toks = TextFunctions.tokens(col("text"))
