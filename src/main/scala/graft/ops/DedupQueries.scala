@@ -266,7 +266,47 @@ object DedupQueries {
       .orderBy("a", "b")
   }
 
+  /** Near-dup CLUSTERING: connected components over the Jaccard pair
+    * graph, assigning every document to its cluster's min doc_id (and
+    * `keep` = cluster representative) — the operator that actually drops
+    * duplicates in a training pipeline.
+    *
+    * HashMin label propagation: labels start as own id; each round every
+    * node takes the min of its neighbors' labels; converges in
+    * O(component diameter) rounds. Each round is one equi-join + one
+    * aggregate, with `localCheckpoint` truncating the growing lineage —
+    * the classic iterative-connected-components shape (at extreme scale
+    * swap in large-star/small-star; the round structure is identical).
+    * Deterministic, so it oracle-checks against a recursive-CTE closure. */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupJaccard(s, dir).select("a", "b").localCheckpoint()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = docs(s, dir).select(col("doc_id"))
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"),
+          col("cluster_id").as("dst_label")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst_label")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("old_label"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      changed = stepped.filter(col("cluster_id") =!= col("old_label")).count()
+      labels = stepped.select("doc_id", "cluster_id").localCheckpoint()
+    }
+    labels
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster" -> (dedupCluster _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
@@ -299,6 +339,24 @@ object DedupQueries {
        |  SELECT doc_id, length(sh) AS n_sh,
        |         list_transform(sh, s -> ${duckMd5Long("s")} % $minhashP) AS hs
        |  FROM sh)""".stripMargin
+
+  /** dedup_jaccard's full pair computation as a CTE chain ending in
+    * `jpairs(a, b, common, jaccard)` (shared with dedup_cluster). */
+  private val jaccardPairsCte =
+    s"""$hashedCte,
+       |ex AS (SELECT doc_id, n_sh, unnest(hs) AS shingle FROM hsh),
+       |keep AS (SELECT shingle FROM ex GROUP BY shingle
+       |         HAVING count(*) <= $maxShingleDf),
+       |idx AS (SELECT ex.* FROM ex JOIN keep USING (shingle)),
+       |jpairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common,
+       |    round(CAST(count(*) AS DOUBLE) /
+       |          (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6)
+       |      AS jaccard
+       |  FROM idx a JOIN idx b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING jaccard >= $jaccardThreshold)""".stripMargin
 
   private val sigCte = {
     val sigExprs = (0 until minhashK).map { k =>
@@ -340,20 +398,22 @@ object DedupQueries {
          |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
          |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" ->
-      s"""WITH $hashedCte,
-         |ex AS (SELECT doc_id, n_sh, unnest(hs) AS shingle FROM hsh),
-         |keep AS (SELECT shingle FROM ex GROUP BY shingle
-         |         HAVING count(*) <= $maxShingleDf),
-         |idx AS (SELECT ex.* FROM ex JOIN keep USING (shingle))
-         |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common,
-         |  round(CAST(count(*) AS DOUBLE) /
-         |        (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6)
-         |    AS jaccard
-         |FROM idx a JOIN idx b
-         |  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2
-         |HAVING jaccard >= $jaccardThreshold
-         |ORDER BY a, b""".stripMargin,
+      s"""WITH $jaccardPairsCte
+         |SELECT a, b, common, jaccard FROM jpairs ORDER BY a, b""".stripMargin,
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+         |edges AS (SELECT a AS src, b AS dst FROM jpairs
+         |          UNION SELECT b, a FROM jpairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |minreach AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(mr.m, d.doc_id)) AS cluster_id,
+         |  d.doc_id = least(d.doc_id, coalesce(mr.m, d.doc_id)) AS keep
+         |FROM documents d LEFT JOIN minreach mr ON d.doc_id = mr.src
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_minhash_sig" ->
       s"""WITH $sigCte
          |SELECT * FROM sigs ORDER BY doc_id""".stripMargin,
