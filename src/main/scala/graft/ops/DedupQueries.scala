@@ -283,7 +283,9 @@ object DedupQueries {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    var labels = docs(s, dir).select(col("doc_id"))
+    // iterate only over nodes that appear in the pair graph; isolated
+    // docs are their own cluster by definition and join back at the end
+    var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
@@ -292,15 +294,27 @@ object DedupQueries {
           col("cluster_id").as("dst_label")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_label")).as("nbr_min"))
-      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+      val hashMin = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id").as("old_label"),
           least(col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+      // pointer jumping: label := label(label) — halves the rounds to
+      // O(log diameter) by following one indirection per round
+      val jumped = hashMin.as("l")
+        .join(hashMin.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("parent_label")).as("p"),
+          Seq("cluster_id"), "left")
+        .select(col("doc_id"), col("old_label"),
+          least(col("cluster_id"),
+            coalesce(col("parent_label"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      changed = stepped.filter(col("cluster_id") =!= col("old_label")).count()
-      labels = stepped.select("doc_id", "cluster_id").localCheckpoint()
+      changed = jumped.filter(col("cluster_id") =!= col("old_label")).count()
+      labels = jumped.select("doc_id", "cluster_id").localCheckpoint()
     }
-    labels
+    docs(s, dir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster_id", "linked"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("linked"), col("doc_id")).as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
   }
