@@ -27,8 +27,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     qs.foreach { case (n, fn) => once(n, fn) } // warmup (JIT + page cache)
-    val results = qs.map { case (name, fn) =>
-      name -> (1 to passes).map(_ => once(name, fn)).min
+    // passes are INTERLEAVED across the query set (pass loop outside):
+    // this VM shows multi-second scheduler stalls, and back-to-back
+    // passes of one query can all land inside a single stall window —
+    // time-separating a query's passes makes the per-query MIN robust
+    val timings = (1 to passes).map { _ =>
+      qs.map { case (name, fn) => name -> once(name, fn) }.toMap
+    }
+    val results = qs.map { case (name, _) =>
+      name -> timings.map(_(name)).min
     }
     val qj = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -92,7 +92,10 @@ object Scd2 {
         when(expireCond, col("__first_ts")).otherwise(col(ValidUntil)))
       .withColumn(IsCurrent,
         when(expireCond, lit("N")).otherwise(col(IsCurrent)))
-      .drop("__first_ts")
+      // restore the history's column order — a USING join moves the join
+      // keys to the front, and a merge that rewrites a table must not
+      // drift its column order across batches
+      .select(history.columns.map(col).toIndexedSeq: _*)
     updated.unionByName(newVersions.select(updated.columns.map(col).toIndexedSeq: _*))
   }
 

@@ -59,6 +59,33 @@ class CdcSourceSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("full streaming pipeline: graft-cdc source -> flatten -> bucketed SCD2 sink") {
+    import graft.streaming.Scd2Stream
+    val tmp = Files.createTempDirectory("graft-cdc-e2e").toString
+    val histDir = s"$tmp/history"
+    val stream = spark.readStream
+      .format("graft-cdc")
+      .option("rows", total).option("products", products)
+      .option("maxEventsPerTrigger", 60)
+      .load()
+    val q = flatten(stream).withColumnRenamed("seq", "event_seq")
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Scd2Stream.applyMicroBatchBucketed(spark, batch, histDir,
+          Seq("ProductID"), "ts", "event_seq", nBuckets = 8,
+          batchId = Some(id))
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val hist = Scd2Stream.readBucketed(spark, histDir)
+    val oneShot = Scd2.fromEvents(
+      flatten(opts(spark.read).load()).withColumnRenamed("seq", "event_seq"),
+      Seq("ProductID"), "ts", "event_seq")
+    assert(hist.count() === total)
+    assert(hist.exceptAll(oneShot).isEmpty && oneShot.exceptAll(hist).isEmpty)
+  }
+
   test("cdc source -> flatten -> SCD2 merge end-to-end keeps invariants") {
     val hist = Scd2.fromEvents(
       flatten(opts(spark.read).load())
