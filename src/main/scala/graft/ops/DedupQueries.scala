@@ -308,8 +308,11 @@ object DedupQueries {
           least(col("cluster_id"),
             coalesce(col("parent_label"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
+      // jumped is already materialized (eager localCheckpoint): the
+      // convergence count and next round's labels both read its cached
+      // partitions — no further checkpoint job needed
       changed = jumped.filter(col("cluster_id") =!= col("old_label")).count()
-      labels = jumped.select("doc_id", "cluster_id").localCheckpoint()
+      labels = jumped.select("doc_id", "cluster_id")
     }
     docs(s, dir).select(col("doc_id"))
       .join(labels.withColumnRenamed("cluster_id", "linked"), Seq("doc_id"), "left")
