@@ -17,13 +17,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // the noop sink forces every projected column to be computed — a
       // plain count() lets column pruning skip the actual work for
       // projection-only queries and would under-report them
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch {
+        // a failing query must not masquerade as a fast one: record it so
+        // the emitted JSON carries an explicit failure marker
+        case t: Throwable =>
+          failed.getOrElseUpdate(name, s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     qs.foreach { case (n, fn) => once(n, fn) } // warmup (JIT + page cache)
@@ -40,7 +46,11 @@ object Bench {
     val qj = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qj,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
+    val fj = failed.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val ok = failed.isEmpty
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"failed":$fj,"queries":$qj,"sf":"$sfDir"}""")
+    if (!ok) System.err.println(s"BENCH FAILURES: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 }

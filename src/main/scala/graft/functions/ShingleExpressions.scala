@@ -67,15 +67,38 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object ShingleExpressions {
-  /** Registration triple for SparkSessionExtensions.injectFunction. */
+  /** Registration triple for SparkSessionExtensions.injectFunction.
+    *
+    * The builder validates its own argument shape so misuse surfaces as a
+    * clear analysis-time message, not a raw internal exception: exactly two
+    * arguments, and the shingle size must be a foldable integral
+    * (byte/short/int/long) expression — `word_shingles(t, 3)`,
+    * `word_shingles(t, 3L)`, `word_shingles(t, 1+2)` all work;
+    * `word_shingles(t)`, `word_shingles(t, '3')`, or a per-row column for
+    * `n` are rejected with the reason. */
   val wordShinglesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("word_shingles"),
     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
     (children: Seq[Expression]) => {
-      val n = children(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => other.eval().asInstanceOf[Int]
+      def bad(reason: String): Nothing = throw new IllegalArgumentException(
+        s"word_shingles(tokens array<string>, n integral literal): $reason")
+      if (children.length != 2)
+        bad(s"requires exactly 2 arguments, got ${children.length}")
+      val nExpr = children(1)
+      if (!nExpr.foldable)
+        bad(s"shingle size must be a literal, got non-foldable ${nExpr.sql}")
+      val n = nExpr.eval() match {
+        case v: Int => v
+        case v: Long =>
+          if (v < Int.MinValue || v > Int.MaxValue) bad(s"shingle size $v out of int range")
+          v.toInt
+        case v: Short => v.toInt
+        case v: Byte => v.toInt
+        case null => bad("shingle size must not be null")
+        case other => bad(
+          s"shingle size must be integral, got ${nExpr.dataType.catalogString} value $other")
       }
+      if (n < 1) bad(s"shingle size must be >= 1, got $n")
       WordShingles(children.head, n)
     })
 }

@@ -37,6 +37,29 @@ object Scd2 {
   val IsCurrent = "is_current"
   val scd2Cols: Seq[String] = Seq(ValidFrom, ValidUntil, IsCurrent)
 
+  /** What [[applyBatch]] does with a LATE event — a batch row whose ts
+    * precedes the open history row's `valid_from` for its key (out-of-order
+    * delivery across batch boundaries: CDC retries, backfill, shuffled
+    * topics). Applying such a row as if it were the newest version would
+    * invert the open row's validity interval (`valid_until < valid_from`)
+    * and overlap its predecessors — silent history corruption.
+    */
+  sealed trait LatePolicy
+  object LatePolicy {
+    /** Fail the batch job with a descriptive error (default — out-of-order
+      * input fails loudly instead of writing inverted intervals). The check
+      * rides the merge's existing broadcast join: zero extra Spark jobs. */
+    case object Error extends LatePolicy
+    /** Silently drop late rows; the open row's expiry then uses the
+      * earliest NON-late event time of its key (late-events-path routing is
+      * the caller's job: pre-filter with [[lateEvents]] to capture them). */
+    case object Drop extends LatePolicy
+    /** Legacy permissive behavior: apply the batch as-is. Only sound when
+      * the caller guarantees batches are event-time monotone per key
+      * (batch N's events all ≥ the open row's valid_from). */
+    case object Allow extends LatePolicy
+  }
+
   /** T3/T4 "Add SCD2 columns" (Jolt default ×3,
     * final_template.xml:5283-5312): tag incoming rows as the new current
     * version. The reference writes epoch-millis (`now():toNumber()`); we
@@ -76,20 +99,60 @@ object Scd2 {
     * chained version rows. Inserts (keys absent from history) need no
     * special-casing — the left join simply finds nothing to expire.
     *
+    * PRECONDITION (event-time monotone batches): every batch event's ts must
+    * be ≥ its key's open-row `valid_from`. Within a batch, any order is fine
+    * ([[fromEvents]] sorts); ACROSS batches, replaying the log split into
+    * batches equals [[fromEvents]] over the concatenated log ONLY when
+    * batches respect event time. A violating row (late delivery, retry,
+    * backfill) would otherwise expire the open row BEFORE it began —
+    * `valid_until < valid_from`, overlapping intervals, silent corruption.
+    * `onLate` decides what happens instead: [[LatePolicy.Error]] (default)
+    * fails the job loudly via a `raise_error` riding the merge's existing
+    * broadcast join (zero extra jobs, zero extra history scans);
+    * [[LatePolicy.Drop]] excludes late rows (capture them first with
+    * [[lateEvents]] to build a late-event path); [[LatePolicy.Allow]] is
+    * the documented-unsafe escape hatch for callers with external ordering
+    * guarantees.
+    *
     * One broadcast join against the batch's key set + one window over the
     * batch: history is never shuffled. Applying batches sequentially is
     * equivalent to [[fromEvents]] over the concatenated event log (tested
-    * property), and replaying is idempotent given an idempotent sink.
+    * property) given the precondition, and replaying is idempotent given an
+    * idempotent sink.
     */
   def applyBatch(history: DataFrame, batch: DataFrame, keys: Seq[String],
-                 tsCol: String, seqCol: String): DataFrame = {
-    val newVersions = fromEvents(batch, keys, tsCol, seqCol)
-    val firstNew = batch.groupBy(keys.map(col): _*)
+                 tsCol: String, seqCol: String,
+                 onLate: LatePolicy = LatePolicy.Error): DataFrame = {
+    val events = onLate match {
+      case LatePolicy.Drop =>
+        withOpenFrom(history, batch, keys)
+          .filter(col("__open_from").isNull || col(tsCol) >= col("__open_from"))
+          .select(batch.columns.map(col).toIndexedSeq: _*)
+      case _ => batch
+    }
+    val newVersions = fromEvents(events, keys, tsCol, seqCol)
+    val firstNew = events.groupBy(keys.map(col): _*)
       .agg(min(col(tsCol)).as("__first_ts"))
     val expireCond = col(IsCurrent) === "Y" && col("__first_ts").isNotNull
+    // Error policy: evaluated on the already-joined (open row × batch min-ts)
+    // pairs, so the guard costs nothing beyond a comparison per open row
+    val lateCond = expireCond && col("__first_ts") < col(ValidFrom)
+    val checkedFirst = onLate match {
+      case LatePolicy.Error =>
+        when(lateCond, raise_error(concat_ws("",
+          lit("SCD2 late event: key ("),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+          lit(s") has batch min($tsCol) = "), col("__first_ts").cast("string"),
+          lit(" earlier than the open history row's valid_from = "),
+          col(ValidFrom).cast("string"),
+          lit("; batches must be event-time monotone per key " +
+            "(see Scd2.LatePolicy — use Drop or Allow to override)")
+        )).cast("timestamp")).otherwise(col("__first_ts"))
+      case _ => col("__first_ts")
+    }
     val updated = history.join(broadcast(firstNew), keys, "left")
       .withColumn(ValidUntil,
-        when(expireCond, col("__first_ts")).otherwise(col(ValidUntil)))
+        when(expireCond, checkedFirst).otherwise(col(ValidUntil)))
       .withColumn(IsCurrent,
         when(expireCond, lit("N")).otherwise(col(IsCurrent)))
       // restore the history's column order — a USING join moves the join
@@ -97,6 +160,29 @@ object Scd2 {
       // drift its column order across batches
       .select(history.columns.map(col).toIndexedSeq: _*)
     updated.unionByName(newVersions.select(updated.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** The batch rows [[applyBatch]] considers LATE: ts strictly before the
+    * key's open-row `valid_from`. Use to route a late-event path before
+    * merging with `onLate = LatePolicy.Drop`. History is touched map-side
+    * only (semi-join against the broadcast batch key set, then the touched
+    * open rows are broadcast back against the batch). */
+  def lateEvents(history: DataFrame, batch: DataFrame, keys: Seq[String],
+                 tsCol: String): DataFrame =
+    withOpenFrom(history, batch, keys)
+      .filter(col(tsCol) < col("__open_from"))
+      .select(batch.columns.map(col).toIndexedSeq: _*)
+
+  /** Batch + `__open_from` = the open history row's valid_from for the row's
+    * key (null when the key has no open row). History is touched map-side
+    * only: semi-join against the broadcast batch key set first, then the
+    * touched open rows (≤ batch keys of them) broadcast back. */
+  private def withOpenFrom(history: DataFrame, batch: DataFrame,
+                           keys: Seq[String]): DataFrame = {
+    val openTouched = current(history)
+      .join(broadcast(batch.select(keys.map(col): _*).distinct()), keys, "left_semi")
+      .select((keys.map(col) :+ col(ValidFrom).as("__open_from")).toIndexedSeq: _*)
+    batch.join(broadcast(openTouched), keys, "left")
   }
 
   /** The "current rows" dimension view — the reference's lookup subquery

@@ -1,6 +1,9 @@
 package graft.streaming
 
+import java.io.File
+
 import graft.scd2.Scd2
+import org.apache.commons.io.FileUtils
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -20,12 +23,36 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    idempotent history rewrite, eliminating the reference's Task1/Task2
   *    race (README.md:190-195) by construction.
   *
-  * Scale notes: the history table is read/written per micro-batch as
-  * parquet; at scale the sink should be a transactional table format with
-  * MERGE support, but the merge itself ([[Scd2.applyBatch]]) stays
-  * identical — history is only ever touched by a broadcast join against
+  * == Crash safety / exactly-once ==
+  *
+  * The local-FS sink is made crash-safe with a rename-aside two-phase swap
+  * plus a batch-id commit protocol; [[recover]] / [[recoverBucketed]]
+  * (invoked automatically on every apply) complete or roll back an
+  * interrupted swap, so a crash at ANY point leaves the history either
+  * fully pre-batch (and the batch replays) or fully post-batch (and the
+  * replay is a no-op):
+  *
+  *  - plain layout ([[applyMicroBatch]]): the batch id is written INSIDE
+  *    the new directory (hidden `_graft_batch` file) before the swap, so
+  *    the atomic `rename(tmp → hist)` IS the commit point — the separate
+  *    commit-log append is only an index of older ids and is healed from
+  *    the marker on replay. The old directory is renamed aside (never
+  *    deleted before the new one is in place) and dropped last.
+  *  - bucketed layout ([[applyMicroBatchBucketed]]): a manifest
+  *    (`<dir>.inflight`) records the touched buckets and whether each had a
+  *    pre-image, pre-imaged buckets are renamed aside, new bucket dirs are
+  *    renamed in, and the commit-log append happens only after every bucket
+  *    is in place; recovery rolls an uncommitted batch back
+  *    bucket-by-bucket from the manifest.
+  *
+  * On a real deployment the sink is a transactional table format (MERGE)
+  * and this protocol is the table format's problem; the merge itself
+  * ([[Scd2.applyBatch]]) is identical either way.
+  *
+  * Scale notes: history is only ever touched by a broadcast join against
   * the batch's key set, so micro-batch cost is O(batch) + one history
-  * scan, never a history shuffle.
+  * scan (plain) or O(history·k/B + batch) (bucketed), never a history
+  * shuffle.
   */
 object Scd2Stream {
 
@@ -49,20 +76,95 @@ object Scd2Stream {
       }
       .start()
 
+  // `failpoint` is a test seam: invoked with a label between protocol
+  // steps; specs throw from it to simulate a crash at that exact window.
+  private val noFail: String => Unit = _ => ()
+
+  /** One micro-batch: read current history, merge, crash-safe swap.
+    *
+    * Exactly-once on replay: with a `batchId` (foreachBatch supplies one),
+    * an already-committed id is a no-op; the commit point is the atomic
+    * rename of the marker-carrying new directory (see class doc). */
+  def applyMicroBatch(spark: SparkSession, batch: DataFrame, historyDir: String,
+                      keys: Seq[String], tsCol: String, seqCol: String,
+                      batchId: Option[Long] = None,
+                      failpoint: String => Unit = noFail): Unit = {
+    recover(historyDir)
+    val commitLog = new File(historyDir + ".commits")
+    val dir = new File(historyDir)
+    val alreadyDone = batchId.exists { id =>
+      val inLog = committedIds(commitLog).contains(id)
+      val inMarker = markerId(dir).contains(id)
+      // heal the commit-log index from the authoritative in-dir marker
+      // (covers a crash after the commit-point rename, before the append)
+      if (inMarker && !inLog) appendCommit(commitLog, id)
+      inLog || inMarker
+    }
+    if (alreadyDone) return
+    if (batch.isEmpty) return
+    val merged =
+      if (dir.exists() && dir.list().exists(_.endsWith(".parquet"))) {
+        val history = spark.read.parquet(historyDir)
+        Scd2.applyBatch(history, batch, keys, tsCol, seqCol)
+      } else {
+        Scd2.fromEvents(batch, keys, tsCol, seqCol)
+      }
+    val tmp = new File(historyDir + ".tmp")
+    if (tmp.exists()) FileUtils.deleteDirectory(tmp)
+    merged.write.mode("overwrite").parquet(tmp.getPath)
+    batchId.foreach(writeMarker(tmp, _))
+    failpoint("after-tmp-write")
+    val old = new File(historyDir + ".old")
+    if (dir.exists()) {
+      renameOrThrow(dir, old)
+      failpoint("after-rename-aside")
+    }
+    renameOrThrow(tmp, dir) // ← atomic commit point (marker now live)
+    failpoint("after-rename-in")
+    batchId.foreach(appendCommit(commitLog, _))
+    failpoint("after-commit")
+    if (old.exists()) FileUtils.deleteDirectory(old)
+  }
+
+  /** Complete or roll back an interrupted [[applyMicroBatch]] swap. Safe to
+    * call any time; called automatically on every apply. */
+  def recover(historyDir: String): Unit = {
+    val dir = new File(historyDir)
+    val old = new File(historyDir + ".old")
+    val tmp = new File(historyDir + ".tmp")
+    if (old.exists()) {
+      if (dir.exists()) {
+        // new data is live → the commit-point rename happened; the batch is
+        // committed (its marker is inside `dir`), only cleanup remained
+        FileUtils.deleteDirectory(old)
+      } else {
+        // crash between rename-aside and rename-in → roll back
+        renameOrThrow(old, dir)
+      }
+    }
+    // a tmp dir without a completed swap is uncommitted data; the batch
+    // will replay (its id is neither in the log nor in the live marker)
+    if (tmp.exists()) FileUtils.deleteDirectory(tmp)
+  }
+
   /** One micro-batch against a BUCKETED history: the table is laid out as
     * `historyDir/__bucket=N/` (N = murmur3(key) mod nBuckets) and a batch
     * only reads + rewrites the buckets its keys hash into — the 100 TB
     * answer to [[applyMicroBatch]]'s full-table rewrite. With k touched
     * buckets out of B, a micro-batch costs O(history·k/B + batch), and
     * partition pruning serves point-lookups by key from one bucket.
-    * Untouched buckets are never opened (dynamic partition overwrite).
+    * Untouched buckets are never opened.
     *
-    * Same exactly-once commit-log contract as [[applyMicroBatch]]. */
+    * Crash-safe via the manifest + per-bucket rename protocol (class doc);
+    * commit is the commit-log append AFTER all buckets are swapped, and
+    * [[recoverBucketed]] rolls an uncommitted batch back completely. */
   def applyMicroBatchBucketed(spark: SparkSession, batch: DataFrame,
                               historyDir: String, keys: Seq[String],
                               tsCol: String, seqCol: String, nBuckets: Int = 64,
-                              batchId: Option[Long] = None): Unit = {
-    val commitLog = new java.io.File(historyDir + ".commits")
+                              batchId: Option[Long] = None,
+                              failpoint: String => Unit = noFail): Unit = {
+    recoverBucketed(historyDir)
+    val commitLog = new File(historyDir + ".commits")
     if (batchId.exists(committedIds(commitLog).contains)) return
     if (batch.isEmpty) return
     val bucket = pmod(hash(keys.map(col): _*), lit(nBuckets))
@@ -70,7 +172,7 @@ object Scd2Stream {
     val touched = tagged.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val dirs = touched.map(b => s"$historyDir/__bucket=$b")
-      .filter(d => new java.io.File(d).exists())
+      .filter(d => new File(d).exists())
     val merged =
       if (dirs.nonEmpty) {
         val hist = spark.read.option("basePath", historyDir)
@@ -79,55 +181,124 @@ object Scd2Stream {
       } else {
         Scd2.fromEvents(batch, keys, tsCol, seqCol)
       }
+    val tmp = new File(historyDir + ".tmp")
+    if (tmp.exists()) FileUtils.deleteDirectory(tmp)
     merged.withColumn("__bucket", bucket)
       .write.partitionBy("__bucket")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(historyDir)
+      .mode("overwrite").parquet(tmp.getPath)
+    failpoint("after-tmp-write")
+    val pre = touched.toSeq.map(b =>
+      b -> new File(s"$historyDir/__bucket=$b").exists())
+    writeManifest(new File(historyDir + ".inflight"), batchId, pre)
+    failpoint("after-manifest")
+    val oldRoot = new File(historyDir + ".oldbuckets")
+    oldRoot.mkdirs()
+    // phase A: move every pre-imaged touched bucket aside
+    pre.foreach { case (b, hadPre) =>
+      if (hadPre) {
+        renameOrThrow(new File(s"$historyDir/__bucket=$b"),
+          new File(s"${oldRoot.getPath}/__bucket=$b"))
+        failpoint(s"phase-a:$b")
+      }
+    }
+    // phase B: move the new bucket contents in
+    new File(historyDir).mkdirs()
+    pre.foreach { case (b, _) =>
+      val src = new File(s"${tmp.getPath}/__bucket=$b")
+      if (src.exists())
+        renameOrThrow(src, new File(s"$historyDir/__bucket=$b"))
+      failpoint(s"phase-b:$b")
+    }
     batchId.foreach(appendCommit(commitLog, _))
+    failpoint("after-commit")
+    FileUtils.deleteDirectory(oldRoot)
+    FileUtils.deleteDirectory(tmp)
+    new File(historyDir + ".inflight").delete(): Unit
+  }
+
+  /** Complete or roll back an interrupted [[applyMicroBatchBucketed]]
+    * swap. Safe to call any time; called automatically on every apply. */
+  def recoverBucketed(historyDir: String): Unit = {
+    val manifest = new File(historyDir + ".inflight")
+    val oldRoot = new File(historyDir + ".oldbuckets")
+    val tmp = new File(historyDir + ".tmp")
+    if (manifest.exists()) {
+      val (batchId, pre) = readManifest(manifest)
+      val committed =
+        batchId.exists(committedIds(new File(historyDir + ".commits")).contains)
+      if (!committed) {
+        // roll the interrupted batch back bucket-by-bucket
+        pre.foreach { case (b, hadPre) =>
+          val live = new File(s"$historyDir/__bucket=$b")
+          val saved = new File(s"${oldRoot.getPath}/__bucket=$b")
+          if (hadPre) {
+            if (saved.exists()) {
+              // phase A moved the original aside; anything live is phase-B
+              // data from the dead batch
+              if (live.exists()) FileUtils.deleteDirectory(live)
+              renameOrThrow(saved, live)
+            } // else phase A never reached it: live IS the original
+          } else {
+            // fresh bucket: anything live is phase-B data from the dead batch
+            if (live.exists()) FileUtils.deleteDirectory(live)
+          }
+        }
+      } // committed → every bucket is in place, only cleanup remained
+      manifest.delete(): Unit
+    }
+    if (oldRoot.exists()) FileUtils.deleteDirectory(oldRoot)
+    if (tmp.exists()) FileUtils.deleteDirectory(tmp)
   }
 
   /** Read a bucketed history back as a plain SCD2 table. */
   def readBucketed(spark: SparkSession, historyDir: String): DataFrame =
     spark.read.parquet(historyDir).drop("__bucket")
 
-  private def committedIds(commitLog: java.io.File): Set[Long] =
+  // ---- commit/marker/manifest plumbing -----------------------------------
+
+  private val MarkerName = "_graft_batch" // leading '_' → invisible to parquet reads
+
+  private def committedIds(commitLog: File): Set[Long] =
     if (commitLog.exists())
       scala.io.Source.fromFile(commitLog).getLines().map(_.toLong).toSet
     else Set.empty
 
-  private def appendCommit(commitLog: java.io.File, id: Long): Unit = {
+  private def appendCommit(commitLog: File, id: Long): Unit = {
     val w = new java.io.FileWriter(commitLog, true)
     try w.write(s"$id\n") finally w.close()
   }
 
-  /** One micro-batch: read current history, merge, atomically replace.
-    *
-    * Exactly-once on replay: with a `batchId` (foreachBatch supplies one),
-    * an already-committed id is a no-op — the standard idempotent-sink
-    * pattern for non-transactional stores (commit log kept next to the
-    * table). */
-  def applyMicroBatch(spark: SparkSession, batch: DataFrame, historyDir: String,
-                      keys: Seq[String], tsCol: String, seqCol: String,
-                      batchId: Option[Long] = None): Unit = {
-    val commitLog = new java.io.File(historyDir + ".commits")
-    if (batchId.exists(committedIds(commitLog).contains)) return
-    if (batch.isEmpty) return
-    val dir = new java.io.File(historyDir)
-    val merged =
-      if (dir.exists() && dir.list().exists(_.endsWith(".parquet"))) {
-        val history = spark.read.parquet(historyDir)
-        Scd2.applyBatch(history, batch, keys, tsCol, seqCol)
-      } else {
-        Scd2.fromEvents(batch, keys, tsCol, seqCol)
-      }
-    // local-FS two-phase swap; on a real deployment the sink is a
-    // transactional table format and this is a MERGE
-    val tmp = historyDir + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val fresh = new java.io.File(tmp)
-    org.apache.commons.io.FileUtils.deleteDirectory(dir)
-    if (!fresh.renameTo(dir))
-      throw new java.io.IOException(s"atomic swap failed: $tmp -> $historyDir")
-    batchId.foreach(appendCommit(commitLog, _))
+  private def writeMarker(dir: File, id: Long): Unit = {
+    val w = new java.io.FileWriter(new File(dir, MarkerName))
+    try w.write(s"$id\n") finally w.close()
   }
+
+  private def markerId(dir: File): Option[Long] = {
+    val f = new File(dir, MarkerName)
+    if (f.exists()) scala.io.Source.fromFile(f).getLines().toSeq.headOption.map(_.trim.toLong)
+    else None
+  }
+
+  private def writeManifest(f: File, batchId: Option[Long],
+                            pre: Seq[(Int, Boolean)]): Unit = {
+    val w = new java.io.FileWriter(f)
+    try {
+      w.write(s"${batchId.getOrElse(-1L)}\n")
+      pre.foreach { case (b, hadPre) => w.write(s"$b,${if (hadPre) 1 else 0}\n") }
+    } finally w.close()
+  }
+
+  private def readManifest(f: File): (Option[Long], Seq[(Int, Boolean)]) = {
+    val lines = scala.io.Source.fromFile(f).getLines().toVector
+    val id = lines.headOption.map(_.trim.toLong).filter(_ >= 0)
+    val pre = lines.drop(1).filter(_.nonEmpty).map { l =>
+      val Array(b, p) = l.split(","): @unchecked
+      b.toInt -> (p == "1")
+    }
+    (id, pre)
+  }
+
+  private def renameOrThrow(src: File, dst: File): Unit =
+    if (!src.renameTo(dst))
+      throw new java.io.IOException(s"atomic rename failed: $src -> $dst")
 }

@@ -85,6 +85,36 @@ class OpsSpec extends SparkSpec {
     assert(r.getSeq[String](1).toList === List("a b", "b c"))
   }
 
+  test("dot_product matches the zip_with+aggregate fold on mismatch/null inputs") {
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d, 5.0d)) AS mismatch,
+        |       dot_product(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)) AS withnull,
+        |       dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(3.0d)) AS nullarr,
+        |       dot_product(CAST(array() AS ARRAY<DOUBLE>), CAST(array() AS ARRAY<DOUBLE>)) AS empty""".stripMargin)
+      .head()
+    // dimension mismatch and null elements poison the sum exactly like the
+    // HOF fold: NULL, never a plausible-but-wrong similarity
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) === 0.0)
+  }
+
+  test("word_shingles / dot_product misuse fails with a clear analysis error") {
+    def msgOf(sql: String): String = {
+      val t = intercept[Throwable](spark.sql(sql).collect())
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    }
+    assert(msgOf("SELECT word_shingles(array('a'))").contains("exactly 2 arguments"))
+    assert(msgOf("SELECT word_shingles(array('a'), '3')").contains("must be integral"))
+    assert(msgOf("SELECT word_shingles(array('a','b','c'), 0)").contains(">= 1"))
+    // long and folded-expression sizes are accepted
+    val ok = spark.sql(
+      "SELECT word_shingles(array('a','b','c'), 2L) AS a, word_shingles(array('a','b','c'), 1+1) AS b").head()
+    assert(ok.getSeq[String](0).toList === List("a b", "b c"))
+    assert(ok.getSeq[String](1).toList === List("a b", "b c"))
+    assert(msgOf("SELECT dot_product(array(1.0d))").contains("exactly 2 arguments"))
+  }
+
   test("codegen word_shingles ≡ the built-in HOF formulation on real docs") {
     import org.apache.spark.sql.functions._
     val toks = TextFunctions.tokens(col("text"))

@@ -50,9 +50,16 @@ class Scd2PropertySpec extends SparkSpec {
         // batches split by seq ranges (arrival order), applied sequentially
         val size = math.max(1, log.size / nBatches)
         val batches = log.sortBy(_.seq).grouped(size).toList
+        // arrival order is independent of ts here, so batches are NOT
+        // event-time monotone — exactly the input the default LatePolicy
+        // .Error rejects; this test pins the documented Allow semantics:
+        // even under out-of-order batches, the one-current-row-per-key and
+        // version-count invariants must hold (interval chaining does not,
+        // which is why Error is the default)
         val merged = batches.tail.foldLeft(
           Scd2.fromEvents(df(batches.head), Seq("key"), "ts", "seq")) {
-          (hist, b) => Scd2.applyBatch(hist, df(b), Seq("key"), "ts", "seq")
+          (hist, b) => Scd2.applyBatch(hist, df(b), Seq("key"), "ts", "seq",
+            onLate = Scd2.LatePolicy.Allow)
         }.cache()
 
         // (c) version count = event count

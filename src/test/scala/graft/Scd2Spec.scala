@@ -48,6 +48,41 @@ class Scd2Spec extends SparkSpec {
       (col("is_current") === "Y" && col("valid_until").isNotNull)).isEmpty)
   }
 
+  test("late events: Error fails loudly, Drop excludes them, lateEvents routes them") {
+    import spark.implicits._
+    def ts(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_seconds(col("tsr"))).drop("tsr")
+    // history: key 1 has versions at t=5 (expired) and t=10 (open)
+    val hist = Scd2.fromEvents(
+      ts(Seq((1, 5L, 0L, 1.0), (1, 10L, 1L, 2.0)).toDF("key", "tsr", "seq", "v")),
+      Seq("key"), "ts", "seq")
+    // batch: key 1 at t=7 — LATE (open row began at t=10); key 2 at t=3 —
+    // fine (no open row for a fresh key)
+    val batch = ts(Seq((1, 7L, 2L, 3.0), (2, 3L, 3L, 4.0)).toDF("key", "tsr", "seq", "v"))
+    // lateEvents captures exactly the late row (the late-event routing path)
+    val late = Scd2.lateEvents(hist, batch, Seq("key"), "ts").collect()
+    assert(late.map(_.getAs[Long]("seq")).toSeq === Seq(2L))
+    // default policy: fail the job loudly with a descriptive message
+    val ex = intercept[Exception] {
+      Scd2.applyBatch(hist, batch, Seq("key"), "ts", "seq").collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("SCD2 late event"), s"unexpected error: $msgs")
+    // Drop: late row excluded, on-time rows merged; key 1's open row stays open
+    val dropped = Scd2.applyBatch(hist, batch, Seq("key"), "ts", "seq",
+      onLate = Scd2.LatePolicy.Drop).cache()
+    assert(dropped.count() === 3)
+    assert(dropped.filter(col("key") === 1 && col("is_current") === "Y")
+      .select("valid_from").first().getTimestamp(0).getTime === 10000L)
+    // Allow: documented-unsafe passthrough still keeps one current row per key
+    val allowed = Scd2.applyBatch(hist, batch, Seq("key"), "ts", "seq",
+      onLate = Scd2.LatePolicy.Allow).cache()
+    assert(allowed.count() === 4)
+    assert(allowed.filter(col("is_current") === "Y").groupBy("key").count()
+      .collect().forall(_.getLong(1) === 1L))
+  }
+
   test("routing partitions the stream: insert+update+unmatched = all") {
     val ev = Tables.events(spark, sf)
     val n = ev.count()

@@ -73,6 +73,69 @@ class StreamingSpec extends SparkSpec {
     untouched.foreach { d => assert(mtimes1(d) === mtimes0(d), s"$d was rewritten") }
   }
 
+  test("plain swap: crash at every protocol window, then replay → exactly-once") {
+    val ev = events().cache()
+    val b1 = ev.filter(col("event_id") <= 300)
+    val b2 = ev.filter(col("event_id") > 300 && col("event_id") <= 700)
+    val expect = Scd2.fromEvents(ev.filter(col("event_id") <= 700),
+      Seq("user_id"), "ts", "event_id").cache()
+    for (fp <- Seq("after-tmp-write", "after-rename-aside",
+                   "after-rename-in", "after-commit")) {
+      val tmp = Files.createTempDirectory("graft-crash").toString
+      val histDir = s"$tmp/history"
+      Scd2Stream.applyMicroBatch(spark, b1, histDir,
+        Seq("user_id"), "ts", "event_id", batchId = Some(0L))
+      val boom = intercept[RuntimeException] {
+        Scd2Stream.applyMicroBatch(spark, b2, histDir,
+          Seq("user_id"), "ts", "event_id", batchId = Some(1L),
+          failpoint = l => if (l == fp) throw new RuntimeException(s"crash:$l"))
+      }
+      assert(boom.getMessage === s"crash:$fp")
+      // replay after the simulated crash: recovery must roll back or roll
+      // forward so the replay lands exactly at the two-batch state
+      Scd2Stream.applyMicroBatch(spark, b2, histDir,
+        Seq("user_id"), "ts", "event_id", batchId = Some(1L))
+      val got = spark.read.parquet(histDir)
+      assert(got.count() === expect.count(), s"[$fp]")
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty, s"[$fp]")
+      // no protocol debris survives recovery + replay
+      assert(!new java.io.File(histDir + ".old").exists(), s"[$fp] .old left behind")
+      assert(!new java.io.File(histDir + ".tmp").exists(), s"[$fp] .tmp left behind")
+    }
+  }
+
+  test("bucketed swap: crash at every protocol window, then replay → exactly-once") {
+    val ev = events().cache()
+    val b1 = ev.filter(col("event_id") <= 300)
+    val b2 = ev.filter(col("event_id") > 300 && col("event_id") <= 700)
+    val expect = Scd2.fromEvents(ev.filter(col("event_id") <= 700),
+      Seq("user_id"), "ts", "event_id").cache()
+    val lastBucket = b2.select(pmod(hash(col("user_id")), lit(16)).as("b"))
+      .distinct().collect().map(_.getInt(0)).max
+    // first-match prefixes cover partial phase A / partial phase B; the
+    // explicit last-bucket label covers "all buckets in place, uncommitted"
+    for (fp <- Seq("after-tmp-write", "after-manifest", "phase-a:",
+                   "phase-b:", s"phase-b:$lastBucket", "after-commit")) {
+      val tmp = Files.createTempDirectory("graft-crash-bkt").toString
+      val histDir = s"$tmp/history"
+      Scd2Stream.applyMicroBatchBucketed(spark, b1, histDir,
+        Seq("user_id"), "ts", "event_id", nBuckets = 16, batchId = Some(0L))
+      intercept[RuntimeException] {
+        Scd2Stream.applyMicroBatchBucketed(spark, b2, histDir,
+          Seq("user_id"), "ts", "event_id", nBuckets = 16, batchId = Some(1L),
+          failpoint = l => if (l.startsWith(fp)) throw new RuntimeException(s"crash:$l"))
+      }
+      Scd2Stream.applyMicroBatchBucketed(spark, b2, histDir,
+        Seq("user_id"), "ts", "event_id", nBuckets = 16, batchId = Some(1L))
+      val got = Scd2Stream.readBucketed(spark, histDir)
+      assert(got.count() === expect.count(), s"[$fp]")
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty, s"[$fp]")
+      assert(!new java.io.File(histDir + ".inflight").exists(), s"[$fp] manifest left")
+      assert(!new java.io.File(histDir + ".oldbuckets").exists(), s"[$fp] .oldbuckets left")
+      assert(!new java.io.File(histDir + ".tmp").exists(), s"[$fp] .tmp left")
+    }
+  }
+
   test("streaming start() runs the merge through a real StreamingQuery") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
