@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ShingleExpressions, VectorExpressions}
+import graft.functions.{ShingleExpressions, SimHashExpressions, VectorExpressions}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Engine extension point, wired the public way:
@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExpressions.dotProductDescriptor)
     ext.injectFunction(ShingleExpressions.wordShinglesDescriptor)
+    ext.injectFunction(SimHashExpressions.simhash60Descriptor)
   }
 }
 

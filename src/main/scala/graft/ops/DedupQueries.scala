@@ -86,7 +86,13 @@ object DedupQueries {
     * are fully whole-stage-codegen'd. Work is proportional to
     * Σ df² over kept shingles, bounded by [[maxShingleDf]] — the
     * standard stopword-shingle/skew cap. */
-  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir).orderBy("a", "b")
+
+  /** The pair computation behind [[dedupJaccard]] and [[dedupCluster]],
+    * without the presentation sort (the cluster path consumes unordered
+    * pairs, so it must not pay a range-partition sort). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val post = hashPostings(s, dir).localCheckpoint()
     val keep = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf).select("h")
@@ -94,13 +100,18 @@ object DedupQueries {
     val a = idx.select(col("h"), col("doc_id").as("a"), col("n_sh").as("na"))
     val b = idx.select(col("h"), col("doc_id").as("b"), col("n_sh").as("nb"))
     a.join(b, Seq("h")).filter(col("a") < col("b"))
+      // length filter (sound pruning from the similarity-join literature):
+      // J ≤ min(na,nb)/max(na,nb), so J ≥ τ requires the sizes to be within
+      // a τ factor — prunes candidates BEFORE the per-pair aggregation
+      // shuffle without changing the result set
+      .filter(col("na") >= col("nb") * jaccardThreshold &&
+        col("nb") >= col("na") * jaccardThreshold)
       .groupBy("a", "b")
       .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
       .withColumn("jaccard",
         round(col("common") / (col("na") + col("nb") - col("common")), 6))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("a", "b", "common", "jaccard")
-      .orderBy("a", "b")
   }
 
   /** MinHash signatures: min over shingles of each affine family member.
@@ -156,23 +167,16 @@ object DedupQueries {
   }
 
   /** 60-bit SimHash per doc: sign-sum of token-hash bits weighted by
-    * term frequency. One explode + one groupBy; the 60 bit-sums are
-    * map-side-combined partial aggregates. */
-  private def simhash(s: SparkSession, dir: String): DataFrame = {
-    val tf = docs(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", md5Long(col("tok")))
-    val bitSums = (0 until simhashBits).map { j =>
-      sum(when((shiftright(col("h"), j) % 2) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"s$j")
-    }
-    val packed = (0 until simhashBits).map { j =>
-      when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }.reduce(_ + _)
-    tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
-  }
+    * term frequency — computed entirely map-side by the codegen'd
+    * [[graft.functions.SimHash60]] kernel (one tight loop per document,
+    * ZERO shuffles; the relational explode→groupBy×2 formulation it
+    * replaces is pinned as its equivalence spec). Docs with no tokens are
+    * excluded, matching the explode-based formulation and the oracle. */
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), call_function("simhash60", col("toks")).as("simhash"))
 
   def dedupSimhashSig(s: SparkSession, dir: String): DataFrame =
     simhash(s, dir).orderBy("doc_id")
@@ -279,7 +283,7 @@ object DedupQueries {
     * swap in large-star/small-star; the round structure is identical).
     * Deterministic, so it oracle-checks against a recursive-CTE closure. */
   def dedupCluster(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupJaccard(s, dir).select("a", "b").localCheckpoint()
+    val pairs = jaccardPairs(s, dir).select("a", "b").localCheckpoint()
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()

@@ -129,6 +129,28 @@ class OpsSpec extends SparkSpec {
     assert(d.filter(not(col("fast") === col("ref"))).isEmpty)
   }
 
+  test("codegen simhash60 ≡ the explode/groupBy relational formulation") {
+    val toks = TextFunctions.tokens(col("text"))
+    val docs = Tables.documents(spark, sf).limit(200)
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", TextFunctions.md5Long(col("tok")))
+    val bitSums = (0 until 60).map { j =>
+      sum(when((shiftright(col("h"), j) % 2) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$j")
+    }
+    val packed = (0 until 60).map { j =>
+      when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_ + _)
+    val ref = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("ref"))
+    val fast = docs.filter(size(toks) > 0)
+      .select(col("doc_id"), call_function("simhash60", toks).as("fast"))
+    assert(fast.count() === ref.count())
+    assert(fast.join(ref, "doc_id").filter(col("fast") =!= col("ref")).isEmpty)
+  }
+
   test("embedding LSH pairs are a subset of brute-force pairs, nonempty") {
     val brute = DedupQueries.dedupEmbedding(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
