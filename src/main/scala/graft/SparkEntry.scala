@@ -42,7 +42,8 @@ object SparkEntry {
     Scd2Queries.queries ++ LookupQueries.queries ++ ExtractQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ RelationalQueries.queries ++
-      MediaQueries.queries ++ AnalyticsQueries.queries
+      MediaQueries.queries ++ AnalyticsQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
     Scd2Queries.oracles ++ LookupQueries.oracles ++ ExtractQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ RelationalQueries.oracles ++
-      MediaQueries.oracles ++ AnalyticsQueries.oracles
+      MediaQueries.oracles ++ AnalyticsQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -116,7 +116,48 @@ object AnalyticsQueries {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** Explicit GROUPING SETS ((type, hour), (type), ()) — the general form
+    * behind rollup/cube, one pass over the fact with per-set partial
+    * aggregation. The aggregation level is derived from the key null
+    * pattern (the group keys are never null in the data), which is
+    * portable across engines — no grouping_id() bit-order dependency. */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
+    val lvl = when(col("event_type").isNull, 2)
+      .when(col("hour_of_day").isNull, 1).otherwise(0)
+    events(s, dir)
+      .withColumn("hour_of_day", hour(col("ts")))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("hour_of_day")),
+          Seq(col("event_type")), Seq()),
+        col("event_type"), col("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .withColumn("lvl", lvl)
+      .select("lvl", "event_type", "hour_of_day", "n_events", "total_value")
+      .orderBy(col("lvl"), col("event_type").asc_nulls_first,
+        col("hour_of_day").asc_nulls_first)
+  }
+
+  /** Per-user event-time navigation: previous value (lag), delta, running
+    * total, and position — the feature-engineering window suite. One
+    * shuffle by user, one sort per partition serves all four functions. */
+  def windowLag(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("delta", col("value") - col("prev_value"))
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(18,6)")).over(wRun).cast("double"))
+      .withColumn("seq_in_user", row_number().over(w))
+      .orderBy("user_id", "seq_in_user")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "grouping_sets_agg" -> (groupingSetsAgg _),
+    "window_lag" -> (windowLag _),
     "sessionize" -> (sessionize _),
     "window_agg" -> (windowAgg _),
     "cube_agg" -> (cubeAgg _),
@@ -126,6 +167,28 @@ object AnalyticsQueries {
     "approx_distinct" -> (approxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "grouping_sets_agg" ->
+      """SELECT CASE WHEN event_type IS NULL THEN 2
+        |            WHEN hour_of_day IS NULL THEN 1 ELSE 0 END AS lvl,
+        |  event_type, hour_of_day, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM (SELECT event_type,
+        |        CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INT)
+        |          AS hour_of_day, value
+        |      FROM events)
+        |GROUP BY GROUPING SETS ((event_type, hour_of_day), (event_type), ())
+        |ORDER BY lvl, event_type NULLS FIRST, hour_of_day NULLS FIRST""".stripMargin,
+    "window_lag" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  lag(value) OVER w AS prev_value,
+        |  value - lag(value) OVER w AS delta,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+        |  row_number() OVER w AS seq_in_user
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, seq_in_user""".stripMargin,
     "sessionize" ->
       s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
          |           FROM events),

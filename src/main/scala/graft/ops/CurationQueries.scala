@@ -1,0 +1,147 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-curation operators for a training-data pipeline over `documents`
+  * (north-star surface; BASELINE.json): deterministic stratified sampling,
+  * vocabulary heavy-hitters, text cleaning, corpus shape statistics.
+  *
+  * Scale notes (100 TB):
+  *  - [[sampleStratified]] samples by a HASH of the stable key, not an RNG:
+  *    reproducible across reruns/retries (a task retry with an RNG sampler
+  *    silently changes the training set — hash sampling is the standard
+  *    fix), pushdown-friendly (a pure per-row predicate riding the scan,
+  *    no shuffle), and exactly oracle-able.
+  *  - [[vocabTopK]] is the heavy-hitters pattern: explode → per-(stratum,
+  *    token) partial counts (map-side combined) → per-stratum top-k via a
+  *    rank window. At 100 TB the window input is the aggregated vocabulary
+  *    (strata × distinct tokens), orders of magnitude smaller than the
+  *    corpus; the candidate-set shape is identical for a sketch (CMS)
+  *    variant.
+  *  - [[textClean]] is a pure codegen'd projection (regex stopword strip +
+  *    whitespace collapse) — runs at parquet scan speed.
+  *  - [[docLengthHist]] is a fixed-width histogram: one hash aggregation
+  *    over bucket ids, constant output size regardless of corpus size.
+  */
+object CurationQueries {
+
+  /** Per-language sampling rates (percent kept), keyed by the hash of the
+    * stable doc key — downsample the over-represented stratum, keep more
+    * of the rare ones (the usual language-balancing move). */
+  val sampleRates: Map[String, Int] = Map(
+    "en" -> 30, "de" -> 60, "es" -> 60, "fr" -> 60, "zh" -> 60)
+
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val rate = sampleRates.foldLeft(lit(10)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        pmod(md5Long(concat(lit("sample:"), col("doc_id").cast("string"))), lit(100)))
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language top-10 vocabulary tokens by frequency (ties broken by
+    * token asc): the vocabulary/heavy-hitters operator. */
+  val vocabK = 10
+
+  def vocabTopK(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= vocabK)
+      .select("lang", "rank", "token", "n")
+      .orderBy("lang", "rank")
+  }
+
+  /** Stopword-strip + whitespace-collapse cleaning (the cheap boilerplate
+    * pass every corpus gets; the regex machinery generalizes to URL/HTML/
+    * PII stripping — same operator shape, different patterns). */
+  val stopwordRe = "\\b(a|the|and|of|to)\\b"
+
+  def textClean(s: SparkSession, dir: String): DataFrame = {
+    val removed = countMatches(col("text"), stopwordRe)
+    val cleaned = trim(regexp_replace(
+      regexp_replace(col("text"), stopwordRe, ""), "\\s+", " "))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      cleaned.as("clean_text"),
+      removed.cast("long").as("stopwords_removed"),
+      whitespaceTokenCount(cleaned).cast("long").as("clean_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus shape: 50-char-wide histogram of document lengths (bucket 20+
+    * is the tail bucket) × language — the "what does my corpus look like"
+    * statistic. */
+  def docLengthHist(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        least(floor(col("n_chars") / 50), lit(20L)).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+      .orderBy("lang", "bucket")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleStratified _),
+    "vocab_topk" -> (vocabTopK _),
+    "text_clean" -> (textClean _),
+    "doc_length_hist" -> (docLengthHist _))
+
+  private val duckRate = sampleRates.toSeq.sortBy(_._1)
+    .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+    .mkString("CASE ", " ", " ELSE 10 END")
+
+  val oracles: Map[String, String] = Map(
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, source,
+         |  ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |    % 100 AS bucket
+         |FROM documents
+         |WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 100 < ($duckRate)
+         |ORDER BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      s"""WITH toks AS (
+         |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                      t -> t != '')) AS token
+         |  FROM documents),
+         |counts AS (
+         |  SELECT lang, token, count(*) AS n FROM toks GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT lang, token, n,
+         |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token)
+         |           AS rank
+         |  FROM counts)
+         |SELECT lang, rank, token, n FROM ranked
+         |WHERE rank <= $vocabK ORDER BY lang, rank""".stripMargin,
+    "text_clean" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(text, '$stopwordRe', '', 'g'),
+         |         '\\s+', ' ', 'g')) AS clean_text,
+         |    CAST(length(regexp_extract_all(text, '$stopwordRe')) AS BIGINT)
+         |      AS stopwords_removed
+         |  FROM documents)
+         |SELECT doc_id, clean_text, stopwords_removed,
+         |  CAST(length(list_filter(string_split_regex(lower(clean_text), '\\s+'),
+         |       t -> t != '')) AS BIGINT) AS clean_tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "doc_length_hist" ->
+      """SELECT lang, least(n_chars // 50, 20) AS bucket,
+        |  count(*) AS n_docs, min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars, round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

@@ -160,11 +160,47 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** TPC-H Q4-shaped: order-priority count for orders with a late-shipping
+    * line. The EXISTS subquery is a LEFT SEMI join with a non-equi
+    * residual — probe side streams, no duplicate blow-up (semi joins emit
+    * each order at most once regardless of matching line count). */
+  def q4Exists(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    Tables.orders(s, dir)
+      .join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q18-shaped: large customers (lifetime order value above a
+    * threshold — GROUP BY + HAVING), joined back to the customer dim for
+    * attributes. The HAVING filter runs on the aggregated (small) side;
+    * the dim join is broadcast. */
+  val largeCustomerThreshold = 400000.0
+
+  def q18Having(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_spend"))
+      .filter(col("total_spend") > largeCustomerThreshold)
+      .join(broadcast(Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_orders"), col("total_spend"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
+    "q4_exists" -> (q4Exists _),
     "q5_join" -> (q5Join _),
     "q14_agg" -> (q14Agg _),
+    "q18_having" -> (q18Having _),
     "window_topk" -> (windowTopk _),
     "rollup_agg" -> (rollupAgg _),
     "set_ops" -> (setOps _),
@@ -209,6 +245,24 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1994-01-01'
         |  AND o_orderdate < TIMESTAMP '1996-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q4_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q18_having" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment, n_orders, total_spend
+         |FROM (
+         |  SELECT o_custkey, count(*) AS n_orders,
+         |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |           AS total_spend
+         |  FROM orders GROUP BY o_custkey
+         |  HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         > $largeCustomerThreshold) agg
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY total_spend DESC, c_custkey""".stripMargin,
     "q14_agg" ->
       """SELECT p_brand,
         |  CAST(sum(CASE WHEN p_type = 'PROMO'

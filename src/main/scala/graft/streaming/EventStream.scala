@@ -63,6 +63,31 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream INNER join: each purchase joined to the
+    * same user's signup that happened at or before it, within a bounded
+    * event-time range. The time-range condition is what bounds the join
+    * state (Spark derives each side's state watermark from it): signup
+    * state is evicted once no future purchase can reach back to it, so
+    * executor state scales with the horizon, not the stream length. */
+  def purchaseAfterSignup(purchases: DataFrame, signups: DataFrame,
+                          horizon: String = "2 hours",
+                          watermark: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    val su = signups
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user_id"),
+        col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", watermark)
+    p.join(su,
+      col("user_id") === col("s_user_id") &&
+        col("signup_ts") <= col("purchase_ts") &&
+        col("signup_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("signup_id"), col("signup_ts"))
+  }
+
   /** Custom per-key state via `mapGroupsWithState`: running event count
     * and value total per user, updated each micro-batch. Emits the new
     * running total for every user seen in the batch (update-mode sink). */

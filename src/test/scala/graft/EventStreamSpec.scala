@@ -81,6 +81,43 @@ class EventStreamSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() === rows.size)
   }
 
+  test("stream-stream time-range join equals the batch join over the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memP = MemoryStream[Ev]
+    val memS = MemoryStream[Ev]
+    val q = EventStream.purchaseAfterSignup(memP.toDF(), memS.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    val rows = evRows(2000)
+    val purchases = rows.filter(_.event_type == "purchase")
+    val signups = rows.filter(_.event_type == "signup")
+    // two micro-batches per side, interleaved arrival
+    memP.addData(purchases.take(purchases.size / 2))
+    memS.addData(signups.take(signups.size / 2))
+    q.processAllAvailable()
+    memP.addData(purchases.drop(purchases.size / 2))
+    memS.addData(signups.drop(signups.size / 2))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssjoin")
+    val ev = Tables.events(spark, sf).filter(col("event_id") <= 2000)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user_id"),
+        col("ts").as("signup_ts"))
+    val want = p.join(su,
+      col("user_id") === col("s_user_id") &&
+        col("signup_ts") <= col("purchase_ts") &&
+        col("signup_ts") >= col("purchase_ts") - expr("INTERVAL 2 hours"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("signup_id"), col("signup_ts"))
+    assert(want.count() > 0, "fixture must produce at least one joined pair")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("mapGroupsWithState accumulates running user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
