@@ -94,11 +94,37 @@ object CurationQueries {
         round(avg(col("n_chars")), 6).as("avg_chars"))
       .orderBy("lang", "bucket")
 
+  /** TF-IDF top terms per document (idf as the exact rational N/df — no
+    * transcendental log, so the score is bit-reproducible across engines;
+    * the ranking is identical since ln is monotone). The document
+    * frequency table is broadcast so the big (doc, token) side never
+    * reshuffles by token. */
+  val tfidfK = 3
+
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docsDf = Tables.documents(s, dir)
+    val n = docsDf.count()
+    val tf = docsDf
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(dfTab), Seq("token"))
+      .withColumn("score",
+        round(col("tf").cast("double") * lit(n.toDouble) / col("df"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= tfidfK)
+      .select("doc_id", "rank", "token", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "vocab_topk" -> (vocabTopK _),
     "text_clean" -> (textClean _),
-    "doc_length_hist" -> (docLengthHist _))
+    "doc_length_hist" -> (docLengthHist _),
+    "tfidf_top_terms" -> (tfidfTopTerms _))
 
   private val duckRate = sampleRates.toSeq.sortBy(_._1)
     .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
@@ -139,6 +165,24 @@ object CurationQueries {
          |  CAST(length(list_filter(string_split_regex(lower(clean_text), '\\s+'),
          |       t -> t != '')) AS BIGINT) AS clean_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
+    "tfidf_top_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                        t -> t != '')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, token, tf, df,
+         |         round((CAST(tf AS DOUBLE) * n) / df, 6) AS score
+         |  FROM tf JOIN df USING (token), n),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY score DESC, token) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, token, tf, df, score FROM ranked
+         |WHERE rank <= $tfidfK ORDER BY doc_id, rank""".stripMargin,
     "doc_length_hist" ->
       """SELECT lang, least(n_chars // 50, 20) AS bucket,
         |  count(*) AS n_docs, min(n_chars) AS min_chars,

@@ -89,30 +89,61 @@ object DedupQueries {
   def dedupJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir).orderBy("a", "b")
 
-  /** The pair computation behind [[dedupJaccard]] and [[dedupCluster]],
-    * without the presentation sort (the cluster path consumes unordered
-    * pairs, so it must not pay a range-partition sort). */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** DF-capped inverted shingle index (h, doc_id, n_sh) — the shared
+    * candidate-generation substrate for [[jaccardPairs]] and
+    * [[dedupContainment]]. Postings materialize once; the document-
+    * frequency cap is a broadcast semi-join (no postings shuffle). */
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
     val post = hashPostings(s, dir).localCheckpoint()
     val keep = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf).select("h")
-    val idx = post.join(broadcast(keep), Seq("h"))
+    post.join(broadcast(keep), Seq("h"))
+  }
+
+  /** Common-shingle counts for all candidate pairs (a < b) from the
+    * inverted index — (a, b, common, na, nb). */
+  private def pairCounts(idx: DataFrame, lengthFilter: Boolean): DataFrame = {
     val a = idx.select(col("h"), col("doc_id").as("a"), col("n_sh").as("na"))
     val b = idx.select(col("h"), col("doc_id").as("b"), col("n_sh").as("nb"))
-    a.join(b, Seq("h")).filter(col("a") < col("b"))
-      // length filter (sound pruning from the similarity-join literature):
-      // J ≤ min(na,nb)/max(na,nb), so J ≥ τ requires the sizes to be within
-      // a τ factor — prunes candidates BEFORE the per-pair aggregation
-      // shuffle without changing the result set
-      .filter(col("na") >= col("nb") * jaccardThreshold &&
+    val joined = a.join(b, Seq("h")).filter(col("a") < col("b"))
+    // length filter (sound pruning from the similarity-join literature):
+    // J ≤ min(na,nb)/max(na,nb), so J ≥ τ requires the sizes to be within
+    // a τ factor — prunes candidates BEFORE the per-pair aggregation
+    // shuffle without changing the result set. NOT valid for containment
+    // (a small doc can be fully contained in a large one).
+    val pruned = if (lengthFilter)
+      joined.filter(col("na") >= col("nb") * jaccardThreshold &&
         col("nb") >= col("na") * jaccardThreshold)
-      .groupBy("a", "b")
+    else joined
+    pruned.groupBy("a", "b")
       .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
+  }
+
+  /** The pair computation behind [[dedupJaccard]] and [[dedupCluster]],
+    * without the presentation sort (the cluster path consumes unordered
+    * pairs, so it must not pay a range-partition sort). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    pairCounts(invertedIndex(s, dir), lengthFilter = true)
       .withColumn("jaccard",
         round(col("common") / (col("na") + col("nb") - col("common")), 6))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("a", "b", "common", "jaccard")
-  }
+
+  /** Asymmetric near-dup: shingle CONTAINMENT |A∩B| / min(|A|,|B|) ≥ τ —
+    * catches a short document wholly embedded in a longer one, which
+    * Jaccard structurally misses (the size mismatch caps J at min/max).
+    * Same inverted index; no length pruning (the whole point is size-
+    * mismatched pairs). */
+  val containmentThreshold = 0.7
+
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    pairCounts(invertedIndex(s, dir), lengthFilter = false)
+      .withColumn("containment",
+        round(col("common") / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= containmentThreshold)
+      .select(col("a"), col("b"), col("common"), col("na"), col("nb"),
+        col("containment"))
+      .orderBy("a", "b")
 
   /** MinHash signatures: min over shingles of each affine family member.
     * explode → project → 12 partial min-aggregates: every stage is
@@ -330,6 +361,7 @@ object DedupQueries {
     "dedup_cluster" -> (dedupCluster _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash_sig" -> (dedupSimhashSig _),
@@ -421,6 +453,24 @@ object DedupQueries {
     "dedup_jaccard" ->
       s"""WITH $jaccardPairsCte
          |SELECT a, b, common, jaccard FROM jpairs ORDER BY a, b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $hashedCte,
+         |ex AS (SELECT doc_id, n_sh, unnest(hs) AS shingle FROM hsh),
+         |keep AS (SELECT shingle FROM ex GROUP BY shingle
+         |         HAVING count(*) <= $maxShingleDf),
+         |idx AS (SELECT ex.* FROM ex JOIN keep USING (shingle)),
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common,
+         |         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+         |  FROM idx a JOIN idx b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, common, na, nb,
+         |  round(CAST(common AS DOUBLE) / least(na, nb), 6) AS containment
+         |FROM pairs
+         |WHERE round(CAST(common AS DOUBLE) / least(na, nb), 6)
+         |      >= $containmentThreshold
+         |ORDER BY a, b""".stripMargin,
     "dedup_cluster" ->
       s"""WITH RECURSIVE $jaccardPairsCte,
          |edges AS (SELECT a AS src, b AS dst FROM jpairs

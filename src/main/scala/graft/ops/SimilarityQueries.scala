@@ -111,9 +111,40 @@ object SimilarityQueries {
       .orderBy("q", "rank")
   }
 
+  /** Per-label centroids (the k-means E-step / class-prototype builder).
+    * Float mean across rows is normally accumulation-order-dependent; here
+    * each label's vectors are collected and folded in STRICT vec_id order
+    * (sorted struct array + left-fold `aggregate`), so the sum — and thus
+    * the centroid — is bit-reproducible and exactly oracle-checkable. The
+    * collect is per-label (bounded by label cardinality × dim, not corpus
+    * size); at larger label groups the same determinism comes from a
+    * two-level ordered tree fold over bucketed sub-sums. Elements are
+    * emitted as integer micro-units (×1e6), dodging double→string
+    * formatting divergence across engines. */
+  val embeddingDim = 64
+
+  def embeddingCentroids(s: SparkSession, dir: String): DataFrame = {
+    val grouped = Tables.embeddings(s, dir)
+      .select(col("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        array_sort(collect_list(struct(col("vec_id"), col("e")))).as("vs"))
+    val summed = aggregate(col("vs"),
+      typedLit(Seq.fill(embeddingDim)(0.0)),
+      (acc, v) => zip_with(acc, v("e"), _ + _))
+    val centroidMicro = transform(summed,
+      x => round(x / col("n_vectors") * lit(1000000.0)).cast("long"))
+    grouped.select(col("label"), col("n_vectors"),
+      concat_ws(",", transform(centroidMicro, _.cast("string")))
+        .as("centroid_micro"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_force" -> (annBruteForce _),
-    "ann_ivf" -> (annIvf _))
+    "ann_ivf" -> (annIvf _),
+    "embedding_centroids" -> (embeddingCentroids _))
 
   private val vCte =
     """v AS (
@@ -127,6 +158,18 @@ object SimilarityQueries {
        |          i -> $ea[i] * $eb[i]), 'sum') / ($na * $nb), 4)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embedding_centroids" ->
+      s"""WITH g AS (
+         |  SELECT label, count(*) AS n_vectors,
+         |         list(embedding::DOUBLE[] ORDER BY vec_id) AS vs
+         |  FROM embeddings GROUP BY label)
+         |SELECT label, n_vectors,
+         |  array_to_string(list_transform(generate_series(1, $embeddingDim),
+         |    d -> CAST(CAST(round(
+         |           list_aggregate(list_transform(vs, a -> a[d]), 'sum')
+         |           / n_vectors * 1000000.0) AS BIGINT) AS VARCHAR)), ',')
+         |    AS centroid_micro
+         |FROM g ORDER BY label""".stripMargin,
     "ann_brute_force" ->
       s"""WITH $vCte,
          |scored AS (
