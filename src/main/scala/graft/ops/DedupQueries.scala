@@ -145,6 +145,25 @@ object DedupQueries {
         col("containment"))
       .orderBy("a", "b")
 
+  /** Incremental dedup: a NEW batch of documents checked against the
+    * EXISTING corpus's content-hash index (here: the lower doc_id half
+    * plays the persisted corpus). Each new doc either is fresh content
+    * (`is_new`) or names the corpus doc it duplicates (`dup_of`). At
+    * 100 TB this is THE ingestion-time shape: the corpus index is a
+    * (hash → canonical id) table bucketed by hash, the batch equi-joins
+    * it on the hash — batch-sized work, never a corpus rescan. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("content_hash", md5Long(col("text")))
+    val mid = d.agg(max(col("doc_id"))).first().getLong(0) / 2
+    val corpusIndex = d.filter(col("doc_id") <= mid)
+      .groupBy("content_hash").agg(min(col("doc_id")).as("dup_of"))
+    d.filter(col("doc_id") > mid).select("doc_id", "content_hash")
+      .join(corpusIndex, Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"), col("dup_of"),
+        col("dup_of").isNull.as("is_new"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash signatures: min over shingles of each affine family member.
     * explode → project → 12 partial min-aggregates: every stage is
     * whole-stage-codegen'd, and the map-side combine reduces each
@@ -362,6 +381,7 @@ object DedupQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_containment" -> (dedupContainment _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash_sig" -> (dedupSimhashSig _),
@@ -484,6 +504,19 @@ object DedupQueries {
          |  least(d.doc_id, coalesce(mr.m, d.doc_id)) AS cluster_id,
          |  d.doc_id = least(d.doc_id, coalesce(mr.m, d.doc_id)) AS keep
          |FROM documents d LEFT JOIN minreach mr ON d.doc_id = mr.src
+         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH d AS (SELECT doc_id, ${duckMd5Long("text")} AS content_hash
+         |           FROM documents),
+         |mid AS (SELECT max(doc_id) // 2 AS m FROM d),
+         |corpus AS (
+         |  SELECT content_hash, min(doc_id) AS dup_of
+         |  FROM d, mid WHERE doc_id <= m GROUP BY 1)
+         |SELECT d.doc_id, d.content_hash, c.dup_of,
+         |       c.dup_of IS NULL AS is_new
+         |FROM d JOIN mid ON true
+         |LEFT JOIN corpus c ON d.content_hash = c.content_hash
+         |WHERE d.doc_id > mid.m
          |ORDER BY d.doc_id""".stripMargin,
     "dedup_minhash_sig" ->
       s"""WITH $sigCte
