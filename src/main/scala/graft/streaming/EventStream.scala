@@ -11,6 +11,15 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Running per-user aggregate maintained by [[EventStream.runningUserTotals]]. */
 case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+/** Open-session accumulator for [[EventStream.closedSessions]] —
+  * timestamps as MICROSECONDS since epoch (java.sql.Timestamp.getTime is
+  * millisecond-precision and would silently truncate event times). */
+case class SessionAcc(start: Long, last: Long, n: Long)
+
+/** A closed session emitted by [[EventStream.closedSessions]]. */
+case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                         last_event: java.sql.Timestamp, n_events: Long)
+
 /** Structured Streaming analytics over the event stream — the streaming
   * twins of [[graft.ops.AnalyticsQueries]] (SURVEY.md §2.10: the reference
   * has no watermarks/event-time windows/session windows; these are the
@@ -104,6 +113,71 @@ object EventStream {
           val next = UserTotal(uid, n, math.rint(tot * 1e6) / 1e6)
           state.update(next)
           next
+      }
+  }
+
+  /** Session assembly with EXPLICIT state + event-time timeout
+    * (`flatMapGroupsWithState`): sessions close either when a same-user
+    * event arrives past the gap (emitted immediately) or when the
+    * watermark passes last_event + gap (the timeout callback fires and
+    * flushes the open session). This is the arbitrary-state twin of the
+    * native `session_window` operator ([[sessionAgg]]) — the shape to
+    * reach for when per-session logic outgrows an aggregate (e.g. emit
+    * enriched session records, cap session length, side outputs). State
+    * per key is ONE open session; the timeout bound makes eviction
+    * watermark-driven exactly like the native operator.
+    *
+    * Assumes per-key arrival is event-time ordered ACROSS batches (the
+    * usual per-key-ordered source); a cross-batch out-of-order event can
+    * split a session this operator already closed, where the native
+    * [[sessionAgg]] would re-merge — prefer sessionAgg unless the
+    * per-session logic genuinely needs arbitrary state. */
+  def closedSessions(events: Dataset[Ev], gapMinutes: Int = 30,
+                     watermark: String = "2 hours"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def usOf(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) { (uid, evs, state) =>
+        def close(a: SessionAcc) =
+          ClosedSession(uid, tsOf(a.start), tsOf(a.last), a.n)
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(close).toIterator
+          state.remove()
+          out
+        } else {
+          val sorted = evs.map(e => usOf(e.ts)).toVector.sorted
+          var acc = state.getOption
+          val closed = Vector.newBuilder[ClosedSession]
+          sorted.foreach { t =>
+            acc match {
+              case Some(a) if t - a.last < gapUs =>
+                acc = Some(a.copy(last = math.max(a.last, t), n = a.n + 1))
+              case Some(a) =>
+                closed += close(a)
+                acc = Some(SessionAcc(t, t, 1))
+              case None =>
+                acc = Some(SessionAcc(t, t, 1))
+            }
+          }
+          acc.foreach { a =>
+            state.update(a)
+            // timeout is millisecond-granular; round UP so it can never
+            // fire before the exact micro-precise gap has elapsed
+            state.setTimeoutTimestamp(Math.floorDiv(a.last + gapUs, 1000L) + 1L)
+          }
+          closed.result().iterator
+        }
       }
   }
 

@@ -118,6 +118,37 @@ class EventStreamSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("flatMapGroupsWithState closed sessions equal the batch session boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.closedSessions(mem.toDS())
+      .writeStream.format("memory").queryName("csess")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    val rows = evRows(1500)
+    val (b1, b2) = rows.splitAt(700)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    // two sentinel batches: the first advances the watermark past every
+    // open session's timeout, the second triggers the timeout callbacks
+    // (watermark for batch N is computed from batch N-1)
+    val maxTs = rows.map(_.ts.getTime).max
+    Seq(10, 11).foreach { h =>
+      mem.addData(Seq(Ev(-h.toLong, new java.sql.Timestamp(maxTs + h * 3600L * 1000L),
+        -1L, "sentinel", 0.0)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("csess").filter(col("user_id") =!= -1L)
+    val want = Tables.events(spark, sf).filter(col("event_id") <= 1500)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("last_event"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "last_event", "n_events")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("mapGroupsWithState accumulates running user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
