@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the scale claims in COVERAGE.md §plan-audit
+  * pinned as tests, so a regression that silently de-optimizes a plan
+  * (lost pushdown, broadcast→shuffle flip, codegen fallback) fails CI
+  * instead of surfacing as a 10× slowdown at deployment scale. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("dimension joins resolve to broadcast, fact-fact joins to shuffle") {
+    val q3 = planOf(ops.RelationalQueries.queries("q3_join")(spark, sf))
+    assert(q3.contains("BroadcastHashJoin"), "q3 customer dim must broadcast")
+    // big-big: lineitem ⋈ orders on orderkey with no broadcast hint and
+    // thresholds beaten — must be a shuffle join, not a broadcast of a fact
+    val big = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try {
+      val p = planOf(Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey")))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"fact-fact join must shuffle, got:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", big)
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val f = formatted(ops.RelationalQueries.queries("q1_agg")(spark, sf))
+    assert(f.contains("PushedFilters: [IsNotNull(l_shipdate)")
+      || f.contains("LessThanOrEqual(l_shipdate"), s"q1 shipdate filter must push down:\n$f")
+    // ReadSchema pruned: q1 needs 6 lineitem columns, not all 11
+    val readSchema = f.linesIterator.filter(_.startsWith("ReadSchema")).mkString
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_tax"),
+      s"q1 scan must prune unused columns:\n$readSchema")
+  }
+
+  test("top-k never globally sorts: TakeOrderedAndProject / WindowGroupLimit") {
+    val q3 = planOf(ops.RelationalQueries.queries("q3_join")(spark, sf))
+    assert(q3.contains("TakeOrderedAndProject"), "q3 limit 10 must be top-k")
+    val topk = planOf(ops.RelationalQueries.queries("window_topk")(spark, sf))
+    assert(topk.contains("WindowGroupLimit"),
+      "ranking-window filter must push the group limit below the window")
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    // AQE finalizes (and reveals WholeStageCodegen spans) only on execution
+    def finalPlan(df: DataFrame): String = { df.collect(); planOf(df) }
+    // "*(n)" is the whole-stage-codegen stage marker in plan strings
+    val sig = finalPlan(ops.DedupQueries.queries("dedup_simhash_sig")(spark, sf))
+    assert(sig.contains("*(1) Project") && sig.contains("simhash60"),
+      s"the simhash projection must sit inside a codegen stage:\n$sig")
+    assert(!sig.contains("CodegenFallback"), "no interpreted fallback on the hot path")
+    val fp = finalPlan(ops.TextQueries.queries("text_fingerprint")(spark, sf))
+    assert(fp.contains("*("), s"fingerprint must have codegen stages:\n$fp")
+  }
+
+  test("the SCD2 merge never shuffles the history side") {
+    import graft.scd2.Scd2
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "value", "ts")
+    val hist = Scd2.fromEvents(ev.filter(col("event_id") <= 500),
+      Seq("user_id"), "ts", "event_id")
+    val merged = Scd2.applyBatch(hist, ev.filter(col("event_id") > 500),
+      Seq("user_id"), "ts", "event_id")
+    val p = planOf(merged)
+    assert(p.contains("BroadcastHashJoin"),
+      s"history×batch-keys join must broadcast the key set:\n$p")
+  }
+
+  test("adaptive query execution is on for every graft session") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    val df = Tables.lineitem(spark, sf).groupBy("l_returnflag").count()
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
+  }
+}
