@@ -20,6 +20,29 @@ case class SessionAcc(start: Long, last: Long, n: Long)
 case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                          last_event: java.sql.Timestamp, n_events: Long)
 
+/** Per-user running totals as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+  * (the transformWithState API): one named ValueState per user. */
+class RunningTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserTotal] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[UserTotal] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserTotal]("total",
+      org.apache.spark.sql.Encoders.product[UserTotal], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timerValues: TimerValues): Iterator[UserTotal] = {
+    val prev = Option(state.get()).getOrElse(UserTotal(key, 0L, 0.0))
+    var n = prev.n_events
+    var tot = prev.total_value
+    rows.foreach { e => n += 1; tot += e.value }
+    val next = UserTotal(key, n, math.rint(tot * 1e6) / 1e6)
+    state.update(next)
+    Iterator.single(next)
+  }
+}
+
 /** Structured Streaming analytics over the event stream — the streaming
   * twins of [[graft.ops.AnalyticsQueries]] (SURVEY.md §2.10: the reference
   * has no watermarks/event-time windows/session windows; these are the
@@ -179,6 +202,21 @@ object EventStream {
           closed.result().iterator
         }
       }
+  }
+
+  /** [[runningUserTotals]] on Spark 4's NEW arbitrary-state API
+    * (`transformWithState` + typed `ValueState` handles — the successor
+    * to mapGroupsWithState: composable named state, TTL, timers, and a
+    * RocksDB-backed store for state larger than executor heap). Same
+    * semantics as the mapGroupsWithState twin; the spec pins both to the
+    * batch aggregate. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def runningUserTotalsTws(events: Dataset[Ev]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).transformWithState(
+      new RunningTotalProcessor,
+      org.apache.spark.sql.streaming.TimeMode.None(),
+      org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
   /** Convenience: the batch events table cast to Dataset[Ev]. */

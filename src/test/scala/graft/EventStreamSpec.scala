@@ -149,6 +149,42 @@ class EventStreamSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("transformWithState (new arbitrary-state API) matches the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = EventStream.runningUserTotalsTws(mem.toDS())
+        .writeStream.format("memory").queryName("twstotals")
+        .outputMode("update").option("checkpointLocation", ckpt()).start()
+      val rows = evRows(1000)
+      val (b1, b2) = rows.splitAt(500)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("twstotals")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("n_events").desc)))
+        .filter(col("rn") === 1)
+        .select("user_id", "n_events")
+      val want = Tables.events(spark, sf).filter(col("event_id") <= 1000)
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      assert(got.count() === want.count())
+      assert(got.exceptAll(want).isEmpty)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates running user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
