@@ -254,6 +254,24 @@ object Scd2Stream {
   def readBucketed(spark: SparkSession, historyDir: String): DataFrame =
     spark.read.parquet(historyDir).drop("__bucket")
 
+  /** Point lookup served from ONE bucket: recomputes the write path's
+    * bucket id for the key and filters on the partition column, so
+    * partition pruning opens a single `__bucket=N` directory — the
+    * O(history/B) point-read the bucketed layout exists for (the lookup
+    * side of the reference's `DatabaseRecordLookupService`, J1, at scale).
+    * Plan-asserted in StreamingSpec. */
+  def lookupByKey(spark: SparkSession, historyDir: String, keys: Seq[String],
+                  values: Seq[Any], nBuckets: Int = 64): DataFrame = {
+    // evaluate the exact write-path bucket expression on a one-row plan
+    val b = spark.range(1)
+      .select(pmod(hash(values.map(lit): _*), lit(nBuckets)).as("b"))
+      .first().getInt(0)
+    keys.zip(values).foldLeft(
+      spark.read.parquet(historyDir).filter(col("__bucket") === b)) {
+      case (df, (k, v)) => df.filter(col(k) === v)
+    }.drop("__bucket")
+  }
+
   // ---- commit/marker/manifest plumbing -----------------------------------
 
   private val MarkerName = "_graft_batch" // leading '_' → invisible to parquet reads

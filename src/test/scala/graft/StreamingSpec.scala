@@ -136,6 +136,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed point lookup prunes to a single bucket partition") {
+    val ev = events().cache()
+    val tmp = Files.createTempDirectory("graft-lookup").toString
+    val histDir = s"$tmp/history"
+    Scd2Stream.applyMicroBatchBucketed(spark, ev, histDir,
+      Seq("user_id"), "ts", "event_id", nBuckets = 16)
+    val someUser = ev.select("user_id").first().getLong(0)
+    val got = Scd2Stream.lookupByKey(spark, histDir,
+      Seq("user_id"), Seq(someUser), nBuckets = 16)
+    val want = Scd2Stream.readBucketed(spark, histDir)
+      .filter(col("user_id") === someUser)
+    assert(got.count() === want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the scan must prune on the partition column — one bucket dir read
+    val lookup = Scd2Stream.lookupByKey(spark, histDir,
+      Seq("user_id"), Seq(someUser), nBuckets = 16)
+    val scan = lookup.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("__bucket"),
+      s"partition filter on __bucket expected in:\n$scan")
+  }
+
   test("streaming start() runs the merge through a real StreamingQuery") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
