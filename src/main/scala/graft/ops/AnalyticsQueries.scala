@@ -107,6 +107,22 @@ object AnalyticsQueries {
         sum(col("pv")).cast("double").as("total_value"))
       .orderBy("event_type")
 
+  /** KLL/GK-sketch percentiles per event_type — the constant-memory twin
+    * of [[percentileAgg]] (exact percentile sorts each group; the sketch
+    * is the only viable form at 100 TB). Spec pins the rank-accuracy
+    * bound vs the exact values; no SQL oracle (sketch estimates are
+    * engine-specific by construction). */
+  def approxPercentile(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("p"))
+      .select(col("event_type"),
+        round(element_at(col("p"), 1), 6).as("p50"),
+        round(element_at(col("p"), 2), 6).as("p90"),
+        round(element_at(col("p"), 3), 6).as("p99"))
+      .orderBy("event_type")
+
   /** HLL++ approximate distinct users per event_type — the mergeable
     * constant-memory sketch path. Spec-checked (≤5% vs exact); no SQL
     * oracle (sketch estimates are engine-specific by construction). */
@@ -164,7 +180,8 @@ object AnalyticsQueries {
     "percentile_agg" -> (percentileAgg _),
     "pivot_agg" -> (pivotAgg _),
     "salted_agg" -> (saltedAgg _),
-    "approx_distinct" -> (approxDistinct _))
+    "approx_distinct" -> (approxDistinct _),
+    "approx_percentile" -> (approxPercentile _))
 
   val oracles: Map[String, String] = Map(
     "grouping_sets_agg" ->

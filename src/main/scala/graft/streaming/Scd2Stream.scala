@@ -64,10 +64,20 @@ object Scd2Stream {
     * @param historyDir parquet dir holding the SCD2 history table
     * @param checkpoint checkpoint dir (replaces the reference's MapCache)
     */
+  /** Name under which per-batch metrics surface in
+    * `StreamingQueryProgress.observedMetrics` (the reference's LogMessage/
+    * LogAttribute observability, L1/L2, done the Spark way: `observe()`
+    * metrics ride the existing plan — no second pass — and any
+    * `StreamingQueryListener` consumes them). */
+  val ObservedMetricsName = "graft_scd2"
+
   def start(spark: SparkSession, events: DataFrame, historyDir: String,
             checkpoint: String, keys: Seq[String], tsCol: String,
             seqCol: String, triggerMs: Long = 200L): StreamingQuery =
-    events.writeStream
+    events
+      .observe(ObservedMetricsName, count(lit(1)).as("n_events"),
+        countDistinctKeysApprox(keys).as("n_keys_approx"))
+      .writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -75,6 +85,9 @@ object Scd2Stream {
           batchId = Some(batchId))
       }
       .start()
+
+  private def countDistinctKeysApprox(keys: Seq[String]) =
+    approx_count_distinct(concat_ws("", keys.map(col): _*))
 
   // `failpoint` is a test seam: invoked with a label between protocol
   // steps; specs throw from it to simulate a crash at that exact window.
@@ -101,29 +114,35 @@ object Scd2Stream {
       inLog || inMarker
     }
     if (alreadyDone) return
-    if (batch.isEmpty) return
-    val merged =
-      if (dir.exists() && dir.list().exists(_.endsWith(".parquet"))) {
-        val history = spark.read.parquet(historyDir)
-        Scd2.applyBatch(history, batch, keys, tsCol, seqCol)
-      } else {
-        Scd2.fromEvents(batch, keys, tsCol, seqCol)
+    // persist: the batch feeds two actions (emptiness probe + merge);
+    // without it the micro-batch input recomputes per action — and any
+    // observe() metrics upstream would double-count
+    val cached = batch.persist()
+    try {
+      if (cached.isEmpty) return
+      val merged =
+        if (dir.exists() && dir.list().exists(_.endsWith(".parquet"))) {
+          val history = spark.read.parquet(historyDir)
+          Scd2.applyBatch(history, cached, keys, tsCol, seqCol)
+        } else {
+          Scd2.fromEvents(cached, keys, tsCol, seqCol)
+        }
+      val tmp = new File(historyDir + ".tmp")
+      if (tmp.exists()) FileUtils.deleteDirectory(tmp)
+      merged.write.mode("overwrite").parquet(tmp.getPath)
+      batchId.foreach(writeMarker(tmp, _))
+      failpoint("after-tmp-write")
+      val old = new File(historyDir + ".old")
+      if (dir.exists()) {
+        renameOrThrow(dir, old)
+        failpoint("after-rename-aside")
       }
-    val tmp = new File(historyDir + ".tmp")
-    if (tmp.exists()) FileUtils.deleteDirectory(tmp)
-    merged.write.mode("overwrite").parquet(tmp.getPath)
-    batchId.foreach(writeMarker(tmp, _))
-    failpoint("after-tmp-write")
-    val old = new File(historyDir + ".old")
-    if (dir.exists()) {
-      renameOrThrow(dir, old)
-      failpoint("after-rename-aside")
-    }
-    renameOrThrow(tmp, dir) // ← atomic commit point (marker now live)
-    failpoint("after-rename-in")
-    batchId.foreach(appendCommit(commitLog, _))
-    failpoint("after-commit")
-    if (old.exists()) FileUtils.deleteDirectory(old)
+      renameOrThrow(tmp, dir) // ← atomic commit point (marker now live)
+      failpoint("after-rename-in")
+      batchId.foreach(appendCommit(commitLog, _))
+      failpoint("after-commit")
+      if (old.exists()) FileUtils.deleteDirectory(old)
+    } finally { cached.unpersist(); () }
   }
 
   /** Complete or roll back an interrupted [[applyMicroBatch]] swap. Safe to
@@ -166,54 +185,59 @@ object Scd2Stream {
     recoverBucketed(historyDir)
     val commitLog = new File(historyDir + ".commits")
     if (batchId.exists(committedIds(commitLog).contains)) return
-    if (batch.isEmpty) return
-    val bucket = pmod(hash(keys.map(col): _*), lit(nBuckets))
-    val tagged = batch.withColumn("__bucket", bucket)
-    val touched = tagged.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val dirs = touched.map(b => s"$historyDir/__bucket=$b")
-      .filter(d => new File(d).exists())
-    val merged =
-      if (dirs.nonEmpty) {
-        val hist = spark.read.option("basePath", historyDir)
-          .parquet(dirs.toIndexedSeq: _*)
-        Scd2.applyBatch(hist.drop("__bucket"), batch, keys, tsCol, seqCol)
-      } else {
-        Scd2.fromEvents(batch, keys, tsCol, seqCol)
+    // persist: the batch feeds three actions (touched-bucket probe,
+    // emptiness via the probe, merge) — compute the input once
+    val cached = batch.persist()
+    try {
+      val bucket = pmod(hash(keys.map(col): _*), lit(nBuckets))
+      val tagged = cached.withColumn("__bucket", bucket)
+      val touched = tagged.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
+      val dirs = touched.map(b => s"$historyDir/__bucket=$b")
+        .filter(d => new File(d).exists())
+      val merged =
+        if (dirs.nonEmpty) {
+          val hist = spark.read.option("basePath", historyDir)
+            .parquet(dirs.toIndexedSeq: _*)
+          Scd2.applyBatch(hist.drop("__bucket"), cached, keys, tsCol, seqCol)
+        } else {
+          Scd2.fromEvents(cached, keys, tsCol, seqCol)
+        }
+      val tmp = new File(historyDir + ".tmp")
+      if (tmp.exists()) FileUtils.deleteDirectory(tmp)
+      merged.withColumn("__bucket", bucket)
+        .write.partitionBy("__bucket")
+        .mode("overwrite").parquet(tmp.getPath)
+      failpoint("after-tmp-write")
+      val pre = touched.toSeq.map(b =>
+        b -> new File(s"$historyDir/__bucket=$b").exists())
+      writeManifest(new File(historyDir + ".inflight"), batchId, pre)
+      failpoint("after-manifest")
+      val oldRoot = new File(historyDir + ".oldbuckets")
+      oldRoot.mkdirs()
+      // phase A: move every pre-imaged touched bucket aside
+      pre.foreach { case (b, hadPre) =>
+        if (hadPre) {
+          renameOrThrow(new File(s"$historyDir/__bucket=$b"),
+            new File(s"${oldRoot.getPath}/__bucket=$b"))
+          failpoint(s"phase-a:$b")
+        }
       }
-    val tmp = new File(historyDir + ".tmp")
-    if (tmp.exists()) FileUtils.deleteDirectory(tmp)
-    merged.withColumn("__bucket", bucket)
-      .write.partitionBy("__bucket")
-      .mode("overwrite").parquet(tmp.getPath)
-    failpoint("after-tmp-write")
-    val pre = touched.toSeq.map(b =>
-      b -> new File(s"$historyDir/__bucket=$b").exists())
-    writeManifest(new File(historyDir + ".inflight"), batchId, pre)
-    failpoint("after-manifest")
-    val oldRoot = new File(historyDir + ".oldbuckets")
-    oldRoot.mkdirs()
-    // phase A: move every pre-imaged touched bucket aside
-    pre.foreach { case (b, hadPre) =>
-      if (hadPre) {
-        renameOrThrow(new File(s"$historyDir/__bucket=$b"),
-          new File(s"${oldRoot.getPath}/__bucket=$b"))
-        failpoint(s"phase-a:$b")
+      // phase B: move the new bucket contents in
+      new File(historyDir).mkdirs()
+      pre.foreach { case (b, _) =>
+        val src = new File(s"${tmp.getPath}/__bucket=$b")
+        if (src.exists())
+          renameOrThrow(src, new File(s"$historyDir/__bucket=$b"))
+        failpoint(s"phase-b:$b")
       }
-    }
-    // phase B: move the new bucket contents in
-    new File(historyDir).mkdirs()
-    pre.foreach { case (b, _) =>
-      val src = new File(s"${tmp.getPath}/__bucket=$b")
-      if (src.exists())
-        renameOrThrow(src, new File(s"$historyDir/__bucket=$b"))
-      failpoint(s"phase-b:$b")
-    }
-    batchId.foreach(appendCommit(commitLog, _))
-    failpoint("after-commit")
-    FileUtils.deleteDirectory(oldRoot)
-    FileUtils.deleteDirectory(tmp)
-    new File(historyDir + ".inflight").delete(): Unit
+      batchId.foreach(appendCommit(commitLog, _))
+      failpoint("after-commit")
+      FileUtils.deleteDirectory(oldRoot)
+      FileUtils.deleteDirectory(tmp)
+      new File(historyDir + ".inflight").delete(): Unit
+    } finally { cached.unpersist(); () }
   }
 
   /** Complete or roll back an interrupted [[applyMicroBatchBucketed]]

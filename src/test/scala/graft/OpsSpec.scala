@@ -160,6 +160,19 @@ class OpsSpec extends SparkSpec {
     assert(lsh.subsetOf(brute))
   }
 
+  test("approx_percentile close to exact per event_type") {
+    val approx = AnalyticsQueries.queries("approx_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = AnalyticsQueries.queries("percentile_agg")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val range = Tables.events(spark, sf)
+      .agg(max(col("value")) - min(col("value"))).first().getDouble(0)
+    exact.foreach { case (t, (p50, p90)) =>
+      assert(math.abs(approx(t)._1 - p50) <= range * 0.02, s"$t p50")
+      assert(math.abs(approx(t)._2 - p90) <= range * 0.02, s"$t p90")
+    }
+  }
+
   test("approx_distinct within 5% of exact per event_type") {
     val approx = AnalyticsQueries.approxDistinct(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

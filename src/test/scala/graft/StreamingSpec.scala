@@ -157,14 +157,31 @@ class StreamingSpec extends SparkSpec {
       s"partition filter on __bucket expected in:\n$scan")
   }
 
-  test("streaming start() runs the merge through a real StreamingQuery") {
+  test("streaming start() runs the merge through a real StreamingQuery; observed metrics reach the listener") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.StreamingQueryListener
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-stream3").toString
     val mem = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
     val evStream = mem.toDF()
       .toDF("user_id", "event_id", "event_type", "value", "ts")
+    // L1/L2 parity: per-batch metrics observed on the plan, consumed by a
+    // listener (the Spark-native LogMessage/LogAttribute)
+    val seenEvents = new java.util.concurrent.atomic.AtomicLong(0L)
+    // progress events can re-report the last batch's metrics on idle
+    // triggers — count each batchId once
+    val seenBatches = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics.get(Scd2Stream.ObservedMetricsName)
+        if (m != null && seenBatches.add(e.progress.batchId))
+          seenEvents.addAndGet(m.getAs[Long]("n_events")): Unit
+      }
+    }
+    spark.streams.addListener(listener)
     val q = Scd2Stream.start(spark, evStream, s"$tmp/history",
       s"$tmp/ckpt", Seq("user_id"), "ts", "event_id", triggerMs = 50L)
     val rows = events().filter(col("event_id") <= 500)
@@ -173,6 +190,13 @@ class StreamingSpec extends SparkSpec {
     mem.addData(rows.toIndexedSeq)
     q.processAllAvailable()
     q.stop()
+    try {
+      // listener delivery is async; give it a bounded moment
+      val deadline = System.currentTimeMillis() + 15000
+      while (seenEvents.get() < rows.length && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(seenEvents.get() === rows.length.toLong)
+    } finally spark.streams.removeListener(listener)
     val hist = spark.read.parquet(s"$tmp/history")
     val expect = Scd2.fromEvents(events().filter(col("event_id") <= 500),
       Seq("user_id"), "ts", "event_id")
