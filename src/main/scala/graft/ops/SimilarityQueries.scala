@@ -141,10 +141,34 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  /** Hybrid retrieval: vector recall + cheap-feature rerank — the
+    * composite shape of a real retrieval pipeline. ANN cosine candidates
+    * (top-[[topK]]) join the per-doc quality score (broadcast — it's a
+    * per-document scalar table) and rerank by 0.8·cosine +
+    * 0.2·quality/100, keeping the top [[rerankK]]. Candidate generation
+    * dominates the cost; the rerank touches only |queries|·k rows. */
+  val rerankK = 5
+
+  def hybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val quality = TextQueries.qualityScore(s, dir)
+      .select(col("doc_id").as("neighbor"), col("quality"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("score").desc, col("neighbor"))
+    annBruteForce(s, dir)
+      .join(broadcast(quality), Seq("neighbor"))
+      .withColumn("score",
+        round(lit(0.8) * col("cosine") + lit(0.2) * col("quality") / lit(100.0), 6))
+      .withColumn("rerank", row_number().over(w))
+      .filter(col("rerank") <= rerankK)
+      .select("q", "rerank", "neighbor", "cosine", "quality", "score")
+      .orderBy("q", "rerank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_force" -> (annBruteForce _),
     "ann_ivf" -> (annIvf _),
-    "embedding_centroids" -> (embeddingCentroids _))
+    "embedding_centroids" -> (embeddingCentroids _),
+    "hybrid_search" -> (hybridSearch _))
 
   private val vCte =
     """v AS (
@@ -158,6 +182,42 @@ object SimilarityQueries {
        |          i -> $ea[i] * $eb[i]), 'sum') / ($na * $nb), 4)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "hybrid_search" ->
+      s"""WITH $vCte,
+         |scored AS (
+         |  SELECT q.vec_id AS q, v.vec_id AS neighbor,
+         |         ${duckCos("q.e", "v.e", "q.norm", "v.norm")} AS cosine
+         |  FROM v q JOIN v ON q.vec_id % $queryStride = 0
+         |                 AND q.vec_id != v.vec_id),
+         |ann AS (
+         |  SELECT q, neighbor, cosine FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q
+         |              ORDER BY cosine DESC, neighbor) AS rank
+         |    FROM scored) WHERE rank <= $topK),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS n_chars,
+         |    CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
+         |         t -> t != '')) AS DOUBLE) AS n_tokens,
+         |    CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |      AS punct,
+         |    CAST(length(regexp_extract_all(lower(text), '\\b(the|a|and|of|to)\\b'))
+         |      AS DOUBLE) AS stop
+         |  FROM documents),
+         |qual AS (
+         |  SELECT doc_id,
+         |    round(least(n_tokens / 4.0, 50.0) + least(stop * 5.0, 30.0)
+         |          - least(punct, 20.0) + 20.0, 6) AS quality
+         |  FROM m),
+         |re AS (
+         |  SELECT ann.q, ann.neighbor, ann.cosine, qual.quality,
+         |         round(0.8 * ann.cosine + 0.2 * qual.quality / 100.0, 6) AS score
+         |  FROM ann JOIN qual ON ann.neighbor = qual.doc_id)
+         |SELECT q, rerank, neighbor, cosine, quality, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q
+         |            ORDER BY score DESC, neighbor) AS rerank
+         |  FROM re)
+         |WHERE rerank <= $rerankK ORDER BY q, rerank""".stripMargin,
     "embedding_centroids" ->
       s"""WITH g AS (
          |  SELECT label, count(*) AS n_vectors,
