@@ -41,6 +41,18 @@ object Scd2Queries {
     Scd2.current(scd2Snapshot(s, dir))
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
 
+  /** Delete-aware SCD2 reconstruction (the extension the reference's
+    * router drops, SURVEY.md §7.4 item 6): `logout` plays the CDC delete —
+    * it closes the user's open interval and contributes no version row;
+    * later events re-open. */
+  def scd2WithDeletes(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("op",
+      when(col("event_type") === "logout", Scd2.DeleteOp).otherwise("update"))
+    Scd2.fromEventsWithDeletes(ev, Seq("user_id"), "ts", "event_id", "op")
+      .drop("op")
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   // R1 routing: signup ⇄ insert, purchase ⇄ update; the rest unmatched.
   private def cdcType = when(col("event_type") === "signup", "insert")
     .when(col("event_type") === "purchase", "update")
@@ -70,6 +82,7 @@ object Scd2Queries {
     "scd2_snapshot" -> (scd2Snapshot _),
     "scd2_apply_batch" -> (scd2ApplyBatch _),
     "scd2_current" -> (scd2Current _),
+    "scd2_with_deletes" -> (scd2WithDeletes _),
     "route_insert" -> (routeInsert _),
     "route_update" -> (routeUpdate _),
     "route_unmatched" -> (routeUnmatched _),
@@ -96,6 +109,19 @@ object Scd2Queries {
     "scd2_current" ->
       s"""SELECT * FROM ($scd2Sql) WHERE is_current = 'Y'
          |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "scd2_with_deletes" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value, props,
+        |                  CAST(ts AS TIMESTAMP) AS ts,
+        |                  CASE WHEN event_type = 'logout' THEN 'delete'
+        |                       ELSE 'update' END AS op
+        |           FROM events),
+        |v AS (SELECT *, ts AS valid_from, lead(ts) OVER w AS valid_until
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, event_type, value, props, valid_from,
+        |       valid_until,
+        |       CASE WHEN valid_until IS NULL THEN 'Y' ELSE 'N' END AS is_current
+        |FROM v WHERE op != 'delete'
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "route_insert" -> routeSql("event_type = 'signup'"),
     "route_update" -> routeSql("event_type = 'purchase'"),
     "route_unmatched" -> routeSql("event_type NOT IN ('signup', 'purchase')"),

@@ -122,7 +122,14 @@ object Scd2 {
     */
   def applyBatch(history: DataFrame, batch: DataFrame, keys: Seq[String],
                  tsCol: String, seqCol: String,
-                 onLate: LatePolicy = LatePolicy.Error): DataFrame = {
+                 onLate: LatePolicy = LatePolicy.Error): DataFrame =
+    applyBatchImpl(history, batch, keys, tsCol, onLate,
+      ev => fromEvents(ev, keys, tsCol, seqCol))
+
+  private def applyBatchImpl(history: DataFrame, batch: DataFrame,
+                             keys: Seq[String], tsCol: String,
+                             onLate: LatePolicy,
+                             versionize: DataFrame => DataFrame): DataFrame = {
     val events = onLate match {
       case LatePolicy.Drop =>
         withOpenFrom(history, batch, keys)
@@ -130,7 +137,7 @@ object Scd2 {
           .select(batch.columns.map(col).toIndexedSeq: _*)
       case _ => batch
     }
-    val newVersions = fromEvents(events, keys, tsCol, seqCol)
+    val newVersions = versionize(events)
     val firstNew = events.groupBy(keys.map(col): _*)
       .agg(min(col(tsCol)).as("__first_ts"))
     val expireCond = col(IsCurrent) === "Y" && col("__first_ts").isNotNull
@@ -190,4 +197,43 @@ object Scd2 {
     * (final_template.xml:1440). */
   def current(history: DataFrame): DataFrame =
     history.filter(col(IsCurrent) === "Y")
+
+  /** [[fromEvents]] generalized to a CDC op column with DELETE support —
+    * the extension point the reference explicitly leaves out (deletes are
+    * dropped by its router; SURVEY.md §7.4 item 6). Semantics:
+    *   - a delete CLOSES the key's open interval at the delete's ts and
+    *     contributes no version row (the key has no current row until a
+    *     later re-insert/update);
+    *   - inserts/updates behave exactly as in [[fromEvents]];
+    *   - interval chaining runs over ALL events (deletes included) BEFORE
+    *     delete rows are dropped, so the predecessor's `valid_until` is
+    *     the delete time — no special-casing, one window pass.
+    * `opCol` values: anything equal to [[DeleteOp]] is a delete; all
+    * other values are upserts. */
+  val DeleteOp = "delete"
+
+  def fromEventsWithDeletes(events: DataFrame, keys: Seq[String], tsCol: String,
+                            seqCol: String, opCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), col(seqCol))
+    events
+      .withColumn(ValidFrom, col(tsCol))
+      .withColumn(ValidUntil, lead(col(tsCol), 1).over(w))
+      .filter(col(opCol) =!= DeleteOp)
+      .withColumn(IsCurrent,
+        when(col(ValidUntil).isNull, lit("Y")).otherwise(lit("N")))
+      .drop(tsCol)
+  }
+
+  /** [[applyBatch]] with delete support: the open-row expiry is identical
+    * (any event type, deletes included, expires the previous version at
+    * the batch's first event time for the key); the new versions come
+    * from [[fromEventsWithDeletes]], so a batch ending in a delete leaves
+    * the key with no current row (until a later re-insert). Same merge
+    * shape, precondition and [[LatePolicy]] as [[applyBatch]]. */
+  def applyBatchWithDeletes(history: DataFrame, batch: DataFrame,
+                            keys: Seq[String], tsCol: String, seqCol: String,
+                            opCol: String,
+                            onLate: LatePolicy = LatePolicy.Error): DataFrame =
+    applyBatchImpl(history, batch, keys, tsCol, onLate,
+      ev => fromEventsWithDeletes(ev, keys, tsCol, seqCol, opCol).drop(opCol))
 }

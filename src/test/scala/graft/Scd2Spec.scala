@@ -83,6 +83,36 @@ class Scd2Spec extends SparkSpec {
       .collect().forall(_.getLong(1) === 1L))
   }
 
+  test("deletes close intervals, re-inserts reopen; batch merge equals one-shot") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "value", "ts")
+      .withColumn("op",
+        when(col("event_type") === "logout", Scd2.DeleteOp).otherwise("update"))
+    val oneShot = Scd2.fromEventsWithDeletes(ev, Seq("user_id"), "ts", "event_id", "op")
+      .drop("op").cache()
+    // a key whose LAST event is a delete has no current row; all others one
+    val lastOp = ev.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1).select(col("user_id"), col("op").as("last_op"))
+    val currentPerKey = oneShot.filter(col("is_current") === "Y")
+      .groupBy("user_id").count()
+    val joined = lastOp.join(currentPerKey, Seq("user_id"), "left")
+    assert(joined.filter(col("last_op") === Scd2.DeleteOp &&
+      col("count").isNotNull).isEmpty, "deleted keys must have no current row")
+    assert(joined.filter(col("last_op") =!= Scd2.DeleteOp &&
+      (col("count").isNull || col("count") =!= 1)).isEmpty)
+    assert(oneShot.count() === ev.filter(col("op") =!= Scd2.DeleteOp).count())
+    // split-merge equivalence (batches are event-time monotone by event_id)
+    val mid = ev.agg(max(col("event_id"))).first().getLong(0) / 2
+    val hist = Scd2.fromEventsWithDeletes(ev.filter(col("event_id") <= mid),
+      Seq("user_id"), "ts", "event_id", "op").drop("op")
+    val merged = Scd2.applyBatchWithDeletes(hist, ev.filter(col("event_id") > mid),
+      Seq("user_id"), "ts", "event_id", "op")
+    assert(merged.exceptAll(oneShot).isEmpty && oneShot.exceptAll(merged).isEmpty)
+  }
+
   test("routing partitions the stream: insert+update+unmatched = all") {
     val ev = Tables.events(spark, sf)
     val n = ev.count()
