@@ -56,14 +56,6 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object Scd2Stream {
 
-  /** Start the SCD2 maintenance stream over a CDC event stream.
-    *
-    * @param events     streaming DataFrame with Cdc.eventSchema-shaped rows
-    *                   already flattened+typed (columns: keys ++ payload ++
-    *                   tsCol ++ seqCol)
-    * @param historyDir parquet dir holding the SCD2 history table
-    * @param checkpoint checkpoint dir (replaces the reference's MapCache)
-    */
   /** Name under which per-batch metrics surface in
     * `StreamingQueryProgress.observedMetrics` (the reference's LogMessage/
     * LogAttribute observability, L1/L2, done the Spark way: `observe()`
@@ -71,9 +63,21 @@ object Scd2Stream {
     * `StreamingQueryListener` consumes them). */
   val ObservedMetricsName = "graft_scd2"
 
+  /** Start the SCD2 maintenance stream over a CDC event stream.
+    *
+    * @param events     streaming DataFrame with Cdc.eventSchema-shaped rows
+    *                   already flattened+typed (columns: keys ++ payload ++
+    *                   tsCol ++ seqCol)
+    * @param historyDir parquet dir holding the SCD2 history table
+    * @param checkpoint checkpoint dir (replaces the reference's MapCache)
+    * @param opCol      optional CDC op column; when set, rows whose op is
+    *                   [[Scd2.DeleteOp]] close their key's open interval
+    *                   (applyBatchWithDeletes) instead of versioning
+    */
   def start(spark: SparkSession, events: DataFrame, historyDir: String,
             checkpoint: String, keys: Seq[String], tsCol: String,
-            seqCol: String, triggerMs: Long = 200L): StreamingQuery =
+            seqCol: String, triggerMs: Long = 200L,
+            opCol: Option[String] = None): StreamingQuery =
     events
       .observe(ObservedMetricsName, count(lit(1)).as("n_events"),
         countDistinctKeysApprox(keys).as("n_keys_approx"))
@@ -82,7 +86,7 @@ object Scd2Stream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyMicroBatch(spark, batch, historyDir, keys, tsCol, seqCol,
-          batchId = Some(batchId))
+          batchId = Some(batchId), opCol = opCol)
       }
       .start()
 
@@ -101,7 +105,8 @@ object Scd2Stream {
   def applyMicroBatch(spark: SparkSession, batch: DataFrame, historyDir: String,
                       keys: Seq[String], tsCol: String, seqCol: String,
                       batchId: Option[Long] = None,
-                      failpoint: String => Unit = noFail): Unit = {
+                      failpoint: String => Unit = noFail,
+                      opCol: Option[String] = None): Unit = {
     recover(historyDir)
     val commitLog = new File(historyDir + ".commits")
     val dir = new File(historyDir)
@@ -120,13 +125,18 @@ object Scd2Stream {
     val cached = batch.persist()
     try {
       if (cached.isEmpty) return
-      val merged =
-        if (dir.exists() && dir.list().exists(_.endsWith(".parquet"))) {
-          val history = spark.read.parquet(historyDir)
-          Scd2.applyBatch(history, cached, keys, tsCol, seqCol)
-        } else {
+      val merged = (dir.exists() && dir.list().exists(_.endsWith(".parquet")),
+          opCol) match {
+        case (true, Some(op)) =>
+          Scd2.applyBatchWithDeletes(spark.read.parquet(historyDir), cached,
+            keys, tsCol, seqCol, op)
+        case (true, None) =>
+          Scd2.applyBatch(spark.read.parquet(historyDir), cached, keys, tsCol, seqCol)
+        case (false, Some(op)) =>
+          Scd2.fromEventsWithDeletes(cached, keys, tsCol, seqCol, op).drop(op)
+        case (false, None) =>
           Scd2.fromEvents(cached, keys, tsCol, seqCol)
-        }
+      }
       val tmp = new File(historyDir + ".tmp")
       if (tmp.exists()) FileUtils.deleteDirectory(tmp)
       merged.write.mode("overwrite").parquet(tmp.getPath)

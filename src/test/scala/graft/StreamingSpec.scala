@@ -28,6 +28,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(full).isEmpty && full.exceptAll(streamed).isEmpty)
   }
 
+  test("micro-batched merge with deletes equals one-shot delete-aware reconstruction") {
+    val ev = events().withColumn("op",
+      when(col("event_type") === "logout", Scd2.DeleteOp).otherwise("update"))
+      .cache()
+    val tmp = Files.createTempDirectory("graft-stream-del").toString
+    val histDir = s"$tmp/history"
+    Seq((-1L, 300L), (300L, 600L), (600L, 100000L)).foreach { case (lo, hi) =>
+      Scd2Stream.applyMicroBatch(spark,
+        ev.filter(col("event_id") > lo && col("event_id") <= hi), histDir,
+        Seq("user_id"), "ts", "event_id", opCol = Some("op"))
+    }
+    val streamed = spark.read.parquet(histDir)
+    val full = Scd2.fromEventsWithDeletes(ev, Seq("user_id"), "ts", "event_id", "op")
+      .drop("op")
+    assert(streamed.count() === full.count())
+    assert(streamed.exceptAll(full).isEmpty && full.exceptAll(streamed).isEmpty)
+  }
+
   test("replaying a committed micro-batch is a no-op (exactly-once sink)") {
     val ev = events()
     val tmp = Files.createTempDirectory("graft-stream2").toString
