@@ -194,7 +194,26 @@ object RelationalQueries {
         col("n_orders"), col("total_spend"))
       .orderBy(col("total_spend").desc, col("c_custkey"))
 
+  /** TPC-H Q17-shaped: small-quantity orders below 20% of their part's
+    * average quantity. Written in the DECORRELATED form (per-part
+    * threshold aggregate joined back) — what Catalyst rewrites a
+    * correlated scalar subquery into anyway; the ORACLE uses the
+    * correlated form, so the oracle match proves the decorrelation
+    * equivalence. Quantities are integral doubles, so the per-part avg is
+    * exact in both engines (no FP-order ambiguity). */
+  def q17Correlated(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_partkey", "l_quantity", "l_extendedprice")
+    val thr = li.groupBy("l_partkey")
+      .agg((avg(col("l_quantity")) * 0.2).as("thr"))
+    li.join(thr, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("thr"))
+      .agg(count(lit(1)).as("n_small"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          / 7.0, 6).as("avg_yearly"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_correlated" -> (q17Correlated _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "q4_exists" -> (q4Exists _),
@@ -245,6 +264,13 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1994-01-01'
         |  AND o_orderdate < TIMESTAMP '1996-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q17_correlated" ->
+      """SELECT count(*) AS n_small,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |        / 7.0, 6) AS avg_yearly
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
     "q4_exists" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
