@@ -107,6 +107,36 @@ object AnalyticsQueries {
         sum(col("pv")).cast("double").as("total_value"))
       .orderBy("event_type")
 
+  /** Time-series resample + forward fill: each user's event values on a
+    * regular hourly grid (min..max hour of their activity), gaps carried
+    * forward from the last observation — the standard
+    * gap-filling/regularization step before feature windows or model
+    * training. Grid generation is a per-user `sequence` explode (rows ∝
+    * activity span); the fill is one `last(ignoreNulls)` running window —
+    * a single shuffle by user. */
+  def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, dir)
+    val span = e.groupBy("user_id").agg(
+      date_trunc("hour", min(col("ts"))).as("t0"),
+      date_trunc("hour", max(col("ts"))).as("t1"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("grid_ts"))
+    val perHour = Window.partitionBy(col("user_id"), date_trunc("hour", col("ts")))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val obs = e.withColumn("rn", row_number().over(perHour))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("grid_ts"),
+        col("value"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("grid_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "grid_ts"), "left")
+      .withColumn("value_ffill", last(col("value"), ignoreNulls = true).over(fill))
+      .withColumn("observed", col("value").isNotNull)
+      .select("user_id", "grid_ts", "value_ffill", "observed")
+      .orderBy("user_id", "grid_ts")
+  }
+
   /** KLL/GK-sketch percentiles per event_type — the constant-memory twin
     * of [[percentileAgg]] (exact percentile sorts each group; the sketch
     * is the only viable form at 100 TB). Spec pins the rank-accuracy
@@ -181,9 +211,34 @@ object AnalyticsQueries {
     "pivot_agg" -> (pivotAgg _),
     "salted_agg" -> (saltedAgg _),
     "approx_distinct" -> (approxDistinct _),
-    "approx_percentile" -> (approxPercentile _))
+    "approx_percentile" -> (approxPercentile _),
+    "resample_ffill" -> (resampleFfill _))
 
   val oracles: Map[String, String] = Map(
+    "resample_ffill" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |span AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+        |                date_trunc('hour', max(ts)) AS t1
+        |         FROM e GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |                unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+        |         FROM span),
+        |obs AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS grid_ts, value FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |j AS (SELECT g.user_id, g.grid_ts, o.value
+        |      FROM grid g LEFT JOIN obs o
+        |        ON g.user_id = o.user_id AND g.grid_ts = o.grid_ts)
+        |SELECT user_id, grid_ts,
+        |  last_value(value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY grid_ts
+        |    ROWS UNBOUNDED PRECEDING) AS value_ffill,
+        |  value IS NOT NULL AS observed
+        |FROM j ORDER BY user_id, grid_ts""".stripMargin,
     "grouping_sets_agg" ->
       """SELECT CASE WHEN event_type IS NULL THEN 2
         |            WHEN hour_of_day IS NULL THEN 1 ELSE 0 END AS lvl,
