@@ -38,15 +38,19 @@ object SimHashUtil {
     (v << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
-  /** TF-weighted 60-bit SimHash of a token array. */
+  /** TF-weighted 60-bit SimHash of a token array. Null elements are
+    * skipped — same as the relational explode/groupBy formulation this
+    * kernel replaces, where a null token contributes no hash. */
   def simhash60(toks: ArrayData): Long = {
     val m = toks.numElements()
     val tf = new java.util.HashMap[UTF8String, Integer](math.max(16, m * 2))
     var i = 0
     while (i < m) {
-      val t = toks.getUTF8String(i)
-      val c = tf.get(t)
-      tf.put(t, if (c == null) Integer.valueOf(1) else Integer.valueOf(c.intValue() + 1))
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        val c = tf.get(t)
+        tf.put(t, if (c == null) Integer.valueOf(1) else Integer.valueOf(c.intValue() + 1))
+      }
       i += 1
     }
     val sums = new Array[Long](60)

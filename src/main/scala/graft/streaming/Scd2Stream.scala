@@ -73,11 +73,18 @@ object Scd2Stream {
     * @param opCol      optional CDC op column; when set, rows whose op is
     *                   [[Scd2.DeleteOp]] close their key's open interval
     *                   (applyBatchWithDeletes) instead of versioning
+    * @param onLate     late-event policy. The default [[Scd2.LatePolicy.Error]]
+    *                   fails the micro-batch loudly — which on replay fails
+    *                   identically, halting the stream — so streams where late
+    *                   delivery is expected should pass [[Scd2.LatePolicy.Drop]]
+    *                   (and capture the dropped rows first via
+    *                   [[Scd2.lateEvents]] in their own foreachBatch side-path)
     */
   def start(spark: SparkSession, events: DataFrame, historyDir: String,
             checkpoint: String, keys: Seq[String], tsCol: String,
             seqCol: String, triggerMs: Long = 200L,
-            opCol: Option[String] = None): StreamingQuery =
+            opCol: Option[String] = None,
+            onLate: Scd2.LatePolicy = Scd2.LatePolicy.Error): StreamingQuery =
     events
       .observe(ObservedMetricsName, count(lit(1)).as("n_events"),
         countDistinctKeysApprox(keys).as("n_keys_approx"))
@@ -86,7 +93,7 @@ object Scd2Stream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyMicroBatch(spark, batch, historyDir, keys, tsCol, seqCol,
-          batchId = Some(batchId), opCol = opCol)
+          batchId = Some(batchId), opCol = opCol, onLate = onLate)
       }
       .start()
 
@@ -106,7 +113,8 @@ object Scd2Stream {
                       keys: Seq[String], tsCol: String, seqCol: String,
                       batchId: Option[Long] = None,
                       failpoint: String => Unit = noFail,
-                      opCol: Option[String] = None): Unit = {
+                      opCol: Option[String] = None,
+                      onLate: Scd2.LatePolicy = Scd2.LatePolicy.Error): Unit = {
     recover(historyDir)
     val commitLog = new File(historyDir + ".commits")
     val dir = new File(historyDir)
@@ -129,9 +137,10 @@ object Scd2Stream {
           opCol) match {
         case (true, Some(op)) =>
           Scd2.applyBatchWithDeletes(spark.read.parquet(historyDir), cached,
-            keys, tsCol, seqCol, op)
+            keys, tsCol, seqCol, op, onLate)
         case (true, None) =>
-          Scd2.applyBatch(spark.read.parquet(historyDir), cached, keys, tsCol, seqCol)
+          Scd2.applyBatch(spark.read.parquet(historyDir), cached, keys, tsCol,
+            seqCol, onLate)
         case (false, Some(op)) =>
           Scd2.fromEventsWithDeletes(cached, keys, tsCol, seqCol, op).drop(op)
         case (false, None) =>
@@ -191,7 +200,8 @@ object Scd2Stream {
                               historyDir: String, keys: Seq[String],
                               tsCol: String, seqCol: String, nBuckets: Int = 64,
                               batchId: Option[Long] = None,
-                              failpoint: String => Unit = noFail): Unit = {
+                              failpoint: String => Unit = noFail,
+                              onLate: Scd2.LatePolicy = Scd2.LatePolicy.Error): Unit = {
     recoverBucketed(historyDir)
     val commitLog = new File(historyDir + ".commits")
     if (batchId.exists(committedIds(commitLog).contains)) return
@@ -210,7 +220,8 @@ object Scd2Stream {
         if (dirs.nonEmpty) {
           val hist = spark.read.option("basePath", historyDir)
             .parquet(dirs.toIndexedSeq: _*)
-          Scd2.applyBatch(hist.drop("__bucket"), cached, keys, tsCol, seqCol)
+          Scd2.applyBatch(hist.drop("__bucket"), cached, keys, tsCol, seqCol,
+            onLate)
         } else {
           Scd2.fromEvents(cached, keys, tsCol, seqCol)
         }
@@ -307,41 +318,72 @@ object Scd2Stream {
   }
 
   // ---- commit/marker/manifest plumbing -----------------------------------
+  //
+  // The protocol's own metadata must be as crash-safe as the data path:
+  //  - the commit log is append-only, so each record is newline-PREFIXED and
+  //    ';'-terminated ("\n<id>;"). A crash mid-append leaves an unterminated
+  //    fragment that (a) can never merge with the NEXT record (it starts with
+  //    '\n') and (b) is ignored by the strict-record parse — the batch then
+  //    simply replays, which the protocol makes a no-op/rollback. No torn
+  //    write can ever fabricate a committed id.
+  //  - marker and manifest files are written to a sibling tmp and RENAMED
+  //    into place, so they are either absent or complete — recovery never
+  //    sees a half-written manifest (a torn manifest with wrong pre-image
+  //    flags would roll back the wrong buckets).
+  //  - every reader closes its Source (a 200 ms trigger calls committedIds
+  //    per micro-batch; leaking handles between GCs risks driver EMFILE).
 
   private val MarkerName = "_graft_batch" // leading '_' → invisible to parquet reads
 
+  private def readLines(f: File): Vector[String] = {
+    val src = scala.io.Source.fromFile(f)
+    try src.getLines().toVector finally src.close()
+  }
+
+  private def parseCommitRecord(line: String): Option[Long] = {
+    val l = line.trim
+    if (l.length > 1 && l.endsWith(";") && l.dropRight(1).forall(_.isDigit))
+      Some(l.dropRight(1).toLong)
+    else None // unterminated fragment from a torn append — not committed
+  }
+
   private def committedIds(commitLog: File): Set[Long] =
-    if (commitLog.exists())
-      scala.io.Source.fromFile(commitLog).getLines().map(_.toLong).toSet
+    if (commitLog.exists()) readLines(commitLog).flatMap(parseCommitRecord).toSet
     else Set.empty
 
   private def appendCommit(commitLog: File, id: Long): Unit = {
     val w = new java.io.FileWriter(commitLog, true)
-    try w.write(s"$id\n") finally w.close()
+    try w.write(s"\n$id;") finally w.close()
   }
 
-  private def writeMarker(dir: File, id: Long): Unit = {
-    val w = new java.io.FileWriter(new File(dir, MarkerName))
-    try w.write(s"$id\n") finally w.close()
+  /** Write `content` to a sibling tmp file, then atomically rename over
+    * `dst` — the file is either absent or complete, never torn. */
+  private def writeAtomic(dst: File, content: String): Unit = {
+    val tmp = new File(dst.getParentFile, dst.getName + ".wtmp")
+    val w = new java.io.FileWriter(tmp)
+    try w.write(content) finally w.close()
+    java.nio.file.Files.move(tmp.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
+
+  private def writeMarker(dir: File, id: Long): Unit =
+    writeAtomic(new File(dir, MarkerName), s"$id\n")
 
   private def markerId(dir: File): Option[Long] = {
     val f = new File(dir, MarkerName)
-    if (f.exists()) scala.io.Source.fromFile(f).getLines().toSeq.headOption.map(_.trim.toLong)
+    if (f.exists())
+      readLines(f).headOption.map(_.trim).filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
     else None
   }
 
   private def writeManifest(f: File, batchId: Option[Long],
-                            pre: Seq[(Int, Boolean)]): Unit = {
-    val w = new java.io.FileWriter(f)
-    try {
-      w.write(s"${batchId.getOrElse(-1L)}\n")
-      pre.foreach { case (b, hadPre) => w.write(s"$b,${if (hadPre) 1 else 0}\n") }
-    } finally w.close()
-  }
+                            pre: Seq[(Int, Boolean)]): Unit =
+    writeAtomic(f, (s"${batchId.getOrElse(-1L)}" +:
+      pre.map { case (b, hadPre) => s"$b,${if (hadPre) 1 else 0}" }).mkString("", "\n", "\n"))
 
   private def readManifest(f: File): (Option[Long], Seq[(Int, Boolean)]) = {
-    val lines = scala.io.Source.fromFile(f).getLines().toVector
+    val lines = readLines(f)
     val id = lines.headOption.map(_.trim.toLong).filter(_ >= 0)
     val pre = lines.drop(1).filter(_.nonEmpty).map { l =>
       val Array(b, p) = l.split(","): @unchecked

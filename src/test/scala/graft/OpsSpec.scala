@@ -151,6 +151,16 @@ class OpsSpec extends SparkSpec {
     assert(fast.join(ref, "doc_id").filter(col("fast") =!= col("ref")).isEmpty)
   }
 
+  test("simhash60 skips null array elements instead of crashing") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq[String]("a", "b", "a"))).toDF("toks")
+      .select(call_function("simhash60",
+        concat(col("toks"), array(lit(null).cast("string")))).as("with_null"),
+        call_function("simhash60", col("toks")).as("without"))
+    val r = df.first()
+    assert(r.getLong(0) === r.getLong(1)) // null token contributes nothing
+  }
+
   test("embedding LSH pairs are a subset of brute-force pairs, nonempty") {
     val brute = DedupQueries.dedupEmbedding(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

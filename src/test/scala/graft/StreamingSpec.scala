@@ -154,6 +154,67 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("torn commit-log append can neither fabricate nor corrupt committed ids") {
+    val ev = events().cache()
+    val tmp = Files.createTempDirectory("graft-torn").toString
+    val histDir = s"$tmp/history"
+    val b1 = ev.filter(col("event_id") <= 300)
+    val b2 = ev.filter(col("event_id") > 300 && col("event_id") <= 700)
+    Scd2Stream.applyMicroBatch(spark, b1, histDir,
+      Seq("user_id"), "ts", "event_id", batchId = Some(0L))
+    // simulate a crash mid-append: an unterminated fragment for batch 1
+    val log = new java.io.FileWriter(histDir + ".commits", true)
+    try log.write("\n1") finally log.close() // no ';' terminator → torn
+    // the torn fragment must NOT read as "batch 1 committed": applying
+    // batch 1 now must really apply it (data loss otherwise)
+    Scd2Stream.applyMicroBatch(spark, b2, histDir,
+      Seq("user_id"), "ts", "event_id", batchId = Some(1L))
+    val expect = Scd2.fromEvents(ev.filter(col("event_id") <= 700),
+      Seq("user_id"), "ts", "event_id")
+    val got = spark.read.parquet(histDir)
+    assert(got.count() === expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    // and the fragment must not merge with the real record appended after
+    // it (torn "1" + "1;" must not parse as 11): batch 1 IS now committed,
+    // so replaying it is a no-op
+    val once = spark.read.parquet(histDir).collect().toSet
+    Scd2Stream.applyMicroBatch(spark, b2, histDir,
+      Seq("user_id"), "ts", "event_id", batchId = Some(1L))
+    assert(spark.read.parquet(histDir).collect().toSet === once)
+  }
+
+  test("streaming path honors LatePolicy: Error poisons, Drop excludes the late row") {
+    val tmp0 = Files.createTempDirectory("graft-late").toString
+    import spark.implicits._
+    val b1 = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+                 (1L, 2L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val b2 = Seq((1L, 3L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00")), // LATE
+                 (1L, 4L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    // default Error: the micro-batch fails loudly
+    Scd2Stream.applyMicroBatch(spark, b1, s"$tmp0/hist",
+      Seq("user_id"), "ts", "event_id", batchId = Some(0L))
+    val ex = intercept[Exception] {
+      Scd2Stream.applyMicroBatch(spark, b2, s"$tmp0/hist",
+        Seq("user_id"), "ts", "event_id", batchId = Some(1L))
+    }
+    assert(ex.getMessage != null || ex.getCause != null) // raise_error surfaced
+    // Drop: the late row is excluded, the batch commits
+    val tmp1 = Files.createTempDirectory("graft-late-drop").toString
+    Scd2Stream.applyMicroBatch(spark, b1, s"$tmp1/hist",
+      Seq("user_id"), "ts", "event_id", batchId = Some(0L))
+    Scd2Stream.applyMicroBatch(spark, b2, s"$tmp1/hist",
+      Seq("user_id"), "ts", "event_id", batchId = Some(1L),
+      onLate = Scd2.LatePolicy.Drop)
+    val got = spark.read.parquet(s"$tmp1/hist")
+    val expect = Scd2.fromEvents(
+      b1.unionByName(b2.filter(col("event_id") =!= 3L)),
+      Seq("user_id"), "ts", "event_id")
+    assert(got.count() === expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
   test("bucketed point lookup prunes to a single bucket partition") {
     val ev = events().cache()
     val tmp = Files.createTempDirectory("graft-lookup").toString
