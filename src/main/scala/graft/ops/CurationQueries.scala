@@ -96,10 +96,23 @@ object CurationQueries {
 
   /** TF-IDF top terms per document (idf as the exact rational N/df — no
     * transcendental log, so the score is bit-reproducible across engines;
-    * the ranking is identical since ln is monotone). The document
-    * frequency table is broadcast so the big (doc, token) side never
-    * reshuffles by token. */
+    * the ranking is identical since ln is monotone).
+    *
+    * The df (vocabulary) join is SPLIT, keeping results exact while
+    * bounding the broadcast (an unbounded full-vocabulary broadcast is a
+    * scale-killer — distinct tokens grow with the corpus):
+    *  - tokens with df ≥ [[minDfBroadcast]] (the heavy hitters — exactly
+    *    the keys that would skew a shuffle join) are BROADCAST; their
+    *    count is provably ≤ total-postings / minDfBroadcast, so the
+    *    broadcast shrinks as the threshold rises;
+    *  - the long tail (df < minDfBroadcast) goes through a shuffle join
+    *    on token, which the tail cannot skew (every key holds < minDf
+    *    postings). Pinned with an explicit merge hint so a small test
+    *    corpus doesn't silently flip it back to broadcast (PlanSpec).
+    * At deployment scale the `tf` table feeding both branches is
+    * materialized once (here it is recomputed — sf-test sized). */
   val tfidfK = 3
+  val minDfBroadcast = 32
 
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val docsDf = Tables.documents(s, dir)
@@ -108,9 +121,13 @@ object CurationQueries {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val heavy = tf.join(broadcast(dfTab.filter(col("df") >= minDfBroadcast)),
+      Seq("token"))
+    val tail = tf.join(dfTab.filter(col("df") < minDfBroadcast).hint("merge"),
+      Seq("token"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token"))
-    tf.join(broadcast(dfTab), Seq("token"))
+    heavy.unionByName(tail)
       .withColumn("score",
         round(col("tf").cast("double") * lit(n.toDouble) / col("df"), 6))
       .withColumn("rank", row_number().over(w))

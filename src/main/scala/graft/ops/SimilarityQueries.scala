@@ -113,26 +113,43 @@ object SimilarityQueries {
 
   /** Per-label centroids (the k-means E-step / class-prototype builder).
     * Float mean across rows is normally accumulation-order-dependent; here
-    * each label's vectors are collected and folded in STRICT vec_id order
-    * (sorted struct array + left-fold `aggregate`), so the sum — and thus
-    * the centroid — is bit-reproducible and exactly oracle-checkable. The
-    * collect is per-label (bounded by label cardinality × dim, not corpus
-    * size); at larger label groups the same determinism comes from a
-    * two-level ordered tree fold over bucketed sub-sums. Elements are
-    * emitted as integer micro-units (×1e6), dodging double→string
-    * formatting divergence across engines. */
+    * determinism comes from a TWO-LEVEL ordered fold whose structure is
+    * pinned identically in the DuckDB oracle:
+    *
+    *   1. partial sums per (label, vec_id-bucket of [[centroidBucket]]):
+    *      each bucket's vectors fold left in strict vec_id order — an
+    *      aggregation buffer holds at most [[centroidBucket]] vectors,
+    *      NEVER a whole label's worth (the scale fix: a label's group size
+    *      grows with the corpus, its bucket size does not);
+    *   2. the bucket partials fold left in strict bucket order.
+    *
+    * Both engines evaluate the same fold tree, so the centroid is
+    * bit-reproducible and exactly oracle-checkable. Elements are emitted
+    * as integer micro-units (×1e6), dodging double→string formatting
+    * divergence across engines. Plan-asserted in PlanSpec: the first
+    * (heavy) collect is keyed by (label, bucket), not label alone. */
   val embeddingDim = 64
+  val centroidBucket = 256
 
   def embeddingCentroids(s: SparkSession, dir: String): DataFrame = {
-    val grouped = Tables.embeddings(s, dir)
+    val zeros = typedLit(Seq.fill(embeddingDim)(0.0))
+    // level 1: bit-exact partial sum per (label, vec_id-bucket)
+    val partials = Tables.embeddings(s, dir)
       .select(col("label"), col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
-      .groupBy("label")
-      .agg(count(lit(1)).as("n_vectors"),
+      .withColumn("bkt", expr(s"vec_id div $centroidBucket"))
+      .groupBy("label", "bkt")
+      .agg(count(lit(1)).as("bn"),
         array_sort(collect_list(struct(col("vec_id"), col("e")))).as("vs"))
-    val summed = aggregate(col("vs"),
-      typedLit(Seq.fill(embeddingDim)(0.0)),
-      (acc, v) => zip_with(acc, v("e"), _ + _))
+      .select(col("label"), col("bkt"), col("bn"),
+        aggregate(col("vs"), zeros, (acc, v) => zip_with(acc, v("e"), _ + _))
+          .as("psum"))
+    // level 2: ordered fold over the (small) bucket partials
+    val grouped = partials.groupBy("label")
+      .agg(sum(col("bn")).as("n_vectors"),
+        array_sort(collect_list(struct(col("bkt"), col("psum")))).as("ps"))
+    val summed = aggregate(col("ps"), zeros,
+      (acc, p) => zip_with(acc, p("psum"), _ + _))
     val centroidMicro = transform(summed,
       x => round(x / col("n_vectors") * lit(1000000.0)).cast("long"))
     grouped.select(col("label"), col("n_vectors"),
@@ -219,14 +236,24 @@ object SimilarityQueries {
          |  FROM re)
          |WHERE rerank <= $rerankK ORDER BY q, rerank""".stripMargin,
     "embedding_centroids" ->
-      s"""WITH g AS (
-         |  SELECT label, count(*) AS n_vectors,
+      s"""WITH b AS (
+         |  SELECT label, vec_id // $centroidBucket AS bkt, count(*) AS bn,
          |         list(embedding::DOUBLE[] ORDER BY vec_id) AS vs
-         |  FROM embeddings GROUP BY label)
+         |  FROM embeddings GROUP BY label, bkt),
+         |p AS (
+         |  SELECT label, bkt, bn,
+         |         list_transform(generate_series(1, $embeddingDim),
+         |           d -> list_aggregate(list_transform(vs, a -> a[d]), 'sum'))
+         |           AS psum
+         |  FROM b),
+         |g AS (
+         |  SELECT label, CAST(sum(bn) AS BIGINT) AS n_vectors,
+         |         list(psum ORDER BY bkt) AS ps
+         |  FROM p GROUP BY label)
          |SELECT label, n_vectors,
          |  array_to_string(list_transform(generate_series(1, $embeddingDim),
          |    d -> CAST(CAST(round(
-         |           list_aggregate(list_transform(vs, a -> a[d]), 'sum')
+         |           list_aggregate(list_transform(ps, a -> a[d]), 'sum')
          |           / n_vectors * 1000000.0) AS BIGINT) AS VARCHAR)), ',')
          |    AS centroid_micro
          |FROM g ORDER BY label""".stripMargin,

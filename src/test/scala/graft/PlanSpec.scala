@@ -63,6 +63,30 @@ class PlanSpec extends SparkSpec {
     assert(fp.contains("*("), s"fingerprint must have codegen stages:\n$fp")
   }
 
+  test("embedding_centroids never collects a whole label into one buffer") {
+    // the scale contract: every collect_list aggregation is keyed by
+    // (label, bkt) — buffers bounded by the bucket size — and only the
+    // bucket PARTIALS (one row per bucket) aggregate per label
+    val plan = planOf(ops.SimilarityQueries.queries("embedding_centroids")(spark, sf))
+    val collectAggs = plan.linesIterator
+      .filter(l => l.contains("collect_list(struct(vec_id"))
+      .filter(_.contains("keys="))
+      .toList
+    assert(collectAggs.nonEmpty, s"expected a vector collect aggregate in:\n$plan")
+    collectAggs.foreach { l =>
+      assert(l.contains("bkt"),
+        s"vector collect must be keyed by (label, bkt), got:\n$l")
+    }
+  }
+
+  test("tfidf bounds its broadcast: heavy hitters broadcast, tail shuffle-joins") {
+    val p = planOf(ops.CurationQueries.queries("tfidf_top_terms")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"heavy-hitter df side must broadcast:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"long-tail df side must shuffle-join (merge hint), not broadcast:\n$p")
+  }
+
   test("the SCD2 merge never shuffles the history side") {
     import graft.scd2.Scd2
     val ev = Tables.events(spark, sf)
