@@ -36,9 +36,19 @@ object Cdc {
     StructField("columns", ArrayType(columnStruct), nullable = true)))
 
   /** Event types the flow processes; delete/begin/commit/ddl are emitted by
-    * the source but dropped by routing (reference README.md:28). */
+    * the source but dropped by routing (reference README.md:28). The full
+    * surface a binlog tail emits (reference final_template.xml:4325-4331)
+    * is insert/update/delete row changes plus begin/commit transaction
+    * markers and ddl statements; [[graft.sources.CdcSource]] synthesizes
+    * all of them under its `fullEventLog` option. Note `Delete` equals
+    * [[graft.scd2.Scd2.DeleteOp]], so `event_type` threads straight into
+    * the delete-aware SCD2 merge as the op column. */
   val Insert = "insert"
   val Update = "update"
+  val Delete = "delete"
+  val Begin = "begin"
+  val Commit = "commit"
+  val Ddl = "ddl"
   val processedTypes: Seq[String] = Seq(Insert, Update)
 
   /** R1 `RouteOnAttribute`: multi-way route on the event-type column.

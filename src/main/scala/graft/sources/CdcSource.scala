@@ -42,7 +42,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * driver materialization, no shuffle.
   *
   * Options: `rows` (total events), `products` (catalog size),
-  * `maxEventsPerTrigger` (admission cap), `numPartitions`.
+  * `maxEventsPerTrigger` (admission cap), `numPartitions`,
+  * `fullEventLog` (default false: insert/update only — the surface the
+  * reference flow processes; true: the surface the binlog tail EMITS,
+  * reference final_template.xml:4325-4331 — begin/commit transaction
+  * markers every `txSize` row changes, a leading ddl event, and periodic
+  * delete row-changes. Downstream, `Cdc.route` sends begin/commit/ddl to
+  * `unmatched` and the delete-aware SCD2 merge consumes `event_type` as
+  * its op column), `txSize` (row changes per begin/commit pair).
   */
 class CdcSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-cdc"
@@ -64,13 +71,16 @@ private[sources] class CdcTable(options: CaseInsensitiveStringMap)
       rows = opts.getLong("rows", 1000L),
       products = opts.getInt("products", 100),
       maxPerTrigger = opts.getLong("maxEventsPerTrigger", 1000L),
-      numPartitions = opts.getInt("numPartitions", 4))
+      numPartitions = opts.getInt("numPartitions", 4),
+      fullLog = opts.getBoolean("fullEventLog", false),
+      txSize = opts.getInt("txSize", 10))
     () => new CdcScan(conf)
   }
 }
 
 private[sources] case class CdcConf(rows: Long, products: Int,
-                                    maxPerTrigger: Long, numPartitions: Int)
+                                    maxPerTrigger: Long, numPartitions: Int,
+                                    fullLog: Boolean = false, txSize: Int = 10)
 
 private[sources] class CdcScan(conf: CdcConf) extends Scan {
   override def readSchema(): StructType = Cdc.eventSchema
@@ -80,7 +90,7 @@ private[sources] class CdcScan(conf: CdcConf) extends Scan {
     override def planInputPartitions(): Array[InputPartition] =
       CdcSource.splitRange(0L, conf.rows, conf.numPartitions)
     override def createReaderFactory(): PartitionReaderFactory =
-      CdcReaderFactory(conf.products)
+      CdcReaderFactory(conf.products, conf.fullLog, conf.txSize)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -116,7 +126,7 @@ private[sources] class CdcMicroBatchStream(conf: CdcConf)
       end.asInstanceOf[CdcOffset].n, conf.numPartitions)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CdcReaderFactory(conf.products)
+    CdcReaderFactory(conf.products, conf.fullLog, conf.txSize)
 
   override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
@@ -125,14 +135,17 @@ private[sources] class CdcMicroBatchStream(conf: CdcConf)
 
 private[sources] case class CdcRange(start: Long, end: Long) extends InputPartition
 
-private[sources] case class CdcReaderFactory(products: Int)
+private[sources] case class CdcReaderFactory(products: Int, fullLog: Boolean,
+                                             txSize: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val r = partition.asInstanceOf[CdcRange]
     new PartitionReader[InternalRow] {
       private var i = r.start - 1
       override def next(): Boolean = { i += 1; i < r.end }
-      override def get(): InternalRow = CdcSource.eventRow(i, products)
+      override def get(): InternalRow =
+        if (fullLog) CdcSource.fullEventRow(i, products, txSize)
+        else CdcSource.eventRow(i, products)
       override def close(): Unit = ()
     }
   }
@@ -163,15 +176,12 @@ object CdcSource {
 
   private val dbName = UTF8String.fromString("sample_data")
   private val tableName = UTF8String.fromString("products_catalog")
-  private val insertT = UTF8String.fromString(Cdc.Insert)
-  private val updateT = UTF8String.fromString(Cdc.Update)
 
-  def eventRow(i: Long, products: Int): InternalRow = {
-    val (pid, version, price) = productOf(i, products)
+  private def payloadCols(pid: Int, version: Int, price: Double): GenericArrayData = {
     def colRow(id: Int, name: String, value: String): InternalRow =
       new GenericInternalRow(Array[Any](id, UTF8String.fromString(name), 0,
         if (value == null) null else UTF8String.fromString(value)))
-    val cols = new GenericArrayData(Array[Any](
+    new GenericArrayData(Array[Any](
       colRow(0, "ProductID", pid.toString),
       colRow(1, "ProductName", s"product-$pid"),
       colRow(2, "ProductBrand", s"brand-${pid % 7}"),
@@ -181,12 +191,69 @@ object CdcSource {
       colRow(6, "Description", s"catalog item $pid v$version"),
       colRow(7, "Launch_date", "2023-07-01"),
       colRow(8, "Loaded_at", "2023-08-01")))
+  }
+
+  def eventRow(i: Long, products: Int): InternalRow = {
+    val (pid, version, price) = productOf(i, products)
     new GenericInternalRow(Array[Any](
       i,
-      if (version == 0) insertT else updateT,
+      UTF8String.fromString(if (version == 0) Cdc.Insert else Cdc.Update),
       dbName,
       tableName,
       baseMicros + i * 1000000L,
-      cols))
+      payloadCols(pid, version, price)))
+  }
+
+  // ---- full binlog surface (fullEventLog=true) ---------------------------
+  //
+  // Deterministic seq → event mapping mirroring what CaptureChangeMySQL
+  // emits (reference final_template.xml:4325-4331): seq 0 is a ddl event;
+  // after it, row changes arrive in transactions of `txSize`, each wrapped
+  // by a begin and a commit marker, so the cycle length is txSize + 2.
+  // Every 13th row change (after the initial `products`-row snapshot) is a
+  // DELETE carrying the deleted row's last payload; the rest are the same
+  // insert-then-update catalog walk as the plain log. begin/commit/ddl
+  // carry no `columns` payload and a null table_name (begin/commit are not
+  // table-scoped).
+
+  /** Pure seq → event-type mapping for the full log (shared with specs —
+    * the test oracle is this function, not a copy of the reader loop). */
+  def fullEventTypeOf(i: Long, products: Int, txSize: Int): String =
+    if (i == 0L) Cdc.Ddl
+    else {
+      val j = (i - 1) % (txSize + 2)
+      if (j == 0) Cdc.Begin
+      else if (j == txSize + 1) Cdc.Commit
+      else {
+        val k = changeIndexOf(i, txSize)
+        if (k < products) Cdc.Insert
+        else if (k % 13 == 12) Cdc.Delete
+        else Cdc.Update
+      }
+    }
+
+  /** The row-change ordinal of seq `i` (only defined when
+    * [[fullEventTypeOf]] says `i` is a row change). */
+  def changeIndexOf(i: Long, txSize: Int): Long = {
+    val j = (i - 1) % (txSize + 2)
+    (i - 1) / (txSize + 2) * txSize + (j - 1)
+  }
+
+  def fullEventRow(i: Long, products: Int, txSize: Int): InternalRow = {
+    val t = fullEventTypeOf(i, products, txSize)
+    val ts = baseMicros + i * 1000000L
+    t match {
+      case Cdc.Begin | Cdc.Commit =>
+        new GenericInternalRow(Array[Any](
+          i, UTF8String.fromString(t), dbName, null, ts, null))
+      case Cdc.Ddl =>
+        new GenericInternalRow(Array[Any](
+          i, UTF8String.fromString(t), dbName, tableName, ts, null))
+      case _ =>
+        val (pid, version, price) = productOf(changeIndexOf(i, txSize), products)
+        new GenericInternalRow(Array[Any](
+          i, UTF8String.fromString(t), dbName, tableName, ts,
+          payloadCols(pid, version, price)))
+    }
   }
 }

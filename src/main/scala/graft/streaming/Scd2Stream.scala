@@ -201,7 +201,8 @@ object Scd2Stream {
                               tsCol: String, seqCol: String, nBuckets: Int = 64,
                               batchId: Option[Long] = None,
                               failpoint: String => Unit = noFail,
-                              onLate: Scd2.LatePolicy = Scd2.LatePolicy.Error): Unit = {
+                              onLate: Scd2.LatePolicy = Scd2.LatePolicy.Error,
+                              opCol: Option[String] = None): Unit = {
     recoverBucketed(historyDir)
     val commitLog = new File(historyDir + ".commits")
     if (batchId.exists(committedIds(commitLog).contains)) return
@@ -220,10 +221,16 @@ object Scd2Stream {
         if (dirs.nonEmpty) {
           val hist = spark.read.option("basePath", historyDir)
             .parquet(dirs.toIndexedSeq: _*)
-          Scd2.applyBatch(hist.drop("__bucket"), cached, keys, tsCol, seqCol,
-            onLate)
-        } else {
-          Scd2.fromEvents(cached, keys, tsCol, seqCol)
+          opCol match {
+            case Some(op) => Scd2.applyBatchWithDeletes(hist.drop("__bucket"),
+              cached, keys, tsCol, seqCol, op, onLate)
+            case None => Scd2.applyBatch(hist.drop("__bucket"), cached, keys,
+              tsCol, seqCol, onLate)
+          }
+        } else opCol match {
+          case Some(op) =>
+            Scd2.fromEventsWithDeletes(cached, keys, tsCol, seqCol, op).drop(op)
+          case None => Scd2.fromEvents(cached, keys, tsCol, seqCol)
         }
       val tmp = new File(historyDir + ".tmp")
       if (tmp.exists()) FileUtils.deleteDirectory(tmp)
