@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ShingleExpressions, SimHashExpressions, VectorExpressions}
+import graft.functions.{SetSimExpressions, ShingleExpressions, SimHashExpressions, VectorExpressions}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Engine extension point, wired the public way:
@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorExpressions.dotProductDescriptor)
     ext.injectFunction(ShingleExpressions.wordShinglesDescriptor)
     ext.injectFunction(SimHashExpressions.simhash60Descriptor)
+    ext.injectFunction(SetSimExpressions.sortedCommonCountDescriptor)
   }
 }
 

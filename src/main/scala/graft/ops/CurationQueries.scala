@@ -109,17 +109,22 @@ object CurationQueries {
     *    on token, which the tail cannot skew (every key holds < minDf
     *    postings). Pinned with an explicit merge hint so a small test
     *    corpus doesn't silently flip it back to broadcast (PlanSpec).
-    * At deployment scale the `tf` table feeding both branches is
-    * materialized once (here it is recomputed — sf-test sized). */
+    * The `tf` table feeds both join branches AND the df aggregation:
+    * it is materialized once (`localCheckpoint` — at deployment scale a
+    * persisted postings table), so the corpus is tokenized exactly once.
+    * Corpus size N rides the plan as a broadcast 1-row aggregate instead
+    * of a driver-side count() action. */
   val tfidfK = 3
   val minDfBroadcast = 32
 
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val docsDf = Tables.documents(s, dir)
-    val n = docsDf.count()
+    // N as a 1-row broadcast cross join: no separate driver action/job
+    val n = docsDf.agg(count(lit(1)).cast("double").as("__corpus_n"))
     val tf = docsDf
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val heavy = tf.join(broadcast(dfTab.filter(col("df") >= minDfBroadcast)),
       Seq("token"))
@@ -128,8 +133,9 @@ object CurationQueries {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token"))
     heavy.unionByName(tail)
+      .crossJoin(broadcast(n))
       .withColumn("score",
-        round(col("tf").cast("double") * lit(n.toDouble) / col("df"), 6))
+        round(col("tf").cast("double") * col("__corpus_n") / col("df"), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= tfidfK)
       .select("doc_id", "rank", "token", "tf", "df", "score")

@@ -89,34 +89,117 @@ object DedupQueries {
   def dedupJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir).orderBy("a", "b")
 
-  /** DF-capped inverted shingle index (h, doc_id, n_sh) — the shared
+  /** DF-capped inverted shingle index (h, doc_id, n_sh, df) — the shared
     * candidate-generation substrate for [[jaccardPairs]] and
-    * [[dedupContainment]]. Postings materialize once; the document-
-    * frequency cap is a broadcast semi-join (no postings shuffle). */
+    * [[dedupContainment]]. Postings materialize once (the index feeds
+    * prefix build, candidate generation AND verification). The document-
+    * frequency cap is a broadcast ANTI-join against the over-cap keys —
+    * provably ≤ |postings|/[[maxShingleDf]] of them, so the broadcast is
+    * bounded at any corpus size (broadcasting the KEPT keys would be ≈
+    * every distinct shingle — unbounded). `df` then rides in via an
+    * equi-join on the already-capped postings, whose groups are ≤ cap
+    * rows — the hot keys that could skew an h-join are exactly the ones
+    * the anti-join just removed. */
   private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
     val post = hashPostings(s, dir).localCheckpoint()
-    val keep = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf).select("h")
-    post.join(broadcast(keep), Seq("h"))
+    val dfTab = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val drop = dfTab.filter(col("df") > maxShingleDf).select("h")
+    post.join(broadcast(drop), Seq("h"), "left_anti")
+      .join(dfTab, Seq("h"))
+      .localCheckpoint()
+  }
+
+  /** PREFIX FILTER (Chaudhuri et al. / Bayardo et al. / the classic
+    * MapReduce set-similarity-join formulation): order each document's
+    * shingles by a global canonical order — rarest-first, (df, h)
+    * ascending — and keep only the first `m − t + 1` postings, where m is
+    * the doc's (df-capped) posting count and t its minimum required
+    * overlap. If |A∩B| ≥ t, the first `m_A − t + 1` elements of A in ANY
+    * fixed global order must intersect B (otherwise all common elements
+    * sit in A's last `t − 1`), so joining PREFIX(A) against the FULL
+    * index generates a superset of the qualifying pairs — candidates are
+    * then verified exactly, so results are bit-identical, only cheaper.
+    * Rarest-first makes the surviving join keys the LOW-df shingles,
+    * which both shrinks Σ df_prefix·df and removes the hottest keys from
+    * the candidate shuffle entirely.
+    *
+    * `t` per measure (n = full distinct-shingle count, the denominator
+    * basis of both scores):
+    *  - jaccard ≥ τ with the length filter (nb ≥ τ·na) in force:
+    *    common ≥ τ·(na+nb)/(1+τ) ≥ τ·na  ⟹  t = ⌈τ·n⌉ on either side;
+    *  - containment ≥ τ: common ≥ τ·min(na,nb) = τ·n_small  ⟹
+    *    t = ⌈τ·n⌉ sound only for the pair's SMALLER side, so the prefix
+    *    side of the candidate join is constrained to the smaller set. */
+  /** Per-doc view of the capped index, built in ONE doc_id shuffle:
+    * `by_rarity` = postings ascending by (df, h) — the canonical global
+    * order, sliced for prefixes; `hs` = postings ascending by h — the
+    * sorted list the verify kernel walks; `m` = capped posting count. */
+  private def docIndex(idx: DataFrame): DataFrame =
+    idx.groupBy(col("doc_id")).agg(
+      first(col("n_sh")).as("n_sh"),
+      sort_array(collect_list(struct(col("df"), col("h")))).as("by_rarity"),
+      sort_array(collect_list(col("h"))).as("hs"))
+
+  private def prefixIndex(docTab: DataFrame, threshold: Double): DataFrame =
+    docTab
+      .withColumn("plen", greatest(
+        (size(col("by_rarity"))
+          - ceil(lit(threshold) * col("n_sh")).cast("int") + 1), lit(0)))
+      .select(col("doc_id"), col("n_sh"),
+        explode(slice(col("by_rarity"), lit(1), col("plen"))).as("p"))
+      .select(col("p.h").as("h"), col("doc_id"), col("n_sh"))
+
+  /** Exact common-shingle counts for an (a, b) candidate-pair set —
+    * (a, b, common, na, nb). Verification is the classic per-pair
+    * sorted-list merge walk ([[graft.functions.SortedCommonCount]], a
+    * codegen'd kernel with the equi-join's multiset semantics — hash
+    * collisions double-count on both engines alike): two equi-joins fetch
+    * the docs' sorted posting arrays, the count itself is a scalar
+    * projection — O(|cand|·|doc|) compute, no verification shuffle. */
+  private def verifyPairs(cand: DataFrame, docTab: DataFrame): DataFrame = {
+    import graft.functions.SetSimExpressions.sortedCommonCount
+    cand
+      .join(docTab.select(col("doc_id").as("a"), col("hs").as("ha"),
+        col("n_sh").as("na")), Seq("a"))
+      .join(docTab.select(col("doc_id").as("b"), col("hs").as("hb"),
+        col("n_sh").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        sortedCommonCount(col("ha"), col("hb")).as("common"),
+        col("na"), col("nb"))
   }
 
   /** Common-shingle counts for all candidate pairs (a < b) from the
-    * inverted index — (a, b, common, na, nb). */
+    * inverted index — (a, b, common, na, nb). Candidates come from the
+    * prefix⋈full join ([[prefixIndex]]); verification recounts exactly. */
   private def pairCounts(idx: DataFrame, lengthFilter: Boolean): DataFrame = {
-    val a = idx.select(col("h"), col("doc_id").as("a"), col("n_sh").as("na"))
-    val b = idx.select(col("h"), col("doc_id").as("b"), col("n_sh").as("nb"))
-    val joined = a.join(b, Seq("h")).filter(col("a") < col("b"))
-    // length filter (sound pruning from the similarity-join literature):
-    // J ≤ min(na,nb)/max(na,nb), so J ≥ τ requires the sizes to be within
-    // a τ factor — prunes candidates BEFORE the per-pair aggregation
-    // shuffle without changing the result set. NOT valid for containment
-    // (a small doc can be fully contained in a large one).
-    val pruned = if (lengthFilter)
-      joined.filter(col("na") >= col("nb") * jaccardThreshold &&
-        col("nb") >= col("na") * jaccardThreshold)
-    else joined
-    pruned.groupBy("a", "b")
-      .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
+    val docTab = docIndex(idx).localCheckpoint()
+    if (lengthFilter) {
+      // jaccard: t = ⌈τ·n⌉ holds on both sides (see prefixIndex doc), so
+      // the prefix side can simply be the smaller doc_id; the length
+      // filter (sound: J ≤ min/max) prunes before the distinct shuffle.
+      val x = prefixIndex(docTab, jaccardThreshold)
+        .select(col("h"), col("doc_id").as("a"), col("n_sh").as("na"))
+      val y = idx.select(col("h"), col("doc_id").as("b"), col("n_sh").as("nb"))
+      val cand = x.join(y, Seq("h")).filter(col("a") < col("b") &&
+          col("na") >= col("nb") * jaccardThreshold &&
+          col("nb") >= col("na") * jaccardThreshold)
+        .select("a", "b").distinct()
+      verifyPairs(cand, docTab)
+    } else {
+      // containment: the prefix bound holds only for the pair's smaller
+      // set, so the prefix side is pinned to it (ties by doc_id); no
+      // length pruning — size-mismatched pairs are the whole point.
+      val x = prefixIndex(docTab, containmentThreshold)
+        .select(col("h"), col("doc_id").as("xa"), col("n_sh").as("xn"))
+      val y = idx.select(col("h"), col("doc_id").as("yb"), col("n_sh").as("yn"))
+      val cand = x.join(y, Seq("h"))
+        .filter(col("xn") < col("yn") ||
+          (col("xn") === col("yn") && col("xa") < col("yb")))
+        .select(least(col("xa"), col("yb")).as("a"),
+          greatest(col("xa"), col("yb")).as("b"))
+        .distinct()
+      verifyPairs(cand, docTab)
+    }
   }
 
   /** The pair computation behind [[dedupJaccard]] and [[dedupCluster]],

@@ -53,6 +53,39 @@ object Scd2Queries {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** Deterministic OUT-OF-ORDER split for the late-event path: history is
+    * seeded from the even event_ids, the batch is the odd ones — so a batch
+    * row's ts can precede its user's open-row `valid_from` (the max-ts even
+    * event), i.e. the batch genuinely contains late deliveries, unlike the
+    * event-time-monotone mid split of [[scd2ApplyBatch]]. Parity is a pure
+    * scan predicate — no driver action to find a split point. */
+  private def lateSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = events(s, dir)
+    val history = Scd2.fromEvents(ev.filter(col("event_id") % 2 === 0),
+      Seq("user_id"), "ts", "event_id")
+    (history, ev.filter(col("event_id") % 2 === 1))
+  }
+
+  /** The late-event ROUTE: the batch rows [[Scd2.applyBatch]] would drop
+    * under [[Scd2.LatePolicy.Drop]] — the capture side of the reference's
+    * would-be dead-letter path (SURVEY.md §2.3; the reference silently
+    * corrupts on these, README.md:190-195). */
+  def scd2LateEvents(s: SparkSession, dir: String): DataFrame = {
+    val (history, batch) = lateSplit(s, dir)
+    Scd2.lateEvents(history, batch, Seq("user_id"), "ts")
+      .orderBy(col("event_id"))
+  }
+
+  /** The merge under [[Scd2.LatePolicy.Drop]]: late rows excluded, the
+    * open row expires at its user's earliest NON-late event — proves the
+    * Drop-path routing semantics end-to-end (not just the Error path). */
+  def scd2ApplyDrop(s: SparkSession, dir: String): DataFrame = {
+    val (history, batch) = lateSplit(s, dir)
+    Scd2.applyBatch(history, batch, Seq("user_id"), "ts", "event_id",
+      Scd2.LatePolicy.Drop)
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   // R1 routing: signup ⇄ insert, purchase ⇄ update; the rest unmatched.
   private def cdcType = when(col("event_type") === "signup", "insert")
     .when(col("event_type") === "purchase", "update")
@@ -83,6 +116,8 @@ object Scd2Queries {
     "scd2_apply_batch" -> (scd2ApplyBatch _),
     "scd2_current" -> (scd2Current _),
     "scd2_with_deletes" -> (scd2WithDeletes _),
+    "scd2_late_events" -> (scd2LateEvents _),
+    "scd2_apply_drop" -> (scd2ApplyDrop _),
     "route_insert" -> (routeInsert _),
     "route_update" -> (routeUpdate _),
     "route_unmatched" -> (routeUnmatched _),
@@ -97,6 +132,53 @@ object Scd2Queries {
       |       CASE WHEN lead(ts) OVER w IS NULL THEN 'Y' ELSE 'N' END AS is_current
       |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  /** DuckDB twin of [[lateSplit]] + the open-row lookup: CTEs ending in
+    * `b` (the odd-event batch), `open` (per-user open-row valid_from from
+    * the even-event history) — shared by both late-path oracles. */
+  private val lateSplitCtes =
+    """e AS (SELECT user_id, event_id, event_type, value, props,
+      |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |hist AS (
+      |  SELECT user_id, event_id, event_type, value, props,
+      |         ts AS valid_from, lead(ts) OVER w AS valid_until,
+      |         CASE WHEN lead(ts) OVER w IS NULL THEN 'Y' ELSE 'N' END
+      |           AS is_current
+      |  FROM e WHERE event_id % 2 = 0
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |open_row AS (SELECT user_id, valid_from AS open_from
+      |             FROM hist WHERE is_current = 'Y'),
+      |b AS (SELECT e.*, o.open_from FROM e
+      |      LEFT JOIN open_row o ON e.user_id = o.user_id
+      |      WHERE e.event_id % 2 = 1)""".stripMargin
+
+  val lateEventsSql: String =
+    s"""WITH $lateSplitCtes
+       |SELECT user_id, event_id, event_type, value, props, ts
+       |FROM b WHERE ts < open_from ORDER BY event_id""".stripMargin
+
+  val applyDropSql: String =
+    s"""WITH $lateSplitCtes,
+       |kept AS (SELECT user_id, event_id, event_type, value, props, ts
+       |         FROM b WHERE open_from IS NULL OR ts >= open_from),
+       |first_new AS (SELECT user_id, min(ts) AS first_ts
+       |              FROM kept GROUP BY user_id),
+       |updated AS (
+       |  SELECT h.user_id, h.event_id, h.event_type, h.value, h.props,
+       |         h.valid_from,
+       |         CASE WHEN h.is_current = 'Y' AND f.first_ts IS NOT NULL
+       |              THEN f.first_ts ELSE h.valid_until END AS valid_until,
+       |         CASE WHEN h.is_current = 'Y' AND f.first_ts IS NOT NULL
+       |              THEN 'N' ELSE h.is_current END AS is_current
+       |  FROM hist h LEFT JOIN first_new f ON h.user_id = f.user_id),
+       |newv AS (
+       |  SELECT user_id, event_id, event_type, value, props,
+       |         ts AS valid_from, lead(ts) OVER w AS valid_until,
+       |         CASE WHEN lead(ts) OVER w IS NULL THEN 'Y' ELSE 'N' END
+       |           AS is_current
+       |  FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT * FROM (SELECT * FROM updated UNION ALL SELECT * FROM newv)
+       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
   private def routeSql(pred: String) =
     s"""SELECT user_id, event_id, event_type, value, props,
@@ -122,6 +204,8 @@ object Scd2Queries {
         |       CASE WHEN valid_until IS NULL THEN 'Y' ELSE 'N' END AS is_current
         |FROM v WHERE op != 'delete'
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "scd2_late_events" -> lateEventsSql,
+    "scd2_apply_drop" -> applyDropSql,
     "route_insert" -> routeSql("event_type = 'signup'"),
     "route_update" -> routeSql("event_type = 'purchase'"),
     "route_unmatched" -> routeSql("event_type NOT IN ('signup', 'purchase')"),

@@ -163,15 +163,22 @@ object SimilarityQueries {
     * (top-[[topK]]) join the per-doc quality score (broadcast — it's a
     * per-document scalar table) and rerank by 0.8·cosine +
     * 0.2·quality/100, keeping the top [[rerankK]]. Candidate generation
-    * dominates the cost; the rerank touches only |queries|·k rows. */
+    * dominates the cost; the rerank touches only |queries|·k rows.
+    *
+    * [[hybridSearch]] reranks over the exact brute-force recall (the
+    * pinned correctness baseline); [[hybridSearchIvf]] is the 100 TB
+    * composite — the SAME rerank over the [[annIvf]] recall stage, so the
+    * whole retrieval pipeline survives scale (recall touches nprobe/|cells|
+    * of the corpus, not all of it). */
   val rerankK = 5
 
-  def hybridSearch(s: SparkSession, dir: String): DataFrame = {
+  private def qualityRerank(recall: DataFrame, s: SparkSession,
+                            dir: String): DataFrame = {
     val quality = TextQueries.qualityScore(s, dir)
       .select(col("doc_id").as("neighbor"), col("quality"))
     val w = Window.partitionBy(col("q"))
       .orderBy(col("score").desc, col("neighbor"))
-    annBruteForce(s, dir)
+    recall
       .join(broadcast(quality), Seq("neighbor"))
       .withColumn("score",
         round(lit(0.8) * col("cosine") + lit(0.2) * col("quality") / lit(100.0), 6))
@@ -181,11 +188,18 @@ object SimilarityQueries {
       .orderBy("q", "rerank")
   }
 
+  def hybridSearch(s: SparkSession, dir: String): DataFrame =
+    qualityRerank(annBruteForce(s, dir), s, dir)
+
+  def hybridSearchIvf(s: SparkSession, dir: String): DataFrame =
+    qualityRerank(annIvf(s, dir), s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_force" -> (annBruteForce _),
     "ann_ivf" -> (annIvf _),
     "embedding_centroids" -> (embeddingCentroids _),
-    "hybrid_search" -> (hybridSearch _))
+    "hybrid_search" -> (hybridSearch _),
+    "hybrid_search_ivf" -> (hybridSearchIvf _))
 
   private val vCte =
     """v AS (
@@ -198,43 +212,84 @@ object SimilarityQueries {
     s"""round(list_aggregate(list_transform(generate_series(1, length($ea)),
        |          i -> $ea[i] * $eb[i]), 'sum') / ($na * $nb), 4)""".stripMargin
 
+  /** Brute-force ANN as a CTE chain ending in `ann(q, rank, neighbor,
+    * cosine)` — shared by ann_brute_force and hybrid_search. */
+  private val bruteAnnCtes =
+    s"""$vCte,
+       |scored AS (
+       |  SELECT q.vec_id AS q, v.vec_id AS neighbor,
+       |         ${duckCos("q.e", "v.e", "q.norm", "v.norm")} AS cosine
+       |  FROM v q JOIN v ON q.vec_id % $queryStride = 0
+       |                 AND q.vec_id != v.vec_id),
+       |ann AS (
+       |  SELECT q, rank, neighbor, cosine FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q
+       |              ORDER BY cosine DESC, neighbor) AS rank
+       |    FROM scored) WHERE rank <= $topK)""".stripMargin
+
+  /** IVF ANN as a CTE chain ending in `ann(q, rank, neighbor, cosine)` —
+    * shared by ann_ivf and hybrid_search_ivf. */
+  private val ivfAnnCtes =
+    s"""$vCte,
+       |seeds AS (SELECT vec_id AS cell, e AS ce, norm AS cn
+       |          FROM v WHERE vec_id % $seedStride = 1),
+       |assign AS (
+       |  SELECT vec_id, e, norm, cell FROM (
+       |    SELECT v.vec_id, v.e, v.norm, s.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${duckCos("v.e", "s.ce", "v.norm", "s.cn")} DESC,
+       |             s.cell) AS r
+       |    FROM v CROSS JOIN seeds s) WHERE r = 1),
+       |queries AS (SELECT vec_id AS q, e AS qe, norm AS qn
+       |            FROM v WHERE vec_id % $queryStride = 0),
+       |probed AS (
+       |  SELECT q, qe, qn, cell,
+       |         row_number() OVER (PARTITION BY q ORDER BY
+       |           ${duckCos("qe", "ce", "qn", "cn")} DESC, cell) AS crank
+       |  FROM queries CROSS JOIN seeds),
+       |cells AS (SELECT q, qe, qn, cell FROM probed WHERE crank <= $nprobe),
+       |scored AS (
+       |  SELECT c.q, a.vec_id AS neighbor,
+       |         ${duckCos("c.qe", "a.e", "c.qn", "a.norm")} AS cosine
+       |  FROM cells c JOIN assign a USING (cell) WHERE c.q != a.vec_id),
+       |ann AS (
+       |  SELECT q, rank, neighbor, cosine FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q
+       |              ORDER BY cosine DESC, neighbor) AS rank
+       |    FROM scored) WHERE rank <= $topK)""".stripMargin
+
+  /** The quality rerank over any `ann(q, rank, neighbor, cosine)` CTE
+    * chain — the SQL twin of [[qualityRerank]]. */
+  private def rerankSql(annCtes: String) =
+    s"""WITH $annCtes,
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
+       |         t -> t != '')) AS DOUBLE) AS n_tokens,
+       |    CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |      AS punct,
+       |    CAST(length(regexp_extract_all(lower(text), '\\b(the|a|and|of|to)\\b'))
+       |      AS DOUBLE) AS stop
+       |  FROM documents),
+       |qual AS (
+       |  SELECT doc_id,
+       |    round(least(n_tokens / 4.0, 50.0) + least(stop * 5.0, 30.0)
+       |          - least(punct, 20.0) + 20.0, 6) AS quality
+       |  FROM m),
+       |re AS (
+       |  SELECT ann.q, ann.neighbor, ann.cosine, qual.quality,
+       |         round(0.8 * ann.cosine + 0.2 * qual.quality / 100.0, 6) AS score
+       |  FROM ann JOIN qual ON ann.neighbor = qual.doc_id)
+       |SELECT q, rerank, neighbor, cosine, quality, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q
+       |            ORDER BY score DESC, neighbor) AS rerank
+       |  FROM re)
+       |WHERE rerank <= $rerankK ORDER BY q, rerank""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "hybrid_search" ->
-      s"""WITH $vCte,
-         |scored AS (
-         |  SELECT q.vec_id AS q, v.vec_id AS neighbor,
-         |         ${duckCos("q.e", "v.e", "q.norm", "v.norm")} AS cosine
-         |  FROM v q JOIN v ON q.vec_id % $queryStride = 0
-         |                 AND q.vec_id != v.vec_id),
-         |ann AS (
-         |  SELECT q, neighbor, cosine FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q
-         |              ORDER BY cosine DESC, neighbor) AS rank
-         |    FROM scored) WHERE rank <= $topK),
-         |m AS (
-         |  SELECT doc_id,
-         |    CAST(length(text) AS DOUBLE) AS n_chars,
-         |    CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
-         |         t -> t != '')) AS DOUBLE) AS n_tokens,
-         |    CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-         |      AS punct,
-         |    CAST(length(regexp_extract_all(lower(text), '\\b(the|a|and|of|to)\\b'))
-         |      AS DOUBLE) AS stop
-         |  FROM documents),
-         |qual AS (
-         |  SELECT doc_id,
-         |    round(least(n_tokens / 4.0, 50.0) + least(stop * 5.0, 30.0)
-         |          - least(punct, 20.0) + 20.0, 6) AS quality
-         |  FROM m),
-         |re AS (
-         |  SELECT ann.q, ann.neighbor, ann.cosine, qual.quality,
-         |         round(0.8 * ann.cosine + 0.2 * qual.quality / 100.0, 6) AS score
-         |  FROM ann JOIN qual ON ann.neighbor = qual.doc_id)
-         |SELECT q, rerank, neighbor, cosine, quality, score FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q
-         |            ORDER BY score DESC, neighbor) AS rerank
-         |  FROM re)
-         |WHERE rerank <= $rerankK ORDER BY q, rerank""".stripMargin,
+    "hybrid_search" -> rerankSql(bruteAnnCtes),
+    "hybrid_search_ivf" -> rerankSql(ivfAnnCtes),
     "embedding_centroids" ->
       s"""WITH b AS (
          |  SELECT label, vec_id // $centroidBucket AS bkt, count(*) AS bn,
@@ -258,43 +313,11 @@ object SimilarityQueries {
          |    AS centroid_micro
          |FROM g ORDER BY label""".stripMargin,
     "ann_brute_force" ->
-      s"""WITH $vCte,
-         |scored AS (
-         |  SELECT q.vec_id AS q, v.vec_id AS neighbor,
-         |         ${duckCos("q.e", "v.e", "q.norm", "v.norm")} AS cosine
-         |  FROM v q JOIN v ON q.vec_id % $queryStride = 0
-         |                 AND q.vec_id != v.vec_id)
-         |SELECT q, rank, neighbor, cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q
-         |            ORDER BY cosine DESC, neighbor) AS rank
-         |  FROM scored)
-         |WHERE rank <= $topK ORDER BY q, rank""".stripMargin,
+      s"""WITH $bruteAnnCtes
+         |SELECT q, rank, neighbor, cosine FROM ann
+         |ORDER BY q, rank""".stripMargin,
     "ann_ivf" ->
-      s"""WITH $vCte,
-         |seeds AS (SELECT vec_id AS cell, e AS ce, norm AS cn
-         |          FROM v WHERE vec_id % $seedStride = 1),
-         |assign AS (
-         |  SELECT vec_id, e, norm, cell FROM (
-         |    SELECT v.vec_id, v.e, v.norm, s.cell,
-         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |             ${duckCos("v.e", "s.ce", "v.norm", "s.cn")} DESC,
-         |             s.cell) AS r
-         |    FROM v CROSS JOIN seeds s) WHERE r = 1),
-         |queries AS (SELECT vec_id AS q, e AS qe, norm AS qn
-         |            FROM v WHERE vec_id % $queryStride = 0),
-         |probed AS (
-         |  SELECT q, qe, qn, cell,
-         |         row_number() OVER (PARTITION BY q ORDER BY
-         |           ${duckCos("qe", "ce", "qn", "cn")} DESC, cell) AS crank
-         |  FROM queries CROSS JOIN seeds),
-         |cells AS (SELECT q, qe, qn, cell FROM probed WHERE crank <= $nprobe),
-         |scored AS (
-         |  SELECT c.q, a.vec_id AS neighbor,
-         |         ${duckCos("c.qe", "a.e", "c.qn", "a.norm")} AS cosine
-         |  FROM cells c JOIN assign a USING (cell) WHERE c.q != a.vec_id)
-         |SELECT q, rank, neighbor, cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q
-         |            ORDER BY cosine DESC, neighbor) AS rank
-         |  FROM scored)
-         |WHERE rank <= $topK ORDER BY q, rank""".stripMargin)
+      s"""WITH $ivfAnnCtes
+         |SELECT q, rank, neighbor, cosine FROM ann
+         |ORDER BY q, rank""".stripMargin)
 }

@@ -176,6 +176,23 @@ object CdcSource {
 
   private val dbName = UTF8String.fromString("sample_data")
   private val tableName = UTF8String.fromString("products_catalog")
+  // event-type constants cached once: eventRow/fullEventRow run in the
+  // per-row reader hot loop — no per-event UTF8String allocation
+  private val insertT = UTF8String.fromString(Cdc.Insert)
+  private val updateT = UTF8String.fromString(Cdc.Update)
+  private val deleteT = UTF8String.fromString(Cdc.Delete)
+  private val beginT = UTF8String.fromString(Cdc.Begin)
+  private val commitT = UTF8String.fromString(Cdc.Commit)
+  private val ddlT = UTF8String.fromString(Cdc.Ddl)
+  private def typeUtf8(t: String): UTF8String = t match {
+    case Cdc.Insert => insertT
+    case Cdc.Update => updateT
+    case Cdc.Delete => deleteT
+    case Cdc.Begin => beginT
+    case Cdc.Commit => commitT
+    case Cdc.Ddl => ddlT
+    case other => UTF8String.fromString(other)
+  }
 
   private def payloadCols(pid: Int, version: Int, price: Double): GenericArrayData = {
     def colRow(id: Int, name: String, value: String): InternalRow =
@@ -197,7 +214,7 @@ object CdcSource {
     val (pid, version, price) = productOf(i, products)
     new GenericInternalRow(Array[Any](
       i,
-      UTF8String.fromString(if (version == 0) Cdc.Insert else Cdc.Update),
+      if (version == 0) insertT else updateT,
       dbName,
       tableName,
       baseMicros + i * 1000000L,
@@ -239,20 +256,32 @@ object CdcSource {
     (i - 1) / (txSize + 2) * txSize + (j - 1)
   }
 
+  /** The change index whose payload a delete at change index `k` carries:
+    * the pid's most recent PRIOR insert/update (walking past any prior
+    * deletes for the same pid) — so the delete really carries the deleted
+    * row's last emitted payload, never a version that was never inserted. */
+  def deletePayloadIndexOf(k: Long, products: Int): Long = {
+    var p = k - products // same pid, one catalog walk earlier
+    while (p >= products && p % 13 == 12) p -= products // skip prior deletes
+    p
+  }
+
   def fullEventRow(i: Long, products: Int, txSize: Int): InternalRow = {
     val t = fullEventTypeOf(i, products, txSize)
     val ts = baseMicros + i * 1000000L
     t match {
       case Cdc.Begin | Cdc.Commit =>
         new GenericInternalRow(Array[Any](
-          i, UTF8String.fromString(t), dbName, null, ts, null))
+          i, typeUtf8(t), dbName, null, ts, null))
       case Cdc.Ddl =>
         new GenericInternalRow(Array[Any](
-          i, UTF8String.fromString(t), dbName, tableName, ts, null))
+          i, typeUtf8(t), dbName, tableName, ts, null))
       case _ =>
-        val (pid, version, price) = productOf(changeIndexOf(i, txSize), products)
+        val k = changeIndexOf(i, txSize)
+        val payloadIdx = if (t == Cdc.Delete) deletePayloadIndexOf(k, products) else k
+        val (pid, version, price) = productOf(payloadIdx, products)
         new GenericInternalRow(Array[Any](
-          i, UTF8String.fromString(t), dbName, tableName, ts,
+          i, typeUtf8(t), dbName, tableName, ts,
           payloadCols(pid, version, price)))
     }
   }

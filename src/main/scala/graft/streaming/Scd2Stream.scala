@@ -347,31 +347,70 @@ object Scd2Stream {
     try src.getLines().toVector finally src.close()
   }
 
-  private def parseCommitRecord(line: String): Option[Long] = {
+  private def parseCommitRecord(line: String, terminated: Boolean): Option[Long] = {
     val l = line.trim
     if (l.length > 1 && l.endsWith(";") && l.dropRight(1).forall(_.isDigit))
       Some(l.dropRight(1).toLong)
+    else if (terminated && l.nonEmpty && l.forall(_.isDigit))
+      // legacy "<id>\n" record (pre-';' format), accepted ONLY when the
+      // line is newline-TERMINATED: a completed old-format append always
+      // wrote the trailing newline, while a torn new-format append
+      // ("\n<id>" crashed before the ';') leaves its bare digits
+      // UNterminated at EOF — so this cannot fabricate a commit; it only
+      // keeps pre-format-change logs replay-safe across an upgrade
+      Some(l.toLong)
     else None // unterminated fragment from a torn append — not committed
   }
 
   private def committedIds(commitLog: File): Set[Long] =
-    if (commitLog.exists()) readLines(commitLog).flatMap(parseCommitRecord).toSet
-    else Set.empty
+    if (!commitLog.exists()) Set.empty
+    else {
+      val content = new String(
+        java.nio.file.Files.readAllBytes(commitLog.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // split with -1: a trailing "\n" yields an empty last element, so the
+      // last element is exactly the unterminated tail (if any)
+      val parts = content.split("\n", -1)
+      parts.iterator.zipWithIndex.flatMap { case (l, i) =>
+        parseCommitRecord(l, terminated = i < parts.length - 1)
+      }.toSet
+    }
 
-  private def appendCommit(commitLog: File, id: Long): Unit = {
-    val w = new java.io.FileWriter(commitLog, true)
-    try w.write(s"\n$id;") finally w.close()
+  /** Write + fsync: the record is durable (power-loss included) before the
+    * caller proceeds — a rename or a later append must never survive a
+    * crash that loses the bytes it depends on. */
+  private def writeDurable(f: File, content: String, append: Boolean): Unit = {
+    val out = new java.io.FileOutputStream(f, append)
+    try {
+      out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.getFD.sync()
+    } finally out.close()
   }
 
-  /** Write `content` to a sibling tmp file, then atomically rename over
-    * `dst` — the file is either absent or complete, never torn. */
+  /** Best-effort directory fsync (persists the rename itself on power
+    * loss); some filesystems reject opening a directory — then the
+    * protocol still holds for process crashes, as before. */
+  private def fsyncDir(dir: File): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(dir.toPath,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: java.io.IOException => () }
+
+  private def appendCommit(commitLog: File, id: Long): Unit =
+    writeDurable(commitLog, s"\n$id;", append = true)
+
+  /** Write `content` to a sibling tmp file (fsynced), then atomically
+    * rename over `dst` and fsync the parent dir — the file is either
+    * absent or complete, never torn, surviving power loss as well as
+    * process crashes. */
   private def writeAtomic(dst: File, content: String): Unit = {
     val tmp = new File(dst.getParentFile, dst.getName + ".wtmp")
-    val w = new java.io.FileWriter(tmp)
-    try w.write(content) finally w.close()
+    writeDurable(tmp, content, append = false)
     java.nio.file.Files.move(tmp.toPath, dst.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    fsyncDir(dst.getParentFile)
   }
 
   private def writeMarker(dir: File, id: Long): Unit =

@@ -37,6 +37,39 @@ class OpsSpec extends SparkSpec {
     assert(d.filter(col("jaccard") < DedupQueries.jaccardThreshold).isEmpty)
   }
 
+  test("sorted_common_count ≡ the relational postings equi-join (multiset)") {
+    import graft.functions.SetSimExpressions.sortedCommonCount
+    import spark.implicits._
+    // edge cases incl. within-array duplicates: join semantics = Σ ca·cb
+    val rows = Seq(
+      (Seq(1L, 2L, 2L, 5L), Seq(2L, 2L, 2L, 5L, 9L), 7L), // 2·3 + 1·1
+      (Seq.empty[Long], Seq(1L, 2L), 0L),
+      (Seq(3L), Seq(3L), 1L),
+      (Seq(1L, 4L, 7L), Seq(2L, 5L, 8L), 0L))
+      .toDF("x", "y", "want")
+    assert(rows.filter(
+      sortedCommonCount(col("x"), col("y")) =!= col("want")).isEmpty)
+    // equivalence on real docs: kernel over sorted per-doc posting arrays
+    // == the all-pairs postings equi-join count, for every co-occurring pair
+    val post = Tables.documents(spark, sf).select(col("doc_id"),
+        explode(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3))
+          .as("s"))
+      .select(col("doc_id"), (TextFunctions.md5Long(col("s")) % 1000000007L).as("h"))
+    val joinCounts = post.select(col("h"), col("doc_id").as("a"))
+      .join(post.select(col("h"), col("doc_id").as("b")), Seq("h"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val arrs = post.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val kernelCounts = joinCounts.select("a", "b")
+      .join(arrs.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
+      .join(arrs.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
+      .select(col("a"), col("b"),
+        sortedCommonCount(col("ha"), col("hb")).as("common"))
+    assert(joinCounts.exceptAll(kernelCounts).isEmpty &&
+      kernelCounts.exceptAll(joinCounts).isEmpty)
+  }
+
   test("minhash LSH candidates recover the true jaccard near-dups") {
     val truth = DedupQueries.dedupJaccard(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -183,6 +183,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(histDir).collect().toSet === once)
   }
 
+  test("legacy bare-digit commit records are honored only when newline-terminated") {
+    val ev = events().cache()
+    val b1 = ev.filter(col("event_id") <= 300)
+    val b2 = ev.filter(col("event_id") > 300 && col("event_id") <= 700)
+    // a pure pre-';'-format log ("<id>\n" records): batch 1 reads as
+    // committed → replaying it must be a no-op (upgrade compatibility)
+    val tmpA = Files.createTempDirectory("graft-legacy").toString
+    Scd2Stream.applyMicroBatch(spark, b1, s"$tmpA/history",
+      Seq("user_id"), "ts", "event_id", batchId = Some(0L))
+    val logA = new java.io.FileWriter(s"$tmpA/history.commits", false)
+    try logA.write("0\n1\n") finally logA.close()
+    Scd2Stream.applyMicroBatch(spark, b2, s"$tmpA/history",
+      Seq("user_id"), "ts", "event_id", batchId = Some(1L))
+    assert(spark.read.parquet(s"$tmpA/history").count() === b1.count())
+    // the SAME digits unterminated are a torn fragment, not a commit
+    val tmpB = Files.createTempDirectory("graft-legacy-torn").toString
+    Scd2Stream.applyMicroBatch(spark, b1, s"$tmpB/history",
+      Seq("user_id"), "ts", "event_id", batchId = Some(0L))
+    val logB = new java.io.FileWriter(s"$tmpB/history.commits", false)
+    try logB.write("0\n1") finally logB.close()
+    Scd2Stream.applyMicroBatch(spark, b2, s"$tmpB/history",
+      Seq("user_id"), "ts", "event_id", batchId = Some(1L))
+    val expect = Scd2.fromEvents(ev.filter(col("event_id") <= 700),
+      Seq("user_id"), "ts", "event_id")
+    assert(spark.read.parquet(s"$tmpB/history").count() === expect.count())
+  }
+
   test("streaming path honors LatePolicy: Error poisons, Drop excludes the late row") {
     val tmp0 = Files.createTempDirectory("graft-late").toString
     import spark.implicits._
