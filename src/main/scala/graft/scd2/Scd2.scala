@@ -146,15 +146,7 @@ object Scd2 {
     val lateCond = expireCond && col("__first_ts") < col(ValidFrom)
     val checkedFirst = onLate match {
       case LatePolicy.Error =>
-        when(lateCond, raise_error(concat_ws("",
-          lit("SCD2 late event: key ("),
-          concat_ws(",", keys.map(k => col(k).cast("string")): _*),
-          lit(s") has batch min($tsCol) = "), col("__first_ts").cast("string"),
-          lit(" earlier than the open history row's valid_from = "),
-          col(ValidFrom).cast("string"),
-          lit("; batches must be event-time monotone per key " +
-            "(see Scd2.LatePolicy — use Drop or Allow to override)")
-        )).cast("timestamp")).otherwise(col("__first_ts"))
+        when(lateCond, lateErrorExpr(keys, tsCol)).otherwise(col("__first_ts"))
       case _ => col("__first_ts")
     }
     val updated = history.join(broadcast(firstNew), keys, "left")
@@ -167,6 +159,60 @@ object Scd2 {
       // drift its column order across batches
       .select(history.columns.map(col).toIndexedSeq: _*)
     updated.unionByName(newVersions.select(updated.columns.map(col).toIndexedSeq: _*))
+  }
+
+  // the raise_error payload for a late event, evaluated against a row
+  // carrying the key columns, __first_ts, and the open row's valid_from
+  private def lateErrorExpr(keys: Seq[String], tsCol: String): Column =
+    raise_error(concat_ws("",
+      lit("SCD2 late event: key ("),
+      concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+      lit(s") has batch min($tsCol) = "), col("__first_ts").cast("string"),
+      lit(" earlier than the open history row's valid_from = "),
+      col(ValidFrom).cast("string"),
+      lit("; batches must be event-time monotone per key " +
+        "(see Scd2.LatePolicy — use Drop or Allow to override)")
+    )).cast("timestamp")
+
+  /** The [[applyBatch]] merge as a CHANGE SET instead of a rewritten
+    * table: returns (expiries, newVersions).
+    *
+    *  - `expiries`: one row per batch key that holds an open history row —
+    *    the key columns plus `valid_until` = the key's first new event
+    *    time (what the open row's `valid_until`/`is_current='N'` become);
+    *  - `newVersions`: the versionized batch rows ([[fromEvents]]).
+    *
+    * This is what a sink that can UPDATE in place applies as
+    * UPDATE + INSERT — the reference's literal Task 2 / Task 1 pair
+    * (final_template.xml:4515-4797 UPDATE sink, :1833 INSERT target) —
+    * where the parquet path rewrites the table. Same [[LatePolicy]]
+    * semantics as [[applyBatch]]; applying the change set to the history
+    * equals [[applyBatch]]'s output row-for-row (JdbcSpec proves it over
+    * a live JDBC round-trip). History is touched map-side only: the open
+    * rows join the broadcast per-key expiry set. */
+  def applyBatchDelta(history: DataFrame, batch: DataFrame, keys: Seq[String],
+                      tsCol: String, seqCol: String,
+                      onLate: LatePolicy = LatePolicy.Error)
+      : (DataFrame, DataFrame) = {
+    val events = onLate match {
+      case LatePolicy.Drop =>
+        withOpenFrom(history, batch, keys)
+          .filter(col("__open_from").isNull || col(tsCol) >= col("__open_from"))
+          .select(batch.columns.map(col).toIndexedSeq: _*)
+      case _ => batch
+    }
+    val firstNew = events.groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("__first_ts"))
+    val checked = onLate match {
+      case LatePolicy.Error =>
+        when(col("__first_ts") < col(ValidFrom), lateErrorExpr(keys, tsCol))
+          .otherwise(col("__first_ts"))
+      case _ => col("__first_ts")
+    }
+    val expiries = current(history)
+      .join(broadcast(firstNew), keys)
+      .select((keys.map(col) :+ checked.as(ValidUntil)).toIndexedSeq: _*)
+    (expiries, fromEvents(events, keys, tsCol, seqCol))
   }
 
   /** The batch rows [[applyBatch]] considers LATE: ts strictly before the
