@@ -123,13 +123,32 @@ object DedupQueries {
     * which both shrinks Σ df_prefix·df and removes the hottest keys from
     * the candidate shuffle entirely.
     *
-    * `t` per measure (n = full distinct-shingle count, the denominator
-    * basis of both scores):
+    * `t` per measure (n = full posting count, the denominator basis of
+    * both scores), in the collision-free case (cg = 1 below):
     *  - jaccard ≥ τ with the length filter (nb ≥ τ·na) in force:
     *    common ≥ τ·(na+nb)/(1+τ) ≥ τ·na  ⟹  t = ⌈τ·n⌉ on either side;
     *  - containment ≥ τ: common ≥ τ·min(na,nb) = τ·n_small  ⟹
     *    t = ⌈τ·n⌉ sound only for the pair's SMALLER side, so the prefix
-    *    side of the candidate join is constrained to the smaller set. */
+    *    side of the candidate join is constrained to the smaller set.
+    *
+    * MULTISET CORRECTION (ADVICE r4): `common` is the equi-join's
+    * multiset count Σ cₐ(h)·c_b(h) — md5 % p collisions can give a doc
+    * duplicate h values (c > 1), inflating `common` past the DISTINCT
+    * overlap d the pigeonhole argument bounds. Soundness is restored by
+    * a global multiplicity bound cg ≥ max per-doc c (computed as
+    * 1 + max(|hs| − |array_distinct(hs)|), a one-row broadcast): from
+    * common ≤ cg²·d and common ≤ cg²·min(na, nb),
+    *  - the length filter loosens to min ≥ L·max with
+    *    L = τ/((1+τ)·cg² − τ)  (L = τ when cg = 1);
+    *  - jaccard prefix: common ≥ τ·(na+nb)/(1+τ) ≥ τ·(1+L)·na/(1+τ) ⟹
+    *    d ≥ t = ⌈τ·(1+L)·n/((1+τ)·cg²)⌉  (= ⌈τ·n⌉ when cg = 1);
+    *  - containment prefix: d ≥ t = ⌈τ·n/cg²⌉ on the smaller side.
+    * τ carries a 1e-6 slack for the round(…, 6) in the final filters.
+    * Slicing `m − t + 1` ENTRIES stays sound with duplicate entries: the
+    * dropped t − 1 entries cover ≤ t − 1 distinct values, so d ≥ t
+    * distinct common values still intersect the kept prefix. With no
+    * collisions anywhere (the normal case) cg = 1 and every bound
+    * reduces exactly to the classic set-semantics form above. */
   /** Per-doc view of the capped index, built in ONE doc_id shuffle:
     * `by_rarity` = postings ascending by (df, h) — the canonical global
     * order, sliced for prefixes; `hs` = postings ascending by h — the
@@ -140,14 +159,27 @@ object DedupQueries {
       sort_array(collect_list(struct(col("df"), col("h")))).as("by_rarity"),
       sort_array(collect_list(col("h"))).as("hs"))
 
-  private def prefixIndex(docTab: DataFrame, threshold: Double): DataFrame =
+  /** Attach the global duplicate-multiplicity bound `cg` (see the
+    * MULTISET CORRECTION note): a one-row aggregate broadcast onto every
+    * doc row. cg = 1 whenever no doc has two shingles hashing to the
+    * same h — the overwhelmingly common case (p ≈ 10⁹). */
+  private def withDupBound(docTab: DataFrame): DataFrame = {
+    val cg = docTab.agg((coalesce(max(
+      size(col("hs")) - size(array_distinct(col("hs")))), lit(0)) + 1)
+      .cast("double").as("cg"))
+    docTab.crossJoin(broadcast(cg))
+  }
+
+  /** Prefix postings under a per-row minimum-distinct-overlap bound
+    * `t` (may reference `n_sh` and `cg`): keep the first `m − t + 1`
+    * entries of `by_rarity`. */
+  private def prefixIndex(docTab: DataFrame, t: Column): DataFrame =
     docTab
       .withColumn("plen", greatest(
-        (size(col("by_rarity"))
-          - ceil(lit(threshold) * col("n_sh")).cast("int") + 1), lit(0)))
-      .select(col("doc_id"), col("n_sh"),
+        (size(col("by_rarity")) - t.cast("int") + 1), lit(0)))
+      .select(col("doc_id"), col("n_sh"), col("cg"),
         explode(slice(col("by_rarity"), lit(1), col("plen"))).as("p"))
-      .select(col("p.h").as("h"), col("doc_id"), col("n_sh"))
+      .select(col("p.h").as("h"), col("doc_id"), col("n_sh"), col("cg"))
 
   /** Exact common-shingle counts for an (a, b) candidate-pair set —
     * (a, b, common, na, nb). Verification is the classic per-pair
@@ -172,24 +204,30 @@ object DedupQueries {
     * inverted index — (a, b, common, na, nb). Candidates come from the
     * prefix⋈full join ([[prefixIndex]]); verification recounts exactly. */
   private def pairCounts(idx: DataFrame, lengthFilter: Boolean): DataFrame = {
-    val docTab = docIndex(idx).localCheckpoint()
+    val docTab = withDupBound(docIndex(idx)).localCheckpoint()
+    val cg2 = col("cg") * col("cg")
     if (lengthFilter) {
-      // jaccard: t = ⌈τ·n⌉ holds on both sides (see prefixIndex doc), so
-      // the prefix side can simply be the smaller doc_id; the length
-      // filter (sound: J ≤ min/max) prunes before the distinct shuffle.
-      val x = prefixIndex(docTab, jaccardThreshold)
-        .select(col("h"), col("doc_id").as("a"), col("n_sh").as("na"))
+      // jaccard (bounds: MULTISET CORRECTION note; cg = 1 ⟹ t = ⌈τ·n⌉,
+      // L = τ): the candidate join keys on the LOWER doc_id's prefix;
+      // the length filter (min ≥ L·max) prunes before the distinct
+      // shuffle. τ carries the round(…, 6) slack.
+      val tau = lit(jaccardThreshold - 1e-6)
+      val lb = tau / ((lit(1.0) + tau) * cg2 - tau)
+      val t = ceil(tau * (lit(1.0) + lb) * col("n_sh") / ((lit(1.0) + tau) * cg2))
+      val x = prefixIndex(docTab, t)
+        .select(col("h"), col("doc_id").as("a"), col("n_sh").as("na"), col("cg"))
       val y = idx.select(col("h"), col("doc_id").as("b"), col("n_sh").as("nb"))
       val cand = x.join(y, Seq("h")).filter(col("a") < col("b") &&
-          col("na") >= col("nb") * jaccardThreshold &&
-          col("nb") >= col("na") * jaccardThreshold)
+          col("na") >= col("nb") * lb &&
+          col("nb") >= col("na") * lb)
         .select("a", "b").distinct()
       verifyPairs(cand, docTab)
     } else {
       // containment: the prefix bound holds only for the pair's smaller
-      // set, so the prefix side is pinned to it (ties by doc_id); no
-      // length pruning — size-mismatched pairs are the whole point.
-      val x = prefixIndex(docTab, containmentThreshold)
+      // set (t = ⌈τ·n/cg²⌉), so the prefix side is pinned to it (ties by
+      // doc_id); no length pruning — size-mismatched pairs are the point.
+      val tau = lit(containmentThreshold - 1e-6)
+      val x = prefixIndex(docTab, ceil(tau * col("n_sh") / cg2))
         .select(col("h"), col("doc_id").as("xa"), col("n_sh").as("xn"))
       val y = idx.select(col("h"), col("doc_id").as("yb"), col("n_sh").as("yn"))
       val cand = x.join(y, Seq("h"))

@@ -57,6 +57,22 @@ object JdbcHistory {
            props: Properties): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** The expiry UPDATE, quoted by the CONNECTION's dialect
+    * (`JdbcDialects.get(url).quoteIdentifier`) — MySQL's default sql_mode
+    * treats ANSI double-quoted tokens as string literals, so hard-coded
+    * `"` quoting would be a syntax error against the reference's own
+    * target database (final_template.xml:4515-4797 UPDATE sink); the
+    * dialect gives backticks there and `"` on ANSI databases
+    * (Derby/H2/Postgres), matching however `df.write.jdbc` quoted the
+    * identifiers at CREATE time. */
+  private[graft] def expiryUpdateSql(url: String, table: String,
+                                     keys: Seq[String]): String = {
+    val q = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier _
+    s"""UPDATE $table SET ${q(Scd2.ValidUntil)} = ?, ${q(Scd2.IsCurrent)} = 'N'
+       | WHERE ${keys.map(k => s"${q(k)} = ?").mkString(" AND ")}
+       |   AND ${q(Scd2.IsCurrent)} = 'Y'""".stripMargin
+  }
+
   /** One SCD2 merge against a live JDBC history table: expiry UPDATE
     * (Task 2) then version INSERT (Task 1). Row-for-row equal to the
     * parquet path's [[Scd2.applyBatch]] rewrite (JdbcSpec). */
@@ -76,10 +92,7 @@ object JdbcHistory {
     // raise_error guard before the database is touched at all.
     val expiries = expiriesPlan.localCheckpoint()
     val newVersions = newVersionsPlan.localCheckpoint()
-    val sql =
-      s"""UPDATE $table SET "${Scd2.ValidUntil}" = ?, "${Scd2.IsCurrent}" = 'N'
-         | WHERE ${keys.map(k => s""""$k" = ?""").mkString(" AND ")}
-         |   AND "${Scd2.IsCurrent}" = 'Y'""".stripMargin
+    val sql = expiryUpdateSql(url, table, keys)
     val nKeys = keys.size
     val connProps = new Properties()
     connProps.putAll(props)

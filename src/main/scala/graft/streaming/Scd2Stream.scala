@@ -347,17 +347,23 @@ object Scd2Stream {
     try src.getLines().toVector finally src.close()
   }
 
-  private def parseCommitRecord(line: String, terminated: Boolean): Option[Long] = {
+  private def parseCommitRecord(line: String, terminated: Boolean,
+                                allowLegacy: Boolean): Option[Long] = {
     val l = line.trim
     if (l.length > 1 && l.endsWith(";") && l.dropRight(1).forall(_.isDigit))
       Some(l.dropRight(1).toLong)
-    else if (terminated && l.nonEmpty && l.forall(_.isDigit))
-      // legacy "<id>\n" record (pre-';' format), accepted ONLY when the
-      // line is newline-TERMINATED: a completed old-format append always
-      // wrote the trailing newline, while a torn new-format append
-      // ("\n<id>" crashed before the ';') leaves its bare digits
-      // UNterminated at EOF — so this cannot fabricate a commit; it only
-      // keeps pre-format-change logs replay-safe across an upgrade
+    else if (allowLegacy && terminated && l.nonEmpty && l.forall(_.isDigit))
+      // legacy "<id>\n" record (pre-';' format). Accepted ONLY when (a) the
+      // line is newline-TERMINATED — a completed old-format append always
+      // wrote the trailing newline — AND (b) the log is a PURE legacy file
+      // (no ';' anywhere). (b) closes the upgrade-era hole: in a mixed log,
+      // a torn new-format append ("\n12" of "\n123;") becomes newline-
+      // terminated as soon as the NEXT append's leading '\n' lands, at
+      // which point bare "12" would fabricate a commit for a batch id that
+      // never committed. A pure legacy file by definition predates the
+      // new format, so every record in it was a completed old-format
+      // append; [[committedIds]] rewrites it to strict format on first
+      // read, so a mixed-format log can never arise.
       Some(l.toLong)
     else None // unterminated fragment from a torn append — not committed
   }
@@ -368,12 +374,22 @@ object Scd2Stream {
       val content = new String(
         java.nio.file.Files.readAllBytes(commitLog.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
+      val pureLegacy = !content.contains(';')
       // split with -1: a trailing "\n" yields an empty last element, so the
       // last element is exactly the unterminated tail (if any)
       val parts = content.split("\n", -1)
-      parts.iterator.zipWithIndex.flatMap { case (l, i) =>
-        parseCommitRecord(l, terminated = i < parts.length - 1)
+      val ids = parts.iterator.zipWithIndex.flatMap { case (l, i) =>
+        parseCommitRecord(l, terminated = i < parts.length - 1,
+          allowLegacy = pureLegacy)
       }.toSet
+      // Upgrade-on-read: compact a pure legacy file to the strict format
+      // ATOMICALLY before any new-format append can produce a mixed log —
+      // legacy ids stay durable as ';' records, and every later read
+      // parses strictly (only the single-driver stream touches this log,
+      // so the read-rewrite pair cannot race another writer).
+      if (pureLegacy && ids.nonEmpty)
+        writeAtomic(commitLog, ids.toSeq.sorted.map(id => s"\n$id;").mkString)
+      ids
     }
 
   /** Write + fsync: the record is durable (power-loss included) before the

@@ -86,6 +86,21 @@ class JdbcSpec extends SparkSpec {
     assert(open.count() === 1 && open.first().getLong(1) === 4L)
   }
 
+  test("expiry UPDATE quotes identifiers per the connection's dialect") {
+    // MySQL's default sql_mode reads ANSI double-quoted tokens as string
+    // literals — the UPDATE must use backticks there (ADVICE r4); ANSI
+    // databases (Derby here) get standard double quotes
+    val mysql = JdbcHistory.expiryUpdateSql(
+      "jdbc:mysql://db:3306/meta", "products_catalog_history", Seq("ProductID"))
+    assert(mysql.contains("`ProductID` = ?") && mysql.contains("`is_current`"),
+      s"MySQL dialect must backtick-quote:\n$mysql")
+    assert(!mysql.contains("\""), s"no ANSI quotes on MySQL:\n$mysql")
+    val derby = JdbcHistory.expiryUpdateSql(
+      "jdbc:derby:/tmp/db", "hist", Seq("user_id"))
+    assert(derby.contains("\"user_id\" = ?") && derby.contains("\"is_current\""),
+      s"ANSI dialect must double-quote:\n$derby")
+  }
+
   test("current-rows read pushes the is_current predicate into the database") {
     val url = derbyUrl()
     val history = Scd2.fromEvents(

@@ -208,6 +208,38 @@ class StreamingSpec extends SparkSpec {
     val expect = Scd2.fromEvents(ev.filter(col("event_id") <= 700),
       Seq("user_id"), "ts", "event_id")
     assert(spark.read.parquet(s"$tmpB/history").count() === expect.count())
+    // the legacy log from case A was compacted to strict format on first
+    // read — its ids survive as ';' records (no mixed-format window)
+    val logAContent = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmpA/history.commits")))
+    assert(logAContent.contains("0;") && logAContent.contains("1;"),
+      s"legacy log not compacted: [$logAContent]")
+  }
+
+  test("bare digits in a mixed-format log never fabricate a commit") {
+    // upgrade-era hole (ADVICE r4): a torn new-format append ("\n12" of
+    // "\n123;") becomes newline-terminated as soon as the next append's
+    // leading '\n' lands — bare "12" must NOT then parse as a committed
+    // batch 12 (applyMicroBatch accepts arbitrary batch ids, so this
+    // would silently skip a batch that never ran)
+    val ev = events().cache()
+    val tmp = Files.createTempDirectory("graft-mixed").toString
+    val histDir = s"$tmp/history"
+    Scd2Stream.applyMicroBatch(spark, ev.filter(col("event_id") <= 300),
+      histDir, Seq("user_id"), "ts", "event_id", batchId = Some(0L))
+    val log = new java.io.FileWriter(histDir + ".commits", true)
+    try log.write("\n12") finally log.close() // torn fragment of "\n12…;"
+    Scd2Stream.applyMicroBatch(spark,
+      ev.filter(col("event_id") > 300 && col("event_id") <= 700),
+      histDir, Seq("user_id"), "ts", "event_id", batchId = Some(1L))
+    // log is now "\n0;\n12\n1;" — "12" newline-terminated but unhonored;
+    // batch 12 must really apply
+    Scd2Stream.applyMicroBatch(spark, ev.filter(col("event_id") > 700),
+      histDir, Seq("user_id"), "ts", "event_id", batchId = Some(12L))
+    val expect = Scd2.fromEvents(ev, Seq("user_id"), "ts", "event_id")
+    val got = spark.read.parquet(histDir)
+    assert(got.count() === expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
 
   test("streaming path honors LatePolicy: Error poisons, Drop excludes the late row") {
