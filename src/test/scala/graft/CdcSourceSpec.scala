@@ -86,6 +86,61 @@ class CdcSourceSpec extends SparkSpec {
     assert(hist.exceptAll(oneShot).isEmpty && oneShot.exceptAll(hist).isEmpty)
   }
 
+  test("full-log stream: route drops ddl/begin/commit, deletes close intervals through the bucketed sink") {
+    // r3 advice #5: the reference's WHOLE §3 lifecycle — full binlog
+    // surface included — in one streaming composition: fullEventLog V2
+    // source → route (markers out) → flatten → delete-aware bucketed merge
+    import graft.streaming.Scd2Stream
+    val tmp = Files.createTempDirectory("graft-cdc-full").toString
+    val histDir = s"$tmp/history"
+    val rowChanges = Seq(Cdc.Insert, Cdc.Update, Cdc.Delete)
+    val q = spark.readStream
+      .format("graft-cdc")
+      .option("rows", total).option("products", products)
+      .option("fullEventLog", true)
+      .option("maxEventsPerTrigger", 60)
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val routed = Cdc.route(batch)
+        val changes = routed(Cdc.Insert)
+          .unionByName(routed(Cdc.Update))
+          .unionByName(batch.filter(col("event_type") === Cdc.Delete))
+        Scd2Stream.applyMicroBatchBucketed(spark,
+          flatten(changes).withColumnRenamed("seq", "event_seq"), histDir,
+          Seq("ProductID"), "ts", "event_seq", nBuckets = 8,
+          batchId = Some(id), opCol = Some("event_type"))
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val full = opts(spark.read).option("fullEventLog", true).load()
+    // the synthetic log really exercises the whole binlog event surface
+    val types = full.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types === Set(Cdc.Insert, Cdc.Update, Cdc.Delete,
+      Cdc.Begin, Cdc.Commit, Cdc.Ddl))
+    val flatFull = flatten(full.filter(col("event_type").isin(rowChanges: _*)))
+      .withColumnRenamed("seq", "event_seq")
+    assert(flatFull.filter(col("event_type") === Cdc.Delete).count() > 0)
+    val oneShot = Scd2.fromEventsWithDeletes(flatFull, Seq("ProductID"),
+      "ts", "event_seq", "event_type").drop("event_type")
+    val hist = Scd2Stream.readBucketed(spark, histDir)
+    assert(hist.count() === oneShot.count())
+    assert(hist.exceptAll(oneShot).isEmpty && oneShot.exceptAll(hist).isEmpty)
+    // delete-closed keys have NO current row; every other key exactly one
+    val lastOp = flatFull
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ProductID")
+          .orderBy(col("ts").desc, col("event_seq").desc)))
+      .filter(col("rn") === 1)
+    val deletedKeys = lastOp.filter(col("event_type") === Cdc.Delete).count()
+    val liveKeys = lastOp.count() - deletedKeys
+    assert(deletedKeys > 0, "fixture must end at least one key on a delete")
+    assert(hist.filter(col("is_current") === "Y").count() === liveKeys)
+  }
+
   test("cdc source -> flatten -> SCD2 merge end-to-end keeps invariants") {
     val hist = Scd2.fromEvents(
       flatten(opts(spark.read).load())
