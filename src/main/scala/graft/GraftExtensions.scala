@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{SetSimExpressions, ShingleExpressions, SimHashExpressions, VectorExpressions}
+import graft.functions.{QuantizeExpressions, SetSimExpressions, ShingleExpressions, SimHashExpressions, VectorExpressions}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Engine extension point, wired the public way:
@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ShingleExpressions.wordShinglesDescriptor)
     ext.injectFunction(SimHashExpressions.simhash60Descriptor)
     ext.injectFunction(SetSimExpressions.sortedCommonCountDescriptor)
+    ext.injectFunction(ShingleExpressions.wordNgramsDescriptor)
+    ext.injectFunction(QuantizeExpressions.quantizeI8Descriptor)
   }
 }
 

@@ -50,6 +50,14 @@ object TextFunctions {
     coalesce(call_function("word_shingles", toks, lit(n)),
       array().cast("array<string>"))
 
+  /** NON-distinct in-order word n-grams ([[WordNgrams]]) — the multiset
+    * repetition analysis needs.
+    * DuckDB: list_transform(generate_series(1, len(toks)-n+1),
+    *         i -> array_to_string(toks[i:i+n-1], ' ')) */
+  def wordNgrams(toks: Column, n: Int): Column =
+    coalesce(call_function("word_ngrams", toks, lit(n)),
+      array().cast("array<string>"))
+
   /** Count of matches of a regex (DuckDB: length(regexp_extract_all)). */
   def countMatches(s: Column, regex: String): Column =
     size(regexp_extract_all(s, lit(regex), lit(0)))

@@ -142,7 +142,69 @@ object CurationQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** Sequence packing: assign documents to fixed token-budget training
+    * chunks — the "concatenate the token stream, cut every `packBudget`
+    * tokens" layout every LLM pre-training loader uses. A doc's chunk is
+    * where its FIRST token lands (docs may straddle a boundary; the
+    * loader's attention mask handles the tail).
+    *
+    * Shape at scale: packing is per-SHARD (`doc_id % packShards`), so the
+    * running-sum window partitions into independent streams — thousands
+    * of parallel shards at 100 TB, never a global single-partition sort.
+    * All arithmetic is integer-exact; token counts come from the
+    * codegen'd whitespace tokenizer at scan speed. */
+  val packBudget = 256
+  val packShards = 8
+
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(packShards)).as("shard"),
+        whitespaceTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("start_tok") / lit(packBudget)).as("chunk_id"),
+        (col("start_tok") % lit(packBudget)).as("chunk_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Mixture sampling: deterministically subsample each language stratum
+    * so the OUTPUT composition hits a target mixture (the data-mixing
+    * step before training). Rates are the largest feasible:
+    * rate_g = C·w_g/n_g with C = min_g(n_g/w_g), so the binding stratum
+    * keeps everything and every expected share equals w_g. Selection is
+    * the same hash-predicate shape as [[sampleStratified]] — reproducible
+    * under retries, no RNG. The per-stratum counts and the scalar C ride
+    * the plan as a broadcast (strata-sized — tiny at any corpus scale). */
+  val mixtureWeights: Map[String, Double] = Map(
+    "en" -> 0.3, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.15)
+
+  def sampleMixture(s: SparkSession, dir: String): DataFrame = {
+    // unknown stratum → weight 0 → threshold 0 → deterministically dropped
+    val wcol = mixtureWeights.foldLeft(lit(0.0)) {
+      case (acc, (lang, wt)) => when(col("lang") === lang, lit(wt)).otherwise(acc)
+    }
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_g"))
+      .withColumn("w_g", wcol)
+    val c = counts.filter(col("w_g") > 0)
+      .agg(min(col("n_g") / col("w_g")).as("c_scale"))
+    val rated = docs.join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(c))
+      .withColumn("thresh",
+        floor(col("c_scale") * col("w_g") / col("n_g") * 1e6).cast("long"))
+    rated
+      .withColumn("bucket",
+        pmod(md5Long(concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000000)))
+      .filter(col("bucket") < col("thresh"))
+      .select(col("doc_id"), col("lang"), col("source"), col("thresh"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sequences" -> (packSequences _),
+    "sample_mixture" -> (sampleMixture _),
     "sample_stratified" -> (sampleStratified _),
     "vocab_topk" -> (vocabTopK _),
     "text_clean" -> (textClean _),
@@ -153,7 +215,38 @@ object CurationQueries {
     .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
     .mkString("CASE ", " ", " ELSE 10 END")
 
+  private val duckMixtureWeight = mixtureWeights.toSeq.sortBy(_._1)
+    .map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
+    .mkString("CASE ", " ", " ELSE 0.0 END")
+
   val oracles: Map[String, String] = Map(
+    "pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, doc_id % $packShards AS shard,
+         |    CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
+         |         t -> t != '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |      - n_tokens AS start_tok
+         |  FROM d)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(floor(start_tok / $packBudget.0) AS BIGINT) AS chunk_id,
+         |  CAST(start_tok % $packBudget AS BIGINT) AS chunk_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "sample_mixture" ->
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n_g, $duckMixtureWeight AS w_g
+         |  FROM documents GROUP BY lang),
+         |c AS (SELECT min(n_g / w_g) AS c_scale FROM counts WHERE w_g > 0)
+         |SELECT doc_id, lang, source,
+         |  CAST(floor(c_scale * w_g / n_g * 1e6) AS BIGINT) AS thresh
+         |FROM documents JOIN counts USING (lang), c
+         |WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 1000000
+         |    < CAST(floor(c_scale * w_g / n_g * 1e6) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source,
          |  ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT

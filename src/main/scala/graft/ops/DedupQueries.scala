@@ -497,8 +497,43 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-document corpus-overlap score: the fraction of a doc's distinct
+    * 5-gram shingles that appear in ANY other document — the standard
+    * repeated-passage / benchmark-contamination signal (the document-level
+    * read of what exact-substring dedup removes span-level). A doc with
+    * shared_frac ≥ 0.5 is flagged `likely_dup` for the downstream filter.
+    *
+    * Shape at scale: distinct-shingle postings materialize once
+    * (checkpoint), df is one gram-keyed count, and the postings⋈df
+    * equi-join groups are bounded by each gram's df — 5-gram df
+    * distributions have no stopword-style heads, so no cap is needed
+    * (3-gram paths above do need one). Docs too short for a 5-gram
+    * surface with zero counts via the left join, not dropped rows. */
+  val sharedNgramN = 5
+
+  def dedupSharedNgrams(s: SparkSession, dir: String): DataFrame = {
+    val post = docs(s, dir)
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), sharedNgramN)).as("g"))
+      .localCheckpoint()
+    val dfTab = post.groupBy("g").agg(count(lit(1)).as("df"))
+    val perDoc = post.join(dfTab, Seq("g")).groupBy("doc_id").agg(
+      count(lit(1)).as("n_ngrams"),
+      sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    docs(s, dir).select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared") / col("n_ngrams"), lit(0.0)), 6)
+          .as("shared_frac"),
+        (round(coalesce(col("n_shared") / col("n_ngrams"), lit(0.0)), 6) >= 0.5)
+          .as("likely_dup"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> (dedupCluster _),
+    "dedup_shared_ngrams" -> (dedupSharedNgrams _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_containment" -> (dedupContainment _),
@@ -625,6 +660,33 @@ object DedupQueries {
          |  least(d.doc_id, coalesce(mr.m, d.doc_id)) AS cluster_id,
          |  d.doc_id = least(d.doc_id, coalesce(mr.m, d.doc_id)) AS keep
          |FROM documents d LEFT JOIN minreach mr ON d.doc_id = mr.src
+         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_shared_ngrams" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |                             t -> t != '') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN length(t) >= $sharedNgramN
+         |      THEN list_transform(generate_series(1, length(t) - ${sharedNgramN - 1}),
+         |           i -> array_to_string(t[i:i+${sharedNgramN - 1}], ' '))
+         |      ELSE CAST([] AS VARCHAR[]) END) AS sh
+         |  FROM toks),
+         |post AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |dft AS (SELECT g, count(*) AS df FROM post GROUP BY g),
+         |per_doc AS (
+         |  SELECT doc_id, count(*) AS n_ngrams,
+         |         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared
+         |  FROM post JOIN dft USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+         |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+         |  round(coalesce(CAST(n_shared AS DOUBLE) / n_ngrams, 0.0), 6)
+         |    AS shared_frac,
+         |  round(coalesce(CAST(n_shared AS DOUBLE) / n_ngrams, 0.0), 6) >= 0.5
+         |    AS likely_dup
+         |FROM documents d LEFT JOIN per_doc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "dedup_incremental" ->
       s"""WITH d AS (SELECT doc_id, ${duckMd5Long("text")} AS content_hash

@@ -194,10 +194,31 @@ object SimilarityQueries {
   def hybridSearchIvf(s: SparkSession, dir: String): DataFrame =
     qualityRerank(annIvf(s, dir), s, dir)
 
+  /** Symmetric int8 embedding quantization — the compression step before
+    * shipping vectors to a trainer or an ANN index (4× smaller, recall
+    * loss bounded by max_err). One codegen'd kernel call per row
+    * ([[graft.functions.QuantizeI8]]), NO shuffle: at 100 TB this runs at
+    * parquet scan speed, which is the entire cost. Doubles surface as
+    * micro-units and the code vector as a csv string (oracle-comparable;
+    * the string build is a plain array<int>→array<string> cast, no
+    * interpreted lambda). */
+  def embeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantizeFunctions.quantizeI8
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        quantizeI8(col("embedding").cast("array<double>")).as("qz"))
+      .select(col("vec_id"),
+        round(col("qz.scale") * 1e6).cast("long").as("scale_micro"),
+        concat_ws(",", col("qz.q").cast("array<string>")).as("q_csv"),
+        round(col("qz.max_err") * 1e6).cast("long").as("max_err_micro"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_force" -> (annBruteForce _),
     "ann_ivf" -> (annIvf _),
     "embedding_centroids" -> (embeddingCentroids _),
+    "embedding_quantize" -> (embeddingQuantize _),
     "hybrid_search" -> (hybridSearch _),
     "hybrid_search_ivf" -> (hybridSearchIvf _))
 
@@ -290,6 +311,26 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "hybrid_search" -> rerankSql(bruteAnnCtes),
     "hybrid_search_ivf" -> rerankSql(ivfAnnCtes),
+    "embedding_quantize" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |sc AS (
+         |  SELECT vec_id, e,
+         |    coalesce(list_max(list_transform(e, x -> abs(x))), 0.0) / 127.0
+         |      AS scale
+         |  FROM v),
+         |qv AS (
+         |  SELECT vec_id, e, scale,
+         |    list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+         |                           ELSE CAST(round(x / scale) AS INT) END) AS q
+         |  FROM sc)
+         |SELECT vec_id,
+         |  CAST(round(scale * 1e6) AS BIGINT) AS scale_micro,
+         |  array_to_string(q, ',') AS q_csv,
+         |  CAST(round(coalesce(list_max(list_transform(
+         |        generate_series(1, length(e)),
+         |        i -> abs(q[i] * scale - e[i]))), 0.0) * 1e6) AS BIGINT)
+         |    AS max_err_micro
+         |FROM qv ORDER BY vec_id""".stripMargin,
     "embedding_centroids" ->
       s"""WITH b AS (
          |  SELECT label, vec_id // $centroidBucket AS bkt, count(*) AS bn,

@@ -95,11 +95,53 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style within-document repetition signals — the standard
+    * quality gate a training pipeline runs before dedup (repetitious docs
+    * are boilerplate/spam even when globally unique):
+    *  - dup_token_frac: 1 − distinct/total tokens,
+    *  - top_bigram_frac: occurrences of the most frequent bigram / all
+    *    bigram occurrences,
+    *  - dup_trigram_frac: occurrences of trigrams seen ≥2× in the doc /
+    *    all trigram occurrences.
+    *
+    * Shape at scale: tokenization happens ONCE (the checkpointed token
+    * table); the three n-gram streams union into a single
+    * (doc_id, n, gram) count — one map-side-combined shuffle whose keys
+    * are per-doc grams (unskewable: a group is one gram of one doc) —
+    * followed by one doc_id-keyed pivot agg. The n-gram explode is the
+    * codegen'd [[graft.functions.WordNgrams]] multiset kernel (distinct
+    * shingles would erase exactly the signal measured here). */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .localCheckpoint()
+    val grams = Seq(1, 2, 3).map(n => base.select(col("doc_id"),
+        lit(n).as("n"), explode(wordNgrams(col("t"), n)).as("g")))
+      .reduce(_ unionByName _)
+    val stats = grams.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n").agg(
+        sum(col("c")).as("total"), count(lit(1)).as("dis"),
+        max(col("c")).as("maxc"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
+    def pick(n: Int, c: String): Column =
+      first(when(col("n") === n, col(c)), ignoreNulls = true)
+    stats.groupBy("doc_id").agg(
+      pick(1, "total").as("n_tokens"),
+      round(lit(1.0) - pick(1, "dis") / pick(1, "total"), 6)
+        .as("dup_token_frac"),
+      round(coalesce(pick(2, "maxc") / pick(2, "total"), lit(0.0)), 6)
+        .as("top_bigram_frac"),
+      round(coalesce(pick(3, "dup") / pick(3, "total"), lit(0.0)), 6)
+        .as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
     "text_lang_id" -> (langId _),
     "text_quality" -> (qualityScore _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "text_repetition" -> (repetition _))
 
   private def duckCount(input: String, re: String) =
     s"length(regexp_extract_all($input, '$re'))"
@@ -145,6 +187,38 @@ object TextQueries {
          |  round(least(n_tokens / 4.0, 50.0) + least(stop * 5.0, 30.0)
          |        - least(punct, 20.0) + 20.0, 6) AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |                             t -> t != '') AS t
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, 1 AS n, unnest(t) AS g FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, 2 AS n,
+         |         unnest(list_transform(generate_series(1, length(t) - 1),
+         |                i -> array_to_string(t[i:i+1], ' '))) AS g
+         |  FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, 3 AS n,
+         |         unnest(list_transform(generate_series(1, length(t) - 2),
+         |                i -> array_to_string(t[i:i+2], ' '))) AS g
+         |  FROM toks),
+         |counts AS (
+         |  SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+         |stats AS (
+         |  SELECT doc_id, n, sum(c) AS total, count(*) AS dis, max(c) AS maxc,
+         |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+         |  FROM counts GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(first(total) FILTER (n = 1) AS BIGINT) AS n_tokens,
+         |  round(1.0 - CAST(first(dis) FILTER (n = 1) AS DOUBLE)
+         |              / first(total) FILTER (n = 1), 6) AS dup_token_frac,
+         |  round(coalesce(CAST(first(maxc) FILTER (n = 2) AS DOUBLE)
+         |              / first(total) FILTER (n = 2), 0.0), 6) AS top_bigram_frac,
+         |  round(coalesce(CAST(first(dup) FILTER (n = 3) AS DOUBLE)
+         |              / first(total) FILTER (n = 3), 0.0), 6) AS dup_trigram_frac
+         |FROM stats GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id,

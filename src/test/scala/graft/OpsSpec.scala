@@ -162,6 +162,44 @@ class OpsSpec extends SparkSpec {
     assert(d.filter(not(col("fast") === col("ref"))).isEmpty)
   }
 
+  test("codegen word_ngrams ≡ the transform+slice HOF formulation (multiset, in order)") {
+    val toks = TextFunctions.tokens(col("text"))
+    val hof = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => array_join(slice(toks, i, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val d = Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"),
+        TextFunctions.wordNgrams(toks, 2).as("fast"), hof.as("ref"))
+    assert(d.filter(not(col("fast") === col("ref"))).isEmpty)
+    // multiset semantics: a repeated bigram must appear repeatedly
+    import spark.implicits._
+    val rep = Seq("a b a b a").toDF("text")
+      .select(TextFunctions.wordNgrams(TextFunctions.tokens(col("text")), 2))
+      .head().getSeq[String](0)
+    assert(rep === Seq("a b", "b a", "a b", "b a"))
+  }
+
+  test("quantize_i8: codes bounded, error within half a step, null element poisons") {
+    import graft.functions.QuantizeFunctions.quantizeI8
+    val qz = Tables.embeddings(spark, sf)
+      .select(quantizeI8(col("embedding").cast("array<double>")).as("z"))
+      .select(col("z.scale").as("s"), col("z.q").as("q"),
+        col("z.max_err").as("e"))
+    assert(qz.filter(col("s") <= 0).isEmpty) // real vectors: positive scale
+    assert(qz.filter(array_max(transform(col("q"), abs(_))) > 127).isEmpty)
+    // round-to-nearest: reconstruction error can never exceed scale/2
+    assert(qz.filter(col("e") > col("s") / 2 * 1.0000001).isEmpty)
+    // a null element must poison the result, not yield a plausible code
+    import spark.implicits._
+    val poisoned = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 3.0)))
+      .toDF("v").select(quantizeI8(col("v").cast("array<double>")).as("z"))
+    assert(poisoned.filter(col("z").isNotNull).isEmpty)
+    // and the SQL surface sees the function
+    assert(spark.sql("SELECT quantize_i8(array(3.0D, -1.5D)).q").head()
+      .getSeq[Int](0) === Seq(127, -64))
+  }
+
   test("codegen simhash60 ≡ the explode/groupBy relational formulation") {
     val toks = TextFunctions.tokens(col("text"))
     val docs = Tables.documents(spark, sf).limit(200)
