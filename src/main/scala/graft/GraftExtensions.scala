@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{QuantizeExpressions, SetSimExpressions, ShingleExpressions, SimHashExpressions, VectorExpressions}
+import graft.functions.{QuantizeExpressions, SetSimExpressions, ShingleExpressions, SimHashExpressions, VectorExpressions, ZOrderExpressions}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Engine extension point, wired the public way:
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SetSimExpressions.sortedCommonCountDescriptor)
     ext.injectFunction(ShingleExpressions.wordNgramsDescriptor)
     ext.injectFunction(QuantizeExpressions.quantizeI8Descriptor)
+    ext.injectFunction(ZOrderExpressions.zorder2Descriptor)
   }
 }
 

@@ -201,7 +201,51 @@ object AnalyticsQueries {
       .orderBy("user_id", "seq_in_user")
   }
 
+  /** Window half-width and the range-join bucket width (both 2h). */
+  val rangeJoinBucketSec = 7200L
+
+  /** RANGE JOIN, bucketed: count the `error` events (any user) falling
+    * inside ±2h windows anchored at user 0's `signup` events — a genuine
+    * NON-equi interval join (no shared key between the sides).
+    *
+    * The naive plan is a cartesian product with a range residual — O(n·m)
+    * at any scale. The bucketed formulation synthesizes an equi key: each
+    * window EXPLODES into the fixed-width time buckets it overlaps
+    * (window span / bucket width rows — here ≤ 3), each probe row has
+    * exactly ONE bucket, and the join runs on the bucket id with the
+    * range predicate left as the residual. Work becomes O(m·k + matching
+    * pairs) with per-key skew bounded by events-per-bucket — the standard
+    * interval-join shape (Flink's interval join / Databricks' range-join
+    * hints do exactly this). The window side here is tiny, so it also
+    * broadcasts: the fact side never shuffles at all. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bkt = rangeJoinBucketSec
+    val windows = events(s, dir)
+      .filter(col("event_type") === "signup" && col("user_id") === 0)
+      .select(col("event_id").as("window_id"),
+        (unix_timestamp(col("ts")) - bkt).as("w_start"),
+        (unix_timestamp(col("ts")) + bkt).as("w_end"))
+    val wBuckets = windows.withColumn("bucket",
+      explode(sequence(expr(s"w_start div $bkt"), expr(s"w_end div $bkt"))))
+    val probes = events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      .withColumn("bucket", expr(s"sec div $bkt"))
+    val matched = probes
+      .join(broadcast(wBuckets), Seq("bucket"))
+      .filter(col("sec") >= col("w_start") && col("sec") < col("w_end"))
+      .groupBy("window_id").agg(
+        count(lit(1)).as("n_errors"),
+        countDistinct(col("user_id")).as("n_users"))
+    windows.join(matched, Seq("window_id"), "left")
+      .select(col("window_id"), col("w_start"), col("w_end"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy("window_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_join" -> (rangeJoin _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
     "window_lag" -> (windowLag _),
     "sessionize" -> (sessionize _),
@@ -215,6 +259,26 @@ object AnalyticsQueries {
     "resample_ffill" -> (resampleFfill _))
 
   val oracles: Map[String, String] = Map(
+    "range_join" ->
+      s"""WITH w AS (
+         |  SELECT event_id AS window_id,
+         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) - $rangeJoinBucketSec AS w_start,
+         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + $rangeJoinBucketSec AS w_end
+         |  FROM events WHERE event_type = 'signup' AND user_id = 0),
+         |p AS (
+         |  SELECT event_id, user_id,
+         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+         |  FROM events WHERE event_type = 'error'),
+         |m AS (
+         |  SELECT w.window_id, count(*) AS n_errors,
+         |    count(DISTINCT p.user_id) AS n_users
+         |  FROM p JOIN w ON p.sec >= w.w_start AND p.sec < w.w_end
+         |  GROUP BY w.window_id)
+         |SELECT w.window_id, w.w_start, w.w_end,
+         |  coalesce(m.n_errors, 0) AS n_errors,
+         |  coalesce(m.n_users, 0) AS n_users
+         |FROM w LEFT JOIN m ON w.window_id = m.window_id
+         |ORDER BY w.window_id""".stripMargin,
     "resample_ffill" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
         |           FROM events),

@@ -497,6 +497,26 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Cluster RETENTION: the policy step after [[dedupCluster]] — keep
+    * exactly one representative per near-dup cluster, chosen by a quality
+    * criterion rather than the arbitrary min-id: the LONGEST member
+    * (`n_chars` desc, doc_id asc tiebreak), the standard "keep the most
+    * complete copy" rule. Cost on top of clustering is one broadcast-able
+    * join of the (doc, cluster) labels with the doc metadata plus a
+    * per-cluster rank window — the window input is one row per document
+    * with bounded cluster sizes, so no skew concern at scale. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = dedupCluster(s, dir).select("doc_id", "cluster_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(s, dir).select("doc_id", "n_chars")
+      .join(labels, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "n_chars", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Per-document corpus-overlap score: the fraction of a doc's distinct
     * 5-gram shingles that appear in ANY other document — the standard
     * repeated-passage / benchmark-contamination signal (the document-level
@@ -533,6 +553,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> (dedupCluster _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_shared_ngrams" -> (dedupSharedNgrams _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -661,6 +682,23 @@ object DedupQueries {
          |  d.doc_id = least(d.doc_id, coalesce(mr.m, d.doc_id)) AS keep
          |FROM documents d LEFT JOIN minreach mr ON d.doc_id = mr.src
          |ORDER BY d.doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+         |edges AS (SELECT a AS src, b AS dst FROM jpairs
+         |          UNION SELECT b, a FROM jpairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |minreach AS (SELECT src, min(dst) AS m FROM reach GROUP BY src),
+         |lab AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(mr.m, d.doc_id)) AS cluster_id, d.n_chars
+         |  FROM documents d LEFT JOIN minreach mr ON d.doc_id = mr.src)
+         |SELECT doc_id, cluster_id, n_chars,
+         |  row_number() OVER (PARTITION BY cluster_id
+         |                     ORDER BY n_chars DESC, doc_id) = 1 AS keep
+         |FROM lab ORDER BY doc_id""".stripMargin,
     "dedup_shared_ngrams" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),

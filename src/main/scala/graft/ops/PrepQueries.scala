@@ -1,0 +1,273 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.ZOrderFunctions.zorder2
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus PREPARATION operators — the steps between a curated
+  * corpus and a training run: benchmark decontamination, sliding-window
+  * chunking, vocabulary-coverage (OOV) scoring, and multi-dimensional
+  * data layout (Z-ordering).
+  *
+  * Scale design (the 100 TB story, tested at sf*):
+  *  - [[decontaminate]]: the benchmark/eval side of the n-gram overlap is
+  *    SMALL by construction (eval sets are thousands of docs, the corpus
+  *    is billions), so its distinct-gram set BROADCASTS and the train
+  *    side is a scan + map-side semi-probe — no shuffle of corpus
+  *    postings at all. This is the asymmetric shape that distinguishes
+  *    decontamination from all-pairs dedup ([[DedupQueries]]): one side
+  *    is fixed and tiny, the other is the whole corpus.
+  *  - [[chunkDocuments]]: a pure per-row explode (`sequence` + `slice`) —
+  *    no shuffle; output size is corpus/stride, the cost any chunking
+  *    pass must pay. Stride < window gives the overlap LLM context
+  *    packing wants.
+  *  - [[oovRate]]: the vocabulary is a bounded top-K (heavy hitters), so
+  *    it broadcasts; per-doc token counts are map-side combined before
+  *    the single (doc, token) aggregation.
+  *  - [[zorderLayout]]: the Z-value is a codegen'd per-row projection
+  *    ([[graft.functions.ZOrder2]]); file assignment is fixed-width
+  *    Z-range bucketing (top bits), i.e. NO global sort is needed to
+  *    decide placement — writing is `repartitionByRange` on z, the same
+  *    one exchange any sorted write costs.
+  */
+object PrepQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+
+  // ---- benchmark decontamination -----------------------------------------
+
+  /** Docs whose id ≡ 0 (mod 10) play the held-out benchmark; the rest are
+    * the training corpus. */
+  val benchmarkMod = 10
+  val contamNgramN = 5
+
+  /** Benchmark decontamination: for every TRAINING document, the number
+    * and fraction of its distinct [[contamNgramN]]-gram shingles that
+    * appear anywhere in the BENCHMARK split — the standard eval-leakage
+    * check run before training. A single shared gram flags the doc (the
+    * conservative policy; the fraction supports softer thresholds). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val isBench = pmod(col("doc_id"), lit(benchmarkMod)) === 0
+    val shingled = docs(s, dir)
+      .select(col("doc_id"), isBench.as("is_bench"),
+        shingles(tokens(col("text")), contamNgramN).as("sh"))
+    // eval sets are tiny next to the corpus: distinct grams broadcast
+    val benchGrams = shingled.filter(col("is_bench"))
+      .select(explode(col("sh")).as("g")).distinct()
+    val train = shingled.filter(!col("is_bench"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"), col("sh"))
+    val hits = train
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    train.select("doc_id", "n_grams")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination",
+        when(col("n_grams") > 0,
+          round(col("n_contaminated") / col("n_grams"), 6)).otherwise(lit(0.0)))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+      .orderBy("doc_id")
+  }
+
+  // ---- sliding-window chunking -------------------------------------------
+
+  val chunkWindow = 32
+  val chunkStride = 24
+
+  /** Sliding-window chunking: split each document's token stream into
+    * [[chunkWindow]]-token chunks every [[chunkStride]] tokens (overlap =
+    * window − stride), materializing the chunk text — the
+    * context-window-preparation step of an LLM data pipeline. Chunk count
+    * is 1 + ⌈(n − W)/S⌉ so the final partial window is kept. */
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame = {
+    val (w, st) = (chunkWindow, chunkStride)
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_toks") <= w, lit(1L))
+          .otherwise(lit(1L) + ceil((col("n_toks") - w) / lit(st.toDouble)).cast("long")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_tok", lit(1L) + col("chunk_idx") * st)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(lit(w.toLong), col("n_toks") - col("start_tok") + 1).as("chunk_len"),
+        array_join(slice(col("toks"), col("start_tok").cast("int"), lit(w)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // ---- vocabulary coverage (OOV rate) --------------------------------------
+
+  val oovVocabSize = 20
+
+  /** Out-of-vocabulary rate: per-document fraction of token OCCURRENCES
+    * outside the corpus top-[[oovVocabSize]] vocabulary (ties broken by
+    * token asc) — the coverage score a tokenizer/vocab choice is judged
+    * by, and a standard quality filter (high OOV ⇒ noise). */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val vocab = tok.groupBy("token").agg(sum(col("c")).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token").asc)))
+      .filter(col("rank") <= oovVocabSize)
+      .select(col("token"))
+    val perDoc = tok
+      .join(broadcast(vocab).withColumn("in_vocab", lit(1)), Seq("token"), "left")
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(lit(0L))).as("n_oov"))
+    docs(s, dir).select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(coalesce(col("n_oov") / col("n_tokens"), lit(0.0)), 6).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  // ---- Z-order data layout --------------------------------------------------
+
+  /** Per-dimension bucket resolution (15 bits ⇒ a 30-bit Z value). */
+  val zorderDimBits = 15
+  /** Top-k Z-value bits = the file id: fixed-width Z-range bucketing. */
+  val zorderFileBits = 8
+
+  /** Z-order layout assignment over `events`: normalize (user_id,
+    * epoch-minute) to [[zorderDimBits]]-bit bucket ids over each column's
+    * OBSERVED min/max (raw values would waste the interleave on bits that
+    * never vary — the same reason Delta's OPTIMIZE ZORDER range-partitions
+    * each column before interleaving), Morton-interleave the bucket ids
+    * ([[graft.functions.ZOrder2]], codegen'd), and derive the target file
+    * from the top [[zorderFileBits]] bits. Rows close in BOTH user and
+    * time land in the same file, so file-level min/max statistics prune
+    * scans for predicates on EITHER column. The min/max bounds are one
+    * 1-row aggregate broadcast onto the scan; bucketing is integer-exact
+    * ((v − min)·2^bits div span), so the whole layout is reproducible and
+    * oracle-checkable. Writing = `repartitionByRange` on `zval` — the one
+    * exchange any sorted write costs. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_timestamp(ts) div 60").as("epoch_min"))
+    val bounds = e.agg(
+      min("user_id").as("u_lo"), max("user_id").as("u_hi"),
+      min("epoch_min").as("m_lo"), max("epoch_min").as("m_hi"))
+    val buckets = 1L << zorderDimBits
+    e.crossJoin(broadcast(bounds))
+      .withColumn("xb", expr(s"((user_id - u_lo) * $buckets) div (u_hi - u_lo + 1)"))
+      .withColumn("yb", expr(s"((epoch_min - m_lo) * $buckets) div (m_hi - m_lo + 1)"))
+      .withColumn("zval", zorder2(col("xb"), col("yb")))
+      .withColumn("file_id",
+        shiftright(col("zval"), 2 * zorderDimBits - zorderFileBits))
+      .select("event_id", "user_id", "epoch_min", "zval", "file_id")
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate" -> (decontaminate _),
+    "chunk_documents" -> (chunkDocuments _),
+    "oov_rate" -> (oovRate _),
+    "zorder_layout" -> (zorderLayout _))
+
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             t -> t != '') AS t
+      |  FROM documents)""".stripMargin
+
+  /** Distinct word n-gram CTE over `toks` (mirrors TextFunctions.shingles). */
+  private def shCte(n: Int) =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN length(t) >= $n
+       |      THEN list_transform(generate_series(1, length(t) - ${n - 1}),
+       |           i -> array_to_string(t[i:i+${n - 1}], ' '))
+       |      ELSE CAST([] AS VARCHAR[]) END) AS sh
+       |  FROM toks)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "decontaminate" ->
+      s"""WITH $toksCte, ${shCte(contamNgramN)},
+         |bench AS (
+         |  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % $benchmarkMod = 0),
+         |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % $benchmarkMod != 0),
+         |hits AS (
+         |  SELECT t.doc_id, count(*) AS n_contaminated
+         |  FROM (SELECT doc_id, unnest(sh) AS g FROM train) t
+         |  JOIN bench USING (g) GROUP BY t.doc_id)
+         |SELECT t.doc_id, CAST(length(t.sh) AS BIGINT) AS n_grams,
+         |  coalesce(h.n_contaminated, 0) AS n_contaminated,
+         |  round(coalesce(CAST(h.n_contaminated AS DOUBLE) / length(t.sh), 0.0), 6)
+         |    AS contamination,
+         |  coalesce(h.n_contaminated, 0) > 0 AS contaminated
+         |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+    "chunk_documents" ->
+      s"""WITH $toksCte,
+         |d AS (
+         |  SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n_toks,
+         |    CASE WHEN length(t) <= $chunkWindow THEN 1
+         |      ELSE 1 + CAST(ceil((length(t) - $chunkWindow) / $chunkStride.0) AS BIGINT)
+         |    END AS n_chunks
+         |  FROM toks)
+         |SELECT doc_id, i AS chunk_idx,
+         |  1 + i * $chunkStride AS start_tok,
+         |  least($chunkWindow, n_toks - (1 + i * $chunkStride) + 1) AS chunk_len,
+         |  array_to_string(
+         |    t[CAST(1 + i * $chunkStride AS INT)
+         |      : CAST(i * $chunkStride + $chunkWindow AS INT)], ' ') AS chunk_text
+         |FROM d, unnest(range(0, n_chunks)) AS u(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "oov_rate" ->
+      s"""WITH $toksCte,
+         |tok AS (
+         |  SELECT doc_id, unnest(t) AS token FROM toks),
+         |counts AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, sum(c) AS n,
+         |      row_number() OVER (ORDER BY sum(c) DESC, token) AS rank
+         |    FROM counts GROUP BY token)
+         |  WHERE rank <= $oovVocabSize),
+         |per_doc AS (
+         |  SELECT c.doc_id, sum(c.c) AS n_tokens,
+         |    sum(CASE WHEN v.token IS NULL THEN c.c ELSE 0 END) AS n_oov
+         |  FROM counts c LEFT JOIN vocab v ON c.token = v.token
+         |  GROUP BY c.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_tokens, 0) AS n_tokens,
+         |  coalesce(p.n_oov, 0) AS n_oov,
+         |  round(coalesce(CAST(p.n_oov AS DOUBLE) / p.n_tokens, 0.0), 6) AS oov_rate
+         |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "zorder_layout" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id,
+         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 60 AS epoch_min
+         |  FROM events),
+         |bounds AS (
+         |  SELECT min(user_id) AS u_lo, max(user_id) AS u_hi,
+         |         min(epoch_min) AS m_lo, max(epoch_min) AS m_hi
+         |  FROM e),
+         |b AS (
+         |  SELECT event_id, user_id, epoch_min,
+         |    ((user_id - u_lo) * ${1L << zorderDimBits}) // (u_hi - u_lo + 1) AS xb,
+         |    ((epoch_min - m_lo) * ${1L << zorderDimBits}) // (m_hi - m_lo + 1) AS yb
+         |  FROM e, bounds),
+         |z AS (
+         |  SELECT event_id, user_id, epoch_min,
+         |    CAST(list_sum(list_transform(range(0, 30), i ->
+         |      (((xb >> i) & 1) << (2 * i))
+         |      | (((yb >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zval
+         |  FROM b)
+         |SELECT event_id, user_id, epoch_min, zval,
+         |  zval >> ${2 * zorderDimBits - zorderFileBits} AS file_id
+         |FROM z ORDER BY event_id""".stripMargin)
+}

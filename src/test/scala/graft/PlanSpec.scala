@@ -100,6 +100,33 @@ class PlanSpec extends SparkSpec {
       s"history×batch-keys join must broadcast the key set:\n$p")
   }
 
+  test("decontaminate broadcasts the benchmark grams, never the corpus") {
+    // the asymmetric contract: the benchmark side (tiny eval set) feeds a
+    // BroadcastHashJoin LeftSemi probe; the corpus postings never shuffle
+    // for candidate generation
+    val p = planOf(ops.PrepQueries.queries("decontaminate")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark gram set must broadcast into a semi probe:\n$p")
+  }
+
+  test("range join: windows broadcast; probes join on the bucket key") {
+    val p = planOf(ops.AnalyticsQueries.queries("range_join")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the exploded window-bucket side must broadcast:\n$p")
+    assert(p.contains("bucket"), s"join must run on the synthesized bucket key:\n$p")
+  }
+
+  test("zorder layout is one scan + a 1-row bounds broadcast, no shuffle of facts") {
+    val p = planOf(ops.PrepQueries.queries("zorder_layout")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"min/max bounds must ride in as a broadcast:\n$p")
+    assert(p.contains("zorder2"), s"the Morton kernel must appear in the plan:\n$p")
+    // the only exchange allowed is the presentation sort + bounds agg:
+    // no hash-partitioning of the event scan by any column
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(hashEx.isEmpty, s"no fact-side hash shuffle expected:\n$hashEx")
+  }
+
   test("adaptive query execution is on for every graft session") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
     val df = Tables.lineitem(spark, sf).groupBy("l_returnflag").count()

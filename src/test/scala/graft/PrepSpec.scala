@@ -1,0 +1,147 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.functions.ZOrderFunctions.zorder2
+import graft.functions.ZOrderUtil
+import graft.ops.{AnalyticsQueries, DedupQueries, PrepQueries}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-preparation operators (PrepQueries) plus the
+  * bucketed range join and cluster-retention dedup added alongside. */
+class PrepSpec extends SparkSpec {
+
+  test("zorder2 expression ≡ the built-in shift/or fold, incl. masking") {
+    import spark.implicits._
+    val xs = Seq(0L, 1L, 149L, (1L << 30) - 1, 1L << 30, -1L, 123456789L)
+    val rows = (for (x <- xs; y <- xs) yield (x, y)).toDF("x", "y")
+    // reference formulation from built-ins only (60 codegen'd terms)
+    val ref = (0 until 30).map { i =>
+      (shiftleft(shiftright(col("x"), i) % 2, 2 * i) +
+        shiftleft(shiftright(col("y"), i) % 2, 2 * i + 1))
+    }.reduce(_ + _)
+    // % on negatives differs from bit-masking, so mask before the fold
+    val masked = rows
+      .withColumn("x", col("x").bitwiseAND(lit(ZOrderUtil.DimMask)))
+      .withColumn("y", col("y").bitwiseAND(lit(ZOrderUtil.DimMask)))
+    val bad = masked
+      .withColumn("z_expr", zorder2(col("x"), col("y")))
+      .withColumn("z_ref", ref)
+      .filter(col("z_expr") =!= col("z_ref"))
+    assert(bad.isEmpty)
+    // negative inputs fold to their low 30 bits rather than poisoning z
+    assert(ZOrderUtil.zorder2(-1L, 0L) === ZOrderUtil.zorder2(ZOrderUtil.DimMask, 0L))
+    // null propagates
+    val n = rows.select(zorder2(lit(null).cast("long"), col("y")).as("z"))
+    assert(n.filter(col("z").isNotNull).isEmpty)
+  }
+
+  test("zorder layout: file ranges are contiguous z ranges (locality)") {
+    val df = PrepQueries.zorderLayout(spark, sf).cache()
+    // file_id = top bits of z ⇒ files partition the z space into
+    // non-overlapping ranges: max(z) of file k < min(z) of file k+1
+    val byFile = df.groupBy("file_id")
+      .agg(min("zval").as("lo"), max("zval").as("hi"))
+      .orderBy("file_id").collect()
+    byFile.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) < b.getLong(1),
+          s"file ${a.get(0)} overlaps file ${b.get(0)} in z space")
+      case _ =>
+    }
+    assert(byFile.length > 1, "layout must spread rows over multiple files")
+  }
+
+  test("chunking covers every token and respects window/stride geometry") {
+    import spark.implicits._
+    val chunks = PrepQueries.chunkDocuments(spark, sf).cache()
+    val w = PrepQueries.chunkWindow
+    val st = PrepQueries.chunkStride
+    // geometry: start_tok advances by stride; len ≤ window; only the last
+    // chunk of a doc may be shorter than the window
+    assert(chunks.filter(col("start_tok") =!= col("chunk_idx") * st + 1).isEmpty)
+    assert(chunks.filter(col("chunk_len") > w).isEmpty)
+    val lastIdx = chunks.groupBy("doc_id").agg(max("chunk_idx").as("last"))
+    val short = chunks.join(lastIdx, Seq("doc_id"))
+      .filter(col("chunk_len") < w && col("chunk_idx") =!= col("last"))
+    assert(short.isEmpty, "only the final chunk may be partial")
+    // coverage: last chunk reaches the end of the token stream
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+    val tail = chunks.join(lastIdx, Seq("doc_id")).filter(col("chunk_idx") === col("last"))
+      .join(toks, Seq("doc_id"))
+      .filter(col("start_tok") + col("chunk_len") - 1 =!= col("n"))
+    assert(tail.isEmpty, "final chunk must end at the last token")
+    // the chunk text really is the token slice it claims to be
+    val probe = chunks.as[(Long, Long, Long, Long, String)].head()
+    val docToks = Tables.documents(spark, sf)
+      .filter(col("doc_id") === probe._1)
+      .select(tokens(col("text"))).as[Seq[String]].head()
+    assert(probe._5 === docToks.slice(probe._3.toInt - 1,
+      probe._3.toInt - 1 + w).mkString(" "))
+  }
+
+  test("decontaminate: benchmark excluded; flags ⟺ a shared benchmark gram") {
+    val d = PrepQueries.decontaminate(spark, sf).cache()
+    assert(d.filter(pmod(col("doc_id"), lit(PrepQueries.benchmarkMod)) === 0).isEmpty)
+    // recompute hits independently with a plain (non-broadcast) join
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), PrepQueries.contamNgramN)).as("g"))
+    val bench = sh.filter(pmod(col("doc_id"), lit(PrepQueries.benchmarkMod)) === 0)
+      .select("g").distinct()
+    val want = sh.filter(pmod(col("doc_id"), lit(PrepQueries.benchmarkMod)) =!= 0)
+      .join(bench, Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("want_n"))
+    val joined = d.join(want, Seq("doc_id"), "left")
+      .withColumn("want_n", coalesce(col("want_n"), lit(0L)))
+    assert(joined.filter(col("n_contaminated") =!= col("want_n")).isEmpty)
+    assert(joined.filter(col("contaminated") =!= (col("want_n") > 0)).isEmpty)
+  }
+
+  test("bucketed range join ≡ naive cross join with the range predicate") {
+    val got = AnalyticsQueries.rangeJoin(spark, sf).cache()
+    val bkt = AnalyticsQueries.rangeJoinBucketSec
+    val ev = Tables.events(spark, sf)
+    val windows = ev.filter(col("event_type") === "signup" && col("user_id") === 0)
+      .select(col("event_id").as("window_id"),
+        (unix_timestamp(col("ts")) - bkt).as("w_start"),
+        (unix_timestamp(col("ts")) + bkt).as("w_end"))
+    val probes = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+    val naive = windows.crossJoin(probes)
+      .filter(col("sec") >= col("w_start") && col("sec") < col("w_end"))
+      .groupBy("window_id").agg(count(lit(1)).as("n_errors2"),
+        countDistinct(col("user_id")).as("n_users2"))
+    val cmp = got.join(naive, Seq("window_id"), "left")
+      .withColumn("n_errors2", coalesce(col("n_errors2"), lit(0L)))
+      .withColumn("n_users2", coalesce(col("n_users2"), lit(0L)))
+    assert(cmp.filter(col("n_errors") =!= col("n_errors2") ||
+      col("n_users") =!= col("n_users2")).isEmpty)
+    assert(got.count() === windows.count(), "zero-match windows must surface")
+  }
+
+  test("keep-best retention: exactly one keeper per cluster, the longest") {
+    val k = DedupQueries.dedupKeepBest(spark, sf).cache()
+    val perCluster = k.groupBy("cluster_id").agg(
+      sum(when(col("keep"), 1).otherwise(0)).as("keepers"),
+      max(col("n_chars")).as("max_chars"))
+    assert(perCluster.filter(col("keepers") =!= 1).isEmpty)
+    // every keeper has its cluster's max length
+    val kept = k.filter(col("keep")).join(perCluster, Seq("cluster_id"))
+    assert(kept.filter(col("n_chars") =!= col("max_chars")).isEmpty)
+    // same membership as the clustering it retains over
+    val clusters = DedupQueries.dedupCluster(spark, sf).select("doc_id", "cluster_id")
+    assert(k.select("doc_id", "cluster_id").exceptAll(clusters).isEmpty)
+  }
+
+  test("oov rate: rational n_oov/n_tokens against an independent vocab") {
+    import spark.implicits._
+    val o = PrepQueries.oovRate(spark, sf).cache()
+    assert(o.filter(col("n_oov") > col("n_tokens")).isEmpty)
+    assert(o.filter(col("oov_rate") < 0 || col("oov_rate") > 1).isEmpty)
+    // vocab covers the top tokens: total OOV mass < half the corpus here
+    val tot = o.agg(sum("n_tokens"), sum("n_oov")).as[(Long, Long)].head()
+    assert(tot._2 > 0, "some OOV mass must exist (vocab is a strict top-K)")
+    assert(tot._2 * 2 < tot._1, "top-K vocab must cover the majority mass")
+  }
+}
