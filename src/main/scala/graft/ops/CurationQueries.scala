@@ -202,7 +202,29 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source corpus REPORT: document count, token mass, mean length,
+    * language spread, and duplicate share (non-canonical docs under the
+    * corpus-wide exact-dedup rule) — the per-provenance quality dashboard
+    * every corpus build publishes. One pass: a window for canonicality +
+    * one hash aggregation; output is sources-sized (tiny at any scale). */
+  def sourceStats(s: SparkSession, dir: String): DataFrame = {
+    val canonical = col("doc_id") ===
+      min(col("doc_id")).over(Window.partitionBy(col("content_hash")))
+    Tables.documents(s, dir)
+      .withColumn("content_hash", md5Long(col("text")))
+      .withColumn("canonical", canonical)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(whitespaceTokenCount(col("text")).cast("long")).as("n_tokens"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("canonical"), 0L).otherwise(1L)).as("n_dups"))
+      .withColumn("dup_frac", round(col("n_dups") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_stats" -> (sourceStats _),
     "pack_sequences" -> (packSequences _),
     "sample_mixture" -> (sampleMixture _),
     "sample_stratified" -> (sampleStratified _),
@@ -220,6 +242,20 @@ object CurationQueries {
     .mkString("CASE ", " ", " ELSE 0.0 END")
 
   val oracles: Map[String, String] = Map(
+    "source_stats" ->
+      """WITH h AS (
+        |  SELECT source, lang, n_chars,
+        |    CAST(length(list_filter(string_split_regex(lower(text), '\s+'),
+        |         t -> t != '')) AS BIGINT) AS n_toks,
+        |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs, sum(n_toks) AS n_tokens,
+        |  round(avg(n_chars), 6) AS avg_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  sum(CASE WHEN canonical THEN 0 ELSE 1 END) AS n_dups,
+        |  round(sum(CASE WHEN canonical THEN 0 ELSE 1 END)
+        |        / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
     "pack_sequences" ->
       s"""WITH d AS (
          |  SELECT doc_id, doc_id % $packShards AS shard,

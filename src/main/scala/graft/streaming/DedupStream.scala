@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.io.File
+
+import graft.functions.TextFunctions.md5Long
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** INGESTION-TIME streaming dedup — the streaming face of
+  * [[graft.ops.DedupQueries.dedupIncremental]]: each micro-batch of
+  * documents is deduplicated within itself, probed against the PERSISTED
+  * corpus hash index, and only novel documents are appended; the index
+  * gains exactly their hashes. The corpus thus never holds two documents
+  * with the same content hash, no matter how input batches interleave.
+  *
+  * Exactly-once without a commit log: each batch writes to its OWN
+  * `batch=<id>` subdirectory via temp-dir + atomic rename, so a replayed
+  * batch id (foreachBatch redelivery after a crash) sees its committed
+  * directory and no-ops. The corpus/index reads union the committed batch
+  * directories — a plain recursive parquet read.
+  *
+  * Scale notes (100 TB): the per-batch work is ONE equi-join of a
+  * batch-sized probe against the index keyed by content hash — the index
+  * at production scale is bucketed by hash so the probe co-locates
+  * (`streaming/Scd2Stream.applyMicroBatchBucketed` shows that layout);
+  * nothing ever rescans the corpus text. Within-batch dedup is a window
+  * over the batch only. Appends are new files — no rewrite of history.
+  */
+object DedupStream {
+
+  /** Start the ingest stream: `docs` must carry (doc_id long, text string). */
+  def start(spark: SparkSession, docs: DataFrame, corpusDir: String,
+            checkpoint: String, triggerMs: Long = 200L): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMicroBatch(spark, batch, corpusDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch: within-batch dedup (min doc_id per hash wins, the
+    * same canonical rule as the batch operators), anti-probe of the
+    * persisted index, append novel docs + their index entries. Idempotent
+    * per `batchId`: a committed batch directory is the commit marker. */
+  def applyMicroBatch(spark: SparkSession, batch: DataFrame, corpusDir: String,
+                      batchId: Long): Unit = {
+    val corpusBatchDir = new File(s"$corpusDir/docs/batch=$batchId")
+    val indexBatchDir = new File(s"$corpusDir/index/batch=$batchId")
+    recover(corpusDir)
+    if (corpusBatchDir.exists() && indexBatchDir.exists()) return // replay
+    val hashed = batch
+      .withColumn("content_hash", md5Long(col("text")))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+      .filter(col("__rank") === 1).drop("__rank")
+      .persist()
+    try {
+      val novel = (if (indexBatchDir.getParentFile.exists() &&
+          indexBatchDir.getParentFile.list().nonEmpty)
+        hashed.join(readIndex(spark, corpusDir), Seq("content_hash"), "left_anti")
+      else hashed).persist()
+      try {
+        // index first, corpus last: the corpus batch dir is the commit
+        // marker, so a crash between the two leaves an orphan index dir
+        // that recover() sweeps — never a corpus doc missing its index
+        writeAtomically(novel.select("content_hash", "doc_id"), indexBatchDir)
+        writeAtomically(novel.select("doc_id", "content_hash", "text"), corpusBatchDir)
+      } finally { novel.unpersist(); () }
+    } finally { hashed.unpersist(); () }
+  }
+
+  /** Drop index batch dirs with no committed corpus twin (crash between
+    * the two writes) and any stale temp dirs. Safe to call any time. */
+  def recover(corpusDir: String): Unit = {
+    val index = new File(s"$corpusDir/index")
+    val dirs = Option(index.listFiles()).getOrElse(Array.empty)
+    dirs.filter(_.getName.startsWith("batch=")).foreach { d =>
+      if (!new File(s"$corpusDir/docs/${d.getName}").exists())
+        FileUtils.deleteDirectory(d)
+    }
+    Seq("docs", "index").foreach { sub =>
+      val parent = new File(s"$corpusDir/$sub")
+      Option(parent.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".tmp"))
+        .foreach(FileUtils.deleteDirectory)
+    }
+  }
+
+  private def writeAtomically(df: DataFrame, dst: File): Unit = {
+    val tmp = new File(dst.getPath + ".tmp")
+    if (tmp.exists()) FileUtils.deleteDirectory(tmp)
+    df.write.mode("overwrite").parquet(tmp.getPath)
+    if (!tmp.renameTo(dst))
+      throw new java.io.IOException(s"rename ${tmp.getPath} -> ${dst.getPath} failed")
+  }
+
+  /** The deduplicated corpus so far (committed batches only). */
+  def readCorpus(spark: SparkSession, corpusDir: String): DataFrame =
+    spark.read.parquet(s"$corpusDir/docs")
+
+  /** The (content_hash, doc_id) index the probes run against. */
+  def readIndex(spark: SparkSession, corpusDir: String): DataFrame = {
+    // only hashes whose corpus twin committed count as "seen"
+    val committed = Option(new File(s"$corpusDir/docs").list())
+      .getOrElse(Array.empty).filter(_.startsWith("batch=")).toSet
+    val idx = spark.read.parquet(s"$corpusDir/index")
+    // batch dirs are partition-style, so `batch` surfaces as a column
+    idx.filter(concat(lit("batch="), col("batch").cast("string"))
+      .isin(committed.toSeq: _*))
+      .select("content_hash", "doc_id")
+  }
+}

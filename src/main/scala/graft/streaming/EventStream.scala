@@ -77,6 +77,22 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Watermarked SLIDING windows (1-hour span every 15 minutes): each
+    * event contributes to span/slide = 4 overlapping windows — the
+    * moving-average shape. State cost is windows-per-event × groups, and
+    * the watermark evicts each window once its end passes the horizon;
+    * the overlap factor is the span/slide ratio, fixed at plan time. */
+  def slidingAgg(events: DataFrame, span: String = "1 hour",
+                 slide: String = "15 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), span, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Watermarked session windows per user (the streaming twin of
     * AnalyticsQueries.sessionize; same gap → same sessions). */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes",

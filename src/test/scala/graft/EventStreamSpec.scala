@@ -46,6 +46,33 @@ class EventStreamSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming sliding windows equal the batch sliding agg (4× overlap)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.slidingAgg(mem.toDF())
+      .writeStream.format("memory").queryName("slagg")
+      .outputMode("complete").option("checkpointLocation", ckpt()).start()
+    val rows = evRows(2000)
+    mem.addData(rows.take(1000))
+    mem.addData(rows.drop(1000))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("slagg")
+    val want = Tables.events(spark, sf).filter(col("event_id") <= 2000)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // every tumbling hour appears as 4 overlapping sliding windows
+    val perStartTum = Tables.events(spark, sf).filter(col("event_id") <= 2000)
+      .select(window(col("ts"), "1 hour").as("w")).distinct().count()
+    val perStartSlide = got.select("window_start").distinct().count()
+    assert(perStartSlide > perStartTum, "sliding must emit more window starts")
+  }
+
   test("streaming session windows equal the batch sessionize boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
