@@ -337,6 +337,55 @@ object DedupQueries {
       .orderBy("a", "b")
   }
 
+  /** INCREMENTAL NEAR-dup: the ingestion-time twin of [[dedupMinhashLsh]]
+    * and the near-dup upgrade of [[dedupIncremental]] — a new batch
+    * (doc_id > mid) probes the PERSISTED corpus band index (doc_id ≤ mid)
+    * and each new doc gets a duplicate verdict: its lowest-id verified
+    * near-match, how many corpus docs it collides with, and the best
+    * signature agreement. The corpus side is touched only through its
+    * (band, key) index — batch-sized work per ingest, no corpus rescan,
+    * exactly the [[graft.streaming.DedupStream]] shape with LSH replacing
+    * the exact hash. */
+  def dedupIncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigs(s, dir).select(col("doc_id"),
+      array((0 until minhashK).map(k => col(s"mh$k")): _*).as("sig"))
+      .localCheckpoint()
+    val mid = docs(s, dir).agg(max(col("doc_id"))).first().getLong(0) / 2
+    val bandKeys = array((0 until lshBands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("-",
+          element_at(col("sig"), b * 3 + 1).cast("string"),
+          element_at(col("sig"), b * 3 + 2).cast("string"),
+          element_at(col("sig"), b * 3 + 3).cast("string")).as("key"))): _*)
+    def bandsOf(df: DataFrame) = df
+      .select(col("doc_id"), col("sig"), explode(bandKeys).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val corpus = bandsOf(sig.filter(col("doc_id") <= mid))
+    val batch = bandsOf(sig.filter(col("doc_id") > mid))
+    val matches = aggregate(
+      zip_with(col("x.sig"), col("y.sig"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), _ + _)
+    val hits = batch.as("x").join(corpus.as("y"), Seq("band", "key"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"),
+        matches.as("sig_matches"))
+      .distinct()
+      .filter(col("sig_matches") >= 8)
+      .groupBy("doc_id").agg(
+        min(col("dup_of")).as("dup_of"),
+        count(lit(1)).as("n_dups"),
+        round(max(col("sig_matches")) / lit(minhashK.toDouble), 6)
+          .as("max_est_jaccard"))
+    sig.filter(col("doc_id") > mid).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("max_est_jaccard"), lit(0.0)).as("max_est_jaccard"),
+        col("dup_of").isNull.as("is_new"))
+      .orderBy("doc_id")
+  }
+
   /** 60-bit SimHash per doc: sign-sum of token-hash bits weighted by
     * term frequency — computed entirely map-side by the codegen'd
     * [[graft.functions.SimHash60]] kernel (one tight loop per document,
@@ -559,6 +608,7 @@ object DedupQueries {
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_lsh" -> (dedupIncrementalLsh _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash_sig" -> (dedupSimhashSig _),
@@ -742,6 +792,41 @@ object DedupQueries {
     "dedup_minhash_sig" ->
       s"""WITH $sigCte
          |SELECT * FROM sigs ORDER BY doc_id""".stripMargin,
+    "dedup_incremental_lsh" -> {
+      val bandRows = (0 until lshBands).map { bnd =>
+        val key = (0 until 3).map(r => s"mh${bnd * 3 + r}").mkString(" || '-' || ")
+        s"SELECT doc_id, $bnd AS band, $key AS key FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      val matches = (0 until minhashK)
+        .map(k => s"CASE WHEN xs.mh$k = ys.mh$k THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $sigCte,
+         |mid AS (SELECT max(doc_id) // 2 AS m FROM documents),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS dup_of
+         |  FROM bands x JOIN mid ON true JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key
+         |  WHERE x.doc_id > mid.m AND y.doc_id <= mid.m),
+         |ver AS (
+         |  SELECT c.doc_id, c.dup_of, $matches AS sig_matches
+         |  FROM cand c JOIN sigs xs ON c.doc_id = xs.doc_id
+         |              JOIN sigs ys ON c.dup_of = ys.doc_id
+         |  WHERE $matches >= 8),
+         |hits AS (
+         |  SELECT doc_id, min(dup_of) AS dup_of, count(*) AS n_dups,
+         |    round(CAST(max(sig_matches) AS DOUBLE) / $minhashK, 6)
+         |      AS max_est_jaccard
+         |  FROM ver GROUP BY doc_id)
+         |SELECT s.doc_id, h.dup_of,
+         |  coalesce(h.n_dups, 0) AS n_dups,
+         |  coalesce(h.max_est_jaccard, 0.0) AS max_est_jaccard,
+         |  h.dup_of IS NULL AS is_new
+         |FROM sigs s JOIN mid ON true LEFT JOIN hits h ON s.doc_id = h.doc_id
+         |WHERE s.doc_id > mid.m
+         |ORDER BY s.doc_id""".stripMargin
+    },
     "dedup_minhash_lsh" -> {
       val bandRows = (0 until lshBands).map { bnd =>
         val key = (0 until 3).map(r => s"mh${bnd * 3 + r}").mkString(" || '-' || ")
