@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ShingleExpressions.wordNgramsDescriptor)
     ext.injectFunction(QuantizeExpressions.quantizeI8Descriptor)
     ext.injectFunction(ZOrderExpressions.zorder2Descriptor)
+    // conf-gated (spark.graft.rangeJoin.bucketWidth): rewrites naive
+    // inequality-only range joins into the bucketed equi-join form
+    ext.injectOptimizerRule(graft.plans.RangeJoinBucketing(_))
   }
 }
 

@@ -217,7 +217,12 @@ object AnalyticsQueries {
     * pairs) with per-key skew bounded by events-per-bucket — the standard
     * interval-join shape (Flink's interval join / Databricks' range-join
     * hints do exactly this). The window side here is tiny, so it also
-    * broadcasts: the fact side never shuffles at all. */
+    * broadcasts: the fact side never shuffles at all.
+    *
+    * The same rewrite is ALSO available declaratively: with
+    * `spark.graft.rangeJoin.bucketWidth` set, the
+    * [[graft.plans.RangeJoinBucketing]] optimizer rule turns a naive
+    * `p >= lo && p < hi` join into this plan automatically. */
   def rangeJoin(s: SparkSession, dir: String): DataFrame = {
     val bkt = rangeJoinBucketSec
     val windows = events(s, dir)
