@@ -110,14 +110,15 @@ object PrepQueries {
     * token asc) — the coverage score a tokenizer/vocab choice is judged
     * by, and a standard quality filter (high OOV ⇒ noise). */
   def oovRate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // top-K vocab via orderBy+limit = TakeOrderedAndProject (distributed
+    // per-partition top-k + merge), NOT a rank window, which would drag
+    // the whole distinct-token table into one partition at corpus scale
     val tok = docs(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
     val vocab = tok.groupBy("token").agg(sum(col("c")).as("n"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("n").desc, col("token").asc)))
-      .filter(col("rank") <= oovVocabSize)
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(oovVocabSize)
       .select(col("token"))
     val perDoc = tok
       .join(broadcast(vocab).withColumn("in_vocab", lit(1)), Seq("token"), "left")
@@ -129,6 +130,29 @@ object PrepQueries {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         round(coalesce(col("n_oov") / col("n_tokens"), lit(0.0)), 6).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  // ---- deterministic epoch shuffle -----------------------------------------
+
+  val epochSeed = 1
+  val epochShards = 16
+
+  /** Deterministic EPOCH SHUFFLE: every document gets a pseudorandom shard
+    * and a position within it from a seeded hash — the reproducible global
+    * permutation a training run reads the corpus in. No RNG (retries can't
+    * change the epoch) and NO global sort: ordering work is per-shard
+    * (thousands of independent streams at corpus scale); bumping
+    * [[epochSeed]] reshuffles everything. */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs(s, dir).select(col("doc_id"))
+      .withColumn("h",
+        md5Long(concat(lit(s"epoch:$epochSeed:"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("h"), lit(epochShards)))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos")
       .orderBy("doc_id")
   }
 
@@ -174,6 +198,7 @@ object PrepQueries {
     "decontaminate" -> (decontaminate _),
     "chunk_documents" -> (chunkDocuments _),
     "oov_rate" -> (oovRate _),
+    "epoch_shuffle" -> (epochShuffle _),
     "zorder_layout" -> (zorderLayout _))
 
   private val toksCte =
@@ -247,6 +272,16 @@ object PrepQueries {
          |  round(coalesce(CAST(p.n_oov AS DOUBLE) / p.n_tokens, 0.0), 6) AS oov_rate
          |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "epoch_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5('epoch:$epochSeed:' || CAST(doc_id AS VARCHAR)),
+         |     1, 15))::BIGINT AS h
+         |  FROM documents)
+         |SELECT doc_id, h % $epochShards AS shard,
+         |  row_number() OVER (PARTITION BY h % $epochShards
+         |                     ORDER BY h, doc_id) AS pos
+         |FROM h ORDER BY doc_id""".stripMargin,
     "zorder_layout" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id,

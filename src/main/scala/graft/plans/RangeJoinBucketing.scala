@@ -41,7 +41,8 @@ case class RangeJoinBucketing(spark: SparkSession) extends Rule[LogicalPlan] {
   val ConfKey = "spark.graft.rangeJoin.bucketWidth"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = spark.conf.getOption(ConfKey).map(_.toLong).getOrElse(0L)
+    // a malformed width must disable the rule, not fail every query plan
+    val width = spark.conf.getOption(ConfKey).flatMap(_.toLongOption).getOrElse(0L)
     if (width <= 0) plan
     else plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>

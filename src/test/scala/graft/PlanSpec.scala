@@ -116,6 +116,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bucket"), s"join must run on the synthesized bucket key:\n$p")
   }
 
+  test("oov vocab selection is a distributed top-k, not a global rank window") {
+    val p = planOf(ops.PrepQueries.queries("oov_rate")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K vocab must be TakeOrderedAndProject, not a single-partition window:\n$p")
+  }
+
   test("zorder layout is one scan + a 1-row bounds broadcast, no shuffle of facts") {
     val p = planOf(ops.PrepQueries.queries("zorder_layout")(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
