@@ -98,6 +98,32 @@ object Cdc {
     df.select(passthrough ++ cols: _*)
   }
 
+  /** BATCH CDC derivation — diff two snapshots of the same table into a
+    * change set: the operator that GENERATES the event stream when no
+    * binlog exists (periodic-snapshot sources). Full outer join on the
+    * key; presence pattern decides insert/delete, a null-safe struct
+    * compare over the non-key columns decides update vs noop; noops are
+    * dropped. Old/new values ride as structs (callers flatten what they
+    * need). One co-partitioned key shuffle — the minimum any diff pays;
+    * at scale both snapshots bucketed by key make it shuffle-free. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    val valCols = oldDf.columns.filterNot(keys.contains).toSeq
+    require(newDf.columns.filterNot(keys.contains).toSeq == valCols,
+      "snapshots must share one schema")
+    def pack(df: DataFrame, side: String) = df.select(
+      keys.map(col) ++ Seq(struct(valCols.map(col): _*).as(s"__$side"),
+        lit(true).as(s"__in_$side")): _*)
+    pack(oldDf, "old").join(pack(newDf, "new"), keys, "full_outer")
+      .withColumn("op",
+        when(col("__in_old").isNull, Insert)
+          .when(col("__in_new").isNull, Delete)
+          .when(!(col("__old") <=> col("__new")), Update)
+          .otherwise("noop"))
+      .filter(col("op") =!= "noop")
+      .select(keys.map(col) ++ Seq(col("op"),
+        col("__old").as("old"), col("__new").as("new")): _*)
+  }
+
   /** Build synthetic CDC events from a snapshot DataFrame: one event per
     * row, `columns` carrying every field as {name,value} strings. This is
     * the initial-snapshot path (`retrieve-all-records=true`,

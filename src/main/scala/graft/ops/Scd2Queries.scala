@@ -111,7 +111,26 @@ object Scd2Queries {
       .orderBy(col("event_id").cast("long"))
   }
 
+  /** Batch CDC derivation over two deterministic snapshots of `orders`:
+    * old = keys ∉ 0 (mod 7); new = keys ∉ 0 (mod 11) with totalprice
+    * doubled on keys ≡ 0 (mod 5) — so all three change routes (insert /
+    * update / delete) surface, and unchanged rows prove the noop filter. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+    val oldSnap = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val newSnap = base.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(5)) === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    Cdc.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("op"),
+        col("old.o_totalprice").as("old_totalprice"),
+        col("new.o_totalprice").as("new_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snapshot_diff" -> (snapshotDiff _),
     "scd2_snapshot" -> (scd2Snapshot _),
     "scd2_apply_batch" -> (scd2ApplyBatch _),
     "scd2_current" -> (scd2Current _),
@@ -186,6 +205,24 @@ object Scd2Queries {
        |FROM events WHERE $pred ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 != 0),
+        |new AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 != 0),
+        |d AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |         WHEN n.o_orderkey IS NULL THEN 'delete'
+        |         WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'update'
+        |         ELSE 'noop' END AS op,
+        |    o.o_totalprice AS old_totalprice,
+        |    n.o_totalprice AS new_totalprice
+        |  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+        |SELECT * FROM d WHERE op != 'noop' ORDER BY o_orderkey""".stripMargin,
     "scd2_snapshot" -> scd2Sql,
     "scd2_apply_batch" -> scd2Sql,
     "scd2_current" ->

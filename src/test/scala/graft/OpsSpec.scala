@@ -24,6 +24,37 @@ class OpsSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("snapshot diff replayed through the delete-aware merge = new snapshot") {
+    import graft.cdc.Cdc
+    import graft.scd2.Scd2
+    val base = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val oldSnap = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val newSnap = base.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(5)) === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    val diff = Cdc.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey")).cache()
+    // the three routes are all live in this fixture
+    assert(diff.filter(col("op") === "insert").count() > 0)
+    assert(diff.filter(col("op") === "update").count() > 0)
+    assert(diff.filter(col("op") === "delete").count() > 0)
+    // unchanged keys produce NO event (the noop filter)
+    val unchanged = oldSnap.join(newSnap, Seq("o_orderkey", "o_totalprice"), "left_semi")
+    assert(diff.count() + unchanged.count() === oldSnap.join(newSnap,
+      Seq("o_orderkey"), "full_outer").count())
+    // replay: history of the old snapshot + the diff as a CDC batch
+    val hist = Scd2.withScd2Columns(oldSnap, to_timestamp(lit("2024-01-01 00:00:00")))
+    val batch = diff.select(col("o_orderkey"),
+      col("new.o_totalprice").as("o_totalprice"), col("op"),
+      to_timestamp(lit("2024-02-01 00:00:00")).as("ts"),
+      col("o_orderkey").as("event_seq"))
+    val merged = Scd2.applyBatchWithDeletes(hist, batch,
+      Seq("o_orderkey"), "ts", "event_seq", "op")
+    val current = merged.filter(col(Scd2.IsCurrent) === "Y")
+      .select("o_orderkey", "o_totalprice")
+    assert(current.exceptAll(newSnap).isEmpty && newSnap.exceptAll(current).isEmpty)
+  }
+
   test("exact dedup keeps exactly one canonical row per content hash") {
     val d = DedupQueries.dedupExact(spark, sf)
     val perHash = d.groupBy("content_hash")
