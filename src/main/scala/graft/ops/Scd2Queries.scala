@@ -86,6 +86,34 @@ object Scd2Queries {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** POINT-IN-TIME dimension lookup (temporal join): enrich each fact
+    * with the SCD2 version valid AT THE FACT'S EVENT TIME — the pattern a
+    * versioned dimension exists for (J1's current-row lookup reads only
+    * the latest; this reads history). Dim = even event_ids reconstructed
+    * to versions; facts = odd event_ids. The join is equi on the key plus
+    * the interval residual; versions partition each key's timeline, so a
+    * fact matches AT MOST one version (no dedup step). Cost = one
+    * co-partitioned key shuffle, the same as any fact⋈dim join; facts
+    * predating the key's first version surface with nulls, not dropped. */
+  def scd2AsofLookup(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val dim = Scd2.fromEvents(ev.filter(col("event_id") % 2 === 0),
+      Seq("user_id"), "ts", "event_id")
+      .select(col("user_id").as("dim_user_id"),
+        col("event_id").as("dim_event_id"), col("value").as("dim_value"),
+        col("valid_from"), col("valid_until"))
+    val facts = ev.filter(col("event_id") % 2 === 1)
+      .select("user_id", "event_id", "ts")
+    facts.join(dim,
+        col("user_id") === col("dim_user_id") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_until").isNull || col("ts") < col("valid_until")),
+        "left")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("dim_event_id"), col("dim_value"), col("valid_from"))
+      .orderBy("event_id")
+  }
+
   // R1 routing: signup ⇄ insert, purchase ⇄ update; the rest unmatched.
   private def cdcType = when(col("event_type") === "signup", "insert")
     .when(col("event_type") === "purchase", "update")
@@ -131,6 +159,7 @@ object Scd2Queries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_diff" -> (snapshotDiff _),
+    "scd2_asof_lookup" -> (scd2AsofLookup _),
     "scd2_snapshot" -> (scd2Snapshot _),
     "scd2_apply_batch" -> (scd2ApplyBatch _),
     "scd2_current" -> (scd2Current _),
@@ -223,6 +252,22 @@ object Scd2Queries {
         |    n.o_totalprice AS new_totalprice
         |  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
         |SELECT * FROM d WHERE op != 'noop' ORDER BY o_orderkey""".stripMargin,
+    "scd2_asof_lookup" ->
+      """WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |v AS (
+        |  SELECT user_id AS dim_user_id, event_id AS dim_event_id,
+        |         value AS dim_value, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS valid_until
+        |  FROM e WHERE event_id % 2 = 0),
+        |f AS (SELECT user_id, event_id, ts FROM e WHERE event_id % 2 = 1)
+        |SELECT f.user_id, f.event_id, f.ts,
+        |       v.dim_event_id, v.dim_value, v.valid_from
+        |FROM f LEFT JOIN v ON f.user_id = v.dim_user_id
+        |  AND f.ts >= v.valid_from
+        |  AND (v.valid_until IS NULL OR f.ts < v.valid_until)
+        |ORDER BY f.event_id""".stripMargin,
     "scd2_snapshot" -> scd2Sql,
     "scd2_apply_batch" -> scd2Sql,
     "scd2_current" ->
