@@ -54,6 +54,10 @@ object Bench {
     val fj = failed.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val ok = failed.isEmpty
     println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"failed":$fj,"queries":$qj,"sf":"$sfDir"}""")
+    // the driver keeps only the output TAIL, and the per-query map above can
+    // push the leading "total" metric past the truncation point — re-emit a
+    // compact summary line last so the total always survives
+    println(s"""{"metric":"total_echo","value":$total,"unit":"sec","ok":$ok,"n_queries":${results.size},"sf":"$sfDir"}""")
     if (!ok) System.err.println(s"BENCH FAILURES: ${failed.keys.mkString(", ")}")
     spark.stop()
   }

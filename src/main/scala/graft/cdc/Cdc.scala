@@ -124,6 +124,104 @@ object Cdc {
         col("__old").as("old"), col("__new").as("new")): _*)
   }
 
+  /** Parse a binlog DDL statement for the one online schema evolution a
+    * long-running CDC pipeline must absorb: `ALTER TABLE t ADD [COLUMN] c
+    * TYPE ...`. The reference's source emits ddl events
+    * (final_template.xml:4329-4331) and its flow drops them; here the
+    * parsed (table, column, sparkType) lets a caller widen its flatten
+    * field list mid-stream, and [[graft.streaming.Scd2Stream]] null-backfills
+    * the history on the next micro-batch. Statements that aren't an
+    * ADD COLUMN (or use a type we don't map) return None — the caller
+    * keeps the reference's drop-ddl behavior for them. */
+  def ddlAddColumn(statement: String): Option[(String, String, DataType)] =
+    statement match {
+      case AddColumnRe(table, column, typ) =>
+        mysqlTypeToSpark(typ).map((table, column, _))
+      case _ => None
+    }
+
+  private val AddColumnRe =
+    """(?is)\s*ALTER\s+TABLE\s+[`"]?(\w+)[`"]?\s+ADD\s+(?:COLUMN\s+)?[`"]?(\w+)[`"]?\s+(\w+(?:\s*\([^)]*\))?).*""".r
+
+  /** MySQL column type → Spark type, for the types the reference's table
+    * uses (mysql/sql-scripts/02-table-creation.sql.txt) plus the common
+    * binlog surface. */
+  def mysqlTypeToSpark(mysqlType: String): Option[DataType] = {
+    val t = mysqlType.toLowerCase.trim
+    val base = t.takeWhile(c => c.isLetter)
+    base match {
+      case "tinyint" | "smallint" | "mediumint" | "int" | "integer" =>
+        Some(IntegerType)
+      case "bigint" => Some(LongType)
+      case "float" => Some(FloatType)
+      case "double" | "real" => Some(DoubleType)
+      case "decimal" | "numeric" =>
+        val args = t.dropWhile(_ != '(').stripPrefix("(").takeWhile(_ != ')')
+          .split(",").map(_.trim).filter(_.nonEmpty)
+        args match {
+          case Array(p, s) => Some(DecimalType(p.toInt, s.toInt))
+          case Array(p) => Some(DecimalType(p.toInt, 0))
+          case _ => Some(DecimalType(10, 0))
+        }
+      case "varchar" | "char" | "text" | "tinytext" | "mediumtext" |
+           "longtext" | "enum" | "set" | "json" => Some(StringType)
+      case "date" => Some(DateType)
+      case "datetime" | "timestamp" => Some(TimestampType)
+      case "boolean" | "bool" | "bit" => Some(BooleanType)
+      case "blob" | "tinyblob" | "mediumblob" | "longblob" | "binary" |
+           "varbinary" => Some(BinaryType)
+      case _ => None
+    }
+  }
+
+  /** Debezium envelope schema for a given row schema — the standard public
+    * CDC wire format the reference's `CaptureChangeMySQL` source plays the
+    * role of (reference: nifi/templates/final_template.xml:4100-4382). A
+    * Debezium MySQL record value carries `before`/`after` row images, an
+    * `op` code (`c`reate / `u`pdate / `d`elete / `r`ead-snapshot), the
+    * connector `source` block (db, table, binlog file/pos) and the event
+    * `ts_ms`. Feed JSON through `from_json(col, debeziumSchema(rowSchema))`
+    * and then [[fromDebezium]]. */
+  def debeziumSchema(row: StructType): StructType = StructType(Seq(
+    StructField("before", row, nullable = true),
+    StructField("after", row, nullable = true),
+    StructField("source", StructType(Seq(
+      StructField("connector", StringType, nullable = true),
+      StructField("db", StringType, nullable = true),
+      StructField("table", StringType, nullable = true),
+      StructField("file", StringType, nullable = true),
+      StructField("pos", LongType, nullable = true),
+      StructField("row", IntegerType, nullable = true))), nullable = true),
+    StructField("op", StringType, nullable = false),
+    StructField("ts_ms", LongType, nullable = true)))
+
+  /** Adapter from a Debezium-enveloped change stream to [[eventSchema]]:
+    * `c`/`r` → insert, `u` → update, `d` → delete; the row image is `after`
+    * except for deletes (`before`); `seq` is the binlog position
+    * (`source.pos`), `ts` the envelope `ts_ms`. Everything downstream
+    * (route → flatten → SCD2 merge, batch or streaming) is wire-format
+    * agnostic from here. Purely narrow — codegen'd projections, no
+    * shuffle, safe on a streaming DataFrame. */
+  def fromDebezium(df: DataFrame): DataFrame = {
+    val rowT = df.schema("after").dataType.asInstanceOf[StructType]
+    val image = when(col("op") === "d", col("before")).otherwise(col("after"))
+    val cols = rowT.fields.zipWithIndex.map { case (f, i) =>
+      struct(lit(i).as("id"), lit(f.name).as("name"),
+        lit(0).as("column_type"),
+        image.getField(f.name).cast(StringType).as("value"))
+    }
+    df.select(
+      col("source.pos").as("seq"),
+      when(col("op").isin("c", "r"), Insert)
+        .when(col("op") === "u", Update)
+        .when(col("op") === "d", Delete)
+        .otherwise(col("op")).as("event_type"),
+      col("source.db").as("database"),
+      col("source.table").as("table_name"),
+      timestamp_millis(col("ts_ms")).as("ts"),
+      array(cols.toIndexedSeq: _*).as("columns"))
+  }
+
   /** Build synthetic CDC events from a snapshot DataFrame: one event per
     * row, `columns` carrying every field as {name,value} strings. This is
     * the initial-snapshot path (`retrieve-all-records=true`,

@@ -249,10 +249,11 @@ object CurationQueries {
         |         t -> t != '')) AS BIGINT) AS n_toks,
         |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
         |  FROM documents)
-        |SELECT source, count(*) AS n_docs, sum(n_toks) AS n_tokens,
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
         |  round(avg(n_chars), 6) AS avg_chars,
         |  count(DISTINCT lang) AS n_langs,
-        |  sum(CASE WHEN canonical THEN 0 ELSE 1 END) AS n_dups,
+        |  CAST(sum(CASE WHEN canonical THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,
         |  round(sum(CASE WHEN canonical THEN 0 ELSE 1 END)
         |        / CAST(count(*) AS DOUBLE), 6) AS dup_frac
         |FROM h GROUP BY source ORDER BY source""".stripMargin,

@@ -267,8 +267,8 @@ object PrepQueries {
          |  FROM counts c LEFT JOIN vocab v ON c.token = v.token
          |  GROUP BY c.doc_id)
          |SELECT d.doc_id,
-         |  coalesce(p.n_tokens, 0) AS n_tokens,
-         |  coalesce(p.n_oov, 0) AS n_oov,
+         |  CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
          |  round(coalesce(CAST(p.n_oov AS DOUBLE) / p.n_tokens, 0.0), 6) AS oov_rate
          |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,

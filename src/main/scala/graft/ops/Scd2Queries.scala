@@ -157,7 +157,72 @@ object Scd2Queries {
       .orderBy("o_orderkey")
   }
 
+  /** Debezium wire-format ingestion end-to-end: orders rows are wrapped in
+    * real Debezium-envelope JSON (op c/u/d by key mod 3, before/after row
+    * images, source.pos = the order key, ts_ms), parsed back with
+    * `from_json(debeziumSchema)`, adapted by [[Cdc.fromDebezium]], then run
+    * through the same route → flatten → cast pipeline every other CDC query
+    * uses — proving the engine ingests the standard public CDC format the
+    * reference's `CaptureChangeMySQL` plays the role of. Deletes route to
+    * unmatched (reference parity) so only c/u rows surface. */
+  def debeziumIngest(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val row = struct(base.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val opCode = when(pmod(col("o_orderkey"), lit(3)) === 0, "c")
+      .when(pmod(col("o_orderkey"), lit(3)) === 1, "u")
+      .otherwise("d")
+    val json = base.select(to_json(struct(
+      when(opCode =!= "c", row).as("before"),
+      when(opCode =!= "d", row).as("after"),
+      struct(lit("mysql").as("connector"), lit("sample_data").as("db"),
+        lit("orders").as("table"), lit("mysql-bin.000003").as("file"),
+        col("o_orderkey").as("pos"), lit(0).as("row")).as("source"),
+      opCode.as("op"),
+      (lit(1700000000000L) + col("o_orderkey")).as("ts_ms"))).as("json"))
+    val events = Cdc.fromDebezium(
+      json.select(from_json(col("json"), Cdc.debeziumSchema(base.schema)).as("e"))
+        .select("e.*"))
+    val routed = Cdc.route(events)
+    val flat = Cdc.castTo(
+      Cdc.flatten(routed(Cdc.Insert).unionByName(routed(Cdc.Update)),
+        base.schema.fieldNames.toSeq),
+      base.schema)
+    flat.select(col("seq"), col("event_type"), col("ts"),
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy("seq")
+  }
+
+  /** The periodic-snapshot CDC lifecycle END-TO-END: two table snapshots
+    * (the [[snapshotDiff]] fixtures) are diffed into a change set, and the
+    * change set is merged into an SCD2 history seeded from the old snapshot
+    * — [[Cdc.snapshotDiff]] composed with [[Scd2.applyBatchWithDeletes]],
+    * so inserts open rows, updates expire-and-version, and deletes close
+    * the key's interval with no successor. This is what replaces a binlog
+    * tail when the upstream only offers periodic snapshots. */
+  def snapshotCdcLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+    val oldSnap = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val newSnap = base.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(5)) === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    val history = Scd2.withScd2Columns(oldSnap,
+      to_timestamp(lit("2023-01-01 00:00:00")))
+    val batch = Cdc.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("op"),
+        col("new.o_totalprice").as("o_totalprice"),
+        to_timestamp(lit("2023-06-01 00:00:00")).as("ts"),
+        col("o_orderkey").as("seq"))
+    Scd2.applyBatchWithDeletes(history, batch, Seq("o_orderkey"),
+        "ts", "seq", "op")
+      .orderBy("o_orderkey", "valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snapshot_cdc_lifecycle" -> (snapshotCdcLifecycle _),
+    "debezium_ingest" -> (debeziumIngest _),
     "snapshot_diff" -> (snapshotDiff _),
     "scd2_asof_lookup" -> (scd2AsofLookup _),
     "scd2_snapshot" -> (scd2Snapshot _),
@@ -234,6 +299,45 @@ object Scd2Queries {
        |FROM events WHERE $pred ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "snapshot_cdc_lifecycle" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 != 0),
+        |new AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 != 0),
+        |d AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |         WHEN n.o_orderkey IS NULL THEN 'delete'
+        |         WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'update'
+        |         ELSE 'noop' END AS op,
+        |    n.o_totalprice AS new_price
+        |  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey),
+        |ch AS (SELECT * FROM d WHERE op != 'noop'),
+        |updated AS (
+        |  SELECT o.o_orderkey, o.o_totalprice,
+        |    TIMESTAMP '2023-01-01 00:00:00' AS valid_from,
+        |    CASE WHEN c.o_orderkey IS NOT NULL
+        |         THEN TIMESTAMP '2023-06-01 00:00:00' END AS valid_until,
+        |    CASE WHEN c.o_orderkey IS NOT NULL THEN 'N' ELSE 'Y' END
+        |      AS is_current
+        |  FROM old o LEFT JOIN ch c ON o.o_orderkey = c.o_orderkey),
+        |newv AS (
+        |  SELECT o_orderkey, new_price AS o_totalprice,
+        |    TIMESTAMP '2023-06-01 00:00:00' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_until, 'Y' AS is_current
+        |  FROM ch WHERE op != 'delete')
+        |SELECT * FROM (SELECT * FROM updated UNION ALL SELECT * FROM newv)
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
+    "debezium_ingest" ->
+      """SELECT o_orderkey AS seq,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'insert' ELSE 'update' END
+        |    AS event_type,
+        |  epoch_ms(1700000000000 + o_orderkey) AS ts,
+        |  o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 3 != 2 ORDER BY o_orderkey""".stripMargin,
     "snapshot_diff" ->
       """WITH old AS (
         |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 != 0),

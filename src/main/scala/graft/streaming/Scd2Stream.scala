@@ -104,6 +104,31 @@ object Scd2Stream {
   // steps; specs throw from it to simulate a crash at that exact window.
   private val noFail: String => Unit = _ => ()
 
+  /** ONLINE SCHEMA EVOLUTION (ADD/DROP COLUMN mid-stream): align history
+    * and batch by column name with typed-null backfill, so a batch that
+    * carries a column the history lacks (upstream `ALTER TABLE ... ADD
+    * COLUMN`, parsed from the ddl event via [[graft.cdc.Cdc.ddlAddColumn]]
+    * into the caller's flatten field list) widens the history on its next
+    * rewrite — pre-boundary rows read the new column as null — and a batch
+    * missing a history column (DROP COLUMN upstream) null-fills forward
+    * instead of halting the stream. The SCD2 bookkeeping columns are never
+    * candidates. The reference drops ddl events entirely (its flow would
+    * silently lose the new field); a long-running CDC engine can't. */
+  private def alignForEvolution(history: DataFrame, batch: DataFrame,
+                                tsCol: String, opCol: Option[String])
+      : (DataFrame, DataFrame) = {
+    val scd2Meta = Set(Scd2.ValidFrom, Scd2.ValidUntil, Scd2.IsCurrent)
+    val batchMeta = Set(tsCol) ++ opCol
+    val widenHist = batch.schema.fields
+      .filter(f => !batchMeta.contains(f.name) && !history.columns.contains(f.name))
+    val widenBatch = history.schema.fields
+      .filter(f => !scd2Meta.contains(f.name) && !batch.columns.contains(f.name))
+    (widenHist.foldLeft(history)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType))),
+      widenBatch.foldLeft(batch)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType))))
+  }
+
   /** One micro-batch: read current history, merge, crash-safe swap.
     *
     * Exactly-once on replay: with a `batchId` (foreachBatch supplies one),
@@ -135,12 +160,17 @@ object Scd2Stream {
       if (cached.isEmpty) return
       val merged = (dir.exists() && dir.list().exists(_.endsWith(".parquet")),
           opCol) match {
-        case (true, Some(op)) =>
-          Scd2.applyBatchWithDeletes(spark.read.parquet(historyDir), cached,
-            keys, tsCol, seqCol, op, onLate)
-        case (true, None) =>
-          Scd2.applyBatch(spark.read.parquet(historyDir), cached, keys, tsCol,
-            seqCol, onLate)
+        case (true, maybeOp) =>
+          // mergeSchema: a pre-evolution crash can leave mixed-schema files
+          // visible to the replay read; the full-dir rewrite re-unifies them
+          val (hist, b) = alignForEvolution(
+            spark.read.option("mergeSchema", "true").parquet(historyDir),
+            cached, tsCol, maybeOp)
+          maybeOp match {
+            case Some(op) => Scd2.applyBatchWithDeletes(hist, b, keys, tsCol,
+              seqCol, op, onLate)
+            case None => Scd2.applyBatch(hist, b, keys, tsCol, seqCol, onLate)
+          }
         case (false, Some(op)) =>
           Scd2.fromEventsWithDeletes(cached, keys, tsCol, seqCol, op).drop(op)
         case (false, None) =>
@@ -219,12 +249,19 @@ object Scd2Stream {
         .filter(d => new File(d).exists())
       val merged =
         if (dirs.nonEmpty) {
-          val hist = spark.read.option("basePath", historyDir)
+          // mergeSchema: after an ADD COLUMN only the buckets a batch
+          // touches get rewritten with the wider schema, so bucket dirs
+          // legitimately carry mixed schemas until every bucket has been
+          // touched once — the union read null-backfills the old ones
+          val histRaw = spark.read.option("basePath", historyDir)
+            .option("mergeSchema", "true")
             .parquet(dirs.toIndexedSeq: _*)
+          val (hist, b) =
+            alignForEvolution(histRaw.drop("__bucket"), cached, tsCol, opCol)
           opCol match {
-            case Some(op) => Scd2.applyBatchWithDeletes(hist.drop("__bucket"),
-              cached, keys, tsCol, seqCol, op, onLate)
-            case None => Scd2.applyBatch(hist.drop("__bucket"), cached, keys,
+            case Some(op) => Scd2.applyBatchWithDeletes(hist,
+              b, keys, tsCol, seqCol, op, onLate)
+            case None => Scd2.applyBatch(hist, b, keys,
               tsCol, seqCol, onLate)
           }
         } else opCol match {
@@ -302,9 +339,13 @@ object Scd2Stream {
     if (tmp.exists()) FileUtils.deleteDirectory(tmp)
   }
 
-  /** Read a bucketed history back as a plain SCD2 table. */
+  /** Read a bucketed history back as a plain SCD2 table. `mergeSchema`:
+    * bucket dirs carry mixed schemas mid-evolution (see
+    * [[applyMicroBatchBucketed]]); rows from pre-evolution buckets read
+    * the added columns as null. */
   def readBucketed(spark: SparkSession, historyDir: String): DataFrame =
-    spark.read.parquet(historyDir).drop("__bucket")
+    spark.read.option("mergeSchema", "true").parquet(historyDir)
+      .drop("__bucket")
 
   /** Point lookup served from ONE bucket: recomputes the write path's
     * bucket id for the key and filters on the partition column, so
@@ -319,7 +360,8 @@ object Scd2Stream {
       .select(pmod(hash(values.map(lit): _*), lit(nBuckets)).as("b"))
       .first().getInt(0)
     keys.zip(values).foldLeft(
-      spark.read.parquet(historyDir).filter(col("__bucket") === b)) {
+      spark.read.option("mergeSchema", "true").parquet(historyDir)
+        .filter(col("__bucket") === b)) {
       case (df, (k, v)) => df.filter(col(k) === v)
     }.drop("__bucket")
   }
