@@ -249,7 +249,39 @@ object AnalyticsQueries {
       .orderBy("window_id")
   }
 
+  /** The same interval join as [[rangeJoin]], but written as the NAIVE
+    * band join (`sec >= w_start && sec < w_end`) and executed under the
+    * [[graft.plans.RangeJoinBucketing]] optimizer rule — proving the
+    * declarative path end-to-end under the driver gate, not just in
+    * RangeJoinRuleSpec: the user writes the O(n·m) formulation, the engine
+    * plans the bucketed one. Runs on a child session (shared context,
+    * isolated conf) so the rule's conf can't leak into sibling queries. */
+  def rangeJoinAuto(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.graft.rangeJoin.bucketWidth", rangeJoinBucketSec.toString)
+    val bkt = rangeJoinBucketSec
+    val windows = events(s2, dir)
+      .filter(col("event_type") === "signup" && col("user_id") === 0)
+      .select(col("event_id").as("window_id"),
+        (unix_timestamp(col("ts")) - bkt).as("w_start"),
+        (unix_timestamp(col("ts")) + bkt).as("w_end"))
+    val probes = events(s2, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("sec"))
+    val matched = probes
+      .join(windows, col("sec") >= col("w_start") && col("sec") < col("w_end"))
+      .groupBy("window_id").agg(
+        count(lit(1)).as("n_errors"),
+        countDistinct(col("user_id")).as("n_users"))
+    windows.join(matched, Seq("window_id"), "left")
+      .select(col("window_id"), col("w_start"), col("w_end"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy("window_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_join_auto" -> (rangeJoinAuto _),
     "range_join" -> (rangeJoin _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
     "window_lag" -> (windowLag _),
@@ -263,8 +295,10 @@ object AnalyticsQueries {
     "approx_percentile" -> (approxPercentile _),
     "resample_ffill" -> (resampleFfill _))
 
-  val oracles: Map[String, String] = Map(
-    "range_join" ->
+  // range_join and range_join_auto compute the same result by contract —
+  // one hand-bucketed, one rewritten by the optimizer rule — so they share
+  // one oracle
+  private val rangeJoinSql =
       s"""WITH w AS (
          |  SELECT event_id AS window_id,
          |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) - $rangeJoinBucketSec AS w_start,
@@ -283,7 +317,11 @@ object AnalyticsQueries {
          |  coalesce(m.n_errors, 0) AS n_errors,
          |  coalesce(m.n_users, 0) AS n_users
          |FROM w LEFT JOIN m ON w.window_id = m.window_id
-         |ORDER BY w.window_id""".stripMargin,
+         |ORDER BY w.window_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "range_join" -> rangeJoinSql,
+    "range_join_auto" -> rangeJoinSql,
     "resample_ffill" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
         |           FROM events),

@@ -546,6 +546,80 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** [[dedupCluster]]'s EXTREME-SCALE twin: alternating large-star /
+    * small-star connected components (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) over the same Jaccard
+    * pair graph. HashMin pays O(log d) rounds with the FULL edge set
+    * joined every round; large-star/small-star instead REWRITES the edge
+    * set each round — large-star hangs every larger neighbor off the
+    * neighborhood min, small-star flattens the smaller ones — converging
+    * in O(log n) rounds on any topology while the edge set itself
+    * collapses toward stars (so later rounds touch less data, and
+    * high-diameter components don't dominate the round count). Each half
+    * round is one groupBy(min) + one equi-join on the CURRENT edge set;
+    * per-key skew is bounded because large-star detaches the heavy
+    * neighborhoods it creates. Same deterministic min-id labels as
+    * [[dedupCluster]] (spec'd identical; shares its recursive-CTE oracle).
+    */
+  def dedupClusterStar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir).select("a", "b").localCheckpoint()
+    docs(s, dir).select(col("doc_id"))
+      .join(starLabels(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Test seam: run the star loop over an arbitrary (a, b) pair graph. */
+  private[graft] def starLabelsForTest(s: SparkSession, pairs: DataFrame): DataFrame =
+    starLabels(pairs.localCheckpoint())
+
+  /** The alternating large-star/small-star loop: (doc_id, cluster_id) for
+    * every node APPEARING in `pairs` (isolated docs join back upstream). */
+  private def starLabels(pairs: DataFrame): DataFrame = {
+    // large-star: ∀u, m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    // small-star: orient edges high→low; ∀u, m = min(Γ<(u) ∪ {u}); emit
+    // (v, m) for the other small neighbors and (u, m) itself
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val mins = dir.groupBy("u").agg(min("v").as("m"))
+      dir.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    var edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // fixed point = identical edge set (both are distinct sets, so two
+      // anti-join counts decide exactly; the sets are already materialized)
+      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      edges = next
+    }
+    // converged edge set is a star forest: u → its component min; the
+    // roots themselves label as their own id
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster_id"))
+        .distinct())
+  }
+
   /** Cluster RETENTION: the policy step after [[dedupCluster]] — keep
     * exactly one representative per near-dup cluster, chosen by a quality
     * criterion rather than the arbitrary min-id: the LONGEST member
@@ -602,6 +676,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> (dedupCluster _),
+    "dedup_cluster_star" -> (dedupClusterStar _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_shared_ngrams" -> (dedupSharedNgrams _),
     "dedup_exact" -> (dedupExact _),
@@ -691,6 +766,21 @@ object DedupQueries {
        |sig AS (SELECT doc_id, $packed AS simhash FROM bitsums)""".stripMargin
   }
 
+  private lazy val clusterOracleSql =
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |edges AS (SELECT a AS src, b AS dst FROM jpairs
+       |          UNION SELECT b, a FROM jpairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |minreach AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)
+       |SELECT d.doc_id,
+       |  least(d.doc_id, coalesce(mr.m, d.doc_id)) AS cluster_id,
+       |  d.doc_id = least(d.doc_id, coalesce(mr.m, d.doc_id)) AS keep
+       |FROM documents d LEFT JOIN minreach mr ON d.doc_id = mr.src
+       |ORDER BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT doc_id, ${duckMd5Long("text")} AS content_hash,
@@ -718,20 +808,10 @@ object DedupQueries {
          |WHERE round(CAST(common AS DOUBLE) / least(na, nb), 6)
          |      >= $containmentThreshold
          |ORDER BY a, b""".stripMargin,
-    "dedup_cluster" ->
-      s"""WITH RECURSIVE $jaccardPairsCte,
-         |edges AS (SELECT a AS src, b AS dst FROM jpairs
-         |          UNION SELECT b, a FROM jpairs),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |minreach AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)
-         |SELECT d.doc_id,
-         |  least(d.doc_id, coalesce(mr.m, d.doc_id)) AS cluster_id,
-         |  d.doc_id = least(d.doc_id, coalesce(mr.m, d.doc_id)) AS keep
-         |FROM documents d LEFT JOIN minreach mr ON d.doc_id = mr.src
-         |ORDER BY d.doc_id""".stripMargin,
+    // HashMin and large-star/small-star compute the same labels by
+    // contract — both share the transitive-closure oracle
+    "dedup_cluster" -> clusterOracleSql,
+    "dedup_cluster_star" -> clusterOracleSql,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $jaccardPairsCte,
          |edges AS (SELECT a AS src, b AS dst FROM jpairs

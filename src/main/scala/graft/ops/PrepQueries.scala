@@ -184,9 +184,16 @@ object PrepQueries {
       min("user_id").as("u_lo"), max("user_id").as("u_hi"),
       min("epoch_min").as("m_lo"), max("epoch_min").as("m_hi"))
     val buckets = 1L << zorderDimBits
+    // divide-FIRST: bucket = (v − lo) div ⌈span/2^bits⌉. The multiply-first
+    // form ((v − lo)·2^bits div span) overflows Long once the observed key
+    // span exceeds 2^(63−bits) — silently corrupting bucket ids on wide
+    // domains (e.g. snowflake ids). Width is computed once per column from
+    // the broadcast bounds; max bucket stays ≤ 2^bits − 1 by construction.
     e.crossJoin(broadcast(bounds))
-      .withColumn("xb", expr(s"((user_id - u_lo) * $buckets) div (u_hi - u_lo + 1)"))
-      .withColumn("yb", expr(s"((epoch_min - m_lo) * $buckets) div (m_hi - m_lo + 1)"))
+      .withColumn("xb", expr(
+        s"(user_id - u_lo) div ((u_hi - u_lo + $buckets) div $buckets)"))
+      .withColumn("yb", expr(
+        s"(epoch_min - m_lo) div ((m_hi - m_lo + $buckets) div $buckets)"))
       .withColumn("zval", zorder2(col("xb"), col("yb")))
       .withColumn("file_id",
         shiftright(col("zval"), 2 * zorderDimBits - zorderFileBits))
@@ -293,8 +300,8 @@ object PrepQueries {
          |  FROM e),
          |b AS (
          |  SELECT event_id, user_id, epoch_min,
-         |    ((user_id - u_lo) * ${1L << zorderDimBits}) // (u_hi - u_lo + 1) AS xb,
-         |    ((epoch_min - m_lo) * ${1L << zorderDimBits}) // (m_hi - m_lo + 1) AS yb
+         |    (user_id - u_lo) // ((u_hi - u_lo + ${1L << zorderDimBits}) // ${1L << zorderDimBits}) AS xb,
+         |    (epoch_min - m_lo) // ((m_hi - m_lo + ${1L << zorderDimBits}) // ${1L << zorderDimBits}) AS yb
          |  FROM e, bounds),
          |z AS (
          |  SELECT event_id, user_id, epoch_min,

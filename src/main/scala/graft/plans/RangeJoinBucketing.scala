@@ -35,10 +35,21 @@ import org.apache.spark.sql.types.LongType
   * EXACTLY `GreaterThanOrEqual(p, lo) && LessThan(p, hi)` over LONG
   * attributes with `p` from one side and `lo`/`hi` from the other, no
   * other conjuncts. Anything else is left untouched.
+  *
+  * GUARD: a window whose span covers ≥ `spark.graft.rangeJoin
+  * .maxBucketsPerWindow` buckets (default 65536) would materialize an
+  * unbounded index array — past Spark's max array length for wide-enough
+  * spans, and silently quadratic in memory before that. The rewrite fails
+  * those rows LOUDLY at runtime with the remedy in the message (raise the
+  * bucket width, or the cap) instead of letting `sequence` blow up deep
+  * inside codegen. Row-level, so null bounds (no match in the naive join
+  * either) still produce no rows rather than an error.
   */
 case class RangeJoinBucketing(spark: SparkSession) extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.rangeJoin.bucketWidth"
+  val MaxBucketsKey = "spark.graft.rangeJoin.maxBucketsPerWindow"
+  val MaxBucketsDefault = 65536L
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // a malformed width must disable the rule, not fail every query plan
@@ -94,7 +105,20 @@ case class RangeJoinBucketing(spark: SparkSession) extends Rule[LogicalPlan] {
       Literal(1L, LongType))
       .withTimeZone(spark.sessionState.conf.sessionLocalTimeZone)
       .asInstanceOf[Sequence]
-    val windowPlan = Generate(Explode(seq), unrequiredChildIndex = Nil,
+    // guard: refuse to materialize an unbounded per-window bucket array
+    // (class doc). Null span (null lo/hi) fails the comparison → takes the
+    // sequence branch, which is null on null bounds → explode emits no rows.
+    val cap = spark.conf.getOption(MaxBucketsKey).flatMap(_.toLongOption)
+      .getOrElse(MaxBucketsDefault)
+    val nBuckets = Subtract(IntegralDivide(Greatest(Seq(lo, hi)), w),
+      IntegralDivide(lo, w))
+    val guarded = If(GreaterThanOrEqual(nBuckets, Literal(cap, LongType)),
+      Cast(new RaiseError(Literal(
+        s"graft range join: a window spans >= $cap buckets at $ConfKey=$width" +
+          s"; raise $ConfKey toward the typical window span, or raise " +
+          s"$MaxBucketsKey if the span is intended")), seq.dataType),
+      seq)
+    val windowPlan = Generate(Explode(guarded), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(wBkt), windowSide)
 
     val newCond = And(EqualTo(pBkt, wBkt), j.condition.get)

@@ -28,6 +28,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * (`streaming/Scd2Stream.applyMicroBatchBucketed` shows that layout);
   * nothing ever rescans the corpus text. Within-batch dedup is a window
   * over the batch only. Appends are new files — no rewrite of history.
+  *
+  * FILESYSTEM CONTRACT: the commit protocol's correctness rests on
+  * directory `rename` being atomic and on consistent listings — true on a
+  * local POSIX filesystem (what this sink targets; renames never cross a
+  * filesystem boundary because tmp and dst share a parent) and on HDFS;
+  * NOT true on object stores (S3 "rename" is copy+delete and can be
+  * observed half-done). On an object store, back the corpus with a
+  * transactional table format and make the batch-id check a table
+  * transaction — the dedup plan (hash window + index anti-join) is
+  * unchanged; only this commit plumbing is FS-specific.
   */
 object DedupStream {
 
@@ -102,15 +112,24 @@ object DedupStream {
   def readCorpus(spark: SparkSession, corpusDir: String): DataFrame =
     spark.read.parquet(s"$corpusDir/docs")
 
-  /** The (content_hash, doc_id) index the probes run against. */
+  /** The (content_hash, doc_id) index the probes run against. Only hashes
+    * whose corpus twin committed count as "seen": the read lists exactly
+    * the committed batch directories (partition pruning by path), rather
+    * than filtering with an `isin` over every batch id — an In-list that
+    * would grow the plan linearly with stream lifetime. The driver-side
+    * directory listing is the same O(#batches) the old filter paid, paid
+    * once, off the executor path. */
   def readIndex(spark: SparkSession, corpusDir: String): DataFrame = {
-    // only hashes whose corpus twin committed count as "seen"
     val committed = Option(new File(s"$corpusDir/docs").list())
-      .getOrElse(Array.empty).filter(_.startsWith("batch=")).toSet
-    val idx = spark.read.parquet(s"$corpusDir/index")
-    // batch dirs are partition-style, so `batch` surfaces as a column
-    idx.filter(concat(lit("batch="), col("batch").cast("string"))
-      .isin(committed.toSeq: _*))
-      .select("content_hash", "doc_id")
+      .getOrElse(Array.empty).filter(_.startsWith("batch="))
+      .filter(b => new File(s"$corpusDir/index/$b").exists())
+      .map(b => s"$corpusDir/index/$b").toSeq
+    if (committed.isEmpty) {
+      import spark.implicits._
+      spark.emptyDataset[(Long, Long)].toDF("content_hash", "doc_id")
+    } else
+      spark.read.option("basePath", s"$corpusDir/index")
+        .parquet(committed: _*)
+        .select("content_hash", "doc_id")
   }
 }

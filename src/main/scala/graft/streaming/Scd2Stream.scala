@@ -47,7 +47,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * On a real deployment the sink is a transactional table format (MERGE)
   * and this protocol is the table format's problem; the merge itself
-  * ([[Scd2.applyBatch]]) is identical either way.
+  * ([[Scd2.applyBatch]]) is identical either way. FILESYSTEM CONTRACT:
+  * the swap protocol assumes atomic directory rename and consistent
+  * listings — local POSIX filesystems and HDFS provide both; object
+  * stores do NOT (S3 "rename" is copy+delete), so there the table-format
+  * sink is the only correct option, not this directory protocol.
   *
   * Scale notes: history is only ever touched by a broadcast join against
   * the batch's key set, so micro-batch cost is O(batch) + one history

@@ -134,6 +134,25 @@ class PrepSpec extends SparkSpec {
     assert(k.select("doc_id", "cluster_id").exceptAll(clusters).isEmpty)
   }
 
+  test("large-star/small-star clustering ≡ HashMin labels (incl. a long path graph)") {
+    // the testdata pair graph
+    val hashMin = DedupQueries.dedupCluster(spark, sf)
+    val star = DedupQueries.dedupClusterStar(spark, sf)
+    assert(star.exceptAll(hashMin).isEmpty && hashMin.exceptAll(star).isEmpty,
+      "both CC algorithms must assign identical min-id labels")
+    // a synthetic HIGH-DIAMETER component (path of 64 nodes) + isolated
+    // nodes — the topology large-star/small-star exists for; exercised
+    // through the same star loop via a seam on the pair source
+    import spark.implicits._
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val twoCliques = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val labels = DedupQueries.starLabelsForTest(
+      spark, (path ++ twoCliques).toDF("a", "b"))
+    val got = labels.as[(Long, Long)].collect().toMap
+    (0L to 63L).foreach(i => assert(got(i) === 0L, s"path node $i"))
+    Seq(100L, 101L, 102L).foreach(i => assert(got(i) === 100L))
+  }
+
   test("oov rate: rational n_oov/n_tokens against an independent vocab") {
     import spark.implicits._
     val o = PrepQueries.oovRate(spark, sf).cache()

@@ -94,4 +94,36 @@ class RangeJoinRuleSpec extends SparkSpec {
     val p = probes(); val w = windows()
     assert(!plan(naiveJoin(p, w)).contains("__graft_bkt"))
   }
+
+  test("a window spanning >= maxBucketsPerWindow buckets fails loudly, not quadratically") {
+    import spark.implicits._
+    val w = Seq((1L, 0L, 1000000L)).toDF("window_id", "w_start", "w_end")
+    val p = Seq((10L, 75L)).toDF("event_id", "sec")
+    def q() = p.join(w, p("sec") >= w("w_start") && p("sec") < w("w_end"))
+      .select("window_id", "event_id")
+    withConf("60") { // span / width ≈ 16667 buckets
+      spark.conf.set("spark.graft.rangeJoin.maxBucketsPerWindow", "1000")
+      try {
+        val e = intercept[Exception](q().collect())
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+        assert(msgs(e).exists(m => m != null && m.contains("graft range join")),
+          s"expected the guard's message, got: $e")
+        // same query under the default cap (65536 > 16667) completes
+        spark.conf.unset("spark.graft.rangeJoin.maxBucketsPerWindow")
+        assert(q().as[(Long, Long)].collect().toSet === Set((1L, 10L)))
+      } finally spark.conf.unset("spark.graft.rangeJoin.maxBucketsPerWindow")
+    }
+  }
+
+  test("the driver-facing range_join_auto query plans without a nested loop") {
+    val df = graft.ops.AnalyticsQueries.rangeJoinAuto(spark, sf)
+    val s = plan(df)
+    assert(s.contains("__graft_bkt"), s"rule did not fire:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"naive formulation must plan as the bucketed join:\n$s")
+    // the child-session conf must not leak into the caller's session
+    assert(spark.conf.getOption(ConfKey).isEmpty)
+    assert(df.count() > 0)
+  }
 }
