@@ -47,6 +47,46 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** The COMPOSED curation pass — what an actual pipeline runs as one job:
+    * every document gets a keep/drop verdict plus the FIRST failing rule as
+    * its reject reason, in the canonical order a 100 TB pipeline orders the
+    * rules (cheapest scan-speed checks first, the one shuffle last):
+    *
+    *   1. too_short   — whitespace tokens < [[minKeepTokens]]
+    *   2. non_en      — predicted language ([[TextQueries.langBest]]) ≠ en
+    *   3. low_quality — composite score ([[TextQueries.qualityExpr]]) <
+    *                    [[minKeepQuality]]
+    *   4. near_dup    — not the canonical copy (min doc_id per exact
+    *                    content hash — the dedup_exact rule)
+    *
+    * Rules 1-3 are codegen'd projections riding the scan; rule 4 is the
+    * single shuffle (hash-partition by content hash). Keeping rejected
+    * rows WITH their reason (instead of filtering) is deliberate: audit
+    * and yield-tracking need the reasons; the training-set writer filters
+    * on `keep` afterwards. */
+  val minKeepTokens = 30L
+  val minKeepQuality = 45.0
+
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      whitespaceTokenCount(txt).cast("long").as("n_tokens"),
+      TextQueries.langBest(txt)("lang").as("pred_lang"),
+      TextQueries.qualityExpr(txt).as("quality"),
+      (col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy(md5(txt))))
+        .as("is_canonical"))
+    val reason = when(col("n_tokens") < minKeepTokens, "too_short")
+      .when(col("pred_lang") =!= "en", "non_en")
+      .when(col("quality") < minKeepQuality, "low_quality")
+      .when(!col("is_canonical"), "near_dup")
+    base.select(col("doc_id"), col("n_tokens"), col("pred_lang"),
+        col("quality"), col("is_canonical"),
+        reason.isNull.as("keep"), reason.as("reject_reason"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language top-10 vocabulary tokens by frequency (ties broken by
     * token asc): the vocabulary/heavy-hitters operator. */
   val vocabK = 10
@@ -224,6 +264,7 @@ object CurationQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_pipeline" -> (curationPipeline _),
     "source_stats" -> (sourceStats _),
     "pack_sequences" -> (packSequences _),
     "sample_mixture" -> (sampleMixture _),
@@ -241,7 +282,43 @@ object CurationQueries {
     .map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
     .mkString("CASE ", " ", " ELSE 0.0 END")
 
+  private val duckLangScores = TextQueries.langMarkers.map { case (lang, re) =>
+    s"{'score': length(regexp_extract_all(lower(text), '$re')), 'lang': '$lang'}"
+  }.mkString("[", ", ", "]")
+
   val oracles: Map[String, String] = Map(
+    "curation_pipeline" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
+         |         t -> t != '')) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |      AS punct,
+         |    CAST(length(regexp_extract_all(lower(text),
+         |         '\\b(the|a|and|of|to)\\b')) AS DOUBLE) AS stop,
+         |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+         |  FROM documents),
+         |lang AS (
+         |  SELECT doc_id, sc.lang AS pred_lang,
+         |    row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY sc.score DESC, sc.lang) AS rn
+         |  FROM (SELECT doc_id, unnest($duckLangScores) AS sc FROM documents)),
+         |j AS (
+         |  SELECT m.doc_id, m.n_tokens, l.pred_lang,
+         |    round(least(m.n_tokens / 4.0, 50.0) + least(m.stop * 5.0, 30.0)
+         |          - least(m.punct, 20.0) + 20.0, 6) AS quality,
+         |    m.is_canonical
+         |  FROM m JOIN lang l ON m.doc_id = l.doc_id AND l.rn = 1),
+         |r AS (
+         |  SELECT *, CASE WHEN n_tokens < $minKeepTokens THEN 'too_short'
+         |                 WHEN pred_lang != 'en' THEN 'non_en'
+         |                 WHEN quality < $minKeepQuality THEN 'low_quality'
+         |                 WHEN NOT is_canonical THEN 'near_dup' END
+         |    AS reject_reason
+         |  FROM j)
+         |SELECT doc_id, n_tokens, pred_lang, quality, is_canonical,
+         |  reject_reason IS NULL AS keep, reject_reason
+         |FROM r ORDER BY doc_id""".stripMargin,
     "source_stats" ->
       """WITH h AS (
         |  SELECT source, lang, n_chars,

@@ -36,26 +36,43 @@ object TextQueries {
     "fr" -> "\\b(le|la|et|les|des)\\b",
     "zh" -> "\\b(de|shi|le|wo|ni)\\b")
 
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    val lowered = lower(col("text"))
+  /** The argmax language struct {score, lang} over a text column —
+    * (score desc, lang asc tiebreak); reused by [[langId]] and the
+    * composed curation pipeline. array_sort + element_at because argmax
+    * with a secondary tiebreak isn't expressible as array_max. */
+  private[ops] def langBest(textCol: Column): Column = {
+    val lowered = lower(textCol)
     val scored = langMarkers.map { case (lang, re) =>
       struct(countMatches(lowered, re).as("score"), lit(lang).as("lang"))
     }
-    // argmax(score, tie → smallest lang code): sort scored structs by
-    // (score desc, lang asc) = array_max over (score, negated-lang) is not
-    // expressible; use array_sort + element_at instead.
-    val best = element_at(
+    element_at(
       array_sort(array(scored: _*),
         (a, b) => when(a("score") > b("score"), -1)
           .when(a("score") < b("score"), 1)
           .when(a("lang") < b("lang"), -1)
           .when(a("lang") > b("lang"), 1)
           .otherwise(0)), 1)
+  }
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val best = langBest(col("text"))
     Tables.documents(s, dir).select(
       col("doc_id"), col("lang").as("labeled_lang"),
       best("lang").as("pred_lang"),
       best("score").cast("long").as("pred_score"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The composite 0-100 quality score over a text column — reused by
+    * [[qualityScore]] and the composed curation pipeline. */
+  private[ops] def qualityExpr(txt: Column): Column = {
+    val nTokens = whitespaceTokenCount(txt).cast("double")
+    val punct = countMatches(txt, "[^A-Za-z0-9\\s]").cast("double")
+    val stop = countMatches(lower(txt), "\\b(the|a|and|of|to)\\b").cast("double")
+    round(
+      least(nTokens / lit(4.0), lit(50.0))
+        + least(stop * lit(5.0), lit(30.0))
+        - least(punct, lit(20.0)) + lit(20.0), 6)
   }
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
@@ -69,10 +86,7 @@ object TextQueries {
     val punctRatio = round(punct / greatest(nChars, lit(1.0)), 6)
     val stopRatio = round(stop / greatest(nTokens, lit(1.0)), 6)
     val meanWordLen = round(nChars / greatest(nTokens, lit(1.0)), 6)
-    val score = round(
-      least(nTokens / lit(4.0), lit(50.0))
-        + least(stop * lit(5.0), lit(30.0))
-        - least(punct, lit(20.0)) + lit(20.0), 6)
+    val score = qualityExpr(txt)
     Tables.documents(s, dir).select(
       col("doc_id"), nTokens.cast("long").as("n_tokens"),
       punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
@@ -136,7 +150,45 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** PII detection + redaction — the anonymization pass every public-data
+    * training pipeline runs before anything else: count and redact emails
+    * and IPv4 addresses, flag documents that carried any. Pure codegen'd
+    * regex projections (regexp_extract_all + regexp_replace), so the scrub
+    * runs at parquet scan speed at 100 TB — no shuffle, no UDF.
+    *
+    * The synthetic corpus is PII-free, so a deterministic slice gets PII
+    * INJECTED first (emails on doc_id ≡ 0 (mod 7), IPs on ≡ 0 (mod 11)) —
+    * the detectors must then find exactly those and the scrubbed text must
+    * hash-match the oracle's redaction (md5 keeps the compared result
+    * small; the full scrubbed text is what a real pipeline would emit). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val injected = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com for details")))
+      .when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(col("text"), lit(" served from 10."),
+          pmod(col("doc_id"), lit(256)), lit(".0."),
+          pmod(col("doc_id"), lit(100))))
+      .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), injected.as("t2"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t2"), lit(emailRe), lit(0))).cast("long")
+          .as("n_emails"),
+        size(regexp_extract_all(col("t2"), lit(ipv4Re), lit(0))).cast("long")
+          .as("n_ips"),
+        md5(regexp_replace(regexp_replace(col("t2"), emailRe, "[EMAIL]"),
+          ipv4Re, "[IP]")).as("scrub_md5"))
+      .withColumn("has_pii", (col("n_emails") + col("n_ips")) > 0)
+      .select("doc_id", "n_emails", "n_ips", "has_pii", "scrub_md5")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scrub" -> (piiScrub _),
     "text_token_count" -> (tokenCount _),
     "text_lang_id" -> (langId _),
     "text_quality" -> (qualityScore _),
@@ -147,6 +199,26 @@ object TextQueries {
     s"length(regexp_extract_all($input, '$re'))"
 
   val oracles: Map[String, String] = Map(
+    "pii_scrub" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |           THEN text || ' contact user' || doc_id ||
+         |                '@example.com for details'
+         |         WHEN doc_id % 11 = 0
+         |           THEN text || ' served from 10.' || (doc_id % 256) ||
+         |                '.0.' || (doc_id % 100)
+         |         ELSE text END AS t2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(regexp_extract_all(t2, '$emailRe')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(length(regexp_extract_all(t2, '$ipv4Re')) AS BIGINT) AS n_ips,
+         |  (length(regexp_extract_all(t2, '$emailRe'))
+         |   + length(regexp_extract_all(t2, '$ipv4Re'))) > 0 AS has_pii,
+         |  md5(regexp_replace(regexp_replace(t2, '$emailRe', '[EMAIL]', 'g'),
+         |      '$ipv4Re', '[IP]', 'g')) AS scrub_md5
+         |FROM t ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       s"""SELECT doc_id,
          |  CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),

@@ -100,6 +100,37 @@ class EvolutionSpec extends SparkSpec {
     assert(v1.getAs[java.sql.Timestamp]("valid_until").getTime === 2000L)
   }
 
+  test("a Debezium JSON file stream drives the SCD2 sink end-to-end (deletes included)") {
+    // the full user story: point readStream at a directory of Debezium
+    // envelope JSON (what a connector publishes), adapt, flatten, and let
+    // the streaming SCD2 sink maintain the history — deletes close
+    // intervals via the op column instead of being dropped
+    val root = Files.createTempDirectory("graft-dbz-stream").toString
+    val srcDir = s"$root/in"; Files.createDirectory(java.nio.file.Paths.get(srcDir))
+    val rows = Seq(
+      ("""{"after":{"id":1,"name":"a","price":9.5},"source":{"db":"d","table":"t","pos":100},"op":"c","ts_ms":1000}"""),
+      ("""{"after":{"id":2,"name":"b","price":3.0},"source":{"db":"d","table":"t","pos":200},"op":"c","ts_ms":2000}"""),
+      ("""{"before":{"id":1,"name":"a","price":9.5},"after":{"id":1,"name":"a","price":12.0},"source":{"db":"d","table":"t","pos":300},"op":"u","ts_ms":3000}"""),
+      ("""{"before":{"id":2,"name":"b","price":3.0},"source":{"db":"d","table":"t","pos":400},"op":"d","ts_ms":4000}"""))
+    Files.write(java.nio.file.Paths.get(s"$srcDir/events.json"),
+      rows.mkString("\n").getBytes)
+    val envelope = spark.readStream.schema(Cdc.debeziumSchema(rowSchema))
+      .json(srcDir)
+    val flat = Cdc.castTo(
+      Cdc.flatten(Cdc.fromDebezium(envelope), rowSchema.fieldNames.toSeq),
+      rowSchema)
+    val q = Scd2Stream.start(spark, flat, s"$root/hist", s"$root/ckpt",
+      keys = Seq("id"), tsCol = "ts", seqCol = "seq",
+      opCol = Some("event_type"))
+    try q.processAllAvailable() finally q.stop()
+    val hist = spark.read.parquet(s"$root/hist")
+      .select("id", "name", "price", "valid_from", "valid_until", "is_current")
+      .collect().map(r => (r.getInt(0), r.getDouble(2), r.getString(5))).sorted
+    // id=1: 9.5 expired + 12.0 current; id=2: created then DELETED → one
+    // closed version, no current row
+    assert(hist.toSeq === Seq((1, 9.5, "N"), (1, 12.0, "Y"), (2, 3.0, "N")))
+  }
+
   // ---- online schema evolution -------------------------------------------
 
   private def batch(ids: Seq[Int], ts0: Long, extra: Option[String]): DataFrame = {
