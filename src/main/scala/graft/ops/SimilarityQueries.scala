@@ -214,7 +214,57 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** PRODUCT QUANTIZATION codes — the compression behind IVF-PQ indexes:
+    * split each 64-dim vector into [[pqSubspaces]] subvectors, assign each
+    * to its nearest of [[pqCodebookSize]] per-subspace centroids, emit the
+    * code word (m small ints ≈ 4 bytes/vector vs 256) plus the
+    * reconstruction MSE that tracks recall loss. Centroids are the
+    * subvectors of the [[pqCodebookSize]] smallest vec_ids — deterministic
+    * "training" (same policy as ann_ivf's seed cells) so the assignment is
+    * exactly oracle-checkable; real k-means would only change the codebook
+    * build, not the assignment shape.
+    *
+    * Scale shape: the codebook is ONE broadcast row (m×k subvectors);
+    * assignment is a narrow per-row projection — no shuffle, the corpus
+    * streams at scan speed. The argmin is array_min over (dist, cid)
+    * structs (ties → smallest cid, matching the oracle's ORDER BY). The
+    * distance fold uses HOF lambdas (interpreted): at production scale
+    * that inner loop becomes one codegen kernel like `quantize_i8` /
+    * `dot_product` — the data movement, which is what matters at 100 TB,
+    * is already right. */
+  val pqSubspaces = 4
+  val pqCodebookSize = 16
+  private val pqSubDim = 16 // 64 dims / pqSubspaces
+
+  def embeddingPq(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // TakeOrderedAndProject (top-k by vec_id), then one tiny 16-row agg
+    val cb = v.orderBy("vec_id").limit(pqCodebookSize)
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("e"))))
+        .as("cbs"))
+    val best = transform(sequence(lit(0), lit(pqSubspaces - 1)), j => {
+      val sub = slice(col("e"), j * lit(pqSubDim) + lit(1), lit(pqSubDim))
+      array_min(transform(col("cbs"), (cbrow, i) => {
+        val csub = slice(cbrow("e"), j * lit(pqSubDim) + lit(1), lit(pqSubDim))
+        struct(
+          aggregate(zip_with(sub, csub, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d) => acc + d).as("d"),
+          i.as("cid"))
+      }))
+    })
+    v.crossJoin(broadcast(cb))
+      .withColumn("best", best)
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("best"), b => b("cid").cast("string")))
+          .as("codes_csv"),
+        round(aggregate(transform(col("best"), _("d")), lit(0.0), _ + _)
+          / lit(64.0), 6).as("mse"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_pq" -> (embeddingPq _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_ivf" -> (annIvf _),
     "embedding_centroids" -> (embeddingCentroids _),
@@ -309,6 +359,27 @@ object SimilarityQueries {
        |WHERE rerank <= $rerankK ORDER BY q, rerank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embedding_pq" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+         |  FROM v ORDER BY vec_id LIMIT $pqCodebookSize),
+         |sub AS (
+         |  SELECT v.vec_id, g.j, s.cid,
+         |    list_aggregate(list_transform(generate_series(1, $pqSubDim),
+         |      i -> (v.e[g.j * $pqSubDim + i] - s.e[g.j * $pqSubDim + i])
+         |         * (v.e[g.j * $pqSubDim + i] - s.e[g.j * $pqSubDim + i])),
+         |      'sum') AS d
+         |  FROM v, generate_series(0, ${pqSubspaces - 1}) AS g(j), seeds s),
+         |best AS (
+         |  SELECT vec_id, j, cid, d FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |                                 ORDER BY d, cid) AS rn
+         |    FROM sub) WHERE rn = 1)
+         |SELECT vec_id,
+         |  string_agg(CAST(cid AS VARCHAR), ',' ORDER BY j) AS codes_csv,
+         |  round(list_aggregate(list(d ORDER BY j), 'sum') / 64.0, 6) AS mse
+         |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "hybrid_search" -> rerankSql(bruteAnnCtes),
     "hybrid_search_ivf" -> rerankSql(ivfAnnCtes),
     "embedding_quantize" ->

@@ -122,6 +122,34 @@ class PlanSpec extends SparkSpec {
       s"top-K vocab must be TakeOrderedAndProject, not a single-partition window:\n$p")
   }
 
+  test("pii_scrub is a pure scan-speed projection (no aggregate, pruned scan)") {
+    val f = formatted(ops.TextQueries.queries("pii_scrub")(spark, sf))
+    assert(!f.contains("HashAggregate"),
+      s"scrubbing must not aggregate:\n$f")
+    val readSchema = f.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan must prune to (doc_id, text):\n$readSchema")
+  }
+
+  test("curation pipeline pays exactly one hash shuffle (the content-hash window)") {
+    val p = planOf(ops.CurationQueries.queries("curation_pipeline")(spark, sf))
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(hashEx.size === 1,
+      s"rules 1-3 ride the scan; only the dedup window may shuffle:\n$p")
+  }
+
+  test("embedding_pq: codebook broadcasts, assignment never shuffles the corpus") {
+    val p = planOf(ops.SimilarityQueries.queries("embedding_pq")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row codebook must ride in as a broadcast:\n$p")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(hashEx.isEmpty, s"no corpus-side hash shuffle expected:\n$hashEx")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"codebook seed selection must be a top-k, not a global sort:\n$p")
+  }
+
   test("zorder layout is one scan + a 1-row bounds broadcast, no shuffle of facts") {
     val p = planOf(ops.PrepQueries.queries("zorder_layout")(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
