@@ -88,17 +88,23 @@ object SimilarityQueries {
   /** IVF top-k: probe the nprobe nearest cells, rank only their vectors.
     * Probes nprobe/|cells| of the corpus; recall is data-dependent (this
     * synthetic corpus has weak cluster structure; see OpsSpec). */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  /** The nprobe nearest seed cells per query — the IVF probe set, shared
+    * by [[annIvf]] and [[annIvfPq]]. */
+  private def probedCells(s: SparkSession, dir: String): DataFrame = {
     val q = vectors(s, dir).filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q"), col("e").as("qe"), col("norm").as("qn"))
     val wc = Window.partitionBy(col("q"))
       .orderBy(col("ccos").desc, col("cell"))
-    val cells = broadcast(q).join(broadcast(seeds(s, dir)))
+    broadcast(q).join(broadcast(seeds(s, dir)))
       .select(col("q"), col("qe"), col("qn"), col("cell"),
         cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("ccos"))
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= nprobe)
       .select(col("q"), col("qe"), col("qn"), col("cell"))
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val cells = probedCells(s, dir)
     val scored = cells.join(assigned(s, dir), Seq("cell"))
       .filter(col("q") =!= col("vec_id"))
       .select(col("q"), col("vec_id").as("neighbor"),
@@ -320,9 +326,49 @@ object SimilarityQueries {
       .orderBy("q", "rank")
   }
 
+  /** IVF-PQ — the composed billion-scale ANN shape: the IVF probe prunes
+    * the corpus to nprobe cells, and WITHIN the probed cells candidates
+    * are scored by PQ asymmetric distance (codes only, LUT lookups) —
+    * cell pruning bounds the data touched, PQ bounds the bytes per
+    * candidate. This is the index layout every large vector system
+    * (FAISS IVFPQ and its descendants) ships; both halves are the
+    * already-oracle-checked [[annIvf]] probe and [[annPqAdc]] scoring.
+    * At 100 TB the coded corpus is partitioned by cell so a probe opens
+    * nprobe/|cells| of the files and reads 4 bytes/vector. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val v = pqVectors(s, dir)
+    val cb = broadcast(pqCodebookDf(v))
+    // build side: cell assignment + PQ codes, one scan-side pass each
+    val coded = assigned(s, dir).select(col("vec_id"), col("cell"), col("e"))
+      .crossJoin(cb)
+      .select(col("vec_id").as("neighbor"), col("cell"),
+        transform(pqBest, _("cid")).as("codes"))
+    val qlut = v.filter(col("vec_id") % queryStride === 0).crossJoin(cb)
+      .select(col("vec_id").as("q"),
+        transform(sequence(lit(0), lit(pqSubspaces - 1)), j =>
+          transform(col("cbs"), cbrow => pqSubDist(j, cbrow("e"))))
+          .as("lut"))
+    val probes = probedCells(s, dir).select("q", "cell")
+      .join(qlut, Seq("q"))
+    val scored = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("q") =!= col("neighbor"))
+      .withColumn("ad",
+        aggregate(transform(sequence(lit(0), lit(pqSubspaces - 1)), j =>
+          element_at(element_at(col("lut"), j + lit(1)),
+            element_at(col("codes"), j + lit(1)) + lit(1))),
+          lit(0.0), (acc, d) => acc + d))
+    val w = Window.partitionBy(col("q")).orderBy(col("ad").asc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q"), col("rank"), col("neighbor"),
+        round(col("ad"), 6).as("adist"))
+      .orderBy("q", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_pq" -> (embeddingPq _),
     "ann_pq_adc" -> (annPqAdc _),
+    "ann_ivf_pq" -> (annIvfPq _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_ivf" -> (annIvf _),
     "embedding_centroids" -> (embeddingCentroids _),
@@ -416,26 +462,31 @@ object SimilarityQueries {
        |  FROM re)
        |WHERE rerank <= $rerankK ORDER BY q, rerank""".stripMargin
 
-  /** PQ CTE chain ending in `sub` (every vec × subspace × centroid
-    * distance) and `best` (the per-(vec, subspace) argmin) — shared by
-    * embedding_pq and ann_pq_adc. */
-  private val pqCtes =
-    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |seeds AS (
+  /** PQ CTE chain ending in `<p>sub` (every vec × subspace × centroid
+    * distance) and `<p>best` (the per-(vec, subspace) argmin) over an
+    * existing `v(vec_id, e)` CTE — prefix-parameterized because the
+    * IVF-PQ composite combines it with the IVF chain, whose `seeds` CTE
+    * (cell seeds) would collide with the PQ codebook seeds. */
+  private def pqCteChain(p: String) =
+    s"""${p}seeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
        |  FROM v ORDER BY vec_id LIMIT $pqCodebookSize),
-       |sub AS (
+       |${p}sub AS (
        |  SELECT v.vec_id, g.j, s.cid,
        |    list_aggregate(list_transform(generate_series(1, $pqSubDim),
        |      i -> (v.e[g.j * $pqSubDim + i] - s.e[g.j * $pqSubDim + i])
        |         * (v.e[g.j * $pqSubDim + i] - s.e[g.j * $pqSubDim + i])),
        |      'sum') AS d
-       |  FROM v, generate_series(0, ${pqSubspaces - 1}) AS g(j), seeds s),
-       |best AS (
+       |  FROM v, generate_series(0, ${pqSubspaces - 1}) AS g(j), ${p}seeds s),
+       |${p}best AS (
        |  SELECT vec_id, j, cid, d FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
        |                                 ORDER BY d, cid) AS rn
-       |    FROM sub) WHERE rn = 1)""".stripMargin
+       |    FROM ${p}sub) WHERE rn = 1)""".stripMargin
+
+  private val pqCtes =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |${pqCteChain("")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "embedding_pq" ->
@@ -444,6 +495,23 @@ object SimilarityQueries {
          |  string_agg(CAST(cid AS VARCHAR), ',' ORDER BY j) AS codes_csv,
          |  round(list_aggregate(list(d ORDER BY j), 'sum') / 64.0, 6) AS mse
          |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "ann_ivf_pq" ->
+      s"""WITH $ivfAnnCtes,
+         |${pqCteChain("pq")},
+         |adc AS (
+         |  SELECT c.q, a.vec_id AS neighbor,
+         |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS ad
+         |  FROM cells c JOIN assign a USING (cell)
+         |  JOIN pqbest b ON b.vec_id = a.vec_id
+         |  JOIN pqsub l ON l.vec_id = c.q AND l.j = b.j AND l.cid = b.cid
+         |  WHERE c.q != a.vec_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT q, neighbor, ad, row_number() OVER (PARTITION BY q
+         |      ORDER BY ad, neighbor) AS rank
+         |  FROM adc)
+         |SELECT q, rank, neighbor, round(ad, 6) AS adist
+         |FROM ranked WHERE rank <= $topK ORDER BY q, rank""".stripMargin,
     "ann_pq_adc" ->
       s"""WITH $pqCtes,
          |adc AS (
