@@ -289,13 +289,31 @@ object DedupQueries {
     * explode → project → 12 partial min-aggregates: every stage is
     * whole-stage-codegen'd, and the map-side combine reduces each
     * partition to one row per doc before the (tiny) shuffle. */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    minhashSigsOf(docs(s, dir))
+
+  /** [[minhashSigs]] over an arbitrary (doc_id, text) DataFrame — the
+    * signature kernel the streaming near-dup ingester
+    * ([[graft.streaming.NearDupStream]]) shares with the batch operators. */
+  private[graft] def minhashSigsOf(d: DataFrame): DataFrame = {
     val sigCols = (0 until minhashK).map { k =>
       min((col("h") * minhashA(k) + minhashB(k)) % minhashP).as(s"mh$k")
     }
-    hashPostings(s, dir).groupBy(col("doc_id"))
+    d.select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("shingle"))
+      .select(col("doc_id"), (md5Long(col("shingle")) % minhashP).as("h"))
+      .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
   }
+
+  /** The LSH band keys for a `sig` array column — (band, joined row key)
+    * structs; shared with the streaming ingester. */
+  private[graft] def lshBandKeys: Column =
+    array((0 until lshBands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("-",
+          element_at(col("sig"), b * 3 + 1).cast("string"),
+          element_at(col("sig"), b * 3 + 2).cast("string"),
+          element_at(col("sig"), b * 3 + 3).cast("string")).as("key"))): _*)
 
   /** Per-doc MinHash signature (oracle-checks the sketch math itself). */
   def dedupMinhashSig(s: SparkSession, dir: String): DataFrame =

@@ -191,7 +191,10 @@ object Scd2Queries {
     flat.select(col("seq"), col("event_type"), col("ts"),
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
-      .orderBy("seq")
+      // sortWithinPartitions, not orderBy: a global range sort SAMPLES its
+      // child to pick bounds, evaluating the whole JSON round-trip twice;
+      // the driver compare is order-insensitive, so pay the pipeline once
+      .sortWithinPartitions("seq")
   }
 
   /** The periodic-snapshot CDC lifecycle END-TO-END: two table snapshots

@@ -100,7 +100,7 @@ object DedupStream {
     }
   }
 
-  private def writeAtomically(df: DataFrame, dst: File): Unit = {
+  private[streaming] def writeAtomically(df: DataFrame, dst: File): Unit = {
     val tmp = new File(dst.getPath + ".tmp")
     if (tmp.exists()) FileUtils.deleteDirectory(tmp)
     df.write.mode("overwrite").parquet(tmp.getPath)

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.DedupQueries
+import graft.streaming.NearDupStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ingestion-time streaming NEAR-dup filtering: the kept corpus is
+  * pairwise near-dup-free, every drop has an earlier witness, id-ordered
+  * batching equals one-shot ingestion, and replay is idempotent. */
+class NearDupStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def documents(): DataFrame =
+    Tables.documents(spark, sf).select("doc_id", "text")
+
+  /** ≥8-of-12 signature-agreement pairs (a < b) among `d`, via the same
+    * band-candidate route the ingester uses — the independent checker. */
+  private def nearDupPairs(d: DataFrame): DataFrame = {
+    val sigs = DedupQueries.minhashSigsOf(d)
+      .select(col("doc_id"),
+        array((0 until DedupQueries.minhashK).map(k => col(s"mh$k")): _*)
+          .as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(DedupQueries.lshBandKeys).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val agree = aggregate(
+      zip_with(col("x.sig"), col("y.sig"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, m) => acc + m)
+    bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(agree >= 8)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  test("streamed near-dup ingest: kept corpus pairwise clean; drops have earlier witnesses; batching-invariant") {
+    val all = documents().cache()
+    // id-ordered thirds (the witness set for any doc is then identical
+    // batched or one-shot: exactly the smaller-id docs)
+    val cut = all.agg(max("doc_id")).first().getLong(0)
+    val splits = Seq((-1L, cut / 3), (cut / 3, 2 * cut / 3), (2 * cut / 3, cut))
+    val tmp = Files.createTempDirectory("graft-neardup").toString
+    splits.zipWithIndex.foreach { case ((lo, hi), i) =>
+      NearDupStream.applyMicroBatch(spark,
+        all.filter(col("doc_id") > lo && col("doc_id") <= hi),
+        s"$tmp/corpus", batchId = i.toLong)
+    }
+    val kept = NearDupStream.readCorpus(spark, s"$tmp/corpus").cache()
+    assert(kept.count() > 0 && kept.count() < all.count(),
+      "the testdata contains near-dups; some must drop, most must stay")
+    // 1. kept corpus is pairwise near-dup-free
+    assert(nearDupPairs(kept.select("doc_id", "text")).isEmpty,
+      "no two kept documents may agree on >= 8/12 minhashes via a band")
+    // 2. every dropped doc has a smaller-id near-dup witness in the input
+    val dropped = all.select("doc_id")
+      .join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val witnessed = nearDupPairs(all).select(col("b").as("doc_id")).distinct()
+    assert(dropped.join(witnessed, Seq("doc_id"), "left_anti").isEmpty,
+      "every drop needs an earlier (smaller-id) witness")
+    // 3. one-shot ingestion keeps exactly the same set
+    val tmp1 = Files.createTempDirectory("graft-neardup-oneshot").toString
+    NearDupStream.applyMicroBatch(spark, all, s"$tmp1/corpus", batchId = 0L)
+    val oneShot = NearDupStream.readCorpus(spark, s"$tmp1/corpus")
+    assert(kept.select("doc_id").exceptAll(oneShot.select("doc_id")).isEmpty &&
+      oneShot.select("doc_id").exceptAll(kept.select("doc_id")).isEmpty,
+      "id-ordered batching must equal one-shot ingestion")
+  }
+
+  test("replaying a committed batch id is a no-op; index rows mirror kept docs") {
+    val tmp = Files.createTempDirectory("graft-neardup-replay").toString
+    val b = documents().filter(col("doc_id") < 100)
+    NearDupStream.applyMicroBatch(spark, b, s"$tmp/corpus", batchId = 0L)
+    val before = NearDupStream.readCorpus(spark, s"$tmp/corpus").count()
+    NearDupStream.applyMicroBatch(spark, b, s"$tmp/corpus", batchId = 0L)
+    assert(NearDupStream.readCorpus(spark, s"$tmp/corpus").count() === before)
+    // the index holds exactly lshBands rows per kept doc
+    val idx = NearDupStream.readIndex(spark, s"$tmp/corpus")
+    assert(idx.count() === before * DedupQueries.lshBands)
+    assert(idx.select("doc_id").distinct().count() === before)
+  }
+}
