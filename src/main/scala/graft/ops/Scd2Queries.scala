@@ -41,6 +41,26 @@ object Scd2Queries {
     Scd2.current(scd2Snapshot(s, dir))
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
 
+  /** History RETENTION: the maintenance pass every long-lived SCD2 table
+    * eventually needs (time-travel horizon / storage cost / right-to-be-
+    * forgotten): keep the current row per key plus versions still valid
+    * after the cutoff; tag everything older for the archive tier. A pure
+    * scan-speed predicate over the history (no shuffle beyond the window
+    * the snapshot itself pays) — at 100 TB this is the operator that runs
+    * as the partition-drop policy on a date-partitioned history. The row
+    * set is PRESERVED with a `tier` column (hot/archive) rather than
+    * filtered, so both the retained table and the archive manifest come
+    * from one pass. */
+  val retentionCutoff = "2024-01-16 00:00:00"
+
+  def scd2Retention(s: SparkSession, dir: String): DataFrame =
+    scd2Snapshot(s, dir)
+      .withColumn("tier",
+        when(col("is_current") === "Y" ||
+          col("valid_until") >= to_timestamp(lit(retentionCutoff)), "hot")
+          .otherwise("archive"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+
   /** Delete-aware SCD2 reconstruction (the extension the reference's
     * router drops, SURVEY.md §7.4 item 6): `logout` plays the CDC delete —
     * it closes the user's open interval and contributes no version row;
@@ -228,6 +248,7 @@ object Scd2Queries {
     "debezium_ingest" -> (debeziumIngest _),
     "snapshot_diff" -> (snapshotDiff _),
     "scd2_asof_lookup" -> (scd2AsofLookup _),
+    "scd2_retention" -> (scd2Retention _),
     "scd2_snapshot" -> (scd2Snapshot _),
     "scd2_apply_batch" -> (scd2ApplyBatch _),
     "scd2_current" -> (scd2Current _),
@@ -375,6 +396,12 @@ object Scd2Queries {
         |  AND f.ts >= v.valid_from
         |  AND (v.valid_until IS NULL OR f.ts < v.valid_until)
         |ORDER BY f.event_id""".stripMargin,
+    "scd2_retention" ->
+      s"""SELECT *, CASE WHEN is_current = 'Y'
+         |  OR valid_until >= TIMESTAMP '$retentionCutoff'
+         |  THEN 'hot' ELSE 'archive' END AS tier
+         |FROM ($scd2Sql)
+         |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "scd2_snapshot" -> scd2Sql,
     "scd2_apply_batch" -> scd2Sql,
     "scd2_current" ->

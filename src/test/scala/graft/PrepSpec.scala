@@ -3,7 +3,7 @@ package graft
 import graft.functions.TextFunctions._
 import graft.functions.ZOrderFunctions.zorder2
 import graft.functions.ZOrderUtil
-import graft.ops.{AnalyticsQueries, DedupQueries, PrepQueries}
+import graft.ops.{AnalyticsQueries, DedupQueries, PrepQueries, TextQueries}
 import org.apache.spark.sql.functions._
 
 /** Invariants for the corpus-preparation operators (PrepQueries) plus the
@@ -151,6 +151,25 @@ class PrepSpec extends SparkSpec {
     val got = labels.as[(Long, Long)].collect().toMap
     (0L to 63L).foreach(i => assert(got(i) === 0L, s"path node $i"))
     Seq(100L, 101L, 102L).foreach(i => assert(got(i) === 100L))
+  }
+
+  test("compression ratio: sane bounds on the corpus; separates repetition from variety") {
+    import spark.implicits._
+    val c = TextQueries.compressionRatio(spark, sf).cache()
+    assert(c.filter(col("deflate_bytes") <= 0 || col("ratio") <= 0).isEmpty)
+    assert(c.filter(col("ratio") > 1.2).isEmpty,
+      "deflate never inflates prose-sized docs past header overhead")
+    // known-entropy fixtures through the same kernel: pure repetition must
+    // compress far below varied text of the same length
+    val rep = ("spam ham " * 300).trim
+    val varied = (1 to 600).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
+      .take(rep.length)
+    val fix = TextQueries.compressionRatioOf(spark,
+        Seq((1L, rep), (2L, varied)).toDF("doc_id", "text"))
+      .select("doc_id", "ratio").as[(Long, Double)].collect().toMap
+    assert(fix(1L) < fix(2L) / 3,
+      s"repetition must compress ≥3× better: rep=${fix(1L)} varied=${fix(2L)}")
+    assert(c.filter(col("low_entropy") =!= (col("ratio") < 0.35)).isEmpty)
   }
 
   test("oov rate: rational n_oov/n_tokens against an independent vocab") {
