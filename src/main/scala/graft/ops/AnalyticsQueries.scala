@@ -184,6 +184,27 @@ object AnalyticsQueries {
         col("hour_of_day").asc_nulls_first)
   }
 
+  /** ROLLING event-time window (RANGE frame): per user, the count and
+    * value-sum of their events in the trailing hour — rate-limit /
+    * burst-detection features, the frame ROWS BETWEEN can't express
+    * (events are irregular; the lookback is TIME, not row count). One
+    * shuffle by user; the range frame slides two pointers over each
+    * sorted partition — linear, no per-row rescan. Ties on the sort key
+    * (same epoch second) are RANGE-frame peers on both engines. */
+  def windowRolling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-3600L, 0L)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        round(sum(col("value").cast("decimal(18,6)")).over(w)
+          .cast("double"), 6))
+      .orderBy("event_id")
+  }
+
   /** Per-user event-time navigation: previous value (lag), delta, running
     * total, and position — the feature-engineering window suite. One
     * shuffle by user, one sort per partition serves all four functions. */
@@ -283,6 +304,7 @@ object AnalyticsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "range_join_auto" -> (rangeJoinAuto _),
     "range_join" -> (rangeJoin _),
+    "window_rolling" -> (windowRolling _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
     "window_lag" -> (windowLag _),
     "sessionize" -> (sessionize _),
@@ -322,6 +344,17 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "range_join" -> rangeJoinSql,
     "range_join_auto" -> rangeJoinSql,
+    "window_rolling" ->
+      """SELECT user_id, event_id, ts, value,
+        |  count(*) OVER w AS n_1h,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+        |    AS sum_1h
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |        CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "resample_ffill" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
         |           FROM events),

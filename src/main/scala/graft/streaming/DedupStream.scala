@@ -83,9 +83,66 @@ object DedupStream {
     } finally { hashed.unpersist(); () }
   }
 
+  /** COMPACTION — the small-files maintenance pass: a long-lived ingest
+    * stream accumulates one `batch=N` directory per micro-batch; this
+    * rewrites all committed data into the single highest-id batch
+    * directory and leaves every other committed `batch=N` as an EMPTY
+    * MARKER directory, because a batch id's committed-ness (the replay
+    * no-op check, and readIndex's twin check) is exactly "the directory
+    * exists" — compaction must not forget ids. Works on any corpus with
+    * this layout ([[DedupStream]] and [[graft.streaming.NearDupStream]]);
+    * the rewrite is schema-agnostic.
+    *
+    * Crash-safe via the root-level rename-aside swap (same shape as
+    * `Scd2Stream.applyMicroBatch`): the rebuilt corpus is staged at
+    * `<dir>.ctmp`, the live root renamed aside, the stage renamed in;
+    * [[recover]] completes or rolls back an interrupted swap. CONTRACT:
+    * run while the ingest stream is idle (between micro-batches or with
+    * the query stopped) — same as any table-maintenance operation. */
+  def compact(spark: SparkSession, corpusDir: String): Unit = {
+    recover(corpusDir)
+    val committed = Option(new File(s"$corpusDir/docs").list())
+      .getOrElse(Array.empty).filter(_.startsWith("batch="))
+      .filter(b => new File(s"$corpusDir/index/$b").exists())
+      .sortBy(_.stripPrefix("batch=").toLong)
+    if (committed.length <= 1) return
+    val target = committed.last
+    val stage = new File(corpusDir + ".ctmp")
+    if (stage.exists()) FileUtils.deleteDirectory(stage)
+    spark.read.parquet(s"$corpusDir/docs").drop("batch")
+      .write.parquet(s"${stage.getPath}/docs/$target")
+    spark.read.option("basePath", s"$corpusDir/index")
+      .parquet(committed.map(b => s"$corpusDir/index/$b").toIndexedSeq: _*)
+      .drop("batch")
+      .write.parquet(s"${stage.getPath}/index/$target")
+    // empty marker dirs keep every committed id recognizable on replay
+    committed.init.foreach { b =>
+      new File(s"${stage.getPath}/docs/$b").mkdirs()
+      new File(s"${stage.getPath}/index/$b").mkdirs()
+    }
+    val old = new File(corpusDir + ".cold")
+    renameOrThrow(new File(corpusDir), old)
+    renameOrThrow(stage, new File(corpusDir))
+    FileUtils.deleteDirectory(old)
+  }
+
+  private def renameOrThrow(src: File, dst: File): Unit =
+    if (!src.renameTo(dst))
+      throw new java.io.IOException(s"atomic rename failed: $src -> $dst")
+
   /** Drop index batch dirs with no committed corpus twin (crash between
-    * the two writes) and any stale temp dirs. Safe to call any time. */
+    * the two writes), any stale temp dirs, and complete or roll back an
+    * interrupted [[compact]] swap. Safe to call any time. */
   def recover(corpusDir: String): Unit = {
+    // compaction swap recovery first: the root itself may be mid-rename
+    val root = new File(corpusDir)
+    val cold = new File(corpusDir + ".cold")
+    val ctmp = new File(corpusDir + ".ctmp")
+    if (cold.exists()) {
+      if (root.exists()) FileUtils.deleteDirectory(cold) // new root live
+      else renameOrThrow(cold, root) // crash between the two renames
+    }
+    if (ctmp.exists()) FileUtils.deleteDirectory(ctmp) // uncommitted stage
     val index = new File(s"$corpusDir/index")
     val dirs = Option(index.listFiles()).getOrElse(Array.empty)
     dirs.filter(_.getName.startsWith("batch=")).foreach { d =>

@@ -48,6 +48,53 @@ class DedupStreamSpec extends SparkSpec {
     assert(recomputed === 0)
   }
 
+  test("compaction collapses batch dirs, preserves content, replay and ingest continue") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-dedup-compact").toString
+    val corpus = s"$tmp/corpus"
+    Seq(
+      Seq(doc(1, "alpha"), doc(2, "beta")),
+      Seq(doc(3, "gamma"), doc(4, "beta")), // 4 dups 2
+      Seq(doc(5, "delta"))
+    ).zipWithIndex.foreach { case (b, i) =>
+      DedupStream.applyMicroBatch(spark, b.toDF("doc_id", "text"),
+        corpus, batchId = i.toLong)
+    }
+    val before = DedupStream.readCorpus(spark, corpus)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    val idxBefore = DedupStream.readIndex(spark, corpus)
+      .as[(Long, Long)].collect().toSet
+    DedupStream.compact(spark, corpus)
+    // content identical, through the same readers
+    assert(DedupStream.readCorpus(spark, corpus)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet === before)
+    assert(DedupStream.readIndex(spark, corpus)
+      .as[(Long, Long)].collect().toSet === idxBefore)
+    // exactly one batch dir still holds files; the rest are empty markers
+    def dataDirs(sub: String) = new java.io.File(s"$corpus/$sub").listFiles()
+      .filter(_.getName.startsWith("batch=")).toSeq
+      .filter(_.listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(dataDirs("docs").size === 1 && dataDirs("index").size === 1)
+    // replaying an already-committed (now marker) batch id stays a no-op
+    DedupStream.applyMicroBatch(spark,
+      Seq(doc(1, "alpha"), doc(2, "beta")).toDF("doc_id", "text"),
+      corpus, batchId = 0L)
+    assert(DedupStream.readCorpus(spark, corpus).count() === before.size)
+    // new batches keep deduping against the compacted index
+    DedupStream.applyMicroBatch(spark,
+      Seq(doc(6, "alpha"), doc(7, "zeta")).toDF("doc_id", "text"),
+      corpus, batchId = 3L)
+    val after = DedupStream.readCorpus(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after === before.map(_._1) + 7L, "6 dups 1; 7 is novel")
+    // interrupted swap (root renamed aside, stage not yet in) rolls back
+    val cold = new java.io.File(corpus + ".cold")
+    assert(new java.io.File(corpus).renameTo(cold))
+    DedupStream.recover(corpus)
+    assert(new java.io.File(corpus).exists() && !cold.exists())
+    assert(DedupStream.readCorpus(spark, corpus).count() === after.size)
+  }
+
   test("replaying a committed batch id is a no-op") {
     val tmp = Files.createTempDirectory("graft-dedupstream-replay").toString
     val b = Seq(doc(1, "a"), doc(2, "b")).toDF("doc_id", "text")
