@@ -224,7 +224,30 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Unicode normalization (accent strip, NFD→drop marks→NFC) — the pass
+    * every multilingual pipeline runs before tokenization/hashing so that
+    * `Café` and `Café` (precomposed vs decomposed) and `Cafe` dedupe and
+    * tokenize identically. Codegen'd native expression
+    * ([[graft.functions.StripAccentsNfc]], with an allocation-free ASCII
+    * fast path) — scan speed at 100 TB. The synthetic corpus is pure
+    * ASCII, so a deterministic slice gets accented text INJECTED
+    * (doc_id ≡ 0 mod 13) and the normalized md5 must match DuckDB's
+    * `strip_accents`. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NormalizeFunctions.stripAccentsNfc
+    val injected = when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(col("text"), lit(" Café Zürich naïve São Paulo résumé")))
+      .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), injected.as("t2"))
+      .select(col("doc_id"),
+        md5(stripAccentsNfc(col("t2"))).as("norm_md5"),
+        (stripAccentsNfc(col("t2")) =!= col("t2")).as("changed"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> (textNormalize _),
     "text_compression" -> (compressionRatio _),
     "pii_scrub" -> (piiScrub _),
     "text_token_count" -> (tokenCount _),
@@ -237,6 +260,16 @@ object TextQueries {
     s"length(regexp_extract_all($input, '$re'))"
 
   val oracles: Map[String, String] = Map(
+    "text_normalize" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN text || ' Café Zürich naïve São Paulo résumé'
+        |         ELSE text END AS t2
+        |  FROM documents)
+        |SELECT doc_id, md5(strip_accents(t2)) AS norm_md5,
+        |  strip_accents(t2) != t2 AS changed
+        |FROM t ORDER BY doc_id""".stripMargin,
     "pii_scrub" ->
       s"""WITH t AS (
          |  SELECT doc_id,

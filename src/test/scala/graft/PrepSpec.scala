@@ -153,6 +153,22 @@ class PrepSpec extends SparkSpec {
     Seq(100L, 101L, 102L).foreach(i => assert(got(i) === 100L))
   }
 
+  test("strip_accents_nfc: precomposed ≡ decomposed ≡ plain; ASCII untouched; null propagates") {
+    import graft.functions.NormalizeFunctions.stripAccentsNfc
+    import spark.implicits._
+    val pre = "Caf\u00e9"            // precomposed é
+    val dec = "Cafe\u0301"           // e + combining acute
+    val rows = Seq((1L, pre), (2L, dec), (3L, "Cafe"), (4L, "Zürich naïve"))
+      .toDF("id", "s")
+      .select(col("id"), stripAccentsNfc(col("s")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) === "Cafe" && rows(2L) === "Cafe" && rows(3L) === "Cafe")
+    assert(rows(4L) === "Zurich naive")
+    val n = Seq(Tuple1(null: String)).toDF("s")
+      .select(stripAccentsNfc(col("s")).as("n"))
+    assert(n.filter(col("n").isNotNull).isEmpty)
+  }
+
   test("compression ratio: sane bounds on the corpus; separates repetition from variety") {
     import spark.implicits._
     val c = TextQueries.compressionRatio(spark, sf).cache()
