@@ -122,6 +122,34 @@ class PlanSpec extends SparkSpec {
       s"top-K vocab must be TakeOrderedAndProject, not a single-partition window:\n$p")
   }
 
+  test("bucketed tables join co-located: no shuffle on either side") {
+    // the 100 TB claim behind "pre-bucket big joins" (SURVEY §scale notes),
+    // pinned: two tables bucketed+sorted on the join key sort-merge-join
+    // with ZERO Exchange — the shuffle happened once at write time
+    val big = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("g_orders_bkt")
+      Tables.customer(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("g_cust_bkt")
+      val j = spark.table("g_orders_bkt").join(spark.table("g_cust_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      val p = planOf(j)
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", big)
+      spark.sql("DROP TABLE IF EXISTS g_orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS g_cust_bkt")
+      ()
+    }
+  }
+
   test("pii_scrub is a pure scan-speed projection (no aggregate, pruned scan)") {
     val f = formatted(ops.TextQueries.queries("pii_scrub")(spark, sf))
     assert(!f.contains("HashAggregate"),
