@@ -108,6 +108,21 @@ object RelationalQueries {
       .orderBy("p_brand")
   }
 
+  /** Ranking-DISTRIBUTION window suite: quartile (ntile), percent_rank
+    * and cume_dist of each event's value within its event_type — the
+    * score-normalization window family (feature scaling, decile reports);
+    * one shuffle, one sort, three functions. */
+  def windowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy("event_type", "event_id")
+  }
+
   /** Ranking window: top-3 orders by totalprice per customer. */
   def windowTopk(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -128,6 +143,25 @@ object RelationalQueries {
           .as("total_price"))
       .orderBy(col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
+
+  /** Bag-semantics set operations (UNION ALL / INTERSECT ALL / EXCEPT
+    * ALL) over per-user event multisets — the multiplicity-preserving
+    * forms ([[setOps]] covers the distinct forms): INTERSECT ALL keeps
+    * min(countA, countB) copies, EXCEPT ALL keeps countA − countB.
+    * Spark plans these as a count-aggregate + generate rather than a
+    * naive self-join — one shuffle each, no row explosion. */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"))
+    val inter = users("login").intersectAll(users("error"))
+      .withColumn("set_op", lit("intersect_all"))
+    val exc = users("login").exceptAll(users("error"))
+      .withColumn("set_op", lit("except_all"))
+    inter.unionByName(exc)
+      .groupBy("set_op", "user_id").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("set_op", "user_id")
+  }
 
   /** Set ops on the event stream: signup∩purchase and signup∖purchase
     * user sets, tagged and unioned (one result set). */
@@ -213,6 +247,8 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_ops_all" -> (setOpsAll _),
+    "window_ntile" -> (windowNtile _),
     "q17_correlated" -> (q17Correlated _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
@@ -238,6 +274,25 @@ object RelationalQueries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "set_ops_all" ->
+      """WITH l AS (SELECT user_id FROM events WHERE event_type = 'login'),
+        |e AS (SELECT user_id FROM events WHERE event_type = 'error'),
+        |u AS (
+        |  SELECT 'intersect_all' AS set_op, user_id FROM
+        |    (SELECT user_id FROM l INTERSECT ALL SELECT user_id FROM e)
+        |  UNION ALL
+        |  SELECT 'except_all' AS set_op, user_id FROM
+        |    (SELECT user_id FROM l EXCEPT ALL SELECT user_id FROM e))
+        |SELECT set_op, user_id, count(*) AS multiplicity
+        |FROM u GROUP BY set_op, user_id ORDER BY set_op, user_id""".stripMargin,
+    "window_ntile" ->
+      """SELECT event_type, event_id, value,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))

@@ -31,10 +31,14 @@ import org.apache.spark.sql.types.LongType
   * keeps degenerate windows (hi < lo — empty in the naive join) from
   * erroring in `sequence`; their buckets produce no residual matches.
   *
-  * Scope (deliberately narrow, fail-closed): INNER joins, condition
-  * EXACTLY `GreaterThanOrEqual(p, lo) && LessThan(p, hi)` over LONG
-  * attributes with `p` from one side and `lo`/`hi` from the other, no
-  * other conjuncts. Anything else is left untouched.
+  * Scope (deliberately narrow, fail-closed): INNER joins whose condition
+  * is EXACTLY a two-sided band over LONG attributes — any strictness
+  * (`>=`/`>` below, `<`/`<=` above), either conjunct order, either
+  * written direction (`p >= lo` or `lo <= p`) — with `p` from one side
+  * and `lo`/`hi` from the other, no other conjuncts. Anything else is
+  * left untouched. Strictness never affects the rewrite: buckets only
+  * COVER [lo div W, hi div W] and the ORIGINAL condition rides along as
+  * the residual, so open/closed endpoints are enforced exactly.
   *
   * GUARD: a window whose span covers ≥ `spark.graft.rangeJoin
   * .maxBucketsPerWindow` buckets (default 65536) would materialize an
@@ -65,23 +69,54 @@ case class RangeJoinBucketing(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** cond ≡ p >= lo && p < hi with p on one side, lo/hi on the other →
-    * (p, lo, hi, probeIsLeft). */
+  /** cond ≡ a two-sided band over one attribute — any strictness
+    * combination and either conjunct order:
+    *   (p >= lo | p > lo) && (p < hi | p <= hi), or each side written
+    *   flipped (lo <= p, hi > p, ...).
+    * Requires p from one join side and lo/hi from the other, all LONG →
+    * (p, lo, hi, probeIsLeft). The bucket rewrite is strictness-agnostic:
+    * buckets only need to COVER [lo div W, hi div W]; the original
+    * condition rides along as the residual, so `>` vs `>=` correctness is
+    * untouched (a `> lo` probe in lo's bucket simply fails the residual). */
   private def matchBand(cond: Expression, left: LogicalPlan,
-                        right: LogicalPlan): Option[(Attribute, Attribute, Attribute, Boolean)] =
+                        right: LogicalPlan): Option[(Attribute, Attribute, Attribute, Boolean)] = {
+    // every reading of one comparison as "probe has a lower/upper bound":
+    // a >= b bounds a below by b AND bounds b above by a, etc. — emit both
+    // and let the cross-conjunct agreement + side-membership checks pick
+    // the (unique) valid assignment.
+    def readings(e: Expression): Seq[(Attribute, Attribute, Boolean)] = e match {
+      case GreaterThanOrEqual(a: Attribute, b: Attribute) =>
+        Seq((a, b, true), (b, a, false))
+      case GreaterThan(a: Attribute, b: Attribute) =>
+        Seq((a, b, true), (b, a, false))
+      case LessThan(a: Attribute, b: Attribute) =>
+        Seq((a, b, false), (b, a, true))
+      case LessThanOrEqual(a: Attribute, b: Attribute) =>
+        Seq((a, b, false), (b, a, true))
+      case _ => Seq.empty
+    }
     cond match {
-      case And(GreaterThanOrEqual(p1: Attribute, lo: Attribute),
-               LessThan(p2: Attribute, hi: Attribute))
-          if p1.semanticEquals(p2) && p1.dataType == LongType &&
-             lo.dataType == LongType && hi.dataType == LongType =>
+      case And(c1, c2) =>
         val (lOut, rOut) = (left.outputSet, right.outputSet)
-        if (lOut.contains(p1) && rOut.contains(lo) && rOut.contains(hi))
-          Some((p1, lo, hi, true))
-        else if (rOut.contains(p1) && lOut.contains(lo) && lOut.contains(hi))
-          Some((p1, lo, hi, false))
-        else None
+        val candidates = for {
+          (cLo, cHi) <- Seq((c1, c2), (c2, c1))
+          (p1, lo, isLower) <- readings(cLo) if isLower
+          (p2, hi, isLower2) <- readings(cHi) if !isLower2
+          if p1.semanticEquals(p2) &&
+            p1.dataType == LongType && lo.dataType == LongType &&
+            hi.dataType == LongType
+        } yield (p1, lo, hi)
+        candidates.collectFirst {
+          case (p, lo, hi)
+              if lOut.contains(p) && rOut.contains(lo) && rOut.contains(hi) =>
+            (p, lo, hi, true)
+          case (p, lo, hi)
+              if rOut.contains(p) && lOut.contains(lo) && lOut.contains(hi) =>
+            (p, lo, hi, false)
+        }
       case _ => None
     }
+  }
 
   private def rewrite(j: Join, probe: Attribute, lo: Attribute, hi: Attribute,
                       probeIsLeft: Boolean, width: Long,

@@ -95,6 +95,33 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(!plan(naiveJoin(p, w)).contains("__graft_bkt"))
   }
 
+  test("all band shapes rewrite: strictness variants, flipped sides, swapped conjuncts") {
+    val p = probes(); val w = windows()
+    def q(cond: org.apache.spark.sql.Column) =
+      p.join(w, cond).select("window_id", "event_id", "user_id", "sec")
+    val shapes = Seq(
+      ("> and <=", p("sec") > w("w_start") && p("sec") <= w("w_end")),
+      (">= and <=", p("sec") >= w("w_start") && p("sec") <= w("w_end")),
+      ("> and <", p("sec") > w("w_start") && p("sec") < w("w_end")),
+      ("flipped sides", w("w_start") <= p("sec") && w("w_end") > p("sec")),
+      ("swapped conjuncts", p("sec") < w("w_end") && p("sec") >= w("w_start")))
+    shapes.foreach { case (name, cond) =>
+      val want = q(cond).collect().toSet
+      withConf("7200") {
+        val on = q(cond)
+        assert(plan(on).contains("__graft_bkt"), s"shape '$name' must rewrite")
+        assert(!plan(on).contains("BroadcastNestedLoopJoin") &&
+          !plan(on).contains("CartesianProduct"), s"shape '$name' must not nested-loop")
+        assert(on.collect().toSet === want, s"shape '$name' must stay result-identical")
+      }
+    }
+    // one-sided predicates stay out of scope
+    withConf("7200") {
+      val oneSided = p.join(w, p("sec") >= w("w_start"))
+      assert(!plan(oneSided).contains("__graft_bkt"))
+    }
+  }
+
   test("a window spanning >= maxBucketsPerWindow buckets fails loudly, not quadratically") {
     import spark.implicits._
     val w = Seq((1L, 0L, 1000000L)).toDF("window_id", "w_start", "w_end")
