@@ -111,6 +111,19 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-STATIC lookup join — the streaming face of the reference's
+    * `LookupRecord` + `DatabaseRecordLookupService` (J1,
+    * final_template.xml:3216-3361): each micro-batch of events left-joins
+    * a static current-dimension table. Stateless (nothing to watermark);
+    * the static side is re-planned per micro-batch, so a broadcast dim
+    * costs one broadcast per batch and the stream side never shuffles —
+    * exactly the per-event JDBC lookup the reference does row-at-a-time,
+    * done set-at-a-time. Misses surface with null dim columns (the
+    * `unmatched` route = `filter(dimCol.isNull)` downstream). */
+  def lookupEnrich(events: DataFrame, dim: DataFrame,
+                   keys: Seq[String] = Seq("user_id")): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Watermarked stream-stream INNER join: each purchase joined to the
     * same user's signup that happened at or before it, within a bounded
     * event-time range. The time-range condition is what bounds the join

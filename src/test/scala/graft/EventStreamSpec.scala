@@ -108,6 +108,32 @@ class EventStreamSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() === rows.size)
   }
 
+  test("stream-static lookup join (J1 streaming) equals the batch left join; misses stay null") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = evRows(1500)
+    // static current-dimension: a segment per user for 2/3 of users
+    val dim = Tables.events(spark, sf).select(col("user_id")).distinct()
+      .filter(col("user_id") % 3 =!= 0)
+      .withColumn("segment", concat(lit("seg-"), pmod(col("user_id"), lit(5))))
+    val mem = MemoryStream[Ev]
+    val q = EventStream.lookupEnrich(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("lkpq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    mem.addData(rows.take(rows.size / 2))
+    q.processAllAvailable()
+    mem.addData(rows.drop(rows.size / 2))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("lkpq")
+    val want = Tables.events(spark, sf).filter(col("event_id") <= 1500)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    assert(got.count() === rows.size, "left join preserves every event")
+    assert(got.filter(col("user_id") % 3 === 0 && col("segment").isNotNull).isEmpty,
+      "dimension misses must surface as nulls (the unmatched route)")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("stream-stream time-range join equals the batch join over the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -41,6 +41,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaOps).isEmpty && viaOps.exceptAll(viaSql).isEmpty)
   }
 
+  test("round-6 native expressions are reachable from pure SQL") {
+    import spark.implicits._
+    val got = spark.sql(
+      """SELECT zorder2(5L, 3L) AS z,
+        |  strip_accents_nfc('Café Zürich') AS n,
+        |  quantize_i8(array(1.0D, -0.5D, 0.25D)).scale > 0 AS q
+        |""".stripMargin).as[(Long, String, Boolean)].head()
+    // bits of 5 (101) at even positions, 3 (11) at odd: 1,4,16 | 2,8 = 0b11111 with gaps
+    assert(got._1 === graft.functions.ZOrderUtil.zorder2(5L, 3L))
+    assert(got._2 === "Cafe Zurich")
+    assert(got._3)
+  }
+
   test("window + join SQL equals the DataFrame window_topk") {
     view("orders")
     val viaSql = spark.sql(
