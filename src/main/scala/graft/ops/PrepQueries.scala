@@ -101,6 +101,30 @@ object PrepQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** SPAN-LEVEL exact dedup — dedupe the corpus at CHUNK granularity:
+    * repeated passages (boilerplate headers, license blocks, templated
+    * paragraphs) hide inside documents that are globally unique, so
+    * document-level dedup never sees them. Chunks hash to 60 bits;
+    * canonical = min (doc_id, chunk_idx) per hash; per-document output is
+    * the duplicated-span share — the filter/trim signal. One chunk
+    * explode (narrow) + one hash-keyed window — the shuffle moves 8-byte
+    * hashes, never chunk text. Complements [[graft.ops.DedupQueries
+    * .dedupSharedNgrams]] (n-gram overlap score) with exact span
+    * identity at a trainable-window granularity. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = chunkDocuments(s, dir).select(col("doc_id"), col("chunk_idx"),
+      md5Long(col("chunk_text")).as("h"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_idx"))
+    ch.withColumn("is_canonical", row_number().over(w) === 1)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_canonical"), 0L).otherwise(1L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_frac",
+        round(col("n_dup_chunks") / col("n_chunks"), 6))
+      .orderBy("doc_id")
+  }
+
   // ---- vocabulary coverage (OOV rate) --------------------------------------
 
   val oovVocabSize = 20
@@ -204,6 +228,7 @@ object PrepQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> (decontaminate _),
     "chunk_documents" -> (chunkDocuments _),
+    "chunk_dedup" -> (chunkDedup _),
     "oov_rate" -> (oovRate _),
     "epoch_shuffle" -> (epochShuffle _),
     "zorder_layout" -> (zorderLayout _))
@@ -257,6 +282,32 @@ object PrepQueries {
          |      : CAST(i * $chunkStride + $chunkWindow AS INT)], ' ') AS chunk_text
          |FROM d, unnest(range(0, n_chunks)) AS u(i)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "chunk_dedup" ->
+      s"""WITH $toksCte,
+         |d AS (
+         |  SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n_toks,
+         |    CASE WHEN length(t) <= $chunkWindow THEN 1
+         |      ELSE 1 + CAST(ceil((length(t) - $chunkWindow) / $chunkStride.0) AS BIGINT)
+         |    END AS n_chunks
+         |  FROM toks),
+         |ch AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    ('0x' || substr(md5(array_to_string(
+         |      t[CAST(1 + i * $chunkStride AS INT)
+         |        : CAST(i * $chunkStride + $chunkWindow AS INT)], ' ')),
+         |      1, 15))::BIGINT AS h
+         |  FROM d, unnest(range(0, n_chunks)) AS u(i)),
+         |c AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) = 1
+         |      AS is_canonical
+         |  FROM ch)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN is_canonical THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  round(CAST(sum(CASE WHEN is_canonical THEN 0 ELSE 1 END) AS DOUBLE)
+         |        / count(*), 6) AS dup_chunk_frac
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "oov_rate" ->
       s"""WITH $toksCte,
          |tok AS (

@@ -246,7 +246,47 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Bigram LANGUAGE-MODEL likelihood — the CCNet/KenLM-style fluency
+    * filter at n=2, self-trained on the corpus: MLE p(w₂|w₁) =
+    * c(w₁w₂)/c(w₁); per-document score = mean ln p over its bigram
+    * OCCURRENCES (multiset, the codegen `word_ngrams` kernel). Documents
+    * whose word transitions are corpus-typical score near 0; gibberish /
+    * wrong-language / shuffled text scores strongly negative — the
+    * model-based quality gate the heuristic filters ([[qualityScore]],
+    * repetition, compression) can't express.
+    *
+    * Shape at scale: tokenize ONCE (checkpoint), two count aggregates
+    * (unigram + bigram vocab — vocabulary-sized, map-side combined), the
+    * prob table joins postings ON THE GRAM (the tfidf join shape, skew
+    * bounded by bigram df), one per-doc mean. ln on both engines is libm;
+    * round(6) absorbs the ≤1-ulp divergence. */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .localCheckpoint()
+    val big = toks.select(col("doc_id"), explode(wordNgrams(col("t"), 2)).as("g"))
+    val uni = toks.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val prob = big.groupBy("g").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(uni, Seq("w1"))
+      .select(col("g"),
+        (log(col("c2").cast("double")) - log(col("c1").cast("double")))
+          .as("lnp"))
+    val perDoc = big.join(prob, Seq("g"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(col("lnp")), 6).as("avg_lnp"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_lnp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_lm" -> (bigramLm _),
     "text_normalize" -> (textNormalize _),
     "text_compression" -> (compressionRatio _),
     "pii_scrub" -> (piiScrub _),
@@ -260,6 +300,33 @@ object TextQueries {
     s"length(regexp_extract_all($input, '$re'))"
 
   val oracles: Map[String, String] = Map(
+    "text_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             t -> t != '') AS t
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, length(t) - 1),
+        |           i -> array_to_string(t[i:i+1], ' '))) AS g
+        |  FROM toks WHERE length(t) >= 2),
+        |uni AS (
+        |  SELECT w1, count(*) AS c1 FROM
+        |    (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
+        |prob AS (
+        |  SELECT c2t.g, ln(CAST(c2t.c2 AS DOUBLE)) - ln(CAST(u.c1 AS DOUBLE))
+        |      AS lnp
+        |  FROM (SELECT g, count(*) AS c2 FROM big GROUP BY g) c2t
+        |  JOIN uni u ON split_part(c2t.g, ' ', 1) = u.w1),
+        |per AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams, round(avg(p.lnp), 6)
+        |      AS avg_lnp
+        |  FROM big b JOIN prob p USING (g) GROUP BY b.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  per.avg_lnp
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "text_normalize" ->
       """WITH t AS (
         |  SELECT doc_id,
