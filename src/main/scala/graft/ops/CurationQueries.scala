@@ -87,6 +87,37 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** THE END-TO-END PIPELINE as one declarative plan — what a user of
+    * this engine actually ships: curate ([[curationPipeline]]'s four
+    * rules, which include exact-dedup retention) → chunk the kept
+    * documents into training windows ([[PrepQueries.chunksOf]]) → assign
+    * the reproducible training order (seeded-hash shard + in-shard
+    * position, the [[PrepQueries.epochShuffle]] scheme at chunk
+    * granularity). The output is the epoch manifest: (shard, pos) →
+    * (doc_id, chunk_idx, chunk_len).
+    *
+    * The point of composing it as ONE DataFrame: Catalyst fuses all
+    * three stages into a single DAG — the curation rules ride the scan,
+    * the only shuffles are the content-hash window, the chunk-hash
+    * shard window and nothing else; no driver barriers, no intermediate
+    * materialization, and the whole thing inherits every stage's
+    * oracle-checked semantics. */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val kept = curationPipeline(s, dir).filter(col("keep")).select("doc_id")
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .join(kept, Seq("doc_id"))
+    val chunks = PrepQueries.chunksOf(docs)
+    val h = md5Long(concat(lit(s"epoch:${PrepQueries.epochSeed}:"),
+      col("doc_id").cast("string"), lit(":"), col("chunk_idx").cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"), col("chunk_idx"))
+    chunks.withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(PrepQueries.epochShards)))
+      .withColumn("pos", row_number().over(w))
+      .select("shard", "pos", "doc_id", "chunk_idx", "chunk_len")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Per-language top-10 vocabulary tokens by frequency (ties broken by
     * token asc): the vocabulary/heavy-hitters operator. */
   val vocabK = 10
@@ -264,6 +295,7 @@ object CurationQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_e2e" -> (pipelineE2e _),
     "curation_pipeline" -> (curationPipeline _),
     "source_stats" -> (sourceStats _),
     "pack_sequences" -> (packSequences _),
@@ -286,36 +318,72 @@ object CurationQueries {
     s"{'score': length(regexp_extract_all(lower(text), '$re')), 'lang': '$lang'}"
   }.mkString("[", ", ", "]")
 
+  /** The curation-rule CTE chain ending in `r(doc_id, ..., reject_reason)`
+    * — shared by curation_pipeline and pipeline_e2e. */
+  private lazy val curationCtes =
+    s"""m AS (
+       |  SELECT doc_id,
+       |    CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
+       |         t -> t != '')) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |      AS punct,
+       |    CAST(length(regexp_extract_all(lower(text),
+       |         '\\b(the|a|and|of|to)\\b')) AS DOUBLE) AS stop,
+       |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+       |  FROM documents),
+       |lang AS (
+       |  SELECT doc_id, sc.lang AS pred_lang,
+       |    row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY sc.score DESC, sc.lang) AS rn
+       |  FROM (SELECT doc_id, unnest($duckLangScores) AS sc FROM documents)),
+       |j AS (
+       |  SELECT m.doc_id, m.n_tokens, l.pred_lang,
+       |    round(least(m.n_tokens / 4.0, 50.0) + least(m.stop * 5.0, 30.0)
+       |          - least(m.punct, 20.0) + 20.0, 6) AS quality,
+       |    m.is_canonical
+       |  FROM m JOIN lang l ON m.doc_id = l.doc_id AND l.rn = 1),
+       |r AS (
+       |  SELECT *, CASE WHEN n_tokens < $minKeepTokens THEN 'too_short'
+       |                 WHEN pred_lang != 'en' THEN 'non_en'
+       |                 WHEN quality < $minKeepQuality THEN 'low_quality'
+       |                 WHEN NOT is_canonical THEN 'near_dup' END
+       |    AS reject_reason
+       |  FROM j)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pipeline_e2e" ->
+      s"""WITH $curationCtes,
+         |keepset AS (SELECT doc_id FROM r WHERE reject_reason IS NULL),
+         |toks AS (
+         |  SELECT d.doc_id,
+         |    list_filter(string_split_regex(lower(d.text), '\\s+'),
+         |                t -> t != '') AS t
+         |  FROM documents d JOIN keepset USING (doc_id)),
+         |cd AS (
+         |  SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n_toks,
+         |    CASE WHEN length(t) <= ${PrepQueries.chunkWindow} THEN 1
+         |      ELSE 1 + CAST(ceil((length(t) - ${PrepQueries.chunkWindow})
+         |                    / ${PrepQueries.chunkStride}.0) AS BIGINT)
+         |    END AS n_chunks
+         |  FROM toks),
+         |ch AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    least(${PrepQueries.chunkWindow},
+         |          n_toks - (1 + i * ${PrepQueries.chunkStride}) + 1)
+         |      AS chunk_len,
+         |    ('0x' || substr(md5('epoch:${PrepQueries.epochSeed}:' || doc_id
+         |      || ':' || i), 1, 15))::BIGINT AS h
+         |  FROM cd, unnest(range(0, n_chunks)) AS u(i)),
+         |p AS (
+         |  SELECT h % ${PrepQueries.epochShards} AS shard,
+         |    row_number() OVER (PARTITION BY h % ${PrepQueries.epochShards}
+         |        ORDER BY h, doc_id, chunk_idx) AS pos,
+         |    doc_id, chunk_idx, chunk_len
+         |  FROM ch)
+         |SELECT shard, pos, doc_id, chunk_idx, chunk_len
+         |FROM p ORDER BY doc_id, chunk_idx""".stripMargin,
     "curation_pipeline" ->
-      s"""WITH m AS (
-         |  SELECT doc_id,
-         |    CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
-         |         t -> t != '')) AS BIGINT) AS n_tokens,
-         |    CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-         |      AS punct,
-         |    CAST(length(regexp_extract_all(lower(text),
-         |         '\\b(the|a|and|of|to)\\b')) AS DOUBLE) AS stop,
-         |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
-         |  FROM documents),
-         |lang AS (
-         |  SELECT doc_id, sc.lang AS pred_lang,
-         |    row_number() OVER (PARTITION BY doc_id
-         |        ORDER BY sc.score DESC, sc.lang) AS rn
-         |  FROM (SELECT doc_id, unnest($duckLangScores) AS sc FROM documents)),
-         |j AS (
-         |  SELECT m.doc_id, m.n_tokens, l.pred_lang,
-         |    round(least(m.n_tokens / 4.0, 50.0) + least(m.stop * 5.0, 30.0)
-         |          - least(m.punct, 20.0) + 20.0, 6) AS quality,
-         |    m.is_canonical
-         |  FROM m JOIN lang l ON m.doc_id = l.doc_id AND l.rn = 1),
-         |r AS (
-         |  SELECT *, CASE WHEN n_tokens < $minKeepTokens THEN 'too_short'
-         |                 WHEN pred_lang != 'en' THEN 'non_en'
-         |                 WHEN quality < $minKeepQuality THEN 'low_quality'
-         |                 WHEN NOT is_canonical THEN 'near_dup' END
-         |    AS reject_reason
-         |  FROM j)
+      s"""WITH $curationCtes
          |SELECT doc_id, n_tokens, pred_lang, quality, is_canonical,
          |  reject_reason IS NULL AS keep, reject_reason
          |FROM r ORDER BY doc_id""".stripMargin,

@@ -84,10 +84,14 @@ object PrepQueries {
     * window − stride), materializing the chunk text — the
     * context-window-preparation step of an LLM data pipeline. Chunk count
     * is 1 + ⌈(n − W)/S⌉ so the final partial window is kept. */
-  def chunkDocuments(s: SparkSession, dir: String): DataFrame = {
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame =
+    chunksOf(docs(s, dir))
+
+  /** [[chunkDocuments]] over an arbitrary (doc_id, text) DataFrame — the
+    * chunking stage the end-to-end pipeline compose reuses. */
+  private[ops] def chunksOf(d: DataFrame): DataFrame = {
     val (w, st) = (chunkWindow, chunkStride)
-    docs(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    d.select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("n_chunks",
         when(col("n_toks") <= w, lit(1L))
