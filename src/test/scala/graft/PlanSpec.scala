@@ -122,6 +122,43 @@ class PlanSpec extends SparkSpec {
       s"top-K vocab must be TakeOrderedAndProject, not a single-partition window:\n$p")
   }
 
+  test("AQE splits a skewed join partition at runtime (the hot-key safety net)") {
+    // one key carries ~100× the rows of any other; with skew-join
+    // thresholds scaled to local data sizes, AQE must mark the sort-merge
+    // join skew-handled and split the hot partition — the runtime half of
+    // the skew story (the declarative half is the salted_agg pattern)
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = spark.range(200000).select(lit(7L).as("k"),
+        concat(lit("payload-"), col("id")).as("v"))
+      val cold = spark.range(2000).select(pmod(col("id"), lit(500)).as("k"),
+        col("id").cast("string").as("v"))
+      val left = hot.unionByName(cold)
+      val dim = spark.range(500).select(col("id").as("k"),
+        concat(lit("dim-"), col("id")).as("d"))
+      // keep the wide payload through the join: column pruning would
+      // otherwise shrink the hot partition below the skew threshold
+      val j = left.join(dim, Seq("k")).select("k", "v", "d")
+      // collect() executes THIS queryExecution (count() would build a new
+      // one and leave j's plan unfinalized)
+      assert(j.collect().length === 202000)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the hot partition skew-handled:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join co-located: no shuffle on either side") {
     // the 100 TB claim behind "pre-bucket big joins" (SURVEY §scale notes),
     // pinned: two tables bucketed+sorted on the join key sort-merge-join
