@@ -107,6 +107,30 @@ object AnalyticsQueries {
         sum(col("pv")).cast("double").as("total_value"))
       .orderBy("event_type")
 
+  /** SALTED JOIN — the declarative hot-key mitigation for joins
+    * ([[saltedAgg]] is the aggregation twin; PlanSpec pins the AQE
+    * runtime half): the fact side derives a deterministic salt from a
+    * per-ROW attribute, the dim side replicates ×[[joinSaltBuckets]] via
+    * a `sequence` explode, and the join key widens to (key, salt) — a
+    * hot key's rows spread over [[joinSaltBuckets]] tasks instead of one.
+    * Result-identical to the plain join (each fact row matches exactly
+    * its own salt replica); the oracle is the UNSALTED join. Dim
+    * replication cost = ×B rows on the SMALL side only. */
+  val joinSaltBuckets = 8
+
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select("user_id", "event_id", "value")
+    val dim = events(s, dir).groupBy("user_id")
+      .agg(min(col("ts")).as("first_seen"), count(lit(1)).as("n_user_events"))
+    val salted = ev.withColumn("salt",
+      pmod(col("event_id"), lit(joinSaltBuckets)))
+    val dimReplicated = dim.withColumn("salt",
+      explode(sequence(lit(0L), lit(joinSaltBuckets - 1L))))
+    salted.join(dimReplicated, Seq("user_id", "salt"))
+      .select("user_id", "event_id", "value", "first_seen", "n_user_events")
+      .orderBy("event_id")
+  }
+
   /** Time-series resample + forward fill: each user's event values on a
     * regular hourly grid (min..max hour of their activity), gaps carried
     * forward from the last observation — the standard
@@ -305,6 +329,7 @@ object AnalyticsQueries {
     "range_join_auto" -> (rangeJoinAuto _),
     "range_join" -> (rangeJoin _),
     "window_rolling" -> (windowRolling _),
+    "salted_join" -> (saltedJoin _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
     "window_lag" -> (windowLag _),
     "sessionize" -> (sessionize _),
@@ -344,6 +369,14 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "range_join" -> rangeJoinSql,
     "range_join_auto" -> rangeJoinSql,
+    "salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_seen,
+        |    count(*) AS n_user_events
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id, e.event_id, e.value, d.first_seen, d.n_user_events
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |ORDER BY e.event_id""".stripMargin,
     "window_rolling" ->
       """SELECT user_id, event_id, ts, value,
         |  count(*) OVER w AS n_1h,

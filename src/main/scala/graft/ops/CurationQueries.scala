@@ -118,6 +118,25 @@ object CurationQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Per-group EXACT-k deterministic sample — balanced eval/probe set
+    * construction ([[sampleStratified]] keeps a RATE per stratum; this
+    * keeps exactly k): rank by a seeded hash of the stable key within the
+    * group, keep the first k. Reproducible across reruns (no RNG), and
+    * the rank window input is one row per document with group-bounded
+    * output — WindowGroupLimit caps it map-side. */
+  val groupSampleK = 20
+
+  def groupSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .withColumn("h",
+        md5Long(concat(lit("gs:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= groupSampleK)
+      .select("lang", "rk", "doc_id")
+      .orderBy("lang", "rk")
+  }
+
   /** Per-language top-10 vocabulary tokens by frequency (ties broken by
     * token asc): the vocabulary/heavy-hitters operator. */
   val vocabK = 10
@@ -296,6 +315,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_e2e" -> (pipelineE2e _),
+    "group_sample" -> (groupSample _),
     "curation_pipeline" -> (curationPipeline _),
     "source_stats" -> (sourceStats _),
     "pack_sequences" -> (packSequences _),
@@ -351,6 +371,14 @@ object CurationQueries {
        |  FROM j)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "group_sample" ->
+      s"""SELECT lang, rk, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY
+         |      ('0x' || substr(md5('gs:' || doc_id), 1, 15))::BIGINT,
+         |      doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $groupSampleK ORDER BY lang, rk""".stripMargin,
     "pipeline_e2e" ->
       s"""WITH $curationCtes,
          |keepset AS (SELECT doc_id FROM r WHERE reject_reason IS NULL),
