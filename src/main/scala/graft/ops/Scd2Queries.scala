@@ -41,6 +41,22 @@ object Scd2Queries {
     Scd2.current(scd2Snapshot(s, dir))
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
 
+  /** TIME TRAVEL: the dimension AS OF an instant — the version row whose
+    * validity interval contains T, per key ([[scd2AsofLookup]] answers
+    * this per-fact; this reconstructs the whole table at T, the "what did
+    * the dimension look like last Tuesday" query an SCD2 history exists
+    * to answer). Pure scan-speed interval predicate over the versioned
+    * history — with the history partitioned by valid_from date at scale,
+    * partition pruning bounds the scan. Keys whose first version is after
+    * T simply don't appear (they didn't exist yet). */
+  def scd2AsOf(s: SparkSession, dir: String): DataFrame = {
+    val t = to_timestamp(lit(retentionCutoff))
+    scd2Snapshot(s, dir)
+      .filter(col("valid_from") <= t &&
+        (col("valid_until").isNull || col("valid_until") > t))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   /** History RETENTION: the maintenance pass every long-lived SCD2 table
     * eventually needs (time-travel horizon / storage cost / right-to-be-
     * forgotten): keep the current row per key plus versions still valid
@@ -249,6 +265,7 @@ object Scd2Queries {
     "snapshot_diff" -> (snapshotDiff _),
     "scd2_asof_lookup" -> (scd2AsofLookup _),
     "scd2_retention" -> (scd2Retention _),
+    "scd2_as_of" -> (scd2AsOf _),
     "scd2_snapshot" -> (scd2Snapshot _),
     "scd2_apply_batch" -> (scd2ApplyBatch _),
     "scd2_current" -> (scd2Current _),
@@ -401,6 +418,11 @@ object Scd2Queries {
          |  OR valid_until >= TIMESTAMP '$retentionCutoff'
          |  THEN 'hot' ELSE 'archive' END AS tier
          |FROM ($scd2Sql)
+         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "scd2_as_of" ->
+      s"""SELECT * FROM ($scd2Sql)
+         |WHERE valid_from <= TIMESTAMP '$retentionCutoff'
+         |  AND (valid_until IS NULL OR valid_until > TIMESTAMP '$retentionCutoff')
          |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "scd2_snapshot" -> scd2Sql,
     "scd2_apply_batch" -> scd2Sql,
