@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{NormalizeExpressions, QuantizeExpressions, SetSimExpressions, ShingleExpressions, SimHashExpressions, VectorExpressions, ZOrderExpressions}
+import graft.functions.{NormalizeExpressions, PqExpressions, QuantizeExpressions, SetSimExpressions, ShingleExpressions, SimHashExpressions, VectorExpressions, ZOrderExpressions}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Engine extension point, wired the public way:
@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(QuantizeExpressions.quantizeI8Descriptor)
     ext.injectFunction(ZOrderExpressions.zorder2Descriptor)
     ext.injectFunction(NormalizeExpressions.stripAccentsNfcDescriptor)
+    ext.injectFunction(PqExpressions.sqDistDescriptor)
+    ext.injectFunction(PqExpressions.pqCodeDescriptor)
+    ext.injectFunction(PqExpressions.pqLutDescriptor)
+    ext.injectFunction(PqExpressions.pqAdcDescriptor)
     // conf-gated (spark.graft.rangeJoin.bucketWidth): rewrites naive
     // inequality-only range joins into the bucketed equi-join form
     ext.injectOptimizerRule(graft.plans.RangeJoinBucketing(_))

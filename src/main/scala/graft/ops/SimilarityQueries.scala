@@ -232,49 +232,37 @@ object SimilarityQueries {
     *
     * Scale shape: the codebook is ONE broadcast row (m×k subvectors);
     * assignment is a narrow per-row projection — no shuffle, the corpus
-    * streams at scan speed. The argmin is array_min over (dist, cid)
-    * structs (ties → smallest cid, matching the oracle's ORDER BY). The
-    * distance fold uses HOF lambdas (interpreted): at production scale
-    * that inner loop becomes one codegen kernel like `quantize_i8` /
-    * `dot_product` — the data movement, which is what matters at 100 TB,
-    * is already right. */
+    * streams at scan speed. The encode / LUT / ADC inner loops are the
+    * codegen kernels `pq_code` / `pq_lut` / `pq_adc`
+    * ([[graft.functions.PqUtil]]): one static primitive loop per row
+    * inside whole-stage codegen, with the exact left-fold float order of
+    * the previous HOF formulation and of the DuckDB oracle (ties → the
+    * smallest cid, matching the oracle's ORDER BY d, cid). */
   val pqSubspaces = 4
   val pqCodebookSize = 16
-  private val pqSubDim = 16 // 64 dims / pqSubspaces
+  private val pqSubDim = 16 // 64 dims / pqSubspaces (oracle SQL replay)
+
+  import graft.functions.PqFunctions.{pqAdc, pqCode, pqLut}
 
   private def pqVectors(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
 
-  /** One-row codebook: the [[pqCodebookSize]] smallest vec_ids' vectors,
-    * cid-ordered (TakeOrderedAndProject + one tiny agg). */
+  /** One-row codebook `cb: array<array<double>>`, cid-ordered = the
+    * [[pqCodebookSize]] smallest vec_ids' vectors
+    * (TakeOrderedAndProject + one tiny agg). */
   private def pqCodebookDf(v: DataFrame): DataFrame =
     v.orderBy("vec_id").limit(pqCodebookSize)
       .agg(array_sort(collect_list(struct(col("vec_id"), col("e"))))
         .as("cbs"))
-
-  /** ‖e[j·d..] − cbE[j·d..]‖² as a left-fold (oracle-exact order). */
-  private def pqSubDist(j: Column, cbE: Column): Column = {
-    val sub = slice(col("e"), j * lit(pqSubDim) + lit(1), lit(pqSubDim))
-    val csub = slice(cbE, j * lit(pqSubDim) + lit(1), lit(pqSubDim))
-    aggregate(zip_with(sub, csub, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
-  }
-
-  /** Per-subspace argmin struct (d, cid) — ties to the smallest cid. */
-  private def pqBest: Column =
-    transform(sequence(lit(0), lit(pqSubspaces - 1)), j =>
-      array_min(transform(col("cbs"), (cbrow, i) =>
-        struct(pqSubDist(j, cbrow("e")).as("d"), i.as("cid")))))
+      .select(transform(col("cbs"), _("e")).as("cb"))
 
   def embeddingPq(s: SparkSession, dir: String): DataFrame =
     pqVectors(s, dir).crossJoin(broadcast(pqCodebookDf(pqVectors(s, dir))))
-      .withColumn("best", pqBest)
+      .withColumn("pc", pqCode(col("e"), col("cb"), lit(pqSubspaces)))
       .select(col("vec_id"),
-        concat_ws(",", transform(col("best"), b => b("cid").cast("string")))
-          .as("codes_csv"),
-        round(aggregate(transform(col("best"), _("d")), lit(0.0), _ + _)
-          / lit(64.0), 6).as("mse"))
+        concat_ws(",", col("pc.codes").cast("array<string>")).as("codes_csv"),
+        round(col("pc.dsum") / lit(64.0), 6).as("mse"))
       .orderBy("vec_id")
 
   /** PQ ASYMMETRIC-DISTANCE top-k search (the query half of IVF-PQ): the
@@ -306,18 +294,12 @@ object SimilarityQueries {
     val cb = broadcast(pqCodebookDf(v))
     val coded = v.crossJoin(cb)
       .select(col("vec_id").as("neighbor"),
-        transform(pqBest, _("cid")).as("codes"))
+        pqCode(col("e"), col("cb"), lit(pqSubspaces))("codes").as("codes"))
     val qlut = v.filter(col("vec_id") % queryStride === 0).crossJoin(cb)
       .select(col("vec_id").as("q"),
-        transform(sequence(lit(0), lit(pqSubspaces - 1)), j =>
-          transform(col("cbs"), cbrow => pqSubDist(j, cbrow("e"))))
-          .as("lut"))
+        pqLut(col("e"), col("cb"), lit(pqSubspaces)).as("lut"))
     val scored = coded.join(broadcast(qlut), col("q") =!= col("neighbor"))
-      .withColumn("ad",
-        aggregate(transform(sequence(lit(0), lit(pqSubspaces - 1)), j =>
-          element_at(element_at(col("lut"), j + lit(1)),
-            element_at(col("codes"), j + lit(1)) + lit(1))),
-          lit(0.0), (acc, d) => acc + d))
+      .withColumn("ad", pqAdc(col("lut"), col("codes"), lit(pqCodebookSize)))
     val w = Window.partitionBy(col("q")).orderBy(col("ad").asc, col("neighbor"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
@@ -342,21 +324,15 @@ object SimilarityQueries {
     val coded = assigned(s, dir).select(col("vec_id"), col("cell"), col("e"))
       .crossJoin(cb)
       .select(col("vec_id").as("neighbor"), col("cell"),
-        transform(pqBest, _("cid")).as("codes"))
+        pqCode(col("e"), col("cb"), lit(pqSubspaces))("codes").as("codes"))
     val qlut = v.filter(col("vec_id") % queryStride === 0).crossJoin(cb)
       .select(col("vec_id").as("q"),
-        transform(sequence(lit(0), lit(pqSubspaces - 1)), j =>
-          transform(col("cbs"), cbrow => pqSubDist(j, cbrow("e"))))
-          .as("lut"))
+        pqLut(col("e"), col("cb"), lit(pqSubspaces)).as("lut"))
     val probes = probedCells(s, dir).select("q", "cell")
       .join(qlut, Seq("q"))
     val scored = coded.join(broadcast(probes), Seq("cell"))
       .filter(col("q") =!= col("neighbor"))
-      .withColumn("ad",
-        aggregate(transform(sequence(lit(0), lit(pqSubspaces - 1)), j =>
-          element_at(element_at(col("lut"), j + lit(1)),
-            element_at(col("codes"), j + lit(1)) + lit(1))),
-          lit(0.0), (acc, d) => acc + d))
+      .withColumn("ad", pqAdc(col("lut"), col("codes"), lit(pqCodebookSize)))
     val w = Window.partitionBy(col("q")).orderBy(col("ad").asc, col("neighbor"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)

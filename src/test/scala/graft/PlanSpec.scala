@@ -63,6 +63,26 @@ class PlanSpec extends SparkSpec {
     assert(fp.contains("*("), s"fingerprint must have codegen stages:\n$fp")
   }
 
+  test("PQ inner loops are codegen kernels, not interpreted HOF folds") {
+    def finalPlan(df: DataFrame): String = { df.collect(); planOf(df) }
+    // encode: one pq_code call per row inside a codegen Project
+    val pq = finalPlan(ops.SimilarityQueries.queries("embedding_pq")(spark, sf))
+    assert(pq.contains("pq_code"), s"embedding_pq must use the pq_code kernel:\n$pq")
+    assert(!pq.contains("CodegenFallback"), "no interpreted fallback on the encode path")
+    assert(!pq.contains("lambdafunction"),
+      s"no interpreted HOF lambda may remain on the encode path:\n$pq")
+    // search: the per-candidate ADC score — the true hot loop — must be a
+    // kernel call inside a whole-stage-codegen span
+    for (q <- Seq("ann_pq_adc", "ann_ivf_pq")) {
+      val p = finalPlan(ops.SimilarityQueries.queries(q)(spark, sf))
+      val adcLine = p.linesIterator.find(_.contains("pq_adc"))
+      assert(adcLine.isDefined, s"$q must score via the pq_adc kernel:\n$p")
+      assert(adcLine.get.contains("*("),
+        s"$q ADC scoring must sit inside a codegen stage:\n${adcLine.get}")
+      assert(p.contains("pq_lut"), s"$q queries must carry pq_lut tables:\n$p")
+    }
+  }
+
   test("embedding_centroids never collects a whole label into one buffer") {
     // the scale contract: every collect_list aggregation is keyed by
     // (label, bkt) — buffers bounded by the bucket size — and only the
