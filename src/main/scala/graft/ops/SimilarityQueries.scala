@@ -69,15 +69,14 @@ object SimilarityQueries {
     vectors(s, dir).filter(col("vec_id") % seedStride === 1)
       .select(col("vec_id").as("cell"), col("e").as("ce"), col("norm").as("cn"))
 
-  /** IVF build path: assign every corpus vector to its nearest seed cell —
-    * broadcast seeds, one map-side pass over the corpus, then a tiny
-    * per-vector argmax window. At 100 TB this materializes once and the
-    * table is partitioned/bucketed by `cell`. */
-  private def assigned(s: SparkSession, dir: String): DataFrame = {
-    val v = vectors(s, dir)
+  /** IVF build path: assign every corpus vector to its nearest centroid
+    * cell — broadcast centroids, one map-side pass over the corpus, then a
+    * tiny per-vector argmax window. At 100 TB this materializes once and
+    * the table is partitioned/bucketed by `cell`. */
+  private def assignedTo(cents: DataFrame, v: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("scos").desc, col("cell"))
-    v.join(broadcast(seeds(s, dir)))
+    v.join(broadcast(cents))
       .select(col("vec_id"), col("e"), col("norm"), col("cell"),
         cosine(col("e"), col("ce"), col("norm"), col("cn")).as("scos"))
       .withColumn("r", row_number().over(w))
@@ -85,17 +84,20 @@ object SimilarityQueries {
       .drop("scos", "r")
   }
 
+  private def assigned(s: SparkSession, dir: String): DataFrame =
+    assignedTo(seeds(s, dir), vectors(s, dir))
+
   /** IVF top-k: probe the nprobe nearest cells, rank only their vectors.
     * Probes nprobe/|cells| of the corpus; recall is data-dependent (this
     * synthetic corpus has weak cluster structure; see OpsSpec). */
-  /** The nprobe nearest seed cells per query — the IVF probe set, shared
-    * by [[annIvf]] and [[annIvfPq]]. */
-  private def probedCells(s: SparkSession, dir: String): DataFrame = {
-    val q = vectors(s, dir).filter(col("vec_id") % queryStride === 0)
+  /** The nprobe nearest centroid cells per query — the IVF probe set,
+    * shared by [[annIvf]], [[annIvfPq]] and [[annIvfTrained]]. */
+  private def probedCellsOf(cents: DataFrame, v: DataFrame): DataFrame = {
+    val q = v.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q"), col("e").as("qe"), col("norm").as("qn"))
     val wc = Window.partitionBy(col("q"))
       .orderBy(col("ccos").desc, col("cell"))
-    broadcast(q).join(broadcast(seeds(s, dir)))
+    broadcast(q).join(broadcast(cents))
       .select(col("q"), col("qe"), col("qn"), col("cell"),
         cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("ccos"))
       .withColumn("crank", row_number().over(wc))
@@ -103,9 +105,13 @@ object SimilarityQueries {
       .select(col("q"), col("qe"), col("qn"), col("cell"))
   }
 
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val cells = probedCells(s, dir)
-    val scored = cells.join(assigned(s, dir), Seq("cell"))
+  private def probedCells(s: SparkSession, dir: String): DataFrame =
+    probedCellsOf(seeds(s, dir), vectors(s, dir))
+
+  /** IVF search against an arbitrary centroid table: probe, score within
+    * the probed cells at full precision, per-query top-k. */
+  private def ivfSearch(cents: DataFrame, v: DataFrame): DataFrame = {
+    val scored = probedCellsOf(cents, v).join(assignedTo(cents, v), Seq("cell"))
       .filter(col("q") =!= col("vec_id"))
       .select(col("q"), col("vec_id").as("neighbor"),
         cosine(col("qe"), col("e"), col("qn"), col("norm")).as("cosine"))
@@ -116,6 +122,76 @@ object SimilarityQueries {
       .select("q", "rank", "neighbor", "cosine")
       .orderBy("q", "rank")
   }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(seeds(s, dir), vectors(s, dir))
+
+  /** DETERMINISTIC k-means (Lloyd) training for the IVF coarse cells —
+    * the upgrade from "shape-correct" seeded cells to recall-useful
+    * trained ones, kept exactly oracle-checkable:
+    *
+    *  - iteration 0 = the seed cells (so `ann_ivf` stays the pinned
+    *    seeded baseline and this is strictly its trained twin);
+    *  - each of [[kmeansIters]] iterations assigns every vector to its
+    *    nearest cell by the same round(cosine, 4) argmax the search path
+    *    uses, then recomputes each cell's centroid as the TWO-LEVEL
+    *    ordered fold mean of [[embeddingCentroids]] (partial sums per
+    *    vec_id-bucket, then a bucket-ordered outer fold — aggregation
+    *    buffers stay bounded by [[centroidBucket]] at any corpus size),
+    *    rounded per-coordinate to 1e-6 so both engines carry identical
+    *    doubles into the next iteration;
+    *  - a cell that loses all members keeps its previous centroid
+    *    (left-join + coalesce), mirroring the SQL replay.
+    *
+    * Each iteration is one broadcast join + one per-vector argmax window
+    * + two bounded-buffer aggregations; the iteration count is FIXED (no
+    * data-dependent convergence test), so the oracle replays the same
+    * fold tree and the result is bit-reproducible. At 100 TB the training
+    * pass runs over a bounded sample of the corpus (the centroid table is
+    * tiny either way); here it trains on the full small corpus so the
+    * DuckDB oracle can replay it exactly. */
+  val kmeansIters = 2
+
+  /** Ordered two-level fold mean per `cell` over (vec_id, e) rows, each
+    * coordinate rounded to micro-units — the [[embeddingCentroids]]
+    * determinism pattern keyed by cell. */
+  private def orderedCellMean(assign: DataFrame, dim: Int): DataFrame = {
+    val zeros = typedLit(Seq.fill(dim)(0.0))
+    val partials = assign
+      .withColumn("bkt", expr(s"vec_id div $centroidBucket"))
+      .groupBy("cell", "bkt")
+      .agg(count(lit(1)).as("bn"),
+        array_sort(collect_list(struct(col("vec_id"), col("e")))).as("vs"))
+      .select(col("cell"), col("bkt"), col("bn"),
+        aggregate(col("vs"), zeros, (acc, x) => zip_with(acc, x("e"), _ + _))
+          .as("psum"))
+    partials.groupBy("cell")
+      .agg(sum(col("bn")).as("n"),
+        array_sort(collect_list(struct(col("bkt"), col("psum")))).as("ps"))
+      .select(col("cell"),
+        transform(
+          aggregate(col("ps"), zeros, (acc, p) => zip_with(acc, p("psum"), _ + _)),
+          x => round(x / col("n") * lit(1000000.0)) / lit(1000000.0)).as("me"))
+  }
+
+  /** [[kmeansIters]] Lloyd iterations from the seed cells. */
+  private def trainedCells(s: SparkSession, dir: String): DataFrame = {
+    val v = vectors(s, dir)
+    var c = seeds(s, dir)
+    for (_ <- 1 to kmeansIters) {
+      val assign = assignedTo(c, v).select("vec_id", "e", "cell")
+      c = c.join(orderedCellMean(assign, embeddingDim), Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("me"), col("ce")).as("ce"))
+        .withColumn("cn", sqrt(dotProduct(col("ce"), col("ce"))))
+    }
+    c
+  }
+
+  /** IVF search over k-means-trained cells — same probe/score path as
+    * [[annIvf]], better geometric partition (see AnnTrainingSpec for the
+    * measured recall win on a clustered corpus). */
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(trainedCells(s, dir), vectors(s, dir))
 
   /** Per-label centroids (the k-means E-step / class-prototype builder).
     * Float mean across rows is normally accumulation-order-dependent; here
@@ -265,6 +341,84 @@ object SimilarityQueries {
         round(col("pc.dsum") / lit(64.0), 6).as("mse"))
       .orderBy("vec_id")
 
+  /** DETERMINISTIC per-subspace k-means for the PQ codebook — proper
+    * Lloyd (squared-L2 assignment + mean update), so the reconstruction
+    * MSE is non-increasing per iteration; AnnTrainingSpec asserts the
+    * trained codebook beats the seeded one on exactly that metric.
+    * Same determinism contract as [[trainedCells]]: iteration 0 = the
+    * seeded codebook of [[pqCodebookDf]], fixed [[pqKmeansIters]]
+    * iteration count, assignment ties to the smallest cid (matching the
+    * oracle's ORDER BY d, cid), two-level ordered-fold means rounded to
+    * 1e-6, empty clusters keep their previous centroid. The assignment
+    * distance is the codegen `sq_dist` kernel; training data volume is
+    * m rows per vector (the exploded subvectors). */
+  val pqKmeansIters = 2
+
+  /** Trained one-row codebook `cb: array<array<double>>`: per-(j, cid)
+    * Lloyd over subvectors, then cid-ordered concatenation across j back
+    * to full-dim entries (so [[graft.functions.PqUtil.pqCode]] applies
+    * unchanged). */
+  private def pqTrainedCodebookDf(v: DataFrame): DataFrame = {
+    import graft.functions.PqFunctions.sqDist
+    val sv = v.select(col("vec_id"),
+        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("e"))
+      .select(col("vec_id"), col("j"),
+        slice(col("e"), col("j") * lit(pqSubDim) + lit(1), lit(pqSubDim)).as("sub"))
+    val w0 = Window.orderBy("vec_id")
+    var cb = v.orderBy("vec_id").limit(pqCodebookSize)
+      .select((row_number().over(w0) - 1).as("cid"), col("e"))
+      .select(col("cid"),
+        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("e"))
+      .select(col("j"), col("cid"),
+        slice(col("e"), col("j") * lit(pqSubDim) + lit(1), lit(pqSubDim)).as("ce"))
+    val zeros = typedLit(Seq.fill(pqSubDim)(0.0))
+    for (_ <- 1 to pqKmeansIters) {
+      val wa = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("d").asc, col("cid"))
+      val assign = sv.join(broadcast(cb), Seq("j"))
+        .select(col("vec_id"), col("j"), col("sub"), col("cid"),
+          sqDist(col("sub"), col("ce")).as("d"))
+        .withColumn("r", row_number().over(wa)).filter(col("r") === 1)
+        .select("vec_id", "j", "sub", "cid")
+      val partials = assign
+        .withColumn("bkt", expr(s"vec_id div $centroidBucket"))
+        .groupBy("j", "cid", "bkt")
+        .agg(count(lit(1)).as("bn"),
+          array_sort(collect_list(struct(col("vec_id"), col("sub")))).as("vs"))
+        .select(col("j"), col("cid"), col("bkt"), col("bn"),
+          aggregate(col("vs"), zeros, (acc, x) => zip_with(acc, x("sub"), _ + _))
+            .as("psum"))
+      val mean = partials.groupBy("j", "cid")
+        .agg(sum(col("bn")).as("n"),
+          array_sort(collect_list(struct(col("bkt"), col("psum")))).as("ps"))
+        .select(col("j"), col("cid"),
+          transform(
+            aggregate(col("ps"), zeros, (acc, p) => zip_with(acc, p("psum"), _ + _)),
+            x => round(x / col("n") * lit(1000000.0)) / lit(1000000.0)).as("me"))
+      cb = cb.join(mean, Seq("j", "cid"), "left")
+        .select(col("j"), col("cid"), coalesce(col("me"), col("ce")).as("ce"))
+    }
+    cb.groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("j"), col("ce")))).as("subs"))
+      .select(col("cid"), flatten(transform(col("subs"), _("ce"))).as("e"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("cid"), col("e")))).as("cbs"))
+      .select(transform(col("cbs"), _("e")).as("cb"))
+  }
+
+  /** PQ codes against the TRAINED codebook — same output contract as
+    * [[embeddingPq]] (its seeded twin); the mean mse column is the
+    * training win, asserted in AnnTrainingSpec. */
+  def embeddingPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val v = pqVectors(s, dir)
+    v.crossJoin(broadcast(pqTrainedCodebookDf(v)))
+      .withColumn("pc", pqCode(col("e"), col("cb"), lit(pqSubspaces)))
+      .select(col("vec_id"),
+        concat_ws(",", col("pc.codes").cast("array<string>")).as("codes_csv"),
+        round(col("pc.dsum") / lit(64.0), 6).as("mse"))
+      .orderBy("vec_id")
+  }
+
   /** PQ ASYMMETRIC-DISTANCE top-k search (the query half of IVF-PQ): the
     * corpus is represented ONLY by its PQ codes (4 small ints/vector); each
     * full-precision query precomputes its lookup table of
@@ -342,6 +496,8 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_trained" -> (annIvfTrained _),
+    "embedding_pq_trained" -> (embeddingPqTrained _),
     "embedding_pq" -> (embeddingPq _),
     "ann_pq_adc" -> (annPqAdc _),
     "ann_ivf_pq" -> (annIvfPq _),
@@ -464,7 +620,131 @@ object SimilarityQueries {
     s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |${pqCteChain("")}""".stripMargin
 
+  /** One Lloyd iteration of the IVF cell training as CTEs — the exact SQL
+    * replay of [[trainedCells]]' iteration i: assignment argmax on
+    * round(cosine, 4), two-level ordered-fold mean rounded to 1e-6,
+    * empty cells keeping the previous centroid. */
+  private def kmeansIterSql(i: Int): String = {
+    val prev = if (i == 1) "tc0" else s"tc${i - 1}"
+    s"""ta$i AS (
+       |  SELECT vec_id, e, cell FROM (
+       |    SELECT v.vec_id, v.e, c.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${duckCos("v.e", "c.ce", "v.norm", "c.cn")} DESC, c.cell) AS r
+       |    FROM v CROSS JOIN $prev c) WHERE r = 1),
+       |tb$i AS (SELECT cell, vec_id // $centroidBucket AS bkt, count(*) AS bn,
+       |         list(e ORDER BY vec_id) AS vs FROM ta$i GROUP BY cell, bkt),
+       |tp$i AS (SELECT cell, bkt, bn,
+       |         list_transform(generate_series(1, $embeddingDim),
+       |           d -> list_aggregate(list_transform(vs, a -> a[d]), 'sum')) AS psum
+       |         FROM tb$i),
+       |tg$i AS (SELECT cell, sum(bn) AS n, list(psum ORDER BY bkt) AS ps
+       |         FROM tp$i GROUP BY cell),
+       |tm$i AS (SELECT cell,
+       |         list_transform(generate_series(1, $embeddingDim),
+       |           d -> round(list_aggregate(list_transform(ps, a -> a[d]), 'sum')
+       |                / n * 1000000.0) / 1000000.0) AS me
+       |         FROM tg$i),
+       |tc$i AS (SELECT pc.cell, coalesce(tm$i.me, pc.ce) AS ce,
+       |         sqrt(list_aggregate(list_transform(coalesce(tm$i.me, pc.ce),
+       |              x -> x * x), 'sum')) AS cn
+       |         FROM $prev pc LEFT JOIN tm$i USING (cell))""".stripMargin
+  }
+
+  /** IVF search over the trained cells, ending in
+    * `ann(q, rank, neighbor, cosine)` — [[ivfAnnCtes]]' twin over tcN. */
+  private val trainedIvfCtes = {
+    val cN = s"tc$kmeansIters"
+    s"""$vCte,
+       |tc0 AS (SELECT vec_id AS cell, e AS ce, norm AS cn
+       |        FROM v WHERE vec_id % $seedStride = 1),
+       |${(1 to kmeansIters).map(kmeansIterSql).mkString(",\n")},
+       |assign AS (
+       |  SELECT vec_id, e, norm, cell FROM (
+       |    SELECT v.vec_id, v.e, v.norm, s.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${duckCos("v.e", "s.ce", "v.norm", "s.cn")} DESC,
+       |             s.cell) AS r
+       |    FROM v CROSS JOIN $cN s) WHERE r = 1),
+       |queries AS (SELECT vec_id AS q, e AS qe, norm AS qn
+       |            FROM v WHERE vec_id % $queryStride = 0),
+       |probed AS (
+       |  SELECT q, qe, qn, cell,
+       |         row_number() OVER (PARTITION BY q ORDER BY
+       |           ${duckCos("qe", "ce", "qn", "cn")} DESC, cell) AS crank
+       |  FROM queries CROSS JOIN $cN),
+       |cells AS (SELECT q, qe, qn, cell FROM probed WHERE crank <= $nprobe),
+       |scored AS (
+       |  SELECT c.q, a.vec_id AS neighbor,
+       |         ${duckCos("c.qe", "a.e", "c.qn", "a.norm")} AS cosine
+       |  FROM cells c JOIN assign a USING (cell) WHERE c.q != a.vec_id),
+       |ann AS (
+       |  SELECT q, rank, neighbor, cosine FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q
+       |              ORDER BY cosine DESC, neighbor) AS rank
+       |    FROM scored) WHERE rank <= $topK)""".stripMargin
+  }
+
+  /** One Lloyd iteration of the per-subspace PQ codebook training —
+    * the SQL replay of [[pqTrainedCodebookDf]]'s iteration i. */
+  private def pqKmeansIterSql(i: Int): String = {
+    val prev = if (i == 1) "tq0" else s"tq${i - 1}"
+    s"""tqa$i AS (
+       |  SELECT vec_id, j, sub, cid FROM (
+       |    SELECT s.vec_id, s.j, s.sub, q.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+       |        list_aggregate(list_transform(generate_series(1, $pqSubDim),
+       |          z -> (s.sub[z] - q.ce[z]) * (s.sub[z] - q.ce[z])), 'sum'),
+       |        q.cid) AS r
+       |    FROM sv s JOIN $prev q ON s.j = q.j) WHERE r = 1),
+       |tqb$i AS (SELECT j, cid, vec_id // $centroidBucket AS bkt,
+       |          count(*) AS bn, list(sub ORDER BY vec_id) AS vs
+       |          FROM tqa$i GROUP BY j, cid, bkt),
+       |tqp$i AS (SELECT j, cid, bkt, bn,
+       |          list_transform(generate_series(1, $pqSubDim),
+       |            d -> list_aggregate(list_transform(vs, a -> a[d]), 'sum')) AS psum
+       |          FROM tqb$i),
+       |tqg$i AS (SELECT j, cid, sum(bn) AS n, list(psum ORDER BY bkt) AS ps
+       |          FROM tqp$i GROUP BY j, cid),
+       |tqm$i AS (SELECT j, cid,
+       |          list_transform(generate_series(1, $pqSubDim),
+       |            d -> round(list_aggregate(list_transform(ps, a -> a[d]), 'sum')
+       |                 / n * 1000000.0) / 1000000.0) AS me
+       |          FROM tqg$i),
+       |tq$i AS (SELECT pq.j, pq.cid, coalesce(tqm$i.me, pq.ce) AS ce
+       |         FROM $prev pq LEFT JOIN tqm$i USING (j, cid))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_ivf_trained" ->
+      s"""WITH $trainedIvfCtes
+         |SELECT q, rank, neighbor, cosine FROM ann
+         |ORDER BY q, rank""".stripMargin,
+    "embedding_pq_trained" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |sv AS (SELECT vec_id, j, list_transform(generate_series(1, $pqSubDim),
+         |         z -> e[j * $pqSubDim + z]) AS sub
+         |       FROM v, generate_series(0, ${pqSubspaces - 1}) AS g(j)),
+         |k0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+         |       FROM v ORDER BY vec_id LIMIT $pqCodebookSize),
+         |tq0 AS (SELECT j, cid, list_transform(generate_series(1, $pqSubDim),
+         |          z -> e[j * $pqSubDim + z]) AS ce
+         |        FROM k0, generate_series(0, ${pqSubspaces - 1}) AS g(j)),
+         |${(1 to pqKmeansIters).map(pqKmeansIterSql).mkString(",\n")},
+         |fsub AS (
+         |  SELECT s.vec_id, s.j, q.cid,
+         |    list_aggregate(list_transform(generate_series(1, $pqSubDim),
+         |      z -> (s.sub[z] - q.ce[z]) * (s.sub[z] - q.ce[z])), 'sum') AS d
+         |  FROM sv s JOIN tq$pqKmeansIters q ON s.j = q.j),
+         |fbest AS (
+         |  SELECT vec_id, j, cid, d FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |                                 ORDER BY d, cid) AS rn
+         |    FROM fsub) WHERE rn = 1)
+         |SELECT vec_id,
+         |  string_agg(CAST(cid AS VARCHAR), ',' ORDER BY j) AS codes_csv,
+         |  round(list_aggregate(list(d ORDER BY j), 'sum') / 64.0, 6) AS mse
+         |FROM fbest GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "embedding_pq" ->
       s"""WITH $pqCtes
          |SELECT vec_id,

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The k-means training contract for the ANN stack (ops/SimilarityQueries):
+  *
+  *  - TRAINING HELPS: on a clustered corpus (the regime real embedding
+  *    corpora live in) the trained IVF cells recall strictly more of the
+  *    exact top-10 than the seeded cells, and on the real testdata the
+  *    trained PQ codebook reconstructs with strictly lower mean MSE than
+  *    the seeded one (Lloyd's objective is non-increasing, and from
+  *    arbitrary seeds the first iterations strictly improve);
+  *  - TRAINING IS DETERMINISTIC: fixed iteration count + ordered folds +
+  *    micro-rounding mean a re-run is row-for-row identical — train once,
+  *    get the same index everywhere (the DuckDB oracle replays the same
+  *    iterations, so this also holds across engines).
+  */
+class AnnTrainingSpec extends SparkSpec {
+
+  /** A deterministic clustered corpus: 40 moderately-overlapping Gaussian
+    * clusters in 64-d, 870 vectors (→ 30 seed cells at the vec_id%29
+    * stride, 18 queries at the vec_id%50 stride — MORE clusters than
+    * cells, and only nprobe=4 cells probed, so cell quality decides
+    * recall; measured seeded=0.839 vs trained=0.967). Cluster ids
+    * interleave irregularly across the id space (seeded cells can't get
+    * lucky via id locality). Schema mirrors the testdata embeddings
+    * table (vec_id int64, embedding array<float>, label int32). */
+  private lazy val clusteredDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-fixture")
+    val centers = {
+      val r = new scala.util.Random(7)
+      Array.fill(40, 64)(r.nextGaussian() * 0.8)
+    }
+    val rows = (0 until 870).map { i =>
+      val c = (i * 37 + 11) % 40
+      val noise = new scala.util.Random(1000 + i)
+      val e = Seq.tabulate(64)(d => (centers(c)(d) + 1.0 * noise.nextGaussian()).toFloat)
+      (i.toLong, e, c)
+    }
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir.toString
+  }
+
+  /** q → top-10 neighbor set. */
+  private def neighborSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select("q", "neighbor").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  private def recallVs(ann: DataFrame, truth: DataFrame): Double = {
+    val t = neighborSets(truth)
+    val a = neighborSets(ann)
+    val per = t.map { case (q, ts) => (a.getOrElse(q, Set.empty) & ts).size.toDouble / ts.size }
+    per.sum / per.size
+  }
+
+  test("trained IVF cells beat seeded cells on a clustered corpus") {
+    val truth = ops.SimilarityQueries.annBruteForce(spark, clusteredDir)
+    val seeded = recallVs(ops.SimilarityQueries.annIvf(spark, clusteredDir), truth)
+    val trained = recallVs(ops.SimilarityQueries.annIvfTrained(spark, clusteredDir), truth)
+    assert(trained > seeded,
+      s"trained recall@10 ($trained) must beat seeded ($seeded) on clustered data")
+    assert(trained >= 0.9, s"trained recall@10 on clustered data should be high, got $trained")
+  }
+
+  test("trained PQ codebook reconstructs with lower MSE than seeded") {
+    def meanMse(df: DataFrame): Double =
+      df.agg(avg("mse")).collect()(0).getDouble(0)
+    val seeded = meanMse(ops.SimilarityQueries.embeddingPq(spark, sf))
+    val trained = meanMse(ops.SimilarityQueries.embeddingPqTrained(spark, sf))
+    assert(trained < seeded,
+      s"Lloyd iterations must reduce reconstruction MSE: trained=$trained seeded=$seeded")
+  }
+
+  test("training is deterministic: re-run is row-for-row identical") {
+    val a = ops.SimilarityQueries.annIvfTrained(spark, sf).collect().toSeq
+    val b = ops.SimilarityQueries.annIvfTrained(spark, sf).collect().toSeq
+    assert(a == b, "trained IVF search must be bit-reproducible across runs")
+    val p = ops.SimilarityQueries.embeddingPqTrained(spark, sf).collect().toSeq
+    val q = ops.SimilarityQueries.embeddingPqTrained(spark, sf).collect().toSeq
+    assert(p == q, "trained PQ codes must be bit-reproducible across runs")
+  }
+}
