@@ -1,9 +1,6 @@
 package graft.streaming
 
-import java.io.File
-
 import graft.functions.TextFunctions.md5Long
-import org.apache.commons.io.FileUtils
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,10 +14,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * with the same content hash, no matter how input batches interleave.
   *
   * Exactly-once without a commit log: each batch writes to its OWN
-  * `batch=<id>` subdirectory via temp-dir + atomic rename, so a replayed
-  * batch id (foreachBatch redelivery after a crash) sees its committed
-  * directory and no-ops. The corpus/index reads union the committed batch
-  * directories — a plain recursive parquet read.
+  * `batch=<id>` subdirectory, and the batch is committed exactly when the
+  * corpus batch directory carries the `_GRAFT_COMMIT` marker file — a
+  * replayed batch id (foreachBatch redelivery after a crash) sees its
+  * marker and no-ops. The corpus/index reads union the committed batch
+  * directories — a plain parquet read over their paths.
   *
   * Scale notes (100 TB): the per-batch work is ONE equi-join of a
   * batch-sized probe against the index keyed by content hash — the index
@@ -29,17 +27,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * nothing ever rescans the corpus text. Within-batch dedup is a window
   * over the batch only. Appends are new files — no rewrite of history.
   *
-  * FILESYSTEM CONTRACT: the commit protocol's correctness rests on
-  * directory `rename` being atomic and on consistent listings — true on a
-  * local POSIX filesystem (what this sink targets; renames never cross a
-  * filesystem boundary because tmp and dst share a parent) and on HDFS;
-  * NOT true on object stores (S3 "rename" is copy+delete and can be
-  * observed half-done). On an object store, back the corpus with a
-  * transactional table format and make the batch-id check a table
-  * transaction — the dedup plan (hash window + index anti-join) is
-  * unchanged; only this commit plumbing is FS-specific.
+  * FILESYSTEM CONTRACT: all protocol I/O goes through
+  * [[StreamFs]] (`org.apache.hadoop.fs.FileContext`), so the layout works
+  * on any Hadoop-reachable store. On local POSIX filesystems and HDFS the
+  * batch-dir renames are atomic; on object stores (S3-style, where
+  * "rename" is copy+delete and can be observed half-done) correctness
+  * comes from the MARKER protocol instead: data first, one marker-file
+  * PUT as the commit point, and readers/recovery treat any unmarked
+  * directory as uncommitted debris. [[compact]] additionally swaps the
+  * corpus ROOT via two renames and so still wants rename atomicity — on
+  * an object store run compaction through a transactional table format;
+  * the ingest commit path above does not need it.
   */
 object DedupStream {
+
+  /** Leading '_' → invisible to parquet reads, like _SUCCESS. */
+  private[streaming] val Marker = "_GRAFT_COMMIT"
+  /** A compaction lock older than this is considered crashed. */
+  private val CompactLockStaleMs = 30L * 60 * 1000
 
   /** Start the ingest stream: `docs` must carry (doc_id long, text string). */
   def start(spark: SparkSession, docs: DataFrame, corpusDir: String,
@@ -52,16 +57,19 @@ object DedupStream {
       }
       .start()
 
+  /** Is this batch directory pair committed? The corpus-side marker is
+    * the single commit point (index is written before it). */
+  private def committed(corpusDir: String, batchName: String): Boolean =
+    StreamFs.exists(s"$corpusDir/docs/$batchName/$Marker")
+
   /** One micro-batch: within-batch dedup (min doc_id per hash wins, the
     * same canonical rule as the batch operators), anti-probe of the
     * persisted index, append novel docs + their index entries. Idempotent
-    * per `batchId`: a committed batch directory is the commit marker. */
+    * per `batchId`: the committed marker is the replay check. */
   def applyMicroBatch(spark: SparkSession, batch: DataFrame, corpusDir: String,
                       batchId: Long): Unit = {
-    val corpusBatchDir = new File(s"$corpusDir/docs/batch=$batchId")
-    val indexBatchDir = new File(s"$corpusDir/index/batch=$batchId")
     recover(corpusDir)
-    if (corpusBatchDir.exists() && indexBatchDir.exists()) return // replay
+    if (committed(corpusDir, s"batch=$batchId")) return // replay
     val hashed = batch
       .withColumn("content_hash", md5Long(col("text")))
       .withColumn("__rank", row_number().over(
@@ -69,16 +77,17 @@ object DedupStream {
       .filter(col("__rank") === 1).drop("__rank")
       .persist()
     try {
-      val novel = (if (indexBatchDir.getParentFile.exists() &&
-          indexBatchDir.getParentFile.list().nonEmpty)
+      val novel = (if (StreamFs.listNames(s"$corpusDir/index").nonEmpty)
         hashed.join(readIndex(spark, corpusDir), Seq("content_hash"), "left_anti")
       else hashed).persist()
       try {
-        // index first, corpus last: the corpus batch dir is the commit
-        // marker, so a crash between the two leaves an orphan index dir
-        // that recover() sweeps — never a corpus doc missing its index
-        writeAtomically(novel.select("content_hash", "doc_id"), indexBatchDir)
-        writeAtomically(novel.select("doc_id", "content_hash", "text"), corpusBatchDir)
+        // index first, corpus last: the corpus marker is the commit point,
+        // so a crash between the writes leaves an orphan index dir that
+        // recover() sweeps — never a corpus doc missing its index
+        writeAtomically(novel.select("content_hash", "doc_id"),
+          s"$corpusDir/index/batch=$batchId", mark = false)
+        writeAtomically(novel.select("doc_id", "content_hash", "text"),
+          s"$corpusDir/docs/batch=$batchId", mark = true)
       } finally { novel.unpersist(); () }
     } finally { hashed.unpersist(); () }
   }
@@ -86,88 +95,117 @@ object DedupStream {
   /** COMPACTION — the small-files maintenance pass: a long-lived ingest
     * stream accumulates one `batch=N` directory per micro-batch; this
     * rewrites all committed data into the single highest-id batch
-    * directory and leaves every other committed `batch=N` as an EMPTY
-    * MARKER directory, because a batch id's committed-ness (the replay
-    * no-op check, and readIndex's twin check) is exactly "the directory
-    * exists" — compaction must not forget ids. Works on any corpus with
-    * this layout ([[DedupStream]] and [[graft.streaming.NearDupStream]]);
-    * the rewrite is schema-agnostic.
+    * directory and leaves every other committed `batch=N` as an empty
+    * MARKER directory (just the `_GRAFT_COMMIT` file), because a batch
+    * id's committed-ness — the replay no-op check, and the readers' twin
+    * check — is exactly "the marker exists"; compaction must not forget
+    * ids. Works on any corpus with this layout ([[DedupStream]] and
+    * [[NearDupStream]]); the rewrite is schema-agnostic.
     *
     * Crash-safe via the root-level rename-aside swap (same shape as
     * `Scd2Stream.applyMicroBatch`): the rebuilt corpus is staged at
     * `<dir>.ctmp`, the live root renamed aside, the stage renamed in;
     * [[recover]] completes or rolls back an interrupted swap. CONTRACT:
     * run while the ingest stream is idle (between micro-batches or with
-    * the query stopped) — same as any table-maintenance operation. */
+    * the query stopped) — same as any table-maintenance operation. A
+    * `<dir>.clock` lock file marks compaction-in-progress so a stray
+    * concurrent recover() won't sweep the stage mid-build; a lock older
+    * than 30 minutes is treated as crashed and reclaimed. */
   def compact(spark: SparkSession, corpusDir: String): Unit = {
-    recover(corpusDir)
-    val committed = Option(new File(s"$corpusDir/docs").list())
-      .getOrElse(Array.empty).filter(_.startsWith("batch="))
-      .filter(b => new File(s"$corpusDir/index/$b").exists())
-      .sortBy(_.stripPrefix("batch=").toLong)
-    if (committed.length <= 1) return
-    val target = committed.last
-    val stage = new File(corpusDir + ".ctmp")
-    if (stage.exists()) FileUtils.deleteDirectory(stage)
-    spark.read.parquet(s"$corpusDir/docs").drop("batch")
-      .write.parquet(s"${stage.getPath}/docs/$target")
-    spark.read.option("basePath", s"$corpusDir/index")
-      .parquet(committed.map(b => s"$corpusDir/index/$b").toIndexedSeq: _*)
-      .drop("batch")
-      .write.parquet(s"${stage.getPath}/index/$target")
-    // empty marker dirs keep every committed id recognizable on replay
-    committed.init.foreach { b =>
-      new File(s"${stage.getPath}/docs/$b").mkdirs()
-      new File(s"${stage.getPath}/index/$b").mkdirs()
-    }
-    val old = new File(corpusDir + ".cold")
-    renameOrThrow(new File(corpusDir), old)
-    renameOrThrow(stage, new File(corpusDir))
-    FileUtils.deleteDirectory(old)
+    val lock = corpusDir + ".clock"
+    if (StreamFs.exists(lock) && !lockStale(lock))
+      throw new java.io.IOException(s"compaction already in progress: $lock")
+    StreamFs.writeAtomicString(lock, "")
+    try {
+      recover(corpusDir)
+      val committedBatches = StreamFs.listNames(s"$corpusDir/docs")
+        .filter(_.startsWith("batch="))
+        .filter(b => committed(corpusDir, b) &&
+          StreamFs.exists(s"$corpusDir/index/$b"))
+        .sortBy(_.stripPrefix("batch=").toLong)
+      if (committedBatches.length <= 1) return
+      val target = committedBatches.last
+      val stage = corpusDir + ".ctmp"
+      StreamFs.delete(stage)
+      // raw read keeps this schema-agnostic (NearDupStream shares it)
+      spark.read.option("basePath", s"$corpusDir/docs")
+        .parquet(committedBatches.map(b => s"$corpusDir/docs/$b"): _*)
+        .drop("batch")
+        .write.parquet(s"$stage/docs/$target")
+      spark.read.option("basePath", s"$corpusDir/index")
+        .parquet(committedBatches.map(b => s"$corpusDir/index/$b"): _*)
+        .drop("batch")
+        .write.parquet(s"$stage/index/$target")
+      StreamFs.createMarker(s"$stage/docs/$target/$Marker")
+      // marker-only dirs keep every committed id recognizable on replay
+      committedBatches.init.foreach { b =>
+        StreamFs.mkdirs(s"$stage/index/$b")
+        StreamFs.createMarker(s"$stage/docs/$b/$Marker")
+      }
+      val old = corpusDir + ".cold"
+      StreamFs.renameOrThrow(corpusDir, old)
+      StreamFs.renameOrThrow(stage, corpusDir)
+      StreamFs.delete(old)
+    } finally StreamFs.delete(lock)
   }
 
-  private def renameOrThrow(src: File, dst: File): Unit =
-    if (!src.renameTo(dst))
-      throw new java.io.IOException(s"atomic rename failed: $src -> $dst")
+  private def lockStale(lock: String): Boolean =
+    StreamFs.modificationTime(lock)
+      .forall(_ < System.currentTimeMillis() - CompactLockStaleMs)
 
-  /** Drop index batch dirs with no committed corpus twin (crash between
-    * the two writes), any stale temp dirs, and complete or roll back an
-    * interrupted [[compact]] swap. Safe to call any time. */
+  /** Drop batch dirs that never reached their commit marker (crash before
+    * the corpus write completed), index dirs with no committed corpus
+    * twin (crash between the two writes), any stale temp dirs, and
+    * complete or roll back an interrupted [[compact]] swap. Safe to call
+    * any time. */
   def recover(corpusDir: String): Unit = {
     // compaction swap recovery first: the root itself may be mid-rename
-    val root = new File(corpusDir)
-    val cold = new File(corpusDir + ".cold")
-    val ctmp = new File(corpusDir + ".ctmp")
-    if (cold.exists()) {
-      if (root.exists()) FileUtils.deleteDirectory(cold) // new root live
-      else renameOrThrow(cold, root) // crash between the two renames
+    val cold = corpusDir + ".cold"
+    val ctmp = corpusDir + ".ctmp"
+    if (StreamFs.exists(cold)) {
+      if (StreamFs.exists(corpusDir)) StreamFs.delete(cold) // new root live
+      else StreamFs.renameOrThrow(cold, corpusDir) // crash between renames
     }
-    if (ctmp.exists()) FileUtils.deleteDirectory(ctmp) // uncommitted stage
-    val index = new File(s"$corpusDir/index")
-    val dirs = Option(index.listFiles()).getOrElse(Array.empty)
-    dirs.filter(_.getName.startsWith("batch=")).foreach { d =>
-      if (!new File(s"$corpusDir/docs/${d.getName}").exists())
-        FileUtils.deleteDirectory(d)
-    }
+    // the stage is uncommitted — but not while a live compaction builds it
+    val lock = corpusDir + ".clock"
+    if (StreamFs.exists(ctmp) && (!StreamFs.exists(lock) || lockStale(lock)))
+      StreamFs.delete(ctmp)
+    // uncommitted corpus dirs (no marker) and their index twins
+    StreamFs.listNames(s"$corpusDir/docs").filter(_.startsWith("batch="))
+      .foreach { b =>
+        if (!committed(corpusDir, b)) {
+          StreamFs.delete(s"$corpusDir/docs/$b")
+          StreamFs.delete(s"$corpusDir/index/$b")
+        }
+      }
+    // orphan index dirs: no committed corpus twin
+    StreamFs.listNames(s"$corpusDir/index").filter(_.startsWith("batch="))
+      .foreach { b =>
+        if (!committed(corpusDir, b)) StreamFs.delete(s"$corpusDir/index/$b")
+      }
     Seq("docs", "index").foreach { sub =>
-      val parent = new File(s"$corpusDir/$sub")
-      Option(parent.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".tmp"))
-        .foreach(FileUtils.deleteDirectory)
+      StreamFs.listNames(s"$corpusDir/$sub").filter(_.endsWith(".tmp"))
+        .foreach(n => StreamFs.delete(s"$corpusDir/$sub/$n"))
     }
   }
 
-  private[streaming] def writeAtomically(df: DataFrame, dst: File): Unit = {
-    val tmp = new File(dst.getPath + ".tmp")
-    if (tmp.exists()) FileUtils.deleteDirectory(tmp)
-    df.write.mode("overwrite").parquet(tmp.getPath)
-    if (!tmp.renameTo(dst))
-      throw new java.io.IOException(s"rename ${tmp.getPath} -> ${dst.getPath} failed")
+  /** Stage to `dst.tmp`, rename in, then (optionally) PUT the commit
+    * marker — the marker create is the commit point on every store; the
+    * rename keeps the local/HDFS path as tight as before. */
+  private[streaming] def writeAtomically(df: DataFrame, dst: String,
+                                         mark: Boolean): Unit = {
+    val tmp = dst + ".tmp"
+    StreamFs.delete(tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    StreamFs.delete(dst) // debris from a pre-marker crash; never committed
+    StreamFs.renameOrThrow(tmp, dst)
+    if (mark) StreamFs.createMarker(s"$dst/$Marker")
   }
 
   /** The deduplicated corpus so far (committed batches only). */
   def readCorpus(spark: SparkSession, corpusDir: String): DataFrame =
-    spark.read.parquet(s"$corpusDir/docs")
+    readCommitted(spark, corpusDir, "docs",
+      Seq("doc_id", "content_hash", "text"))
 
   /** The (content_hash, doc_id) index the probes run against. Only hashes
     * whose corpus twin committed count as "seen": the read lists exactly
@@ -176,17 +214,28 @@ object DedupStream {
     * would grow the plan linearly with stream lifetime. The driver-side
     * directory listing is the same O(#batches) the old filter paid, paid
     * once, off the executor path. */
-  def readIndex(spark: SparkSession, corpusDir: String): DataFrame = {
-    val committed = Option(new File(s"$corpusDir/docs").list())
-      .getOrElse(Array.empty).filter(_.startsWith("batch="))
-      .filter(b => new File(s"$corpusDir/index/$b").exists())
-      .map(b => s"$corpusDir/index/$b").toSeq
-    if (committed.isEmpty) {
-      import spark.implicits._
-      spark.emptyDataset[(Long, Long)].toDF("content_hash", "doc_id")
+  def readIndex(spark: SparkSession, corpusDir: String): DataFrame =
+    readCommitted(spark, corpusDir, "index", Seq("content_hash", "doc_id"))
+
+  private[streaming] def committedDirs(corpusDir: String,
+                                       sub: String): Seq[String] =
+    StreamFs.listNames(s"$corpusDir/docs").filter(_.startsWith("batch="))
+      .filter(b => committed(corpusDir, b) &&
+        (sub == "docs" || StreamFs.exists(s"$corpusDir/$sub/$b")))
+      .map(b => s"$corpusDir/$sub/$b")
+
+  private def readCommitted(spark: SparkSession, corpusDir: String,
+                            sub: String, cols: Seq[String]): DataFrame = {
+    val dirs = committedDirs(corpusDir, sub)
+    if (dirs.isEmpty) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(cols.map {
+        case "text" => StructField("text", StringType)
+        case c => StructField(c, LongType)
+      })
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else
-      spark.read.option("basePath", s"$corpusDir/index")
-        .parquet(committed: _*)
-        .select("content_hash", "doc_id")
+      spark.read.option("basePath", s"$corpusDir/$sub").parquet(dirs: _*)
+        .select(cols.map(col): _*)
   }
 }

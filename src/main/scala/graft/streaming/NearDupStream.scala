@@ -1,9 +1,6 @@
 package graft.streaming
 
-import java.io.File
-
 import graft.ops.DedupQueries
-import org.apache.commons.io.FileUtils
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -14,21 +11,27 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * documents are signed (12 MinHashes), banded (4×3), probed against the
   * PERSISTED band index, and only documents with NO near-duplicate among
   * previously seen documents (or earlier-id documents of the same batch)
-  * are appended — the index gains exactly the kept documents' band rows.
+  * are appended to the corpus.
   *
   * Drop policy (deterministic, documented): a document is dropped when a
-  * band collision with an earlier document (committed corpus, or same
+  * band collision with an earlier document (indexed batches, or same
   * batch with smaller doc_id) verifies at ≥ [[DedupQueries.minhashK]]·2/3
   * signature agreement. "Earlier" includes earlier documents that were
   * themselves dropped — near-duplicate similarity is treated as an
   * equivalence for retention purposes (standard ingestion-dedup
-  * behavior); the kept corpus is guaranteed pairwise near-dup-free, which
-  * is the invariant that matters and what the spec pins.
+  * behavior). To make that hold ACROSS batch boundaries exactly as it
+  * does within a batch, the index stores the band rows of EVERY processed
+  * document (kept and dropped alike; the corpus stores only the kept
+  * ones) — so a chain A~B, B~C split across batches drops C via the
+  * indexed-but-dropped B, identical to the one-shot id-ordered outcome.
+  * The kept corpus is therefore both pairwise near-dup-free AND
+  * batching-invariant (NearDupStreamSpec pins both).
   *
-  * Storage layout, commit protocol, idempotent replay, crash-orphan sweep
-  * and the POSIX/HDFS rename contract are exactly [[DedupStream]]'s
-  * (docs/batch=N + index/batch=N, temp-dir + atomic rename, index first /
-  * corpus-last-as-commit-marker).
+  * Storage layout, marker-file commit protocol, idempotent replay,
+  * crash-orphan sweep and the filesystem contract are exactly
+  * [[DedupStream]]'s (docs/batch=N + index/batch=N, staged write +
+  * `_GRAFT_COMMIT` marker on the corpus dir as the commit point, all I/O
+  * through [[StreamFs]]).
   *
   * Scale notes (100 TB): per batch, ONE equi-join of the batch's ~4 band
   * rows/doc against the band-keyed index (bucketed by (band, key) at
@@ -52,14 +55,13 @@ object NearDupStream {
       .start()
 
   /** One micro-batch: sign, band, probe (index ∪ earlier-in-batch), keep
-    * the novel documents. Idempotent per `batchId` via the committed
-    * corpus batch directory. */
+    * the novel documents; index EVERY document's band rows. Idempotent
+    * per `batchId` via the corpus commit marker. */
   def applyMicroBatch(spark: SparkSession, batch: DataFrame, corpusDir: String,
                       batchId: Long): Unit = {
-    val corpusBatchDir = new File(s"$corpusDir/docs/batch=$batchId")
-    val indexBatchDir = new File(s"$corpusDir/index/batch=$batchId")
     DedupStream.recover(corpusDir) // same layout → same orphan sweep
-    if (corpusBatchDir.exists() && indexBatchDir.exists()) return // replay
+    if (StreamFs.exists(s"$corpusDir/docs/batch=$batchId/${DedupStream.Marker}"))
+      return // replay
     val sigs = DedupQueries.minhashSigsOf(batch)
       .select(col("doc_id"),
         array((0 until DedupQueries.minhashK).map(k => col(s"mh$k")): _*)
@@ -75,7 +77,8 @@ object NearDupStream {
         zip_with(col("x.sig"), col("y.sig"),
           (a, b) => when(a === b, 1).otherwise(0)),
         lit(0), (acc, m) => acc + m)
-      // witnesses: committed index rows + earlier-id rows of this batch
+      // witnesses: indexed rows (kept AND dropped docs of committed
+      // batches) + earlier-id rows of this batch
       val earlier = bands.as("x").join(bands.as("y"), Seq("band", "key"))
         .filter(col("x.doc_id") > col("y.doc_id"))
         .filter(agree >= sigAgreeMin)
@@ -85,41 +88,40 @@ object NearDupStream {
         .filter(agree >= sigAgreeMin)
         .select(col("x.doc_id").as("doc_id"))
       val dropped = earlier.unionByName(indexed).distinct()
-      val kept = batch.join(sigs, Seq("doc_id"))
-        .join(dropped, Seq("doc_id"), "left_anti")
-        .persist()
-      try {
-        // index first, corpus last (the corpus dir is the commit marker)
-        DedupStream.writeAtomically(
-          kept.select(col("doc_id"), col("sig"),
-              explode(DedupQueries.lshBandKeys).as("bk"))
-            .select(col("doc_id"), col("sig"),
-              col("bk.band").as("band"), col("bk.key").as("key")),
-          indexBatchDir)
-        DedupStream.writeAtomically(
-          kept.select("doc_id", "text"), corpusBatchDir)
-      } finally { kept.unpersist(); () }
+      val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
+      // index first (ALL docs' band rows — cross-batch witnesses),
+      // corpus last (kept docs only; its marker is the commit point)
+      DedupStream.writeAtomically(
+        bands.select("doc_id", "sig", "band", "key"),
+        s"$corpusDir/index/batch=$batchId", mark = false)
+      DedupStream.writeAtomically(
+        kept.select("doc_id", "text"),
+        s"$corpusDir/docs/batch=$batchId", mark = true)
     } finally { bands.unpersist(); () }
   }
 
-  /** The kept (near-dup-free) corpus so far. */
-  def readCorpus(spark: SparkSession, corpusDir: String): DataFrame =
-    spark.read.parquet(s"$corpusDir/docs")
+  /** The kept (near-dup-free) corpus so far — committed batches only. */
+  def readCorpus(spark: SparkSession, corpusDir: String): DataFrame = {
+    val dirs = DedupStream.committedDirs(corpusDir, "docs")
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("text")).limit(0)
+    else
+      spark.read.option("basePath", s"$corpusDir/docs").parquet(dirs: _*)
+        .select("doc_id", "text")
+  }
 
-  /** The committed (band, key, sig, doc_id) index — committed batch dirs
-    * only, read by path (no unbounded In-list; see DedupStream.readIndex). */
+  /** The committed (band, key, sig, doc_id) index — every processed
+    * document of every committed batch (read by path; no unbounded
+    * In-list, see DedupStream.readIndex). */
   def readIndex(spark: SparkSession, corpusDir: String): DataFrame = {
-    val committed = Option(new File(s"$corpusDir/docs").list())
-      .getOrElse(Array.empty).filter(_.startsWith("batch="))
-      .filter(b => new File(s"$corpusDir/index/$b").exists())
-      .map(b => s"$corpusDir/index/$b").toSeq
-    if (committed.isEmpty)
+    val dirs = DedupStream.committedDirs(corpusDir, "index")
+    if (dirs.isEmpty)
       spark.range(0).select(col("id").as("doc_id"),
         array().cast("array<bigint>").as("sig"),
         lit(0).as("band"), lit("").as("key"))
     else
-      spark.read.option("basePath", s"$corpusDir/index")
-        .parquet(committed: _*)
+      spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
         .select("doc_id", "sig", "band", "key")
   }
 }

@@ -1,9 +1,6 @@
 package graft.streaming
 
-import java.io.File
-
 import graft.scd2.Scd2
-import org.apache.commons.io.FileUtils
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -145,11 +142,10 @@ object Scd2Stream {
                       opCol: Option[String] = None,
                       onLate: Scd2.LatePolicy = Scd2.LatePolicy.Error): Unit = {
     recover(historyDir)
-    val commitLog = new File(historyDir + ".commits")
-    val dir = new File(historyDir)
+    val commitLog = historyDir + ".commits"
     val alreadyDone = batchId.exists { id =>
       val inLog = committedIds(commitLog).contains(id)
-      val inMarker = markerId(dir).contains(id)
+      val inMarker = markerId(historyDir).contains(id)
       // heal the commit-log index from the authoritative in-dir marker
       // (covers a crash after the commit-point rename, before the append)
       if (inMarker && !inLog) appendCommit(commitLog, id)
@@ -162,7 +158,7 @@ object Scd2Stream {
     val cached = batch.persist()
     try {
       if (cached.isEmpty) return
-      val merged = (dir.exists() && dir.list().exists(_.endsWith(".parquet")),
+      val merged = (StreamFs.listNames(historyDir).exists(_.endsWith(".parquet")),
           opCol) match {
         case (true, maybeOp) =>
           // mergeSchema: a pre-evolution crash can leave mixed-schema files
@@ -180,43 +176,41 @@ object Scd2Stream {
         case (false, None) =>
           Scd2.fromEvents(cached, keys, tsCol, seqCol)
       }
-      val tmp = new File(historyDir + ".tmp")
-      if (tmp.exists()) FileUtils.deleteDirectory(tmp)
-      merged.write.mode("overwrite").parquet(tmp.getPath)
+      val tmp = historyDir + ".tmp"
+      StreamFs.delete(tmp)
+      merged.write.mode("overwrite").parquet(tmp)
       batchId.foreach(writeMarker(tmp, _))
       failpoint("after-tmp-write")
-      val old = new File(historyDir + ".old")
-      if (dir.exists()) {
-        renameOrThrow(dir, old)
+      val old = historyDir + ".old"
+      if (StreamFs.exists(historyDir)) {
+        StreamFs.renameOrThrow(historyDir, old)
         failpoint("after-rename-aside")
       }
-      renameOrThrow(tmp, dir) // ← atomic commit point (marker now live)
+      StreamFs.renameOrThrow(tmp, historyDir) // ← atomic commit point (marker now live)
       failpoint("after-rename-in")
       batchId.foreach(appendCommit(commitLog, _))
       failpoint("after-commit")
-      if (old.exists()) FileUtils.deleteDirectory(old)
+      StreamFs.delete(old)
     } finally { cached.unpersist(); () }
   }
 
   /** Complete or roll back an interrupted [[applyMicroBatch]] swap. Safe to
     * call any time; called automatically on every apply. */
   def recover(historyDir: String): Unit = {
-    val dir = new File(historyDir)
-    val old = new File(historyDir + ".old")
-    val tmp = new File(historyDir + ".tmp")
-    if (old.exists()) {
-      if (dir.exists()) {
+    val old = historyDir + ".old"
+    if (StreamFs.exists(old)) {
+      if (StreamFs.exists(historyDir)) {
         // new data is live → the commit-point rename happened; the batch is
-        // committed (its marker is inside `dir`), only cleanup remained
-        FileUtils.deleteDirectory(old)
+        // committed (its marker is inside the live dir), only cleanup remained
+        StreamFs.delete(old)
       } else {
         // crash between rename-aside and rename-in → roll back
-        renameOrThrow(old, dir)
+        StreamFs.renameOrThrow(old, historyDir)
       }
     }
     // a tmp dir without a completed swap is uncommitted data; the batch
     // will replay (its id is neither in the log nor in the live marker)
-    if (tmp.exists()) FileUtils.deleteDirectory(tmp)
+    StreamFs.delete(historyDir + ".tmp")
   }
 
   /** One micro-batch against a BUCKETED history: the table is laid out as
@@ -238,7 +232,7 @@ object Scd2Stream {
                               onLate: Scd2.LatePolicy = Scd2.LatePolicy.Error,
                               opCol: Option[String] = None): Unit = {
     recoverBucketed(historyDir)
-    val commitLog = new File(historyDir + ".commits")
+    val commitLog = historyDir + ".commits"
     if (batchId.exists(committedIds(commitLog).contains)) return
     // persist: the batch feeds three actions (touched-bucket probe,
     // emptiness via the probe, merge) — compute the input once
@@ -250,7 +244,7 @@ object Scd2Stream {
         .collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return
       val dirs = touched.map(b => s"$historyDir/__bucket=$b")
-        .filter(d => new File(d).exists())
+        .filter(StreamFs.exists)
       val merged =
         if (dirs.nonEmpty) {
           // mergeSchema: after an ADD COLUMN only the buckets a batch
@@ -273,74 +267,73 @@ object Scd2Stream {
             Scd2.fromEventsWithDeletes(cached, keys, tsCol, seqCol, op).drop(op)
           case None => Scd2.fromEvents(cached, keys, tsCol, seqCol)
         }
-      val tmp = new File(historyDir + ".tmp")
-      if (tmp.exists()) FileUtils.deleteDirectory(tmp)
+      val tmp = historyDir + ".tmp"
+      StreamFs.delete(tmp)
       merged.withColumn("__bucket", bucket)
         .write.partitionBy("__bucket")
-        .mode("overwrite").parquet(tmp.getPath)
+        .mode("overwrite").parquet(tmp)
       failpoint("after-tmp-write")
       val pre = touched.toSeq.map(b =>
-        b -> new File(s"$historyDir/__bucket=$b").exists())
-      writeManifest(new File(historyDir + ".inflight"), batchId, pre)
+        b -> StreamFs.exists(s"$historyDir/__bucket=$b"))
+      writeManifest(historyDir + ".inflight", batchId, pre)
       failpoint("after-manifest")
-      val oldRoot = new File(historyDir + ".oldbuckets")
-      oldRoot.mkdirs()
+      val oldRoot = historyDir + ".oldbuckets"
+      StreamFs.mkdirs(oldRoot)
       // phase A: move every pre-imaged touched bucket aside
       pre.foreach { case (b, hadPre) =>
         if (hadPre) {
-          renameOrThrow(new File(s"$historyDir/__bucket=$b"),
-            new File(s"${oldRoot.getPath}/__bucket=$b"))
+          StreamFs.renameOrThrow(s"$historyDir/__bucket=$b",
+            s"$oldRoot/__bucket=$b")
           failpoint(s"phase-a:$b")
         }
       }
       // phase B: move the new bucket contents in
-      new File(historyDir).mkdirs()
+      StreamFs.mkdirs(historyDir)
       pre.foreach { case (b, _) =>
-        val src = new File(s"${tmp.getPath}/__bucket=$b")
-        if (src.exists())
-          renameOrThrow(src, new File(s"$historyDir/__bucket=$b"))
+        val src = s"$tmp/__bucket=$b"
+        if (StreamFs.exists(src))
+          StreamFs.renameOrThrow(src, s"$historyDir/__bucket=$b")
         failpoint(s"phase-b:$b")
       }
       batchId.foreach(appendCommit(commitLog, _))
       failpoint("after-commit")
-      FileUtils.deleteDirectory(oldRoot)
-      FileUtils.deleteDirectory(tmp)
-      new File(historyDir + ".inflight").delete(): Unit
+      StreamFs.delete(oldRoot)
+      StreamFs.delete(tmp)
+      StreamFs.delete(historyDir + ".inflight")
     } finally { cached.unpersist(); () }
   }
 
   /** Complete or roll back an interrupted [[applyMicroBatchBucketed]]
     * swap. Safe to call any time; called automatically on every apply. */
   def recoverBucketed(historyDir: String): Unit = {
-    val manifest = new File(historyDir + ".inflight")
-    val oldRoot = new File(historyDir + ".oldbuckets")
-    val tmp = new File(historyDir + ".tmp")
-    if (manifest.exists()) {
+    val manifest = historyDir + ".inflight"
+    val oldRoot = historyDir + ".oldbuckets"
+    if (StreamFs.exists(manifest)) {
       val (batchId, pre) = readManifest(manifest)
       val committed =
-        batchId.exists(committedIds(new File(historyDir + ".commits")).contains)
+        batchId.exists(committedIds(historyDir + ".commits").contains)
       if (!committed) {
         // roll the interrupted batch back bucket-by-bucket
         pre.foreach { case (b, hadPre) =>
-          val live = new File(s"$historyDir/__bucket=$b")
-          val saved = new File(s"${oldRoot.getPath}/__bucket=$b")
+          val live = s"$historyDir/__bucket=$b"
+          val saved = s"$oldRoot/__bucket=$b"
           if (hadPre) {
-            if (saved.exists()) {
+            if (StreamFs.exists(saved)) {
               // phase A moved the original aside; anything live is phase-B
               // data from the dead batch
-              if (live.exists()) FileUtils.deleteDirectory(live)
-              renameOrThrow(saved, live)
+              StreamFs.delete(live)
+              StreamFs.renameOrThrow(saved, live)
             } // else phase A never reached it: live IS the original
           } else {
             // fresh bucket: anything live is phase-B data from the dead batch
-            if (live.exists()) FileUtils.deleteDirectory(live)
+            StreamFs.delete(live)
           }
         }
       } // committed → every bucket is in place, only cleanup remained
-      manifest.delete(): Unit
+      StreamFs.delete(manifest)
     }
-    if (oldRoot.exists()) FileUtils.deleteDirectory(oldRoot)
-    if (tmp.exists()) FileUtils.deleteDirectory(tmp)
+    StreamFs.delete(oldRoot)
+    StreamFs.delete(historyDir + ".tmp")
   }
 
   /** Read a bucketed history back as a plain SCD2 table. `mergeSchema`:
@@ -372,26 +365,24 @@ object Scd2Stream {
 
   // ---- commit/marker/manifest plumbing -----------------------------------
   //
-  // The protocol's own metadata must be as crash-safe as the data path:
-  //  - the commit log is append-only, so each record is newline-PREFIXED and
-  //    ';'-terminated ("\n<id>;"). A crash mid-append leaves an unterminated
-  //    fragment that (a) can never merge with the NEXT record (it starts with
-  //    '\n') and (b) is ignored by the strict-record parse — the batch then
-  //    simply replays, which the protocol makes a no-op/rollback. No torn
-  //    write can ever fabricate a committed id.
+  // The protocol's own metadata must be as crash-safe as the data path,
+  // and all of it goes through [[StreamFs]] (hadoop FileContext) so the
+  // contract holds on any Hadoop-reachable store:
+  //  - the commit-log FORMAT is newline-prefixed, ';'-terminated records
+  //    ("\n<id>;"), and the parse is strict: an unterminated fragment (a
+  //    torn write by an earlier engine version or an external writer) is
+  //    ignored and can never merge with a later record or fabricate a
+  //    committed id. The log is APPENDED by read + rewrite-through-atomic-
+  //    rename rather than a POSIX append (ChecksumFileSystem and object
+  //    stores don't support append): a crash mid-commit leaves the OLD
+  //    complete log, the batch replays, and the protocol makes the replay
+  //    a no-op/rollback.
   //  - marker and manifest files are written to a sibling tmp and RENAMED
   //    into place, so they are either absent or complete — recovery never
   //    sees a half-written manifest (a torn manifest with wrong pre-image
   //    flags would roll back the wrong buckets).
-  //  - every reader closes its Source (a 200 ms trigger calls committedIds
-  //    per micro-batch; leaking handles between GCs risks driver EMFILE).
 
   private val MarkerName = "_graft_batch" // leading '_' → invisible to parquet reads
-
-  private def readLines(f: File): Vector[String] = {
-    val src = scala.io.Source.fromFile(f)
-    try src.getLines().toVector finally src.close()
-  }
 
   private def parseCommitRecord(line: String, terminated: Boolean,
                                 allowLegacy: Boolean): Option[Long] = {
@@ -414,12 +405,8 @@ object Scd2Stream {
     else None // unterminated fragment from a torn append — not committed
   }
 
-  private def committedIds(commitLog: File): Set[Long] =
-    if (!commitLog.exists()) Set.empty
-    else {
-      val content = new String(
-        java.nio.file.Files.readAllBytes(commitLog.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
+  private def committedIds(commitLog: String): Set[Long] =
+    StreamFs.readString(commitLog).fold(Set.empty[Long]) { content =>
       val pureLegacy = !content.contains(';')
       // split with -1: a trailing "\n" yields an empty last element, so the
       // last element is exactly the unterminated tail (if any)
@@ -434,64 +421,34 @@ object Scd2Stream {
       // parses strictly (only the single-driver stream touches this log,
       // so the read-rewrite pair cannot race another writer).
       if (pureLegacy && ids.nonEmpty)
-        writeAtomic(commitLog, ids.toSeq.sorted.map(id => s"\n$id;").mkString)
+        StreamFs.writeAtomicString(commitLog,
+          ids.toSeq.sorted.map(id => s"\n$id;").mkString)
       ids
     }
 
-  /** Write + fsync: the record is durable (power-loss included) before the
-    * caller proceeds — a rename or a later append must never survive a
-    * crash that loses the bytes it depends on. */
-  private def writeDurable(f: File, content: String, append: Boolean): Unit = {
-    val out = new java.io.FileOutputStream(f, append)
-    try {
-      out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.getFD.sync()
-    } finally out.close()
-  }
+  /** Append a commit record, preserving the on-disk format exactly:
+    * read + rewrite-through-atomic-rename (see the plumbing note — POSIX
+    * append is not available on every FileSystem). A crash leaves either
+    * the old or the new complete log, never a torn record. */
+  private def appendCommit(commitLog: String, id: Long): Unit =
+    StreamFs.writeAtomicString(commitLog,
+      StreamFs.readString(commitLog).getOrElse("") + s"\n$id;")
 
-  /** Best-effort directory fsync (persists the rename itself on power
-    * loss); some filesystems reject opening a directory — then the
-    * protocol still holds for process crashes, as before. */
-  private def fsyncDir(dir: File): Unit =
-    try {
-      val ch = java.nio.channels.FileChannel.open(dir.toPath,
-        java.nio.file.StandardOpenOption.READ)
-      try ch.force(true) finally ch.close()
-    } catch { case _: java.io.IOException => () }
+  private def writeMarker(dir: String, id: Long): Unit =
+    StreamFs.writeAtomicString(s"$dir/$MarkerName", s"$id\n")
 
-  private def appendCommit(commitLog: File, id: Long): Unit =
-    writeDurable(commitLog, s"\n$id;", append = true)
+  private def markerId(dir: String): Option[Long] =
+    StreamFs.readString(s"$dir/$MarkerName")
+      .map(_.linesIterator.toSeq).flatMap(_.headOption)
+      .map(_.trim).filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
 
-  /** Write `content` to a sibling tmp file (fsynced), then atomically
-    * rename over `dst` and fsync the parent dir — the file is either
-    * absent or complete, never torn, surviving power loss as well as
-    * process crashes. */
-  private def writeAtomic(dst: File, content: String): Unit = {
-    val tmp = new File(dst.getParentFile, dst.getName + ".wtmp")
-    writeDurable(tmp, content, append = false)
-    java.nio.file.Files.move(tmp.toPath, dst.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-    fsyncDir(dst.getParentFile)
-  }
-
-  private def writeMarker(dir: File, id: Long): Unit =
-    writeAtomic(new File(dir, MarkerName), s"$id\n")
-
-  private def markerId(dir: File): Option[Long] = {
-    val f = new File(dir, MarkerName)
-    if (f.exists())
-      readLines(f).headOption.map(_.trim).filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
-    else None
-  }
-
-  private def writeManifest(f: File, batchId: Option[Long],
+  private def writeManifest(f: String, batchId: Option[Long],
                             pre: Seq[(Int, Boolean)]): Unit =
-    writeAtomic(f, (s"${batchId.getOrElse(-1L)}" +:
+    StreamFs.writeAtomicString(f, (s"${batchId.getOrElse(-1L)}" +:
       pre.map { case (b, hadPre) => s"$b,${if (hadPre) 1 else 0}" }).mkString("", "\n", "\n"))
 
-  private def readManifest(f: File): (Option[Long], Seq[(Int, Boolean)]) = {
-    val lines = readLines(f)
+  private def readManifest(f: String): (Option[Long], Seq[(Int, Boolean)]) = {
+    val lines = StreamFs.readString(f).fold(Vector.empty[String])(_.linesIterator.toVector)
     val id = lines.headOption.map(_.trim.toLong).filter(_ >= 0)
     val pre = lines.drop(1).filter(_.nonEmpty).map { l =>
       val Array(b, p) = l.split(","): @unchecked
@@ -499,8 +456,4 @@ object Scd2Stream {
     }
     (id, pre)
   }
-
-  private def renameOrThrow(src: File, dst: File): Unit =
-    if (!src.renameTo(dst))
-      throw new java.io.IOException(s"atomic rename failed: $src -> $dst")
 }

@@ -72,16 +72,48 @@ class NearDupStreamSpec extends SparkSpec {
       "id-ordered batching must equal one-shot ingestion")
   }
 
-  test("replaying a committed batch id is a no-op; index rows mirror kept docs") {
+  test("replaying a committed batch id is a no-op; index rows cover every processed doc") {
     val tmp = Files.createTempDirectory("graft-neardup-replay").toString
     val b = documents().filter(col("doc_id") < 100)
+    val processed = b.count()
     NearDupStream.applyMicroBatch(spark, b, s"$tmp/corpus", batchId = 0L)
     val before = NearDupStream.readCorpus(spark, s"$tmp/corpus").count()
     NearDupStream.applyMicroBatch(spark, b, s"$tmp/corpus", batchId = 0L)
     assert(NearDupStream.readCorpus(spark, s"$tmp/corpus").count() === before)
-    // the index holds exactly lshBands rows per kept doc
+    // the index holds exactly lshBands rows per PROCESSED doc — dropped
+    // docs stay indexed as cross-batch witnesses (kept ⊂ indexed)
     val idx = NearDupStream.readIndex(spark, s"$tmp/corpus")
-    assert(idx.count() === before * DedupQueries.lshBands)
-    assert(idx.select("doc_id").distinct().count() === before)
+    assert(idx.count() === processed * DedupQueries.lshBands)
+    assert(idx.select("doc_id").distinct().count() === processed)
+  }
+
+  test("cross-batch near-dup chains drop via an indexed-but-dropped witness") {
+    // chain A~B (same batch: B drops) then C~B in a LATER batch: C must
+    // still drop even though its witness B never reached the corpus —
+    // the semantics that make id-ordered batching equal one-shot
+    // ingestion for chains that straddle a batch boundary
+    val tmp = Files.createTempDirectory("graft-neardup-chain").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 8
+    val a = base + "tail one alpha"
+    val bTxt = base + "tail one beta"
+    val cTxt = base + "tail one betz"
+    val b1 = Seq((1L, a), (2L, bTxt)).toDF("doc_id", "text")
+    val b2 = Seq((3L, cTxt)).toDF("doc_id", "text")
+    // preflight: the fixture must actually chain A~B and B~C
+    val pairs = nearDupPairs(b1.unionByName(b2)).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)),
+      s"fixture must chain 1~2 and 2~3, got $pairs")
+    NearDupStream.applyMicroBatch(spark, b1, s"$tmp/corpus", batchId = 0L)
+    NearDupStream.applyMicroBatch(spark, b2, s"$tmp/corpus", batchId = 1L)
+    val kept = NearDupStream.readCorpus(spark, s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    // one-shot over the union keeps the same set
+    val tmp1 = Files.createTempDirectory("graft-neardup-chain-oneshot").toString
+    NearDupStream.applyMicroBatch(spark, b1.unionByName(b2),
+      s"$tmp1/corpus", batchId = 0L)
+    val oneShot = NearDupStream.readCorpus(spark, s"$tmp1/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === oneShot, "batching must equal one-shot across the chain")
+    assert(kept === Set(1L), "2 drops via 1; 3 drops via the dropped 2")
   }
 }
