@@ -1,0 +1,164 @@
+package graft.streaming
+
+import graft.ops.SimilarityQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** STREAMING ANN INDEX MAINTENANCE — the ingestion face of the IVF-PQ
+  * index ([[graft.ops.SimilarityQueries.annIvfPq]]'s layout), composed
+  * with the batch-dir marker commit protocol of [[DedupStream]] /
+  * [[NearDupStream]] (all I/O through [[StreamFs]]):
+  *
+  *  - [[init]] trains the index ONCE from a bootstrap corpus: coarse
+  *    cells + PQ codebook, persisted under `meta/`. Training is the same
+  *    deterministic policy family as the batch operators (seed cells at
+  *    the vec_id stride, codebook from the smallest vec_ids; swap in the
+  *    `ann_ivf_trained` Lloyd loop for a trained bootstrap — the ingest
+  *    and search paths below are indifferent to how meta was built).
+  *    Fixing meta at init is what makes the index BATCH-COUNT-INVARIANT:
+  *    cell assignment and codes depend only on (vector, meta), never on
+  *    arrival order or batch boundaries.
+  *  - [[applyMicroBatch]] assigns each new vector to its nearest cell
+  *    (broadcast centroids, per-vector argmax window), PQ-codes it (one
+  *    `pq_code` kernel call), and appends `coded/batch=N/cell=C/…` —
+  *    CELL-PARTITIONED, so a probe opens nprobe/|cells| of the files and
+  *    reads 4 bytes of codes per vector. Replay of a committed batch id
+  *    is a no-op via the `_GRAFT_COMMIT` marker; a crashed batch leaves
+  *    an unmarked dir that [[recover]] sweeps.
+  *  - [[search]] serves arbitrary query vectors from the LIVE index:
+  *    probe the nprobe nearest cells, ADC-score the probed cells' codes
+  *    (`pq_lut` once per query, `pq_adc` per candidate), per-query top-k.
+  *    Because meta is fixed, querying the live index equals querying a
+  *    batch rebuild of the same vectors (AnnStreamSpec pins this).
+  *
+  * Scale notes (100 TB): per batch the corpus is never read — ingest
+  * touches only the batch (broadcast meta, no shuffle except the tiny
+  * per-vector argmax); search reads only the probed cells' code files
+  * (partition pruning on `cell=`), and the per-candidate cost is m table
+  * lookups. Cites the reference's pipeline role (final_template.xml: the
+  * lookup-enrich path) only by analogy — this operator is part of the
+  * engine's training-data surface, not the NiFi flow. */
+object AnnStream {
+
+  private val m = SimilarityQueries.pqSubspaces
+  private val k = SimilarityQueries.pqCodebookSize
+
+  import graft.functions.PqFunctions.{pqAdc, pqCode, pqLut}
+  import graft.functions.VectorFunctions.dotProduct
+
+  private def withNorm(df: DataFrame, e: String, n: String): DataFrame =
+    df.withColumn(n, sqrt(dotProduct(col(e), col(e))))
+
+  private def cos(e: org.apache.spark.sql.Column, ce: org.apache.spark.sql.Column,
+                  n: org.apache.spark.sql.Column, cn: org.apache.spark.sql.Column) =
+    round(dotProduct(e, ce) / (n * cn), 4)
+
+  /** Train-once: persist coarse centroids + PQ codebook from a bootstrap
+    * corpus (vec_id, embedding). No-op when meta is already committed. */
+  def init(spark: SparkSession, bootstrap: DataFrame, indexDir: String): Unit = {
+    if (committedMeta(indexDir)) return
+    val v = withNorm(bootstrap.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e")), "e", "norm")
+    val cents = v.filter(col("vec_id") % SimilarityQueries.seedStride === 1)
+      .select(col("vec_id").as("cell"), col("e").as("ce"), col("norm").as("cn"))
+    DedupStream.writeAtomically(cents, s"$indexDir/meta/centroids", mark = true)
+    val cb = v.orderBy("vec_id").limit(k)
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("e")))).as("cbs"))
+      .select(transform(col("cbs"), _("e")).as("cb"))
+    DedupStream.writeAtomically(cb, s"$indexDir/meta/codebook", mark = true)
+  }
+
+  private def committedMeta(indexDir: String): Boolean =
+    StreamFs.exists(s"$indexDir/meta/centroids/${DedupStream.Marker}") &&
+      StreamFs.exists(s"$indexDir/meta/codebook/${DedupStream.Marker}")
+
+  /** Start the ingest stream: `vectors` must carry
+    * (vec_id long, embedding array). [[init]] must have run. */
+  def start(spark: SparkSession, vectors: DataFrame, indexDir: String,
+            checkpoint: String, triggerMs: Long = 200L): StreamingQuery =
+    vectors.writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMicroBatch(spark, batch, indexDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch: assign cells, PQ-code, append cell-partitioned.
+    * Idempotent per `batchId` via the commit marker. */
+  def applyMicroBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
+                      batchId: Long): Unit = {
+    recover(indexDir)
+    val dst = s"$indexDir/coded/batch=$batchId"
+    if (StreamFs.exists(s"$dst/${DedupStream.Marker}")) return // replay
+    require(committedMeta(indexDir), s"AnnStream.init has not run for $indexDir")
+    val cents = broadcast(spark.read.parquet(s"$indexDir/meta/centroids"))
+    val cb = broadcast(spark.read.parquet(s"$indexDir/meta/codebook"))
+    val v = withNorm(batch.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e")), "e", "norm")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("scos").desc, col("cell"))
+    val assigned = v.join(cents)
+      .select(col("vec_id"), col("e"), col("cell"),
+        cos(col("e"), col("ce"), col("norm"), col("cn")).as("scos"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+    val coded = assigned.crossJoin(cb)
+      .select(col("vec_id"), col("cell"),
+        pqCode(col("e"), col("cb"), lit(m))("codes").as("codes"))
+    val tmp = dst + ".tmp"
+    StreamFs.delete(tmp)
+    coded.write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    StreamFs.delete(dst)
+    StreamFs.renameOrThrow(tmp, dst)
+    StreamFs.createMarker(s"$dst/${DedupStream.Marker}")
+  }
+
+  /** Sweep unmarked (crashed) coded batch dirs and stale temp dirs. */
+  def recover(indexDir: String): Unit = {
+    StreamFs.listNames(s"$indexDir/coded").foreach { n =>
+      val p = s"$indexDir/coded/$n"
+      if (n.endsWith(".tmp")) StreamFs.delete(p)
+      else if (n.startsWith("batch=") &&
+        !StreamFs.exists(s"$p/${DedupStream.Marker}")) StreamFs.delete(p)
+    }
+  }
+
+  /** The live coded corpus (committed batches only): (vec_id, cell, codes). */
+  def readCoded(spark: SparkSession, indexDir: String): DataFrame = {
+    val dirs = StreamFs.listNames(s"$indexDir/coded")
+      .filter(_.startsWith("batch="))
+      .filter(b => StreamFs.exists(s"$indexDir/coded/$b/${DedupStream.Marker}"))
+      .map(b => s"$indexDir/coded/$b")
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("vec_id"),
+        lit(0L).as("cell"), array().cast("array<int>").as("codes"))
+    else
+      spark.read.option("basePath", s"$indexDir/coded").parquet(dirs: _*)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"), col("codes"))
+  }
+
+  /** IVF-PQ search over the live index for arbitrary query vectors
+    * (q_id, embedding) → (q_id, rank, vec_id, adist). */
+  def search(spark: SparkSession, queries: DataFrame, indexDir: String,
+             topK: Int = 10, nprobe: Int = 4): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$indexDir/meta/centroids"))
+    val cb = broadcast(spark.read.parquet(s"$indexDir/meta/codebook"))
+    val q = withNorm(queries.select(col("q_id"),
+      col("embedding").cast("array<double>").as("qe")), "qe", "qn")
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+    val probes = broadcast(q).join(cents)
+      .select(col("q_id"), col("qe"), col("cell"),
+        cos(col("qe"), col("ce"), col("qn"), col("cn")).as("ccos"))
+      .withColumn("cr", row_number().over(wc)).filter(col("cr") <= nprobe)
+      .select(col("q_id"), col("qe"), col("cell"))
+    val qlut = probes.crossJoin(cb)
+      .select(col("q_id"), col("cell"), pqLut(col("qe"), col("cb"), lit(m)).as("lut"))
+    val scored = readCoded(spark, indexDir).join(broadcast(qlut), Seq("cell"))
+      .withColumn("ad", pqAdc(col("lut"), col("codes"), lit(k)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ad").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("ad"), 6).as("adist"))
+  }
+}
