@@ -141,18 +141,26 @@ object Cdc {
     }
 
   private val AddColumnRe =
-    """(?is)\s*ALTER\s+TABLE\s+[`"]?(\w+)[`"]?\s+ADD\s+(?:COLUMN\s+)?[`"]?(\w+)[`"]?\s+(\w+(?:\s*\([^)]*\))?).*""".r
+    """(?is)\s*ALTER\s+TABLE\s+[`"]?(\w+)[`"]?\s+ADD\s+(?:COLUMN\s+)?[`"]?(\w+)[`"]?\s+(\w+(?:\s*\([^)]*\))?(?:\s+unsigned)?).*""".r
 
   /** MySQL column type → Spark type, for the types the reference's table
     * uses (mysql/sql-scripts/02-table-creation.sql.txt) plus the common
-    * binlog surface. */
+    * binlog surface. `unsigned` integer modifiers widen to the next
+    * signed type that holds the full range (int unsigned → long, bigint
+    * unsigned → decimal(20,0)); `bit(1)` is a boolean but `bit(n>1)` is
+    * an n-bit field (≤ 64 in MySQL) → long. */
   def mysqlTypeToSpark(mysqlType: String): Option[DataType] = {
     val t = mysqlType.toLowerCase.trim
+    val unsigned = t.split('(').head.contains("unsigned") ||
+      t.dropWhile(_ != ')').contains("unsigned")
     val base = t.takeWhile(c => c.isLetter)
     base match {
-      case "tinyint" | "smallint" | "mediumint" | "int" | "integer" =>
-        Some(IntegerType)
-      case "bigint" => Some(LongType)
+      case "tinyint" | "smallint" | "mediumint" =>
+        Some(IntegerType) // unsigned still fits in int32
+      case "int" | "integer" =>
+        Some(if (unsigned) LongType else IntegerType)
+      case "bigint" =>
+        Some(if (unsigned) DecimalType(20, 0) else LongType)
       case "float" => Some(FloatType)
       case "double" | "real" => Some(DoubleType)
       case "decimal" | "numeric" =>
@@ -167,7 +175,12 @@ object Cdc {
            "longtext" | "enum" | "set" | "json" => Some(StringType)
       case "date" => Some(DateType)
       case "datetime" | "timestamp" => Some(TimestampType)
-      case "boolean" | "bool" | "bit" => Some(BooleanType)
+      case "boolean" | "bool" => Some(BooleanType)
+      case "bit" =>
+        val width = t.dropWhile(_ != '(').stripPrefix("(").takeWhile(_ != ')').trim
+        if (width.nonEmpty && width.forall(_.isDigit) && width.toInt > 1)
+          Some(LongType) // BIT(n>1): an n-bit field, not a flag
+        else Some(BooleanType) // BIT / BIT(1)
       case "blob" | "tinyblob" | "mediumblob" | "longblob" | "binary" |
            "varbinary" => Some(BinaryType)
       case _ => None

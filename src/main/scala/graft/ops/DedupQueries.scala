@@ -626,9 +626,10 @@ object DedupQueries {
     var changed = 1L
     while (changed > 0) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // fixed point = identical edge set (both are distinct sets, so two
-      // anti-join counts decide exactly; the sets are already materialized)
-      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      // fixed point = identical edge set (both are distinct sets, so one
+      // symmetric-difference count decides exactly — a single action per
+      // round over the already-materialized sets)
+      changed = next.exceptAll(edges).unionByName(edges.exceptAll(next)).count()
       edges = next
     }
     // converged edge set is a star forest: u → its component min; the

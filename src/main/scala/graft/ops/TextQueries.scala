@@ -218,8 +218,15 @@ object TextQueries {
         }
       }
       .toDF("doc_id", "raw_bytes", "deflate_bytes")
+    // greatest(raw,1): an empty document gets a defined (if degenerate)
+    // ratio instead of null poisoning low_entropy; round(·,2) buckets the
+    // ratio so the emitted values are stable across zlib builds with
+    // slightly different emitted stream sizes (a future driver-side
+    // oracle can hash the buckets; the exact-byte contract for THIS JVM
+    // is pinned in OpsSpec)
     rows.select(col("doc_id"), col("raw_bytes"), col("deflate_bytes"),
-        round(col("deflate_bytes") / col("raw_bytes"), 6).as("ratio"))
+        round(col("deflate_bytes") / greatest(col("raw_bytes"), lit(1L)), 2)
+          .as("ratio"))
       .withColumn("low_entropy", col("ratio") < 0.35)
       .orderBy("doc_id")
   }

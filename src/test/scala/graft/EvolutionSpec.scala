@@ -27,6 +27,20 @@ class EvolutionSpec extends SparkSpec {
       === Some(("t", "n", LongType)))
     assert(Cdc.ddlAddColumn("ALTER TABLE t ADD ts2 DATETIME(6)")
       === Some(("t", "ts2", TimestampType)))
+    // unsigned integers widen to the next type that holds the full range
+    assert(Cdc.ddlAddColumn("ALTER TABLE t ADD COLUMN c INT UNSIGNED")
+      === Some(("t", "c", LongType)))
+    assert(Cdc.ddlAddColumn("ALTER TABLE t ADD COLUMN c BIGINT UNSIGNED NOT NULL")
+      === Some(("t", "c", DecimalType(20, 0))))
+    assert(Cdc.ddlAddColumn("ALTER TABLE t ADD COLUMN c SMALLINT UNSIGNED")
+      === Some(("t", "c", IntegerType)))
+    // bit(1) is a flag; bit(n>1) is an n-bit field (≤64 in MySQL)
+    assert(Cdc.ddlAddColumn("ALTER TABLE t ADD COLUMN f BIT")
+      === Some(("t", "f", BooleanType)))
+    assert(Cdc.ddlAddColumn("ALTER TABLE t ADD COLUMN f BIT(1)")
+      === Some(("t", "f", BooleanType)))
+    assert(Cdc.ddlAddColumn("ALTER TABLE t ADD COLUMN f BIT(8)")
+      === Some(("t", "f", LongType)))
     // not an ADD COLUMN → None (caller keeps the reference's drop-ddl path)
     assert(Cdc.ddlAddColumn("ALTER TABLE t DROP COLUMN v").isEmpty)
     assert(Cdc.ddlAddColumn("CREATE TABLE t (a INT)").isEmpty)

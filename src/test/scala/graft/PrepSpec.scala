@@ -188,6 +188,25 @@ class PrepSpec extends SparkSpec {
     assert(c.filter(col("low_entropy") =!= (col("ratio") < 0.35)).isEmpty)
   }
 
+  test("compression ratio: exact deflate bytes on fixed strings (this JVM's zlib)") {
+    import spark.implicits._
+    // the emitted stream size for a fixed input at level 6 is a property
+    // of the JVM's zlib build — pinned here so a silent Deflater-config
+    // change (level, strategy, dictionary) fails loudly; the empty doc
+    // exercises the greatest(raw,1) guard (defined ratio, not null)
+    val rep = "abcabcabc" * 40 // 360 bytes of pure repetition
+    val uniq = "The five boxing wizards jump quickly over 13 lazy dogs near a quiet pond at dawn."
+    val got = TextQueries.compressionRatioOf(spark,
+        Seq((1L, rep), (2L, uniq), (3L, "")).toDF("doc_id", "text"))
+      .select("doc_id", "raw_bytes", "deflate_bytes", "ratio", "low_entropy")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((360L, 15L, 0.04, true)))
+    assert(got(2L) === ((81L, 80L, 0.99, false)))
+    assert(got(3L) === ((0L, 8L, 8.0, false)),
+      "empty doc: defined bucketed ratio via the greatest(raw,1) guard, never null")
+  }
+
   test("oov rate: rational n_oov/n_tokens against an independent vocab") {
     import spark.implicits._
     val o = PrepQueries.oovRate(spark, sf).cache()
