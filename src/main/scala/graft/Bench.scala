@@ -58,6 +58,12 @@ object Bench {
     // push the leading "total" metric past the truncation point — re-emit a
     // compact summary line last so the total always survives
     println(s"""{"metric":"total_echo","value":$total,"unit":"sec","ok":$ok,"n_queries":${results.size},"sf":"$sfDir"}""")
+    // likewise the most expensive queries: the big per-query map is
+    // alphabetical, so truncation hides exactly the heavy ann_* head —
+    // name the top 10 explicitly in the surviving tail
+    val topj = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"top_echo","top":$topj,"sf":"$sfDir"}""")
     if (!ok) System.err.println(s"BENCH FAILURES: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
