@@ -137,8 +137,82 @@ object BpeQueries {
       .orderBy("doc_id")
   }
 
+  /** Token-id head length for [[bpeEncode]]'s csv output. */
+  val encodeHead = 48
+  /** Subword-vocabulary size for [[oovRateBpe]]. */
+  val oovBpeVocab = 20
+
+  /** (sym → token id) mapping: ids are the dense 1-based rank by corpus
+    * frequency (ties by token) — the canonical id assignment a trained
+    * tokenizer ships. The distinct-token table is tiny (≤ chars +
+    * merges), so the global rank window is a one-partition no-op. */
+  private def vocabIds(syms: DataFrame): DataFrame =
+    syms.groupBy("sym").agg(sum("freq").as("vfreq"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("vfreq").desc, col("sym").asc)))
+      .select(col("sym"), col("id"))
+
+  /** Per-document token stream (doc_id, widx, pos, id): every word
+    * occurrence joined to its trained symbol sequence and the vocab ids —
+    * word order and within-word symbol order preserved. */
+  private def docTokens(s: SparkSession, dir: String): DataFrame = {
+    val syms = trainedSyms(s, dir)
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
+      .toDF("doc_id", "widx", "word")
+    occ.join(syms.select("word", "pos", "sym"), Seq("word"))
+      .join(broadcast(vocabIds(syms)), Seq("sym"))
+      .select("doc_id", "widx", "pos", "id")
+  }
+
+  /** ENCODE: each document as its BPE token-id sequence — n_tokens plus
+    * the first [[encodeHead]] ids as csv (the bounded materialization; a
+    * training exporter would write the full arrays). The id stream is
+    * what an LLM data loader actually consumes — this is the
+    * encode-everywhere face of the trained tokenizer. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val toks = docTokens(s, dir)
+      .withColumn("tidx", row_number().over(
+        Window.partitionBy("doc_id").orderBy("widx", "pos")))
+    val counts = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val head = toks.filter(col("tidx") <= encodeHead)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("tidx"), col("id")))).as("ts"))
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("ts"), _("id").cast("string"))).as("ids_csv"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(counts, Seq("doc_id"), "left")
+      .join(head, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("ids_csv"), lit("")).as("ids_csv"))
+      .orderBy("doc_id")
+  }
+
+  /** OOV rate over the SUBWORD vocabulary — [[PrepQueries.oovRate]]'s
+    * shape re-expressed on real token ids: occurrences whose token ranks
+    * outside the top-[[oovBpeVocab]] count as out-of-vocabulary. (With
+    * single characters in the token set the fallback keeps every word
+    * encodable; OOV here measures how much mass the SMALL vocab head
+    * covers — the tokenizer-quality number.) */
+  def oovRateBpe(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = docTokens(s, dir).groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("id") > oovBpeVocab, 1L).otherwise(0L)).as("n_oov"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(coalesce(col("n_oov") / col("n_tokens"), lit(0.0)), 6).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_vocab" -> (bpeVocab _),
+    "bpe_encode" -> (bpeEncode _),
+    "oov_rate_bpe" -> (oovRateBpe _),
     "pack_sequences_bpe" -> (packSequencesBpe _))
 
   // ---- oracle SQL: the same training unrolled as CTEs ----------------------
@@ -189,7 +263,49 @@ object BpeQueries {
        |        FROM ty)),
        |${(1 to bpeMerges).map(mergeStepSql).mkString(",\n")}""".stripMargin
 
+  /** Token-stream CTEs shared by the encode/OOV oracles: vocab ids +
+    * word-position occurrences + per-doc token stream over the trained
+    * symbol table. */
+  private val tokCtes =
+    s"""$trainCtes,
+       |vid AS MATERIALIZED (
+       |  SELECT sym, row_number() OVER (ORDER BY vfreq DESC, sym ASC) AS id
+       |  FROM (SELECT sym, sum(freq) AS vfreq FROM s$bpeMerges GROUP BY sym)),
+       |ow AS (
+       |  SELECT doc_id, words, unnest(generate_series(1, length(words))) AS widx
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+       |        FROM documents)),
+       |occp AS MATERIALIZED (SELECT doc_id, widx, words[widx] AS word FROM ow),
+       |tok AS MATERIALIZED (
+       |  SELECT o.doc_id, o.widx, s.pos, v.id
+       |  FROM occp o JOIN s$bpeMerges s USING (word) JOIN vid v ON v.sym = s.sym)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "bpe_encode" ->
+      s"""WITH $tokCtes,
+         |t2 AS (SELECT doc_id, id,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY widx, pos) AS tidx
+         |       FROM tok),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+         |        FROM t2 GROUP BY doc_id),
+         |hd AS (SELECT doc_id,
+         |         string_agg(CAST(id AS VARCHAR), ',' ORDER BY tidx) AS ids_csv
+         |       FROM t2 WHERE tidx <= $encodeHead GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(cnt.n_tokens, 0) AS n_tokens,
+         |  coalesce(hd.ids_csv, '') AS ids_csv
+         |FROM documents d LEFT JOIN cnt USING (doc_id) LEFT JOIN hd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "oov_rate_bpe" ->
+      s"""WITH $tokCtes,
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(CASE WHEN id > $oovBpeVocab THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_oov
+         |       FROM tok GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens,
+         |  coalesce(pd.n_oov, 0) AS n_oov,
+         |  round(coalesce(pd.n_oov / pd.n_tokens, 0.0), 6) AS oov_rate
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "bpe_vocab" ->
       s"""WITH $trainCtes
          |SELECT sym AS token,

@@ -67,6 +67,36 @@ class BpeSpec extends SparkSpec {
     ()
   }
 
+  test("encode emits consistent id streams; subword OOV is bounded and small") {
+    val enc = BpeQueries.bpeEncode(spark, sf).cache()
+    val packed = BpeQueries.packSequencesBpe(spark, sf)
+    // the encode stream and the packer count the same tokens per doc
+    assert(enc.select("doc_id", "n_tokens")
+      .exceptAll(packed.select("doc_id", "n_tokens")).isEmpty)
+    // the csv head carries min(n_tokens, encodeHead) ids
+    val badHead = enc.withColumn("n_ids",
+        when(col("ids_csv") === "", lit(0L))
+          .otherwise(size(split(col("ids_csv"), ",")).cast("long")))
+      .filter(col("n_ids") =!= least(col("n_tokens"), lit(BpeQueries.encodeHead.toLong)))
+    assert(badHead.isEmpty)
+    // every id is a valid vocab rank (1-based, dense)
+    val maxId = enc.filter(col("ids_csv") =!= "")
+      .select(explode(split(col("ids_csv"), ",")).as("ids"))
+      .select(col("ids").cast("int").as("id"))
+      .agg(max("id"), min("id")).first()
+    assert(maxId.getInt(1) >= 1, "ids are 1-based ranks")
+    enc.unpersist()
+    val oov = BpeQueries.oovRateBpe(spark, sf).cache()
+    assert(oov.filter(col("n_oov") > col("n_tokens")).isEmpty)
+    assert(oov.filter(col("oov_rate") < 0 || col("oov_rate") > 1).isEmpty)
+    // the top-20 subword head must cover the majority of token mass
+    val tot = oov.agg(sum("n_tokens"), sum("n_oov")).first()
+    assert(tot.getLong(1) * 2 < tot.getLong(0),
+      "top-20 subword vocab must cover the majority of occurrences")
+    oov.unpersist()
+    ()
+  }
+
   test("packed token counts equal the sum of per-word trained symbol counts") {
     val packed = BpeQueries.packSequencesBpe(spark, sf)
     val total = packed.agg(sum("n_tokens")).first().getLong(0)
