@@ -246,7 +246,184 @@ object RelationalQueries {
           / 7.0, 6).as("avg_yearly"))
   }
 
+  /** TPC-H Q6-shaped: forecast revenue change — the pure scan-side query.
+    * Every predicate (date range, discount band, quantity cap) sits on
+    * scan columns, so parquet row-group stats prune before any compute;
+    * the aggregate is one partial+final over the surviving rows. The
+    * benchmark's canonical "is pushdown working" probe. */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(22,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q7-shaped: shipping volume between two nations by year. The
+    * fact table streams through FOUR broadcast dims (supplier+nation,
+    * customer+nation are both tiny); the nation-pair disjunction filters
+    * after the joins; the only shuffle is the 3-key aggregate. At 100 TB
+    * the nation-pair filter would be pushed into the dim joins (each
+    * broadcast side pre-filtered to the two nations), which this does:
+    * both dim sides are filtered to the pair BEFORE broadcast. */
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val supp = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir).filter(col("n_name").isin(pair: _*)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir).filter(col("n_name").isin(pair: _*)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(year(col("l_shipdate")).isin(1996, 1997))
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(22,6)")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8-shaped: one nation's market share within a region for one
+    * part type, by order year. Conditional-share aggregation (same CASE
+    * trick as [[q14Agg]]) over a 6-table star; all dims broadcast, the
+    * two big tables (lineitem⋈orders) are the one shuffle join, and the
+    * part-type + region filters semi-reduce the fact stream before it. */
+  def q8Share(s: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(22,6)")
+    val asiaNations = Tables.nation(s, dir)
+      .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(s, dir)
+      .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supp = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", rev)
+          .otherwise(lit(0).cast("decimal(22,6)"))).cast("double")
+          .as("nation_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .withColumn("mkt_share",
+        round(col("nation_revenue") / col("total_revenue"), 6))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q10-shaped: top-20 customers by returned-item revenue in one
+    * quarter. The returnflag + quarter filters land on the two scans;
+    * customer+nation broadcast; the top-k sorts only the aggregated
+    * per-customer rows (TakeOrderedAndProject, no global sort of facts). */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(22,6)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13-shaped: distribution of orders-per-customer. Orders are
+    * pre-aggregated per custkey BEFORE the customer join (the join input
+    * shrinks from |orders| to |customers|), then the distribution is a
+    * second tiny aggregate. Customers with no orders surface via the
+    * left join as count 0. */
+  def q13Distribution(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    Tables.customer(s, dir).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .groupBy("n_orders").agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders").desc)
+  }
+
+  /** TPC-H Q19-shaped: disjunctive brand/size/quantity predicates. The
+    * OR of conjunctions stays one residual filter on a single broadcast
+    * join — Catalyst extracts the common `p_partkey` equi-condition and
+    * pushes the brand/size disjunction to the part side and the quantity
+    * bounds (1..30 hull) to the lineitem scan. */
+  def q19Disjunct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) &&
+          col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20) &&
+          col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) &&
+          col("p_size").between(1, 15)))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(22,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q22-shaped: lapsed high-balance customers — above the average
+    * positive balance with NO order since [[lapsedCutoff]], per segment.
+    * The scalar-subquery threshold is compared EXACTLY via the
+    * rearrangement `acctbal·n > sum` in DECIMAL (an avg-as-double
+    * threshold could flip a borderline customer between engines); the
+    * NOT EXISTS is a left-anti join against the date-filtered orders. */
+  val lapsedCutoff = "1999-01-01"
+
+  def q22Lapsed(s: SparkSession, dir: String): DataFrame = {
+    val bal = col("c_acctbal").cast("decimal(18,2)")
+    val thr = Tables.customer(s, dir).filter(col("c_acctbal") > 0)
+      .agg(sum(bal).as("pos_sum"), count(lit(1)).as("pos_n"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(lapsedCutoff).cast("timestamp"))
+      .select("o_custkey")
+    Tables.customer(s, dir)
+      .join(broadcast(thr))
+      .filter(bal * col("pos_n") > col("pos_sum"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(bal).cast("double").as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast" -> (q6Forecast _),
+    "q7_volume" -> (q7Volume _),
+    "q8_share" -> (q8Share _),
+    "q10_returns" -> (q10Returns _),
+    "q13_distribution" -> (q13Distribution _),
+    "q19_disjunct" -> (q19Disjunct _),
+    "q22_lapsed" -> (q22Lapsed _),
     "set_ops_all" -> (setOpsAll _),
     "window_ntile" -> (windowNtile _),
     "q17_correlated" -> (q17Correlated _),
@@ -262,6 +439,99 @@ object RelationalQueries {
     "asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(22,6)))
+        |       AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND year(l_shipdate) IN (1996, 1997)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+        |       ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE) AS nation_revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        |       AS DOUBLE) AS total_revenue,
+        |  round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+        |       ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE) /
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        |            AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |  AND year(o_orderdate) IN (1996, 1997)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q13_distribution" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY n_orders
+        |ORDER BY n_customers DESC, n_orders DESC""".stripMargin,
+    "q19_disjunct" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+        |       AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+        |       AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+        |       AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+        |       AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q22_lapsed" ->
+      s"""WITH thr AS (
+         |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS pos_sum,
+         |         count(*) AS pos_n
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c_mktsegment, count(*) AS n_customers,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS total_acctbal
+         |FROM customer, thr
+         |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos_n > pos_sum
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '$lapsedCutoff')
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

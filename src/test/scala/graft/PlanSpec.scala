@@ -246,6 +246,31 @@ class PlanSpec extends SparkSpec {
     assert(hashEx.isEmpty, s"no fact-side hash shuffle expected:\n$hashEx")
   }
 
+  test("deep TPC-H suite: scan pushdown, broadcast dims, top-k, anti-join") {
+    // q6: every predicate sits on the scan — the canonical pushdown probe
+    val q6 = formatted(ops.RelationalQueries.queries("q6_forecast")(spark, sf))
+    assert(q6.contains("GreaterThanOrEqual(l_shipdate") &&
+      q6.contains("LessThan(l_quantity,24.0)"),
+      s"q6 date+quantity predicates must push to the parquet scan:\n$q6")
+    // q7/q8: every dim rides in as a broadcast; the only shuffle join is
+    // lineitem ⋈ orders
+    for (name <- Seq("q7_volume", "q8_share")) {
+      val p = planOf(ops.RelationalQueries.queries(name)(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), s"$name dims must broadcast:\n$p")
+    }
+    // q10: the top-20 sorts only aggregated rows, never the fact stream
+    val q10 = planOf(ops.RelationalQueries.queries("q10_returns")(spark, sf))
+    assert(q10.contains("TakeOrderedAndProject"),
+      s"q10 limit must be a top-k, not a global sort:\n$q10")
+    // q19: the brand/size disjunction reaches the part scan as an Or filter
+    val q19 = formatted(ops.RelationalQueries.queries("q19_disjunct")(spark, sf))
+    assert(q19.contains("Or(") && q19.contains("EqualTo(p_brand,Brand#1)"),
+      s"q19 disjunction must push its part-side predicates to the scan:\n$q19")
+    // q22: NOT EXISTS plans as an anti join (no correlated re-scan per row)
+    val q22 = planOf(ops.RelationalQueries.queries("q22_lapsed")(spark, sf))
+    assert(q22.contains("LeftAnti"), s"q22 must plan a left-anti join:\n$q22")
+  }
+
   test("adaptive query execution is on for every graft session") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
     val df = Tables.lineitem(spark, sf).groupBy("l_returnflag").count()
