@@ -292,7 +292,57 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher/C4-style composite RULE filter — the document-admission gate a
+    * training pipeline runs before dedup, emitting one boolean per rule
+    * plus the conjunction (so downstream can both filter and audit WHY a
+    * document dropped):
+    *  - r_len: token count within [[qfMinTokens]], [[qfMaxTokens]];
+    *  - r_wordlen: mean non-space word length within sane bounds (garbled
+    *    or agglutinated text fails);
+    *  - r_repeat: duplicate-token fraction ≤ [[qfMaxDupFrac]] (Gopher's
+    *    core repetition gate, the doc-local twin of `text_repetition`);
+    *  - r_stop: ≥ [[qfMinStopwords]] distinct stopword markers present
+    *    (C4's "natural language, not keyword soup" heuristic);
+    *  - r_quality: the composite [[qualityExpr]] score ≥ [[qfMinQuality]].
+    *
+    * Shape at scale: a single codegen'd projection over (doc_id, text) —
+    * no shuffle, no aggregate; rule thresholds compare UNROUNDED doubles
+    * computed identically here and in the oracle, so no boundary row can
+    * flip between engines. */
+  val qfMinTokens = 20
+  val qfMaxTokens = 80
+  val qfMaxDupFrac = 0.6
+  val qfMinStopwords = 2
+  val qfMinQuality = 50.0
+
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTokens = size(t).cast("double")
+    val wchars = length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+    val meanWlen = wchars / greatest(nTokens, lit(1.0))
+    val dupFrac =
+      lit(1.0) - size(array_distinct(t)).cast("double") / greatest(nTokens, lit(1.0))
+    val nStop = Seq("the", "a", "and", "of", "to")
+      .map(w => array_contains(t, w).cast("int")).reduce(_ + _)
+    val rLen = nTokens.between(qfMinTokens, qfMaxTokens)
+    val rWordlen = meanWlen.between(3.5, 4.6)
+    val rRepeat = dupFrac <= qfMaxDupFrac
+    val rStop = nStop >= qfMinStopwords
+    val rQuality = qualityExpr(col("text")) >= qfMinQuality
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      nTokens.cast("long").as("n_tokens"),
+      round(meanWlen, 6).as("mean_word_len"),
+      round(dupFrac, 6).as("dup_token_frac"),
+      nStop.cast("long").as("n_stopwords"),
+      rLen.as("r_len"), rWordlen.as("r_wordlen"), rRepeat.as("r_repeat"),
+      rStop.as("r_stop"), rQuality.as("r_quality"),
+      (rLen && rWordlen && rRepeat && rStop && rQuality).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_filter" -> (qualityFilter _),
     "text_bigram_lm" -> (bigramLm _),
     "text_normalize" -> (textNormalize _),
     "text_compression" -> (compressionRatio _),
@@ -307,6 +357,47 @@ object TextQueries {
     s"length(regexp_extract_all($input, '$re'))"
 
   val oracles: Map[String, String] = Map(
+    "quality_filter" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |                t -> t != '') AS t,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      AS wchars,
+         |    CAST(${duckCount("text", "[^A-Za-z0-9\\s]")} AS DOUBLE) AS punct,
+         |    CAST(${duckCount("lower(text)", "\\b(the|a|and|of|to)\\b")} AS DOUBLE)
+         |      AS stop
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(length(t) AS DOUBLE) AS n_tokens,
+         |    wchars / greatest(CAST(length(t) AS DOUBLE), 1.0) AS mean_wlen,
+         |    1.0 - CAST(length(list_distinct(t)) AS DOUBLE)
+         |          / greatest(CAST(length(t) AS DOUBLE), 1.0) AS dup_frac,
+         |    (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END +
+         |     CASE WHEN list_contains(t, 'a')   THEN 1 ELSE 0 END +
+         |     CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END +
+         |     CASE WHEN list_contains(t, 'of')  THEN 1 ELSE 0 END +
+         |     CASE WHEN list_contains(t, 'to')  THEN 1 ELSE 0 END) AS n_stop,
+         |    round(least(n_tokens_q / 4.0, 50.0) + least(stop * 5.0, 30.0)
+         |      - least(punct, 20.0) + 20.0, 6) AS quality
+         |  FROM (SELECT *, CAST(length(t) AS DOUBLE) AS n_tokens_q FROM m))
+         |SELECT doc_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round(mean_wlen, 6) AS mean_word_len,
+         |  round(dup_frac, 6) AS dup_token_frac,
+         |  CAST(n_stop AS BIGINT) AS n_stopwords,
+         |  n_tokens BETWEEN $qfMinTokens AND $qfMaxTokens AS r_len,
+         |  mean_wlen BETWEEN 3.5 AND 4.6 AS r_wordlen,
+         |  dup_frac <= $qfMaxDupFrac AS r_repeat,
+         |  n_stop >= $qfMinStopwords AS r_stop,
+         |  quality >= $qfMinQuality AS r_quality,
+         |  (n_tokens BETWEEN $qfMinTokens AND $qfMaxTokens)
+         |    AND (mean_wlen BETWEEN 3.5 AND 4.6)
+         |    AND dup_frac <= $qfMaxDupFrac
+         |    AND n_stop >= $qfMinStopwords
+         |    AND quality >= $qfMinQuality AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
     "text_bigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
