@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import graft.cdc.Cdc
+import graft.cdc.{Cdc, Merge}
 import graft.scd2.Scd2
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -259,7 +259,32 @@ object Scd2Queries {
       .orderBy("o_orderkey", "valid_from")
   }
 
+  /** Generic last-write-wins MERGE over the [[snapshotDiff]] fixtures —
+    * [[Merge.merge]] exercised on all four rule arms plus intra-batch
+    * ordering: wave 1 is the old→new snapshot diff (insert/update/delete,
+    * seq 1); wave 2 (seq 2) re-updates keys ≡ 0 (mod 13) of the new
+    * snapshot at triple price, overriding wave 1 for those keys. The
+    * merged current state must equal newSnap except where wave 2 won —
+    * the invariant MergeSpec pins; here the full merge replays in SQL. */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+    val oldSnap = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val newSnap = base.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(5)) === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    val wave1 = Cdc.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("op"),
+        col("new.o_totalprice").as("o_totalprice"), lit(1L).as("seq"))
+    val wave2 = newSnap.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .select(col("o_orderkey"), lit(Cdc.Update).as("op"),
+        (col("o_totalprice") * 3).as("o_totalprice"), lit(2L).as("seq"))
+    Merge.merge(oldSnap, wave1.unionByName(wave2), Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert" -> (mergeUpsert _),
     "snapshot_cdc_lifecycle" -> (snapshotCdcLifecycle _),
     "debezium_ingest" -> (debeziumIngest _),
     "snapshot_diff" -> (snapshotDiff _),
@@ -379,6 +404,39 @@ object Scd2Queries {
         |  epoch_ms(1700000000000 + o_orderkey) AS ts,
         |  o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 3 != 2 ORDER BY o_orderkey""".stripMargin,
+    "merge_upsert" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 != 0),
+        |new AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 != 0),
+        |w1 AS (
+        |  SELECT o_orderkey, op, o_totalprice, 1 AS seq FROM (
+        |    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |      CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |           WHEN n.o_orderkey IS NULL THEN 'delete'
+        |           WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |             THEN 'update' ELSE 'noop' END AS op,
+        |      n.o_totalprice AS o_totalprice
+        |    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+        |  WHERE op != 'noop'),
+        |w2 AS (
+        |  SELECT o_orderkey, 'update' AS op, o_totalprice * 3 AS o_totalprice,
+        |         2 AS seq
+        |  FROM new WHERE o_orderkey % 13 = 0),
+        |src AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+        |latest AS (
+        |  SELECT o_orderkey, op, o_totalprice FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                                 ORDER BY seq DESC) AS rn
+        |    FROM src) WHERE rn = 1)
+        |SELECT o_orderkey, o_totalprice FROM old
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice FROM latest WHERE op != 'delete'
+        |ORDER BY o_orderkey""".stripMargin,
     "snapshot_diff" ->
       """WITH old AS (
         |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 != 0),
