@@ -43,7 +43,8 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ RelationalQueries.queries ++
       MediaQueries.queries ++ AnalyticsQueries.queries ++
-      CurationQueries.queries ++ PrepQueries.queries ++ BpeQueries.queries
+      CurationQueries.queries ++ PrepQueries.queries ++ BpeQueries.queries ++
+      ProfileQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
       TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ RelationalQueries.oracles ++
       MediaQueries.oracles ++ AnalyticsQueries.oracles ++
-      CurationQueries.oracles ++ PrepQueries.oracles ++ BpeQueries.oracles
+      CurationQueries.oracles ++ PrepQueries.oracles ++ BpeQueries.oracles ++
+      ProfileQueries.oracles
 }

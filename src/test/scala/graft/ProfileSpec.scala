@@ -1,0 +1,35 @@
+package graft
+
+import graft.ops.ProfileQueries
+import org.apache.spark.sql.functions._
+
+/** [[ProfileQueries.profile]] — generic column profiling. */
+class ProfileSpec extends SparkSpec {
+
+  test("profile counts nulls, distincts (null-excluded), typed min/max") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("b"), Some(2.5)),
+      (2L, None, Some(10.25)),
+      (3L, Some("a"), None),
+      (4L, Some("a"), Some(2.5))).toDF("id", "s", "v")
+    val p = ProfileQueries.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("id", "s", "v"))
+    assert(p.values.forall(_.getLong(1) === 4L), "n_rows")
+    assert(p("s").getLong(2) === 1L && p("v").getLong(2) === 1L, "n_nulls")
+    assert(p("s").getLong(3) === 2L, "distinct excludes nulls")
+    // numeric min/max are the NUMERIC extrema rendered fixed-point —
+    // the lexicographic min of the renderings would be "10.25"
+    assert(p("v").getString(4) === "2.50" && p("v").getString(5) === "10.25")
+    assert(p("id").getString(4) === "1" && p("id").getString(5) === "4")
+  }
+
+  test("profile is one aggregate pass (single scan, no join)") {
+    val df = ProfileQueries.queries("data_profile")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"profiling must not join:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"profiling must scan the table once:\n$p")
+  }
+}
