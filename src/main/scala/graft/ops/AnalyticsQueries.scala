@@ -325,7 +325,102 @@ object AnalyticsQueries {
       .orderBy("window_id")
   }
 
+  /** Ordered-stage conversion funnel (signup → view → purchase) with a
+    * per-stage conversion window of [[funnelWindowHours]] — the product-
+    * analytics staple. Each stage is "first qualifying event strictly
+    * after the previous stage, within the window", computed as a
+    * filter + join + min-aggregate; every join and aggregate keys on
+    * user_id, so AQE reuses ONE hash partitioning across all three
+    * stages and the funnel costs a single logical shuffle of the event
+    * stream regardless of stage count. */
+  val funnelWindowHours = 24
+
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select("user_id", "event_type", "ts")
+    def stage(prev: DataFrame, prevT: String, etype: String, out: String) =
+      e.filter(col("event_type") === etype)
+        .join(prev.select("user_id", prevT), Seq("user_id"))
+        .filter(col("ts") > col(prevT) &&
+          col("ts") <= col(prevT) + expr(s"INTERVAL $funnelWindowHours HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as(out))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t_signup"))
+    val s2 = stage(s1, "t_signup", "view", "t_view")
+    val s3 = stage(s2, "t_view", "purchase", "t_purchase")
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_view"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_view").isNotNull, 2).otherwise(1).as("stage_depth"))
+      .orderBy("user_id")
+  }
+
+  /** Cohort retention by acquisition channel: cohort = the user's FIRST
+    * event's type (deterministic argmin by (ts, event_id) — a window, not
+    * an unstable arg_min); cells = distinct active users per (channel,
+    * weeks since the cohort week), plus the retention ratio against the
+    * cohort size. First-touch window, activity distinct, and the cell
+    * aggregate all key on user_id / small keys; cohort sizes ride back in
+    * as a broadcast. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select("user_id", "event_id", "event_type", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val first = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("channel"),
+        date_trunc("week", col("ts")).as("cohort_week"))
+    val active = e
+      .select(col("user_id"), date_trunc("week", col("ts")).as("active_week"))
+      .distinct()
+    val sizes = first.groupBy("channel")
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    first.join(active, Seq("user_id"))
+      .groupBy(col("channel"),
+        ((unix_timestamp(col("active_week"))
+          - unix_timestamp(col("cohort_week"))) / 604800).cast("long")
+          .as("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), Seq("channel"))
+      .select(col("channel"), col("week_n"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy("channel", "week_n")
+  }
+
+  /** Exact per-group OLS trend: slope/intercept of value over event DAY
+    * via the closed-form normal equations, with every sum computed in
+    * DECIMAL/BIGINT (order-independent — a float Σxy would differ across
+    * engines at the last ulp) and ONE double division at the end:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),
+    * intercept = (Σy·den − num·Σx) / (n·den). One partial+final hash
+    * aggregate — the regression never sees a second pass or a window. */
+  val trendEpoch = "2024-01-01"
+
+  def trendFit(s: SparkSession, dir: String): DataFrame =
+    trendFitOf(events(s, dir))
+
+  private[graft] def trendFitOf(e: DataFrame): DataFrame = {
+    val x = datediff(col("ts").cast("date"), lit(trendEpoch).cast("date"))
+      .cast("long")
+    val y = col("value").cast("decimal(18,6)")
+    val agg = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(x * x).as("sxx"),
+      sum(y).as("sy"), sum(y * x).as("sxy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    agg.select(col("event_type"), col("n"),
+      round(num.cast("double") / den.cast("double"), 6).as("slope"),
+      round((col("sy") * den - num * col("sx")).cast("double")
+        / (col("n") * den).cast("double"), 6).as("intercept"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel" -> (funnel _),
+    "cohort_retention" -> (cohortRetention _),
+    "trend_fit" -> (trendFit _),
     "range_join_auto" -> (rangeJoinAuto _),
     "range_join" -> (rangeJoin _),
     "window_rolling" -> (windowRolling _),
@@ -367,6 +462,66 @@ object AnalyticsQueries {
          |ORDER BY w.window_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+         |           FROM events),
+         |s1 AS (SELECT user_id, min(ts) AS t_signup FROM e
+         |       WHERE event_type = 'signup' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, min(ts) AS t_view
+         |       FROM e JOIN s1 USING (user_id)
+         |       WHERE event_type = 'view' AND ts > t_signup
+         |         AND ts <= t_signup + INTERVAL $funnelWindowHours HOURS
+         |       GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(ts) AS t_purchase
+         |       FROM e JOIN s2 USING (user_id)
+         |       WHERE event_type = 'purchase' AND ts > t_view
+         |         AND ts <= t_view + INTERVAL $funnelWindowHours HOURS
+         |       GROUP BY e.user_id)
+         |SELECT s1.user_id, s1.t_signup, s2.t_view, s3.t_purchase,
+         |  CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+         |       WHEN s2.t_view IS NOT NULL THEN 2 ELSE 1 END AS stage_depth
+         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         |ORDER BY s1.user_id""".stripMargin,
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |            CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, event_type AS channel,
+        |        date_trunc('week', ts) AS cohort_week
+        |      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS rn FROM e)
+        |      WHERE rn = 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        |      FROM e),
+        |sz AS (SELECT channel, count(DISTINCT user_id) AS cohort_size
+        |       FROM f GROUP BY channel),
+        |cells AS (
+        |  SELECT channel,
+        |    CAST((epoch(active_week) - epoch(cohort_week)) // 604800 AS BIGINT)
+        |      AS week_n,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM f JOIN a USING (user_id) GROUP BY 1, 2)
+        |SELECT channel, week_n, n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM cells JOIN sz USING (channel)
+        |ORDER BY channel, week_n""".stripMargin,
+    "trend_fit" ->
+      s"""WITH m AS (
+         |  SELECT event_type, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    sum(y) AS sy, sum(y * x) AS sxy
+         |  FROM (SELECT event_type,
+         |          datediff('day', DATE '$trendEpoch',
+         |                   CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS x,
+         |          CAST(value AS DECIMAL(18,6)) AS y
+         |        FROM events)
+         |  GROUP BY event_type)
+         |SELECT event_type, n,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+         |  round(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx
+         |             AS DOUBLE)
+         |        / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6) AS intercept
+         |FROM m ORDER BY event_type""".stripMargin,
     "range_join" -> rangeJoinSql,
     "range_join_auto" -> rangeJoinSql,
     "salted_join" ->

@@ -693,7 +693,40 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance fuzzy near-dup — the entity-resolution verifier the
+    * hash families can't provide: prefix BLOCKING (first
+    * [[fuzzyBlockTokens]] tokens — the sorted-neighborhood staple; real
+    * pipelines run several complementary blocking passes) generates
+    * candidates via an equi-join on the block key, then `levenshtein`
+    * verifies pairs at ≤ [[fuzzyMaxRatio]] of the longer text. The
+    * quadratic edit-distance kernel only ever runs on within-block pairs;
+    * block sizes are naturally df-capped the same way the shingle indexes
+    * are (a giant block = boilerplate prefix = cap-and-drop at scale).
+    * Spark 3.5+'s 3-arg `levenshtein(l, r, threshold)` bounds the kernel
+    * to a k-band at scale; the 2-arg form here keeps DuckDB parity. */
+  val fuzzyBlockTokens = 3
+  val fuzzyMaxRatio = 0.25
+
+  def dedupFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"),
+      concat_ws(" ", slice(tokens(col("text")), 1, fuzzyBlockTokens))
+        .as("bkey"),
+      length(col("text")).cast("double").as("n"))
+    val a = d.select(col("doc_id").as("doc_a"), col("text").as("text_a"),
+      col("bkey"), col("n").as("n_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
+      col("bkey"), col("n").as("n_b"))
+    a.join(b, Seq("bkey")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("ed", levenshtein(col("text_a"), col("text_b")))
+      .filter(col("ed") <= lit(fuzzyMaxRatio) * greatest(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"),
+        col("ed").cast("long").as("edit_distance"),
+        round(col("ed") / greatest(col("n_a"), col("n_b")), 6).as("edit_ratio"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_fuzzy" -> (dedupFuzzy _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_cluster_star" -> (dedupClusterStar _),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -801,6 +834,20 @@ object DedupQueries {
        |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_fuzzy" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n,
+         |    array_to_string(
+         |      (list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                   t -> t != ''))[1:$fuzzyBlockTokens], ' ') AS bkey
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+         |  round(levenshtein(a.text, b.text) / greatest(a.n, b.n), 6)
+         |    AS edit_ratio
+         |FROM d a JOIN d b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.text, b.text) <= $fuzzyMaxRatio * greatest(a.n, b.n)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_exact" ->
       s"""SELECT doc_id, ${duckMd5Long("text")} AS content_hash,
          |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

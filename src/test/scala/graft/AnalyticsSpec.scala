@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.{AnalyticsQueries, DedupQueries}
+import org.apache.spark.sql.functions._
+
+/** Behavioral-analytics operators (funnel, cohort retention, exact OLS
+  * trend) + edit-distance fuzzy dedup. */
+class AnalyticsSpec extends SparkSpec {
+
+  test("funnel stages are monotone and ordered within the window") {
+    val f = AnalyticsQueries.queries("funnel")(spark, sf).cache()
+    val n1 = f.count()
+    val n2 = f.filter(col("stage_depth") >= 2).count()
+    val n3 = f.filter(col("stage_depth") === 3).count()
+    assert(n1 >= n2 && n2 >= n3 && n1 > 0, s"monotone funnel: $n1/$n2/$n3")
+    // stage timestamps strictly increase and stay within the window
+    val win = expr(s"INTERVAL ${AnalyticsQueries.funnelWindowHours} HOURS")
+    assert(f.filter(col("t_view").isNotNull &&
+      (col("t_view") <= col("t_signup") ||
+        col("t_view") > col("t_signup") + win)).isEmpty)
+    assert(f.filter(col("t_purchase").isNotNull &&
+      (col("t_purchase") <= col("t_view") ||
+        col("t_purchase") > col("t_view") + win)).isEmpty)
+    // depth is consistent with which stage timestamps exist
+    assert(f.filter(col("stage_depth") === 3 && col("t_purchase").isNull).isEmpty)
+    assert(f.filter(col("stage_depth") === 1 && col("t_view").isNotNull).isEmpty)
+    f.unpersist()
+    ()
+  }
+
+  test("cohort retention: week 0 is total, ratios in (0, 1]") {
+    val c = AnalyticsQueries.queries("cohort_retention")(spark, sf).cache()
+    assert(c.filter(col("week_n") === 0 && col("retention") =!= 1.0).isEmpty,
+      "every user is active in their own cohort week")
+    assert(c.filter(col("retention") <= 0 || col("retention") > 1).isEmpty)
+    assert(c.filter(col("n_active") > col("cohort_size")).isEmpty)
+    c.unpersist()
+    ()
+  }
+
+  test("trend fit recovers an exact linear series") {
+    import spark.implicits._
+    // y = 2x + 1 on days 0..9, one group — slope/intercept must be exact
+    val df = (0 to 9).map { d =>
+      ("lin", java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+        2.0 * d + 1.0)
+    }.toDF("event_type", "ts", "value")
+    val fit = graft.ops.AnalyticsQueries.trendFitOf(df).collect()
+    assert(fit.length === 1)
+    assert(fit(0).getDouble(2) === 2.0 && fit(0).getDouble(3) === 1.0)
+  }
+
+  test("fuzzy dedup equals brute-force edit-ratio pairs on this corpus") {
+    val fuzzy = DedupQueries.queries("dedup_fuzzy")(spark, sf)
+      .select("doc_a", "doc_b")
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("double").as("n"))
+    val a = d.select(col("doc_id").as("doc_a"), col("text").as("ta"), col("n").as("na"))
+    val b = d.select(col("doc_id").as("doc_b"), col("text").as("tb"), col("n").as("nb"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .filter(levenshtein(col("ta"), col("tb")) <=
+        lit(DedupQueries.fuzzyMaxRatio) * greatest(col("na"), col("nb")))
+      .select("doc_a", "doc_b")
+    assert(fuzzy.exceptAll(brute).isEmpty,
+      "every blocked pair must satisfy the brute threshold")
+    assert(brute.exceptAll(fuzzy).isEmpty,
+      "prefix blocking must not lose a true pair on this corpus")
+  }
+}
