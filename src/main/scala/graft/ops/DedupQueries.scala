@@ -725,7 +725,53 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** PageRank over the near-dup pair graph — redundancy CENTRALITY: which
+    * documents sit at the center of duplication clusters (boilerplate
+    * hubs) vs on the periphery; the link-analysis quality prior a
+    * web-corpus curation pipeline computes, exercised on the graph this
+    * engine already builds. [[prIters]] fixed power iterations in
+    * INTEGER micro-units ([[prScale]]; damping 0.85 as ×85 div 100, and
+    * per-edge shares as `rank div deg`) — floor division keeps every
+    * step EXACT and order-independent in both engines, where a float
+    * PageRank would drift by summation order. No dangling nodes by
+    * construction (every graph node has an edge); isolated docs are
+    * excluded (their rank is the closed-form base, no iteration needed).
+    * Scale shape: each round is one edge⋈rank equi-join + one dst-keyed
+    * sum — the canonical distributed PageRank; `localCheckpoint` pins
+    * each round like [[dedupCluster]]. */
+  val prIters = 10
+  val prScale = 1000000000000L
+
+  def dedupPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir).select("a", "b").localCheckpoint()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nNodes = deg.count()
+    val base = (prScale * 15 / 100) / nNodes
+    var rank = deg.select(col("src").as("doc_id"),
+      lit(prScale / nNodes).as("rank"))
+    for (_ <- 1 to prIters) {
+      val inbound = edges
+        .join(rank.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("doc_id"), expr("rank div deg").as("share"))
+        .groupBy("doc_id").agg(sum(col("share")).as("s"))
+      rank = rank.select("doc_id")
+        .join(inbound, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(base) + expr("(coalesce(s, CAST(0 AS BIGINT)) * 85) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    rank.select(col("doc_id"), col("rank").as("rank_micro"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_pagerank" -> (dedupPagerank _),
     "dedup_fuzzy" -> (dedupFuzzy _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_cluster_star" -> (dedupClusterStar _),
@@ -833,7 +879,32 @@ object DedupQueries {
        |FROM documents d LEFT JOIN minreach mr ON d.doc_id = mr.src
        |ORDER BY d.doc_id""".stripMargin
 
+  /** One unrolled PageRank power iteration for the [[dedupPagerank]]
+    * oracle — integer floor division matches Spark's `div` exactly. */
+  private def prStepSql(i: Int): String =
+    s"""r$i AS MATERIALIZED (
+       |  SELECT r.doc_id,
+       |    (SELECT ${prScale * 15 / 100} // nn FROM n)
+       |      + (coalesce(s.s, 0) * 85) // 100 AS rank
+       |  FROM r${i - 1} r LEFT JOIN (
+       |    SELECT e.dst AS doc_id, sum(r2.rank // dg.deg) AS s
+       |    FROM e JOIN r${i - 1} r2 ON e.src = r2.doc_id
+       |    JOIN dg ON dg.src = e.src
+       |    GROUP BY e.dst) s USING (doc_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_pagerank" ->
+      s"""WITH $jaccardPairsCte,
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM jpairs
+         |      UNION ALL SELECT b AS src, a AS dst FROM jpairs),
+         |dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |n AS MATERIALIZED (SELECT count(*) AS nn FROM dg),
+         |r0 AS MATERIALIZED (
+         |  SELECT src AS doc_id, (SELECT $prScale // nn FROM n) AS rank
+         |  FROM dg),
+         |${(1 to prIters).map(prStepSql).mkString(",\n")}
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank_micro
+         |FROM r$prIters ORDER BY doc_id""".stripMargin,
     "dedup_fuzzy" ->
       s"""WITH d AS (
          |  SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n,

@@ -50,6 +50,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(fit(0).getDouble(2) === 2.0 && fit(0).getDouble(3) === 1.0)
   }
 
+  test("pagerank: positive, mass-bounded, discriminating, deterministic") {
+    val r = DedupQueries.queries("dedup_pagerank")(spark, sf).cache()
+    val n = r.count()
+    assert(n > 0)
+    assert(r.filter(col("rank_micro") <= 0).isEmpty, "ranks are positive")
+    // ranks are normalized: they sum to ≈ 1·scale (init = scale/n,
+    // teleport = 0.15·scale/n); floor truncation only LOSES mass, and
+    // the teleport term alone guarantees ~15% of it
+    val total = r.agg(sum("rank_micro")).first().getLong(0)
+    assert(total <= DedupQueries.prScale)
+    assert(total >= DedupQueries.prScale * 14 / 100)
+    assert(r.select("rank_micro").distinct().count() > 1,
+      "centrality must discriminate hub from leaf nodes")
+    // recomputation is bit-identical (no RNG, no float accumulation)
+    val again = DedupQueries.queries("dedup_pagerank")(spark, sf)
+    assert(r.exceptAll(again).isEmpty && again.exceptAll(r).isEmpty)
+    r.unpersist()
+    ()
+  }
+
   test("fuzzy dedup equals brute-force edit-ratio pairs on this corpus") {
     val fuzzy = DedupQueries.queries("dedup_fuzzy")(spark, sf)
       .select("doc_a", "doc_b")
