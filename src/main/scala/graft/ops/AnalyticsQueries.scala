@@ -82,6 +82,42 @@ object AnalyticsQueries {
         round(element_at(col("p"), 3), 6).as("p99"))
       .orderBy("event_type")
 
+  /** Robust per-group outlier detection: median + MAD (median absolute
+    * deviation), flagging events where |value − median| exceeds
+    * [[madK]] · 1.4826 · MAD — the standard robust z-score, immune to the
+    * outliers it hunts (unlike mean/stddev, which the tail drags). The
+    * data-quality gate a training pipeline runs over telemetry/metrics
+    * columns before they poison a reward model.
+    *
+    * Determinism: exact interpolating medians (no transcendentals), IEEE
+    * subtract/multiply/divide — identical bits in both engines; the flag
+    * compares UNROUNDED doubles so no boundary row can disagree with the
+    * oracle. Shape: two grouped exact-percentile passes over the stream +
+    * two broadcast joins of the group-count-sized stats rows; at 100 TB
+    * the exact percentile swaps for [[approxPercentile]]'s mergeable
+    * sketch, same plan shape. mad is floored at 1e-12 so a degenerate
+    * constant-valued group yields finite scores instead of ±Inf. */
+  val madK = 3.0
+  val madConsistency = 1.4826
+
+  def outlierMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select("event_id", "event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("absdev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("madf", greatest(col("mad"), lit(1e-12)))
+      .filter(col("absdev") > lit(madK) * lit(madConsistency) * col("madf"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        round(col("absdev") / (lit(madConsistency) * col("madf")), 6)
+          .as("robust_z"))
+      .orderBy("event_id")
+  }
+
   /** Pivot: order counts + total price per priority × status (explicit
     * pivot values → deterministic schema, map-side combined). */
   def pivotAgg(s: SparkSession, dir: String): DataFrame =
@@ -431,6 +467,7 @@ object AnalyticsQueries {
     "window_agg" -> (windowAgg _),
     "cube_agg" -> (cubeAgg _),
     "percentile_agg" -> (percentileAgg _),
+    "outlier_mad" -> (outlierMad _),
     "pivot_agg" -> (pivotAgg _),
     "salted_agg" -> (saltedAgg _),
     "approx_distinct" -> (approxDistinct _),
@@ -620,6 +657,25 @@ object AnalyticsQueries {
         |FROM events
         |GROUP BY CUBE (1, 2)
         |ORDER BY event_type NULLS FIRST, hour_of_day NULLS FIRST""".stripMargin,
+    "outlier_mad" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |         abs(e.value - m.med) AS absdev
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type,
+        |         greatest(quantile_cont(absdev, 0.5), 1e-12) AS madf,
+        |         quantile_cont(absdev, 0.5) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  round(d.med, 6) AS med, round(md.mad, 6) AS mad,
+        |  round(d.absdev / (1.4826 * md.madf), 6) AS robust_z
+        |FROM d JOIN md USING (event_type)
+        |WHERE d.absdev > 3.0 * 1.4826 * md.madf
+        |ORDER BY d.event_id""".stripMargin,
     "percentile_agg" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,

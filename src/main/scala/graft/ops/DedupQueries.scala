@@ -770,7 +770,45 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-document triangle census over the near-dup pair graph: degree,
+    * open wedges d·(d−1)/2, closed triangles, and the local clustering
+    * coefficient T / wedges. High clustering marks dense duplicate
+    * neighborhoods (template farms, mirror clusters) that pairwise
+    * thresholds under-report — the standard graph-quality signal on top
+    * of [[dedupCluster]]'s mere connectivity.
+    *
+    * Shape at scale: triangles are enumerated once each via the ORIENTED
+    * edge join — edges stored as a<b, so (a,b)⋈(b,c)⋈(a,c) matches each
+    * triangle exactly at its a<b<c orientation. Two equi-joins + one
+    * explode-groupBy; no vertex ever sees more than its out-neighborhood
+    * squared, and at deployment scale the orientation flips to
+    * degree-order (lowest-degree vertex first), the classic bound that
+    * keeps heavy hitters from quadratic fan-out. All counts integer. */
+  def dedupTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = jaccardPairs(s, dir).select("a", "b").localCheckpoint()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
+    val triPerNode = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
+    e.select(col("a").as("doc_id")).unionByName(e.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .join(triPerNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        expr("(degree * (degree - 1)) div 2").as("wedges"))
+      .withColumn("clustering",
+        round(when(col("degree") >= 2,
+          col("triangles") / (col("degree") * (col("degree") - 1) / lit(2.0)))
+          .otherwise(lit(0.0)), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_triangles" -> (dedupTriangles _),
     "dedup_pagerank" -> (dedupPagerank _),
     "dedup_fuzzy" -> (dedupFuzzy _),
     "dedup_cluster" -> (dedupCluster _),
@@ -893,6 +931,29 @@ object DedupQueries {
        |    GROUP BY e.dst) s USING (doc_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_triangles" ->
+      s"""WITH $jaccardPairsCte,
+         |e AS MATERIALIZED (SELECT a, b FROM jpairs),
+         |tri AS (
+         |  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |            JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+         |tn AS (
+         |  SELECT doc_id, count(*) AS triangles FROM (
+         |    SELECT ta AS doc_id FROM tri
+         |    UNION ALL SELECT tb FROM tri
+         |    UNION ALL SELECT tc FROM tri) GROUP BY doc_id),
+         |dg AS (
+         |  SELECT doc_id, count(*) AS degree FROM (
+         |    SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY doc_id)
+         |SELECT dg.doc_id, CAST(degree AS BIGINT) AS degree,
+         |  CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
+         |  CAST((degree * (degree - 1)) // 2 AS BIGINT) AS wedges,
+         |  round(CASE WHEN degree >= 2
+         |    THEN coalesce(triangles, 0) / (degree * (degree - 1) / 2.0)
+         |    ELSE 0.0 END, 6) AS clustering
+         |FROM dg LEFT JOIN tn USING (doc_id) ORDER BY dg.doc_id""".stripMargin,
     "dedup_pagerank" ->
       s"""WITH $jaccardPairsCte,
          |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM jpairs

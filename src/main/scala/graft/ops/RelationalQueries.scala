@@ -416,7 +416,51 @@ object RelationalQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Incremental materialized-view maintenance: a per-customer order MV
+    * (count, exact DECIMAL revenue, latest order date) is materialized
+    * over the pre-[[mvCutoff]] base, then a delta batch (orders ≥ cutoff)
+    * is folded in WITHOUT rescanning the base — partial-aggregate the
+    * delta alone, full-outer merge the two aggregate states by key, add
+    * counts/sums, `greatest` the max. This is the maintenance loop every
+    * warehouse MV / streaming total runs on each refresh; correctness
+    * contract (and the oracle): merged MV ≡ recompute over base ∪ delta.
+    * All merged aggregates are decomposable (count/sum/max — the same
+    * partial-state algebra Spark's own partial aggregation uses), so the
+    * merge is exact.
+    *
+    * Shape at 100 TB: the base never moves — work is O(|delta| +
+    * |touched keys|); `localCheckpoint` stands in for the stored MV. Both
+    * sides aggregate before the merge join, so the shuffle carries
+    * key-grain rows, not order-grain. */
+  val mvCutoff = "1997-01-01"
+
+  def mvIncremental(s: SparkSession, dir: String): DataFrame = {
+    def agg(df: DataFrame): DataFrame = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        max(col("o_orderdate")).as("last_order"))
+    val orders = Tables.orders(s, dir)
+    val cut = lit(mvCutoff).cast("timestamp")
+    // the stored MV: materialized once, never rescanned by the refresh
+    val baseMv = agg(orders.filter(col("o_orderdate") < cut)).localCheckpoint()
+    val deltaMv = agg(orders.filter(col("o_orderdate") >= cut))
+    val b = baseMv.select(col("o_custkey"), col("n_orders").as("bn"),
+      col("revenue").as("br"), col("last_order").as("bl"))
+    val d = deltaMv.select(col("o_custkey"), col("n_orders").as("dn"),
+      col("revenue").as("dr"), col("last_order").as("dl"))
+    b.join(d, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("br"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("dr"), lit(0).cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        greatest(col("bl"), col("dl")).as("last_order"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_incremental" -> (mvIncremental _),
     "q6_forecast" -> (q6Forecast _),
     "q7_volume" -> (q7Volume _),
     "q8_share" -> (q8Share _),
@@ -439,6 +483,14 @@ object RelationalQueries {
     "asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
+    // the MV maintenance contract IS "merged state ≡ full recompute",
+    // so the oracle is the plain recompute over base ∪ delta
+    "mv_incremental" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  max(o_orderdate) AS last_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q6_forecast" ->
       """SELECT
         |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(22,6)))

@@ -86,4 +86,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(brute.exceptAll(fuzzy).isEmpty,
       "prefix blocking must not lose a true pair on this corpus")
   }
+
+  test("triangle census: bounds, node set, and 3x closure accounting") {
+    val t = DedupQueries.queries("dedup_triangles")(spark, sf).cache()
+    assert(t.count() > 0)
+    assert(t.filter(col("triangles") > col("wedges")).isEmpty,
+      "a node cannot close more triangles than it has wedges")
+    assert(t.filter(col("clustering") < 0 || col("clustering") > 1).isEmpty)
+    assert(t.filter(col("degree") < 1).isEmpty)
+    // every triangle is counted at exactly its three corners
+    val triSum = t.agg(sum(col("triangles"))).first().getLong(0)
+    assert(triSum % 3 === 0, s"triangle corner sum $triSum must be 3T")
+    // node set = exactly the near-dup pair graph's vertices
+    val pairs = DedupQueries.queries("dedup_jaccard")(spark, sf)
+    val nodes = pairs.select(col("a").as("doc_id"))
+      .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
+    assert(t.select("doc_id").exceptAll(nodes).isEmpty &&
+      nodes.exceptAll(t.select("doc_id")).isEmpty)
+    t.unpersist()
+    ()
+  }
+
+  test("MAD outliers: every flag exceeds the robust threshold, minority") {
+    val o = AnalyticsQueries.queries("outlier_mad")(spark, sf).cache()
+    val n = o.count()
+    assert(n > 0, "the heavy-tailed value column must produce outliers")
+    assert(o.filter(col("robust_z") <= AnalyticsQueries.madK).isEmpty,
+      "every flagged event clears the k·MAD threshold")
+    val total = Tables.events(spark, sf).count()
+    assert(n < total / 10, s"outliers must be a minority: $n of $total")
+    o.unpersist()
+    ()
+  }
+
+  test("incremental MV merge equals full recompute") {
+    val mv = graft.ops.RelationalQueries.queries("mv_incremental")(spark, sf)
+    val direct = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        max(col("o_orderdate")).as("last_order"))
+      .select("o_custkey", "n_orders", "revenue", "last_order")
+    val m = mv.select("o_custkey", "n_orders", "revenue", "last_order")
+    assert(m.exceptAll(direct).isEmpty && direct.exceptAll(m).isEmpty,
+      "base-state + delta-state merge must reproduce the full aggregate")
+  }
 }
