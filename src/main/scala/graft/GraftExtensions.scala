@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{NormalizeExpressions, PqExpressions, QuantizeExpressions, SetSimExpressions, ShingleExpressions, SimHashExpressions, VectorExpressions, ZOrderExpressions}
+import graft.functions.{BloomExpressions, NormalizeExpressions, PqExpressions, QuantizeExpressions, SetSimExpressions, ShingleExpressions, SimHashExpressions, VectorExpressions, ZOrderExpressions}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Engine extension point, wired the public way:
@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(PqExpressions.pqCodeDescriptor)
     ext.injectFunction(PqExpressions.pqLutDescriptor)
     ext.injectFunction(PqExpressions.pqAdcDescriptor)
+    ext.injectFunction(BloomExpressions.bloomAggDescriptor)
+    ext.injectFunction(BloomExpressions.mightContainDescriptor)
     // conf-gated (spark.graft.rangeJoin.bucketWidth): rewrites naive
     // inequality-only range joins into the bucketed equi-join form
     ext.injectOptimizerRule(graft.plans.RangeJoinBucketing(_))

@@ -459,7 +459,38 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** Bloom-filter SEMI-JOIN REDUCTION — the declarative form of the
+    * runtime filtering Spark's optimizer injects only when it decides to:
+    * aggregate the selective dim's keys into ONE bloom filter
+    * (`graft_bloom_agg`, a scalar subquery → broadcast one binary row),
+    * probe it at the FACT SCAN (`graft_might_contain`, codegen'd), and
+    * only then shuffle-join the survivors. At 100 TB the fact shuffle —
+    * the dominant cost of any selective dim join — shrinks to roughly
+    * the true match rate (+ false positives); the real join afterwards
+    * removes false positives, so the result is EXACT: the oracle is the
+    * plain join. PlanSpec pins the probe below the join and
+    * result-equality with the unfiltered join. */
+  val bloomDimBalance = 9000.0
+
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).filter(col("c_acctbal") > bloomDimBalance)
+      .createOrReplaceTempView("graft_bloom_dim")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_bloom_fact")
+    s.sql(
+      """WITH pruned AS (
+        |  SELECT o_custkey, o_totalprice FROM graft_bloom_fact
+        |  WHERE graft_might_contain(
+        |    (SELECT graft_bloom_agg(xxhash64(c_custkey)) FROM graft_bloom_dim),
+        |    xxhash64(o_custkey)))
+        |SELECT d.c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM pruned f JOIN graft_bloom_dim d ON f.o_custkey = d.c_custkey
+        |GROUP BY d.c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloom_join" -> (bloomJoin _),
     "mv_incremental" -> (mvIncremental _),
     "q6_forecast" -> (q6Forecast _),
     "q7_volume" -> (q7Volume _),
@@ -483,6 +514,15 @@ object RelationalQueries {
     "asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
+    // the bloom pre-filter is semantically transparent (the join removes
+    // false positives), so the oracle is the plain selective-dim join
+    "bloom_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_acctbal > $bloomDimBalance
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // the MV maintenance contract IS "merged state ≡ full recompute",
     // so the oracle is the plain recompute over base ∪ delta
     "mv_incremental" ->

@@ -281,6 +281,32 @@ class PlanSpec extends SparkSpec {
     assert(q22.contains("LeftAnti"), s"q22 must plan a left-anti join:\n$q22")
   }
 
+  test("bloom_join: the membership probe filters the fact BELOW the join") {
+    val df = ops.RelationalQueries.queries("bloom_join")(spark, sf)
+    val p = planOf(df)
+    assert(p.contains("graft_might_contain") || p.contains("might_contain"),
+      s"bloom probe must survive into the physical plan:\n$p")
+    // the probe is a Filter on the fact scan side, strictly below the join
+    val probeIdx = p.indexOf("might_contain")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"),
+      math.max(p.indexOf("ShuffledHashJoin"), p.indexOf("BroadcastHashJoin")))
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"probe (plan-text offset $probeIdx) must be in the join's subtree " +
+        s"(join at $joinIdx):\n$p")
+    // transparency: bloom-pruned result ≡ the plain selective-dim join
+    val plain = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf)
+          .filter(col("c_acctbal") > ops.RelationalQueries.bloomDimBalance),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .select("c_mktsegment", "n_orders", "revenue")
+    assert(df.exceptAll(plain).isEmpty && plain.exceptAll(df).isEmpty,
+      "bloom pre-filter must be semantically transparent")
+  }
+
   test("adaptive query execution is on for every graft session") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
     val df = Tables.lineitem(spark, sf).groupBy("l_returnflag").count()
