@@ -313,7 +313,74 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** BM25 top-k retrieval — the lexical ranking function behind every
+    * search/retrieval baseline (and the RAG-corpus indexing step of a
+    * training pipeline), over the same postings substrate as
+    * [[tfidfTopTerms]]. For each query: score = Σ_t idf(t) ·
+    * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with the standard
+    * Robertson idf = ln(1 + (N − df + ½)/(df + ½)), k1 = 1.2, b = 0.75.
+    *
+    * Determinism: each per-term score is a fixed IEEE expression tree
+    * (ln is libm — proven bit-stable vs DuckDB by `text_bigram_lm`),
+    * ROUNDED to 6 dp and summed in DECIMAL so the per-doc total is
+    * order-independent; the top-k window ranks by (decimal score desc,
+    * doc_id) — no float tie can reorder it.
+    *
+    * Shape at scale: the corpus is tokenized once; postings are
+    * immediately semi-joined to the BROADCAST query-term set, so df
+    * counting and scoring touch only matching postings (query-sized, not
+    * corpus-sized); N/avgdl ride as a 1-row broadcast; per-query top-k is
+    * a WindowGroupLimit, never a global sort. */
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+  val bm25TopK = 5
+  val bm25Queries: Seq[(String, String)] = Seq(
+    "q1" -> "spark table scan",
+    "q2" -> "window merge batch",
+    "q3" -> "customer stream value")
+
+  def bm25Topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qt = bm25Queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("token"))
+      .distinct()
+    val postings = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .join(broadcast(qt.select("token").distinct()), Seq("token"))
+      .localCheckpoint()
+    val dfc = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    val dl = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        whitespaceTokenCount(col("text")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl").cast("long")).cast("double").as("sum_dl"))
+    val avgdl = col("sum_dl") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(bm25K1) *
+      (lit(1.0) - lit(bm25B) + lit(bm25B) * col("dl") / avgdl)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("scored").desc, col("doc_id"))
+    postings
+      .join(broadcast(qt), Seq("token"))
+      .join(broadcast(dfc), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore",
+        round(idf * (col("tf") * lit(bm25K1 + 1.0)) / denom, 6))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("tscore").cast("decimal(18,6)")).as("scored"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= bm25TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
+        col("scored").cast("double").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> (bm25Topk _),
     "pipeline_e2e" -> (pipelineE2e _),
     "group_sample" -> (groupSample _),
     "curation_pipeline" -> (curationPipeline _),
@@ -491,6 +558,46 @@ object CurationQueries {
          |  CAST(length(list_filter(string_split_regex(lower(clean_text), '\\s+'),
          |       t -> t != '')) AS BIGINT) AS clean_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
+    "bm25_topk" -> {
+      val qvals = bm25Queries
+        .map { case (id, t) => s"('$id', '$t')" }.mkString(", ")
+      // constants interpolate through Scala's round-trip Double.toString,
+      // so both engines parse the identical IEEE value
+      s"""WITH q(query_id, qtext) AS (VALUES $qvals),
+         |qt AS (SELECT DISTINCT query_id,
+         |         unnest(string_split(qtext, ' ')) AS token FROM q),
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |                             t -> t != '') AS t
+         |  FROM documents),
+         |tfc AS (
+         |  SELECT doc_id, token, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS token FROM toks) GROUP BY 1, 2),
+         |post AS (SELECT tfc.* FROM tfc
+         |         JOIN (SELECT DISTINCT token FROM qt) USING (token)),
+         |dfc AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(length(t) AS DOUBLE) AS dl FROM toks),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |              CAST(sum(length(t)) AS DOUBLE) AS sum_dl FROM toks),
+         |sc AS (
+         |  SELECT qt.query_id, post.doc_id,
+         |    round(ln(1.0 + (st.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+         |      * (post.tf * ${bm25K1 + 1.0})
+         |      / (post.tf + $bm25K1 * (1.0 - $bm25B
+         |           + $bm25B * dl.dl / (st.sum_dl / st.n_docs))), 6) AS tscore
+         |  FROM post JOIN qt USING (token) JOIN dfc USING (token)
+         |       JOIN dl USING (doc_id) CROSS JOIN st),
+         |agg AS (
+         |  SELECT query_id, doc_id,
+         |         sum(CAST(tscore AS DECIMAL(18,6))) AS scored,
+         |         count(*) AS n_terms
+         |  FROM sc GROUP BY 1, 2),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY scored DESC, doc_id) AS rank FROM agg)
+         |SELECT query_id, rank, doc_id, n_terms,
+         |  CAST(scored AS DOUBLE) AS score
+         |FROM rk WHERE rank <= $bm25TopK ORDER BY query_id, rank""".stripMargin
+    },
     "tfidf_top_terms" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),

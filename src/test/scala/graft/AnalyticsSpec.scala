@@ -119,6 +119,32 @@ class AnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("bm25: dense ranks, positive non-increasing scores, real term hits") {
+    import graft.ops.CurationQueries
+    val r = CurationQueries.queries("bm25_topk")(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("score") <= 0).isEmpty, "BM25 scores are positive")
+    assert(r.filter(col("n_terms") < 1 ||
+      col("n_terms") > CurationQueries.bm25Queries.head._2.split(" ").length)
+      .isEmpty, "n_terms bounded by the query length")
+    // ranks are dense 1..k and scores never increase with rank
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    val seq = r.withColumn("prev_rank", lag(col("rank"), 1).over(w))
+      .withColumn("prev_score", lag(col("score"), 1).over(w))
+    assert(seq.filter(col("prev_rank").isNotNull &&
+      col("rank") =!= col("prev_rank") + 1).isEmpty, "ranks are dense")
+    assert(seq.filter(col("prev_score").isNotNull &&
+      col("score") > col("prev_score")).isEmpty, "scores non-increasing")
+    // every retrieved doc really contains at least one query term
+    val qterms = CurationQueries.bm25Queries.flatMap(_._2.split(" ")).toSet
+    val hit = r.join(Tables.documents(spark, sf), Seq("doc_id"))
+      .filter(!qterms.map(t => col("text").contains(t)).reduce(_ || _))
+    assert(hit.isEmpty, "a retrieved doc must contain a query term")
+    r.unpersist()
+    ()
+  }
+
   test("incremental MV merge equals full recompute") {
     val mv = graft.ops.RelationalQueries.queries("mv_incremental")(spark, sf)
     val direct = Tables.orders(spark, sf)
