@@ -82,6 +82,39 @@ object AnalyticsQueries {
         round(element_at(col("p"), 3), 6).as("p99"))
       .orderBy("event_type")
 
+  /** Fixed-depth EWMA: the exponentially-weighted moving average every
+    * monitoring/feature pipeline computes, truncated at [[ewmaDepth]]
+    * lags so it is a PURE WINDOW EXPRESSION — no recursion, no state.
+    * α = 1/2, so every weight α(1−α)^j = 2^−(j+1) is an EXACT binary
+    * fraction: each product is a float exponent shift, and with the
+    * summation order fixed (ascending lag, identical tree in the
+    * oracle), the result is bit-deterministic. Leading edges renormalize
+    * over the weights actually present (num/den), so row j < depth uses
+    * its full available history instead of phantom zeros.
+    *
+    * Shape at scale: one shuffle by user_id, then per-row O(depth) lags
+    * inside a single Window — the same cost envelope as [[windowLag]];
+    * the truncation error vs the infinite EWMA is (1−α)^depth < 0.4%. */
+  val ewmaDepth = 8
+
+  def windowEwma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val terms = (0 until ewmaDepth).map { j =>
+      val x = if (j == 0) col("value") else lag(col("value"), j).over(w)
+      val wt = math.pow(0.5, j + 1)
+      (when(x.isNotNull, x * lit(wt)).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(wt)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("ewma", round(num / den, 6))
+      .withColumn("seq_in_user", row_number().over(w))
+      .orderBy("user_id", "seq_in_user")
+  }
+
   /** Robust per-group outlier detection: median + MAD (median absolute
     * deviation), flagging events where |value − median| exceeds
     * [[madK]] · 1.4826 · MAD — the standard robust z-score, immune to the
@@ -468,6 +501,7 @@ object AnalyticsQueries {
     "cube_agg" -> (cubeAgg _),
     "percentile_agg" -> (percentileAgg _),
     "outlier_mad" -> (outlierMad _),
+    "window_ewma" -> (windowEwma _),
     "pivot_agg" -> (pivotAgg _),
     "salted_agg" -> (saltedAgg _),
     "approx_distinct" -> (approxDistinct _),
@@ -657,6 +691,24 @@ object AnalyticsQueries {
         |FROM events
         |GROUP BY CUBE (1, 2)
         |ORDER BY event_type NULLS FIRST, hour_of_day NULLS FIRST""".stripMargin,
+    "window_ewma" -> {
+      // identical summation tree as the Spark side: ascending-lag terms,
+      // left-associative +; weights are exact binary fractions so the
+      // decimal literals parse to the identical doubles
+      val over =
+        "OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)"
+      val terms = (0 until ewmaDepth).map { j =>
+        val x = if (j == 0) "value" else s"lag(value, $j) $over"
+        val wt = math.pow(0.5, j + 1)
+        (s"CASE WHEN ($x) IS NOT NULL THEN ($x) * $wt ELSE 0.0 END",
+          s"CASE WHEN ($x) IS NOT NULL THEN $wt ELSE 0.0 END")
+      }
+      s"""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |  round((${terms.map(_._1).mkString("\n     + ")})
+         |      / (${terms.map(_._2).mkString("\n     + ")}), 6) AS ewma,
+         |  row_number() $over AS seq_in_user
+         |FROM events ORDER BY user_id, seq_in_user""".stripMargin
+    },
     "outlier_mad" ->
       """WITH m AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med

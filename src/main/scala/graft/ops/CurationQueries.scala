@@ -379,7 +379,36 @@ object CurationQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES),
+    * fully deterministic: each doc draws an "exponential clock"
+    * key = −ln(u)/w from a HASH-uniform u (no RNG — reproducible under
+    * retries, like all graft sampling) with weight w = n_chars; the k
+    * smallest keys are the sample, inclusion probability ∝ weight. This
+    * is how a training pipeline over-samples long/high-quality documents
+    * without a biased two-pass scheme.
+    *
+    * Shape at scale: key is a pure per-row projection; selection is a
+    * global top-k (TakeOrderedAndProject — never a full sort); ties
+    * break on doc_id, so the selected SET is deterministic in both
+    * engines. */
+  val sampleWeightedK = 100
+  val sampleWeightedM = 1048576L // 2^20 hash buckets for the uniform draw
+
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(
+      md5Long(concat(lit("wsample:"), col("doc_id").cast("string"))),
+      lit(sampleWeightedM))
+    val u = (h + lit(1L)).cast("double") / lit((sampleWeightedM + 1).toDouble)
+    val key = -log(u) / col("n_chars").cast("double")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), key.as("k"))
+      .orderBy(col("k"), col("doc_id"))
+      .limit(sampleWeightedK)
+      .select(col("doc_id"), col("n_chars"), round(col("k"), 9).as("draw_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted" -> (sampleWeighted _),
     "bm25_topk" -> (bm25Topk _),
     "pipeline_e2e" -> (pipelineE2e _),
     "group_sample" -> (groupSample _),
@@ -558,6 +587,16 @@ object CurationQueries {
          |  CAST(length(list_filter(string_split_regex(lower(clean_text), '\\s+'),
          |       t -> t != '')) AS BIGINT) AS clean_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
+    "sample_weighted" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, n_chars,
+         |    -ln((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+         |           1, 15))::BIGINT % $sampleWeightedM + 1)
+         |        / ${(sampleWeightedM + 1).toDouble})
+         |      / CAST(n_chars AS DOUBLE) AS k
+         |  FROM documents)
+         |SELECT doc_id, n_chars, round(k, 9) AS draw_key
+         |FROM keyed ORDER BY k, doc_id LIMIT $sampleWeightedK""".stripMargin,
     "bm25_topk" -> {
       val qvals = bm25Queries
         .map { case (id, t) => s"('$id', '$t')" }.mkString(", ")

@@ -341,7 +341,41 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-document unigram Shannon entropy — the information-density QC
+    * signal ([[compressionRatio]]'s model-free cousin): low entropy =
+    * repetitive/templated text, high ≈ ln(n_distinct) = diverse. Also
+    * emits entropy normalized by its ln(n_tokens) ceiling.
+    *
+    * Determinism: each token's −p·ln p term is a fixed IEEE tree
+    * (p = tf/dl in doubles, libm ln), rounded to 9 dp and summed in
+    * DECIMAL — order-independent, same trick as [[CurationQueries
+    * .bm25Topk]]. Shape: tokenize once, two doc_id-keyed aggregates and
+    * one co-partitioned join — no corpus-global state at all, so the
+    * operator is embarrassingly parallel at any scale. */
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    textEntropyOf(Tables.documents(s, dir))
+
+  def textEntropyOf(docsDf: DataFrame): DataFrame = {
+    val tf = docsDf
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"))
+    val p = col("tf").cast("double") / col("n_tokens").cast("double")
+    tf.join(dl, Seq("doc_id"))
+      .withColumn("term", round(-(p * log(p)), 9))
+      .groupBy("doc_id", "n_tokens", "n_distinct")
+      .agg(sum(col("term").cast("decimal(28,9)")).as("hsum"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("hsum").cast("double"), 6).as("entropy"),
+        round(when(col("n_tokens") > 1,
+          col("hsum").cast("double") / log(col("n_tokens").cast("double")))
+          .otherwise(lit(0.0)), 6).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (textEntropy _),
     "quality_filter" -> (qualityFilter _),
     "text_bigram_lm" -> (bigramLm _),
     "text_normalize" -> (textNormalize _),
@@ -357,6 +391,28 @@ object TextQueries {
     s"length(regexp_extract_all($input, '$re'))"
 
   val oracles: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), t -> t != '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |              count(*) AS n_distinct FROM tf GROUP BY 1),
+        |terms AS (
+        |  SELECT tf.doc_id, dl.n_tokens, dl.n_distinct,
+        |    round(-((CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |        * ln(CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE))), 9)
+        |      AS term
+        |  FROM tf JOIN dl USING (doc_id))
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |    AS entropy,
+        |  round(CASE WHEN n_tokens > 1
+        |    THEN CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE)
+        |         / ln(CAST(n_tokens AS DOUBLE))
+        |    ELSE 0.0 END, 6) AS norm_entropy
+        |FROM terms GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
     "quality_filter" ->
       s"""WITH m AS (
          |  SELECT doc_id,

@@ -145,6 +145,65 @@ class AnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("ewma: convex bounds, first row is its own value, no nulls") {
+    val e = AnalyticsQueries.queries("window_ewma")(spark, sf).cache()
+    assert(e.count() > 0 && e.filter(col("ewma").isNull).isEmpty)
+    // renormalized leading edge: row 1 of each user is exactly its value
+    assert(e.filter(col("seq_in_user") === 1 &&
+      col("ewma") =!= round(col("value"), 6)).isEmpty,
+      "depth-1 EWMA must equal the value itself")
+    // a convex combination can never leave the window's [min, max]
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(AnalyticsQueries.ewmaDepth - 1), 0)
+    val bounded = e
+      .withColumn("lo", min(col("value")).over(w))
+      .withColumn("hi", max(col("value")).over(w))
+      .filter(col("ewma") < round(col("lo"), 6) - 1e-6 ||
+        col("ewma") > round(col("hi"), 6) + 1e-6)
+    assert(bounded.isEmpty, "EWMA is a convex combination of its window")
+    e.unpersist()
+    ()
+  }
+
+  test("entropy: [0, ln(distinct)] bounds; uniform text maxes out") {
+    import graft.ops.TextQueries
+    val t = TextQueries.queries("text_entropy")(spark, sf).cache()
+    assert(t.count() > 0 && t.filter(col("entropy") < 0).isEmpty)
+    assert(t.filter(col("entropy") >
+      log(col("n_distinct").cast("double")) + 1e-6).isEmpty,
+      "H <= ln(n_distinct)")
+    assert(t.filter(col("norm_entropy") < 0 || col("norm_entropy") > 1 + 1e-6)
+      .isEmpty)
+    t.unpersist()
+    // an all-distinct doc hits the ln(n) ceiling exactly
+    import spark.implicits._
+    val one = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val h = TextQueries.textEntropyOf(one).collect()(0)
+    assert(math.abs(h.getAs[Double]("entropy") - math.log(4)) < 1e-5)
+    assert(math.abs(h.getAs[Double]("norm_entropy") - 1.0) < 1e-5)
+  }
+
+  test("weighted sample: exact k, deterministic, biased toward weight") {
+    import graft.ops.CurationQueries
+    val s1 = CurationQueries.queries("sample_weighted")(spark, sf).cache()
+    assert(s1.count() === CurationQueries.sampleWeightedK)
+    val s2 = CurationQueries.queries("sample_weighted")(spark, sf)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty,
+      "hash-driven draw is reproducible")
+    // weighting by n_chars must pull the sample mean above the corpus mean
+    val sampleMean = s1.agg(avg(col("n_chars"))).first().getDouble(0)
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).first().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
+    s1.unpersist()
+    ()
+  }
+
   test("incremental MV merge equals full recompute") {
     val mv = graft.ops.RelationalQueries.queries("mv_incremental")(spark, sf)
     val direct = Tables.orders(spark, sf)
