@@ -82,6 +82,47 @@ object AnalyticsQueries {
         round(element_at(col("p"), 3), 6).as("p99"))
       .orderBy("event_type")
 
+  /** Exact Pearson correlation matrix over lineitem's numeric columns in
+    * ONE scan: a single aggregate computes every Σx / Σx² / Σxy in
+    * DECIMAL (exact, order-independent — the [[trendFit]] normal-equation
+    * trick), the 3 output pairs are then a tiny projection of that one
+    * row. The closed form n·Σxy − Σx·Σy over sqrt of the variances runs
+    * in doubles on the EXACT sums; IEEE sqrt is correctly rounded, so the
+    * oracle's identical tree yields identical bits. Built-in `corr()` is
+    * a running-moment implementation whose result depends on partition
+    * order — useless under a hash gate; this is the deterministic twin.
+    * Shape at 100 TB: one partial+final hash aggregate, no shuffle of
+    * facts, O(columns²) state per partition. */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+      "l_discount" -> "d")
+    // exact integer micro-units: Pearson r is scale-invariant, so the 1e6
+    // factor cancels; decimal(38,0) sums/products stay exact (max value
+    // ~1e11, squared ~1e22 ≪ 1e38) and DuckDB mirrors them in HUGEINT
+    def dec(c: String) = round(col(c) * lit(1000000.0)).cast("decimal(38,0)")
+    val sums =
+      cols.map { case (c, a) => sum(dec(c)).as(s"s_$a") } ++
+        cols.map { case (c, a) => sum(dec(c) * dec(c)).as(s"s_${a}${a}") } ++
+        cols.combinations(2).toSeq.map { case Seq((c1, a1), (c2, a2)) =>
+          sum(dec(c1) * dec(c2)).as(s"s_$a1$a2")
+        }
+    val a = Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n"), sums: _*)
+    def dbl(name: String) = col(name).cast("double")
+    def varTerm(x: String) =
+      dbl("n") * dbl(s"s_$x$x") - dbl(s"s_$x") * dbl(s"s_$x")
+    def pairRow(p1: (String, String), p2: (String, String)) = {
+      val (c1, a1) = p1; val (c2, a2) = p2
+      a.select(lit(c1).as("col_a"), lit(c2).as("col_b"), col("n"),
+        round((dbl("n") * dbl(s"s_$a1$a2") - dbl(s"s_$a1") * dbl(s"s_$a2"))
+          / sqrt(varTerm(a1) * varTerm(a2)), 6).as("r"))
+    }
+    cols.combinations(2).toSeq
+      .map { case Seq(p1, p2) => pairRow(p1, p2) }
+      .reduce(_ unionByName _)
+      .orderBy("col_a", "col_b")
+  }
+
   /** Fixed-depth EWMA: the exponentially-weighted moving average every
     * monitoring/feature pipeline computes, truncated at [[ewmaDepth]]
     * lags so it is a PURE WINDOW EXPRESSION — no recursion, no state.
@@ -502,6 +543,7 @@ object AnalyticsQueries {
     "percentile_agg" -> (percentileAgg _),
     "outlier_mad" -> (outlierMad _),
     "window_ewma" -> (windowEwma _),
+    "corr_matrix" -> (corrMatrix _),
     "pivot_agg" -> (pivotAgg _),
     "salted_agg" -> (saltedAgg _),
     "approx_distinct" -> (approxDistinct _),
@@ -691,6 +733,34 @@ object AnalyticsQueries {
         |FROM events
         |GROUP BY CUBE (1, 2)
         |ORDER BY event_type NULLS FIRST, hour_of_day NULLS FIRST""".stripMargin,
+    "corr_matrix" -> {
+      // generated from the same column list as the Spark side so the
+      // decimal sums and the double closed-form share one expression tree
+      val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+        "l_discount" -> "d")
+      def dec(c: String) = s"CAST(round($c * 1000000.0) AS HUGEINT)"
+      def dbl(n: String) = s"CAST($n AS DOUBLE)"
+      val sumSelects = (cols.map { case (c, a) => s"sum(${dec(c)}) AS s_$a" } ++
+        cols.map { case (c, a) =>
+          s"sum(${dec(c)} * ${dec(c)}) AS s_$a$a" } ++
+        cols.combinations(2).toSeq.map { case Seq((c1, a1), (c2, a2)) =>
+          s"sum(${dec(c1)} * ${dec(c2)}) AS s_$a1$a2"
+        }).mkString(",\n  ")
+      def varT(x: String) =
+        s"(${dbl("n")} * ${dbl(s"s_$x$x")} - ${dbl(s"s_$x")} * ${dbl(s"s_$x")})"
+      val rows = cols.combinations(2).toSeq.map { case Seq((c1, a1), (c2, a2)) =>
+        s"""SELECT '$c1' AS col_a, '$c2' AS col_b, n,
+           |  round((${dbl("n")} * ${dbl(s"s_$a1$a2")}
+           |      - ${dbl(s"s_$a1")} * ${dbl(s"s_$a2")})
+           |    / sqrt(${varT(a1)} * ${varT(a2)}), 6) AS r
+           |FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH a AS (SELECT count(*) AS n,
+         |  $sumSelects
+         |FROM lineitem)
+         |$rows
+         |ORDER BY col_a, col_b""".stripMargin
+    },
     "window_ewma" -> {
       // identical summation tree as the Spark side: ascending-lag terms,
       // left-associative +; weights are exact binary fractions so the

@@ -204,6 +204,21 @@ class AnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("corr matrix: [-1,1] bounds, agrees with built-in corr to 1e-4") {
+    val m = AnalyticsQueries.queries("corr_matrix")(spark, sf).cache()
+    assert(m.count() === 3)
+    assert(m.filter(col("r") < -1 || col("r") > 1).isEmpty)
+    val builtin = Tables.lineitem(spark, sf)
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .first().getDouble(0)
+    val exact = m.filter(col("col_a") === "l_quantity" &&
+      col("col_b") === "l_extendedprice").first().getAs[Double]("r")
+    assert(math.abs(exact - builtin) < 1e-4,
+      s"exact $exact vs running-moment $builtin")
+    m.unpersist()
+    ()
+  }
+
   test("incremental MV merge equals full recompute") {
     val mv = graft.ops.RelationalQueries.queries("mv_incremental")(spark, sf)
     val direct = Tables.orders(spark, sf)
