@@ -138,7 +138,10 @@ object AnalyticsQueries {
     * the truncation error vs the infinite EWMA is (1−α)^depth < 0.4%. */
   val ewmaDepth = 8
 
-  def windowEwma(s: SparkSession, dir: String): DataFrame = {
+  def windowEwma(s: SparkSession, dir: String): DataFrame =
+    windowEwmaOf(events(s, dir))
+
+  def windowEwmaOf(eventsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val terms = (0 until ewmaDepth).map { j =>
@@ -149,7 +152,7 @@ object AnalyticsQueries {
     }
     val num = terms.map(_._1).reduce(_ + _)
     val den = terms.map(_._2).reduce(_ + _)
-    events(s, dir)
+    eventsDf
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
       .withColumn("ewma", round(num / den, 6))
       .withColumn("seq_in_user", row_number().over(w))

@@ -20,6 +20,61 @@ case class SessionAcc(start: Long, last: Long, n: Long)
 case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                          last_event: java.sql.Timestamp, n_events: Long)
 
+/** Streaming EWMA output — the streaming twin of
+  * [[graft.ops.AnalyticsQueries.windowEwma]]. */
+case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
+
+/** Ring buffer of the last `ewmaDepth` values for one user, NEWEST
+  * FIRST (index j = lag j — the exact layout of the batch twin's
+  * lag-term sum). */
+case class EwmaBuf(vals: Seq[Double])
+
+/** Per-user fixed-depth EWMA as a StatefulProcessor: state is the
+  * [[EwmaBuf]] ring buffer (O(depth) per user — bounded regardless of
+  * stream length). Within a micro-batch rows are sorted by event-time
+  * (µs) then event_id — the batch twin's window order; ACROSS batches
+  * the source must deliver a user's events in event-time order (the
+  * same in-order contract the other running-state twins document).
+  * Arithmetic mirrors the batch tree term-for-term: ascending-lag
+  * left-associative sum, α = 1/2 weights (exact binary fractions),
+  * HALF_UP rounding at 6 dp — so streaming output is BIT-equal to
+  * `window_ewma`, proven in EventStreamSpec. */
+class EwmaProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, EwmaOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[EwmaBuf] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[EwmaBuf]("ewma_buf",
+      org.apache.spark.sql.Encoders.product[EwmaBuf], TTLConfig.NONE)
+
+  private def usOf(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000 + t.getNanos / 1000
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+                               timerValues: TimerValues): Iterator[EwmaOut] = {
+    val depth = graft.ops.AnalyticsQueries.ewmaDepth
+    var buf = Option(state.get()).map(_.vals.toList).getOrElse(Nil)
+    val out = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).map { e =>
+      buf = (e.value :: buf).take(depth)
+      // identical tree to the batch twin: Σ_j buf(j)·2^−(j+1), ascending
+      // j, left-associative; renormalized by the weights present
+      var num = 0.0; var den = 0.0; var j = 0
+      buf.foreach { v =>
+        val wt = math.pow(0.5, j + 1)
+        num += v * wt; den += wt; j += 1
+      }
+      // java BigDecimal.valueOf = Spark Round's own double→decimal path
+      // (canonical Double.toString, NOT the exact binary expansion)
+      val ewma = java.math.BigDecimal.valueOf(num / den)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      EwmaOut(key, e.event_id, ewma)
+    }
+    state.update(EwmaBuf(buf))
+    out.iterator
+  }
+}
+
 /** Per-user running totals as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
   * (the transformWithState API): one named ValueState per user. */
 class RunningTotalProcessor
@@ -246,6 +301,17 @@ object EventStream {
       new RunningTotalProcessor,
       org.apache.spark.sql.streaming.TimeMode.None(),
       org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** Streaming fixed-depth EWMA per user ([[EwmaProcessor]]) — append
+    * mode: every event emits exactly one (event_id, ewma) row, bit-equal to
+    * the batch `window_ewma` under the in-order delivery contract. */
+  def streamingEwma(events: Dataset[Ev]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).transformWithState(
+      new EwmaProcessor,
+      org.apache.spark.sql.streaming.TimeMode.None(),
+      org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
   /** Convenience: the batch events table cast to Dataset[Ev]. */

@@ -238,6 +238,42 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming EWMA is bit-equal to the batch window_ewma across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // event-time-ordered delivery (the documented in-order contract);
+      // split mid-stream so per-user state must survive a batch boundary
+      def usOf(t: java.sql.Timestamp): Long =
+        t.getTime / 1000 * 1000000 + t.getNanos / 1000
+      val rows = evRows(1000).sortBy(e => (usOf(e.ts), e.event_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val mem = MemoryStream[Ev]
+      val q = EventStream.streamingEwma(mem.toDS())
+        .writeStream.format("memory").queryName("sewma")
+        .outputMode("append").option("checkpointLocation", ckpt()).start()
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("sewma").select("event_id", "ewma")
+      val want = graft.ops.AnalyticsQueries.windowEwmaOf(
+        Tables.events(spark, sf).filter(col("event_id") <= 1000))
+        .select("event_id", "ewma")
+      assert(got.count() === want.count())
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "streaming EWMA must reproduce the batch window bit-for-bit")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates running user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
