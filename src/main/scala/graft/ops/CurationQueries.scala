@@ -407,7 +407,29 @@ object CurationQueries {
       .select(col("doc_id"), col("n_chars"), round(col("k"), 9).as("draw_key"))
   }
 
+  /** Deterministic train/val/test split — the one assignment every
+    * training pipeline must make EXACTLY once and never change: a doc's
+    * split is a pure function of its id (seeded hash bucket 0-99 →
+    * 90/5/5), so it is stable across reruns, cluster sizes, and data
+    * order, and adding documents never reassigns existing ones (the
+    * leakage bug RNG splits cause). Pure scan-speed projection. */
+  val splitBuckets: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 95,
+    "test" -> 100)
+
+  def datasetSplit(s: SparkSession, dir: String): DataFrame = {
+    val b = pmod(
+      md5Long(concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+    val split = splitBuckets.init.foldRight(
+      lit(splitBuckets.last._1): org.apache.spark.sql.Column) {
+      case ((name, hi), acc) => when(b < hi, lit(name)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), b.as("bucket"), split.as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_split" -> (datasetSplit _),
     "sample_weighted" -> (sampleWeighted _),
     "bm25_topk" -> (bm25Topk _),
     "pipeline_e2e" -> (pipelineE2e _),
@@ -587,6 +609,16 @@ object CurationQueries {
          |  CAST(length(list_filter(string_split_regex(lower(clean_text), '\\s+'),
          |       t -> t != '')) AS BIGINT) AS clean_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
+    "dataset_split" -> {
+      val cases = splitBuckets.init
+        .map { case (n, hi) => s"WHEN bucket < $hi THEN '$n'" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang,
+         |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |    ::BIGINT % 100 AS bucket,
+         |  CASE $cases ELSE '${splitBuckets.last._1}' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "sample_weighted" ->
       s"""WITH keyed AS (
          |  SELECT doc_id, n_chars,

@@ -229,7 +229,35 @@ object PrepQueries {
       .orderBy("event_id")
   }
 
+  /** Dictionary encoding — the categorical-feature staple: assign every
+    * token a dense integer id by (frequency desc, token) rank and encode
+    * each document as its id sequence (emitted space-joined — the
+    * comparator contract forbids array columns). The id table is a total
+    * order over the WORD-TYPE table, which Heaps' law bounds ≪ corpus
+    * size (the same argument as `bpe_vocab`'s merge ranking — and like
+    * there, the global rank window runs on that bounded table, never the
+    * corpus). The encode join carries no hint: at test size Spark
+    * broadcasts it, at 100 TB AQE shuffle-joins on token — both correct,
+    * and the per-doc reassembly sorts each doc's own positions only. */
+  def dictEncode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "token")
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("freq").desc, col("token").asc)))
+    tok.join(vocab.select("token", "id"), Seq("token"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            x => x.getField("id").cast("string")), " ").as("ids"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dict_encode" -> (dictEncode _),
     "decontaminate" -> (decontaminate _),
     "chunk_documents" -> (chunkDocuments _),
     "chunk_dedup" -> (chunkDedup _),
@@ -254,6 +282,26 @@ object PrepQueries {
        |  FROM toks)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dict_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             t -> t != '') AS t
+        |  FROM documents),
+        |flat AS (
+        |  SELECT doc_id, u.pos AS pos, u.tok AS token
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |          generate_series(1, length(t)),
+        |          i -> {'pos': i, 'tok': t[i]})) AS u
+        |        FROM toks)),
+        |vocab AS (SELECT token, count(*) AS freq FROM flat GROUP BY 1),
+        |ids AS (SELECT token,
+        |          row_number() OVER (ORDER BY freq DESC, token) AS id
+        |        FROM vocab),
+        |enc AS (SELECT f.doc_id, f.pos, i.id
+        |        FROM flat f JOIN ids i USING (token))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "decontaminate" ->
       s"""WITH $toksCte, ${shCte(contamNgramN)},
          |bench AS (

@@ -217,4 +217,48 @@ class PrepSpec extends SparkSpec {
     assert(tot._2 > 0, "some OOV mass must exist (vocab is a strict top-K)")
     assert(tot._2 * 2 < tot._1, "top-K vocab must cover the majority mass")
   }
+
+  test("dataset split: exhaustive, consistent with buckets, ~90/5/5") {
+    import graft.ops.CurationQueries
+    val sp = CurationQueries.queries("dataset_split")(spark, sf).cache()
+    val n = sp.count()
+    assert(n === Tables.documents(spark, sf).count(), "every doc assigned")
+    // split is exactly the bucket mapping (no row can disagree)
+    assert(sp.filter(
+      (col("bucket") < 90 && col("split") =!= "train") ||
+        (col("bucket") >= 90 && col("bucket") < 95 && col("split") =!= "val") ||
+        (col("bucket") >= 95 && col("split") =!= "test")).isEmpty)
+    val train = sp.filter(col("split") === "train").count().toDouble / n
+    assert(train > 0.8 && train < 0.97, s"train share $train ≈ 0.9")
+    assert(sp.filter(col("split") === "val").count() > 0)
+    assert(sp.filter(col("split") === "test").count() > 0)
+    sp.unpersist()
+    ()
+  }
+
+  test("dict encode round-trips: decoding ids reproduces every document") {
+    val enc = PrepQueries.queries("dict_encode")(spark, sf)
+    // rebuild the id→token table exactly as the operator ranks it
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "token")
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("token").asc)))
+      .select(col("id").cast("string").as("id"), col("token"))
+    val decoded = enc
+      .select(col("doc_id"), posexplode(split(col("ids"), " ")))
+      .toDF("doc_id", "pos", "id")
+      .join(vocab, Seq("id"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ").as("decoded"))
+    val orig = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_join(tokens(col("text")), " ").as("orig"))
+    assert(decoded.join(orig, Seq("doc_id"))
+      .filter(col("decoded") =!= col("orig")).isEmpty,
+      "id sequences must decode back to the exact token stream")
+  }
 }
