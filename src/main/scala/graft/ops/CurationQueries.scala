@@ -416,19 +416,44 @@ object CurationQueries {
   val splitBuckets: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 95,
     "test" -> 100)
 
-  def datasetSplit(s: SparkSession, dir: String): DataFrame = {
-    val b = pmod(
-      md5Long(concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
-    val split = splitBuckets.init.foldRight(
-      lit(splitBuckets.last._1): org.apache.spark.sql.Column) {
-      case ((name, hi), acc) => when(b < hi, lit(name)).otherwise(acc)
-    }
+  private def splitBucketCol =
+    pmod(md5Long(concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+
+  private def splitCol = splitBuckets.init.foldRight(
+    lit(splitBuckets.last._1): org.apache.spark.sql.Column) {
+    case ((name, hi), acc) => when(splitBucketCol < hi, lit(name)).otherwise(acc)
+  }
+
+  def datasetSplit(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), b.as("bucket"), split.as("split"))
+      .select(col("doc_id"), col("lang"), splitBucketCol.as("bucket"),
+        splitCol.as("split"))
+      .orderBy("doc_id")
+
+  /** The TRAINING MANIFEST — the artifact a data pipeline actually ships
+    * to the trainer: per document, its [[datasetSplit]] assignment, token
+    * count, exact-dedup canonicality, and the Gopher/C4 quality gate
+    * ([[TextQueries.qualityKeepCol]]), with `keep = canonical ∧ quality`.
+    * Composed as ONE declarative plan: every signal is a scan-speed
+    * projection except canonicality's content-hash window — exactly one
+    * shuffle total at any corpus size ([[pipelineE2e]]'s cheaper,
+    * manifest-shaped sibling). */
+  def trainingManifest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canonical = col("doc_id") ===
+      min(col("doc_id")).over(Window.partitionBy(col("content_hash")))
+    Tables.documents(s, dir)
+      .withColumn("content_hash", md5Long(col("text")))
+      .select(col("doc_id"), splitCol.as("split"),
+        whitespaceTokenCount(col("text")).cast("long").as("n_tokens"),
+        canonical.as("is_canonical"),
+        TextQueries.qualityKeepCol(col("text")).as("keep_quality"))
+      .withColumn("keep", col("is_canonical") && col("keep_quality"))
       .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "training_manifest" -> (trainingManifest _),
     "dataset_split" -> (datasetSplit _),
     "sample_weighted" -> (sampleWeighted _),
     "bm25_topk" -> (bm25Topk _),
@@ -609,6 +634,31 @@ object CurationQueries {
          |  CAST(length(list_filter(string_split_regex(lower(clean_text), '\\s+'),
          |       t -> t != '')) AS BIGINT) AS clean_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
+    "training_manifest" -> {
+      val cases = splitBuckets.init
+        .map { case (n, hi) => s"WHEN bucket < $hi THEN '$n'" }
+        .mkString(" ")
+      s"""WITH ${TextQueries.qualityCtes},
+         |sp AS (
+         |  SELECT doc_id, CASE $cases ELSE '${splitBuckets.last._1}' END
+         |    AS split
+         |  FROM (SELECT doc_id,
+         |          ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+         |           1, 15))::BIGINT % 100 AS bucket
+         |        FROM documents)),
+         |c AS (
+         |  SELECT doc_id,
+         |    doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+         |      AS is_canonical
+         |  FROM documents)
+         |SELECT f.doc_id, sp.split,
+         |  CAST(f.n_tokens AS BIGINT) AS n_tokens,
+         |  c.is_canonical,
+         |  ${TextQueries.qualityKeepSql} AS keep_quality,
+         |  c.is_canonical AND (${TextQueries.qualityKeepSql}) AS keep
+         |FROM f JOIN sp USING (doc_id) JOIN c USING (doc_id)
+         |ORDER BY f.doc_id""".stripMargin
+    },
     "dataset_split" -> {
       val cases = splitBuckets.init
         .map { case (n, hi) => s"WHEN bucket < $hi THEN '$n'" }

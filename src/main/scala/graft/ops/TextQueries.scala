@@ -315,6 +315,23 @@ object TextQueries {
   val qfMinStopwords = 2
   val qfMinQuality = 50.0
 
+  /** The five rule booleans ANDed into one admission predicate — the
+    * reusable form of [[qualityFilter]]'s gate (CurationQueries'
+    * training manifest composes it). Same codegen projection. */
+  private[ops] def qualityKeepCol(text: Column): Column = {
+    val t = tokens(text)
+    val nTokens = size(t).cast("double")
+    val wchars = length(regexp_replace(text, "\\s+", "")).cast("double")
+    val meanWlen = wchars / greatest(nTokens, lit(1.0))
+    val dupFrac =
+      lit(1.0) - size(array_distinct(t)).cast("double") / greatest(nTokens, lit(1.0))
+    val nStop = Seq("the", "a", "and", "of", "to")
+      .map(w => array_contains(t, w).cast("int")).reduce(_ + _)
+    nTokens.between(qfMinTokens, qfMaxTokens) &&
+      meanWlen.between(3.5, 4.6) && (dupFrac <= qfMaxDupFrac) &&
+      (nStop >= qfMinStopwords) && (qualityExpr(text) >= qfMinQuality)
+  }
+
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     val nTokens = size(t).cast("double")
@@ -390,6 +407,43 @@ object TextQueries {
   private def duckCount(input: String, re: String) =
     s"length(regexp_extract_all($input, '$re'))"
 
+  /** quality_filter's rule CTE chain ending in
+    * `f(doc_id, n_tokens, mean_wlen, dup_frac, n_stop, quality)` and the
+    * ANDed keep predicate over `f`'s columns — shared with the
+    * training-manifest oracle in CurationQueries. */
+  private[ops] lazy val qualityCtes =
+    s"""m AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |                t -> t != '') AS t,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |      AS wchars,
+       |    CAST(${duckCount("text", "[^A-Za-z0-9\\s]")} AS DOUBLE) AS punct,
+       |    CAST(${duckCount("lower(text)", "\\b(the|a|and|of|to)\\b")} AS DOUBLE)
+       |      AS stop
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(length(t) AS DOUBLE) AS n_tokens,
+       |    wchars / greatest(CAST(length(t) AS DOUBLE), 1.0) AS mean_wlen,
+       |    1.0 - CAST(length(list_distinct(t)) AS DOUBLE)
+       |          / greatest(CAST(length(t) AS DOUBLE), 1.0) AS dup_frac,
+       |    (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END +
+       |     CASE WHEN list_contains(t, 'a')   THEN 1 ELSE 0 END +
+       |     CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END +
+       |     CASE WHEN list_contains(t, 'of')  THEN 1 ELSE 0 END +
+       |     CASE WHEN list_contains(t, 'to')  THEN 1 ELSE 0 END) AS n_stop,
+       |    round(least(n_tokens_q / 4.0, 50.0) + least(stop * 5.0, 30.0)
+       |      - least(punct, 20.0) + 20.0, 6) AS quality
+       |  FROM (SELECT *, CAST(length(t) AS DOUBLE) AS n_tokens_q FROM m))""".stripMargin
+
+  private[ops] lazy val qualityKeepSql =
+    s"""(n_tokens BETWEEN $qfMinTokens AND $qfMaxTokens)
+       |    AND (mean_wlen BETWEEN 3.5 AND 4.6)
+       |    AND dup_frac <= $qfMaxDupFrac
+       |    AND n_stop >= $qfMinStopwords
+       |    AND quality >= $qfMinQuality""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_entropy" ->
       """WITH toks AS (
@@ -414,30 +468,7 @@ object TextQueries {
         |    ELSE 0.0 END, 6) AS norm_entropy
         |FROM terms GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
     "quality_filter" ->
-      s"""WITH m AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '\\s+'),
-         |                t -> t != '') AS t,
-         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-         |      AS wchars,
-         |    CAST(${duckCount("text", "[^A-Za-z0-9\\s]")} AS DOUBLE) AS punct,
-         |    CAST(${duckCount("lower(text)", "\\b(the|a|and|of|to)\\b")} AS DOUBLE)
-         |      AS stop
-         |  FROM documents),
-         |f AS (
-         |  SELECT doc_id,
-         |    CAST(length(t) AS DOUBLE) AS n_tokens,
-         |    wchars / greatest(CAST(length(t) AS DOUBLE), 1.0) AS mean_wlen,
-         |    1.0 - CAST(length(list_distinct(t)) AS DOUBLE)
-         |          / greatest(CAST(length(t) AS DOUBLE), 1.0) AS dup_frac,
-         |    (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END +
-         |     CASE WHEN list_contains(t, 'a')   THEN 1 ELSE 0 END +
-         |     CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END +
-         |     CASE WHEN list_contains(t, 'of')  THEN 1 ELSE 0 END +
-         |     CASE WHEN list_contains(t, 'to')  THEN 1 ELSE 0 END) AS n_stop,
-         |    round(least(n_tokens_q / 4.0, 50.0) + least(stop * 5.0, 30.0)
-         |      - least(punct, 20.0) + 20.0, 6) AS quality
-         |  FROM (SELECT *, CAST(length(t) AS DOUBLE) AS n_tokens_q FROM m))
+      s"""WITH $qualityCtes
          |SELECT doc_id,
          |  CAST(n_tokens AS BIGINT) AS n_tokens,
          |  round(mean_wlen, 6) AS mean_word_len,
@@ -448,11 +479,7 @@ object TextQueries {
          |  dup_frac <= $qfMaxDupFrac AS r_repeat,
          |  n_stop >= $qfMinStopwords AS r_stop,
          |  quality >= $qfMinQuality AS r_quality,
-         |  (n_tokens BETWEEN $qfMinTokens AND $qfMaxTokens)
-         |    AND (mean_wlen BETWEEN 3.5 AND 4.6)
-         |    AND dup_frac <= $qfMaxDupFrac
-         |    AND n_stop >= $qfMinStopwords
-         |    AND quality >= $qfMinQuality AS keep
+         |  $qualityKeepSql AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
     "text_bigram_lm" ->
       """WITH toks AS (

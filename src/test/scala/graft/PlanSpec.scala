@@ -281,6 +281,15 @@ class PlanSpec extends SparkSpec {
     assert(q22.contains("LeftAnti"), s"q22 must plan a left-anti join:\n$q22")
   }
 
+  test("training manifest pays exactly one hash shuffle (the dedup window)") {
+    val p = planOf(ops.CurationQueries.queries("training_manifest")(spark, sf))
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(hashEx.size === 1,
+      s"split/quality/token signals ride the scan; only canonicality " +
+        s"may shuffle:\n$p")
+  }
+
   test("bloom_join: the membership probe filters the fact BELOW the join") {
     val df = ops.RelationalQueries.queries("bloom_join")(spark, sf)
     val p = planOf(df)

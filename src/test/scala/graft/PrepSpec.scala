@@ -236,6 +236,29 @@ class PrepSpec extends SparkSpec {
     ()
   }
 
+  test("training manifest agrees with each standalone signal") {
+    import graft.ops.CurationQueries
+    val m = CurationQueries.queries("training_manifest")(spark, sf).cache()
+    val q = TextQueries.queries("quality_filter")(spark, sf)
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val d = DedupQueries.queries("dedup_exact")(spark, sf)
+      .select(col("doc_id"), col("keep").as("d_keep"))
+    val sp = CurationQueries.queries("dataset_split")(spark, sf)
+      .select(col("doc_id"), col("split").as("s_split"))
+    val j = m.join(q, Seq("doc_id")).join(d, Seq("doc_id"))
+      .join(sp, Seq("doc_id"))
+    assert(j.filter(col("keep_quality") =!= col("q_keep")).isEmpty,
+      "manifest quality gate ≡ quality_filter.keep")
+    assert(j.filter(col("is_canonical") =!= col("d_keep")).isEmpty,
+      "manifest canonicality ≡ dedup_exact.keep")
+    assert(j.filter(col("split") =!= col("s_split")).isEmpty,
+      "manifest split ≡ dataset_split.split")
+    assert(j.filter(col("keep") =!=
+      (col("is_canonical") && col("keep_quality"))).isEmpty)
+    m.unpersist()
+    ()
+  }
+
   test("dict encode round-trips: decoding ids reproduces every document") {
     val enc = PrepQueries.queries("dict_encode")(spark, sf)
     // rebuild the id→token table exactly as the operator ranks it
