@@ -807,7 +807,41 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Source-overlap matrix: pairwise Jaccard between each SOURCE's
+    * distinct 3-shingle set — the corpus-diversity report a curation run
+    * reads before deciding mixture weights (two mirrors/scrapes of the
+    * same site show up as a high-overlap pair; [[dedupSharedNgrams]] is
+    * the doc-grain view, this is the corpus-grain roll-up).
+    *
+    * Shape at scale: the (source, shingle) table is distinct-reduced
+    * BEFORE the self-join, and a shingle's join fan-out is bounded by the
+    * number of SOURCES (a handful), not its document frequency — so the
+    * pair counting is skew-free by construction; sizes ride a
+    * sources-sized broadcast. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ss = graft.Tables.documents(s, dir)
+      .select(col("source"),
+        explode(shingles(tokens(col("text")), 3)).as("shingle"))
+      .distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    ss.as("a")
+      .join(ss.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_sh").as("na"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_sh").as("nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("common"),
+        col("na"), col("nb"),
+        round(col("common") / (col("na") + col("nb") - col("common")), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_overlap" -> (sourceOverlap _),
     "dedup_triangles" -> (dedupTriangles _),
     "dedup_pagerank" -> (dedupPagerank _),
     "dedup_fuzzy" -> (dedupFuzzy _),
@@ -931,6 +965,25 @@ object DedupQueries {
        |    GROUP BY e.dst) s USING (doc_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "source_overlap" ->
+      s"""WITH $shingleCte,
+         |ss AS (
+         |  SELECT DISTINCT d.source, u.shingle
+         |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh) u
+         |  JOIN documents d USING (doc_id)),
+         |sz AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY 1),
+         |pc AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         count(*) AS common
+         |  FROM ss a JOIN ss b
+         |    ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, common, za.n_sh AS na, zb.n_sh AS nb,
+         |  round(common / CAST(za.n_sh + zb.n_sh - common AS DOUBLE), 6)
+         |    AS jaccard
+         |FROM pc JOIN sz za ON source_a = za.source
+         |        JOIN sz zb ON source_b = zb.source
+         |ORDER BY source_a, source_b""".stripMargin,
     "dedup_triangles" ->
       s"""WITH $jaccardPairsCte,
          |e AS MATERIALIZED (SELECT a, b FROM jpairs),

@@ -107,6 +107,19 @@ class AnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("source overlap: complete pair matrix, bounded jaccard") {
+    val o = DedupQueries.queries("source_overlap")(spark, sf).cache()
+    val s = Tables.documents(spark, sf).select("source").distinct().count()
+    val n = o.count()
+    assert(n > 0 && n <= s * (s - 1) / 2,
+      s"$n unordered source pairs with shared shingles, bound ${s * (s - 1) / 2}")
+    assert(o.filter(col("jaccard") < 0 || col("jaccard") > 1).isEmpty)
+    assert(o.filter(col("common") > least(col("na"), col("nb"))).isEmpty,
+      "intersection cannot exceed the smaller set")
+    o.unpersist()
+    ()
+  }
+
   test("MAD outliers: every flag exceeds the robust threshold, minority") {
     val o = AnalyticsQueries.queries("outlier_mad")(spark, sf).cache()
     val n = o.count()
