@@ -495,7 +495,39 @@ object SimilarityQueries {
       .orderBy("q", "rank")
   }
 
+  /** k-NN GRAPH construction — each vector's [[knnK]] nearest neighbors
+    * by cosine: the substrate for graph-based dedup clustering, diversity
+    * sampling, and HNSW-style index builds. This is the pinned BRUTE
+    * baseline (exact, O(n²) — the [[graft.ops.DedupQueries
+    * .dedupEmbedding]] contract at top-k grain); the scale path reuses
+    * this file's LSH/IVF candidate generation with the identical
+    * rank-and-cap tail. Per-node top-k is a WindowGroupLimit on
+    * (cosine desc, dst) — the rounded cosine plus the dst tie-break make
+    * the selected EDGE SET deterministic in both engines. */
+  val knnK = 5
+
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm", sqrt(dotProduct(col("e"), col("e"))))
+    val a = v.select(col("vec_id").as("src"), col("e").as("ea"),
+      col("norm").as("na"))
+    val b = v.select(col("vec_id").as("dst"), col("e").as("eb"),
+      col("norm").as("nb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    a.crossJoin(b).filter(col("src") =!= col("dst"))
+      .withColumn("cosine",
+        round(dotProduct(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= knnK)
+      .select("src", "rank", "dst", "cosine")
+      .orderBy("src", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_graph" -> (knnGraph _),
     "ann_ivf_trained" -> (annIvfTrained _),
     "embedding_pq_trained" -> (embeddingPqTrained _),
     "embedding_pq" -> (embeddingPq _),
@@ -716,6 +748,22 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "knn_graph" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e,
+         |         sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+         |              x -> x * x), 'sum')) AS norm
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(list_aggregate(list_transform(generate_series(1, length(a.e)),
+         |            i -> a.e[i] * b.e[i]), 'sum') / (a.norm * b.norm), 4)
+         |      AS cosine
+         |  FROM v a JOIN v b ON a.vec_id != b.vec_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY src
+         |         ORDER BY cosine DESC, dst) AS rank FROM sc)
+         |SELECT src, rank, dst, cosine FROM rk
+         |WHERE rank <= $knnK ORDER BY src, rank""".stripMargin,
     "ann_ivf_trained" ->
       s"""WITH $trainedIvfCtes
          |SELECT q, rank, neighbor, cosine FROM ann

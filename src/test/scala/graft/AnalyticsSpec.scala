@@ -107,6 +107,22 @@ class AnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("knn graph: exact k per node, cosine non-increasing by rank") {
+    import graft.ops.SimilarityQueries
+    val g = SimilarityQueries.queries("knn_graph")(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(g.count() === n * SimilarityQueries.knnK,
+      "every vector gets exactly k neighbors")
+    assert(g.filter(col("dst") === col("src")).isEmpty, "no self-edges")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("src").orderBy("rank")
+    val seq = g.withColumn("prev", lag(col("cosine"), 1).over(w))
+    assert(seq.filter(col("prev").isNotNull && col("cosine") > col("prev"))
+      .isEmpty, "neighbor list ordered by similarity")
+    g.unpersist()
+    ()
+  }
+
   test("source overlap: complete pair matrix, bounded jaccard") {
     val o = DedupQueries.queries("source_overlap")(spark, sf).cache()
     val s = Tables.documents(spark, sf).select("source").distinct().count()
