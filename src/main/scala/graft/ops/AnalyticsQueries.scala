@@ -177,21 +177,55 @@ object AnalyticsQueries {
   val madK = 3.0
   val madConsistency = 1.4826
 
-  def outlierMad(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir).select("event_id", "event_type", "value")
+  /** The (event_type, med, mad, madf) threshold table [[outlierMad]]
+    * scores against — exposed so the STREAMING gate
+    * ([[graft.streaming.EventStream.outlierGate]]) can probe the same
+    * batch-computed artifact per micro-batch. */
+  private[graft] def madThresholds(ev: DataFrame): DataFrame = {
     val med = ev.groupBy("event_type")
       .agg(percentile(col("value"), lit(0.5)).as("med"))
-    val dev = ev.join(broadcast(med), Seq("event_type"))
+    ev.join(broadcast(med), Seq("event_type"))
       .withColumn("absdev", abs(col("value") - col("med")))
-    val mad = dev.groupBy("event_type")
-      .agg(percentile(col("absdev"), lit(0.5)).as("mad"))
-    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(first(col("med")).as("med"),
+        percentile(col("absdev"), lit(0.5)).as("mad"))
       .withColumn("madf", greatest(col("mad"), lit(1e-12)))
+  }
+
+  def outlierMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select("event_id", "event_type", "value")
+    ev.join(broadcast(madThresholds(ev)), Seq("event_type"))
+      .withColumn("absdev", abs(col("value") - col("med")))
       .filter(col("absdev") > lit(madK) * lit(madConsistency) * col("madf"))
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
         round(col("absdev") / (lit(madConsistency) * col("madf")), 6)
           .as("robust_z"))
+      .orderBy("event_id")
+  }
+
+  /** Quantile normalization — map each value to its empirical CDF
+    * position (rank−1)/(n−1) within its event_type: the rank→uniform
+    * feature transform (robust to any monotone distortion) every
+    * feature-engineering pass reaches for. Deterministic: ranking breaks
+    * value ties by event_id, and the emitted quantile is an exact
+    * rational of two integers. Shape: one shuffle by group, two window
+    * functions over the SAME partitioning (no second exchange). The
+    * per-group total order is the oracle-checkable contract; at
+    * deployment scale the transform swaps to inverse-CDF bucketing off
+    * [[approxPercentile]]'s mergeable sketch, same output schema. */
+  def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy("event_type")
+    events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("rk") - 1).cast("double") /
+          (col("n") - 1).cast("double"), 6).as("quantile"))
       .orderBy("event_id")
   }
 
@@ -547,6 +581,7 @@ object AnalyticsQueries {
     "outlier_mad" -> (outlierMad _),
     "window_ewma" -> (windowEwma _),
     "corr_matrix" -> (corrMatrix _),
+    "quantile_normalize" -> (quantileNormalize _),
     "pivot_agg" -> (pivotAgg _),
     "salted_agg" -> (saltedAgg _),
     "approx_distinct" -> (approxDistinct _),
@@ -782,6 +817,13 @@ object AnalyticsQueries {
          |  row_number() $over AS seq_in_user
          |FROM events ORDER BY user_id, seq_in_user""".stripMargin
     },
+    "quantile_normalize" ->
+      """SELECT event_id, event_type, value,
+        |  round(CAST(row_number() OVER (PARTITION BY event_type
+        |          ORDER BY value, event_id) - 1 AS DOUBLE)
+        |      / CAST(count(*) OVER (PARTITION BY event_type) - 1 AS DOUBLE),
+        |    6) AS quantile
+        |FROM events ORDER BY event_id""".stripMargin,
     "outlier_mad" ->
       """WITH m AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -303,6 +303,25 @@ object EventStream {
       org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** Streaming robust-outlier gate — the stream-static composition of
+    * [[graft.ops.AnalyticsQueries.outlierMad]]: the (med, MAD) threshold
+    * table is a BATCH artifact (refreshed offline, exactly how
+    * production anomaly gates run), broadcast-joined to each micro-batch;
+    * the flag compares UNROUNDED doubles with the identical expression
+    * tree, so the streaming flagged set equals the batch operator's rows
+    * exactly (EventStreamSpec). Per-batch cost: one broadcast join + a
+    * scan-speed projection — no streaming state at all. */
+  def outlierGate(events: DataFrame, thresholds: DataFrame): DataFrame = {
+    import graft.ops.AnalyticsQueries.{madConsistency, madK}
+    events.join(broadcast(thresholds), Seq("event_type"))
+      .withColumn("absdev", abs(col("value") - col("med")))
+      .filter(col("absdev") > lit(madK) * lit(madConsistency) * col("madf"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        round(col("absdev") / (lit(madConsistency) * col("madf")), 6)
+          .as("robust_z"))
+  }
+
   /** Streaming fixed-depth EWMA per user ([[EwmaProcessor]]) — append
     * mode: every event emits exactly one (event_id, ewma) row, bit-equal to
     * the batch `window_ewma` under the in-order delivery contract. */

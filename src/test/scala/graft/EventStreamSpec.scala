@@ -274,6 +274,27 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming outlier gate equals the batch MAD operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val th = graft.ops.AnalyticsQueries.madThresholds(
+      Tables.events(spark, sf).select(col("event_type"), col("value")))
+    val mem = MemoryStream[Ev]
+    val q = EventStream.outlierGate(mem.toDF(), th)
+      .writeStream.format("memory").queryName("ogate")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    val rows = evRows(Long.MaxValue)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ogate")
+    val want = graft.ops.AnalyticsQueries.queries("outlier_mad")(spark, sf)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "stream-static gate must flag exactly the batch outlier set")
+  }
+
   test("mapGroupsWithState accumulates running user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
