@@ -489,7 +489,43 @@ object RelationalQueries {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Co-purchase pair mining (frequent itemsets at pair grain, with
+    * LIFT): which parts ship together in the same order more than chance
+    * predicts — the association-rule primitive behind recommenders and
+    * basket analysis. Support counting self-joins the (order, part)
+    * table ON THE ORDER KEY, so fan-out is bounded by basket size
+    * (≤ C(|order|,2) pair rows per order — skew-free regardless of how
+    * popular a part is); part frequencies and the order count ride
+    * dim-sized broadcasts. lift = n_co·N / (n_a·n_b), exact integers
+    * until one final double division. */
+  val copMinSupport = 2
+
+  def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val freq = li.groupBy("pk").agg(count(lit(1)).as("cnt"))
+    val n = li.agg(countDistinct(col("ok")).as("n_orders"))
+    li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= copMinSupport)
+      .join(broadcast(freq.select(col("pk").as("part_a"),
+        col("cnt").as("n_a"))), Seq("part_a"))
+      .join(broadcast(freq.select(col("pk").as("part_b"),
+        col("cnt").as("n_b"))), Seq("part_b"))
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("n_co"), col("n_a"),
+        col("n_b"),
+        round(col("n_co").cast("double") * col("n_orders")
+          / (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy("part_a", "part_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "copurchase_pairs" -> (copurchasePairs _),
     "bloom_join" -> (bloomJoin _),
     "mv_incremental" -> (mvIncremental _),
     "q6_forecast" -> (q6Forecast _),
@@ -514,6 +550,22 @@ object RelationalQueries {
     "asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "copurchase_pairs" ->
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |freq AS (SELECT pk, count(*) AS cnt FROM li GROUP BY 1),
+         |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+         |pairs AS (
+         |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_co
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $copMinSupport)
+         |SELECT part_a, part_b, n_co, fa.cnt AS n_a, fb.cnt AS n_b,
+         |  round(CAST(n_co AS DOUBLE) * n.n_orders / (fa.cnt * fb.cnt), 6)
+         |    AS lift
+         |FROM pairs JOIN freq fa ON part_a = fa.pk
+         |           JOIN freq fb ON part_b = fb.pk
+         |CROSS JOIN n
+         |ORDER BY part_a, part_b""".stripMargin,
     // the bloom pre-filter is semantically transparent (the join removes
     // false positives), so the oracle is the plain selective-dim join
     "bloom_join" ->

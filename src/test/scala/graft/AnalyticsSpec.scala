@@ -107,6 +107,21 @@ class AnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("copurchase pairs: support bounds, orientation, positive lift") {
+    val p = graft.ops.RelationalQueries.queries("copurchase_pairs")(spark, sf)
+      .cache()
+    assert(p.count() > 0)
+    assert(p.filter(col("part_a") >= col("part_b")).isEmpty,
+      "pairs are oriented part_a < part_b")
+    assert(p.filter(col("n_co") > least(col("n_a"), col("n_b"))).isEmpty,
+      "co-occurrence cannot exceed either part's own support")
+    assert(p.filter(col("n_co") <
+      graft.ops.RelationalQueries.copMinSupport).isEmpty)
+    assert(p.filter(col("lift") <= 0).isEmpty)
+    p.unpersist()
+    ()
+  }
+
   test("knn graph: exact k per node, cosine non-increasing by rank") {
     import graft.ops.SimilarityQueries
     val g = SimilarityQueries.queries("knn_graph")(spark, sf).cache()
