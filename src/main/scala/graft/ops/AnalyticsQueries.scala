@@ -106,8 +106,12 @@ object AnalyticsQueries {
         cols.combinations(2).toSeq.map { case Seq((c1, a1), (c2, a2)) =>
           sum(dec(c1) * dec(c2)).as(s"s_$a1$a2")
         }
+    // materialize the single stats row once — without this, the 3-way
+    // union of pair projections would re-run the aggregate (and rescan
+    // lineitem) once per pair
     val a = Tables.lineitem(s, dir)
       .agg(count(lit(1)).as("n"), sums: _*)
+      .localCheckpoint()
     def dbl(name: String) = col(name).cast("double")
     def varTerm(x: String) =
       dbl("n") * dbl(s"s_$x$x") - dbl(s"s_$x") * dbl(s"s_$x")
