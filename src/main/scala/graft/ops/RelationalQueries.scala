@@ -524,7 +524,229 @@ object RelationalQueries {
       .orderBy("part_a", "part_b")
   }
 
+  /** TPC-H Q2-shaped: minimum-cost supplier per part. This corpus has no
+    * partsupp table, so the supply relation is OBSERVED from lineitem:
+    * the unit cost of a (part, supplier) edge is the minimum
+    * extendedprice/quantity it ever shipped at. For each EUROPE-supplied
+    * part of one type, return the supplier(s) achieving that part's
+    * minimum unit cost — Q2's correlated-min scalar subquery, written
+    * DECORRELATED (per-part min joined back); the oracle keeps the
+    * correlated form, so the match proves the rewrite. Unit costs divide
+    * in IEEE double identically in both engines, so the min-equality is
+    * bit-exact. Both aggregates and the min-join share one partitioning
+    * by part key; the part/supplier dims ride in as broadcasts. */
+  def q2MinCost(s: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    val costs = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "LARGE")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("s_suppkey"), col("s_name"), col("n_name"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val minc = costs.groupBy(col("p_partkey").as("mc_partkey"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    costs.join(minc, col("p_partkey") === col("mc_partkey") &&
+        col("unit_cost") === col("min_cost"))
+      .select(col("p_partkey"), col("s_name"), col("n_name"),
+        round(col("unit_cost"), 6).as("unit_cost"))
+      .orderBy("p_partkey", "s_name")
+  }
+
+  /** TPC-H Q9-shaped: profit per supplier nation per year for one part
+    * family. No ps_supplycost here — the cost proxy is 60% of the part's
+    * retail price per unit, which preserves Q9's shape exactly: fact ×
+    * two broadcast dims (name-filtered part, supplier→nation), profit
+    * as an exact DECIMAL sum, grouped by (nation, year). */
+  def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val profit = (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      lit(0.6) * col("p_retailprice") * col("l_quantity"))
+      .cast("decimal(22,6)")
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+        "l_discount", "l_quantity")
+      .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(profit).cast("double").as("profit"))
+      .orderBy(col("n_name"), col("l_year").desc)
+  }
+
+  /** TPC-H Q11-shaped: important parts by observed supply value from one
+    * nation group's suppliers — keep parts whose value exceeds
+    * 1/[[q11ShareMult]] of the group total. Q11's HAVING-vs-scalar-
+    * subquery shape; the threshold compares EXACTLY via the
+    * rearrangement `value·mult > total` in DECIMAL (an avg-as-double
+    * threshold could flip borderline parts between engines). One shuffle
+    * (per-part aggregate); the grand total is one broadcast row. */
+  val q11ShareMult = 600
+
+  def q11Important(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val value = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum((col("l_quantity") * col("l_extendedprice"))
+        .cast("decimal(22,2)")).as("value"))
+    val total = value.agg(sum(col("value")).as("total"))
+    value.join(broadcast(total))
+      .filter(col("value") * q11ShareMult > col("total"))
+      .select(col("p_partkey"), col("value").cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12-shaped: priority mix of LATE shipments. No l_shipmode or
+    * commit/receipt dates in this corpus: a line is late if it shipped
+    * more than [[q12LateDays]] days after its order date, and linestatus
+    * stands in for shipmode. Q12's conditional pivot (urgent+high vs
+    * other) over one join; both date predicates sit on scan columns. */
+  val q12LateDays = 60
+
+  def q12Priority(s: SparkSession, dir: String): DataFrame = {
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(year(col("l_shipdate")) === 1997)
+      .select("l_orderkey", "l_shipdate", "l_linestatus")
+      .join(Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > q12LateDays)
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!urgent, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q15-shaped: top supplier(s) by revenue over one quarter. The
+    * max-revenue threshold is Q15's scalar subquery over the revenue
+    * view — revenue stays DECIMAL until after the equality so the
+    * tie-set is exact; the max is one broadcast row, the supplier dim a
+    * broadcast join against the aggregated (tiny) side. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(22,6)")).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.join(broadcast(mx)).filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16-shaped: supplier diversity per part slice — DISTINCT
+    * suppliers observed shipping each (brand, type, size) combination,
+    * excluding one brand, a size list, and "complaint" suppliers
+    * (negative account balance stands in for the comment scan; Q16's
+    * NOT IN is the left-anti join — exact here because supplier keys
+    * are non-null). count(DISTINCT) shuffles at (group, suppkey) grain
+    * first, so no group ever materializes its supplier set in memory. */
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val badSupp = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20-shaped: dominant suppliers of a part family — suppliers
+    * in a nation group whose 1997 shipped quantity of some 'gear' part
+    * exceeds HALF that part's total 1997 shipments (Q20's
+    * availqty > ½·demand probe re-expressed over observed supply). The
+    * nested-IN chain becomes: broadcast name-filtered parts → one
+    * shuffle by part key feeding BOTH the per-(part,supplier) and
+    * per-part totals → threshold join → DISTINCT suppliers → broadcast
+    * supplier/nation dims. Quantities are integral doubles, so the
+    * half-total comparison is exact. */
+  def q20Dominant(s: SparkSession, dir: String): DataFrame = {
+    val li97 = Tables.lineitem(s, dir)
+      .filter(year(col("l_shipdate")) === 1997)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_name").like("%gear%")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+    val perPS = li97.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity")).as("qty"))
+    val perP = perPS.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("total_qty"))
+    val natSupp = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir).filter(col("n_name")
+        .isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    perPS.join(perP, Seq("l_partkey"))
+      .filter(col("qty") * 2 > col("total_qty"))
+      .select("l_suppkey").distinct()
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .select("s_name", "n_name")
+      .orderBy("s_name")
+  }
+
+  /** TPC-H Q21-shaped: suppliers who kept orders waiting. For
+    * 'F'-status multi-supplier orders, count each supplier's lines that
+    * shipped LAST: EXISTS another supplier's line in the order (semi
+    * join) ∧ NOT EXISTS another supplier's line shipping strictly later
+    * (anti join) — Q21's double correlated subquery as two self-joins.
+    * All three joins key on l_orderkey, so the fact stream shuffles
+    * ONCE and the sort-merge partitioning is reused; the supplier dim
+    * broadcasts; top-20 sorts only the per-supplier aggregate. */
+  def q21Waiting(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val others = li.select(col("l_orderkey").as("o2_orderkey"),
+      col("l_suppkey").as("o2_suppkey"), col("l_shipdate").as("o2_shipdate"))
+    li.join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+      .join(others, col("l_orderkey") === col("o2_orderkey") &&
+        col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      .join(others, col("l_orderkey") === col("o2_orderkey") &&
+        col("l_suppkey") =!= col("o2_suppkey") &&
+        col("o2_shipdate") > col("l_shipdate"), "left_anti")
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost" -> (q2MinCost _),
+    "q9_profit" -> (q9Profit _),
+    "q11_important" -> (q11Important _),
+    "q12_priority" -> (q12Priority _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q20_dominant" -> (q20Dominant _),
+    "q21_waiting" -> (q21Waiting _),
     "copurchase_pairs" -> (copurchasePairs _),
     "bloom_join" -> (bloomJoin _),
     "mv_incremental" -> (mvIncremental _),
@@ -550,6 +772,119 @@ object RelationalQueries {
     "asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
+    // the Spark side is decorrelated; the oracle keeps Q2's correlated
+    // scalar-min subquery, so the green row proves the rewrite
+    "q2_min_cost" ->
+      """WITH supp AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |                JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |costs AS (
+        |  SELECT l_partkey AS pk, s_suppkey, s_name, n_name,
+        |         min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |                JOIN supp ON l_suppkey = s_suppkey
+        |  WHERE p_type = 'LARGE'
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT pk AS p_partkey, s_name, n_name,
+        |       round(unit_cost, 6) AS unit_cost
+        |FROM costs c1
+        |WHERE unit_cost = (SELECT min(unit_cost) FROM costs c2
+        |                   WHERE c2.pk = c1.pk)
+        |ORDER BY p_partkey, s_name""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name, year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                - 0.6 * p_retailprice * l_quantity
+        |                AS DECIMAL(22,6))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q11_important" ->
+      s"""WITH val AS (
+         |  SELECT l_partkey AS p_partkey,
+         |         sum(CAST(l_quantity * l_extendedprice AS DECIMAL(22,2)))
+         |           AS value
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |                JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+         |  GROUP BY 1)
+         |SELECT p_partkey, CAST(value AS DOUBLE) AS value
+         |FROM val
+         |WHERE value * $q11ShareMult > (SELECT sum(value) FROM val)
+         |ORDER BY value DESC, p_partkey""".stripMargin,
+    "q12_priority" ->
+      s"""SELECT l_linestatus,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE year(l_shipdate) = 1997
+         |  AND date_diff('day', o_orderdate, l_shipdate) > $q12LateDays
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice * (1 - l_discount)
+        |             AS DECIMAL(22,6))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE)
+        |  AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_dominant" ->
+      """WITH li97 AS (
+        |  SELECT l_partkey, l_suppkey, l_quantity
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%gear%' AND year(l_shipdate) = 1997),
+        |per_ps AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM li97 GROUP BY 1, 2),
+        |per_p AS (
+        |  SELECT l_partkey, sum(l_quantity) AS total_qty
+        |  FROM li97 GROUP BY 1)
+        |SELECT DISTINCT s_name, n_name
+        |FROM per_ps
+        |JOIN per_p USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE qty * 2 > total_qty
+        |  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+        |ORDER BY s_name""".stripMargin,
+    "q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "copurchase_pairs" ->
       s"""WITH li AS (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -256,6 +256,33 @@ class PlanSpec extends SparkSpec {
     assert(hashEx.isEmpty, s"no fact-side hash shuffle expected:\n$hashEx")
   }
 
+  test("TPC-H completion suite: subquery shapes plan as joins, dims broadcast") {
+    // q21: both correlated subqueries become self-joins (semi + anti),
+    // never a per-row re-scan; the top-20 is a top-k of the aggregate
+    val q21 = planOf(ops.RelationalQueries.queries("q21_waiting")(spark, sf))
+    assert(q21.contains("LeftSemi"), s"q21 EXISTS must plan semi:\n$q21")
+    assert(q21.contains("LeftAnti"), s"q21 NOT EXISTS must plan anti:\n$q21")
+    assert(q21.contains("TakeOrderedAndProject"),
+      s"q21 limit must be a top-k:\n$q21")
+    // q16: the NOT IN supplier exclusion is a broadcast anti join
+    val q16 = planOf(ops.RelationalQueries.queries("q16_supplier_cnt")(spark, sf))
+    assert(q16.contains("BroadcastHashJoin") && q16.contains("LeftAnti"),
+      s"q16 exclusion must be a broadcast anti join:\n$q16")
+    // q15/q11: the scalar-subquery threshold rides in as a broadcast of
+    // ONE aggregated row, not a shuffle join
+    for (name <- Seq("q15_top_supplier", "q11_important")) {
+      val p = planOf(ops.RelationalQueries.queries(name)(spark, sf))
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"),
+        s"$name threshold row must broadcast:\n$p")
+    }
+    // q2: the part-type filter reaches the part scan (semi-reduces the
+    // fact stream before any aggregate)
+    val q2 = formatted(ops.RelationalQueries.queries("q2_min_cost")(spark, sf))
+    assert(q2.contains("EqualTo(p_type,LARGE)"),
+      s"q2 part filter must push to the part scan:\n$q2")
+  }
+
   test("deep TPC-H suite: scan pushdown, broadcast dims, top-k, anti-join") {
     // q6: every predicate sits on the scan — the canonical pushdown probe
     val q6 = formatted(ops.RelationalQueries.queries("q6_forecast")(spark, sf))
