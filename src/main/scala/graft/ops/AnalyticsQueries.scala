@@ -568,7 +568,33 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence: P(next event type | current event type) — the sequence-
+    * analytics primitive behind next-action prediction, path analysis,
+    * and behavioral anomaly scoring. One window pass (lead over the
+    * per-user timeline — shuffle by user_id, unskewable at per-user
+    * grain), one count aggregate at (from,to) grain, and the row-
+    * normalizing total rides a tiny window over the aggregated matrix
+    * (≤ |types|² rows), never the event stream. Ordering ties break on
+    * event_id, so the sequence — and the matrix — is deterministic. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val t = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(seq))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val row = Window.partitionBy("from_type")
+    t.select(col("from_type"), col("to_type"), col("n_transitions"),
+        round(col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(row), 6).as("prob"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_transitions" -> (eventTransitions _),
     "funnel" -> (funnel _),
     "cohort_retention" -> (cohortRetention _),
     "trend_fit" -> (trendFit _),
@@ -617,6 +643,19 @@ object AnalyticsQueries {
          |ORDER BY w.window_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type, to_type, count(*) AS n_transitions
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  round(CAST(n_transitions AS DOUBLE) /
+        |        sum(n_transitions) OVER (PARTITION BY from_type), 6) AS prob
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
     "funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
          |           FROM events),

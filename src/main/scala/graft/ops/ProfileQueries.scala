@@ -54,8 +54,71 @@ object ProfileQueries {
   def dataProfile(s: SparkSession, dir: String): DataFrame =
     profile(Tables.orders(s, dir))
 
+  /** Declarative data-quality constraint audit (the Deequ/
+    * expectations-suite operator): one row per constraint with checked/
+    * violation counts and a pass flag, covering the four constraint
+    * families a warehouse gate needs — referential integrity (every
+    * fact FK resolves), key uniqueness, completeness (no nulls), and
+    * domain/range rules (accepted values, bounds, cross-field order).
+    *
+    * Shape: each constraint is ONE aggregate over its scan; FK checks
+    * are left joins against the (unique-keyed) dim counting unmatched
+    * rows — broadcast when the dim is small, shuffle otherwise; the
+    * per-constraint 1-row results union into the report. Nothing ever
+    * materializes violating ROWS (that's a debugging query, not the
+    * gate), so the audit output is O(#constraints) regardless of data
+    * size. The corpus genuinely violates `order_before_ship` (events
+    * data has pre-order shipdates), so the audit proves it can FAIL. */
+  def dqAudit(s: SparkSession, dir: String): DataFrame = {
+    def report(name: String, agg: DataFrame): DataFrame =
+      agg.select(lit(name).as("check_name"), col("n_checked"),
+        col("n_violations"), (col("n_violations") === 0L).as("passed"))
+
+    def fk(fact: DataFrame, fkCol: String, dim: DataFrame, pkCol: String,
+        name: String, bcast: Boolean): DataFrame = {
+      val d = dim.select(pkCol)
+      report(name, fact.select(fkCol)
+        .join(if (bcast) broadcast(d) else d, col(fkCol) === col(pkCol), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col(pkCol).isNull, 1L).otherwise(0L)).as("n_violations")))
+    }
+
+    def unique(df: DataFrame, key: String, name: String): DataFrame =
+      report(name, df.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col(key))).as("n_violations")))
+
+    def rule(df: DataFrame, violated: Column, name: String): DataFrame =
+      report(name, df.agg(count(lit(1)).as("n_checked"),
+        sum(when(violated, 1L).otherwise(0L)).as("n_violations")))
+
+    val orders = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val checks = Seq(
+      fk(orders, "o_custkey", Tables.customer(s, dir), "c_custkey",
+        "fk_orders_customer", bcast = true),
+      fk(li, "l_orderkey", orders, "o_orderkey",
+        "fk_lineitem_orders", bcast = false),
+      fk(li, "l_partkey", Tables.part(s, dir), "p_partkey",
+        "fk_lineitem_part", bcast = true),
+      fk(li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey",
+        "fk_lineitem_supplier", bcast = true),
+      unique(orders, "o_orderkey", "unique_orderkey"),
+      unique(Tables.customer(s, dir), "c_custkey", "unique_custkey"),
+      rule(orders, col("o_orderdate").isNull, "complete_orderdate"),
+      rule(orders, !col("o_orderstatus").isin("F", "O", "P"),
+        "domain_orderstatus"),
+      rule(li, !col("l_discount").between(0.0, 1.0), "range_discount"),
+      rule(li, col("l_quantity") <= 0, "range_quantity"),
+      rule(li.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey")),
+        col("l_shipdate") < col("o_orderdate"), "order_before_ship"))
+    checks.reduce(_ unionByName _).orderBy("check_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "data_profile" -> (dataProfile _))
+    "data_profile" -> (dataProfile _),
+    "dq_audit" -> (dqAudit _))
 
   private def colSql(name: String, minMax: String => String) =
     s"""SELECT '$name' AS col_name, count(*) AS n_rows,
@@ -69,10 +132,52 @@ object ProfileQueries {
   private val plain = (e: String) => s"CAST($e AS VARCHAR)"
   private val fixed = (e: String) => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"
 
+  private def fkSql(name: String, fact: String, fk: String, dim: String,
+      pk: String) =
+    s"""SELECT '$name' AS check_name, count(*) AS n_checked,
+       |  CAST(sum(CASE WHEN $pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_violations,
+       |  sum(CASE WHEN $pk IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+       |FROM $fact LEFT JOIN $dim ON $fk = $pk""".stripMargin
+
+  private def uniqueSql(name: String, table: String, key: String) =
+    s"""SELECT '$name' AS check_name, count(*) AS n_checked,
+       |  count(*) - count(DISTINCT $key) AS n_violations,
+       |  count(*) = count(DISTINCT $key) AS passed
+       |FROM $table""".stripMargin
+
+  private def ruleSql(name: String, from: String, violated: String) =
+    s"""SELECT '$name' AS check_name, count(*) AS n_checked,
+       |  CAST(sum(CASE WHEN $violated THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_violations,
+       |  sum(CASE WHEN $violated THEN 1 ELSE 0 END) = 0 AS passed
+       |FROM $from""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "data_profile" -> Seq(
       colSql("o_orderkey", plain), colSql("o_custkey", plain),
       colSql("o_orderstatus", plain), colSql("o_totalprice", fixed),
       colSql("o_orderdate", plain), colSql("o_orderpriority", plain))
-      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "dq_audit" -> Seq(
+      fkSql("fk_orders_customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      fkSql("fk_lineitem_orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      fkSql("fk_lineitem_part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      fkSql("fk_lineitem_supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      uniqueSql("unique_orderkey", "orders", "o_orderkey"),
+      uniqueSql("unique_custkey", "customer", "c_custkey"),
+      ruleSql("complete_orderdate", "orders", "o_orderdate IS NULL"),
+      ruleSql("domain_orderstatus", "orders",
+        "o_orderstatus NOT IN ('F', 'O', 'P')"),
+      ruleSql("range_discount", "lineitem",
+        "l_discount NOT BETWEEN 0.0 AND 1.0"),
+      ruleSql("range_quantity", "lineitem", "l_quantity <= 0"),
+      ruleSql("order_before_ship",
+        "lineitem JOIN orders ON l_orderkey = o_orderkey",
+        "l_shipdate < o_orderdate"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY check_name"))
 }

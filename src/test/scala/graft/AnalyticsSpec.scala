@@ -189,6 +189,26 @@ class AnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("event transitions: rows sum to 1, counts conserve events minus users") {
+    val t = AnalyticsQueries.queries("event_transitions")(spark, sf).cache()
+    assert(t.count() > 0)
+    // each from-row of the matrix is a probability distribution
+    val rowSums = t.groupBy("from_type")
+      .agg(sum(col("prob")).as("p"), sum(col("n_transitions")).as("n"))
+      .collect()
+    rowSums.foreach { r =>
+      // probs are rounded to 6dp, so the sum is 1 within rounding slack
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-4, s"row sum: $r")
+      assert(r.getLong(2) > 0)
+    }
+    // every event except each user's last transitions exactly once
+    val e = graft.Tables.events(spark, sf)
+    val expected = e.count() - e.select("user_id").distinct().count()
+    val total = t.agg(sum(col("n_transitions"))).collect()(0).getLong(0)
+    assert(total === expected, "transition count = |events| - |users|")
+    t.unpersist()
+  }
+
   test("ewma: convex bounds, first row is its own value, no nulls") {
     val e = AnalyticsQueries.queries("window_ewma")(spark, sf).cache()
     assert(e.count() > 0 && e.filter(col("ewma").isNull).isEmpty)

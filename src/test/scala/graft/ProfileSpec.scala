@@ -25,6 +25,28 @@ class ProfileSpec extends SparkSpec {
     assert(p("id").getString(4) === "1" && p("id").getString(5) === "4")
   }
 
+  test("dq_audit: one row per constraint, pass iff zero violations, " +
+      "and the audit can FAIL (corpus has pre-order shipdates)") {
+    val rows = ProfileQueries.queries("dq_audit")(spark, sf).collect()
+    assert(rows.length === 11, "one row per declared constraint")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1),
+        s"violations within [0, checked]: $r")
+      assert(r.getBoolean(3) === (r.getLong(2) == 0L),
+        s"passed must mean zero violations: $r")
+    }
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    // referential integrity and key uniqueness hold on this corpus
+    for (c <- Seq("fk_orders_customer", "fk_lineitem_orders",
+        "fk_lineitem_part", "fk_lineitem_supplier",
+        "unique_orderkey", "unique_custkey"))
+      assert(byName(c).getBoolean(3), s"$c should pass")
+    // the cross-field order rule is genuinely violated — proves the
+    // audit reports failures instead of rubber-stamping
+    assert(!byName("order_before_ship").getBoolean(3) &&
+      byName("order_before_ship").getLong(2) > 0)
+  }
+
   test("profile is one aggregate pass (single scan, no join)") {
     val df = ProfileQueries.queries("data_profile")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
