@@ -593,7 +593,63 @@ object AnalyticsQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** Chi-square contingency table: is event type independent of ISO
+    * weekday? Observed cell counts, expected counts under independence
+    * (row·col margins / N), and each cell's χ² contribution — the
+    * categorical-association test behind drift detection and feature
+    * screening. One count aggregate at cell grain; both margins and the
+    * grand total are re-aggregates of the ≤|types|·7 CELL table (never a
+    * second pass over events) riding in as broadcasts. Margins are exact
+    * BIGINTs, so expected/contrib are single deterministic IEEE
+    * divisions per cell — no FP-order ambiguity anywhere. */
+  def chiSquare(s: SparkSession, dir: String): DataFrame = {
+    val obs = events(s, dir)
+      .groupBy(col("event_type"), (weekday(col("ts")) + 1).as("isodow"))
+      .agg(count(lit(1)).as("observed"))
+    val rowM = obs.groupBy("event_type").agg(sum("observed").as("row_tot"))
+    val colM = obs.groupBy("isodow").agg(sum("observed").as("col_tot"))
+    val n = obs.agg(sum("observed").as("n_total"))
+    val expected = col("row_tot") * col("col_tot") / col("n_total")
+    obs.join(broadcast(rowM), Seq("event_type"))
+      .join(broadcast(colM), Seq("isodow"))
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("isodow"), col("observed"),
+        round(expected, 6).as("expected"),
+        round(pow(col("observed") - expected, 2) / expected, 6)
+          .as("chi2_contrib"))
+      .orderBy("event_type", "isodow")
+  }
+
+  /** Time-weighted average value per user (TWAP — the IoT/finance
+    * aggregate where a reading holds until the next one): each event's
+    * value is weighted by the MICROSECOND interval to the user's next
+    * event; the last event carries no interval. One lead window by
+    * user, then one aggregate; Σ(value·dt) accumulates in DECIMAL ×
+    * BIGINT so the sum is exact and order-independent (a double Σ over
+    * thousands of intervals differs across engines by summation order),
+    * with ONE double division at the end. */
+  def twap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val dt = unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))
+    events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .withColumn("dt_us", dt)
+      .filter(col("dt_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).as("span_us"),
+        sum(col("v") * col("dt_us")).as("vdt"))
+      .select(col("user_id"), col("n_intervals"), col("span_us"),
+        round(col("vdt").cast("double") / col("span_us").cast("double"), 6)
+          .as("twap"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chi_square" -> (chiSquare _),
+    "twap" -> (twap _),
     "event_transitions" -> (eventTransitions _),
     "funnel" -> (funnel _),
     "cohort_retention" -> (cohortRetention _),
@@ -643,6 +699,37 @@ object AnalyticsQueries {
          |ORDER BY w.window_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "chi_square" ->
+      """WITH obs AS (
+        |  SELECT event_type, isodow(CAST(ts AS TIMESTAMP)) AS isodow,
+        |         count(*) AS observed
+        |  FROM events GROUP BY 1, 2),
+        |rm AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS row_tot
+        |       FROM obs GROUP BY 1),
+        |cm AS (SELECT isodow, CAST(sum(observed) AS BIGINT) AS col_tot
+        |       FROM obs GROUP BY 1),
+        |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM obs)
+        |SELECT obs.event_type, obs.isodow, observed,
+        |  round(CAST(row_tot AS DOUBLE) * col_tot / n_total, 6) AS expected,
+        |  round(pow(observed - CAST(row_tot AS DOUBLE) * col_tot / n_total, 2)
+        |        / (CAST(row_tot AS DOUBLE) * col_tot / n_total), 6)
+        |    AS chi2_contrib
+        |FROM obs JOIN rm USING (event_type) JOIN cm USING (isodow)
+        |CROSS JOIN n
+        |ORDER BY event_type, isodow""".stripMargin,
+    "twap" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |    epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(CAST(ts AS TIMESTAMP)) AS dt_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(dt_us) AS BIGINT) AS span_us,
+        |  round(CAST(sum(v * dt_us) AS DOUBLE) /
+        |        CAST(sum(dt_us) AS DOUBLE), 6) AS twap
+        |FROM iv WHERE dt_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "event_transitions" ->
       """WITH seq AS (
         |  SELECT event_type,

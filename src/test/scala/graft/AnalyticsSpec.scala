@@ -189,6 +189,36 @@ class AnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("chi-square cells: counts conserve, expected margins match observed") {
+    val c = AnalyticsQueries.queries("chi_square")(spark, sf).cache()
+    val e = graft.Tables.events(spark, sf)
+    assert(c.agg(sum(col("observed"))).collect()(0).getLong(0) === e.count(),
+      "observed cells partition the event count")
+    assert(c.filter(col("chi2_contrib") < 0).isEmpty, "contributions >= 0")
+    // under-independence expected counts reproduce the observed margins
+    val margins = c.groupBy("event_type")
+      .agg(sum(col("observed")).as("o"), sum(col("expected")).as("ex"))
+      .collect()
+    margins.foreach { r =>
+      assert(math.abs(r.getLong(1) - r.getDouble(2)) < 1e-3,
+        s"row margin of expected = observed margin: $r")
+    }
+    c.unpersist()
+  }
+
+  test("twap: bounded by per-user value range, spans positive") {
+    val t = AnalyticsQueries.queries("twap")(spark, sf).cache()
+    assert(t.count() > 0 && t.filter(col("span_us") <= 0).isEmpty)
+    // a weighted mean can never leave [min, max] of the weighted values
+    val bounds = graft.Tables.events(spark, sf).groupBy("user_id")
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    assert(t.join(bounds, "user_id")
+      .filter(col("twap") < col("lo") - 1e-6 ||
+        col("twap") > col("hi") + 1e-6).isEmpty,
+      "twap outside the user's value range")
+    t.unpersist()
+  }
+
   test("event transitions: rows sum to 1, counts conserve events minus users") {
     val t = AnalyticsQueries.queries("event_transitions")(spark, sf).cache()
     assert(t.count() > 0)
