@@ -647,7 +647,45 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** Top-k session paths: the ordered event-type journey of each
+    * 30-minute-gap session, ranked by how many sessions follow it — the
+    * clickstream path-analysis operator behind funnels you haven't
+    * declared yet. Sessionization here is the WINDOW formulation (lag
+    * gap flag + running sum = session id) rather than `session_window`,
+    * because it keeps every step SQL-oracle-expressible; `sessionize`
+    * covers the native-operator path. Both windows and the per-session
+    * collect share ONE user-keyed shuffle; the path popularity aggregate
+    * runs over session-grain rows (|sessions| ≪ |events|), and the
+    * top-k is a TakeOrderedAndProject over path-grain rows. The ordered
+    * path is built engine-side via array_sort on (ts, event_id) structs
+    * — bounded by session length, deterministic because the sort key is
+    * unique. */
+  val sessionPathTopK = 20
+
+  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = unix_micros(col("ts")) -
+      unix_micros(lag(col("ts"), 1).over(w))
+    val e = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_sess",
+        when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(w))
+    e.groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))), x => x.getField("event_type")), ">")
+        .as("path"),
+        count(lit(1)).as("n_events"))
+      .groupBy(col("path"), col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(sessionPathTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_paths" -> (sessionPaths _),
     "chi_square" -> (chiSquare _),
     "twap" -> (twap _),
     "event_transitions" -> (eventTransitions _),
@@ -699,6 +737,28 @@ object AnalyticsQueries {
          |ORDER BY w.window_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "session_paths" ->
+      s"""WITH g AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |         OR epoch_us(CAST(ts AS TIMESTAMP))
+         |            - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+         |            > 1800000000
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+         |                                ORDER BY ts, event_id) AS session_id
+         |  FROM g),
+         |p AS (
+         |  SELECT user_id, session_id,
+         |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+         |    count(*) AS n_events
+         |  FROM s GROUP BY 1, 2)
+         |SELECT path, n_events, count(*) AS n_sessions
+         |FROM p GROUP BY 1, 2
+         |ORDER BY n_sessions DESC, path LIMIT $sessionPathTopK""".stripMargin,
     "chi_square" ->
       """WITH obs AS (
         |  SELECT event_type, isodow(CAST(ts AS TIMESTAMP)) AS isodow,

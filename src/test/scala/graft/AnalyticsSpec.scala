@@ -189,6 +189,19 @@ class AnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("session paths: path length matches n_events, ranked output") {
+    val p = AnalyticsQueries.queries("session_paths")(spark, sf).cache()
+    assert(p.count() > 0 && p.count() <= AnalyticsQueries.sessionPathTopK)
+    // the path string IS the session: segment count must equal n_events
+    assert(p.filter(size(split(col("path"), ">")) =!= col("n_events"))
+      .isEmpty, "path segments = session event count")
+    // ranking is by popularity: counts are non-increasing down the list
+    val counts = p.orderBy(col("n_sessions").desc, col("path"))
+      .select("n_sessions").collect().map(_.getLong(0))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    p.unpersist()
+  }
+
   test("chi-square cells: counts conserve, expected margins match observed") {
     val c = AnalyticsQueries.queries("chi_square")(spark, sf).cache()
     val e = graft.Tables.events(spark, sf)
