@@ -684,7 +684,43 @@ object AnalyticsQueries {
       .limit(sessionPathTopK)
   }
 
+  /** RFM customer segmentation — recency / frequency / monetary
+    * quintiles and the concatenated segment label, the marketing-BI
+    * staple. One per-customer aggregate of orders (monetary in DECIMAL,
+    * exact), then three ntile(5) windows over the CUSTOMER-grain rows —
+    * the deliberate single-partition global ranking of an aggregated
+    * side (|customers| ≪ |orders|; at true scale swap ntile for
+    * percentile-bucket joins, the approx_percentile path). Every window
+    * orders with c_custkey as the tiebreak, so quintile assignment is
+    * deterministic. The recency anchor is the corpus max order date
+    * (one broadcast row), not wall-clock — rerunnable. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+    val anchor = Tables.orders(s, dir)
+      .agg(max(col("o_orderdate")).as("anchor"))
+    val scored = perCust.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("anchor"), col("last_order")).cast("long"))
+    // score 5 = best (most recent / most frequent / highest spend)
+    val r = ntile(5).over(Window.orderBy(col("recency_days").desc,
+      col("o_custkey")))
+    val f = ntile(5).over(Window.orderBy(col("frequency"), col("o_custkey")))
+    val m = ntile(5).over(Window.orderBy(col("monetary"), col("o_custkey")))
+    scored.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary").cast("double").as("monetary"),
+        r.as("r_score"), f.as("f_score"), m.as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rfm_segments" -> (rfmSegments _),
     "session_paths" -> (sessionPaths _),
     "chi_square" -> (chiSquare _),
     "twap" -> (twap _),
@@ -737,6 +773,30 @@ object AnalyticsQueries {
          |ORDER BY w.window_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "rfm_segments" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |         count(*) AS frequency,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+        |sc AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', last_order, anchor) AS BIGINT)
+        |      AS recency_days,
+        |    frequency, monetary
+        |  FROM pc CROSS JOIN a)
+        |SELECT o_custkey, recency_days, frequency,
+        |  CAST(monetary AS DOUBLE) AS monetary,
+        |  ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+        |  ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+        |  ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+        |       AS VARCHAR) ||
+        |  CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS VARCHAR) ||
+        |  CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS VARCHAR)
+        |    AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
     "session_paths" ->
       s"""WITH g AS (
          |  SELECT user_id, ts, event_id, event_type,

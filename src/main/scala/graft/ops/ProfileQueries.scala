@@ -116,8 +116,35 @@ object ProfileQueries {
     checks.reduce(_ unionByName _).orderBy("check_name")
   }
 
+  /** Join-key skew report — the diagnostic a user runs BEFORE picking a
+    * salt factor or enabling a skew-join hint: the top-k heaviest values
+    * of a join key with each key's share and its ratio to the mean
+    * rows-per-key. One count aggregate at key grain; the corpus-wide
+    * stats (n_keys, n_rows) re-aggregate the KEY-grain counts and ride
+    * in as one broadcast row; the top-k is a TakeOrderedAndProject over
+    * key-grain rows (never a global sort of facts). Exact BIGINT counts
+    * make ratio/share single deterministic divisions. This is the
+    * measurement face of `salted_join`/`salted_agg`/AQE-skew handling
+    * elsewhere in this library. */
+  val skewTopK = 10
+
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+    val stats = cnts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"))
+    cnts.crossJoin(broadcast(stats))
+      .select(col("l_suppkey"), col("cnt"),
+        round(col("cnt").cast("double") * col("n_keys") / col("n_rows"), 6)
+          .as("skew_ratio"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("l_suppkey"))
+      .limit(skewTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_profile" -> (dataProfile _),
+    "skew_report" -> (skewReport _),
     "dq_audit" -> (dqAudit _))
 
   private def colSql(name: String, minMax: String => String) =
@@ -159,6 +186,16 @@ object ProfileQueries {
       colSql("o_orderstatus", plain), colSql("o_totalprice", fixed),
       colSql("o_orderdate", plain), colSql("o_orderpriority", plain))
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "skew_report" ->
+      s"""WITH c AS (
+         |  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+         |st AS (SELECT count(*) AS n_keys,
+         |              CAST(sum(cnt) AS BIGINT) AS n_rows FROM c)
+         |SELECT l_suppkey, cnt,
+         |  round(CAST(cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew_ratio,
+         |  round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share
+         |FROM c CROSS JOIN st
+         |ORDER BY cnt DESC, l_suppkey LIMIT $skewTopK""".stripMargin,
     "dq_audit" -> Seq(
       fkSql("fk_orders_customer", "orders", "o_custkey",
         "customer", "c_custkey"),

@@ -189,6 +189,33 @@ class AnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("rfm: balanced quintiles, segment is the score concat") {
+    val r = AnalyticsQueries.queries("rfm_segments")(spark, sf).cache()
+    val n = r.count()
+    assert(n > 0)
+    // ntile(5) buckets differ in size by at most 1
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val sizes = r.groupBy(c).count().collect().map(_.getLong(1))
+      assert(sizes.length === 5 && sizes.max - sizes.min <= 1,
+        s"$c quintiles must be balanced: ${sizes.mkString(",")}")
+    }
+    assert(r.filter(col("segment") =!=
+      concat(col("r_score"), col("f_score"), col("m_score"))).isEmpty)
+    r.unpersist()
+  }
+
+  test("skew report: shares and ratios consistent, descending heavy keys") {
+    import graft.ops.ProfileQueries
+    val k = ProfileQueries.queries("skew_report")(spark, sf).collect()
+    assert(k.length === ProfileQueries.skewTopK)
+    val cnts = k.map(_.getLong(1))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      "heaviest keys first")
+    k.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(3) > 0 && r.getDouble(3) < 1)
+    }
+  }
+
   test("session paths: path length matches n_events, ranked output") {
     val p = AnalyticsQueries.queries("session_paths")(spark, sf).cache()
     assert(p.count() > 0 && p.count() <= AnalyticsQueries.sessionPathTopK)
