@@ -452,7 +452,47 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** PMI collocations — which token pairs CO-OCCUR in documents more
+    * than independence predicts: pmi = ln(n_ab·N / (df_a·df_b)) over
+    * document-level co-occurrence, the word-association primitive
+    * behind collocation mining and embedding-quality probes.
+    *
+    * Fan-out control (the thing that kills naive pair mining at scale):
+    * pairs are generated ONLY within the top-[[pmiVocabK]] df vocabulary
+    * — a TakeOrderedAndProject over token-grain df counts, broadcast —
+    * so the per-doc self-join emits ≤ C(min(|doc∩vocab|, K), 2) rows
+    * regardless of document length, keyed on doc_id (unskewable). All
+    * counts are exact BIGINTs; products stay < 2⁵³ so the single double
+    * division inside ln is deterministic IEEE in both engines. */
+  val pmiVocabK = 100
+  val pmiMinSupport = 5
+
+  def tokenPmi(s: SparkSession, dir: String): DataFrame = {
+    val dt = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .distinct()
+    val dfc = dt.groupBy("token").agg(count(lit(1)).as("df"))
+    val vocab = dfc.orderBy(col("df").desc, col("token")).limit(pmiVocabK)
+    val dv = dt.join(broadcast(vocab), Seq("token"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val a = dv.select(col("doc_id"), col("token").as("token_a"),
+      col("df").as("df_a"))
+    val b = dv.select(col("doc_id"), col("token").as("token_b"),
+      col("df").as("df_b"))
+    a.join(b, Seq("doc_id")).filter(col("token_a") < col("token_b"))
+      .groupBy(col("token_a"), col("token_b"), col("df_a"), col("df_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= pmiMinSupport)
+      .crossJoin(broadcast(n))
+      .select(col("token_a"), col("token_b"), col("n_ab"), col("df_a"),
+        col("df_b"),
+        round(log(col("n_ab").cast("double") * col("n_docs") /
+          (col("df_a") * col("df_b"))), 6).as("pmi"))
+      .orderBy("token_a", "token_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_pmi" -> (tokenPmi _),
     "training_manifest" -> (trainingManifest _),
     "dataset_split" -> (datasetSplit _),
     "sample_weighted" -> (sampleWeighted _),
@@ -608,6 +648,30 @@ object CurationQueries {
          |WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
          |      % 100 < ($duckRate)
          |ORDER BY doc_id""".stripMargin,
+    "token_pmi" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, token FROM (
+         |    SELECT doc_id,
+         |      unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |             t -> t != '')) AS token
+         |    FROM documents)),
+         |dfc AS (SELECT token, count(*) AS df FROM dt GROUP BY 1),
+         |vocab AS (SELECT token, df FROM dfc
+         |          ORDER BY df DESC, token LIMIT $pmiVocabK),
+         |dv AS (SELECT doc_id, dt.token, df FROM dt JOIN vocab USING (token)),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |p AS (
+         |  SELECT a.token AS token_a, b.token AS token_b,
+         |         a.df AS df_a, b.df AS df_b, count(*) AS n_ab
+         |  FROM dv a JOIN dv b
+         |    ON a.doc_id = b.doc_id AND a.token < b.token
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT token_a, token_b, n_ab, df_a, df_b,
+         |  round(ln(CAST(n_ab AS DOUBLE) * n_docs / (df_a * df_b)), 6)
+         |    AS pmi
+         |FROM p CROSS JOIN n
+         |WHERE n_ab >= $pmiMinSupport
+         |ORDER BY token_a, token_b""".stripMargin,
     "vocab_topk" ->
       s"""WITH toks AS (
          |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\\s+'),

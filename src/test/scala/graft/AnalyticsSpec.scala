@@ -189,6 +189,24 @@ class AnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("token pmi: support floor, co-occurrence bounded by marginals") {
+    import graft.ops.CurationQueries
+    val p = CurationQueries.queries("token_pmi")(spark, sf).cache()
+    assert(p.count() > 0)
+    assert(p.filter(col("n_ab") < CurationQueries.pmiMinSupport).isEmpty)
+    // a pair can't co-occur more often than either token appears
+    assert(p.filter(col("n_ab") > least(col("df_a"), col("df_b"))).isEmpty)
+    // hence pmi <= ln(N / max(df_a, df_b)) — check via the looser
+    // algebraic identity on the emitted columns
+    val bad = p.filter(col("pmi") - 1e-6 >
+      log(col("n_ab") * least(col("df_a"), col("df_b")).cast("double") /
+        (col("df_a") * col("df_b")) *
+        lit(graft.Tables.documents(spark, sf).count()) /
+        col("n_ab")))
+    assert(bad.isEmpty, "pmi above its marginal bound")
+    p.unpersist()
+  }
+
   test("rfm: balanced quintiles, segment is the score concat") {
     val r = AnalyticsQueries.queries("rfm_segments")(spark, sf).cache()
     val n = r.count()
