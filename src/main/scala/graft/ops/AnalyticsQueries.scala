@@ -719,7 +719,63 @@ object AnalyticsQueries {
       .orderBy("o_custkey")
   }
 
+  /** Per-user FEATURE-STORE assembly — the feature-engineering operator
+    * every ML pipeline runs before training: one row per user with
+    * activity counts, per-type rates (conditional aggregation over the
+    * known type enum — no pivot shuffle), recency span, active days,
+    * and exact value statistics. EVERYTHING rides ONE partial+final
+    * hash aggregate keyed by user — zero joins, zero windows — so at
+    * 100 TB the operator costs exactly one shuffle of partial aggregate
+    * states. Value sums go through DECIMAL (order-independent); ratios
+    * divide exact integers once at the end. */
+  val userFeatureTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def userFeatures(s: SparkSession, dir: String): DataFrame = {
+    val typeCounts = userFeatureTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    val aggs = Seq(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("ts").cast("date")).as("active_days"),
+      min(col("ts")).as("first_seen"),
+      max(col("ts")).as("last_seen"),
+      sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+      max(col("value")).as("max_value")) ++ typeCounts
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("user_id"), col("n_events"), col("active_days"),
+        col("first_seen"), col("last_seen"),
+        round(col("sum_value").cast("double") / col("n_events"), 6)
+          .as("mean_value"),
+        col("max_value"),
+        round(col("n_events").cast("double") / col("active_days"), 6)
+          .as("events_per_active_day")) ++
+        userFeatureTypes.map(t => col(s"n_$t")): _*)
+      .orderBy("user_id")
+  }
+
+  /** Consecutive-duplicate suppression — the sensor/event-stream
+    * cleaning primitive (collapse repeated identical readings, keep the
+    * first of each run): drop an event when its type equals the
+    * PREVIOUS event's type on the same user timeline. One lag window by
+    * user (unskewable per-user grain), then a scan-side filter — the
+    * batch twin of streaming `dropDuplicatesWithinWatermark` for the
+    * run-length case it can't express. */
+  def dedupConsecutive(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("event_type") =!= col("prev_type"))
+      .select("event_id", "user_id", "ts", "event_type")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "user_features" -> (userFeatures _),
+    "dedup_consecutive" -> (dedupConsecutive _),
     "rfm_segments" -> (rfmSegments _),
     "session_paths" -> (sessionPaths _),
     "chi_square" -> (chiSquare _),
@@ -773,6 +829,34 @@ object AnalyticsQueries {
          |ORDER BY w.window_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "user_features" -> {
+      val typeCols = userFeatureTypes.map(t =>
+        s"""  CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS n_$t""".stripMargin).mkString(",\n")
+      s"""SELECT user_id, count(*) AS n_events,
+         |  count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+         |    AS active_days,
+         |  min(CAST(ts AS TIMESTAMP)) AS first_seen,
+         |  max(CAST(ts AS TIMESTAMP)) AS last_seen,
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |        / count(*), 6) AS mean_value,
+         |  max(value) AS max_value,
+         |  round(CAST(count(*) AS DOUBLE) /
+         |        count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)), 6)
+         |    AS events_per_active_day,
+         |$typeCols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "dedup_consecutive" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |FROM l
+        |WHERE prev_type IS NULL OR event_type <> prev_type
+        |ORDER BY event_id""".stripMargin,
     "rfm_segments" ->
       """WITH pc AS (
         |  SELECT o_custkey, max(o_orderdate) AS last_order,

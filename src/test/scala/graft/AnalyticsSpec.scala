@@ -189,6 +189,36 @@ class AnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("user features: join-free single-aggregate plan, counts partition") {
+    val f = AnalyticsQueries.queries("user_features")(spark, sf)
+    val plan = f.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"feature assembly must not join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"one scan of events only:\n$plan")
+    val rows = f.cache()
+    // the per-type conditional counts partition the user's event count
+    val typeSum = AnalyticsQueries.userFeatureTypes
+      .map(t => col(s"n_$t")).reduce(_ + _)
+    assert(rows.filter(typeSum =!= col("n_events")).isEmpty,
+      "type counts must sum to n_events")
+    assert(rows.filter(col("active_days") <= 0 ||
+      col("active_days") > col("n_events")).isEmpty)
+    rows.unpersist()
+  }
+
+  test("consecutive dedup: no adjacent duplicate types survive") {
+    import org.apache.spark.sql.expressions.Window
+    val d = AnalyticsQueries.queries("dedup_consecutive")(spark, sf).cache()
+    val total = graft.Tables.events(spark, sf).count()
+    assert(d.count() > 0 && d.count() <= total)
+    // re-derive adjacency on the CLEANED stream: no run survives
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val adjacent = d.withColumn("p", lag(col("event_type"), 1).over(w))
+      .filter(col("event_type") === col("p"))
+    assert(adjacent.isEmpty, "cleaned stream still has consecutive dupes")
+    d.unpersist()
+  }
+
   test("token pmi: support floor, co-occurrence bounded by marginals") {
     import graft.ops.CurationQueries
     val p = CurationQueries.queries("token_pmi")(spark, sf).cache()
