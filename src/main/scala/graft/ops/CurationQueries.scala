@@ -491,7 +491,40 @@ object CurationQueries {
       .orderBy("token_a", "token_b")
   }
 
+  /** Per-document keyword extraction — each doc's top-[[keywordsK]]
+    * TF-IDF terms, the metadata-enrichment operator behind search
+    * snippets and topic tagging. Corpus tokenized ONCE into (doc,
+    * token, tf); df re-aggregates the tf table (token grain, never the
+    * corpus); the tf⋈df equi-join shuffles on token; the per-doc top-k
+    * plans as WindowGroupLimit (rank ≤ k pushed below the sort), never
+    * a global sort. Scoring is tf·ln(N/df) — one deterministic IEEE
+    * expression per row (libm ln is bit-stable across engines, proven
+    * by `text_bigram_lm`), ranked with token tiebreak so rank
+    * assignment can't diverge. The corpus-level twin is
+    * [[tfidfTopTerms]]; this is the doc-level face. */
+  val keywordsK = 3
+
+  def docKeywords(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val score = col("tf") * log(col("n_docs").cast("double") / col("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_raw").desc, col("token"))
+    tf.join(dfc, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_raw", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= keywordsK)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), round(col("score_raw"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_keywords" -> (docKeywords _),
     "token_pmi" -> (tokenPmi _),
     "training_manifest" -> (trainingManifest _),
     "dataset_split" -> (datasetSplit _),
@@ -648,6 +681,25 @@ object CurationQueries {
          |WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
          |      % 100 < ($duckRate)
          |ORDER BY doc_id""".stripMargin,
+    "doc_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |           t -> t != '')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, token, tf, df,
+         |    tf * ln(CAST(n_docs AS DOUBLE) / df) AS score_raw,
+         |    row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, token)
+         |      AS rank
+         |  FROM tf JOIN dfc USING (token) CROSS JOIN n)
+         |SELECT doc_id, rank, token, tf, df, round(score_raw, 6) AS score
+         |FROM scored WHERE rank <= $keywordsK
+         |ORDER BY doc_id, rank""".stripMargin,
     "token_pmi" ->
       s"""WITH dt AS (
          |  SELECT DISTINCT doc_id, token FROM (

@@ -219,6 +219,25 @@ class AnalyticsSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("doc keywords: contiguous ranks, top-k plans as WindowGroupLimit") {
+    import graft.ops.CurationQueries
+    val k = CurationQueries.queries("doc_keywords")(spark, sf)
+    val plan = k.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc top-k must push the rank limit below the sort:\n$plan")
+    val rows = k.cache()
+    assert(rows.count() > 0)
+    assert(rows.filter(col("rank") < 1 ||
+      col("rank") > CurationQueries.keywordsK).isEmpty)
+    // ranks per doc are contiguous from 1 (no gaps, no duplicates)
+    val perDoc = rows.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"),
+        countDistinct(col("rank")).as("d"))
+    assert(perDoc.filter(col("n") =!= col("mx") ||
+      col("n") =!= col("d")).isEmpty, "ranks must be 1..n per doc")
+    rows.unpersist()
+  }
+
   test("token pmi: support floor, co-occurrence bounded by marginals") {
     import graft.ops.CurationQueries
     val p = CurationQueries.queries("token_pmi")(spark, sf).cache()
