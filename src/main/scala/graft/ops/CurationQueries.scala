@@ -523,8 +523,71 @@ object CurationQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** Hashing-trick dimensionality (buckets per document vector). */
+  val fhDim = 64
+
+  /** Hashing-trick feature vectorization (the HashingVectorizer /
+    * Vowpal-Wabbit move): every token hashes straight to one of [[fhDim]]
+    * buckets with a SIGNED second hash, so no vocabulary pass, no
+    * dictionary state, no OOV — the property that matters at 100 TB,
+    * where a vocabulary build is a full extra corpus aggregation and a
+    * broadcast that grows with the data. Signed hashing makes collision
+    * noise zero-mean (Weinberger et al. 2009); exact zeros (fully
+    * cancelled buckets) are dropped like any sparse encoding. Shape:
+    * explode → ONE map-side-combined hash aggregate on (doc_id, bucket) —
+    * output ≤ [[fhDim]] rows/doc regardless of corpus size. Both hashes
+    * are the portable md5-prefix family, so the encoding is bit-stable
+    * across engines and reruns. */
+  def featureHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .withColumn("bucket",
+        pmod(md5Long(concat(lit("fh:"), col("token"))), lit(fhDim)))
+      .withColumn("sign",
+        when(pmod(md5Long(concat(lit("fhs:"), col("token"))), lit(2)) === 0,
+          lit(1L)).otherwise(lit(-1L)))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sign")).as("weight"))
+      .filter(col("weight") =!= 0)
+      .sortWithinPartitions("doc_id", "bucket")
+
+  /** Negatives per anchor / anchor stride (doc_id % stride = 0). */
+  val negK = 5
+  val negAnchorStride = 50
+
+  /** Deterministic contrastive negative sampling — k corpus negatives per
+    * anchor from a DIFFERENT source (the provenance-based "hard-ish
+    * negative" rule; same-source docs risk being soft positives).
+    * Ranking by a seeded hash of the (anchor, candidate) PAIR makes every
+    * anchor's negative set an independent uniform draw that is exactly
+    * reproducible across reruns and engines — an RNG here would silently
+    * change the training set on every retry. Shape: broadcast anchors ⋈
+    * corpus, per-anchor top-k window (WindowGroupLimit caps state at k).
+    * At 100 TB the same hash is pushed as a scan-range predicate
+    * (h < k·margin/|corpus|) to pre-thin candidates before the window —
+    * the two-phase variant of this exact query. */
+  def negativeSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val anchors = d.filter(col("doc_id") % negAnchorStride === 0)
+      .select(col("doc_id").as("anchor_id"), col("source").as("anchor_source"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("h"), col("neg_id"))
+    broadcast(anchors)
+      .join(d.select(col("doc_id").as("neg_id"), col("source").as("neg_source")),
+        col("anchor_source") =!= col("neg_source"))
+      .withColumn("h", md5Long(concat(lit("neg:"),
+        col("anchor_id").cast("string"), lit(":"),
+        col("neg_id").cast("string"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= negK)
+      .select("anchor_id", "rank", "neg_id", "neg_source")
+      .sortWithinPartitions("anchor_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_keywords" -> (docKeywords _),
+    "feature_hash" -> (featureHash _),
+    "negative_sample" -> (negativeSample _),
     "token_pmi" -> (tokenPmi _),
     "training_manifest" -> (trainingManifest _),
     "dataset_split" -> (datasetSplit _),
@@ -587,6 +650,36 @@ object CurationQueries {
        |  FROM j)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "feature_hash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                       t -> t != '')) AS token
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ('0x' || substr(md5('fh:' || token), 1, 15))::BIGINT % $fhDim
+         |    AS bucket,
+         |  CAST(sum(CASE WHEN ('0x' || substr(md5('fhs:' || token), 1, 15))::BIGINT
+         |                     % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+         |FROM t GROUP BY doc_id, bucket
+         |HAVING sum(CASE WHEN ('0x' || substr(md5('fhs:' || token), 1, 15))::BIGINT
+         |                     % 2 = 0 THEN 1 ELSE -1 END) != 0
+         |ORDER BY doc_id, bucket""".stripMargin,
+    "negative_sample" ->
+      s"""WITH a AS (
+         |  SELECT doc_id AS anchor_id, source AS anchor_source
+         |  FROM documents WHERE doc_id % $negAnchorStride = 0),
+         |c AS (SELECT doc_id AS neg_id, source AS neg_source FROM documents),
+         |r AS (
+         |  SELECT anchor_id, neg_id, neg_source,
+         |    row_number() OVER (PARTITION BY anchor_id ORDER BY
+         |      ('0x' || substr(md5('neg:' || CAST(anchor_id AS VARCHAR)
+         |                          || ':' || CAST(neg_id AS VARCHAR)),
+         |                      1, 15))::BIGINT,
+         |      neg_id) AS rank
+         |  FROM a JOIN c ON anchor_source != neg_source)
+         |SELECT anchor_id, rank, neg_id, neg_source FROM r
+         |WHERE rank <= $negK ORDER BY anchor_id, rank""".stripMargin,
     "group_sample" ->
       s"""SELECT lang, rk, doc_id FROM (
          |  SELECT lang, doc_id,

@@ -204,7 +204,7 @@ object PrepQueries {
     * ((v − min)·2^bits div span), so the whole layout is reproducible and
     * oracle-checkable. Writing = `repartitionByRange` on `zval` — the one
     * exchange any sorted write costs. */
-  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+  private def zorderAssigned(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"),
         expr("unix_timestamp(ts) div 60").as("epoch_min"))
@@ -225,9 +225,44 @@ object PrepQueries {
       .withColumn("zval", zorder2(col("xb"), col("yb")))
       .withColumn("file_id",
         shiftright(col("zval"), 2 * zorderDimBits - zorderFileBits))
-      .select("event_id", "user_id", "epoch_min", "zval", "file_id")
-      .orderBy("event_id")
+      .select("event_id", "user_id", "epoch_min", "zval", "file_id",
+        "m_lo", "m_hi")
   }
+
+  def zorderLayout(s: SparkSession, dir: String): DataFrame =
+    zorderAssigned(s, dir)
+      .drop("m_lo", "m_hi")
+      .orderBy("event_id")
+
+  /** Zone-map (data-skipping) statistics over the Z-order layout — the
+    * maintenance pass a lakehouse runs after OPTIMIZE ZORDER: per target
+    * file, row count and min/max of each layout column (the parquet
+    * row-group / Delta file-stats equivalent), plus whether the file's
+    * zone intersects a fixed probe band on `epoch_min` (the observed
+    * span's [1/8, 1/4) quartile slice — deterministic at any SF; the
+    * time column, because divide-first bucketing leaves narrow-span
+    * columns in the LOW interleave bits, so only the wide-span column
+    * reaches the file-id bits — the probe must target a column the
+    * layout can discriminate, exactly as a real zone-map consumer
+    * checks). `band_hit` measures the pruning rate directly (PrepSpec
+    * asserts it ≪ 1, i.e. the layout actually skips; a hash layout
+    * would hit every file). One shuffle on `file_id` (≤ 2^[[zorderFileBits]]
+    * groups); at 100 TB these stats ride the write path per file and
+    * this query is their audit/rebuild. */
+  def zoneMap(s: SparkSession, dir: String): DataFrame =
+    zorderAssigned(s, dir)
+      .withColumn("band_lo", expr("m_lo + (m_hi - m_lo + 1) div 8"))
+      .withColumn("band_hi", expr("m_lo + (m_hi - m_lo + 1) div 4"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("user_id").as("u_min"), max("user_id").as("u_max"),
+        min("epoch_min").as("m_min"), max("epoch_min").as("m_max"),
+        min("band_lo").as("blo"), min("band_hi").as("bhi"))
+      .withColumn("band_hit",
+        !(col("m_max") < col("blo") || col("m_min") > col("bhi")))
+      .select("file_id", "n_rows", "u_min", "u_max", "m_min", "m_max",
+        "band_hit")
+      .sortWithinPartitions("file_id")
 
   /** Dictionary encoding — the categorical-feature staple: assign every
     * token a dense integer id by (frequency desc, token) rank and encode
@@ -263,7 +298,8 @@ object PrepQueries {
     "chunk_dedup" -> (chunkDedup _),
     "oov_rate" -> (oovRate _),
     "epoch_shuffle" -> (epochShuffle _),
-    "zorder_layout" -> (zorderLayout _))
+    "zorder_layout" -> (zorderLayout _),
+    "zone_map" -> (zoneMap _))
 
   private val toksCte =
     """toks AS (
@@ -414,5 +450,35 @@ object PrepQueries {
          |  FROM b)
          |SELECT event_id, user_id, epoch_min, zval,
          |  zval >> ${2 * zorderDimBits - zorderFileBits} AS file_id
-         |FROM z ORDER BY event_id""".stripMargin)
+         |FROM z ORDER BY event_id""".stripMargin,
+    "zone_map" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id,
+         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 60 AS epoch_min
+         |  FROM events),
+         |bounds AS (
+         |  SELECT min(user_id) AS u_lo, max(user_id) AS u_hi,
+         |         min(epoch_min) AS m_lo, max(epoch_min) AS m_hi
+         |  FROM e),
+         |b AS (
+         |  SELECT event_id, user_id, epoch_min,
+         |    (user_id - u_lo) // ((u_hi - u_lo + ${1L << zorderDimBits}) // ${1L << zorderDimBits}) AS xb,
+         |    (epoch_min - m_lo) // ((m_hi - m_lo + ${1L << zorderDimBits}) // ${1L << zorderDimBits}) AS yb
+         |  FROM e, bounds),
+         |z AS (
+         |  SELECT user_id, epoch_min,
+         |    CAST(list_sum(list_transform(range(0, 30), i ->
+         |      (((xb >> i) & 1) << (2 * i))
+         |      | (((yb >> i) & 1) << (2 * i + 1)))) AS BIGINT)
+         |      >> ${2 * zorderDimBits - zorderFileBits} AS file_id
+         |  FROM b),
+         |g AS (
+         |  SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |         min(user_id) AS u_min, max(user_id) AS u_max,
+         |         min(epoch_min) AS m_min, max(epoch_min) AS m_max
+         |  FROM z GROUP BY file_id)
+         |SELECT file_id, n_rows, u_min, u_max, m_min, m_max,
+         |  NOT (m_max < m_lo + (m_hi - m_lo + 1) // 8
+         |    OR m_min > m_lo + (m_hi - m_lo + 1) // 4) AS band_hit
+         |FROM g, bounds ORDER BY file_id""".stripMargin)
 }

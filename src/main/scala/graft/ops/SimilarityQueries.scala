@@ -526,8 +526,37 @@ object SimilarityQueries {
       .orderBy("src", "rank")
   }
 
+  /** Cell-blocked approximate kNN graph — the SCALE twin of [[knnGraph]]'s
+    * exact all-pairs baseline (the same brute/blocked pairing as
+    * ann_brute_force / ann_ivf and dedup_embedding / dedup_embedding_lsh).
+    * Every vector is assigned to its IVF Voronoi cell once (broadcast
+    * seeds, one map-side argmax pass — the [[annIvf]] build path), and
+    * candidate edges exist only WITHIN a cell, so scoring work is
+    * Σ|cell|² ≈ n·cellSize instead of n² — linear in the corpus at the
+    * fixed ~[[seedStride]] cell size. At 100 TB the assigned table is
+    * partitioned by `cell`, making the self-join co-partitioned with no
+    * extra shuffle. Graph recall vs the exact graph is bounded by the
+    * cell partition (measured in OpsSpec); sources whose cell has < k
+    * other members legitimately emit fewer than k edges. */
+  def knnGraphBlocked(s: SparkSession, dir: String): DataFrame = {
+    val a = assigned(s, dir)
+    val l = a.select(col("cell"), col("vec_id").as("src"),
+      col("e").as("ea"), col("norm").as("na"))
+    val r = a.select(col("cell"), col("vec_id").as("dst"),
+      col("e").as("eb"), col("norm").as("nb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    l.join(r, Seq("cell")).filter(col("src") =!= col("dst"))
+      .withColumn("cosine", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= knnK)
+      .select("src", "rank", "dst", "cosine")
+      .sortWithinPartitions("src", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_graph" -> (knnGraph _),
+    "knn_graph_blocked" -> (knnGraphBlocked _),
     "ann_ivf_trained" -> (annIvfTrained _),
     "embedding_pq_trained" -> (embeddingPqTrained _),
     "embedding_pq" -> (embeddingPq _),
@@ -566,9 +595,9 @@ object SimilarityQueries {
        |              ORDER BY cosine DESC, neighbor) AS rank
        |    FROM scored) WHERE rank <= $topK)""".stripMargin
 
-  /** IVF ANN as a CTE chain ending in `ann(q, rank, neighbor, cosine)` —
-    * shared by ann_ivf and hybrid_search_ivf. */
-  private val ivfAnnCtes =
+  /** `v` + seeded-cell `assign(vec_id, e, norm, cell)` — the IVF build
+    * path shared by [[ivfAnnCtes]] and knn_graph_blocked's oracle. */
+  private val assignCtes =
     s"""$vCte,
        |seeds AS (SELECT vec_id AS cell, e AS ce, norm AS cn
        |          FROM v WHERE vec_id % $seedStride = 1),
@@ -578,7 +607,12 @@ object SimilarityQueries {
        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |             ${duckCos("v.e", "s.ce", "v.norm", "s.cn")} DESC,
        |             s.cell) AS r
-       |    FROM v CROSS JOIN seeds s) WHERE r = 1),
+       |    FROM v CROSS JOIN seeds s) WHERE r = 1)""".stripMargin
+
+  /** IVF ANN as a CTE chain ending in `ann(q, rank, neighbor, cosine)` —
+    * shared by ann_ivf and hybrid_search_ivf. */
+  private val ivfAnnCtes =
+    s"""$assignCtes,
        |queries AS (SELECT vec_id AS q, e AS qe, norm AS qn
        |            FROM v WHERE vec_id % $queryStride = 0),
        |probed AS (
@@ -760,6 +794,17 @@ object SimilarityQueries {
          |            i -> a.e[i] * b.e[i]), 'sum') / (a.norm * b.norm), 4)
          |      AS cosine
          |  FROM v a JOIN v b ON a.vec_id != b.vec_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY src
+         |         ORDER BY cosine DESC, dst) AS rank FROM sc)
+         |SELECT src, rank, dst, cosine FROM rk
+         |WHERE rank <= $knnK ORDER BY src, rank""".stripMargin,
+    "knn_graph_blocked" ->
+      s"""WITH $assignCtes,
+         |sc AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |         ${duckCos("a.e", "b.e", "a.norm", "b.norm")} AS cosine
+         |  FROM assign a JOIN assign b USING (cell)
+         |  WHERE a.vec_id != b.vec_id),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY src
          |         ORDER BY cosine DESC, dst) AS rank FROM sc)
          |SELECT src, rank, dst, cosine FROM rk

@@ -138,6 +138,31 @@ class AnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("blocked knn graph: capped degree, ordered ranks, nonzero recall") {
+    import graft.ops.SimilarityQueries
+    val exact = SimilarityQueries.queries("knn_graph")(spark, sf)
+      .select("src", "dst").cache()
+    val blocked = SimilarityQueries.queries("knn_graph_blocked")(spark, sf)
+      .cache()
+    val k = SimilarityQueries.knnK
+    assert(blocked.groupBy("src").count().filter(col("count") > k).isEmpty,
+      "at most k edges per source")
+    assert(blocked.filter(col("dst") === col("src")).isEmpty, "no self-edges")
+    // ranks are 1..deg contiguous per src
+    val deg = blocked.groupBy("src")
+      .agg(count(lit(1)).as("d"), max("rank").as("mr"))
+    assert(deg.filter(col("d") =!= col("mr")).isEmpty,
+      "rank sequence must be contiguous from 1")
+    // the cell block retains a real fraction of the exact graph's edges
+    val overlap = blocked.select("src", "dst").intersect(exact).count()
+    val recall = overlap.toDouble / exact.count()
+    assert(recall > 0.05 && recall < 1.0,
+      s"cell-blocked recall vs exact graph = $recall — " +
+        "nonzero (cells are geometric) but lossy (single-cell probe)")
+    exact.unpersist(); blocked.unpersist()
+    ()
+  }
+
   test("source overlap: complete pair matrix, bounded jaccard") {
     val o = DedupQueries.queries("source_overlap")(spark, sf).cache()
     val s = Tables.documents(spark, sf).select("source").distinct().count()

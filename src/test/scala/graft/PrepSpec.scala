@@ -51,6 +51,21 @@ class PrepSpec extends SparkSpec {
     assert(byFile.length > 1, "layout must spread rows over multiple files")
   }
 
+  test("zone map: stats cover every row and the probe band prunes files") {
+    val events = graft.Tables.events(spark, sf).count()
+    val zm = PrepQueries.queries("zone_map")(spark, sf).cache()
+    assert(zm.agg(sum("n_rows")).head.getLong(0) === events,
+      "zone rows must cover the table exactly")
+    val files = zm.count()
+    val hit = zm.filter(col("band_hit")).count()
+    assert(hit >= 1, "the probe band must intersect at least one zone")
+    assert(hit.toDouble / files < 0.5,
+      s"z-order zones must let a 1/8-span time band skip most files " +
+        s"(hit $hit of $files) — a hash layout would hit all of them")
+    zm.unpersist()
+    ()
+  }
+
   test("chunking covers every token and respects window/stride geometry") {
     import spark.implicits._
     val chunks = PrepQueries.chunkDocuments(spark, sf).cache()
