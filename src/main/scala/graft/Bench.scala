@@ -16,6 +16,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Tables.checkSchemas(spark, sfDir)
+      .foreach(d => System.err.println(s"[schema-drift] $d"))
     // optional comma-separated subset for local iteration (not used by the driver)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)

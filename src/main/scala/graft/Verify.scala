@@ -11,6 +11,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Drift tripwire (round-7 lesson): report loudly but keep running, so
+    // a benign regeneration doesn't zero the round — queries unaffected by
+    // the drifted column still produce correctness rows.
+    Tables.checkSchemas(spark, sfDir)
+      .foreach(d => System.err.println(s"[schema-drift] $d"))
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for local iteration (driver runs all):
     // filters both the result dump and the oracle_sql.json below, so

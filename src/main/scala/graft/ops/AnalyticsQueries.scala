@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Time-series / OLAP analytics over the `events` stream table — the
@@ -719,6 +719,51 @@ object AnalyticsQueries {
       .orderBy("o_custkey")
   }
 
+  /** Scale twin of [[rfmSegments]] — the approx_percentile BUCKET-JOIN
+    * variant: quintile boundaries come from one GK-sketch aggregate over
+    * the customer-grain rows (mergeable partial states — one shuffle of
+    * sketches, never a global sort), broadcast as a single row, and each
+    * customer scores itself by comparing against the four boundaries.
+    * ZERO window operators in the plan (PlanSpec pins this), so the
+    * single-partition ntile ranking the exact form deliberately accepts
+    * at customer grain disappears entirely — this is the shape that runs
+    * at 100 TB. Sketch-derived boundaries aren't reproducible in DuckDB
+    * (different quantile algorithm), so like `approx_distinct` /
+    * `approx_percentile` this rides the rows-only driver check; the spec
+    * pins ≥90% per-dimension agreement with the exact ntile form. */
+  def rfmSegmentsBucketed(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+    val anchor = Tables.orders(s, dir)
+      .agg(max(col("o_orderdate")).as("anchor"))
+    val scored = perCust.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("anchor"), col("last_order")).cast("long"))
+      .withColumn("monetary", col("monetary").cast("double"))
+    val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+    val bounds = scored.agg(
+      percentile_approx(col("recency_days"), qs, lit(10000)).as("rq"),
+      percentile_approx(col("frequency"), qs, lit(10000)).as("fq"),
+      percentile_approx(col("monetary"), qs, lit(10000)).as("mq"))
+    // bucket(v) = 1 + #boundaries strictly below v; recency inverts
+    // (smaller = more recent = better) to keep 5 = best on every axis
+    def above(v: Column, b: Column): Column =
+      (1 to 4).map(i => when(v > element_at(b, i), 1).otherwise(0))
+        .reduce(_ + _)
+    scored.crossJoin(broadcast(bounds))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        (lit(5) - above(col("recency_days"), col("rq"))).as("r_score"),
+        (lit(1) + above(col("frequency"), col("fq"))).as("f_score"),
+        (lit(1) + above(col("monetary"), col("mq"))).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy("o_custkey")
+  }
+
   /** Per-user FEATURE-STORE assembly — the feature-engineering operator
     * every ML pipeline runs before training: one row per user with
     * activity counts, per-type rates (conditional aggregation over the
@@ -777,6 +822,7 @@ object AnalyticsQueries {
     "user_features" -> (userFeatures _),
     "dedup_consecutive" -> (dedupConsecutive _),
     "rfm_segments" -> (rfmSegments _),
+    "rfm_segments_bucketed" -> (rfmSegmentsBucketed _),
     "session_paths" -> (sessionPaths _),
     "chi_square" -> (chiSquare _),
     "twap" -> (twap _),

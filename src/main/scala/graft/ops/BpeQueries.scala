@@ -48,6 +48,9 @@ object BpeQueries {
   val bpeMerges = 8
   val vocabTopK = 100
   val packBudget = 256
+  /** Static default shared with the oracle SQL; session-overridable via
+    * `spark.graft.pack.shards` (corpus-sized in production — see
+    * [[CurationQueries.packShards]]). */
   val packShards = 8
 
   /** (doc_id, word) occurrence rows. */
@@ -128,7 +131,8 @@ object BpeQueries {
     Tables.documents(s, dir).select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        pmod(col("doc_id"), lit(packShards)).as("shard"),
+        pmod(col("doc_id"), lit(s.conf.getOption("spark.graft.pack.shards")
+          .map(_.toInt).getOrElse(packShards))).as("shard"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
       .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc_id"), col("shard"), col("n_tokens"),

@@ -244,13 +244,22 @@ object CurationQueries {
     * All arithmetic is integer-exact; token counts come from the
     * codegen'd whitespace tokenizer at scan speed. */
   val packBudget = 256
+
+  /** Default shard count — matches the static oracle SQL. In production
+    * the shard count is corpus-sized (thousands at 100 TB: each shard's
+    * running-sum window must fit one task comfortably); override per
+    * session with `spark.graft.pack.shards`. */
   val packShards = 8
 
+  private def packShardsOf(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.pack.shards").map(_.toInt).getOrElse(packShards)
+
   def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val shards = packShardsOf(s)
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        pmod(col("doc_id"), lit(packShards)).as("shard"),
+        pmod(col("doc_id"), lit(shards)).as("shard"),
         whitespaceTokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc_id"), col("shard"), col("n_tokens"),

@@ -194,9 +194,18 @@ object TextQueries {
     * boundary (same seam as the media codecs — but with a REAL kernel:
     * JDK zlib), one reused Deflater + buffer per partition, zero
     * allocation growth with partition size. Still a narrow per-row pass —
-    * scan-speed at 100 TB, no shuffle. No SQL oracle (DuckDB has no
-    * deflate) → the driver records the rows-only check and the spec pins
-    * the signal's properties instead. */
+    * scan-speed at 100 TB, no shuffle.
+    *
+    * `no_oracle` is a DOCUMENTED DECISION, not an omission: DuckDB
+    * exposes no deflate/compress scalar function in SQL, so no oracle
+    * query can recompute ANY deflate-derived column — bucketed, rounded,
+    * or thresholded; every granularity inherits the same impossibility.
+    * Pinning Spark-side byte counts in the oracle instead would couple
+    * the gate to one zlib build (JDK wraps the platform zlib; madler vs
+    * zlib-ng emit different stream sizes), trading a structural gap for
+    * a flaky red. The driver therefore records the rows-only check, and
+    * OpsSpec pins the signal's semantic properties (repetitive text
+    * deflates below prose, ratio bounds, determinism) for THIS JVM. */
   def compressionRatio(s: SparkSession, dir: String): DataFrame =
     compressionRatioOf(s, Tables.documents(s, dir).select("doc_id", "text"))
 

@@ -296,6 +296,67 @@ class AnalyticsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("rfm bucketed twin: no window in plan, agrees with exact ntile form") {
+    val tw = AnalyticsQueries.queries("rfm_segments_bucketed")(spark, sf)
+    // the whole point of the twin: zero window operators (the exact form
+    // deliberately accepts a customer-grain global ntile; this one must not)
+    val plan = tw.queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, "bucketed twin must not contain Window operators")
+    val t = tw.cache()
+    val ex = AnalyticsQueries.queries("rfm_segments")(spark, sf).cache()
+    assert(t.count() === ex.count())
+    // value-threshold bucketing differs from ntile EXACTLY on ties:
+    // ntile splits a tie group across buckets by arbitrary rank, the
+    // twin (correctly) scores equal values equally. So assert the twin's
+    // defining properties — tie-consistency + monotonicity in the
+    // underlying value — and demand ntile agreement only where the value
+    // is UNTIED (there the two semantics must coincide).
+    val dims = Seq(
+      ("r_score", "recency_days", -1), // smaller recency = better
+      ("f_score", "frequency", 1),
+      ("m_score", "monetary", 1))
+    for ((c, v, sign) <- dims) {
+      assert(t.filter(col(c) < 1 || col(c) > 5).isEmpty, s"$c out of 1..5")
+      val perValue = t.groupBy(col(v))
+        .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+      assert(perValue.filter(col("lo") =!= col("hi")).isEmpty,
+        s"$c must be tie-consistent in $v")
+      val ordered = perValue.orderBy(col(v) * sign).collect().map(_.getInt(1))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+        s"$c must be monotone in $v")
+      val untied = t.groupBy(col(v)).count().filter(col("count") === 1)
+        .select(col(v))
+      val pool = t.join(untied, Seq(v))
+        .join(ex.select(col("o_custkey"), ex(c).as("exact")), "o_custkey")
+      val n = pool.count()
+      if (n > 0) {
+        val agree = pool.filter(col(c) === col("exact")).count()
+        assert(agree.toDouble / n >= 0.9, s"$c untied agreement $agree/$n")
+      }
+    }
+    assert(t.filter(col("segment") =!=
+      concat(col("r_score"), col("f_score"), col("m_score"))).isEmpty)
+    t.unpersist(); ex.unpersist()
+  }
+
+  test("pack shards are session-configurable (spark.graft.pack.shards)") {
+    import graft.ops.CurationQueries
+    try {
+      spark.conf.set("spark.graft.pack.shards", "4")
+      val p = CurationQueries.queries("pack_sequences")(spark, sf).cache()
+      assert(p.select("shard").distinct().count() === 4)
+      // per-shard packing invariant holds at the overridden shard count
+      assert(p.filter(col("chunk_offset") < 0 ||
+        col("chunk_offset") >= CurationQueries.packBudget).isEmpty)
+      p.unpersist()
+    } finally spark.conf.unset("spark.graft.pack.shards")
+    val d = CurationQueries.queries("pack_sequences")(spark, sf)
+    assert(d.select("shard").distinct().count() ===
+      CurationQueries.packShards.toLong)
+  }
+
   test("skew report: shares and ratios consistent, descending heavy keys") {
     import graft.ops.ProfileQueries
     val k = ProfileQueries.queries("skew_report")(spark, sf).collect()
