@@ -91,6 +91,16 @@ object BpeQueries {
         when(col("k"), concat(col("L"), col("R"))).otherwise(col("sym")).as("sym"))
   }
 
+  /** Shuffle width for the training iterations. The iterated state is the
+    * word-TYPE table (Heaps-bounded: ~1M types even at 100 TB corpus
+    * scale, ≪ corpus rows), so full-width shuffles waste far more on task
+    * scheduling than they gain in parallelism — 8 checkpointed iterations
+    * × ~4 stages × 32 tasks of a few hundred rows each. Right-size via
+    * `spark.graft.bpe.partitions` (default 4; raise toward the cluster
+    * width only when the type table itself is large). */
+  private def bpePartitions(s: SparkSession): String =
+    s.conf.getOption("spark.graft.bpe.partitions").getOrElse("4")
+
   /** The trained symbol table: every word type fully encoded by the
     * [[bpeMerges]] learned merges — (word, freq, pos, sym). */
   private[graft] def trainedSyms(s: SparkSession, dir: String): DataFrame = {
@@ -100,8 +110,18 @@ object BpeQueries {
           expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
           array(lit("</w>")))))
       .toDF("word", "freq", "pos", "sym")
-    for (_ <- 1 to bpeMerges)
-      state = mergeStep(state).localCheckpoint(true)
+    // Narrow the shuffle width only while the iterations MATERIALIZE
+    // (eager localCheckpoint runs inside the scoped region; the final
+    // checkpointed state is partitioning-fixed, so downstream plans are
+    // unaffected by the restore). Driver-sequential, so the temporary
+    // session-conf scope cannot race another query.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, bpePartitions(s))
+    try
+      for (_ <- 1 to bpeMerges)
+        state = mergeStep(state).localCheckpoint(true)
+    finally s.conf.set(key, prev)
     state
   }
 

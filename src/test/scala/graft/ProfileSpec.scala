@@ -47,11 +47,25 @@ class ProfileSpec extends SparkSpec {
       byName("order_before_ship").getLong(2) > 0)
   }
 
-  test("profile is one aggregate pass (single scan, no join)") {
+  test("profile: hash-aggregated melt + keyless min/max, broadcast stitch") {
     val df = ProfileQueries.queries("data_profile")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("Join"), s"profiling must not join:\n$p")
-    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1,
-      s"profiling must scan the table once:\n$p")
+    // two deliberate scans (distinct-stats melt + keyless typed min/max);
+    // the stitch of the 1-row min/max side must broadcast, never shuffle
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 2,
+      s"expected the two profiling passes:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"min/max stitch must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join in profiling:\n$p")
+    // every GROUPED aggregate is hash-based — the old single-pass form
+    // planned SortAggregate (string min/max buffers over the countDistinct
+    // Expand) and sorted #cols × n wide rows three times (3.9 s -> 1.2 s)
+    assert(!p.contains("Expand"), s"no countDistinct Expand:\n$p")
+    val sortAggWithKeys = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+        if s.groupingExpressions.nonEmpty => s
+    }
+    assert(sortAggWithKeys.isEmpty,
+      s"grouped aggregates must be hash-based:\n$p")
   }
 }
