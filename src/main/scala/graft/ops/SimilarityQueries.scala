@@ -56,18 +56,28 @@ object SimilarityQueries {
       .orderBy("q", "rank")
   }
 
-  /** Deterministic coarse "centroids": seed vectors at a fixed vec_id
-    * stride (≈ corpus/29 cells, so cell size stays ~29 as the corpus
-    * grows). Seeds, not k-means means, because means are float-sum
+  /** Deterministic coarse "centroids": seed vectors at a vec_id stride.
+    * Seeds, not k-means means, because means are float-sum
     * order-dependent and thus not reproducible across engines; Voronoi
     * cells over seeds are still a *geometric* partition, which is what
     * gives IVF its recall (the `label` column is NOT geometric — measured
     * 12% same-label rate among true top-10 neighbors). */
-  val seedStride = 29
 
-  private def seeds(s: SparkSession, dir: String): DataFrame =
-    vectors(s, dir).filter(col("vec_id") % seedStride === 1)
+  /** √n cell geometry (the FAISS convention): |cells| ≈ √n balances the
+    * two costs that bound IVF at scale — cell assignment (n × |cells|
+    * cosines) and query probing (|queries| × |cells|) — making both
+    * n^1.5 total instead of the n²/stride a fixed divisor degrades to.
+    * Derives from COUNT(*) alone, so the DuckDB oracle recomputes the
+    * identical stride with a scalar subquery (IEEE sqrt/ceil are
+    * correctly rounded in both engines — bit-identical). */
+  def seedStrideOf(n: Long): Long =
+    math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+
+  private def seeds(s: SparkSession, dir: String): DataFrame = {
+    val stride = seedStrideOf(Tables.embeddings(s, dir).count())
+    vectors(s, dir).filter(col("vec_id") % stride === 1)
       .select(col("vec_id").as("cell"), col("e").as("ce"), col("norm").as("cn"))
+  }
 
   /** IVF build path: assign every corpus vector to its nearest centroid
     * cell — broadcast centroids, one map-side pass over the corpus, then a
@@ -532,8 +542,8 @@ object SimilarityQueries {
     * Every vector is assigned to its IVF Voronoi cell once (broadcast
     * seeds, one map-side argmax pass — the [[annIvf]] build path), and
     * candidate edges exist only WITHIN a cell, so scoring work is
-    * Σ|cell|² ≈ n·cellSize instead of n² — linear in the corpus at the
-    * fixed ~[[seedStride]] cell size. At 100 TB the assigned table is
+    * Σ|cell|² ≈ n·cellSize instead of n² — n^1.5 at the √n cell size
+    * ([[seedStrideOf]]). At 100 TB the assigned table is
     * partitioned by `cell`, making the self-join co-partitioned with no
     * extra shuffle. Graph recall vs the exact graph is bounded by the
     * cell partition (measured in OpsSpec); sources whose cell has < k
@@ -569,6 +579,11 @@ object SimilarityQueries {
     "hybrid_search" -> (hybridSearch _),
     "hybrid_search_ivf" -> (hybridSearchIvf _))
 
+  /** The √n seed stride as a DuckDB scalar subquery — the oracle twin of
+    * [[seedStrideOf]] (identical IEEE sqrt/ceil rounding). */
+  private val sqlSeedStride =
+    "(SELECT CAST(greatest(1, ceil(sqrt(count(*)))) AS BIGINT) FROM v)"
+
   private val vCte =
     """v AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS e,
@@ -600,7 +615,7 @@ object SimilarityQueries {
   private val assignCtes =
     s"""$vCte,
        |seeds AS (SELECT vec_id AS cell, e AS ce, norm AS cn
-       |          FROM v WHERE vec_id % $seedStride = 1),
+       |          FROM v WHERE vec_id % $sqlSeedStride = 1),
        |assign AS (
        |  SELECT vec_id, e, norm, cell FROM (
        |    SELECT v.vec_id, v.e, v.norm, s.cell,
@@ -723,7 +738,7 @@ object SimilarityQueries {
     val cN = s"tc$kmeansIters"
     s"""$vCte,
        |tc0 AS (SELECT vec_id AS cell, e AS ce, norm AS cn
-       |        FROM v WHERE vec_id % $seedStride = 1),
+       |        FROM v WHERE vec_id % $sqlSeedStride = 1),
        |${(1 to kmeansIters).map(kmeansIterSql).mkString(",\n")},
        |assign AS (
        |  SELECT vec_id, e, norm, cell FROM (

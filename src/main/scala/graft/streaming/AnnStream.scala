@@ -61,7 +61,12 @@ object AnnStream {
     if (committedMeta(indexDir)) return
     val v = withNorm(bootstrap.select(col("vec_id"),
       col("embedding").cast("array<double>").as("e")), "e", "norm")
-    val cents = v.filter(col("vec_id") % SimilarityQueries.seedStride === 1)
+    // √n geometry from the BOOTSTRAP corpus (train-once, like the PQ
+    // codebook): the stride is part of the persisted index metadata and
+    // stays fixed as batches stream in — geometry churn would mean a
+    // full re-assignment of every committed batch.
+    val stride = SimilarityQueries.seedStrideOf(v.count())
+    val cents = v.filter(col("vec_id") % stride === 1)
       .select(col("vec_id").as("cell"), col("e").as("ce"), col("norm").as("cn"))
     DedupStream.writeAtomically(cents, s"$indexDir/meta/centroids", mark = true)
     val cb = v.orderBy("vec_id").limit(k)
