@@ -548,8 +548,19 @@ object SimilarityQueries {
     * extra shuffle. Graph recall vs the exact graph is bounded by the
     * cell partition (measured in OpsSpec); sources whose cell has < k
     * other members legitimately emit fewer than k edges. */
+  /** Fixed target cell size for [[knnGraphBlocked]]'s blocking — NOT the
+    * IVF √n geometry: blocked-graph cost is Σ|cell|², so a FIXED cell
+    * size keeps it n·cellSize (linear), where √n cells would make it
+    * n^1.5. The two operators genuinely want different partitions of the
+    * same corpus; each builds its own. */
+  val blockStride = 29
+
+  private def blockSeeds(s: SparkSession, dir: String): DataFrame =
+    vectors(s, dir).filter(col("vec_id") % blockStride === 1)
+      .select(col("vec_id").as("cell"), col("e").as("ce"), col("norm").as("cn"))
+
   def knnGraphBlocked(s: SparkSession, dir: String): DataFrame = {
-    val a = assigned(s, dir)
+    val a = assignedTo(blockSeeds(s, dir), vectors(s, dir))
     val l = a.select(col("cell"), col("vec_id").as("src"),
       col("e").as("ea"), col("norm").as("na"))
     val r = a.select(col("cell"), col("vec_id").as("dst"),
@@ -612,10 +623,10 @@ object SimilarityQueries {
 
   /** `v` + seeded-cell `assign(vec_id, e, norm, cell)` — the IVF build
     * path shared by [[ivfAnnCtes]] and knn_graph_blocked's oracle. */
-  private val assignCtes =
+  private def assignCtesWith(stride: String): String =
     s"""$vCte,
        |seeds AS (SELECT vec_id AS cell, e AS ce, norm AS cn
-       |          FROM v WHERE vec_id % $sqlSeedStride = 1),
+       |          FROM v WHERE vec_id % $stride = 1),
        |assign AS (
        |  SELECT vec_id, e, norm, cell FROM (
        |    SELECT v.vec_id, v.e, v.norm, s.cell,
@@ -623,6 +634,10 @@ object SimilarityQueries {
        |             ${duckCos("v.e", "s.ce", "v.norm", "s.cn")} DESC,
        |             s.cell) AS r
        |    FROM v CROSS JOIN seeds s) WHERE r = 1)""".stripMargin
+
+  private val assignCtes = assignCtesWith(sqlSeedStride)
+  /** Fixed-stride twin for knn_graph_blocked (see [[blockStride]]). */
+  private val blockAssignCtes = assignCtesWith(blockStride.toString)
 
   /** IVF ANN as a CTE chain ending in `ann(q, rank, neighbor, cosine)` —
     * shared by ann_ivf and hybrid_search_ivf. */
@@ -814,7 +829,7 @@ object SimilarityQueries {
          |SELECT src, rank, dst, cosine FROM rk
          |WHERE rank <= $knnK ORDER BY src, rank""".stripMargin,
     "knn_graph_blocked" ->
-      s"""WITH $assignCtes,
+      s"""WITH $blockAssignCtes,
          |sc AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst,
          |         ${duckCos("a.e", "b.e", "a.norm", "b.norm")} AS cosine
