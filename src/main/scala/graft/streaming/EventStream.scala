@@ -20,6 +20,16 @@ case class SessionAcc(start: Long, last: Long, n: Long)
 case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                          last_event: java.sql.Timestamp, n_events: Long)
 
+/** Per-user funnel progress maintained by [[EventStream.funnelProgress]] —
+  * stage timestamps as MICROSECONDS since epoch (state) / Timestamps
+  * (output), mirroring the batch twin's columns. */
+case class FunnelAcc(tSignup: Long, tView: Long, tPurchase: Long)
+
+/** A funnel-progress update emitted by [[EventStream.funnelProgress]]. */
+case class FunnelOut(user_id: Long, t_signup: java.sql.Timestamp,
+                     t_view: java.sql.Timestamp,
+                     t_purchase: java.sql.Timestamp, stage_depth: Int)
+
 /** Streaming EWMA output — the streaming twin of
   * [[graft.ops.AnalyticsQueries.windowEwma]]. */
 case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
@@ -202,6 +212,77 @@ object EventStream {
         col("signup_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("purchase_value"), col("signup_id"), col("signup_ts"))
+  }
+
+  /** Streaming funnel — the incremental twin of
+    * [[graft.ops.AnalyticsQueries.funnel]] (signup → view → purchase,
+    * each stage within [[graft.ops.AnalyticsQueries.funnelWindowHours]]
+    * of the previous stage's timestamp). State per user is THREE
+    * microsecond timestamps ([[FunnelAcc]], -1 = unreached), updated by
+    * a single forward pass; an update row is emitted for a user only
+    * when their funnel actually advances (update-mode sink — the live
+    * conversion dashboard feed).
+    *
+    * Equivalence argument (proven against the batch twin in
+    * EventStreamSpec): the batch query takes the MIN qualifying
+    * timestamp per stage; processing a user's events in event-time
+    * order makes the FIRST qualifying event that minimum — each stage
+    * locks at the same instant the batch query computes. Within a
+    * micro-batch rows are sorted by (ts, event_id) before the pass;
+    * ACROSS batches the source must deliver a user's events in
+    * event-time order (the same in-order contract the other
+    * running-state twins document — a signup arriving late, after a
+    * same-user view was already rejected, can under-report a conversion
+    * the batch query would count).
+    *
+    * State is 3 longs per signed-up user, never timed out here because
+    * the batch twin's funnel has no expiry either; a production deploy
+    * bounds it with `GroupStateTimeout.EventTimeTimeout` once users
+    * stop converting (the window caps how late a stage can qualify). */
+  def funnelProgress(events: Dataset[Ev]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val windowUs = graft.ops.AnalyticsQueries.funnelWindowHours * 3600L * 1000000L
+    def usOf(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def tsOf(us: Long): java.sql.Timestamp =
+      if (us < 0) null
+      else {
+        val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        t
+      }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelAcc, FunnelOut](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) { (uid, evs, state) =>
+        val prev = state.getOption.getOrElse(FunnelAcc(-1L, -1L, -1L))
+        var acc = prev
+        // (ts, event_id) sort = the batch query's deterministic order;
+        // per-user batch slices are small (bounded by a user's events in
+        // one trigger), so the in-memory sort is safe
+        for (e <- evs.toSeq.sortBy(e => (usOf(e.ts), e.event_id))) {
+          val ts = usOf(e.ts)
+          e.event_type match {
+            case "signup" if acc.tSignup < 0 =>
+              acc = acc.copy(tSignup = ts)
+            case "view" if acc.tSignup >= 0 && acc.tView < 0 &&
+              ts > acc.tSignup && ts <= acc.tSignup + windowUs =>
+              acc = acc.copy(tView = ts)
+            case "purchase" if acc.tView >= 0 && acc.tPurchase < 0 &&
+              ts > acc.tView && ts <= acc.tView + windowUs =>
+              acc = acc.copy(tPurchase = ts)
+            case _ => ()
+          }
+        }
+        if (acc == prev) Iterator.empty
+        else {
+          state.update(acc)
+          val depth = if (acc.tPurchase >= 0) 3 else if (acc.tView >= 0) 2 else 1
+          Iterator.single(FunnelOut(uid, tsOf(acc.tSignup), tsOf(acc.tView),
+            tsOf(acc.tPurchase), depth))
+        }
+      }
   }
 
   /** Custom per-key state via `mapGroupsWithState`: running event count

@@ -320,4 +320,35 @@ class EventStreamSpec extends SparkSpec {
     assert(got.count() === want.count())
     assert(got.exceptAll(want).isEmpty)
   }
+
+  test("streaming funnel final state equals the batch funnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // event-time-ordered feed (the operator's documented in-order
+    // contract), split mid-stream so stages lock across batch boundaries
+    val rows = evRows(Long.MaxValue).sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Ev]
+    val q = EventStream.funnelProgress(mem.toDS())
+      .writeStream.format("memory").queryName("funq")
+      .outputMode("update").option("checkpointLocation", ckpt()).start()
+    mem.addData(rows.take(rows.size / 3))
+    q.processAllAvailable()
+    mem.addData(rows.slice(rows.size / 3, 2 * rows.size / 3))
+    q.processAllAvailable()
+    mem.addData(rows.drop(2 * rows.size / 3))
+    q.processAllAvailable(); q.stop()
+    // per-user emissions carry strictly increasing stage_depth, so the
+    // max-depth row is the final state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("stage_depth").desc)
+    val got = spark.table("funq")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "t_signup", "t_view", "t_purchase", "stage_depth")
+    val want = AnalyticsQueries.queries("funnel")(spark, sf)
+      .select(col("user_id"), col("t_signup"), col("t_view"),
+        col("t_purchase"), col("stage_depth").cast("int"))
+    assert(got.count() === want.count(), "one final row per signed-up user")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "incremental stage locks must equal the batch min-per-stage funnel")
+  }
 }
