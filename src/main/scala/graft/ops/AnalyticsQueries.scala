@@ -245,6 +245,22 @@ object AnalyticsQueries {
         col("O").as("o_cnt"), col("P").as("p_cnt"))
       .orderBy("o_orderpriority")
 
+  /** UNPIVOT/melt — [[pivotAgg]]'s inverse and the other half of the
+    * reshape pair every BI/feature layer needs: the per-user feature row
+    * ([[userFeatures]]' per-type counts) melts to (user_id, metric,
+    * value) long form. `stack` evaluates per row inside the scan
+    * projection — ×#metrics row growth, zero shuffle added beyond the
+    * upstream aggregate (scan-shaped at 100 TB, like every generator). */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    val metrics = userFeatureTypes.map(t => s"n_$t")
+    val stackArgs = metrics.map(m => s"'$m', `$m`").mkString(", ")
+    userFeatures(s, dir)
+      .select(col("user_id"),
+        expr(s"stack(${metrics.length}, $stackArgs) AS (metric, value)"))
+      .filter(col("value") > 0) // long form drops absent measures
+      .orderBy("user_id", "metric")
+  }
+
   /** Hot-key-safe aggregation: salt the partial stage 16 ways, combine
     * partials. Bit-identical to the direct group-by (DECIMAL sums). */
   def saltedAgg(s: SparkSession, dir: String): DataFrame =
@@ -845,6 +861,7 @@ object AnalyticsQueries {
     "corr_matrix" -> (corrMatrix _),
     "quantile_normalize" -> (quantileNormalize _),
     "pivot_agg" -> (pivotAgg _),
+    "unpivot_metrics" -> (unpivotMetrics _),
     "salted_agg" -> (saltedAgg _),
     "approx_distinct" -> (approxDistinct _),
     "approx_percentile" -> (approxPercentile _),
@@ -1239,5 +1256,14 @@ object AnalyticsQueries {
     "salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // melting the per-type count columns and dropping zeros ≡ grouping by
+    // the present (user, type) pairs directly
+    "unpivot_metrics" ->
+      s"""SELECT user_id, 'n_' || event_type AS metric,
+         |  CAST(count(*) AS BIGINT) AS value
+         |FROM events
+         |WHERE event_type IN (${userFeatureTypes.map(t => s"'$t'").mkString(", ")})
+         |GROUP BY user_id, event_type
+         |ORDER BY user_id, metric""".stripMargin)
 }

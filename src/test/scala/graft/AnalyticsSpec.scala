@@ -357,6 +357,21 @@ class AnalyticsSpec extends SparkSpec {
       CurationQueries.packShards.toLong)
   }
 
+  test("unpivot melts the feature row and re-pivots back exactly") {
+    val long = AnalyticsQueries.queries("unpivot_metrics")(spark, sf).cache()
+    assert(long.filter(col("value") <= 0).isEmpty, "zeros dropped in long form")
+    // re-pivot the long form and compare against the wide per-type counts
+    val rePivot = long.groupBy("user_id").pivot("metric",
+        AnalyticsQueries.userFeatureTypes.map(t => s"n_$t"))
+      .agg(first(col("value"))).na.fill(0L)
+    val wide = AnalyticsQueries.queries("user_features")(spark, sf)
+      .select(col("user_id") +:
+        AnalyticsQueries.userFeatureTypes.map(t => col(s"n_$t")): _*)
+    assert(rePivot.exceptAll(wide).isEmpty && wide.exceptAll(rePivot).isEmpty,
+      "unpivot → pivot must round-trip the feature matrix")
+    long.unpersist()
+  }
+
   test("skew report: shares and ratios consistent, descending heavy keys") {
     import graft.ops.ProfileQueries
     val k = ProfileQueries.queries("skew_report")(spark, sf).collect()
