@@ -349,4 +349,43 @@ class PlanSpec extends SparkSpec {
     df.collect()
     assert(df.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
   }
+
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+    * every entry is either a broadcast of a PROVABLY-TINY side (a 1-row
+    * stats/bounds/total/scalar-subquery result or a codebook) or a
+    * documented pinned all-pairs baseline whose scale twin lives in the
+    * same file. An addition to this list needs the same justification in
+    * the operator's scaladoc. */
+  private val nljAllowlist: Set[String] = Set(
+    "ann_brute_force", "ann_ivf", "ann_ivf_pq", "ann_ivf_trained",
+    "ann_pq_adc", "bm25_topk", "chi_square", "copurchase_pairs",
+    "dedup_embedding", "doc_keywords", "embedding_pq",
+    "embedding_pq_trained", "hybrid_search", "hybrid_search_ivf",
+    "knn_graph", "knn_graph_blocked", "negative_sample", "q11_important",
+    "q22_lapsed", "rfm_segments", "rfm_segments_bucketed",
+    "sample_mixture", "skew_report", "tfidf_top_terms", "token_pmi",
+    "zone_map", "zorder_layout")
+
+  test("whole-surface plan audit: no grouped SortAggregate, no cartesian, " +
+      "nested-loop joins only on the documented allowlist") {
+    // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec hides its
+    // children from collect() (the round-8 data_profile SortAggregate
+    // cost 3.9 s and was invisible through the adaptive wrapper)
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf).queryExecution.sparkPlan
+      plan.foreach {
+        case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+          if s.groupingExpressions.nonEmpty =>
+          bad += s"$name: grouped SortAggregate (non-mutable agg buffer?)"
+        case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+          bad += s"$name: CartesianProduct (join lost its equi-condition?)"
+        case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+          if !nljAllowlist.contains(name) =>
+          bad += s"$name: BroadcastNestedLoopJoin not on the allowlist"
+        case _ => ()
+      }
+    }
+    assert(bad.isEmpty, s"\n${bad.distinct.mkString("\n")}")
+  }
 }
