@@ -132,6 +132,36 @@ class OpsSpec extends SparkSpec {
     assert(joined.filter(col("payload_bytes") < col("n_chars")).isEmpty)
   }
 
+  test("WAV codec is spec-compliant: foreign chunks, arbitrary PCM, encode⊣decode") {
+    // hand-build a WAV the ENCODER never produces: a LIST chunk between
+    // fmt and data (word-aligned, odd payload) plus arbitrary samples —
+    // a chunk-walking parser must skip it; a fixed-offset one would break
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, -1, 7)
+    val listPayload = 5 // odd → exercises word alignment
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + listPayload + 1 + 8 + 2 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+      .putInt(36 + listPayload + 1 + 8 + 2 * samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(44100).putInt(44100 * 2).putShort(2).putShort(16)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(listPayload)
+      .put(Array.fill[Byte](listPayload + 1)(0x7f)) // +1 = alignment pad
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+    samples.foreach(bb.putShort)
+    val meta = MediaQueries.decodeWav(42L, bb.array())
+    assert(meta.sample_rate === 44100L && meta.channels === 1L &&
+      meta.bits === 16L && meta.n_samples === samples.length.toLong)
+    assert(meta.sum_abs === samples.map(s => math.abs(s.toLong)).sum)
+    assert(meta.duration_ms === samples.length * 1000L / 44100L)
+    // and the library's own encoder round-trips through the same parser
+    val own = MediaQueries.decodeWav(7L, MediaQueries.encodeWav(7L, 300))
+    assert(own.n_samples === 300L && own.sample_rate === 8000L)
+    assert(own.sum_abs ===
+      (0 until 300).map(i => math.abs((7L * 31 + i) % 256 - 128)).sum)
+  }
+
   test("shingles produce n-grams and handle short docs") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "").toDF("text")
