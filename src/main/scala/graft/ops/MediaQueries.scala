@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
   * (md5-derived pseudo-dimensions); the schema, the per-partition batch
   * iteration, the typed Encoder round-trip and the partitioning are the
   * real thing and are what get tested. Swap [[decodeStub]] for a
-  * JNI/codec call and nothing else changes. For UNCOMPRESSED audio the
-  * codec is REAL: [[encodeWav]]/[[decodeWav]] write and chunk-walk
-  * spec-compliant RIFF/WAVE 16-bit PCM in pure JVM (`media_wav_decode`,
-  * oracle-checked; OpsSpec proves the parser on a foreign-chunk WAV the
-  * encoder never emits).
+  * JNI/codec call and nothing else changes. For UNCOMPRESSED formats the
+  * codecs are REAL pure-JVM implementations: [[encodeWav]]/[[decodeWav]]
+  * write and chunk-walk spec-compliant RIFF/WAVE 16-bit PCM, and
+  * [[encodeBmp]]/[[decodeBmp]] write and parse 24-bit bottom-up
+  * padded-row Windows BMP (`media_wav_decode` / `media_bmp_decode`, both
+  * oracle-checked; OpsSpec proves each parser on hand-built foreign
+  * files the encoders never emit).
   *
   * The media "table" derives from `documents` (payload = UTF-8 bytes of
   * text) so the whole path is oracle-checkable in DuckDB.
@@ -217,11 +219,89 @@ object MediaQueries {
       .orderBy("doc_id")
   }
 
+  // ---- REAL image codec: uncompressed 24-bit BMP (pure JVM) -----------
+
+  case class BmpRow(doc_id: Long, bmp: Array[Byte])
+  case class BmpMeta(doc_id: Long, width: Long, height: Long, bpp: Long,
+                     n_pixels: Long, sum_blue: Long)
+
+  /** Build a REAL Windows BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    * bottom-up BGR rows with 4-byte row padding — spec-complete, any
+    * image viewer opens it. Dimensions derive from doc_id; pixel i
+    * (row-major, top-down) is the gray ramp `(doc_id + i) % 256` in all
+    * three channels, so the oracle can integrate the blue channel in
+    * SQL. */
+  def encodeBmp(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 9).toInt
+    val h = (8 + docId % 7).toInt
+    val stride = (3 * w + 3) & ~3
+    val size = 54 + stride * h
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel offset
+    bb.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER, bottom-up
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (row <- h - 1 to 0 by -1) { // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val v = ((docId + row * w + x) % 256).toByte
+        bb.put(v).put(v).put(v) // B G R
+        x += 1
+      }
+      var pad = stride - 3 * w
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+    }
+    bb.array()
+  }
+
+  /** REAL decode: validate the BM magic, read the pixel-array offset and
+    * DIB dimensions from the headers, then walk the PADDED bottom-up rows
+    * summing the blue channel — a genuine uncompressed-BMP reader (a
+    * fixed-layout fake would break on any stride ≠ 3w file). */
+  def decodeBmp(docId: Long, bytes: Array[Byte]): BmpMeta = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == 'B' && bb.get() == 'M', "not a BMP")
+    bb.getInt; bb.getShort; bb.getShort
+    val pixelOffset = bb.getInt
+    val dibSize = bb.getInt
+    require(dibSize >= 40, s"unsupported DIB header $dibSize")
+    val w = bb.getInt
+    val h = bb.getInt // positive = bottom-up
+    bb.getShort
+    val bpp = bb.getShort & 0xffff
+    require(bpp == 24 && bb.getInt == 0, "only uncompressed 24-bit BMP")
+    val stride = (3 * w + 3) & ~3
+    var sumBlue = 0L
+    var row = 0
+    while (row < h) {
+      var x = 0
+      val base = pixelOffset + (h - 1 - row) * stride // top-down read
+      while (x < w) { sumBlue += bytes(base + 3 * x) & 0xff; x += 1 }
+      row += 1
+    }
+    BmpMeta(docId, w.toLong, h.toLong, bpp.toLong, w.toLong * h, sumBlue)
+  }
+
+  /** Image decode query: synthesize a real BMP per document, decode it
+    * back with the real parser — [[mediaWavDecode]]'s image twin. */
+  def mediaBmpDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => BmpRow(id, encodeBmp(id))))
+      .mapPartitions(_.map(r => decodeBmp(r.doc_id, r.bmp)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_decode" -> (mediaDecode _),
     "media_frame_sample" -> (frameSample _),
     "media_features" -> (mediaFeatures _),
     "media_wav_decode" -> (mediaWavDecode _),
+    "media_bmp_decode" -> (mediaBmpDecode _),
     "media_resize" -> (mediaResize _))
 
   private val decodedCte =
@@ -253,6 +333,17 @@ object MediaQueries {
          |       AS BIGINT) AS sum_abs
          |FROM documents d JOIN s ON s.i < d.n_chars
          |GROUP BY d.doc_id, d.n_chars ORDER BY d.doc_id""".stripMargin,
+    "media_bmp_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |s AS (SELECT unnest(generate_series(0, 16 * 14 - 1)) AS i)
+        |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+        |  CAST(d.h AS BIGINT) AS height, CAST(24 AS BIGINT) AS bpp,
+        |  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+        |  CAST(coalesce(sum((d.doc_id + s.i) % 256), 0) AS BIGINT) AS sum_blue
+        |FROM dims d JOIN s ON s.i < d.w * d.h
+        |GROUP BY d.doc_id, d.w, d.h ORDER BY d.doc_id""".stripMargin,
     "media_decode" ->
       s"""WITH $decodedCte
          |SELECT doc_id, payload_bytes, width, height, n_frames, format

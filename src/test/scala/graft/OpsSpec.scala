@@ -162,6 +162,34 @@ class OpsSpec extends SparkSpec {
       (0 until 300).map(i => math.abs((7L * 31 + i) % 256 - 128)).sum)
   }
 
+  test("BMP codec: bottom-up padded rows, arbitrary pixels, encode⊣decode") {
+    // hand-build a 3×2 BMP (stride 12 ≠ 3w=9 → exercises row padding)
+    // with arbitrary blue values; green/red differ so a parser summing
+    // the wrong channel fails
+    val blues = Array(Array(10, 20, 30), Array(200, 0, 255)) // top-down rows
+    val w = 3; val h = 2; val stride = 12
+    val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0)
+      .putInt(stride * h).putInt(0).putInt(0).putInt(0).putInt(0)
+    for (row <- h - 1 to 0 by -1) { // bottom-up storage
+      for (x <- 0 until w)
+        bb.put(blues(row)(x).toByte).put(1.toByte).put(2.toByte)
+      bb.put(Array.fill[Byte](stride - 3 * w)(0x77))
+    }
+    val meta = MediaQueries.decodeBmp(9L, bb.array())
+    assert(meta.width === 3L && meta.height === 2L && meta.bpp === 24L)
+    assert(meta.n_pixels === 6L)
+    assert(meta.sum_blue === blues.flatten.sum.toLong)
+    // the library's own encoder round-trips through the same parser
+    val own = MediaQueries.decodeBmp(5L, MediaQueries.encodeBmp(5L))
+    assert(own.width === (8 + 5 % 9).toLong && own.height === (8 + 5 % 7).toLong)
+    assert(own.sum_blue ===
+      (0L until own.n_pixels).map(i => (5L + i) % 256).sum)
+  }
+
   test("shingles produce n-grams and handle short docs") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "").toDF("text")
