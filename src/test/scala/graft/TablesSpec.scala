@@ -47,6 +47,27 @@ class TablesSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("events loader reads a true TIMESTAMP(NANOS) file (conf fallback path)") {
+    // a real parquet timestamp[ns] fixture (src/test/resources, written by
+    // pyarrow): plain read throws ILLEGAL_PARQUET_TYPE, the loader turns
+    // on nanosAsLong and re-reads as long — the r6-era testdata flavor
+    val dir = java.nio.file.Files.createTempDirectory("graft-truenanos").toFile
+    dir.deleteOnExit()
+    val res = getClass.getResource("/events_nanos.parquet")
+    assert(res != null, "missing events_nanos.parquet test fixture")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"),
+      java.nio.file.Paths.get(res.toURI))
+    val ev = Tables.events(spark, dir.getAbsolutePath)
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(ev.count() === 50)
+    // ns → µs truncation keeps the wall-clock value (2024-03-01T12:00:00.123456)
+    val first = ev.orderBy("event_id")
+      .selectExpr("date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS')")
+      .collect()(0).getString(0)
+    assert(first === "2024-03-01 12:00:00.123456", first)
+  }
+
   test("assertSchemas names the drifted column in one error") {
     val dir = java.nio.file.Files.createTempDirectory("graft-drift").toFile
     dir.deleteOnExit()
