@@ -10,18 +10,22 @@ import org.apache.spark.sql.types._
   * per-partition in batches — the Spark-side shape a real image/audio
   * pipeline has (decode / feature-extract / resize in a vectorized UDF).
   *
-  * The container has no image/audio codec LIBRARIES, so the compressed-
-  * format decode kernel is a clearly-marked DETERMINISTIC STUB
-  * (md5-derived pseudo-dimensions); the schema, the per-partition batch
-  * iteration, the typed Encoder round-trip and the partitioning are the
-  * real thing and are what get tested. Swap [[decodeStub]] for a
-  * JNI/codec call and nothing else changes. For UNCOMPRESSED formats the
-  * codecs are REAL pure-JVM implementations: [[encodeWav]]/[[decodeWav]]
-  * write and chunk-walk spec-compliant RIFF/WAVE 16-bit PCM, and
+  * REAL codecs, no external libraries: [[encodePng]]/[[decodePng]] run
+  * genuinely COMPRESSED images (PNG: deflate + filters + CRC) through
+  * the JDK's built-in ImageIO reader/writer; [[encodeWav]]/[[decodeWav]]
+  * write and chunk-walk spec-compliant RIFF/WAVE 16-bit PCM; and
   * [[encodeBmp]]/[[decodeBmp]] write and parse 24-bit bottom-up
-  * padded-row Windows BMP (`media_wav_decode` / `media_bmp_decode`, both
-  * oracle-checked; OpsSpec proves each parser on hand-built foreign
-  * files the encoders never emit).
+  * padded-row Windows BMP (`media_png_decode` / `media_wav_decode` /
+  * `media_bmp_decode`, all oracle-checked; OpsSpec proves each parser on
+  * hand-built foreign files — other PNG color types, junk WAV chunks,
+  * non-trivial BMP strides — plus lossy-JPEG dimension decode).
+  *
+  * The original [[decodeStub]] pseudo-decode remains as the documented
+  * PLUG SEAM for formats whose codecs genuinely aren't in a JVM (video
+  * containers, model-based feature extractors): the schema, the
+  * per-partition batch iteration and the typed Encoder round-trip around
+  * it are identical to the real-codec paths, so swapping in a JNI call
+  * changes nothing else.
   *
   * The media "table" derives from `documents` (payload = UTF-8 bytes of
   * text) so the whole path is oracle-checkable in DuckDB.
@@ -296,12 +300,83 @@ object MediaQueries {
       .orderBy("doc_id")
   }
 
+  // ---- REAL compressed-image codec: PNG via the JDK's ImageIO ---------
+
+  case class PngRow(doc_id: Long, png: Array[Byte])
+  case class PngMeta(doc_id: Long, width: Long, height: Long,
+                     n_pixels: Long, sum_blue: Long,
+                     lossless_roundtrip: Boolean)
+
+  /** Encode a REAL PNG (deflate-compressed, CRC-checked — a genuinely
+    * compressed image format) with the JDK's built-in ImageIO codec:
+    * same deterministic gray ramp as [[encodeBmp]], so the oracle shares
+    * the arithmetic. */
+  def encodePng(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 9).toInt
+    val h = (8 + docId % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((docId + i) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1; i += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode through the JDK PNG reader (inflate + unfilter + CRC):
+    * dimensions and pixels come out of the actual codec, and
+    * `lossless_roundtrip` asserts IN THE RESULT that every decoded pixel
+    * equals the synthesized value — the oracle pins it `true`, so a
+    * silently lossy/reordered decode fails the hash. */
+  def decodePng(docId: Long, bytes: Array[Byte]): PngMeta = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var ok = true
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val blue = img.getRGB(x, y) & 0xff
+        sum += blue
+        ok &&= blue == ((docId + i) % 256).toInt
+        x += 1; i += 1
+      }
+      y += 1
+    }
+    PngMeta(docId, w.toLong, h.toLong, w.toLong * h, sum, ok)
+  }
+
+  /** Compressed-image decode query: a real PNG per document through the
+    * real JDK codec — encode and decode each one mapPartitions pass. */
+  def mediaPngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => PngRow(id, encodePng(id))))
+      .mapPartitions(_.map(r => decodePng(r.doc_id, r.png)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_decode" -> (mediaDecode _),
     "media_frame_sample" -> (frameSample _),
     "media_features" -> (mediaFeatures _),
     "media_wav_decode" -> (mediaWavDecode _),
     "media_bmp_decode" -> (mediaBmpDecode _),
+    "media_png_decode" -> (mediaPngDecode _),
     "media_resize" -> (mediaResize _))
 
   private val decodedCte =
@@ -333,6 +408,18 @@ object MediaQueries {
          |       AS BIGINT) AS sum_abs
          |FROM documents d JOIN s ON s.i < d.n_chars
          |GROUP BY d.doc_id, d.n_chars ORDER BY d.doc_id""".stripMargin,
+    "media_png_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |s AS (SELECT unnest(generate_series(0, 16 * 14 - 1)) AS i)
+        |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+        |  CAST(d.h AS BIGINT) AS height,
+        |  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+        |  CAST(coalesce(sum((d.doc_id + s.i) % 256), 0) AS BIGINT) AS sum_blue,
+        |  true AS lossless_roundtrip
+        |FROM dims d JOIN s ON s.i < d.w * d.h
+        |GROUP BY d.doc_id, d.w, d.h ORDER BY d.doc_id""".stripMargin,
     "media_bmp_decode" ->
       """WITH dims AS (
         |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h

@@ -190,6 +190,37 @@ class OpsSpec extends SparkSpec {
       (0L until own.n_pixels).map(i => (5L + i) % 256).sum)
   }
 
+  test("PNG codec: real JDK decode across color types; JPEG dims decode") {
+    // grayscale-typed PNG (different PNG color type than the encoder's
+    // RGB) with arbitrary pixels — the real codec normalizes both
+    val w = 6; val h = 4
+    val gray = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val vals = Array.tabulate(h, w)((y, x) => (y * 53 + x * 17) % 256)
+    // raw raster samples both ways — setRGB/getRGB would run sRGB<->gray
+    // colorspace conversion and corrupt the values under test
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0, vals(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "png", bos)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(img.getWidth === w && img.getHeight === h)
+    val sum = (for (y <- 0 until h; x <- 0 until w)
+      yield img.getRaster.getSample(x, y, 0).toLong).sum
+    assert(sum === vals.flatten.map(_.toLong).sum)
+    // the library round-trip flags losslessness in the result itself
+    val meta = MediaQueries.decodePng(11L, MediaQueries.encodePng(11L))
+    assert(meta.lossless_roundtrip, "PNG must round-trip bit-exactly")
+    assert(meta.width === (8 + 11 % 9).toLong)
+    // JPEG (lossy): dimensions survive, pixels only approximately
+    bos.reset()
+    javax.imageio.ImageIO.write(gray, "jpg", bos)
+    val jpg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(jpg.getWidth === w && jpg.getHeight === h)
+  }
+
   test("shingles produce n-grams and handle short docs") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "").toDF("text")
