@@ -370,8 +370,49 @@ object MediaQueries {
       .orderBy("doc_id")
   }
 
+  case class JpegMeta(doc_id: Long, width: Long, height: Long,
+                      n_pixels: Long, approx_ok: Boolean)
+
+  /** LOSSY codec path — real JPEG (DCT + quantization + huffman) through
+    * the JDK encoder/decoder. Dimensions survive exactly; pixel values
+    * only approximately, so the result carries `approx_ok` = "decoded
+    * mean blue within [[jpegMeanTolerance]] of the synthesized mean" —
+    * the oracle pins dims exactly and the error bound `true`, without
+    * coupling the hash to any particular encoder's quantization tables. */
+  val jpegMeanTolerance = 16.0
+
+  def mediaJpegDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val png = encodePng(id) // same synthesized image
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        val jpg = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val w = jpg.getWidth
+        val h = jpg.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += jpg.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        val n = w.toLong * h
+        val expected = (0L until n).map(i => (id + i) % 256).sum.toDouble / n
+        val ok = math.abs(sum.toDouble / n - expected) <= jpegMeanTolerance
+        JpegMeta(id, w.toLong, h.toLong, n, ok)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_decode" -> (mediaDecode _),
+    "media_jpeg_decode" -> (mediaJpegDecode _),
     "media_frame_sample" -> (frameSample _),
     "media_features" -> (mediaFeatures _),
     "media_wav_decode" -> (mediaWavDecode _),
@@ -408,6 +449,12 @@ object MediaQueries {
          |       AS BIGINT) AS sum_abs
          |FROM documents d JOIN s ON s.i < d.n_chars
          |GROUP BY d.doc_id, d.n_chars ORDER BY d.doc_id""".stripMargin,
+    "media_jpeg_decode" ->
+      """SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 7 AS BIGINT) AS height,
+        |  CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS BIGINT) AS n_pixels,
+        |  true AS approx_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "media_png_decode" ->
       """WITH dims AS (
         |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
