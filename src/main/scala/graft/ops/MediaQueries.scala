@@ -410,9 +410,57 @@ object MediaQueries {
       .orderBy("doc_id")
   }
 
+  case class ResizeMeta(doc_id: Long, width: Long, height: Long,
+                        out_w: Long, out_h: Long, mean_ok: Boolean)
+
+  /** REAL pixel resize — the kernel [[mediaResize]] only plans: decode
+    * the synthesized PNG, scale it into a [[resizeBox]]-box with
+    * Graphics2D bilinear interpolation, and verify IN THE RESULT that the
+    * resized image's mean blue stays within [[resizeMeanTolerance]] of
+    * the original's (interpolation is mean-preserving up to edge
+    * effects). Output dims pin exactly in the oracle (integer aspect-fit
+    * math); the bound flag pins `true` — so the kernel demonstrably ran
+    * without coupling the hash to one JVM's interpolator. */
+  val resizeBox = 12L
+  val resizeMeanTolerance = 24.0
+
+  def mediaResizeReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodePng(id)))
+        val w = img.getWidth
+        val h = img.getHeight
+        val long = math.max(w, h).toLong
+        val (ow, oh) =
+          if (long <= resizeBox) (w.toLong, h.toLong)
+          else (w * resizeBox / long, h * resizeBox / long)
+        val out = new java.awt.image.BufferedImage(
+          ow.toInt, oh.toInt, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, ow.toInt, oh.toInt, null)
+        g.dispose()
+        def meanBlue(b: java.awt.image.BufferedImage): Double = {
+          var s = 0L
+          for (y <- 0 until b.getHeight; x <- 0 until b.getWidth)
+            s += b.getRGB(x, y) & 0xff
+          s.toDouble / (b.getWidth * b.getHeight)
+        }
+        val ok = math.abs(meanBlue(out) - meanBlue(img)) <= resizeMeanTolerance
+        ResizeMeta(id, w.toLong, h.toLong, ow, oh, ok)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_decode" -> (mediaDecode _),
     "media_jpeg_decode" -> (mediaJpegDecode _),
+    "media_resize_real" -> (mediaResizeReal _),
     "media_frame_sample" -> (frameSample _),
     "media_features" -> (mediaFeatures _),
     "media_wav_decode" -> (mediaWavDecode _),
@@ -449,6 +497,17 @@ object MediaQueries {
          |       AS BIGINT) AS sum_abs
          |FROM documents d JOIN s ON s.i < d.n_chars
          |GROUP BY d.doc_id, d.n_chars ORDER BY d.doc_id""".stripMargin,
+    "media_resize_real" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+         |  FROM documents)
+         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(CASE WHEN greatest(w, h) <= $resizeBox THEN w
+         |       ELSE w * $resizeBox // greatest(w, h) END AS BIGINT) AS out_w,
+         |  CAST(CASE WHEN greatest(w, h) <= $resizeBox THEN h
+         |       ELSE h * $resizeBox // greatest(w, h) END AS BIGINT) AS out_h,
+         |  true AS mean_ok
+         |FROM dims ORDER BY doc_id""".stripMargin,
     "media_jpeg_decode" ->
       """SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS width,
         |  CAST(8 + doc_id % 7 AS BIGINT) AS height,

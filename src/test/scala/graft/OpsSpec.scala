@@ -162,6 +162,28 @@ class OpsSpec extends SparkSpec {
       (0 until 300).map(i => math.abs((7L * 31 + i) % 256 - 128)).sum)
   }
 
+  test("WAV parser agrees with the JDK's independent AudioSystem decoder") {
+    // javax.sound.sampled is a SECOND, independent RIFF/WAVE reader in
+    // the JDK — decodeWav's format fields and frame count must match it
+    val bytes = MediaQueries.encodeWav(123L, 777)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    val mine = MediaQueries.decodeWav(123L, bytes)
+    assert(fmt.getSampleRate.toLong === mine.sample_rate)
+    assert(fmt.getChannels.toLong === mine.channels)
+    assert(fmt.getSampleSizeInBits.toLong === mine.bits)
+    assert(ais.getFrameLength === mine.n_samples)
+    // and the PCM payload itself: AudioSystem's little-endian samples
+    // sum to the same |sum| the chunk-walking parser computed
+    val raw = ais.readAllBytes()
+    val sb = java.nio.ByteBuffer.wrap(raw)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    var sum = 0L
+    while (sb.hasRemaining) sum += math.abs(sb.get().toLong)
+    assert(sum === mine.sum_abs)
+  }
+
   test("BMP codec: bottom-up padded rows, arbitrary pixels, encode⊣decode") {
     // hand-build a 3×2 BMP (stride 12 ≠ 3w=9 → exercises row padding)
     // with arbitrary blue values; green/red differ so a parser summing
