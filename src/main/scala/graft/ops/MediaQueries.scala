@@ -469,9 +469,41 @@ object MediaQueries {
       .orderBy("doc_id")
   }
 
+  case class HistRow(doc_id: Long, features: String)
+
+  /** REAL feature extraction — an 8-bin intensity histogram over the
+    * DECODED pixels of each document's PNG (the simplest genuine image
+    * featurizer: integer-exact, so the oracle recomputes it from the
+    * ramp arithmetic). Emitted as a joined string like [[mediaFeatures]]
+    * (the comparator can't sort array columns). */
+  val histBins = 8
+
+  def mediaFeaturesReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodePng(id)))
+        val hist = new Array[Long](histBins)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            hist((img.getRGB(x, y) & 0xff) * histBins / 256) += 1
+            x += 1
+          }
+          y += 1
+        }
+        HistRow(id, hist.mkString(","))
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_decode" -> (mediaDecode _),
     "media_jpeg_decode" -> (mediaJpegDecode _),
+    "media_features_real" -> (mediaFeaturesReal _),
     "media_resize_real" -> (mediaResizeReal _),
     "media_frame_sample" -> (frameSample _),
     "media_features" -> (mediaFeatures _),
@@ -509,6 +541,22 @@ object MediaQueries {
          |       AS BIGINT) AS sum_abs
          |FROM documents d JOIN s ON s.i < d.n_chars
          |GROUP BY d.doc_id, d.n_chars ORDER BY d.doc_id""".stripMargin,
+    "media_features_real" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+         |  FROM documents),
+         |s AS (SELECT unnest(generate_series(0, 16 * 14 - 1)) AS i),
+         |px AS (SELECT d.doc_id,
+         |         ((d.doc_id + s.i) % 256) * $histBins // 256 AS bin
+         |       FROM dims d JOIN s ON s.i < d.w * d.h),
+         |bins AS (SELECT unnest(generate_series(0, ${histBins - 1})) AS bin),
+         |hist AS (SELECT d.doc_id, b.bin, count(p.bin) AS c
+         |         FROM dims d CROSS JOIN bins b
+         |         LEFT JOIN px p ON p.doc_id = d.doc_id AND p.bin = b.bin
+         |         GROUP BY d.doc_id, b.bin)
+         |SELECT doc_id,
+         |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS features
+         |FROM hist GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "media_resize_real" ->
       s"""WITH dims AS (
          |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
