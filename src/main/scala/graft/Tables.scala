@@ -25,6 +25,34 @@ object Tables {
   def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** True iff `t` (or a cause within 10 hops — schema inference runs in
+    * a task, so the typed error arrives wrapped in a job-failure
+    * SparkException) is Spark's typed illegal-parquet-type error — the
+    * condition raised when inference meets a TIMESTAMP(NANOS) column.
+    * Matching the error CLASS rather than message text survives wording
+    * changes across Spark releases (round-8 advice: the old
+    * `contains("NANOS")` was brittle). Spark 4.1 names the condition
+    * `PARQUET_TYPE_ILLEGAL`; the error-classes registry also carries the
+    * `ILLEGAL_PARQUET_TYPE` spelling, so both are accepted.
+    */
+  private def illegalParquetType(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 10) {
+      cur match {
+        case st: org.apache.spark.SparkThrowable
+          if Option(st.getCondition).exists(c =>
+            c.startsWith("PARQUET_TYPE_ILLEGAL") ||
+            c.startsWith("ILLEGAL_PARQUET_TYPE")) =>
+          return true
+        case _ => ()
+      }
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
   /** events with `ts` normalized to session-TZ TimestampType (µs). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -36,8 +64,7 @@ object Tables {
     val df =
       try spark.read.parquet(path)
       catch {
-        case e: Throwable
-          if e.getMessage != null && e.getMessage.contains("NANOS") =>
+        case e: Throwable if illegalParquetType(e) =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           spark.read.parquet(path)
       }

@@ -20,118 +20,237 @@ import org.apache.spark.sql.types._
   * hand-built foreign files — other PNG color types, junk WAV chunks,
   * non-trivial BMP strides — plus lossy-JPEG dimension decode).
   *
-  * The original [[decodeStub]] pseudo-decode remains as the documented
-  * PLUG SEAM for formats whose codecs genuinely aren't in a JVM (video
-  * containers, model-based feature extractors): the schema, the
-  * per-partition batch iteration and the typed Encoder round-trip around
-  * it are identical to the real-codec paths, so swapping in a JNI call
-  * changes nothing else.
+  * The GENERIC media surface (`media_decode` / `media_frame_sample` /
+  * `media_features` / `media_resize`) runs a MIXED-FORMAT table of real
+  * encoded payloads (PNG / WAV / BMP, one per document, format chosen by
+  * doc_id) through magic-byte sniffing ([[sniffFormat]]) into the real
+  * codecs — no pseudo-decode anywhere (the round-8 md5 stubs are gone).
+  * Formats a JVM genuinely cannot decode (video containers, model-based
+  * featurizers) are simply absent from the table rather than faked; the
+  * dispatch in [[decodeAny]] is the documented seam where a JNI-backed
+  * codec would slot in, with schema/batching/Encoders unchanged.
   *
-  * The media "table" derives from `documents` (payload = UTF-8 bytes of
-  * text) so the whole path is oracle-checkable in DuckDB.
+  * Payload CONTENT is synthesized from deterministic integer ramps over
+  * doc_id/n_chars, so every decoded dimension, sample statistic and
+  * histogram is recomputable by the DuckDB oracle in pure SQL while the
+  * bytes on the wire are genuine compressed/container formats.
   */
 object MediaQueries {
 
   /** Typed media row: binary payload + metadata, as a real pipeline would
-    * model an image/frame column. */
+    * model an image/audio column. */
   case class MediaRow(doc_id: Long, payload: Array[Byte], source: String)
-  case class DecodedRow(doc_id: Long, payload_bytes: Long, width: Long,
-                        height: Long, n_frames: Long, format: String)
 
-  /** documents → media table: binary payload column + metadata. */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      col("text").cast(BinaryType).as("payload"),
-      col("source"))
+  /** Unified decode output: images fill width/height (one frame), audio
+    * fills n_samples/duration_ms and chunks into fixed
+    * [[audioFrameLen]]-sample frames. `checksum` is the format's exact
+    * decoded-payload digest (sum of blue bytes / sum of |PCM samples|) —
+    * integer-exact, so the oracle recomputes it from the synthesis
+    * arithmetic and a decoder that skipped the pixel/PCM walk fails the
+    * hash. */
+  case class MediaMeta(doc_id: Long, format: String, width: Long,
+                       height: Long, n_frames: Long, n_samples: Long,
+                       duration_ms: Long, checksum: Long)
 
-  /** STUB decode kernel — deterministic pseudo-decode of a payload.
-    * Real implementation would call an image codec here; everything
-    * around it (batching, schema, encoders) is production-shaped.
-    * Math mirrors md5-60bit so the oracle can replicate it. */
-  def decodeStub(payload: Array[Byte]): (Long, Long, Long, String) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(payload).map("%02x".format(_)).mkString.substring(0, 15)
-    val h = java.lang.Long.parseLong(hex, 16)
-    val width = 16L + h % 1280L
-    val height = 16L + (h >> 11) % 720L
-    val nFrames = 1L + (h >> 22) % 32L
-    val format = if (h % 2 == 0) "png" else "jpeg"
-    (width, height, nFrames, format)
-  }
+  /** Audio analysis-frame length: 64 samples = 8 ms at the 8 kHz synth
+    * rate (sized so the synthetic corpus's 44-577-sample clips span 1-10
+    * frames). */
+  val audioFrameLen = 64L
+  /** Every k-th frame survives [[frameSample]]. */
+  val frameStep = 4L
 
-  /** The mapPartitions decode pass: one iterator pass per partition
-    * (the Scala analogue of a vectorized/pandas UDF batch), typed
-    * Encoders end-to-end. */
-  def decode(s: SparkSession, media: DataFrame): DataFrame = {
+  /** documents → media table with REAL encoded payloads: PNG for
+    * doc_id ≡ 0 (mod 3), WAV (n_chars samples) for ≡ 1, BMP for ≡ 2 —
+    * every byte string a spec-complete file produced by this object's
+    * encoders. The format is deliberately NOT carried as a column:
+    * downstream operators must sniff it from the bytes, like a pipeline
+    * fed a mixed object-store bucket. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    media.select(col("doc_id"), col("payload"), col("source")).as[MediaRow]
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), col("source"))
+      .as[(Long, Long, String)]
       .mapPartitions { it =>
-        it.map { m =>
-          val (w, h, f, fmt) = decodeStub(m.payload)
-          DecodedRow(m.doc_id, m.payload.length.toLong, w, h, f, fmt)
+        imageIoNoDiskCache()
+        it.map { case (id, n, src) =>
+          val payload = (id % 3) match {
+            case 0 => encodePng(id)
+            case 1 => encodeWav(id, n.toInt)
+            case _ => encodeBmp(id)
+          }
+          MediaRow(id, payload, src)
         }
       }.toDF()
   }
 
-  /** Oracle-checked query: media metadata + stub-decoded dimensions. */
+  /** Container sniffing from magic bytes — the dispatch a mixed-format
+    * pipeline runs before choosing a codec. */
+  def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E') "wav"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else "unknown"
+
+  /** Format-dispatching REAL decode: sniff the container, run the
+    * matching codec ([[decodePng]] / [[decodeWav]] / [[decodeBmp]]).
+    * This dispatch is the extension seam for codecs a JVM lacks: a video
+    * container would add a case calling out to JNI, with the schema and
+    * batch shape unchanged. */
+  def decodeAny(id: Long, payload: Array[Byte]): MediaMeta =
+    sniffFormat(payload) match {
+      case "png" =>
+        val m = decodePng(id, payload)
+        MediaMeta(id, "png", m.width, m.height, 1L, 0L, 0L, m.sum_blue)
+      case "bmp" =>
+        val m = decodeBmp(id, payload)
+        MediaMeta(id, "bmp", m.width, m.height, 1L, 0L, 0L, m.sum_blue)
+      case "wav" =>
+        val m = decodeWav(id, payload)
+        MediaMeta(id, "wav", 0L, 0L,
+          (m.n_samples + audioFrameLen - 1) / audioFrameLen,
+          m.n_samples, m.duration_ms, m.sum_abs)
+      case other =>
+        throw new IllegalArgumentException(s"doc $id: unknown container $other")
+    }
+
+  /** The mapPartitions decode pass: one iterator pass per partition (the
+    * Scala analogue of a vectorized/pandas UDF batch), typed Encoders
+    * end-to-end, REAL codecs in the kernel. */
+  def decode(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload"), col("source")).as[MediaRow]
+      .mapPartitions { it =>
+        imageIoNoDiskCache()
+        it.map(m => decodeAny(m.doc_id, m.payload))
+      }.toDF()
+  }
+
+  /** Oracle-checked query: the mixed-format media table through the
+    * format-sniffing real-codec decode dispatch. */
   def mediaDecode(s: SparkSession, dir: String): DataFrame =
     decode(s, mediaTable(s, dir)).orderBy("doc_id")
 
-  /** Frame sampling plan: every k-th frame index per media row —
-    * the explode-side of a video pipeline (frame table with
-    * (doc_id, frame_idx), partition-friendly). */
+  /** Frame sampling from REAL decoded metadata: every [[frameStep]]-th
+    * frame per media row — images contribute their single frame, audio
+    * one frame per [[audioFrameLen]]-sample window (the explode-side of
+    * a frame pipeline: a (doc_id, frame_idx) table, partition-friendly).
+    * A zero-sample clip carries no frames, hence the guard (Spark's
+    * `sequence` rejects an empty descending range). */
   def frameSample(s: SparkSession, dir: String): DataFrame =
     mediaDecode(s, dir)
-      .select(col("doc_id"),
-        explode(sequence(lit(0L), col("n_frames") - 1, lit(8L)))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("format"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(frameStep)))
           .as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
 
-  case class FeatureRow(doc_id: Long, features: Array[Long])
+  case class FeatureRow(doc_id: Long, format: String, features: String)
 
-  /** STUB feature-extraction kernel: k deterministic pseudo-features from
-    * the payload hash (a real pipeline runs the image model here; the
-    * mapPartitions batch shape, typed Encoders and downstream plumbing are
-    * the real thing). Integer-valued so the oracle comparison is exact. */
-  val nFeatures = 8
-  def featureStub(payload: Array[Byte]): Array[Long] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(payload).map("%02x".format(_)).mkString.substring(0, 15)
-    val h = java.lang.Long.parseLong(hex, 16)
-    Array.tabulate(nFeatures)(j => (h + j * 2654435761L) % 1000000007L)
+  /** REAL feature kernel: an 8-bin histogram over the DECODED payload —
+    * pixel intensity for images, PCM amplitude (offset to unsigned
+    * 16-bit range) for audio. Integer-exact, so the oracle recomputes
+    * every bin from the synthesis ramps. Features surface as a joined
+    * string (the persisted form would be an array<float> column feeding
+    * SimilarityQueries' ANN; the comparator can't sort array columns). */
+  def featuresAny(id: Long, payload: Array[Byte]): FeatureRow = {
+    val hist = new Array[Long](histBins)
+    val fmt = sniffFormat(payload)
+    fmt match {
+      case "png" =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            hist((img.getRGB(x, y) & 0xff) * histBins / 256) += 1
+            x += 1
+          }
+          y += 1
+        }
+      case "bmp" =>
+        decodeBmp(id, payload, v => hist(v * histBins / 256) += 1)
+      case "wav" =>
+        decodeWav(id, payload, v => hist((v + 32768) * histBins / 65536) += 1)
+      case other =>
+        throw new IllegalArgumentException(s"doc $id: unknown container $other")
+    }
+    FeatureRow(id, fmt, hist.mkString(","))
   }
 
-  /** Feature extraction over the media table — one iterator pass per
-    * partition; features surfaced as a joined string (the persisted form
-    * would be an array<float> column feeding SimilarityQueries' ANN). */
+  /** Feature extraction over the mixed-format media table — one iterator
+    * pass per partition, real decode in the kernel. */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val feats = mediaTable(s, dir)
+    mediaTable(s, dir)
       .select(col("doc_id"), col("payload"), col("source")).as[MediaRow]
-      .mapPartitions(_.map(m => FeatureRow(m.doc_id, featureStub(m.payload))))
-      .toDF()
-    feats.select(col("doc_id"),
-        concat_ws(",", transform(col("features"), _.cast("string")))
-          .as("features"))
+      .mapPartitions { it =>
+        imageIoNoDiskCache()
+        it.map(m => featuresAny(m.doc_id, m.payload))
+      }.toDF()
       .orderBy("doc_id")
   }
 
-  /** Resize planning: fit each frame into a 224×224 box preserving aspect
-    * ratio (integer math — the metadata half of a thumbnail pass; the
-    * pixel kernel lives behind the same stub boundary as decode). */
-  val fitBox = 224L
-  def mediaResize(s: SparkSession, dir: String): DataFrame =
-    mediaDecode(s, dir)
-      .withColumn("long_side", greatest(col("width"), col("height")))
-      .select(col("doc_id"), col("width"), col("height"),
-        when(col("long_side") <= fitBox, col("width"))
-          .otherwise(floor(col("width") * fitBox / col("long_side")).cast("long"))
-          .as("out_w"),
-        when(col("long_side") <= fitBox, col("height"))
-          .otherwise(floor(col("height") * fitBox / col("long_side")).cast("long"))
-          .as("out_h"))
+  case class ResampleRow(doc_id: Long, format: String, in_w: Long,
+                         in_h: Long, out_w: Long, out_h: Long,
+                         in_samples: Long, out_samples: Long,
+                         in_checksum: Long, out_checksum: Long)
+
+  /** Format-dispatching REAL resize/resample: images decode and scale
+    * into a [[resizeBox]]-box with bilinear interpolation (out dims are
+    * exact integer aspect-fit; the interpolated pixel VALUES are
+    * JVM-interpolator-specific, so image `out_checksum` is 0 and the
+    * mean-preservation bound is pinned per-JVM in OpsSpec — round-8
+    * advice: never oracle-pin an approximation flag); audio decimates by
+    * 2 — keep every even-index sample, the integer-exact half-rate
+    * resample — so BOTH wav checksums are oracle-checked. */
+  def resampleAny(id: Long, payload: Array[Byte]): ResampleRow =
+    sniffFormat(payload) match {
+      case fmt @ ("png" | "bmp") =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        val w = img.getWidth
+        val h = img.getHeight
+        val longSide = math.max(w, h).toLong
+        val (ow, oh) =
+          if (longSide <= resizeBox) (w.toLong, h.toLong)
+          else (w * resizeBox / longSide, h * resizeBox / longSide)
+        bilinearResize(img, ow.toInt, oh.toInt) // the real kernel runs
+        var inSum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { inSum += img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        ResampleRow(id, fmt, w.toLong, h.toLong, ow, oh, 0L, 0L, inSum, 0L)
+      case "wav" =>
+        var i = 0L
+        var outSum = 0L
+        val m = decodeWav(id, payload, v => {
+          if (i % 2 == 0) outSum += math.abs(v.toLong)
+          i += 1
+        })
+        ResampleRow(id, "wav", 0L, 0L, 0L, 0L, m.n_samples,
+          (m.n_samples + 1) / 2, m.sum_abs, outSum)
+      case other =>
+        throw new IllegalArgumentException(s"doc $id: unknown container $other")
+    }
+
+  /** Resize/resample the mixed-format media table with the real kernels. */
+  def mediaResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("payload"), col("source")).as[MediaRow]
+      .mapPartitions { it =>
+        imageIoNoDiskCache()
+        it.map(m => resampleAny(m.doc_id, m.payload))
+      }.toDF()
       .orderBy("doc_id")
+  }
 
   // ---- REAL audio codec: RIFF/WAVE PCM (pure JVM — no external codec) --
 
@@ -172,9 +291,11 @@ object MediaQueries {
     * (not fixed offsets — handles extra chunks like LIST/fact), parse the
     * fmt block, then stream the PCM samples for the payload stats. This
     * is a genuine spec-compliant reader — point it at a recorded WAV and
-    * it returns that file's true metadata; only COMPRESSED codecs remain
-    * behind the [[decodeStub]] boundary. */
-  def decodeWav(docId: Long, bytes: Array[Byte]): WavMeta = {
+    * it returns that file's true metadata. `onSample` sees each decoded
+    * PCM value in stream order (the seam the histogram featurizer and
+    * the decimating resampler hook into). */
+  def decodeWav(docId: Long, bytes: Array[Byte],
+                onSample: Int => Unit = _ => ()): WavMeta = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
@@ -185,6 +306,7 @@ object MediaQueries {
     require(fourcc() == "WAVE", "not a WAVE form")
     var fmtTag, channels, rate, bits = -1L
     var nSamples, sumAbs = 0L
+    var sawData = false
     while (bb.remaining() >= 8) {
       val id = fourcc()
       val size = bb.getInt
@@ -199,12 +321,23 @@ object MediaQueries {
         case "data" =>
           require(fmtTag == 1 && bits == 16, "only uncompressed 16-bit PCM")
           nSamples = size / (2 * channels)
+          sawData = true
           var i = 0L
-          while (i < nSamples * channels) { sumAbs += math.abs(bb.getShort.toLong); i += 1 }
+          while (i < nSamples * channels) {
+            val v = bb.getShort.toInt
+            sumAbs += math.abs(v.toLong)
+            onSample(v)
+            i += 1
+          }
         case _ => () // skip LIST/fact/etc.
       }
       bb.position(next.min(bytes.length))
     }
+    // a foreign WAV with rate=0 (or no fmt/data chunk at all) must fail
+    // with the parser's clean contract error, not ArithmeticException on
+    // the duration division (round-8 advice)
+    require(sawData, "no data chunk in WAVE form")
+    require(rate > 0, s"invalid sample_rate $rate in fmt chunk")
     WavMeta(docId, fmtTag, channels, rate, bits, nSamples,
       nSamples * 1000L / rate, sumAbs)
   }
@@ -263,8 +396,11 @@ object MediaQueries {
   /** REAL decode: validate the BM magic, read the pixel-array offset and
     * DIB dimensions from the headers, then walk the PADDED bottom-up rows
     * summing the blue channel — a genuine uncompressed-BMP reader (a
-    * fixed-layout fake would break on any stride ≠ 3w file). */
-  def decodeBmp(docId: Long, bytes: Array[Byte]): BmpMeta = {
+    * fixed-layout fake would break on any stride ≠ 3w file). `onBlue`
+    * sees each pixel's blue byte in top-down row-major order (the
+    * histogram featurizer's hook). */
+  def decodeBmp(docId: Long, bytes: Array[Byte],
+                onBlue: Int => Unit = _ => ()): BmpMeta = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     require(bb.get() == 'B' && bb.get() == 'M', "not a BMP")
@@ -283,7 +419,12 @@ object MediaQueries {
     while (row < h) {
       var x = 0
       val base = pixelOffset + (h - 1 - row) * stride // top-down read
-      while (x < w) { sumBlue += bytes(base + 3 * x) & 0xff; x += 1 }
+      while (x < w) {
+        val v = bytes(base + 3 * x) & 0xff
+        sumBlue += v
+        onBlue(v)
+        x += 1
+      }
       row += 1
     }
     BmpMeta(docId, w.toLong, h.toLong, bpp.toLong, w.toLong * h, sumBlue)
@@ -381,89 +522,107 @@ object MediaQueries {
   }
 
   case class JpegMeta(doc_id: Long, width: Long, height: Long,
-                      n_pixels: Long, approx_ok: Boolean)
+                      n_pixels: Long)
 
   /** LOSSY codec path — real JPEG (DCT + quantization + huffman) through
-    * the JDK encoder/decoder. Dimensions survive exactly; pixel values
-    * only approximately, so the result carries `approx_ok` = "decoded
-    * mean blue within [[jpegMeanTolerance]] of the synthesized mean" —
-    * the oracle pins dims exactly and the error bound `true`, without
-    * coupling the hash to any particular encoder's quantization tables. */
+    * the JDK encoder/decoder. Dimensions survive exactly and the oracle
+    * pins only them; the decoded-mean error bound ([[jpegMeanTolerance]],
+    * measured headroom ~4×) is asserted per-JVM in OpsSpec via
+    * [[jpegProbe]] — round-8 advice: an oracle-pinned approximation flag
+    * couples the correctness gate to one JVM's quantization tables. */
   val jpegMeanTolerance = 16.0
+
+  /** JPEG round-trip kernel: synthesized image → JPEG encode → decode.
+    * Returns (width, height, |decoded mean blue − synthesized mean|). */
+  def jpegProbe(id: Long): (Long, Long, Double) = {
+    imageIoNoDiskCache()
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encodePng(id)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val w = jpg.getWidth
+    val h = jpg.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += jpg.getRGB(x, y) & 0xff; x += 1 }
+      y += 1
+    }
+    val n = w.toLong * h
+    val expected = (0L until n).map(i => (id + i) % 256).sum.toDouble / n
+    (w.toLong, h.toLong, math.abs(sum.toDouble / n - expected))
+  }
 
   def mediaJpegDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
-        imageIoNoDiskCache()
-        val png = encodePng(id) // same synthesized image
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(png))
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "jpg", bos)
-        val jpg = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bos.toByteArray))
-        val w = jpg.getWidth
-        val h = jpg.getHeight
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { sum += jpg.getRGB(x, y) & 0xff; x += 1 }
-          y += 1
-        }
-        val n = w.toLong * h
-        val expected = (0L until n).map(i => (id + i) % 256).sum.toDouble / n
-        val ok = math.abs(sum.toDouble / n - expected) <= jpegMeanTolerance
-        JpegMeta(id, w.toLong, h.toLong, n, ok)
+        val (w, h, _) = jpegProbe(id) // the real lossy codec runs
+        JpegMeta(id, w, h, w * h)
       })
       .toDF()
       .orderBy("doc_id")
   }
 
   case class ResizeMeta(doc_id: Long, width: Long, height: Long,
-                        out_w: Long, out_h: Long, mean_ok: Boolean)
+                        out_w: Long, out_h: Long)
 
-  /** REAL pixel resize — the kernel [[mediaResize]] only plans: decode
-    * the synthesized PNG, scale it into a [[resizeBox]]-box with
-    * Graphics2D bilinear interpolation, and verify IN THE RESULT that the
-    * resized image's mean blue stays within [[resizeMeanTolerance]] of
-    * the original's (interpolation is mean-preserving up to edge
-    * effects). Output dims pin exactly in the oracle (integer aspect-fit
-    * math); the bound flag pins `true` — so the kernel demonstrably ran
-    * without coupling the hash to one JVM's interpolator. */
+  /** Graphics2D bilinear scale into (ow, oh) — the REAL pixel kernel
+    * behind [[mediaResizeReal]] and the generic [[mediaResize]]. */
+  def bilinearResize(img: java.awt.image.BufferedImage,
+                     ow: Int, oh: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(
+      java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, ow, oh, null)
+    g.dispose()
+    out
+  }
+
+  def meanBlue(b: java.awt.image.BufferedImage): Double = {
+    var s = 0L
+    for (y <- 0 until b.getHeight; x <- 0 until b.getWidth)
+      s += b.getRGB(x, y) & 0xff
+    s.toDouble / (b.getWidth * b.getHeight)
+  }
+
+  /** REAL pixel resize: decode the synthesized PNG, scale it into a
+    * [[resizeBox]]-box with [[bilinearResize]]. Output dims pin exactly
+    * in the oracle (integer aspect-fit math); the mean-preservation
+    * bound ([[resizeMeanTolerance]]) is asserted per-JVM in OpsSpec via
+    * [[resizeProbe]] — round-8 advice: never oracle-pin a bound flag
+    * that depends on one JVM's interpolator. */
   val resizeBox = 12L
   val resizeMeanTolerance = 24.0
+
+  /** Resize kernel probe: (width, height, out_w, out_h,
+    * |resized mean blue − original mean blue|). */
+  def resizeProbe(id: Long): (Long, Long, Long, Long, Double) = {
+    imageIoNoDiskCache()
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encodePng(id)))
+    val w = img.getWidth
+    val h = img.getHeight
+    val longSide = math.max(w, h).toLong
+    val (ow, oh) =
+      if (longSide <= resizeBox) (w.toLong, h.toLong)
+      else (w * resizeBox / longSide, h * resizeBox / longSide)
+    val out = bilinearResize(img, ow.toInt, oh.toInt)
+    (w.toLong, h.toLong, ow, oh, math.abs(meanBlue(out) - meanBlue(img)))
+  }
 
   def mediaResizeReal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
-        imageIoNoDiskCache()
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(encodePng(id)))
-        val w = img.getWidth
-        val h = img.getHeight
-        val long = math.max(w, h).toLong
-        val (ow, oh) =
-          if (long <= resizeBox) (w.toLong, h.toLong)
-          else (w * resizeBox / long, h * resizeBox / long)
-        val out = new java.awt.image.BufferedImage(
-          ow.toInt, oh.toInt, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = out.createGraphics()
-        g.setRenderingHint(
-          java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(img, 0, 0, ow.toInt, oh.toInt, null)
-        g.dispose()
-        def meanBlue(b: java.awt.image.BufferedImage): Double = {
-          var s = 0L
-          for (y <- 0 until b.getHeight; x <- 0 until b.getWidth)
-            s += b.getRGB(x, y) & 0xff
-          s.toDouble / (b.getWidth * b.getHeight)
-        }
-        val ok = math.abs(meanBlue(out) - meanBlue(img)) <= resizeMeanTolerance
-        ResizeMeta(id, w.toLong, h.toLong, ow, oh, ok)
+        val (w, h, ow, oh, _) = resizeProbe(id) // the real kernel runs
+        ResizeMeta(id, w, h, ow, oh)
       })
       .toDF()
       .orderBy("doc_id")
@@ -512,17 +671,21 @@ object MediaQueries {
     "media_png_decode" -> (mediaPngDecode _),
     "media_resize" -> (mediaResize _))
 
-  private val decodedCte =
-    """decoded AS (
-      |  SELECT doc_id,
-      |    CAST(octet_length(text::BLOB) AS BIGINT) AS payload_bytes,
-      |    16 + h % 1280 AS width,
-      |    16 + (h >> 11) % 720 AS height,
-      |    1 + (h >> 22) % 32 AS n_frames,
-      |    CASE WHEN h % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
-      |  FROM (SELECT doc_id, text,
-      |          ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
-      |        FROM documents))""".stripMargin
+  /** Shared oracle scaffolding for the mixed-format table: per-doc dims
+    * + format class, and an index series long enough for both the
+    * largest image (16×14 px) and the longest audio clip (n_chars
+    * samples). */
+  private val mixedCte =
+    """dims AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+      |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+      |         ELSE 'bmp' END AS format
+      |  FROM documents),
+      |s AS (SELECT unnest(generate_series(0,
+      |  greatest(16 * 14 - 1,
+      |    (SELECT CAST(max(n_chars) AS BIGINT) - 1 FROM documents)))) AS i)"""
+      .stripMargin
 
   val oracles: Map[String, String] = Map(
     // the oracle integrates the synthesized ramp directly (the bytes are
@@ -539,7 +702,7 @@ object MediaQueries {
          |  CAST(d.n_chars * 1000 // $wavRate AS BIGINT) AS duration_ms,
          |  CAST(coalesce(sum(abs((d.doc_id * 31 + s.i) % 256 - 128)), 0)
          |       AS BIGINT) AS sum_abs
-         |FROM documents d JOIN s ON s.i < d.n_chars
+         |FROM documents d LEFT JOIN s ON s.i < d.n_chars
          |GROUP BY d.doc_id, d.n_chars ORDER BY d.doc_id""".stripMargin,
     "media_features_real" ->
       s"""WITH dims AS (
@@ -565,14 +728,12 @@ object MediaQueries {
          |  CAST(CASE WHEN greatest(w, h) <= $resizeBox THEN w
          |       ELSE w * $resizeBox // greatest(w, h) END AS BIGINT) AS out_w,
          |  CAST(CASE WHEN greatest(w, h) <= $resizeBox THEN h
-         |       ELSE h * $resizeBox // greatest(w, h) END AS BIGINT) AS out_h,
-         |  true AS mean_ok
+         |       ELSE h * $resizeBox // greatest(w, h) END AS BIGINT) AS out_h
          |FROM dims ORDER BY doc_id""".stripMargin,
     "media_jpeg_decode" ->
       """SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS width,
         |  CAST(8 + doc_id % 7 AS BIGINT) AS height,
-        |  CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS BIGINT) AS n_pixels,
-        |  true AS approx_ok
+        |  CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS BIGINT) AS n_pixels
         |FROM documents ORDER BY doc_id""".stripMargin,
     "media_png_decode" ->
       """WITH dims AS (
@@ -598,29 +759,93 @@ object MediaQueries {
         |FROM dims d JOIN s ON s.i < d.w * d.h
         |GROUP BY d.doc_id, d.w, d.h ORDER BY d.doc_id""".stripMargin,
     "media_decode" ->
-      s"""WITH $decodedCte
-         |SELECT doc_id, payload_bytes, width, height, n_frames, format
-         |FROM decoded ORDER BY doc_id""".stripMargin,
-    "media_features" ->
-      s"""SELECT doc_id,
-         |  array_to_string(list_transform(generate_series(0, ${nFeatures - 1}),
-         |    j -> (h + j * 2654435761) % 1000000007), ',') AS features
-         |FROM (SELECT doc_id,
-         |        ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
-         |      FROM documents)
+      s"""WITH $mixedCte,
+         |img AS (
+         |  SELECT d.doc_id, d.format,
+         |    CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+         |    CAST(1 AS BIGINT) AS n_frames, CAST(0 AS BIGINT) AS n_samples,
+         |    CAST(0 AS BIGINT) AS duration_ms,
+         |    CAST(coalesce(sum((d.doc_id + s.i) % 256), 0) AS BIGINT)
+         |      AS checksum
+         |  FROM dims d LEFT JOIN s ON s.i < d.w * d.h
+         |  WHERE d.format <> 'wav' GROUP BY d.doc_id, d.format, d.w, d.h),
+         |aud AS (
+         |  SELECT d.doc_id, d.format,
+         |    CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height,
+         |    CAST((d.n_chars + $audioFrameLen - 1) // $audioFrameLen
+         |         AS BIGINT) AS n_frames,
+         |    d.n_chars AS n_samples,
+         |    CAST(d.n_chars * 1000 // $wavRate AS BIGINT) AS duration_ms,
+         |    CAST(coalesce(sum(abs((d.doc_id * 31 + s.i) % 256 - 128)), 0)
+         |         AS BIGINT) AS checksum
+         |  FROM dims d LEFT JOIN s ON s.i < d.n_chars
+         |  WHERE d.format = 'wav' GROUP BY d.doc_id, d.format, d.n_chars)
+         |SELECT * FROM img UNION ALL SELECT * FROM aud
          |ORDER BY doc_id""".stripMargin,
+    "media_features" ->
+      s"""WITH $mixedCte,
+         |px AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.format = 'wav'
+         |      THEN ((d.doc_id * 31 + s.i) % 256 - 128 + 32768)
+         |           * $histBins // 65536
+         |      ELSE ((d.doc_id + s.i) % 256) * $histBins // 256 END AS bin
+         |  FROM dims d JOIN s
+         |    ON s.i < CASE WHEN d.format = 'wav' THEN d.n_chars
+         |             ELSE d.w * d.h END),
+         |bins AS (SELECT unnest(generate_series(0, ${histBins - 1})) AS bin),
+         |hist AS (
+         |  SELECT d.doc_id, d.format, b.bin, count(p.bin) AS c
+         |  FROM dims d CROSS JOIN bins b
+         |  LEFT JOIN px p ON p.doc_id = d.doc_id AND p.bin = b.bin
+         |  GROUP BY d.doc_id, d.format, b.bin)
+         |SELECT doc_id, format,
+         |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS features
+         |FROM hist GROUP BY doc_id, format ORDER BY doc_id""".stripMargin,
     "media_resize" ->
-      s"""WITH $decodedCte
-         |SELECT doc_id, width, height,
-         |  CASE WHEN greatest(width, height) <= $fitBox THEN width
-         |       ELSE CAST(floor(width * $fitBox / greatest(width, height))
-         |                 AS BIGINT) END AS out_w,
-         |  CASE WHEN greatest(width, height) <= $fitBox THEN height
-         |       ELSE CAST(floor(height * $fitBox / greatest(width, height))
-         |                 AS BIGINT) END AS out_h
-         |FROM decoded ORDER BY doc_id""".stripMargin,
+      s"""WITH $mixedCte,
+         |img AS (
+         |  SELECT d.doc_id, d.format,
+         |    CAST(d.w AS BIGINT) AS in_w, CAST(d.h AS BIGINT) AS in_h,
+         |    CAST(CASE WHEN greatest(d.w, d.h) <= $resizeBox THEN d.w
+         |         ELSE d.w * $resizeBox // greatest(d.w, d.h) END AS BIGINT)
+         |      AS out_w,
+         |    CAST(CASE WHEN greatest(d.w, d.h) <= $resizeBox THEN d.h
+         |         ELSE d.h * $resizeBox // greatest(d.w, d.h) END AS BIGINT)
+         |      AS out_h,
+         |    CAST(0 AS BIGINT) AS in_samples, CAST(0 AS BIGINT) AS out_samples,
+         |    CAST(coalesce(sum((d.doc_id + s.i) % 256), 0) AS BIGINT)
+         |      AS in_checksum,
+         |    CAST(0 AS BIGINT) AS out_checksum
+         |  FROM dims d LEFT JOIN s ON s.i < d.w * d.h
+         |  WHERE d.format <> 'wav' GROUP BY d.doc_id, d.format, d.w, d.h),
+         |aud AS (
+         |  SELECT d.doc_id, d.format,
+         |    CAST(0 AS BIGINT) AS in_w, CAST(0 AS BIGINT) AS in_h,
+         |    CAST(0 AS BIGINT) AS out_w, CAST(0 AS BIGINT) AS out_h,
+         |    d.n_chars AS in_samples,
+         |    CAST((d.n_chars + 1) // 2 AS BIGINT) AS out_samples,
+         |    CAST(coalesce(sum(abs((d.doc_id * 31 + s.i) % 256 - 128)), 0)
+         |         AS BIGINT) AS in_checksum,
+         |    CAST(coalesce(sum(CASE WHEN s.i % 2 = 0
+         |         THEN abs((d.doc_id * 31 + s.i) % 256 - 128) END), 0)
+         |         AS BIGINT) AS out_checksum
+         |  FROM dims d LEFT JOIN s ON s.i < d.n_chars
+         |  WHERE d.format = 'wav' GROUP BY d.doc_id, d.format, d.n_chars)
+         |SELECT * FROM img UNION ALL SELECT * FROM aud
+         |ORDER BY doc_id""".stripMargin,
     "media_frame_sample" ->
-      s"""WITH $decodedCte
-         |SELECT doc_id, unnest(generate_series(0, n_frames - 1, 8)) AS frame_idx
-         |FROM decoded ORDER BY doc_id, frame_idx""".stripMargin)
+      s"""WITH meta AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+         |         ELSE 'bmp' END AS format,
+         |    CASE WHEN doc_id % 3 = 1
+         |         THEN (CAST(n_chars AS BIGINT) + $audioFrameLen - 1)
+         |              // $audioFrameLen
+         |         ELSE 1 END AS n_frames
+         |  FROM documents)
+         |SELECT doc_id, format,
+         |  unnest(generate_series(0, n_frames - 1, $frameStep)) AS frame_idx
+         |FROM meta WHERE n_frames > 0
+         |ORDER BY doc_id, frame_idx""".stripMargin)
 }

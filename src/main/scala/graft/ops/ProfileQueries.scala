@@ -62,9 +62,16 @@ object ProfileQueries {
     val mmRows = mm.select(
       expr(s"stack(${fields.length}, $mmStack) AS (col_name, min_value, max_value)"),
       col("__n").as("n_rows"))
-    stats.join(broadcast(mmRows), Seq("col_name"))
-      .select("col_name", "n_rows", "n_nulls", "n_distinct",
-        "min_value", "max_value")
+    // mmRows is the PRESERVED side: it always has one row per column
+    // (a keyless aggregate yields a row even on empty input), so an
+    // empty table still profiles as n_rows=0 per column instead of the
+    // inner-join's zero rows (round-8 advice). Both sides are tiny by
+    // the time they meet (≤ #cols rows each); broadcast the stats side.
+    mmRows.join(broadcast(stats), Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_value"), col("max_value"))
       .orderBy("col_name")
   }
 

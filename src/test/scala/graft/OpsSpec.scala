@@ -122,14 +122,56 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
-  test("media decode round-trips the typed Encoder path") {
+  test("media decode: mixed-format table dispatches to the real codecs") {
     val d = MediaQueries.mediaDecode(spark, sf).cache()
     assert(d.count() === Tables.documents(spark, sf).count())
-    assert(d.filter(col("width") < 16 || col("height") < 16).isEmpty)
-    assert(d.filter(!col("format").isin("png", "jpeg")).isEmpty)
-    // payload length == n_chars only for pure-ASCII text; bytes >= chars always
-    val joined = d.join(Tables.documents(spark, sf), "doc_id")
-    assert(joined.filter(col("payload_bytes") < col("n_chars")).isEmpty)
+    // sniffed format must agree with the doc_id-chosen encoder
+    assert(d.filter(
+      (pmod(col("doc_id"), lit(3)) === 0 && col("format") =!= "png") ||
+      (pmod(col("doc_id"), lit(3)) === 1 && col("format") =!= "wav") ||
+      (pmod(col("doc_id"), lit(3)) === 2 && col("format") =!= "bmp")).isEmpty)
+    // image dims come from the REAL decoders and match the synth ranges
+    val img = d.filter(col("format") =!= "wav")
+    assert(img.filter(col("width") < 8 || col("width") > 16 ||
+      col("height") < 8 || col("height") > 14).isEmpty)
+    // audio sample count round-trips through the RIFF chunk walk
+    val joined = d.filter(col("format") === "wav")
+      .join(Tables.documents(spark, sf), "doc_id")
+    assert(joined.filter(col("n_samples") =!= col("n_chars")).isEmpty)
+    assert(joined.filter(col("n_frames") =!=
+      ((col("n_chars") + MediaQueries.audioFrameLen - 1) / MediaQueries.audioFrameLen)
+        .cast("long")).isEmpty)
+    d.unpersist()
+  }
+
+  test("media sniffing rejects unknown containers instead of guessing") {
+    assert(MediaQueries.sniffFormat("not a media file".getBytes) === "unknown")
+    intercept[IllegalArgumentException] {
+      MediaQueries.decodeAny(1L, Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("jpeg round-trip mean error stays within tolerance on this JVM") {
+    // the bound lives HERE, per-JVM, not in the oracle (round-8 advice:
+    // an oracle-pinned flag couples the gate to one codec's tables)
+    val errs = (0L until 40L).map(id => MediaQueries.jpegProbe(id)._3)
+    assert(errs.max <= MediaQueries.jpegMeanTolerance,
+      s"max jpeg mean error ${errs.max}")
+  }
+
+  test("bilinear resize is mean-preserving within tolerance on this JVM") {
+    val errs = (0L until 40L).map(id => MediaQueries.resizeProbe(id)._5)
+    assert(errs.max <= MediaQueries.resizeMeanTolerance,
+      s"max resize mean error ${errs.max}")
+  }
+
+  test("wav decimation halves the stream exactly (even-index samples)") {
+    val n = 101
+    val r = MediaQueries.resampleAny(9L, MediaQueries.encodeWav(9L, n))
+    assert(r.in_samples === n.toLong && r.out_samples === (n + 1) / 2L)
+    val expected = (0 until n).filter(_ % 2 == 0)
+      .map(i => math.abs((9L * 31 + i) % 256 - 128)).sum
+    assert(r.out_checksum === expected)
   }
 
   test("WAV codec is spec-compliant: foreign chunks, arbitrary PCM, encode⊣decode") {

@@ -25,6 +25,22 @@ class ProfileSpec extends SparkSpec {
     assert(p("id").getString(4) === "1" && p("id").getString(5) === "4")
   }
 
+  test("profile of an EMPTY table still yields one row per column") {
+    // round-8 advice: the melt-derived stats side has no rows on empty
+    // input; the min/max side (keyless agg → always 1 row) must be the
+    // preserved side of the stitch
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val p = ProfileQueries.profile(empty).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("id", "s"))
+    for (r <- p.values) {
+      assert(r.getLong(1) === 0L, "n_rows")
+      assert(r.getLong(2) === 0L && r.getLong(3) === 0L, "nulls/distincts")
+      assert(r.isNullAt(4) && r.isNullAt(5), "min/max null on empty input")
+    }
+  }
+
   test("dq_audit: one row per constraint, pass iff zero violations, " +
       "and the audit can FAIL (corpus has pre-order shipdates)") {
     val rows = ProfileQueries.queries("dq_audit")(spark, sf).collect()
