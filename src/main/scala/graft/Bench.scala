@@ -21,7 +21,7 @@ object Bench {
     // optional comma-separated subset for local iteration (not used by the driver)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qs = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

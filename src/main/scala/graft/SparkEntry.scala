@@ -46,6 +46,13 @@ object SparkEntry {
       CurationQueries.queries ++ PrepQueries.queries ++ BpeQueries.queries ++
       ProfileQueries.queries
 
+  /** Bench-only twins: operators whose RESULTS are spec-verified against
+    * a registered query (so a DuckDB oracle row would be redundant or
+    * impossible) but whose STEADY-STATE COST is the number a deployment
+    * sees — Bench times these alongside `queries`; Verify skips them. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rfm_segments_sketch" -> (AnalyticsQueries.rfmSegmentsSketch _))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -735,19 +735,9 @@ object AnalyticsQueries {
       .orderBy("o_custkey")
   }
 
-  /** Scale twin of [[rfmSegments]] — the approx_percentile BUCKET-JOIN
-    * variant: quintile boundaries come from one GK-sketch aggregate over
-    * the customer-grain rows (mergeable partial states — one shuffle of
-    * sketches, never a global sort), broadcast as a single row, and each
-    * customer scores itself by comparing against the four boundaries.
-    * ZERO window operators in the plan (PlanSpec pins this), so the
-    * single-partition ntile ranking the exact form deliberately accepts
-    * at customer grain disappears entirely — this is the shape that runs
-    * at 100 TB. Sketch-derived boundaries aren't reproducible in DuckDB
-    * (different quantile algorithm), so like `approx_distinct` /
-    * `approx_percentile` this rides the rows-only driver check; the spec
-    * pins ≥90% per-dimension agreement with the exact ntile form. */
-  def rfmSegmentsBucketed(s: SparkSession, dir: String): DataFrame = {
+  /** Customer-grain RFM base for the bucket-join variants: recency /
+    * frequency / monetary per customer, anchor = corpus max order date. */
+  private def rfmScored(s: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
@@ -755,17 +745,16 @@ object AnalyticsQueries {
         sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
     val anchor = Tables.orders(s, dir)
       .agg(max(col("o_orderdate")).as("anchor"))
-    val scored = perCust.crossJoin(broadcast(anchor))
+    perCust.crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         datediff(col("anchor"), col("last_order")).cast("long"))
       .withColumn("monetary", col("monetary").cast("double"))
-    val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
-    val bounds = scored.agg(
-      percentile_approx(col("recency_days"), qs, lit(10000)).as("rq"),
-      percentile_approx(col("frequency"), qs, lit(10000)).as("fq"),
-      percentile_approx(col("monetary"), qs, lit(10000)).as("mq"))
-    // bucket(v) = 1 + #boundaries strictly below v; recency inverts
-    // (smaller = more recent = better) to keep 5 = best on every axis
+  }
+
+  /** Score every customer against a broadcast 1-row boundary table.
+    * bucket(v) = 1 + #boundaries strictly below v; recency inverts
+    * (smaller = more recent = better) to keep 5 = best on every axis. */
+  private def rfmBucketJoin(scored: DataFrame, bounds: DataFrame): DataFrame = {
     def above(v: Column, b: Column): Column =
       (1 to 4).map(i => when(v > element_at(b, i), 1).otherwise(0))
         .reduce(_ + _)
@@ -778,6 +767,45 @@ object AnalyticsQueries {
       .withColumn("segment",
         concat(col("r_score"), col("f_score"), col("m_score")))
       .orderBy("o_custkey")
+  }
+
+  private val rfmQuantiles = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+
+  /** Window-free twin of [[rfmSegments]] — the BUCKET-JOIN variant:
+    * quintile boundaries come from one keyless EXACT `percentile`
+    * aggregate over the customer-grain rows (still a single 1-row
+    * reduction — no global sort, no window; DuckDB's `quantile_cont`
+    * reproduces the linear-interpolation boundaries bit-for-bit, so this
+    * row is hash-checked by the driver), broadcast as one row, and each
+    * customer scores itself against the four boundaries. ZERO window
+    * operators in the plan (the spec pins this), so the single-partition
+    * ntile ranking the exact form deliberately accepts at customer grain
+    * disappears entirely. At true 100 TB grain the exact percentile's
+    * per-value-map state is the limiting factor; [[rfmSegmentsSketch]]
+    * swaps it for the GK sketch with identical downstream shape. */
+  def rfmSegmentsBucketed(s: SparkSession, dir: String): DataFrame = {
+    val scored = rfmScored(s, dir)
+    val bounds = scored.agg(
+      percentile(col("recency_days"), rfmQuantiles).as("rq"),
+      percentile(col("frequency"), rfmQuantiles).as("fq"),
+      percentile(col("monetary"), rfmQuantiles).as("mq"))
+    rfmBucketJoin(scored, bounds)
+  }
+
+  /** The 100 TB form of [[rfmSegmentsBucketed]]: boundaries from the
+    * GK approx_percentile sketch (mergeable bounded partial states — one
+    * shuffle of sketches regardless of cardinality). Sketch boundaries
+    * aren't reproducible in DuckDB (different algorithm), so this twin is
+    * spec-verified instead of oracled: AnalyticsSpec pins ≥90%
+    * per-dimension agreement with the exact ntile form and Bench carries
+    * it as a bench-only query. */
+  def rfmSegmentsSketch(s: SparkSession, dir: String): DataFrame = {
+    val scored = rfmScored(s, dir)
+    val bounds = scored.agg(
+      percentile_approx(col("recency_days"), rfmQuantiles, lit(10000)).as("rq"),
+      percentile_approx(col("frequency"), rfmQuantiles, lit(10000)).as("fq"),
+      percentile_approx(col("monetary"), rfmQuantiles, lit(10000)).as("mq"))
+    rfmBucketJoin(scored, bounds)
   }
 
   /** Per-user FEATURE-STORE assembly — the feature-engineering operator
@@ -920,6 +948,40 @@ object AnalyticsQueries {
         |FROM l
         |WHERE prev_type IS NULL OR event_type <> prev_type
         |ORDER BY event_id""".stripMargin,
+    "rfm_segments_bucketed" -> {
+      // quantile_cont reproduces Spark's exact `percentile` (both are
+      // linear interpolation at index p*(n-1)); bucket = count of
+      // boundaries strictly below the value
+      def above(v: String, arr: String): String =
+        (1 to 4).map(i => s"(CASE WHEN $v > $arr[$i] THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+      val r = s"5 - (${above("sc.recency_days", "b.rq")})"
+      val f = s"1 + (${above("sc.frequency", "b.fq")})"
+      val m = s"1 + (${above("sc.monetary", "b.mq")})"
+      s"""WITH pc AS (
+         |  SELECT o_custkey, max(o_orderdate) AS last_order,
+         |         count(*) AS frequency,
+         |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+         |  FROM orders GROUP BY 1),
+         |a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+         |sc AS (
+         |  SELECT o_custkey,
+         |    CAST(date_diff('day', last_order, anchor) AS BIGINT)
+         |      AS recency_days,
+         |    frequency, CAST(monetary AS DOUBLE) AS monetary
+         |  FROM pc CROSS JOIN a),
+         |b AS (
+         |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+         |         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fq,
+         |         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mq
+         |  FROM sc)
+         |SELECT sc.o_custkey, sc.recency_days,
+         |  CAST(sc.frequency AS BIGINT) AS frequency, sc.monetary,
+         |  $r AS r_score, $f AS f_score, $m AS m_score,
+         |  CAST($r AS VARCHAR) || CAST($f AS VARCHAR) || CAST($m AS VARCHAR)
+         |    AS segment
+         |FROM sc CROSS JOIN b ORDER BY sc.o_custkey""".stripMargin
+    },
     "rfm_segments" ->
       """WITH pc AS (
         |  SELECT o_custkey, max(o_orderdate) AS last_order,

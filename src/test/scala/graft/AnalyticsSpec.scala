@@ -296,10 +296,11 @@ class AnalyticsSpec extends SparkSpec {
     r.unpersist()
   }
 
-  test("rfm bucketed twin: no window in plan, agrees with exact ntile form") {
-    val tw = AnalyticsQueries.queries("rfm_segments_bucketed")(spark, sf)
-    // the whole point of the twin: zero window operators (the exact form
-    // deliberately accepts a customer-grain global ntile; this one must not)
+  // shared contract for BOTH bucket-join twins (exact-percentile, which
+  // the driver oracle hash-checks, and the GK-sketch 100 TB form, which
+  // is bench-only): window-free plan, tie-consistent monotone scores,
+  // >=90% agreement with the ntile form on untied values
+  private def checkRfmTwin(tw: org.apache.spark.sql.DataFrame): Unit = {
     val plan = tw.queryExecution.optimizedPlan
     val windows = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
@@ -339,6 +340,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(t.filter(col("segment") =!=
       concat(col("r_score"), col("f_score"), col("m_score"))).isEmpty)
     t.unpersist(); ex.unpersist()
+  }
+
+  test("rfm bucketed twin: no window in plan, agrees with exact ntile form") {
+    checkRfmTwin(AnalyticsQueries.queries("rfm_segments_bucketed")(spark, sf))
+  }
+
+  test("rfm sketch twin (bench-only GK form) meets the same contract") {
+    checkRfmTwin(AnalyticsQueries.rfmSegmentsSketch(spark, sf))
   }
 
   test("pack shards are session-configurable (spark.graft.pack.shards)") {
