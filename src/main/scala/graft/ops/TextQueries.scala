@@ -196,16 +196,16 @@ object TextQueries {
     * allocation growth with partition size. Still a narrow per-row pass —
     * scan-speed at 100 TB, no shuffle.
     *
-    * `no_oracle` is a DOCUMENTED DECISION, not an omission: DuckDB
-    * exposes no deflate/compress scalar function in SQL, so no oracle
-    * query can recompute ANY deflate-derived column — bucketed, rounded,
-    * or thresholded; every granularity inherits the same impossibility.
-    * Pinning Spark-side byte counts in the oracle instead would couple
-    * the gate to one zlib build (JDK wraps the platform zlib; madler vs
-    * zlib-ng emit different stream sizes), trading a structural gap for
-    * a flaky red. The driver therefore records the rows-only check, and
-    * OpsSpec pins the signal's semantic properties (repetitive text
-    * deflates below prose, ratio bounds, determinism) for THIS JVM. */
+    * Oracle: DuckDB exposes no deflate scalar, so the deflate-derived
+    * columns check against a content-addressed FIXTURE
+    * (`fixtures/compression_oracle.parquet`, built by
+    * `tools/make_compression_fixture.py` with PYTHON's zlib — an
+    * independent runtime from the JVM Deflater, verified byte-identical
+    * on this corpus: zlib 1.2.13 both sides) joined on md5(text). A
+    * zlib-build divergence or text regeneration surfaces as a loud
+    * mismatch, exactly like any other content drift; OpsSpec
+    * additionally pins the signal's semantic properties (repetitive
+    * text deflates below prose, ratio bounds, determinism) per-JVM. */
   def compressionRatio(s: SparkSession, dir: String): DataFrame =
     compressionRatioOf(s, Tables.documents(s, dir).select("doc_id", "text"))
 
@@ -228,15 +228,15 @@ object TextQueries {
       }
       .toDF("doc_id", "raw_bytes", "deflate_bytes")
     // greatest(raw,1): an empty document gets a defined (if degenerate)
-    // ratio instead of null poisoning low_entropy; round(·,2) buckets the
-    // ratio so the emitted values are stable across zlib builds with
-    // slightly different emitted stream sizes (a future driver-side
-    // oracle can hash the buckets; the exact-byte contract for THIS JVM
-    // is pinned in OpsSpec)
+    // ratio instead of null poisoning low_entropy. The ratio buckets to
+    // integer PERCENT via integer division — exact in both engines,
+    // where a 2-decimal double round diverges on half cases (Spark
+    // rounds the decimal string, DuckDB the binary double: 0.575 →
+    // 0.58 vs 0.57, measured at sf0.1)
     rows.select(col("doc_id"), col("raw_bytes"), col("deflate_bytes"),
-        round(col("deflate_bytes") / greatest(col("raw_bytes"), lit(1L)), 2)
-          .as("ratio"))
-      .withColumn("low_entropy", col("ratio") < 0.35)
+        expr("deflate_bytes * 100 DIV greatest(raw_bytes, 1L)")
+          .as("ratio_pct"))
+      .withColumn("low_entropy", col("ratio_pct") < 35)
       .orderBy("doc_id")
   }
 
@@ -454,6 +454,19 @@ object TextQueries {
        |    AND quality >= $qfMinQuality""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_compression" ->
+      """WITH f AS (
+        |  SELECT * FROM
+        |    read_parquet('/root/repo/fixtures/compression_oracle.parquet'))
+        |SELECT d.doc_id,
+        |  CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS raw_bytes,
+        |  f.deflate_bytes,
+        |  CAST(f.deflate_bytes * 100 // greatest(
+        |    octet_length(CAST(d.text AS BLOB)), 1) AS BIGINT) AS ratio_pct,
+        |  f.deflate_bytes * 100 // greatest(
+        |    octet_length(CAST(d.text AS BLOB)), 1) < 35 AS low_entropy
+        |FROM documents d JOIN f ON md5(d.text) = f.text_md5
+        |ORDER BY d.doc_id""".stripMargin,
     "text_entropy" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -187,8 +187,8 @@ class PrepSpec extends SparkSpec {
   test("compression ratio: sane bounds on the corpus; separates repetition from variety") {
     import spark.implicits._
     val c = TextQueries.compressionRatio(spark, sf).cache()
-    assert(c.filter(col("deflate_bytes") <= 0 || col("ratio") <= 0).isEmpty)
-    assert(c.filter(col("ratio") > 1.2).isEmpty,
+    assert(c.filter(col("deflate_bytes") <= 0 || col("ratio_pct") <= 0).isEmpty)
+    assert(c.filter(col("ratio_pct") > 120).isEmpty,
       "deflate never inflates prose-sized docs past header overhead")
     // known-entropy fixtures through the same kernel: pure repetition must
     // compress far below varied text of the same length
@@ -197,10 +197,10 @@ class PrepSpec extends SparkSpec {
       .take(rep.length)
     val fix = TextQueries.compressionRatioOf(spark,
         Seq((1L, rep), (2L, varied)).toDF("doc_id", "text"))
-      .select("doc_id", "ratio").as[(Long, Double)].collect().toMap
+      .select("doc_id", "ratio_pct").as[(Long, Long)].collect().toMap
     assert(fix(1L) < fix(2L) / 3,
       s"repetition must compress ≥3× better: rep=${fix(1L)} varied=${fix(2L)}")
-    assert(c.filter(col("low_entropy") =!= (col("ratio") < 0.35)).isEmpty)
+    assert(c.filter(col("low_entropy") =!= (col("ratio_pct") < 35)).isEmpty)
   }
 
   test("compression ratio: exact deflate bytes on fixed strings (this JVM's zlib)") {
@@ -213,12 +213,12 @@ class PrepSpec extends SparkSpec {
     val uniq = "The five boxing wizards jump quickly over 13 lazy dogs near a quiet pond at dawn."
     val got = TextQueries.compressionRatioOf(spark,
         Seq((1L, rep), (2L, uniq), (3L, "")).toDF("doc_id", "text"))
-      .select("doc_id", "raw_bytes", "deflate_bytes", "ratio", "low_entropy")
-      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .select("doc_id", "raw_bytes", "deflate_bytes", "ratio_pct", "low_entropy")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
-    assert(got(1L) === ((360L, 15L, 0.04, true)))
-    assert(got(2L) === ((81L, 80L, 0.99, false)))
-    assert(got(3L) === ((0L, 8L, 8.0, false)),
+    assert(got(1L) === ((360L, 15L, 4L, true)))
+    assert(got(2L) === ((81L, 80L, 98L, false)))
+    assert(got(3L) === ((0L, 8L, 800L, false)),
       "empty doc: defined bucketed ratio via the greatest(raw,1) guard, never null")
   }
 
