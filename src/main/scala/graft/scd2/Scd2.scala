@@ -193,6 +193,28 @@ object Scd2 {
   def applyBatchDelta(history: DataFrame, batch: DataFrame, keys: Seq[String],
                       tsCol: String, seqCol: String,
                       onLate: LatePolicy = LatePolicy.Error)
+      : (DataFrame, DataFrame) =
+    applyBatchDeltaImpl(history, batch, keys, tsCol, onLate,
+      ev => fromEvents(ev, keys, tsCol, seqCol))
+
+  /** [[applyBatchDelta]] with DELETE support — the change-set form of
+    * [[applyBatchWithDeletes]] for sinks that UPDATE in place (the JDBC
+    * leg). A delete expires the key's open row like any other event
+    * (expiries key on the batch's FIRST event time, deletes included)
+    * and contributes no version row, so a batch ending in a delete
+    * leaves the key with no current row. */
+  def applyBatchDeltaWithDeletes(history: DataFrame, batch: DataFrame,
+                                 keys: Seq[String], tsCol: String,
+                                 seqCol: String, opCol: String,
+                                 onLate: LatePolicy = LatePolicy.Error)
+      : (DataFrame, DataFrame) =
+    applyBatchDeltaImpl(history, batch, keys, tsCol, onLate,
+      ev => fromEventsWithDeletes(ev, keys, tsCol, seqCol, opCol).drop(opCol))
+
+  private def applyBatchDeltaImpl(history: DataFrame, batch: DataFrame,
+                                  keys: Seq[String], tsCol: String,
+                                  onLate: LatePolicy,
+                                  versionize: DataFrame => DataFrame)
       : (DataFrame, DataFrame) = {
     val events = onLate match {
       case LatePolicy.Drop =>
@@ -212,7 +234,7 @@ object Scd2 {
     val expiries = current(history)
       .join(broadcast(firstNew), keys)
       .select((keys.map(col) :+ checked.as(ValidUntil)).toIndexedSeq: _*)
-    (expiries, fromEvents(events, keys, tsCol, seqCol))
+    (expiries, versionize(events))
   }
 
   /** The batch rows [[applyBatch]] considers LATE: ts strictly before the

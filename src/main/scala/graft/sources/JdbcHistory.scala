@@ -79,10 +79,28 @@ object JdbcHistory {
   def applyBatch(spark: SparkSession, url: String, table: String,
                  batch: DataFrame, keys: Seq[String], tsCol: String,
                  seqCol: String, props: Properties,
-                 onLate: Scd2.LatePolicy = Scd2.LatePolicy.Error): Unit = {
-    val history = read(spark, url, table, props)
-    val (expiriesPlan, newVersionsPlan) =
-      Scd2.applyBatchDelta(history, batch, keys, tsCol, seqCol, onLate)
+                 onLate: Scd2.LatePolicy = Scd2.LatePolicy.Error): Unit =
+    applyDelta(url, table, keys, props,
+      Scd2.applyBatchDelta(read(spark, url, table, props), batch, keys,
+        tsCol, seqCol, onLate))
+
+  /** [[applyBatch]] with DELETE events (parquet-path parity:
+    * [[Scd2.applyBatchWithDeletes]]): a delete expires the key's open
+    * row via the same Task-2 UPDATE and inserts nothing, so the key has
+    * no current row until a later re-insert. */
+  def applyBatchWithDeletes(spark: SparkSession, url: String, table: String,
+                            batch: DataFrame, keys: Seq[String], tsCol: String,
+                            seqCol: String, opCol: String, props: Properties,
+                            onLate: Scd2.LatePolicy = Scd2.LatePolicy.Error)
+      : Unit =
+    applyDelta(url, table, keys, props,
+      Scd2.applyBatchDeltaWithDeletes(read(spark, url, table, props), batch,
+        keys, tsCol, seqCol, opCol, onLate))
+
+  private def applyDelta(url: String, table: String, keys: Seq[String],
+                         props: Properties,
+                         delta: (DataFrame, DataFrame)): Unit = {
+    val (expiriesPlan, newVersionsPlan) = delta
     // MATERIALIZE the change set against the PRE-merge history before any
     // write: both halves are lazy plans over the live JDBC table, and the
     // expiry UPDATE flips the very is_current rows the Drop-policy late
@@ -115,5 +133,51 @@ object JdbcHistory {
       }
     }
     newVersions.write.mode("append").jdbc(url, table, props)
+  }
+
+  /** Online schema evolution, JDBC leg (parquet-path parity:
+    * `Scd2Stream`'s typed-null widening): `ALTER TABLE … ADD COLUMN` for
+    * every batch column the live table lacks, so a subsequent
+    * [[applyBatch]] INSERT can carry it (pre-evolution rows read back as
+    * NULL — the same typed-null backfill the parquet path gives).
+    * Spark's JDBC INSERT lists columns BY NAME, so a batch that lacks
+    * table columns needs no handling here. `typeOverrides` pins SQL
+    * types where the dialect default is wrong (e.g. Derby maps
+    * StringType to CLOB — same caveat as [[seed]]'s `columnTypes`).
+    * `exclude` lists batch columns the MERGE consumes rather than
+    * stores — tsCol (rewritten to valid_from/valid_until) and opCol —
+    * which must not become table columns. Returns the added names. */
+  def evolveSchema(spark: SparkSession, url: String, table: String,
+                   batch: DataFrame, props: Properties,
+                   typeOverrides: Map[String, String] = Map.empty,
+                   exclude: Seq[String] = Nil): Seq[String] = {
+    val existing = read(spark, url, table, props)
+      .schema.fieldNames.map(_.toLowerCase).toSet ++
+      exclude.map(_.toLowerCase)
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    val added = batch.schema.fields
+      .filterNot(f => existing.contains(f.name.toLowerCase))
+    if (added.nonEmpty) {
+      val connProps = new Properties()
+      connProps.putAll(props)
+      val conn = DriverManager.getConnection(url, connProps)
+      try {
+        added.foreach { f =>
+          val sqlType = typeOverrides.getOrElse(f.name,
+            dialect.getJDBCType(f.dataType)
+              .orElse(org.apache.spark.sql.execution.datasources.jdbc
+                .JdbcUtils.getCommonJDBCType(f.dataType))
+              .getOrElse(throw new IllegalArgumentException(
+                s"no JDBC type for ${f.name}: ${f.dataType}"))
+              .databaseTypeDefinition)
+          val st = conn.createStatement()
+          try st.executeUpdate(
+            s"ALTER TABLE $table ADD COLUMN " +
+              s"${dialect.quoteIdentifier(f.name)} $sqlType")
+          finally st.close()
+        }
+      } finally conn.close()
+    }
+    added.map(_.name).toSeq
   }
 }

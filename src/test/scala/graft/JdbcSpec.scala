@@ -86,6 +86,78 @@ class JdbcSpec extends SparkSpec {
     assert(open.count() === 1 && open.first().getLong(1) === 4L)
   }
 
+  test("JDBC delete events close intervals like the parquet merge, bit-for-bit") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val history = Scd2.fromEvents(
+      Seq((1L, 1L, t("2024-01-01 10:00:00"), 5.0),
+          (2L, 2L, t("2024-01-01 10:30:00"), 7.0))
+        .toDF("user_id", "event_id", "ts", "value"),
+      Seq("user_id"), "ts", "event_id")
+    // key 1: delete then re-insert (interval chains through the delete);
+    // key 2: update then delete (ends with NO current row)
+    val batch = Seq(
+      (1L, 3L, t("2024-01-01 11:00:00"), 0.0, "delete"),
+      (1L, 4L, t("2024-01-01 12:00:00"), 6.0, "insert"),
+      (2L, 5L, t("2024-01-01 11:30:00"), 8.0, "update"),
+      (2L, 6L, t("2024-01-01 13:00:00"), 0.0, "delete"))
+      .toDF("user_id", "event_id", "ts", "value", "op")
+
+    val url = derbyUrl()
+    JdbcHistory.seed(history, url, "hist", props, Some("is_current VARCHAR(1)"))
+    JdbcHistory.applyBatchWithDeletes(spark, url, "hist", batch,
+      Seq("user_id"), "ts", "event_id", "op", props)
+
+    val expect = Scd2.applyBatchWithDeletes(history, batch,
+      Seq("user_id"), "ts", "event_id", "op")
+    val got = JdbcHistory.read(spark, url, "hist", props)
+      .select(expect.columns.map(col).toIndexedSeq: _*)
+    assert(got.count() === expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    // key 2's trailing delete leaves it with no open row; key 1 re-opened
+    val open = got.filter(col("is_current") === "Y")
+    assert(open.count() === 1 && open.select("user_id").first().getLong(0) === 1L)
+    // and the delete events themselves never became version rows
+    assert(got.filter(col("event_id").isin(3L, 6L)).isEmpty)
+  }
+
+  test("JDBC ADD COLUMN evolution matches the parquet typed-null widening") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val history = Scd2.fromEvents(
+      Seq((1L, 1L, t("2024-01-01 10:00:00"), 5.0))
+        .toDF("user_id", "event_id", "ts", "value"),
+      Seq("user_id"), "ts", "event_id")
+    // upstream ALTER TABLE ADD COLUMN note: the batch carries a column
+    // the live table lacks
+    val batch = Seq(
+      (1L, 2L, t("2024-01-01 11:00:00"), 6.0, "hello"),
+      (2L, 3L, t("2024-01-01 12:00:00"), 9.0, "world"))
+      .toDF("user_id", "event_id", "ts", "value", "note")
+
+    val url = derbyUrl()
+    JdbcHistory.seed(history, url, "hist", props, Some("is_current VARCHAR(1)"))
+    val added = JdbcHistory.evolveSchema(spark, url, "hist", batch, props,
+      Map("note" -> "VARCHAR(32)"), // Derby CLOB caveat, as in seed
+      exclude = Seq("ts")) // tsCol is merge input, not a table column
+    assert(added === Seq("note"))
+    // idempotent: a second call sees the column and adds nothing
+    assert(JdbcHistory.evolveSchema(spark, url, "hist", batch, props,
+      exclude = Seq("ts")).isEmpty)
+    JdbcHistory.applyBatch(spark, url, "hist", batch,
+      Seq("user_id"), "ts", "event_id", props)
+
+    val expect = Scd2.applyBatch(
+      history.withColumn("note", lit(null).cast("string")), batch,
+      Seq("user_id"), "ts", "event_id")
+    val got = JdbcHistory.read(spark, url, "hist", props)
+      .select(expect.columns.map(col).toIndexedSeq: _*)
+    assert(got.count() === expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    // pre-evolution rows read back with the typed-null backfill
+    assert(got.filter(col("event_id") === 1L && col("note").isNotNull).isEmpty)
+  }
+
   test("expiry UPDATE quotes identifiers per the connection's dialect") {
     // MySQL's default sql_mode reads ANSI double-quoted tokens as string
     // literals — the UPDATE must use backticks there (ADVICE r4); ANSI
