@@ -51,7 +51,8 @@ object SparkEntry {
     * impossible) but whose STEADY-STATE COST is the number a deployment
     * sees — Bench times these alongside `queries`; Verify skips them. */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rfm_segments_sketch" -> (AnalyticsQueries.rfmSegmentsSketch _))
+    "rfm_segments_sketch" -> (AnalyticsQueries.rfmSegmentsSketch _),
+    "ann_ivf_pq_prebuilt" -> (graft.streaming.AnnStream.annIvfPqPrebuilt _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -144,9 +144,12 @@ object AnnStream {
   }
 
   /** IVF-PQ search over the live index for arbitrary query vectors
-    * (q_id, embedding) → (q_id, rank, vec_id, adist). */
+    * (q_id, embedding) → (q_id, rank, vec_id, adist). `excludeSelf`
+    * drops the q_id == vec_id candidate before ranking (the corpus-query
+    * convention of [[graft.ops.SimilarityQueries.annIvfPq]]). */
   def search(spark: SparkSession, queries: DataFrame, indexDir: String,
-             topK: Int = 10, nprobe: Int = 4): DataFrame = {
+             topK: Int = 10, nprobe: Int = 4,
+             excludeSelf: Boolean = false): DataFrame = {
     val cents = broadcast(spark.read.parquet(s"$indexDir/meta/centroids"))
     val cb = broadcast(spark.read.parquet(s"$indexDir/meta/codebook"))
     val q = withNorm(queries.select(col("q_id"),
@@ -159,11 +162,46 @@ object AnnStream {
       .select(col("q_id"), col("qe"), col("cell"))
     val qlut = probes.crossJoin(cb)
       .select(col("q_id"), col("cell"), pqLut(col("qe"), col("cb"), lit(m)).as("lut"))
-    val scored = readCoded(spark, indexDir).join(broadcast(qlut), Seq("cell"))
+    val candidates = readCoded(spark, indexDir).join(broadcast(qlut), Seq("cell"))
+    val scored = (if (excludeSelf) candidates.filter(col("q_id") =!= col("vec_id"))
+                  else candidates)
       .withColumn("ad", pqAdc(col("lut"), col("codes"), lit(k)))
     val w = Window.partitionBy(col("q_id")).orderBy(col("ad").asc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col("vec_id"), round(col("ad"), 6).as("adist"))
+  }
+
+  // ---- bench-only steady-state twin of SimilarityQueries.annIvfPq ------
+
+  private val prebuiltDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** BENCH-ONLY steady-state twin of
+    * [[graft.ops.SimilarityQueries.annIvfPq]]: the registered query
+    * honestly pays a full index rebuild per run to stay oracle-checkable;
+    * this twin queries the [[AnnStream]]-maintained cell-partitioned
+    * coded index — built lazily ONCE per sf dir (Bench's warmup pass
+    * pays it), so the timed passes report the steady-state SEARCH cost a
+    * deployment sees. Output is column-for-column the annIvfPq shape
+    * (self-match excluded); AnnStreamSpec pins row-for-row equality with
+    * the rebuild query. */
+  def annIvfPqPrebuilt(s: SparkSession, dir: String): DataFrame = {
+    val idx = prebuiltDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-ann-prebuilt")
+        .toString + "/index"
+      val corpus = graft.Tables.embeddings(s, dir).select("vec_id", "embedding")
+      init(s, corpus, d)
+      applyMicroBatch(s, corpus, d, 0L)
+      d
+    })
+    val q = graft.Tables.embeddings(s, dir)
+      .filter(col("vec_id") % SimilarityQueries.queryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    search(s, q, idx, topK = SimilarityQueries.topK,
+        nprobe = SimilarityQueries.nprobe, excludeSelf = true)
+      .select(col("q_id").as("q"), col("rank"),
+        col("vec_id").as("neighbor"), col("adist"))
+      .orderBy("q", "rank")
   }
 }

@@ -60,6 +60,20 @@ class AnnStreamSpec extends SparkSpec {
       s"most queries should self-retrieve at rank 1, got ${selfTop.size}")
   }
 
+  test("bench-only prebuilt twin equals the per-run annIvfPq rebuild row-for-row") {
+    import graft.ops.SimilarityQueries
+    val rebuild = SimilarityQueries.annIvfPq(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val prebuilt = AnnStream.annIvfPqPrebuilt(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(prebuilt === rebuild,
+      "steady-state index search must return the rebuild query's results")
+    // memoization: a second call reuses the same index directory
+    val again = AnnStream.annIvfPqPrebuilt(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(again === rebuild)
+  }
+
   test("replaying a committed batch id is a no-op; crash debris is swept") {
     val all = corpus()
     val tmp = Files.createTempDirectory("graft-ann-replay").toString + "/index"
