@@ -540,27 +540,20 @@ object SimilarityQueries {
     * exact all-pairs baseline (the same brute/blocked pairing as
     * ann_brute_force / ann_ivf and dedup_embedding / dedup_embedding_lsh).
     * Every vector is assigned to its IVF Voronoi cell once (broadcast
-    * seeds, one map-side argmax pass — the [[annIvf]] build path), and
-    * candidate edges exist only WITHIN a cell, so scoring work is
-    * Σ|cell|² ≈ n·cellSize instead of n² — n^1.5 at the √n cell size
-    * ([[seedStrideOf]]). At 100 TB the assigned table is
-    * partitioned by `cell`, making the self-join co-partitioned with no
-    * extra shuffle. Graph recall vs the exact graph is bounded by the
+    * seeds, one map-side argmax pass — the [[annIvf]] build path at the
+    * same √n geometry, [[seedStrideOf]]), and candidate edges exist only
+    * WITHIN a cell, so TOTAL work is n^1.5: n·√n for the assignment
+    * argmax and Σ|cell|² ≈ n·√n for the scoring. An earlier fixed-29
+    * cell size made the scoring side linear but silently left the
+    * assignment argmax at n·(n/29) — quadratic; the round-9 100× probe
+    * surfaced it (21.8× at 10×), the same forgotten-assignment-term bug
+    * the round-8 IVF geometry fix closed. At 100 TB the assigned table
+    * is partitioned by `cell`, making the self-join co-partitioned with
+    * no extra shuffle. Graph recall vs the exact graph is bounded by the
     * cell partition (measured in OpsSpec); sources whose cell has < k
     * other members legitimately emit fewer than k edges. */
-  /** Fixed target cell size for [[knnGraphBlocked]]'s blocking — NOT the
-    * IVF √n geometry: blocked-graph cost is Σ|cell|², so a FIXED cell
-    * size keeps it n·cellSize (linear), where √n cells would make it
-    * n^1.5. The two operators genuinely want different partitions of the
-    * same corpus; each builds its own. */
-  val blockStride = 29
-
-  private def blockSeeds(s: SparkSession, dir: String): DataFrame =
-    vectors(s, dir).filter(col("vec_id") % blockStride === 1)
-      .select(col("vec_id").as("cell"), col("e").as("ce"), col("norm").as("cn"))
-
   def knnGraphBlocked(s: SparkSession, dir: String): DataFrame = {
-    val a = assignedTo(blockSeeds(s, dir), vectors(s, dir))
+    val a = assigned(s, dir)
     val l = a.select(col("cell"), col("vec_id").as("src"),
       col("e").as("ea"), col("norm").as("na"))
     val r = a.select(col("cell"), col("vec_id").as("dst"),
@@ -636,8 +629,6 @@ object SimilarityQueries {
        |    FROM v CROSS JOIN seeds s) WHERE r = 1)""".stripMargin
 
   private val assignCtes = assignCtesWith(sqlSeedStride)
-  /** Fixed-stride twin for knn_graph_blocked (see [[blockStride]]). */
-  private val blockAssignCtes = assignCtesWith(blockStride.toString)
 
   /** IVF ANN as a CTE chain ending in `ann(q, rank, neighbor, cosine)` —
     * shared by ann_ivf and hybrid_search_ivf. */
@@ -829,7 +820,7 @@ object SimilarityQueries {
          |SELECT src, rank, dst, cosine FROM rk
          |WHERE rank <= $knnK ORDER BY src, rank""".stripMargin,
     "knn_graph_blocked" ->
-      s"""WITH $blockAssignCtes,
+      s"""WITH $assignCtes,
          |sc AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst,
          |         ${duckCos("a.e", "b.e", "a.norm", "b.norm")} AS cosine

@@ -1,9 +1,7 @@
 #!/usr/bin/env python3
 """Driver-side tooling (like check_oracle.py — not part of the Scala lib):
 replicate a testdata SF dir N-fold with shifted keys, for one-off scaling
-probes (BASELINE.md records the sf0.1 -> 10x ratios). Text/embedding
-payloads repeat verbatim — the probe measures data-volume scaling, not
-entropy growth.
+probes (BASELINE.md records the sf0.1 -> 10x/100x ratios).
 
 Covers BOTH table families:
   - corpus tables (documents / embeddings / events): self-keyed shifts;
@@ -16,18 +14,42 @@ Covers BOTH table families:
   - nation / region: tiny fixed dims, copied verbatim (unshifted
     c_nationkey / s_nationkey FKs stay valid against them).
 
+Flags:
+  --mutate  Entropy-preserving replication. Verbatim text/embedding
+            replication turns every doc into an N-way duplicate CLIQUE —
+            at 100x that makes near-dup pair/triangle OUTPUT quadratic in
+            the factor, so the probe would measure the data pathology,
+            not the operator. Mutation keeps per-replica statistics
+            (lengths, vocabulary, intra-replica near-dup structure)
+            while breaking cross-replica similarity: replica k permutes
+            each doc's words with a (k, word-count)-seeded shuffle
+            (same-length docs share the permutation, so a replica's
+            internal near-dup pairs survive; n-gram shingles across
+            replicas don't), and rolls each embedding's components by k
+            (norms and intra-replica cosines exact-preserved; random
+            vectors decorrelate across replicas).
+  --skew    Zipfian hot keys at ~20% mass, layered on the scaled output:
+            events.user_id -> hottest user on every 5th event (salted
+            join / sessionization skew), lineitem.l_partkey -> one hot
+            part on every 5th line (copurchase basket skew), documents:
+            every 5th doc gets source='hot_src' and every 5th word
+            replaced by 'zipfhot' (vocab/shingle-DF skew).
+
 Usage: python3 tools/make_scale.py <srcSfDir> <dstDir> [factor=10]
+           [--mutate] [--skew]
 """
 import os
+import random
 import shutil
 import sys
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 # table -> {column -> (basis_table, basis_column)}: the column shifts by
-# k * (max(basis) + 1), so FK columns use their PARENT's key range.
+# k * (max(basis) + 1), so FK columns use their PARENT table's key range.
 SHIFT = {
     "documents": {"doc_id": ("documents", "doc_id")},
     "embeddings": {"vec_id": ("embeddings", "vec_id")},
@@ -45,7 +67,79 @@ SHIFT = {
 COPY = ["region", "nation"]
 
 
-def main(src, dst, factor):
+def permute_words(texts, k):
+    """Replica-k word permutation; one cached shuffle per word count so
+    same-length docs (the near-dup pairs) share it."""
+    perms = {}
+    out = []
+    for text in texts:
+        words = text.split()
+        n = len(words)
+        idx = perms.get(n)
+        if idx is None:
+            idx = list(range(n))
+            random.Random((k << 20) + n).shuffle(idx)
+            perms[n] = idx
+        out.append(" ".join(words[i] for i in idx))
+    return out
+
+
+def mutate(tbl, name, k):
+    if k == 0:
+        return tbl
+    if name == "documents":
+        texts = permute_words(tbl["text"].to_pylist(), k)
+        return set_cols(tbl, text=pa.array(texts, pa.string()),
+                        n_chars=pa.array([len(t) for t in texts], pa.int64()))
+    if name == "embeddings":
+        arr = np.array(tbl["embedding"].to_pylist(), dtype=np.float32)
+        rolled = np.roll(arr, k % arr.shape[1], axis=1)
+        return set_cols(tbl, embedding=pa.array(list(rolled)))
+    return tbl
+
+
+def set_cols(tbl, **cols):
+    arrays = []
+    fields = []
+    for f in tbl.schema:
+        if f.name in cols:
+            arrays.append(cols[f.name])
+            fields.append(pa.field(f.name, cols[f.name].type))
+        else:
+            arrays.append(tbl[f.name].combine_chunks())
+            fields.append(f)
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def skew(tbl, name):
+    """Hot key at ~20% mass (every 5th row by position/id)."""
+    if name == "events":
+        user = tbl["user_id"].to_numpy().copy()
+        hot = user.min()
+        mask = tbl["event_id"].to_numpy() % 5 == 0
+        user[mask] = hot
+        return set_cols(tbl, user_id=pa.array(user, tbl["user_id"].type))
+    if name == "lineitem":
+        part = tbl["l_partkey"].to_numpy().copy()
+        hot = part.min()
+        part[np.arange(len(part)) % 5 == 0] = hot
+        return set_cols(tbl, l_partkey=pa.array(part, tbl["l_partkey"].type))
+    if name == "documents":
+        texts = tbl["text"].to_pylist()
+        srcs = tbl["source"].to_pylist()
+        ids = tbl["doc_id"].to_numpy()
+        for i in np.nonzero(ids % 5 == 0)[0]:
+            words = texts[i].split()
+            texts[i] = " ".join(
+                "zipfhot" if j % 5 == 0 else w for j, w in enumerate(words))
+            srcs[i] = "hot_src"
+        return set_cols(tbl, text=pa.array(texts, pa.string()),
+                        source=pa.array(srcs, pa.string()),
+                        n_chars=pa.array([len(t) for t in texts], pa.int64()))
+    return tbl
+
+
+def main(src, dst, factor, do_mutate, do_skew):
     os.makedirs(dst, exist_ok=True)
     bases = {}  # (tbl, col) -> max+1 in the SOURCE dir
 
@@ -68,11 +162,23 @@ def main(src, dst, factor):
                 if name in keys and k > 0:
                     col = pc.add(col, k * basis(*keys[name]))
                 arrays.append(col)
-            parts.append(pa.Table.from_arrays(arrays, schema=t.schema))
+            rep = pa.Table.from_arrays(arrays, schema=t.schema)
+            if do_mutate:
+                rep = mutate(rep, tbl, k)
+            parts.append(rep)
         out = pa.concat_tables(parts)
+        if do_skew:
+            out = skew(out, tbl)
         pq.write_table(out, f"{dst}/{tbl}.parquet")
-        print(f"{tbl}: {t.num_rows} -> {out.num_rows} rows")
+        print(f"{tbl}: {t.num_rows} -> {out.num_rows} rows"
+              + (" (mutated)" if do_mutate and tbl in
+                 ("documents", "embeddings") else "")
+              + (" (skewed)" if do_skew and tbl in
+                 ("documents", "events", "lineitem") else ""))
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    main(args[0], args[1], int(args[2]) if len(args) > 2 else 10,
+         "--mutate" in flags, "--skew" in flags)
