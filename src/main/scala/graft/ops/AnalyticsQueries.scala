@@ -862,7 +862,59 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** Multi-touch attribution over the event stream: every 'purchase'
+    * conversion credits the user's touch events (click / view / signup)
+    * falling strictly inside its (previous purchase, purchase) interval
+    * — so each touch maps to at most one conversion. Three standard
+    * models in one pass: first-touch, last-touch (integer counts), and
+    * linear with credit in exact integer PARTS-PER-MILLION — floor(1e6 ·
+    * channel-count / n) per conversion, integer division in BOTH engines
+    * — so every output is an order-independent BIGINT sum; no float
+    * accumulation anywhere (same micro-unit trick as dedup_pagerank).
+    *
+    * Shape: one user-keyed window for conversion intervals, one per-user
+    * equi-join with range predicates (fan bounded by per-user event
+    * counts — the sessionize skew profile), one conv-keyed window stack
+    * (one exchange, three sorts), two hash aggs. The conversion side of
+    * the join is a per-user slice of events — co-partitioned with the
+    * touch side on user_id, no broadcast needed at any scale. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir)
+    val wconv = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wconv))
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"), col("prev_ts"))
+    val touch = ev.filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("ts").as("touch_ts"), col("event_id").as("touch_eid"))
+    val mapped = touch.join(conv, Seq("user_id"))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        (col("prev_ts").isNull || col("touch_ts") > col("prev_ts")))
+    val byConv = Window.partitionBy(col("conv_id"))
+    val ranked = mapped
+      .withColumn("n", count(lit(1)).over(byConv))
+      .withColumn("ra", row_number().over(
+        byConv.orderBy(col("touch_ts"), col("touch_eid"))))
+      .withColumn("rd", row_number().over(
+        byConv.orderBy(col("touch_ts").desc, col("touch_eid").desc)))
+    ranked.groupBy(col("conv_id"), col("channel"))
+      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"),
+        sum(when(col("ra") === 1, 1L).otherwise(0L)).as("first_t"),
+        sum(when(col("rd") === 1, 1L).otherwise(0L)).as("last_t"))
+      .withColumn("lin_ppm", expr("(1000000 * cnt) div n"))
+      .groupBy(col("channel"))
+      .agg(sum(col("cnt")).as("n_touches"),
+        sum(col("first_t")).as("first_touch"),
+        sum(col("last_t")).as("last_touch"),
+        sum(col("lin_ppm")).as("linear_ppm"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "attribution" -> (attribution _),
     "user_features" -> (userFeatures _),
     "dedup_consecutive" -> (dedupConsecutive _),
     "rfm_segments" -> (rfmSegments _),
@@ -920,6 +972,42 @@ object AnalyticsQueries {
          |ORDER BY w.window_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, event_id AS conv_id, ts AS conv_ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, event_type AS channel, ts AS touch_ts,
+        |         event_id AS touch_eid
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |mapped AS (
+        |  SELECT t.channel, t.touch_ts, t.touch_eid, c.conv_id
+        |  FROM touch t JOIN conv c USING (user_id)
+        |  WHERE t.touch_ts < c.conv_ts
+        |    AND (c.prev_ts IS NULL OR t.touch_ts > c.prev_ts)),
+        |ranked AS (
+        |  SELECT channel, conv_id,
+        |    count(*) OVER (PARTITION BY conv_id) AS n,
+        |    row_number() OVER (PARTITION BY conv_id
+        |                       ORDER BY touch_ts, touch_eid) AS ra,
+        |    row_number() OVER (PARTITION BY conv_id
+        |                       ORDER BY touch_ts DESC, touch_eid DESC) AS rd
+        |  FROM mapped),
+        |pc AS (
+        |  SELECT conv_id, channel, CAST(count(*) AS BIGINT) AS cnt,
+        |    max(n) AS n,
+        |    CAST(sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS first_t,
+        |    CAST(sum(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS last_t
+        |  FROM ranked GROUP BY 1, 2)
+        |SELECT channel, CAST(sum(cnt) AS BIGINT) AS n_touches,
+        |  CAST(sum(first_t) AS BIGINT) AS first_touch,
+        |  CAST(sum(last_t) AS BIGINT) AS last_touch,
+        |  CAST(sum((1000000 * cnt) // n) AS BIGINT) AS linear_ppm
+        |FROM pc GROUP BY channel ORDER BY channel""".stripMargin,
     "user_features" -> {
       val typeCols = userFeatureTypes.map(t =>
         s"""  CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)

@@ -840,7 +840,66 @@ object DedupQueries {
       .orderBy("source_a", "source_b")
   }
 
+  /** Fixed fingerprint-window length for [[substringDedup]]: ~5 words of
+    * this corpus, long enough that chance 32-char collisions don't occur
+    * in natural text (the Lee et al. 2021 paper uses 50 BPE tokens at
+    * web scale; the signal is the same). */
+  val ssdWindow = 32
+
+  /** Exact repeated-substring detection — the suffix-array dedup signal
+    * of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better") re-expressed as a distributed fingerprint join: a
+    * char position is DUPLICATED iff the [[ssdWindow]]-char window
+    * starting there occurs ≥ 2 times anywhere in the corpus (another doc
+    * or elsewhere in the same doc); per doc the covered positions merge
+    * into maximal contiguous spans. Because every window has the same
+    * length, span-merge needs no gaps-and-islands machinery: one lag —
+    * a window opens a new span iff pos − prev > window, and contributes
+    * min(pos − prev, window) fresh covered chars.
+    *
+    * Scale shape: ONE shuffle of (window-hash, doc_id, pos) postings,
+    * linear in corpus chars; the ≥2-occurrences filter is a partial-
+    * aggregated count on the same key (co-partitioned with the fan-back
+    * semi-join — no second exchange of the postings); span-merge is one
+    * doc-keyed window. At 100 TB the fingerprint pass strides (stride s
+    * with window 2·[[ssdWindow]] still catches every repeat ≥ 2·window+s
+    * — the CCNet/SlimPajama trick) to cut posting volume s-fold; stride
+    * 1 here keeps the operator exactly oracle-checkable. */
+  def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val wins = d.filter(length(col("text")) >= ssdWindow)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (ssdWindow - 1)))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5Long(expr(s"substring(text, pos, $ssdWindow)")).as("h"))
+      .localCheckpoint() // postings feed both the count and the fan-back
+    val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val wlag = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = wins.join(dupH, Seq("h"), "left_semi")
+      .withColumn("delta", col("pos") - lag(col("pos"), 1).over(wlag))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(when(col("delta").isNull || col("delta") > ssdWindow, 1L)
+          .otherwise(0L)).as("n_spans"),
+        sum(when(col("delta").isNull || col("delta") >= ssdWindow,
+          lit(ssdWindow)).otherwise(col("delta")).cast("long"))
+          .as("dup_chars"))
+    d.select(col("doc_id"), length(col("text")).as("n_chars"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)) /
+          col("n_chars").cast("double"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "substring_dedup" -> (substringDedup _),
     "source_overlap" -> (sourceOverlap _),
     "dedup_triangles" -> (dedupTriangles _),
     "dedup_pagerank" -> (dedupPagerank _),
@@ -965,6 +1024,36 @@ object DedupQueries {
        |    GROUP BY e.dst) s USING (doc_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "substring_dedup" ->
+      s"""WITH idx AS (
+         |  SELECT unnest(generate_series(1,
+         |    (SELECT max(length(text)) FROM documents) - ${ssdWindow - 1}))
+         |    AS pos),
+         |w AS (
+         |  SELECT d.doc_id, i.pos,
+         |    ${duckMd5Long(s"substr(d.text, i.pos, $ssdWindow)")} AS h
+         |  FROM documents d
+         |  JOIN idx i ON i.pos <= length(d.text) - ${ssdWindow - 1}),
+         |c AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+         |lg AS (
+         |  SELECT doc_id, pos,
+         |    pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS delta
+         |  FROM w JOIN c USING (h)),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+         |    CAST(sum(CASE WHEN delta IS NULL OR delta > $ssdWindow
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         |    CAST(sum(CASE WHEN delta IS NULL OR delta >= $ssdWindow
+         |         THEN $ssdWindow ELSE delta END) AS BIGINT) AS dup_chars
+         |  FROM lg GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(n_dup_windows, 0) AS n_dup_windows,
+         |  coalesce(n_spans, 0) AS n_spans,
+         |  coalesce(dup_chars, 0) AS dup_chars,
+         |  round(coalesce(dup_chars, 0) / CAST(length(d.text) AS DOUBLE), 6)
+         |    AS dup_frac
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "source_overlap" ->
       s"""WITH $shingleCte,
          |ss AS (

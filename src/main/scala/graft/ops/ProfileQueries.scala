@@ -166,9 +166,46 @@ object ProfileQueries {
       .limit(skewTopK)
   }
 
+  val kmvK = 64
+
+  /** KMV (k-minimum-values) distinct-count sketch — the mergeable
+    * cardinality estimator of Bar-Yossef et al. 2002, made exactly
+    * oracle-checkable: hashes are the portable md5-60bit, and the
+    * estimate is the DETERMINISTIC (k−1)·2^60 / h_k with h_k the k-th
+    * smallest distinct hash per group (falling back to the exact count
+    * when a group has < k distinct values — the KMV small-cardinality
+    * rule). The production 100 TB aggregate is HLL
+    * (`approx_count_distinct`, the no-oracle `approx_distinct` query);
+    * THIS query pins the sketch arithmetic with a hash oracle. Shape:
+    * one (group, hash)-distinct shuffle bounded by true cardinality,
+    * then a per-group rank-k window over ≤ NDV rows; `n_exact` rides
+    * the same distinct set, so the error column is self-auditing. */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    import org.apache.spark.sql.expressions.Window
+    val dh = Tables.events(s, dir)
+      .select(col("event_type"),
+        md5Long(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val exact = dh.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val kth = dh.withColumn("r", row_number().over(w))
+      .filter(col("r") === kmvK)
+      .select(col("event_type"), col("h").as("h_k"))
+    exact.join(kth, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_exact"),
+        coalesce(col("h_k"), lit(0L)).as("h_k"),
+        when(col("h_k").isNull, col("n_exact").cast("double"))
+          .otherwise(round(
+            lit((kmvK - 1).toDouble) * pow(lit(2.0), 60) / col("h_k"), 3))
+          .as("n_est"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_profile" -> (dataProfile _),
     "skew_report" -> (skewReport _),
+    "kmv_distinct" -> (kmvDistinct _),
     "dq_audit" -> (dqAudit _))
 
   private def colSql(name: String, minMax: String => String) =
@@ -205,6 +242,25 @@ object ProfileQueries {
        |FROM $from""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "kmv_distinct" ->
+      s"""WITH dh AS (
+         |  SELECT DISTINCT event_type,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |      AS h
+         |  FROM events),
+         |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM dh GROUP BY 1),
+         |kth AS (
+         |  SELECT event_type, h AS h_k FROM (
+         |    SELECT event_type, h,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+         |    FROM dh) WHERE r = $kmvK)
+         |SELECT ex.event_type, ex.n_exact, coalesce(kth.h_k, 0) AS h_k,
+         |  CASE WHEN kth.h_k IS NULL THEN CAST(ex.n_exact AS DOUBLE)
+         |       ELSE round(${(kmvK - 1).toDouble} * power(2.0, 60) / kth.h_k,
+         |                  3) END AS n_est
+         |FROM ex LEFT JOIN kth USING (event_type)
+         |ORDER BY ex.event_type""".stripMargin,
     "data_profile" -> Seq(
       colSql("o_orderkey", plain), colSql("o_custkey", plain),
       colSql("o_orderstatus", plain), colSql("o_totalprice", fixed),

@@ -568,7 +568,44 @@ object SimilarityQueries {
       .sortWithinPartitions("src", "rank")
   }
 
+  /** Cosine threshold for [[semDedup]]: tuned so the synthetic corpus
+    * (weak cluster structure, near-dup pairs planted by the generator)
+    * yields a non-trivial drop set at every SF. */
+  val semThreshold = 0.4
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication inside coarse
+    * clusters — every vector is assigned to its nearest IVF cell (the
+    * shared [[assigned]] substrate at the √n geometry), pairwise cosines
+    * are computed WITHIN cells only, and the higher vec_id of any pair
+    * ≥ [[semThreshold]] is dropped (the deterministic greedy min-id
+    * keeper; the paper keeps the centroid-farthest item — keeper choice
+    * is policy, the cluster-then-prune shape is the operator). A dropped
+    * doc's `dup_of` names its smallest-id in-cell duplicate.
+    *
+    * Scale: identical geometry to [[knnGraphBlocked]] — n·√n assignment
+    * + Σ|cell|² ≈ n·√n in-cell products, and at 100 TB the assigned
+    * table partitions by `cell` so the self-join is co-located. Cross-
+    * cell near-dups are missed by construction (the paper's documented
+    * recall trade); [[dedupEmbedding]] is the exact-pairs baseline. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val a = assigned(s, dir).localCheckpoint() // feeds both join sides + spine
+    val l = a.select(col("cell"), col("vec_id").as("a"),
+      col("e").as("ea"), col("norm").as("na"))
+    val r = a.select(col("cell"), col("vec_id").as("b"),
+      col("e").as("eb"), col("norm").as("nb"))
+    val dupOf = l.join(r, Seq("cell")).filter(col("a") < col("b"))
+      .filter(cosine(col("ea"), col("eb"), col("na"), col("nb"))
+        >= semThreshold)
+      .groupBy(col("b").as("vec_id")).agg(min(col("a")).as("dup_of"))
+    a.select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "semdedup" -> (semDedup _),
     "knn_graph" -> (knnGraph _),
     "knn_graph_blocked" -> (knnGraphBlocked _),
     "ann_ivf_trained" -> (annIvfTrained _),
@@ -803,6 +840,18 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "semdedup" ->
+      s"""WITH $assignCtes,
+         |p AS (
+         |  SELECT b.vec_id AS vid, min(a.vec_id) AS dup_of
+         |  FROM assign a JOIN assign b USING (cell)
+         |  WHERE a.vec_id < b.vec_id
+         |    AND ${duckCos("a.e", "b.e", "a.norm", "b.norm")}
+         |        >= $semThreshold
+         |  GROUP BY b.vec_id)
+         |SELECT s.vec_id, s.cell, p.dup_of, p.dup_of IS NULL AS keep
+         |FROM assign s LEFT JOIN p ON p.vid = s.vec_id
+         |ORDER BY s.vec_id""".stripMargin,
     "knn_graph" ->
       s"""WITH v AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS e,

@@ -530,6 +530,28 @@ class AnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("attribution: conversion credit is conserved across models") {
+    val a = AnalyticsQueries.attribution(spark, sf).cache()
+    assert(a.count() > 0)
+    val tot = a.agg(sum("first_touch"), sum("last_touch"),
+      sum("linear_ppm"), sum("n_touches")).first()
+    val (first, last, ppm, touches) =
+      (tot.getLong(0), tot.getLong(1), tot.getLong(2), tot.getLong(3))
+    // exactly one first- and one last-touch per CREDITED conversion
+    assert(first === last, "first/last totals both count credited convs")
+    val ev = Tables.events(spark, sf)
+    val nConv = ev.filter(col("event_type") === "purchase").count()
+    assert(first > 0 && first <= nConv)
+    assert(touches >= first, "every credited conv has >= 1 touch")
+    // linear credit: each credited conv distributes 1e6 ppm minus the
+    // per-channel floor loss (< 3 ppm per conv, one per channel cell)
+    assert(ppm <= 1000000L * first)
+    assert(ppm >= 1000000L * first - 3 * first,
+      s"floor loss exceeded bound: $ppm vs ${1000000L * first}")
+    a.unpersist()
+    ()
+  }
+
   test("incremental MV merge equals full recompute") {
     val mv = graft.ops.RelationalQueries.queries("mv_incremental")(spark, sf)
     val direct = Tables.orders(spark, sf)

@@ -477,4 +477,102 @@ class OpsSpec extends SparkSpec {
     assert(view.getAs[java.sql.Timestamp]("ts").compareTo(
       purchase.getAs[java.sql.Timestamp]("ts")) <= 0)
   }
+
+  test("substring dedup: exact-dup docs fully covered, span algebra holds") {
+    val d = DedupQueries.substringDedup(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(d.count() === docs.count(), "one row per document")
+    // span algebra: spans only exist where windows do; each span covers
+    // at least one full window; coverage never exceeds the doc
+    assert(d.filter(col("n_spans") > col("n_dup_windows")).isEmpty)
+    assert(d.filter(col("n_dup_windows") > 0 &&
+      col("dup_chars") < DedupQueries.ssdWindow).isEmpty)
+    assert(d.filter(col("n_dup_windows") === 0 &&
+      (col("n_spans") =!= 0 || col("dup_chars") =!= 0)).isEmpty)
+    val withLen = d.join(docs.select(col("doc_id"),
+      length(col("text")).as("len")), Seq("doc_id"))
+    assert(withLen.filter(col("dup_chars") > col("len")).isEmpty)
+    // exact textual duplicates (present from sf0.01 up) are 100% covered
+    val exactDup = docs.groupBy("text").agg(count(lit(1)).as("c"),
+        min(length(col("text"))).as("len"))
+      .filter(col("c") > 1 && col("len") >= DedupQueries.ssdWindow)
+      .join(docs, Seq("text")).select("doc_id")
+    assert(d.join(exactDup, Seq("doc_id"))
+      .filter(col("dup_frac") < 1.0).isEmpty,
+      "exact duplicates must be fully covered (dup_frac = 1)")
+    d.unpersist()
+    ()
+  }
+
+  test("substring dedup: planted duplicates produce exactly-known spans") {
+    import spark.implicits._
+    val w = DedupQueries.ssdWindow
+    // repeat-free building blocks: 4-char tokens bracketed by a per-seed
+    // letter, so different-seed blocks share NO boundary characters (a
+    // common token prefix/suffix would silently widen the duplicated
+    // context past the planted block)
+    def blk(seed: Int, n: Int): String = {
+      val c = ('a' + seed).toChar
+      (0 until n).map(i => f"$c$i%02d$c").mkString(" ")
+    }
+    val shared = blk(7, 7) // 34 chars >= window, so it can repeat
+    val docA = blk(1, 15) // unique -> all zeros
+    val docB = blk(2, 15) // exact dup of docC -> full coverage
+    val docC = docB
+    val docD = s"${blk(3, 8)} $shared ${blk(4, 8)}" // shared mid-block
+    val docE = s"${blk(5, 8)} $shared ${blk(6, 8)}"
+    val tmp = java.nio.file.Files.createTempDirectory("ssd").toString
+    Seq((0L, docA), (1L, docB), (2L, docC), (3L, docD), (4L, docE))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("t").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupQueries.substringDedup(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0L) === ((0L, 0L, 0L)), "unique doc has no duplication")
+    // exact dups: every window duplicated, one span, whole doc covered
+    val lenB = docB.length.toLong
+    assert(got(1L) === ((lenB - w + 1, 1L, lenB)))
+    assert(got(2L) === got(1L))
+    // mid-block sharing: the duplicated substring between D and E is the
+    // shared block PLUS its two flanking spaces (the surrounding tokens
+    // differ); only windows fully inside that context repeat
+    val ctx = shared.length + 2
+    val expWins = (ctx - w + 1).toLong
+    assert(got(3L) === ((expWins, 1L, ctx.toLong)),
+      s"docD spans: got ${got(3L)}")
+    assert(got(4L) === got(3L), "docE mirrors docD")
+  }
+
+  test("semdedup: every drop is justified by an in-cell smaller-id near-dup") {
+    val d = SimilarityQueries.semDedup(spark, sf).cache()
+    val emb = Tables.embeddings(spark, sf)
+    assert(d.count() === emb.count(), "one row per vector")
+    val dropped = d.filter(!col("keep")).cache()
+    assert(dropped.count() > 0, "fixture should contain semantic near-dups")
+    assert(dropped.filter(col("dup_of") >= col("vec_id")).isEmpty,
+      "dup_of is always a SMALLER id (greedy min-id keeper)")
+    // dup_of lives in the same cell and really is >= threshold similar
+    import graft.functions.VectorFunctions.dotProduct
+    val v = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm", sqrt(dotProduct(col("e"), col("e"))))
+    val cells = d.select(col("vec_id"), col("cell"))
+    val pair = dropped
+      .join(v.select(col("vec_id"), col("e").as("eb"), col("norm").as("nb")),
+        Seq("vec_id"))
+      .join(v.select(col("vec_id").as("dup_of"), col("e").as("ea"),
+        col("norm").as("na")), Seq("dup_of"))
+      .join(cells.select(col("vec_id").as("dup_of"),
+        col("cell").as("cell_of")), Seq("dup_of"))
+      .withColumn("cos",
+        round(dotProduct(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+    assert(pair.filter(col("cell") =!= col("cell_of")).isEmpty,
+      "dup_of must sit in the same IVF cell")
+    assert(pair.filter(col("cos") < SimilarityQueries.semThreshold).isEmpty,
+      "dup_of must actually clear the cosine threshold")
+    dropped.unpersist(); d.unpersist()
+    ()
+  }
 }

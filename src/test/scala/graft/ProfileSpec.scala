@@ -84,4 +84,37 @@ class ProfileSpec extends SparkSpec {
     assert(sortAggWithKeys.isEmpty,
       s"grouped aggregates must be hash-based:\n$p")
   }
+
+  test("kmv: small-cardinality groups fall back to the exact count") {
+    // sf0.001 has fewer distinct users than k=64, so every group takes
+    // the exact-fallback branch — h_k sentinel 0, estimate == exact
+    val d = ProfileQueries.kmvDistinct(spark, sf).cache()
+    assert(d.count() > 0)
+    val nUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(nUsers < ProfileQueries.kmvK, "fixture premise: NDV < k")
+    assert(d.filter(col("h_k") =!= 0).isEmpty)
+    assert(d.filter(col("n_est") =!= col("n_exact").cast("double")).isEmpty)
+    d.unpersist()
+    ()
+  }
+
+  test("kmv: sketch estimate lands within 3 standard errors at NDV >> k") {
+    // synthesize an events table with a known large cardinality; the KMV
+    // standard error is ~1/sqrt(k-2), so 3σ at k=64 is ~38%
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("kmv").toString
+    val n = 5000
+    (0 until n).map(i => (i.toLong, java.sql.Timestamp.valueOf(
+        "2024-01-01 00:00:00"), i.toLong, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val d = ProfileQueries.kmvDistinct(spark, tmp)
+    val row = d.filter(col("event_type") === "click").first()
+    assert(row.getAs[Long]("n_exact") === n.toLong)
+    val est = row.getAs[Double]("n_est")
+    val sigma = 1.0 / math.sqrt(ProfileQueries.kmvK - 2.0)
+    assert(math.abs(est - n) / n <= 3 * sigma,
+      s"KMV estimate $est vs true $n outside 3 sigma")
+  }
 }
