@@ -898,8 +898,53 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Fingerprint-sampling modulus for [[substringDedupSampled]]: keeps
+    * every p-th window IN EXPECTATION, selected by content. */
+  val ssdSampleMod = 8
+
+  /** The SCALE twin of [[substringDedup]]: Manber-style 0-mod-p
+    * content-defined fingerprint sampling (sif, USENIX '94 — the
+    * precursor of winnowing). Instead of shuffling every window
+    * fingerprint, only windows whose hash ≡ 0 (mod [[ssdSampleMod]])
+    * enter the postings — and because selection depends on window
+    * CONTENT, two occurrences of the same substring select the same
+    * windows regardless of their phase/offset in each document (the
+    * property a fixed-stride sample lacks). Map-side work is unchanged
+    * (every window still hashes once, linear, codegen'd); the shuffle,
+    * count and fan-back shrink ~p-fold. The per-doc output is the
+    * duplication SIGNAL (selected / duplicated-selected counts and
+    * their ratio) rather than exact span geometry — the QC columns a
+    * corpus-scale dedup gate actually thresholds on. */
+  def substringDedupSampled(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sel = d.filter(length(col("text")) >= ssdWindow)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (ssdWindow - 1)))
+          .as("pos"))
+      .select(col("doc_id"),
+        md5Long(expr(s"substring(text, pos, $ssdWindow)")).as("h"))
+      .filter(col("h") % ssdSampleMod === 0)
+      .localCheckpoint() // feeds both the count and the fan-back
+    val dupH = sel.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val agg = sel.join(dupH.withColumn("is_dup", lit(1L)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sel_windows"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_sel"))
+    d.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sel_windows"), lit(0L)).as("n_sel_windows"),
+        coalesce(col("n_dup_sel"), lit(0L)).as("n_dup_sel"),
+        when(coalesce(col("n_sel_windows"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_dup_sel"), lit(0L)) /
+            col("n_sel_windows").cast("double"), 6)).as("est_dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "substring_dedup" -> (substringDedup _),
+    "substring_dedup_sampled" -> (substringDedupSampled _),
     "source_overlap" -> (sourceOverlap _),
     "dedup_triangles" -> (dedupTriangles _),
     "dedup_pagerank" -> (dedupPagerank _),
@@ -1052,6 +1097,33 @@ object DedupQueries {
          |  coalesce(dup_chars, 0) AS dup_chars,
          |  round(coalesce(dup_chars, 0) / CAST(length(d.text) AS DOUBLE), 6)
          |    AS dup_frac
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "substring_dedup_sampled" ->
+      s"""WITH idx AS (
+         |  SELECT unnest(generate_series(1,
+         |    (SELECT max(length(text)) FROM documents) - ${ssdWindow - 1}))
+         |    AS pos),
+         |w AS (
+         |  SELECT d.doc_id,
+         |    ${duckMd5Long(s"substr(d.text, i.pos, $ssdWindow)")} AS h
+         |  FROM documents d
+         |  JOIN idx i ON i.pos <= length(d.text) - ${ssdWindow - 1}),
+         |sel AS (SELECT doc_id, h FROM w WHERE h % $ssdSampleMod = 0),
+         |c AS (SELECT h FROM sel GROUP BY h HAVING count(*) > 1),
+         |agg AS (
+         |  SELECT sel.doc_id, CAST(count(*) AS BIGINT) AS n_sel_windows,
+         |    CAST(sum(CASE WHEN c.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_dup_sel
+         |  FROM sel LEFT JOIN c ON sel.h = c.h
+         |  GROUP BY sel.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(n_sel_windows, 0) AS n_sel_windows,
+         |  coalesce(n_dup_sel, 0) AS n_dup_sel,
+         |  CASE WHEN coalesce(n_sel_windows, 0) = 0 THEN 0.0
+         |       ELSE round(coalesce(n_dup_sel, 0) /
+         |                  CAST(n_sel_windows AS DOUBLE), 6) END
+         |    AS est_dup_frac
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "source_overlap" ->

@@ -545,6 +545,30 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) === got(3L), "docE mirrors docD")
   }
 
+  test("substring dedup sampled: a content-selected subset of the exact signal") {
+    val exact = DedupQueries.substringDedup(spark, sf)
+      .select(col("doc_id"), col("n_dup_windows"))
+    val sampled = DedupQueries.substringDedupSampled(spark, sf).cache()
+    val j = sampled.join(exact, Seq("doc_id")).cache()
+    // content-defined selection keeps a SUBSET of the duplicated windows
+    assert(j.filter(col("n_dup_sel") > col("n_dup_windows")).isEmpty)
+    assert(j.filter(col("n_dup_sel") > 0 && col("n_dup_windows") === 0)
+      .isEmpty, "a duplicated selected window is a duplicated window")
+    assert(j.filter(col("n_dup_sel") > col("n_sel_windows")).isEmpty)
+    // expectation check: mod-8 sampling keeps ~1/8 of windows (binomial
+    // bounds are loose at corpus size; 3x is far outside them)
+    val tot = j.agg(sum("n_sel_windows"), sum("n_dup_windows")).first()
+    val docsLen = Tables.documents(spark, sf)
+      .agg(sum(greatest(length(col("text")) - (DedupQueries.ssdWindow - 1),
+        lit(0)))).first().getLong(0)
+    val selFrac = tot.getLong(0).toDouble / docsLen
+    assert(selFrac > 1.0 / (3 * DedupQueries.ssdSampleMod) &&
+      selFrac < 3.0 / DedupQueries.ssdSampleMod,
+      s"selection rate $selFrac far from 1/${DedupQueries.ssdSampleMod}")
+    j.unpersist(); sampled.unpersist()
+    ()
+  }
+
   test("semdedup: every drop is justified by an in-cell smaller-id near-dup") {
     val d = SimilarityQueries.semDedup(spark, sf).cache()
     val emb = Tables.embeddings(spark, sf)
