@@ -593,7 +593,128 @@ object CurationQueries {
       .sortWithinPartitions("anchor_id", "rank")
   }
 
+  /** Classifier vocabulary size and integer parts-per-million weight
+    * scale. ppm (not 1e9) keeps `clfUnit·(cnt+1)` inside BIGINT for
+    * per-token class counts up to ~9e12 — beyond a 100 TB corpus's
+    * hottest token — while still giving 6 significant digits of rate. */
+  val clfVocabK = 512
+  val clfUnit = 1000000L
+  val clfOov = "<oov>"
+
+  /** The model table behind [[textClassify]]: Laplace-smoothed
+    * class-conditional token rates trained on the even-`doc_id` half of
+    * the corpus (labels = the `lang` column), emitted as INTEGER
+    * ppm `w = (1e6·(cnt+1)) div (N_l + |V|+1)` — the same
+    * integer-exact trick as the micro-unit PageRank, so training is
+    * bit-reproducible across engines, reruns, and row orders (no logs,
+    * no float accumulation, no rounding-convention edge). One `<oov>`
+    * row per class (cnt = 0) carries the smoothing mass for unseen
+    * tokens.
+    *
+    * Shape at 100 TB: one corpus tokenize + two token-grain aggregates
+    * (vocab heavy-hitters and per-class counts — both NDV-sized, not
+    * corpus-sized); the dense class×vocab grid is |V|·L ≈ 2.6k rows —
+    * the crossJoin below is that bounded model grid, not a data
+    * product. The model is exactly what [[textClassify]] broadcasts. */
+  def classifierWeights(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(clfVocabK)
+      .select("token")
+    val nl = tok.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val ct = tok.join(broadcast(vocab), Seq("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val vext = vocab.union(tok.sparkSession.createDataFrame(
+      Seq(Tuple1(clfOov))).toDF("token"))
+    broadcast(vext).crossJoin(nl) // |V|·L model grid, ~2.6k rows
+      .join(ct, Seq("lang", "token"), "left")
+      .select(col("lang"), col("token"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        expr(s"($clfUnit * (coalesce(cnt, 0) + 1)) div " +
+          s"(n_l + ${clfVocabK + 1})").as("w"))
+      .orderBy("lang", "token")
+  }
+
+  /** Bag-of-words language classification of the odd-`doc_id` half with
+    * the [[classifierWeights]] model — the quality/language classifier
+    * gate every corpus pipeline runs (CCNet's fastText stage; GPT-3's
+    * WebText quality filter). Additive linear scoring over
+    * Laplace-smoothed class rates: multinomial Naive Bayes' pipeline
+    * shape exactly (vocab build → broadcast model → token fan-out join →
+    * per-doc argmax), with integer rate-sums in place of log-likelihood
+    * sums so scoring is bit-exact cross-engine. The class prior enters
+    * as one seeded row per (doc, class) — which also makes token-less
+    * documents degrade to the prior argmax instead of vanishing.
+    *
+    * Shape at 100 TB: the model and priors broadcast (≤ |V|·L rows);
+    * the corpus side is explode → ×L fan-out join → one (doc, class)
+    * hash aggregate → per-doc argmax via WindowGroupLimit. No
+    * corpus-global state beyond the broadcast model. */
+  def textClassify(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val train = d.filter(col("doc_id") % 2 === 0)
+    val wts = classifierWeights(s, dir)
+    val vocab = wts.filter(col("token") =!= clfOov)
+      .select("token").distinct()
+    val priors = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train"),
+        countDistinct(col("lang")).as("n_langs")))) // 1-row totals
+      .select(col("lang"),
+        expr(s"($clfUnit * (n_docs + 1)) div (n_train + n_langs)")
+          .as("w"))
+    val test = d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang").as("labeled_lang"), col("text"))
+    val vtok = test
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(broadcast(vocab.withColumn("in_v", lit(1))), Seq("token"), "left")
+      .select(col("doc_id"),
+        when(col("in_v").isNotNull, col("token"))
+          .otherwise(lit(clfOov)).as("token"))
+    val scores = vtok.join(broadcast(wts.select("token", "lang", "w")),
+        Seq("token"))
+      .select(col("doc_id"), col("lang"), col("w"))
+      .union(test.select(col("doc_id"))
+        .crossJoin(broadcast(priors))           // bounded ×L prior seed
+        .select(col("doc_id"), col("lang"), col("w")))
+      .groupBy("doc_id", "lang").agg(sum(col("w")).as("score"))
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang"))
+    scores.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .join(test.select("doc_id", "labeled_lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("labeled_lang"),
+        col("lang").as("pred_lang"), col("score"),
+        (col("lang") === col("labeled_lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle CTE block ending in `wts(lang, token, cnt, w)` plus
+    * `vocab(token)` — the DuckDB replica of [[classifierWeights]]. */
+  private lazy val clfModelCtes =
+    s"""ttok AS (
+       |  SELECT lang, unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'), t -> t != '')) AS token
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |vocab AS (
+       |  SELECT token FROM (
+       |    SELECT token, count(*) AS n FROM ttok GROUP BY 1)
+       |  ORDER BY n DESC, token LIMIT $clfVocabK),
+       |nl AS (SELECT lang, count(*) AS n_l FROM ttok GROUP BY 1),
+       |ctn AS (
+       |  SELECT lang, token, count(*) AS cnt
+       |  FROM ttok JOIN vocab USING (token) GROUP BY 1, 2),
+       |vext AS (SELECT token FROM vocab UNION ALL SELECT '$clfOov'),
+       |wts AS (
+       |  SELECT nl.lang, v.token, coalesce(c.cnt, 0) AS cnt,
+       |    ($clfUnit * (coalesce(c.cnt, 0) + 1)) //
+       |      (nl.n_l + ${clfVocabK + 1}) AS w
+       |  FROM vext v CROSS JOIN nl
+       |  LEFT JOIN ctn c ON c.lang = nl.lang AND c.token = v.token)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "classifier_weights" -> (classifierWeights _),
+    "text_classify" -> (textClassify _),
     "doc_keywords" -> (docKeywords _),
     "feature_hash" -> (featureHash _),
     "negative_sample" -> (negativeSample _),
@@ -783,6 +904,46 @@ object CurationQueries {
          |WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
          |      % 100 < ($duckRate)
          |ORDER BY doc_id""".stripMargin,
+    "classifier_weights" ->
+      s"""WITH $clfModelCtes
+         |SELECT lang, token, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(w AS BIGINT) AS w
+         |FROM wts ORDER BY lang, token""".stripMargin,
+    "text_classify" ->
+      s"""WITH $clfModelCtes,
+         |priors AS (
+         |  SELECT lang, ($clfUnit * (count(*) + 1)) //
+         |    ((SELECT count(*) FROM documents WHERE doc_id % 2 = 0) +
+         |     (SELECT count(DISTINCT lang) FROM documents
+         |      WHERE doc_id % 2 = 0)) AS w
+         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+         |test AS (
+         |  SELECT doc_id, lang AS labeled_lang, text FROM documents
+         |  WHERE doc_id % 2 = 1),
+         |dtok AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), t -> t != '')) AS token
+         |  FROM test),
+         |vtok AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN v.token IS NULL THEN '$clfOov' ELSE d.token END
+         |      AS token
+         |  FROM dtok d LEFT JOIN vocab v ON d.token = v.token),
+         |sc AS (
+         |  SELECT doc_id, lang, CAST(sum(w) AS BIGINT) AS score FROM (
+         |    SELECT t.doc_id, w.lang, w.w
+         |    FROM vtok t JOIN wts w ON t.token = w.token
+         |    UNION ALL
+         |    SELECT t.doc_id, p.lang, p.w FROM test t CROSS JOIN priors p)
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT doc_id, lang, score, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+         |  FROM sc)
+         |SELECT r.doc_id, t.labeled_lang, r.lang AS pred_lang, r.score,
+         |  r.lang = t.labeled_lang AS correct
+         |FROM rk r JOIN test t USING (doc_id)
+         |WHERE rk = 1 ORDER BY r.doc_id""".stripMargin,
     "doc_keywords" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

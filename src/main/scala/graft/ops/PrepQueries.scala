@@ -3,7 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.ZOrderFunctions.zorder2
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-corpus PREPARATION operators — the steps between a curated
@@ -204,7 +204,8 @@ object PrepQueries {
     * ((v − min)·2^bits div span), so the whole layout is reproducible and
     * oracle-checkable. Writing = `repartitionByRange` on `zval` — the one
     * exchange any sorted write costs. */
-  private def zorderAssigned(s: SparkSession, dir: String): DataFrame = {
+  private def curveAssigned(s: SparkSession, dir: String,
+      curve: (Column, Column) => Column): DataFrame = {
     val e = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"),
         expr("unix_timestamp(ts) div 60").as("epoch_min"))
@@ -222,16 +223,35 @@ object PrepQueries {
         s"(user_id - u_lo) div ((u_hi - u_lo + $buckets) div $buckets)"))
       .withColumn("yb", expr(
         s"(epoch_min - m_lo) div ((m_hi - m_lo + $buckets) div $buckets)"))
-      .withColumn("zval", zorder2(col("xb"), col("yb")))
+      .withColumn("zval", curve(col("xb"), col("yb")))
       .withColumn("file_id",
         shiftright(col("zval"), 2 * zorderDimBits - zorderFileBits))
       .select("event_id", "user_id", "epoch_min", "zval", "file_id",
         "m_lo", "m_hi")
   }
 
+  private def zorderAssigned(s: SparkSession, dir: String): DataFrame =
+    curveAssigned(s, dir, zorder2)
+
   def zorderLayout(s: SparkSession, dir: String): DataFrame =
     zorderAssigned(s, dir)
       .drop("m_lo", "m_hi")
+      .orderBy("event_id")
+
+  /** Hilbert-curve twin of [[zorderLayout]] — identical bucketing and
+    * file geometry, only the space-filling curve differs
+    * ([[graft.functions.Hilbert2]], codegen'd). Hilbert's unit-step
+    * adjacency (consecutive indexes are always grid neighbors — Morton
+    * order jumps at every quadrant boundary) gives tighter per-file
+    * min/max zones on the same file count, which is why Iceberg offers
+    * it next to Z-order; the write cost is the same single range
+    * exchange. PrepSpec proves the curve contract (bijectivity +
+    * unit-step adjacency) against the [[graft.functions.HilbertUtil
+    * .d2xy]] inverse. */
+  def hilbertLayout(s: SparkSession, dir: String): DataFrame =
+    curveAssigned(s, dir, graft.functions.HilbertFunctions.hilbert2)
+      .drop("m_lo", "m_hi")
+      .withColumnRenamed("zval", "hval")
       .orderBy("event_id")
 
   /** Zone-map (data-skipping) statistics over the Z-order layout — the
@@ -299,6 +319,7 @@ object PrepQueries {
     "oov_rate" -> (oovRate _),
     "epoch_shuffle" -> (epochShuffle _),
     "zorder_layout" -> (zorderLayout _),
+    "hilbert_layout" -> (hilbertLayout _),
     "zone_map" -> (zoneMap _))
 
   private val toksCte =
@@ -428,6 +449,46 @@ object PrepQueries {
          |  row_number() OVER (PARTITION BY h % $epochShards
          |                     ORDER BY h, doc_id) AS pos
          |FROM h ORDER BY doc_id""".stripMargin,
+    "hilbert_layout" -> {
+      // the canonical xy2d walk (15 levels), mechanically unrolled into
+      // chained CTEs — each level tests one bit, accumulates the
+      // quadrant index, and applies the rot() flip/swap
+      val mask = (1L << zorderDimBits) - 1
+      val steps = (0 until zorderDimBits).map { i =>
+        val s = 1L << (zorderDimBits - 1 - i)
+        s"""h${i + 1} AS (
+           |  SELECT event_id, user_id, epoch_min,
+           |    CASE WHEN (y & $s) = 0 THEN
+           |      (CASE WHEN (x & $s) != 0 THEN $mask - y ELSE y END)
+           |    ELSE x END AS x,
+           |    CASE WHEN (y & $s) = 0 THEN
+           |      (CASE WHEN (x & $s) != 0 THEN $mask - x ELSE x END)
+           |    ELSE y END AS y,
+           |    d + ${s * s} *
+           |      xor(3 * (CASE WHEN (x & $s) != 0 THEN 1 ELSE 0 END),
+           |          (CASE WHEN (y & $s) != 0 THEN 1 ELSE 0 END)) AS d
+           |  FROM h$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT event_id, user_id,
+         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 60 AS epoch_min
+         |  FROM events),
+         |bounds AS (
+         |  SELECT min(user_id) AS u_lo, max(user_id) AS u_hi,
+         |         min(epoch_min) AS m_lo, max(epoch_min) AS m_hi
+         |  FROM e),
+         |h0 AS (
+         |  SELECT event_id, user_id, epoch_min,
+         |    (user_id - u_lo) // ((u_hi - u_lo + ${1L << zorderDimBits}) // ${1L << zorderDimBits}) AS x,
+         |    (epoch_min - m_lo) // ((m_hi - m_lo + ${1L << zorderDimBits}) // ${1L << zorderDimBits}) AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM e, bounds),
+         |$steps
+         |SELECT event_id, user_id, epoch_min, CAST(d AS BIGINT) AS hval,
+         |  CAST(d >> ${2 * zorderDimBits - zorderFileBits} AS BIGINT)
+         |    AS file_id
+         |FROM h$zorderDimBits ORDER BY event_id""".stripMargin
+    },
     "zorder_layout" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id,

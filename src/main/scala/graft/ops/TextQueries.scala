@@ -400,7 +400,74 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Winnowing gram length (chars) and hash-window size; expected
+    * fingerprint density is 2/([[winnowW]]+1). */
+  val winnowK = 16
+  val winnowW = 8
+
+  /** The selected-fingerprint set (doc_id, h, pos) of winnowing
+    * (Schleimer–Wilkerson–Aiken, SIGMOD'03 — the MOSS algorithm): hash
+    * every [[winnowK]]-char gram, slide a [[winnowW]]-hash window, keep
+    * each window's MINIMUM hash, rightmost position on ties (the
+    * `(h, -pos)` struct min — Spark and DuckDB share lexicographic
+    * struct ordering, so the oracle replicates it exactly). Leading
+    * partial windows select from what is present, so any doc with ≥ 1
+    * gram yields ≥ 1 fingerprint.
+    *
+    * Guarantee (the reason to prefer this over 0-mod-p sampling,
+    * [[DedupQueries.substringDedupSampled]]): two documents sharing any
+    * substring of length ≥ winnowW + winnowK − 1 share at least one
+    * selected fingerprint — deterministic, not just in expectation.
+    * Shape: one linear doc-keyed shuffle of gram hashes + a
+    * doc-partitioned window pass; no global window, no all-pairs term,
+    * so at 100 TB it runs at scan speed like substring_dedup's postings
+    * pass. */
+  def winnowFingerprintsOf(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docsDf.filter(length(col("text")) >= winnowK)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (winnowK - 1)))
+          .as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        md5Long(expr(s"substring(text, pos, $winnowK)")).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(winnowW - 1), Window.currentRow)
+    grams
+      .select(col("doc_id"),
+        min(struct(col("h"), (-col("pos")).as("npos"))).over(win).as("m"))
+      .select(col("doc_id"), col("m.h").as("h"), (-col("m.npos")).as("pos"))
+      .distinct()
+  }
+
+  /** Per-document winnowing fingerprint summary: gram count, selected
+    * count, density (≈ 2/(w+1) on random text; bounded in [1/w, 1]
+    * for docs with ≥ winnowW grams), and the 8 smallest selected hashes
+    * as the exchangeable sketch. */
+  def winnow(s: SparkSession, dir: String): DataFrame =
+    winnowOf(Tables.documents(s, dir))
+
+  def winnowOf(docsDf: DataFrame): DataFrame = {
+    val agg = winnowFingerprintsOf(docsDf).groupBy("doc_id").agg(
+      count(lit(1)).as("n_selected"),
+      concat_ws(",",
+        transform(slice(array_sort(collect_set(col("h"))), 1, 8),
+          _.cast("string"))).as("sketch"))
+    docsDf.select(col("doc_id"),
+      greatest(length(col("text")) - (winnowK - 1), lit(0))
+        .cast("long").as("n_grams"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_selected"), lit(0L)) /
+            col("n_grams").cast("double"), 6)).as("density"),
+        coalesce(col("sketch"), lit("")).as("sketch"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow" -> (winnow _),
     "text_entropy" -> (textEntropy _),
     "quality_filter" -> (qualityFilter _),
     "text_bigram_lm" -> (bigramLm _),
@@ -467,6 +534,40 @@ object TextQueries {
         |    octet_length(CAST(d.text AS BLOB)), 1) < 35 AS low_entropy
         |FROM documents d JOIN f ON md5(d.text) = f.text_md5
         |ORDER BY d.doc_id""".stripMargin,
+    "text_winnow" ->
+      s"""WITH idx AS (
+         |  SELECT unnest(generate_series(1,
+         |    (SELECT max(length(text)) FROM documents) - ${winnowK - 1}))
+         |    AS pos),
+         |g AS (
+         |  SELECT d.doc_id, i.pos,
+         |    ('0x' || substr(md5(substr(d.text, i.pos, $winnowK)), 1, 15))
+         |      ::BIGINT AS h
+         |  FROM documents d
+         |  JOIN idx i ON i.pos <= length(d.text) - ${winnowK - 1}),
+         |sel AS (
+         |  SELECT doc_id, min({'h': h, 'npos': -pos}) OVER
+         |    (PARTITION BY doc_id ORDER BY pos
+         |     ROWS BETWEEN ${winnowW - 1} PRECEDING AND CURRENT ROW) AS m
+         |  FROM g),
+         |fp AS (SELECT DISTINCT doc_id, m.h AS h, -m.npos AS pos FROM sel),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
+         |    array_to_string(
+         |      list_sort(list_distinct(list(h)))[1:8], ',') AS sketch
+         |  FROM fp GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(greatest(length(d.text) - ${winnowK - 1}, 0) AS BIGINT)
+         |    AS n_grams,
+         |  coalesce(n_selected, 0) AS n_selected,
+         |  CASE WHEN greatest(length(d.text) - ${winnowK - 1}, 0) = 0
+         |       THEN 0.0
+         |       ELSE round(coalesce(n_selected, 0) /
+         |         CAST(length(d.text) - ${winnowK - 1} AS DOUBLE), 6) END
+         |    AS density,
+         |  coalesce(sketch, '') AS sketch
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "text_entropy" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

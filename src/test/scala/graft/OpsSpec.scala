@@ -569,6 +569,76 @@ class OpsSpec extends SparkSpec {
     ()
   }
 
+  test("classifier: model shape, smoothing floor, total-coverage scoring") {
+    val wts = CurationQueries.classifierWeights(spark, sf).cache()
+    val train = Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
+    val langs = train.select("lang").distinct().count()
+    val vocabSize = math.min(
+      train.select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .select("t").distinct().count(),
+      CurationQueries.clfVocabK.toLong)
+    // dense grid: (vocab + <oov>) × trained langs, every weight positive
+    assert(wts.count() === (vocabSize + 1) * langs)
+    assert(wts.filter(col("w") <= 0).isEmpty, "Laplace floor keeps w > 0")
+    assert(wts.filter(col("token") === CurationQueries.clfOov)
+      .count() === langs)
+    // within a class, more evidence never lowers the weight
+    val viol = wts.as("a").join(wts.as("b"),
+      col("a.lang") === col("b.lang") && col("a.cnt") > col("b.cnt") &&
+        col("a.w") < col("b.w"))
+    assert(viol.isEmpty, "w must be monotone in cnt within a class")
+    wts.unpersist()
+    val pred = CurationQueries.textClassify(spark, sf).cache()
+    val nTest = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(pred.count() === nTest,
+      "every test doc (token-less included) gets exactly one prediction")
+    assert(pred.filter(col("score") <= 0).isEmpty)
+    assert(pred.filter(col("correct") =!=
+      (col("pred_lang") === col("labeled_lang"))).isEmpty)
+    pred.unpersist()
+    ()
+  }
+
+  test("winnowing: guarantee, density bounds, summary consistency") {
+    import spark.implicits._
+    val k = TextQueries.winnowK
+    val w = TextQueries.winnowW
+    // (1) the SIGMOD'03 guarantee: sharing a substring of length
+    // >= w + k - 1 forces a shared selected fingerprint
+    val shared = "Q" * (w + k - 1) // 23 chars
+    val fixture = Seq(
+      (0L, s"alpha bravo charlie $shared delta echo fox"),
+      (1L, s"zulu yankee $shared xray whiskey victor uniform"),
+      (2L, "romeo sierra tango papa oscar november mike lima"))
+      .toDF("doc_id", "text")
+    val fp = TextQueries.winnowFingerprintsOf(fixture).cache()
+    val common = fp.filter(col("doc_id") === 0).select("h")
+      .intersect(fp.filter(col("doc_id") === 1).select("h"))
+    assert(common.count() >= 1,
+      "docs sharing a (w+k-1)-char substring must share a fingerprint")
+    fp.unpersist()
+    // (2) structural bounds on the real corpus: every doc with grams
+    // selects at least ceil(n_grams/w) and at most n_grams fingerprints
+    val d = TextQueries.winnow(spark, sf).cache()
+    assert(d.filter(col("n_grams") > 0 && col("n_selected") === 0).isEmpty)
+    assert(d.filter(col("n_selected") > col("n_grams")).isEmpty)
+    assert(d.filter(col("n_selected") * w < col("n_grams")).isEmpty,
+      "each fingerprint covers at most w windows")
+    // expected density 2/(w+1) ~ 0.22 on non-degenerate text
+    val mean = d.agg(sum("n_selected"), sum("n_grams")).first()
+    val density = mean.getLong(0).toDouble / mean.getLong(1)
+    assert(density > 1.0 / w && density < 3.0 / (w + 1),
+      s"corpus density $density far from 2/(w+1)")
+    // (3) the summary agrees with the fingerprint set it condenses
+    val cnt = TextQueries.winnowFingerprintsOf(Tables.documents(spark, sf))
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    assert(d.join(cnt, Seq("doc_id"))
+      .filter(col("n_selected") =!= col("c")).isEmpty)
+    d.unpersist()
+    ()
+  }
+
   test("semdedup: every drop is justified by an in-cell smaller-id near-dup") {
     val d = SimilarityQueries.semDedup(spark, sf).cache()
     val emb = Tables.embeddings(spark, sf)

@@ -51,6 +51,48 @@ class PrepSpec extends SparkSpec {
     assert(byFile.length > 1, "layout must spread rows over multiple files")
   }
 
+  test("hilbert2: bijective, unit-step adjacent, layout mirrors zorder geometry") {
+    import graft.functions.HilbertUtil
+    // curve contract, proven via the d2xy inverse on a deterministic
+    // sample of the full 30-bit index space: round-trip identity and
+    // consecutive indexes exactly one grid step apart (the property
+    // Morton order lacks — and the reason the layout zones are tighter)
+    val n = 1L << (2 * HilbertUtil.BitsPerDim)
+    val samples = (0 until 5000).map(i => (i.toLong * 214741L) % (n - 1))
+    samples.foreach { d =>
+      val (x, y) = HilbertUtil.d2xy(d)
+      assert(HilbertUtil.hilbert2(x, y) === d, s"round-trip failed at d=$d")
+      val (x1, y1) = HilbertUtil.d2xy(d + 1)
+      assert(math.abs(x1 - x) + math.abs(y1 - y) === 1L,
+        s"d=$d -> d+1 is not a unit grid step: ($x,$y)->($x1,$y1)")
+    }
+    // corners: first cell is the origin; masking folds negatives
+    assert(HilbertUtil.d2xy(0L) === ((0L, 0L)))
+    assert(HilbertUtil.hilbert2(-1L, 0L) ===
+      HilbertUtil.hilbert2(HilbertUtil.DimMask, 0L))
+    // layout twin: same bucketing as zorder (same rows, same file
+    // geometry), files partition the hilbert space into disjoint ranges
+    val h = PrepQueries.hilbertLayout(spark, sf).cache()
+    val z = PrepQueries.zorderLayout(spark, sf)
+      .select(col("event_id"), col("user_id").as("zu"),
+        col("epoch_min").as("zm"))
+    assert(h.join(z, Seq("event_id"))
+      .filter(col("user_id") =!= col("zu") || col("epoch_min") =!= col("zm"))
+      .isEmpty, "twin layouts must bucket identical rows")
+    val byFile = h.groupBy("file_id")
+      .agg(min("hval").as("lo"), max("hval").as("hi"))
+      .orderBy("file_id").collect()
+    byFile.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) < b.getLong(1),
+          s"file ${a.get(0)} overlaps file ${b.get(0)} in hilbert space")
+      case _ =>
+    }
+    assert(byFile.length > 1, "layout must spread rows over multiple files")
+    h.unpersist()
+    ()
+  }
+
   test("zone map: stats cover every row and the probe band prunes files") {
     val events = graft.Tables.events(spark, sf).count()
     val zm = PrepQueries.queries("zone_map")(spark, sf).cache()
