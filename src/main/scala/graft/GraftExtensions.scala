@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomExpressions, HilbertExpressions, NormalizeExpressions, PqExpressions, QuantizeExpressions, SetSimExpressions, ShingleExpressions, SimHashExpressions, VectorExpressions, ZOrderExpressions}
+import graft.functions.{BloomExpressions, HilbertExpressions, IvfExpressions, NormalizeExpressions, PqExpressions, QuantizeExpressions, SetSimExpressions, ShingleExpressions, SimHashExpressions, VectorExpressions, ZOrderExpressions}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Engine extension point, wired the public way:
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(QuantizeExpressions.quantizeI8Descriptor)
     ext.injectFunction(ZOrderExpressions.zorder2Descriptor)
     ext.injectFunction(HilbertExpressions.hilbert2Descriptor)
+    ext.injectFunction(IvfExpressions.ivfAssignDescriptor)
     ext.injectFunction(NormalizeExpressions.stripAccentsNfcDescriptor)
     ext.injectFunction(PqExpressions.sqDistDescriptor)
     ext.injectFunction(PqExpressions.pqCodeDescriptor)

@@ -749,7 +749,11 @@ object DedupQueries {
       .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val nNodes = deg.count()
+    // max(·,1): an EMPTY pair graph is legitimate (the DF cap can kill
+    // every shingle on a low-entropy corpus replicated far enough — the
+    // 100× probe hit exactly this) and must yield an empty rank table,
+    // not a driver-side division by zero
+    val nNodes = math.max(deg.count(), 1L)
     val base = (prScale * 15 / 100) / nNodes
     var rank = deg.select(col("src").as("doc_id"),
       lit(prScale / nNodes).as("rank"))

@@ -80,18 +80,28 @@ object SimilarityQueries {
   }
 
   /** IVF build path: assign every corpus vector to its nearest centroid
-    * cell — broadcast centroids, one map-side pass over the corpus, then a
-    * tiny per-vector argmax window. At 100 TB this materializes once and
-    * the table is partitioned/bucketed by `cell`. */
+    * cell — the FAISS shape. The √n centroid table collapses into ONE
+    * codebook row (cell-sorted struct array) broadcast onto the corpus
+    * scan, and the codegen kernel [[graft.functions.IvfAssign]] picks
+    * each vector's argmax cell (max 4dp cosine, min cell on ties —
+    * bit-identical to the previous `(scos desc, cell)` window order;
+    * `IvfUtil.round4` replicates Spark's Round) in a tight loop: n rows
+    * in, n rows out, ZERO intermediate rows, zero shuffle. The previous
+    * formulation joined the corpus against the centroid table and ran a
+    * per-vector row_number window over the n×|cells| candidate stream —
+    * an n^1.5-row sort+shuffle the round-9 100× probe measured as the
+    * dominant term of `knn_graph_blocked` (419 s at 100×; identical
+    * flops, the data movement was the cost). At 100 TB the assignment
+    * is a pure map — it materializes once, partitioned/bucketed by
+    * `cell`; OpsSpec pins kernel ≡ window-formulation equality on the
+    * real corpus. */
   private def assignedTo(cents: DataFrame, v: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("scos").desc, col("cell"))
-    v.join(broadcast(cents))
-      .select(col("vec_id"), col("e"), col("norm"), col("cell"),
-        cosine(col("e"), col("ce"), col("norm"), col("cn")).as("scos"))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .drop("scos", "r")
+    val cb = cents.agg(array_sort(collect_list(
+      struct(col("cell"), col("ce"), col("cn")))).as("cellcb"))
+    v.crossJoin(broadcast(cb)) // 1-row codebook
+      .select(col("vec_id"), col("e"), col("norm"),
+        graft.functions.IvfFunctions
+          .ivfAssign(col("e"), col("norm"), col("cellcb")).as("cell"))
   }
 
   private def assigned(s: SparkSession, dir: String): DataFrame =

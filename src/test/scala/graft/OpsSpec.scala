@@ -639,6 +639,35 @@ class OpsSpec extends SparkSpec {
     ()
   }
 
+  test("ivf_assign kernel ≡ the argmax-window formulation on the real corpus") {
+    import graft.functions.VectorFunctions.dotProduct
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm", sqrt(dotProduct(col("e"), col("e"))))
+      .cache()
+    val stride = SimilarityQueries.seedStrideOf(v.count())
+    val cents = v.filter(col("vec_id") % stride === 1)
+      .select(col("vec_id").as("cell"), col("e").as("ce"),
+        col("norm").as("cn"))
+    // the pre-kernel formulation: n×|cells| candidates + argmax window
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("scos").desc, col("cell"))
+    val expected = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        round(dotProduct(col("e"), col("ce")) / (col("norm") * col("cn")), 4)
+          .as("scos"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("vec_id"), col("cell").as("exp_cell"))
+    val got = SimilarityQueries.semDedup(spark, sf).select("vec_id", "cell")
+    assert(got.count() === expected.count())
+    assert(got.join(expected, Seq("vec_id"))
+      .filter(col("cell") =!= col("exp_cell")).isEmpty,
+      "kernel assignment must match the window argmax incl. 4dp ties")
+    v.unpersist()
+    ()
+  }
+
   test("semdedup: every drop is justified by an in-cell smaller-id near-dup") {
     val d = SimilarityQueries.semDedup(spark, sf).cache()
     val emb = Tables.embeddings(spark, sf)
