@@ -344,6 +344,46 @@ object AnalyticsQueries {
         round(element_at(col("p"), 3), 6).as("p99"))
       .orderBy("event_type")
 
+  /** Bottom-k sample size for [[quantileBottomK]]. */
+  val qbK = 1024
+
+  /** Bottom-k-by-hash quantile estimation per event_type — the
+    * hash-ORACLED sketch twin of [[approxPercentile]], the same move
+    * `kmv_distinct` makes for the HLL `approx_distinct`: keep each
+    * group's [[qbK]] smallest md5-of-key hashes (a deterministic
+    * uniform sample — mergeable: the bottom-k of a union is the
+    * bottom-k of the bottom-ks, constant memory per group exactly like
+    * a GK sketch), then take EXACT interpolated percentiles over the
+    * sample. Expected rank error ~1.3/√k ≈ 4% at k=1024. Unlike the
+    * engine-specific GK/KLL estimate, every step (hash order, sample
+    * membership, interpolation) is replicable in DuckDB bit-for-bit
+    * (quantile_cont ≡ Spark percentile, proven by rfm_segments'
+    * boundaries) — so the sketch path itself gets a hash-checked row.
+    * Scale: the per-group window is the oracle-exact face; at 100 TB
+    * the scan pre-thins with `h < k·margin·2^60/n_g` before the window
+    * (the negative_sample two-phase trick) — same results, no full
+    * sort. */
+  def quantileBottomK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("h"), col("event_id"))
+    events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("h",
+        md5Long(concat(lit("qbk:"), col("event_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= qbK)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sample"),
+        expr("percentile(value, array(0.5, 0.9, 0.99))").as("p"))
+      .select(col("event_type"), col("n_sample"),
+        round(element_at(col("p"), 1), 6).as("p50"),
+        round(element_at(col("p"), 2), 6).as("p90"),
+        round(element_at(col("p"), 3), 6).as("p99"))
+      .orderBy("event_type")
+  }
+
   /** HLL++ approximate distinct users per event_type — the mergeable
     * constant-memory sketch path. Spec-checked (≤5% vs exact); no SQL
     * oracle (sketch estimates are engine-specific by construction). */
@@ -945,6 +985,7 @@ object AnalyticsQueries {
     "salted_agg" -> (saltedAgg _),
     "approx_distinct" -> (approxDistinct _),
     "approx_percentile" -> (approxPercentile _),
+    "quantile_bottomk" -> (quantileBottomK _),
     "resample_ffill" -> (resampleFfill _))
 
   // range_join and range_join_auto compute the same result by contract —
@@ -1396,6 +1437,22 @@ object AnalyticsQueries {
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "quantile_bottomk" ->
+      s"""WITH h AS (
+         |  SELECT event_type, value, event_id,
+         |    ('0x' || substr(md5('qbk:' || CAST(event_id AS VARCHAR)),
+         |                    1, 15))::BIGINT AS h
+         |  FROM events),
+         |s AS (
+         |  SELECT event_type, value FROM (
+         |    SELECT event_type, value, row_number() OVER
+         |      (PARTITION BY event_type ORDER BY h, event_id) AS rk
+         |    FROM h) WHERE rk <= $qbK)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+         |  round(quantile_cont(value, 0.5), 6) AS p50,
+         |  round(quantile_cont(value, 0.9), 6) AS p90,
+         |  round(quantile_cont(value, 0.99), 6) AS p99
+         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
     "pivot_agg" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,

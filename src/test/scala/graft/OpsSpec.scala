@@ -438,6 +438,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("quantile_bottomk: sample size exact, estimates rank-accurate") {
+    val est = AnalyticsQueries.quantileBottomK(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val sizes = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (t, n) =>
+      assert(est(t)._1 === math.min(n, AnalyticsQueries.qbK.toLong),
+        s"$t sample size")
+    }
+    // rank accuracy: each estimated quantile must fall inside the exact
+    // ±10%-rank window (expected error ~1.3/sqrt(1024) ≈ 4%)
+    val bounds = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.40, 0.60, 0.80, 0.95))").as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    bounds.foreach { case (t, b) =>
+      assert(est(t)._2 >= b(0) && est(t)._2 <= b(1),
+        s"$t p50 est ${est(t)._2} outside exact [p40, p60]")
+      assert(est(t)._3 >= b(2) && est(t)._3 <= b(3),
+        s"$t p90 est ${est(t)._3} outside exact [p80, p95]")
+    }
+  }
+
   test("approx_distinct within 5% of exact per event_type") {
     val approx = AnalyticsQueries.approxDistinct(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
