@@ -788,6 +788,51 @@ object DedupQueries {
     * squared, and at deployment scale the orientation flips to
     * degree-order (lowest-degree vertex first), the classic bound that
     * keeps heavy hitters from quadratic fan-out. All counts integer. */
+  /** k-core threshold and fixed peel rounds (both engines run EXACTLY
+    * [[kCoreRounds]] rounds, so results agree converged or not; OpsSpec
+    * proves convergence on the real corpus). */
+  val kCoreK = 3
+  val kCoreRounds = 8
+
+  /** k-core decomposition of the near-dup pair graph — the density
+    * grading on top of [[dedupTriangles]]' local clustering: the k-core
+    * (maximal subgraph of minimum degree ≥ k) isolates template farms /
+    * mirror clusters whose members are MUTUALLY near-duplicate, where
+    * mere connectivity ([[dedupCluster]]) also sweeps up chains of
+    * borderline pairs. Standard iterative peel (Matula–Beck): drop
+    * nodes with degree < k, remove their edges, repeat — each round is
+    * one degree aggregate + two semi-joins, `localCheckpoint`-pinned
+    * like the CC loops; the edge set only shrinks, so at 100 TB round
+    * cost decays geometrically on real graphs. Fixed [[kCoreRounds]]
+    * rounds (not until-stable) keep the Spark and DuckDB computations
+    * identical by construction. */
+  def dedupKcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir).select("a", "b").localCheckpoint()
+    val allNodes = pairs.select(col("a").as("doc_id"))
+      .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
+      .localCheckpoint()
+    var edges = pairs
+    for (_ <- 1 to kCoreRounds) {
+      val keep = edges.select(col("a").as("doc_id"))
+        .unionByName(edges.select(col("b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= kCoreK).select("doc_id")
+      edges = edges
+        .join(keep.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+    }
+    val coreDeg = edges.select(col("a").as("doc_id"))
+      .unionByName(edges.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("core_deg"))
+    allNodes.join(coreDeg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+        (coalesce(col("core_deg"), lit(0L)) >= kCoreK).as("in_core"))
+      .orderBy("doc_id")
+  }
+
   def dedupTriangles(s: SparkSession, dir: String): DataFrame = {
     val e = jaccardPairs(s, dir).select("a", "b").localCheckpoint()
     val tri = e.as("e1")
@@ -951,6 +996,7 @@ object DedupQueries {
     "substring_dedup_sampled" -> (substringDedupSampled _),
     "source_overlap" -> (sourceOverlap _),
     "dedup_triangles" -> (dedupTriangles _),
+    "dedup_kcore" -> (dedupKcore _),
     "dedup_pagerank" -> (dedupPagerank _),
     "dedup_fuzzy" -> (dedupFuzzy _),
     "dedup_cluster" -> (dedupCluster _),
@@ -1149,6 +1195,39 @@ object DedupQueries {
          |FROM pc JOIN sz za ON source_a = za.source
          |        JOIN sz zb ON source_b = zb.source
          |ORDER BY source_a, source_b""".stripMargin,
+    "dedup_kcore" -> {
+      // the Matula–Beck peel, mechanically unrolled to kCoreRounds
+      // chained CTEs (aggregates are barred from recursive CTE terms)
+      // every CTE MATERIALIZED: each round references its predecessor
+      // three times, so plain (inlined) CTEs would expand the chain
+      // 3^rounds-fold
+      val rounds = (0 until kCoreRounds).map { i =>
+        s"""n${i + 1} AS MATERIALIZED (
+           |  SELECT doc_id FROM (
+           |    SELECT a AS doc_id FROM e$i UNION ALL SELECT b FROM e$i)
+           |  GROUP BY doc_id HAVING count(*) >= $kCoreK),
+           |e${i + 1} AS MATERIALIZED (
+           |  SELECT a, b FROM e$i
+           |  WHERE a IN (SELECT doc_id FROM n${i + 1})
+           |    AND b IN (SELECT doc_id FROM n${i + 1}))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $jaccardPairsCte,
+         |e0 AS MATERIALIZED (SELECT a, b FROM jpairs),
+         |$rounds,
+         |allnodes AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT a AS doc_id FROM e0 UNION ALL SELECT b FROM e0)),
+         |cd AS (
+         |  SELECT doc_id, count(*) AS core_deg FROM (
+         |    SELECT a AS doc_id FROM e$kCoreRounds
+         |    UNION ALL SELECT b FROM e$kCoreRounds)
+         |  GROUP BY doc_id)
+         |SELECT an.doc_id,
+         |  CAST(coalesce(core_deg, 0) AS BIGINT) AS core_deg,
+         |  coalesce(core_deg, 0) >= $kCoreK AS in_core
+         |FROM allnodes an LEFT JOIN cd USING (doc_id)
+         |ORDER BY an.doc_id""".stripMargin
+    },
     "dedup_triangles" ->
       s"""WITH $jaccardPairsCte,
          |e AS MATERIALIZED (SELECT a, b FROM jpairs),

@@ -624,6 +624,38 @@ class OpsSpec extends SparkSpec {
     ()
   }
 
+  test("k-core: converged, min-degree invariant, covers every graph node") {
+    val core = DedupQueries.dedupKcore(spark, sf).cache()
+    val pairs = DedupQueries.queries("dedup_jaccard")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+    assert(core.count() === nodes.length, "one row per graph node")
+    // reference peel run to convergence on the collected (small) graph
+    var keep = nodes.toSet
+    var changed = true
+    while (changed) {
+      val deg = pairs.filter(p => keep(p._1) && keep(p._2))
+        .flatMap(p => Seq(p._1, p._2)).groupBy(identity).map { case (n, o) => n -> o.size }
+      val next = keep.filter(n => deg.getOrElse(n, 0) >= DedupQueries.kCoreK)
+      changed = next != keep
+      keep = next
+    }
+    val got = core.filter(col("in_core")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === keep,
+      s"fixed ${DedupQueries.kCoreRounds} rounds must reach the true core here")
+    // invariant: inside the core every member keeps >= k core neighbors
+    val gotDeg = core.filter(col("in_core"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    gotDeg.foreach { case (n, d) =>
+      val trueDeg = pairs.count(p =>
+        (p._1 == n && keep(p._2)) || (p._2 == n && keep(p._1)))
+      assert(d === trueDeg.toLong && d >= DedupQueries.kCoreK, s"node $n")
+    }
+    core.unpersist()
+    ()
+  }
+
   test("winnowing: guarantee, density bounds, summary consistency") {
     import spark.implicits._
     val k = TextQueries.winnowK
