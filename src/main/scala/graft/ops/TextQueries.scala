@@ -466,8 +466,40 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-document duplication signal on the winnowed fingerprints —
+    * MOSS proper (Schleimer et al. §4): a fingerprint selected in ≥ 2
+    * documents marks shared text, and winnowing's guarantee makes the
+    * detector COMPLETE for shared substrings ≥ winnowW + winnowK − 1
+    * chars — the deterministic-recall twin of
+    * [[DedupQueries.substringDedupSampled]] (whose 0-mod-p selection
+    * detects the same length only in expectation). Same per-doc QC
+    * columns (selected / duplicated-selected / ratio) a corpus gate
+    * thresholds on; same scale shape — the postings table is the
+    * already-2/(w+1)-sampled fingerprint set, so the shuffle is ~4×
+    * smaller than the exact substring_dedup postings pass. */
+  def winnowDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val fp = winnowFingerprintsOf(d).localCheckpoint() // count + fan-back
+    val dupH = fp.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("c"))
+      .filter(col("c") > 1).select("h")
+    val agg = fp.join(dupH.withColumn("is_dup", lit(1L)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_shared"))
+    d.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fingerprints"), lit(0L)).as("n_fingerprints"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_fingerprints"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_shared"), lit(0L)) /
+            col("n_fingerprints").cast("double"), 6)).as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_winnow" -> (winnow _),
+    "winnow_dedup" -> (winnowDedup _),
     "text_entropy" -> (textEntropy _),
     "quality_filter" -> (qualityFilter _),
     "text_bigram_lm" -> (bigramLm _),
@@ -482,6 +514,28 @@ object TextQueries {
 
   private def duckCount(input: String, re: String) =
     s"length(regexp_extract_all($input, '$re'))"
+
+  /** Shared oracle CTE block ending in `fp(doc_id, h, pos)` — the DuckDB
+    * replica of [[winnowFingerprintsOf]]. fp MATERIALIZED: winnow_dedup
+    * references it twice. */
+  private lazy val winnowFpCtes =
+    s"""idx AS (
+       |  SELECT unnest(generate_series(1,
+       |    (SELECT max(length(text)) FROM documents) - ${winnowK - 1}))
+       |    AS pos),
+       |g AS (
+       |  SELECT d.doc_id, i.pos,
+       |    ('0x' || substr(md5(substr(d.text, i.pos, $winnowK)), 1, 15))
+       |      ::BIGINT AS h
+       |  FROM documents d
+       |  JOIN idx i ON i.pos <= length(d.text) - ${winnowK - 1}),
+       |sel AS (
+       |  SELECT doc_id, min({'h': h, 'npos': -pos}) OVER
+       |    (PARTITION BY doc_id ORDER BY pos
+       |     ROWS BETWEEN ${winnowW - 1} PRECEDING AND CURRENT ROW) AS m
+       |  FROM g),
+       |fp AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, m.h AS h, -m.npos AS pos FROM sel)""".stripMargin
 
   /** quality_filter's rule CTE chain ending in
     * `f(doc_id, n_tokens, mean_wlen, dup_frac, n_stop, quality)` and the
@@ -535,22 +589,7 @@ object TextQueries {
         |FROM documents d JOIN f ON md5(d.text) = f.text_md5
         |ORDER BY d.doc_id""".stripMargin,
     "text_winnow" ->
-      s"""WITH idx AS (
-         |  SELECT unnest(generate_series(1,
-         |    (SELECT max(length(text)) FROM documents) - ${winnowK - 1}))
-         |    AS pos),
-         |g AS (
-         |  SELECT d.doc_id, i.pos,
-         |    ('0x' || substr(md5(substr(d.text, i.pos, $winnowK)), 1, 15))
-         |      ::BIGINT AS h
-         |  FROM documents d
-         |  JOIN idx i ON i.pos <= length(d.text) - ${winnowK - 1}),
-         |sel AS (
-         |  SELECT doc_id, min({'h': h, 'npos': -pos}) OVER
-         |    (PARTITION BY doc_id ORDER BY pos
-         |     ROWS BETWEEN ${winnowW - 1} PRECEDING AND CURRENT ROW) AS m
-         |  FROM g),
-         |fp AS (SELECT DISTINCT doc_id, m.h AS h, -m.npos AS pos FROM sel),
+      s"""WITH $winnowFpCtes,
          |agg AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
          |    array_to_string(
@@ -566,6 +605,26 @@ object TextQueries {
          |         CAST(length(d.text) - ${winnowK - 1} AS DOUBLE), 6) END
          |    AS density,
          |  coalesce(sketch, '') AS sketch
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "winnow_dedup" ->
+      s"""WITH $winnowFpCtes,
+         |dup AS (
+         |  SELECT h FROM fp GROUP BY h
+         |  HAVING count(DISTINCT doc_id) > 1),
+         |agg AS (
+         |  SELECT fp.doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+         |    CAST(sum(CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_shared
+         |  FROM fp LEFT JOIN dup ON fp.h = dup.h
+         |  GROUP BY fp.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(n_fingerprints, 0) AS n_fingerprints,
+         |  coalesce(n_shared, 0) AS n_shared,
+         |  CASE WHEN coalesce(n_fingerprints, 0) = 0 THEN 0.0
+         |       ELSE round(coalesce(n_shared, 0) /
+         |                  CAST(n_fingerprints AS DOUBLE), 6) END
+         |    AS shared_frac
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "text_entropy" ->

@@ -724,6 +724,30 @@ class OpsSpec extends SparkSpec {
     ()
   }
 
+  test("winnow_dedup: completeness on exact dups, consistency with text_winnow") {
+    val wd = TextQueries.winnowDedup(spark, sf).cache()
+    assert(wd.filter(col("n_shared") > col("n_fingerprints")).isEmpty)
+    // the MOSS guarantee, exercised on exact duplicates (cross-doc by
+    // construction): two identical docs select identical fingerprint
+    // sets, so EVERY fingerprint is shared
+    val docs = Tables.documents(spark, sf)
+    val exactDup = docs.groupBy("text")
+      .agg(count(lit(1)).as("c"), min(length(col("text"))).as("len"))
+      .filter(col("c") > 1 &&
+        col("len") >= TextQueries.winnowW + TextQueries.winnowK - 1)
+      .join(docs, Seq("text")).select("doc_id")
+    assert(wd.join(exactDup, Seq("doc_id"))
+      .filter(col("shared_frac") < 1.0).isEmpty,
+      "exact duplicates must share their whole fingerprint set")
+    // the fingerprint universe is text_winnow's selected set
+    val tw = TextQueries.winnow(spark, sf)
+      .select(col("doc_id"), col("n_selected"))
+    assert(wd.join(tw, Seq("doc_id"))
+      .filter(col("n_fingerprints") =!= col("n_selected")).isEmpty)
+    wd.unpersist()
+    ()
+  }
+
   test("semdedup: every drop is justified by an in-cell smaller-id near-dup") {
     val d = SimilarityQueries.semDedup(spark, sf).cache()
     val emb = Tables.embeddings(spark, sf)
