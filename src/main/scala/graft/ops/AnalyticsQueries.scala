@@ -344,8 +344,13 @@ object AnalyticsQueries {
         round(element_at(col("p"), 3), 6).as("p99"))
       .orderBy("event_type")
 
-  /** Bottom-k sample size for [[quantileBottomK]]. */
-  val qbK = 1024
+  /** Bottom-k sample size for [[quantileBottomK]]. Kept ≤ 1000 — Spark's
+    * `spark.sql.optimizer.windowGroupLimitThreshold` (default 1000) only
+    * rewrites `row_number ≤ k` filters into WindowGroupLimit below it;
+    * at 1024 the plan silently fell back to a full per-group sort+shuffle
+    * of every event (caught by `.explain`), at 1000 each partition prunes
+    * to its local bottom-k before the exchange. */
+  val qbK = 1000
 
   /** Bottom-k-by-hash quantile estimation per event_type — the
     * hash-ORACLED sketch twin of [[approxPercentile]], the same move
