@@ -102,11 +102,17 @@ case class IvfAssign(first: Expression, second: Expression, third: Expression)
       norm.asInstanceOf[Double], cb.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (e, norm, cb) => s"""
-       |java.lang.Long r = graft.functions.IvfUtil.ivfAssign($e, $norm, $cb);
-       |if (r == null) { ${ev.isNull} = true; }
-       |else { ${ev.value} = r.longValue(); }
-     """.stripMargin)
+    nullSafeCodeGen(ctx, ev, (e, norm, cb) => {
+      // freshName: two ivf_assign calls can land in one codegen scope; a
+      // fixed local name would be a duplicate declaration → interpreted
+      // fallback.
+      val r = ctx.freshName("ivfRes")
+      s"""
+       |java.lang.Long $r = graft.functions.IvfUtil.ivfAssign($e, $norm, $cb);
+       |if ($r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = $r.longValue(); }
+     """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): IvfAssign =

@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   *    group-by (sums go through DECIMAL — order-independent).
   *  - `approxDistinct` is the sketch path (HLL++): mergeable partial
   *    state, constant memory per group — the only viable distinct-count
-  *    at 100 TB. No exact oracle by construction (driver records the
-  *    weaker rows-only check; the spec pins ≤5% relative error vs exact).
+  *    at 100 TB. Its row carries the exact count + a within-tolerance
+  *    boolean the plan proves about its own estimate, so even the
+  *    sketch path is hash-oracled (see the method scaladoc).
   */
 object AnalyticsQueries {
   val sessionGap = "30 minutes"
@@ -328,20 +329,38 @@ object AnalyticsQueries {
       .orderBy("user_id", "grid_ts")
   }
 
-  /** KLL/GK-sketch percentiles per event_type — the constant-memory twin
-    * of [[percentileAgg]] (exact percentile sorts each group; the sketch
-    * is the only viable form at 100 TB). Spec pins the rank-accuracy
-    * bound vs the exact values; no SQL oracle (sketch estimates are
-    * engine-specific by construction). */
+  /** GK-sketch percentiles per event_type — the constant-memory twin of
+    * [[percentileAgg]] (exact percentile sorts each group; the sketch is
+    * the only viable form at 100 TB). The sketch ESTIMATE is
+    * engine-specific, so the emitted row carries the EXACT interpolated
+    * percentiles plus a `within_tol` boolean proving, inside the same
+    * plan, that each estimate falls in the exact ±5%-RANK window
+    * (est_p50 ∈ [exact_p45, exact_p55], …, est_p99 ∈ [exact_p98, max]).
+    * Spark's GK merge is deterministic for fixed data, so the boolean is
+    * bit-stable and DuckDB pins the whole row as
+    * `(type, exact_p50/p90/p99, TRUE)` — a hash-exact oracle for the
+    * sketch path (the window is generous: at accuracy=10000 the rank
+    * error bound is 1e-4). The raw estimates stay observable via
+    * [[quantileBottomK]]'s hash-oracled sketch twin. */
   def approxPercentile(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("event_type"))
-      .agg(percentile_approx(col("value"),
-        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("p"))
+      .agg(
+        percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pa"),
+        expr("percentile(value, array(0.45, 0.5, 0.55, 0.85, 0.9, " +
+          "0.95, 0.98, 0.99, 1.0))").as("pe"))
       .select(col("event_type"),
-        round(element_at(col("p"), 1), 6).as("p50"),
-        round(element_at(col("p"), 2), 6).as("p90"),
-        round(element_at(col("p"), 3), 6).as("p99"))
+        round(element_at(col("pe"), 2), 6).as("p50_exact"),
+        round(element_at(col("pe"), 5), 6).as("p90_exact"),
+        round(element_at(col("pe"), 8), 6).as("p99_exact"),
+        (element_at(col("pa"), 1).between(
+            element_at(col("pe"), 1), element_at(col("pe"), 3)) &&
+          element_at(col("pa"), 2).between(
+            element_at(col("pe"), 4), element_at(col("pe"), 6)) &&
+          element_at(col("pa"), 3).between(
+            element_at(col("pe"), 7), element_at(col("pe"), 9)))
+          .as("within_tol"))
       .orderBy("event_type")
 
   /** Bottom-k sample size for [[quantileBottomK]]. Kept ≤ 1000 — Spark's
@@ -359,7 +378,7 @@ object AnalyticsQueries {
     * uniform sample — mergeable: the bottom-k of a union is the
     * bottom-k of the bottom-ks, constant memory per group exactly like
     * a GK sketch), then take EXACT interpolated percentiles over the
-    * sample. Expected rank error ~1.3/√k ≈ 4% at k=1024. Unlike the
+    * sample. Expected rank error ~1.3/√k ≈ 4.1% at k=1000. Unlike the
     * engine-specific GK/KLL estimate, every step (hash order, sample
     * membership, interpolation) is replicable in DuckDB bit-for-bit
     * (quantile_cont ≡ Spark percentile, proven by rfm_segments'
@@ -390,12 +409,22 @@ object AnalyticsQueries {
   }
 
   /** HLL++ approximate distinct users per event_type — the mergeable
-    * constant-memory sketch path. Spec-checked (≤5% vs exact); no SQL
-    * oracle (sketch estimates are engine-specific by construction). */
+    * constant-memory sketch path. The HLL ESTIMATE is engine-specific,
+    * so the row carries the EXACT distinct count plus a `within_tol`
+    * boolean comparing the estimate against it inside the same plan
+    * (|est − exact|·100 ≤ 5·exact, all BIGINT — the default rsd 0.05).
+    * Spark's register-max merge is deterministic for fixed data, so
+    * DuckDB pins the full row as `(type, exact, TRUE)` — a hash-exact
+    * oracle for the sketch path. The raw estimate stays observable via
+    * [[graft.ops.ProfileQueries.kmvDistinct]]'s hash-oracled twin. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id")).as("est"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) * 100 <=
+          col("exact_users") * 5).as("within_tol"))
       .orderBy("event_type")
 
   /** Explicit GROUPING SETS ((type, hour), (type), ()) — the general form
@@ -1018,6 +1047,21 @@ object AnalyticsQueries {
          |ORDER BY w.window_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The sketch queries oracle their EXACT companions + a within_tol
+    // boolean the Spark plan proves about its own estimate; DuckDB pins
+    // (group, exact, TRUE) bit-for-bit. quantile_cont ≡ Spark percentile
+    // (established by rfm_segments' boundary equality).
+    "approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "approx_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.50), 6) AS p50_exact,
+        |  round(quantile_cont(value, 0.90), 6) AS p90_exact,
+        |  round(quantile_cont(value, 0.99), 6) AS p99_exact,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "attribution" ->
       """WITH conv AS (
         |  SELECT user_id, event_id AS conv_id, ts AS conv_ts,

@@ -619,7 +619,11 @@ object CurationQueries {
   def classifierWeights(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
       .select(col("lang"), explode(tokens(col("text"))).as("token"))
+    // clfOov is excluded from the mined vocab: if the literal "<oov>"
+    // token ever appears in the corpus, the union below would otherwise
+    // list it twice and double-count its weight at scoring time.
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("token") =!= clfOov)
       .orderBy(col("n").desc, col("token")).limit(clfVocabK)
       .select("token")
     val nl = tok.groupBy("lang").agg(count(lit(1)).as("n_l"))
@@ -699,6 +703,7 @@ object CurationQueries {
        |vocab AS (
        |  SELECT token FROM (
        |    SELECT token, count(*) AS n FROM ttok GROUP BY 1)
+       |  WHERE token <> '$clfOov'
        |  ORDER BY n DESC, token LIMIT $clfVocabK),
        |nl AS (SELECT lang, count(*) AS n_l FROM ttok GROUP BY 1),
        |ctn AS (

@@ -175,7 +175,7 @@ object ProfileQueries {
     * smallest distinct hash per group (falling back to the exact count
     * when a group has < k distinct values — the KMV small-cardinality
     * rule). The production 100 TB aggregate is HLL
-    * (`approx_count_distinct`, the no-oracle `approx_distinct` query);
+    * (`approx_count_distinct`, the within-tol-oracled `approx_distinct`);
     * THIS query pins the sketch arithmetic with a hash oracle. Shape:
     * one (group, hash)-distinct shuffle bounded by true cardinality,
     * then a per-group rank-k window over ≤ NDV rows; `n_exact` rides
