@@ -52,7 +52,8 @@ object SparkEntry {
     * sees — Bench times these alongside `queries`; Verify skips them. */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rfm_segments_sketch" -> (AnalyticsQueries.rfmSegmentsSketch _),
-    "ann_ivf_pq_prebuilt" -> (graft.streaming.AnnStream.annIvfPqPrebuilt _))
+    "ann_ivf_pq_prebuilt" -> (graft.streaming.AnnStream.annIvfPqPrebuilt _),
+    "quantile_bottomk_thinned" -> (AnalyticsQueries.quantileBottomKThinned _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

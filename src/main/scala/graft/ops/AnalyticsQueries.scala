@@ -408,6 +408,52 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** Pre-thinning safety margin for [[quantileBottomKThinned]]: the scan
+    * keeps h < margin·k·2^60/n_g, ~margin·k expected survivors per
+    * group. The true k-th-smallest hash sits near k·2^60/n_g, so margin
+    * 4 puts the cutoff 4× past it — P(any bottom-k hash above the
+    * cutoff) is Chernoff-small (< e^{-k}), and the equality spec pins
+    * the result bit-for-bit on the actual data anyway. 4·k·2^60/n_g
+    * also cannot overflow: the branch below only divides when
+    * n_g > margin·k, bounding the product by ~2^60. */
+  val qbMargin = 4L
+
+  /** The PRODUCTION face of [[quantileBottomK]] — the two-phase scan the
+    * scaladoc there promises for 100 TB (the negative_sample trick): a
+    * tiny per-group count, then a broadcast-join filter `h < cutoff`
+    * that drops ~all rows BEFORE the per-group window, so the sort that
+    * ranks bottom-k hashes sees ~margin·k rows per group instead of
+    * n_g. Groups with n_g ≤ margin·k keep every row (cutoff = 2^60 ≥
+    * any 60-bit hash). Results are row-for-row equal to the windowed
+    * form — OpsSpec pins it at sf0.1 where the filter genuinely bites
+    * (~96% of rows dropped) — so this rides Bench as a bench-only twin
+    * (the rfm_segments_sketch pattern), not a second oracle row. */
+  def quantileBottomKThinned(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("h",
+        md5Long(concat(lit("qbk:"), col("event_id").cast("string"))))
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n_g"))
+    val cutoff = when(col("n_g") <= lit(qbMargin * qbK), lit(1L << 60))
+      .otherwise(lit(1L << 60) / col("n_g") * lit(qbMargin * qbK))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("h"), col("event_id"))
+    ev.join(broadcast(counts), Seq("event_type"))
+      .filter(col("h") < cutoff)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= qbK)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sample"),
+        expr("percentile(value, array(0.5, 0.9, 0.99))").as("p"))
+      .select(col("event_type"), col("n_sample"),
+        round(element_at(col("p"), 1), 6).as("p50"),
+        round(element_at(col("p"), 2), 6).as("p90"),
+        round(element_at(col("p"), 3), 6).as("p99"))
+      .orderBy("event_type")
+  }
+
   /** HLL++ approximate distinct users per event_type — the mergeable
     * constant-memory sketch path. The HLL ESTIMATE is engine-specific,
     * so the row carries the EXACT distinct count plus a `within_tol`

@@ -102,6 +102,11 @@ object SimilarityQueries {
       .select(col("vec_id"), col("e"), col("norm"),
         graft.functions.IvfFunctions
           .ivfAssign(col("e"), col("norm"), col("cellcb")).as("cell"))
+      // Empty centroid table ⇒ the aggregated codebook is one row with an
+      // empty array and ivf_assign yields NULL; dropping those rows keeps
+      // the old join-based contract (zero assignments) instead of leaking
+      // a spurious NULL cell group to groupBy(cell) consumers.
+      .where(col("cell").isNotNull)
   }
 
   private def assigned(s: SparkSession, dir: String): DataFrame =
@@ -578,6 +583,101 @@ object SimilarityQueries {
       .sortWithinPartitions("src", "rank")
   }
 
+  /** NN-Descent refinement rounds for [[knnGraphAnn]]. Fixed (not
+    * convergence-tested) so the DuckDB oracle can unroll each round as a
+    * materialized CTE — the dedup_kcore fixed-round pattern. Measured on
+    * the clustered fixture (AnnTrainingSpec): recall 0.11 → 0.22 → 0.40
+    * → 0.62 → 0.80 over rounds 0-4, vs 0.44 for the blocked twin —
+    * four rounds is past the crossover with headroom. */
+  val nndRounds = 4
+
+  /** NN-Descent approximate kNN graph (Dong, Moses & Li, WWW'11) — the
+    * NEAR-LINEAR scale twin of [[knnGraph]] (exact, pinned O(n²)) and
+    * [[knnGraphBlocked]] (n^1.5 by design: Σ|cell|² in-cell scoring,
+    * measured 127× at 100× data). Round-10 closes that last measured
+    * super-linear scale path:
+    *
+    *  - INIT is the UNION of two degree-[[knnK]] ring graphs, built by
+    *    EQUI-joins on (group, position) — n·k rows each, never a
+    *    |group|² product: (a) a ring inside each IVF cell (the linear
+    *    `ivf_assign` kernel; cell-mates are geometrically close, so the
+    *    start graph beats random), and (b) a ring inside md5-hash
+    *    buckets — pseudo-random groups that span cells, making the init
+    *    graph one connected component. The second ring is LOAD-BEARING:
+    *    NN-Descent only ever explores inside connected components of
+    *    the evolving graph, and with the cell ring alone the components
+    *    are the cells, so recall converges to exactly the blocked
+    *    twin's ceiling (measured: plateau at 0.44 = blocked's 0.44 on
+    *    the clustered fixture; with the hash ring it reaches 0.80).
+    *  - ROUNDS ([[nndRounds]]×): symmetrize the graph (B∪R in the
+    *    paper's terms), join neighbors-of-neighbors (bounded candidates
+    *    per node), union the incumbent edges, dedup, re-score, keep the
+    *    per-src top-k by (cosine desc, dst) — a WindowGroupLimit, k ≪
+    *    the 1000 rewrite threshold.
+    *
+    * TOTAL work is O(n·k²) per round — linear in n for fixed k — vs the
+    * twins' n²/n^1.5; at 100 TB every stage is an equi-join/groupBy on
+    * vec_id-derived keys (no broadcast of anything n-sized, no global
+    * window). Each round's graph is localCheckpoint'd because the next
+    * round references it three times (two sym legs + incumbent union) —
+    * without it lineage recompute is 3^rounds, the plan-side version of
+    * the CTE-inlining blowup the oracle avoids with AS MATERIALIZED.
+    * Determinism: every candidate set is an exact pair set, cosines
+    * round to 4dp, ties break on dst — DuckDB unrolls the identical
+    * rounds and hash-matches the full edge list. */
+  def knnGraphAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    val v = vectors(s, dir).select("vec_id", "e", "norm")
+    val a = assigned(s, dir)
+    val stride = seedStrideOf(Tables.embeddings(s, dir).count())
+    def ringOf(groups: DataFrame): DataFrame = { // groups: (grp, vec_id)
+      val wp = Window.partitionBy(col("grp")).orderBy(col("vec_id"))
+      val mem = groups.withColumn("p", row_number().over(wp))
+        .localCheckpoint() // referenced by both ring legs
+      mem.select(col("grp"), col("vec_id").as("src"), col("p"))
+        .withColumn("j", explode(sequence(lit(1), lit(knnK))))
+        .select(col("grp"), col("src"), (col("p") + col("j")).as("p"))
+        .join(mem.withColumnRenamed("vec_id", "dst"), Seq("grp", "p"))
+        .select("src", "dst")
+    }
+    val cellRing = ringOf(a.select(col("cell").as("grp"), col("vec_id")))
+    val hashRing = ringOf(a.select(
+      pmod(md5Long(concat(lit("nnd:"), col("vec_id").cast("string"))),
+        lit(stride)).as("grp"), col("vec_id")))
+    val init = cellRing.union(hashRing)
+    val initSym = init
+      .union(init.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(v.select(col("vec_id").as("src"), col("e").as("ea"),
+        col("norm").as("na")), Seq("src"))
+      .join(v.select(col("vec_id").as("dst"), col("e").as("eb"),
+        col("norm").as("nb")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cosine"))
+    def topk(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cosine").desc, col("dst"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= knnK)
+    }
+    val g0 = topk(score(initSym)).localCheckpoint()
+    val g = (1 to nndRounds).foldLeft(g0) { (prev, _) =>
+      val sym = prev.select(col("src").as("node"), col("dst").as("nbr"))
+        .union(prev.select(col("dst").as("node"), col("src").as("nbr")))
+      val s1 = sym.select(col("node").as("csrc"), col("nbr").as("mid"))
+      val s2 = sym.select(col("node").as("mid"), col("nbr").as("cdst"))
+      val cand = s1.join(s2, Seq("mid"))
+        .select(col("csrc").as("src"), col("cdst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .union(prev.select("src", "dst"))
+        .distinct()
+      topk(score(cand)).localCheckpoint()
+    }
+    g.select("src", "rank", "dst", "cosine")
+      .sortWithinPartitions("src", "rank")
+  }
+
   /** Cosine threshold for [[semDedup]]: tuned so the synthetic corpus
     * (weak cluster structure, near-dup pairs planted by the generator)
     * yields a non-trivial drop set at every SF. */
@@ -618,6 +718,7 @@ object SimilarityQueries {
     "semdedup" -> (semDedup _),
     "knn_graph" -> (knnGraph _),
     "knn_graph_blocked" -> (knnGraphBlocked _),
+    "knn_graph_ann" -> (knnGraphAnn _),
     "ann_ivf_trained" -> (annIvfTrained _),
     "embedding_pq_trained" -> (embeddingPqTrained _),
     "embedding_pq" -> (embeddingPq _),
@@ -676,6 +777,84 @@ object SimilarityQueries {
        |    FROM v CROSS JOIN seeds s) WHERE r = 1)""".stripMargin
 
   private val assignCtes = assignCtesWith(sqlSeedStride)
+
+  /** One unrolled NN-Descent round for the knn_graph_ann oracle:
+    * symmetrize g{i-1}, neighbor-of-neighbor candidates ∪ incumbents
+    * (UNION dedups — the Spark side's union+distinct), re-score, top-k.
+    * g$i is AS MATERIALIZED because round i+1 references it three times
+    * (plain CTEs inline 3^rounds-fold — the dedup_kcore lesson). */
+  private def nndRoundCtes(i: Int): String = {
+    val prev = s"g${i - 1}"
+    s"""sym$i AS (SELECT src AS node, dst AS nbr FROM $prev
+       |          UNION SELECT dst, src FROM $prev),
+       |cand$i AS (
+       |  SELECT a.node AS src, b.nbr AS dst
+       |  FROM sym$i a JOIN sym$i b ON a.nbr = b.node
+       |  WHERE a.node != b.nbr
+       |  UNION SELECT src, dst FROM $prev),
+       |sc$i AS (
+       |  SELECT c.src, c.dst,
+       |         ${duckCos("va.e", "vb.e", "va.norm", "vb.norm")} AS cosine
+       |  FROM cand$i c JOIN v va ON va.vec_id = c.src
+       |                JOIN v vb ON vb.vec_id = c.dst),
+       |g$i AS MATERIALIZED (
+       |  SELECT src, dst, cosine, rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src
+       |      ORDER BY cosine DESC, dst) AS rank FROM sc$i)
+       |  WHERE rank <= $knnK)""".stripMargin
+  }
+
+  /** knn_graph_ann oracle: cell-ring init + [[nndRounds]] unrolled
+    * NN-Descent rounds. v/assign/mems/ring/g* are all referenced more
+    * than once downstream → AS MATERIALIZED throughout. */
+  private val nndCtes: String = {
+    val rounds = (1 to nndRounds).map(nndRoundCtes).mkString(",\n")
+    s"""v AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |         sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+       |              x -> x * x), 'sum')) AS norm
+       |  FROM embeddings),
+       |seeds AS MATERIALIZED (
+       |  SELECT vec_id AS cell, e AS ce, norm AS cn
+       |  FROM v WHERE vec_id % $sqlSeedStride = 1),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, s.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${duckCos("v.e", "s.ce", "v.norm", "s.cn")} DESC,
+       |             s.cell) AS r
+       |    FROM v CROSS JOIN seeds s) WHERE r = 1),
+       |mems AS MATERIALIZED (
+       |  SELECT cell, vec_id, row_number() OVER (PARTITION BY cell
+       |    ORDER BY vec_id) AS p
+       |  FROM assign),
+       |hmems AS MATERIALIZED (
+       |  SELECT grp, vec_id, row_number() OVER (PARTITION BY grp
+       |    ORDER BY vec_id) AS p
+       |  FROM (SELECT ('0x' || substr(md5('nnd:' || vec_id::VARCHAR), 1, 15))
+       |          ::BIGINT % $sqlSeedStride AS grp, vec_id
+       |        FROM assign)),
+       |ring AS MATERIALIZED (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst
+       |  FROM mems a CROSS JOIN generate_series(1, $knnK) AS gs(j)
+       |  JOIN mems b ON b.cell = a.cell AND b.p = a.p + j
+       |  UNION ALL
+       |  SELECT a.vec_id, b.vec_id
+       |  FROM hmems a CROSS JOIN generate_series(1, $knnK) AS gs(j)
+       |  JOIN hmems b ON b.grp = a.grp AND b.p = a.p + j),
+       |cand0 AS (SELECT src, dst FROM ring UNION SELECT dst, src FROM ring),
+       |sc0 AS (
+       |  SELECT c.src, c.dst,
+       |         ${duckCos("va.e", "vb.e", "va.norm", "vb.norm")} AS cosine
+       |  FROM cand0 c JOIN v va ON va.vec_id = c.src
+       |               JOIN v vb ON vb.vec_id = c.dst),
+       |g0 AS MATERIALIZED (
+       |  SELECT src, dst, cosine, rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src
+       |      ORDER BY cosine DESC, dst) AS rank FROM sc0)
+       |  WHERE rank <= $knnK),
+       |$rounds""".stripMargin
+  }
 
   /** IVF ANN as a CTE chain ending in `ann(q, rank, neighbor, cosine)` —
     * shared by ann_ivf and hybrid_search_ivf. */
@@ -889,6 +1068,10 @@ object SimilarityQueries {
          |         ORDER BY cosine DESC, dst) AS rank FROM sc)
          |SELECT src, rank, dst, cosine FROM rk
          |WHERE rank <= $knnK ORDER BY src, rank""".stripMargin,
+    "knn_graph_ann" ->
+      s"""WITH $nndCtes
+         |SELECT src, rank, dst, cosine FROM g$nndRounds
+         |ORDER BY src, rank""".stripMargin,
     "ann_ivf_trained" ->
       s"""WITH $trainedIvfCtes
          |SELECT q, rank, neighbor, cosine FROM ann

@@ -497,9 +497,48 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Ingestion-order winnow dedup — the BATCH face of
+    * [[graft.streaming.WinnowStream]] and the keep/drop decision a
+    * pipeline actually executes over [[winnowDedup]]'s signal: a document
+    * is DROPPED when at least half of its winnow fingerprints were
+    * already selected by an earlier (smaller doc_id) document — i.e.
+    * `2·n_shared_prior ≥ n_fingerprints`, an integer rule with no
+    * float division, bit-exact in both engines. Because the fingerprint
+    * index a stream maintains contains EVERY processed document, the
+    * keep set is a pure function of the id-ordered corpus
+    * (`first_id(h) < doc_id` ⟺ h was already indexed when the doc
+    * arrived), which is what makes the streaming face batching-invariant
+    * (WinnowStreamSpec pins stream ≡ this query across splits).
+    * Fingerprint-less docs (text < [[winnowK]] chars) keep — nothing to
+    * match on. Shape: the 2/(w+1)-sampled fingerprint table, one
+    * min-groupBy on h, one fan-back groupBy on doc_id — all linear,
+    * h-keyed shuffles (the substring_dedup postings geometry). */
+  def winnowIngest(s: SparkSession, dir: String): DataFrame =
+    winnowIngestOf(Tables.documents(s, dir))
+
+  def winnowIngestOf(docsDf: DataFrame): DataFrame = {
+    val fp = winnowFingerprintsOf(docsDf).localCheckpoint() // first + fan-back
+    val first = fp.groupBy("h").agg(min(col("doc_id")).as("first_id"))
+    val agg = fp.join(first, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(when(col("first_id") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_shared_prior"))
+    docsDf.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fingerprints"), lit(0L)).as("n_fingerprints"),
+        coalesce(col("n_shared_prior"), lit(0L)).as("n_shared_prior"),
+        (coalesce(col("n_fingerprints"), lit(0L)) === 0 ||
+          coalesce(col("n_shared_prior"), lit(0L)) * 2 <
+            coalesce(col("n_fingerprints"), lit(0L))).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_winnow" -> (winnow _),
     "winnow_dedup" -> (winnowDedup _),
+    "winnow_ingest" -> (winnowIngest _),
     "text_entropy" -> (textEntropy _),
     "quality_filter" -> (qualityFilter _),
     "text_bigram_lm" -> (bigramLm _),
@@ -626,6 +665,22 @@ object TextQueries {
          |                  CAST(n_fingerprints AS DOUBLE), 6) END
          |    AS shared_frac
          |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "winnow_ingest" ->
+      s"""WITH $winnowFpCtes,
+         |fs AS (SELECT h, min(doc_id) AS first_id FROM fp GROUP BY 1),
+         |agg AS (
+         |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+         |    CAST(sum(CASE WHEN fs.first_id < f.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_shared_prior
+         |  FROM fp f JOIN fs USING (h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_fingerprints, 0) AS n_fingerprints,
+         |  coalesce(a.n_shared_prior, 0) AS n_shared_prior,
+         |  (coalesce(a.n_fingerprints, 0) = 0 OR
+         |   2 * coalesce(a.n_shared_prior, 0) < coalesce(a.n_fingerprints, 0))
+         |    AS keep
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "text_entropy" ->
       """WITH toks AS (

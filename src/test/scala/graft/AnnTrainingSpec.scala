@@ -79,6 +79,51 @@ class AnnTrainingSpec extends SparkSpec {
       s"Lloyd iterations must reduce reconstruction MSE: trained=$trained seeded=$seeded")
   }
 
+  /** Same generator as [[clusteredDir]] at 0.4× the noise: clusters are
+    * WELL-separated, so a node's true top-5 really is cluster-local —
+    * the regime where a kNN graph is meaningful and where NN-Descent's
+    * neighbor-of-neighbor exploration has a gradient to climb. (At the
+    * 1.0-noise fixture the exact graph itself is nearly unpredictable
+    * from any local view: blocked and nn-descent both cap near 0.17.) */
+  private lazy val tightDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-tight")
+    val centers = {
+      val r = new scala.util.Random(7)
+      Array.fill(40, 64)(r.nextGaussian() * 0.8)
+    }
+    val rows = (0 until 870).map { i =>
+      val c = (i * 37 + 11) % 40
+      val noise = new scala.util.Random(1000 + i)
+      val e = Seq.tabulate(64)(d => (centers(c)(d) + 0.4 * noise.nextGaussian()).toFloat)
+      (i.toLong, e, c)
+    }
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir.toString
+  }
+
+  test("nn-descent knn graph beats the blocked twin on a clustered corpus") {
+    // the regime the operator exists for: when embeddings cluster,
+    // neighbor-of-neighbor exploration escapes the single-cell horizon
+    // that caps knn_graph_blocked, at O(n·k²)/round instead of Σ|cell|²
+    // (measured here: ann 0.80 vs blocked 0.44 at nndRounds=4)
+    def edges(df: DataFrame): Set[(Long, Long)] =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = edges(ops.SimilarityQueries.knnGraph(spark, tightDir))
+    val blocked = edges(ops.SimilarityQueries.knnGraphBlocked(spark, tightDir))
+    val ann = edges(ops.SimilarityQueries.knnGraphAnn(spark, tightDir))
+    val rBlocked = (blocked & exact).size.toDouble / exact.size
+    val rAnn = (ann & exact).size.toDouble / exact.size
+    assert(rAnn > rBlocked,
+      s"nn-descent graph recall ($rAnn) must beat cell-blocked ($rBlocked)")
+    assert(rAnn >= 0.7,
+      s"nn-descent recall on clustered data should be high, got $rAnn")
+  }
+
   test("training is deterministic: re-run is row-for-row identical") {
     val a = ops.SimilarityQueries.annIvfTrained(spark, sf).collect().toSeq
     val b = ops.SimilarityQueries.annIvfTrained(spark, sf).collect().toSeq

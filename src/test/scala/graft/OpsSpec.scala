@@ -464,6 +464,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("quantile_bottomk_thinned: pre-thinned scan equals windowed form") {
+    // sf0.1: n_g ≈ 20k > margin·k = 4000, so the h < cutoff filter
+    // genuinely bites (~96% of rows dropped before the window) — at the
+    // spec's usual sf0.001 every group takes the keep-all branch and
+    // the test would prove nothing
+    val dir = "/root/testdata/sf0.1"
+    val windowed = AnalyticsQueries.quantileBottomK(spark, dir)
+      .collect().toSeq
+    val thinned = AnalyticsQueries.quantileBottomKThinned(spark, dir)
+      .collect().toSeq
+    assert(windowed == thinned,
+      "two-phase pre-thinning must be result-invisible")
+    // prove the thinning path was actually exercised
+    import graft.functions.TextFunctions.md5Long
+    val ev = Tables.events(spark, dir)
+      .withColumn("h",
+        md5Long(concat(lit("qbk:"), col("event_id").cast("string"))))
+    val total = ev.count()
+    val cutRows = ev
+      .join(ev.groupBy("event_type").agg(count(lit(1)).as("n_g")),
+        Seq("event_type"))
+      .filter(col("n_g") > AnalyticsQueries.qbMargin * AnalyticsQueries.qbK)
+      .filter(col("h") <
+        lit(1L << 60) / col("n_g") *
+          (AnalyticsQueries.qbMargin * AnalyticsQueries.qbK))
+      .count()
+    assert(cutRows.toDouble / total < 0.3,
+      s"filter must drop most rows at sf0.1 (kept $cutRows of $total)")
+  }
+
   test("approx_distinct: exact counts right, HLL within 5% attested") {
     val rows = AnalyticsQueries.approxDistinct(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
