@@ -458,7 +458,10 @@ object AnalyticsQueries {
     * constant-memory sketch path. The HLL ESTIMATE is engine-specific,
     * so the row carries the EXACT distinct count plus a `within_tol`
     * boolean comparing the estimate against it inside the same plan
-    * (|est − exact|·100 ≤ 5·exact, all BIGINT — the default rsd 0.05).
+    * (|est − exact|·100 ≤ 10·exact, all BIGINT). rsd is pinned at 0.02
+    * and the gate at 10% = 5σ: rsd is a STANDARD-DEVIATION target, not
+    * a bound — the default 0.05 sketch misses 5% at NDV=1500 (sf0.1,
+    * measured), which is exactly the estimator working as specified.
     * Spark's register-max merge is deterministic for fixed data, so
     * DuckDB pins the full row as `(type, exact, TRUE)` — a hash-exact
     * oracle for the sketch path. The raw estimate stays observable via
@@ -466,11 +469,11 @@ object AnalyticsQueries {
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("est"),
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("est"),
         countDistinct(col("user_id")).as("exact_users"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("est") - col("exact_users")) * 100 <=
-          col("exact_users") * 5).as("within_tol"))
+          col("exact_users") * 10).as("within_tol"))
       .orderBy("event_type")
 
   /** Explicit GROUPING SETS ((type, hour), (type), ()) — the general form

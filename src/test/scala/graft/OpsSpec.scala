@@ -525,7 +525,7 @@ class OpsSpec extends SparkSpec {
       s"filter must drop most rows at sf0.1 (kept $cutRows of $total)")
   }
 
-  test("approx_distinct: exact counts right, HLL within 5% attested") {
+  test("approx_distinct: exact counts right, HLL within tol attested") {
     val rows = AnalyticsQueries.approxDistinct(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     val exact = Tables.events(spark, sf)
@@ -533,7 +533,8 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (t, n) =>
       assert(rows(t)._1 === n, s"$t exact_users")
-      // the plan attests |HLL est − exact| ≤ 5% — the hash-checked column
+      // the plan attests |HLL est − exact| ≤ 10% (5σ at rsd=0.02) — the
+      // hash-checked column
       assert(rows(t)._2, s"$t within_tol")
     }
   }
