@@ -717,56 +717,7 @@ object CurationQueries {
        |  FROM vext v CROSS JOIN nl
        |  LEFT JOIN ctn c ON c.lang = nl.lang AND c.token = v.token)""".stripMargin
 
-  /** Decontamination n-gram length. Production pipelines use 13-token
-    * grams (the GPT-3 appendix-C / PaLM rule); the synthetic corpus's
-    * 31-word vocabulary compresses n-gram entropy so hard that ≥5-grams
-    * almost never collide (measured: 1 doc at 5..8) while 3-grams
-    * saturate (257 of ~490 train docs); 4 yields a meaningful ~4% hit
-    * rate. The shape is n-independent. */
-  val decontamN = 4
-
-  /** Every [[decontamStride]]-th doc_id is the held-out eval set. */
-  val decontamStride = 50
-
-  /** Benchmark DECONTAMINATION — the train/eval overlap gate every LLM
-    * data pipeline runs before training (the GPT-3 13-gram rule): a
-    * train document is dirty when ANY of its distinct [[decontamN]]-token
-    * n-grams also occurs in the eval split. Emits per-train-doc gram
-    * counts, hit counts, the `clean` verdict, and `eval_ref` = the
-    * smallest contaminating eval doc_id (NULL when clean) as the audit
-    * trail. Unlike the symmetric dedup family this is an ASYMMETRIC
-    * cross-set containment: eval is tiny by construction, so the probe
-    * is a broadcast hash join of the corpus gram stream against the
-    * eval gram set — at 100 TB the corpus side is one scan with no
-    * shuffle (the eval set ≪ executor memory always; a 10k-doc eval at
-    * ~1k grams/doc is ~10M keys), and the per-doc fan-back groupBy is
-    * keyed by doc_id, linear. */
-  def decontaminate(s: SparkSession, dir: String): DataFrame =
-    decontaminateOf(Tables.documents(s, dir))
-
-  def decontaminateOf(d: DataFrame): DataFrame = {
-    val grams = d.select(col("doc_id"),
-      explode(shingles(tokens(col("text")), decontamN)).as("g"))
-    val evalG = grams.filter(col("doc_id") % decontamStride === 0)
-      .groupBy("g").agg(min(col("doc_id")).as("eval_min"))
-    val agg = grams.filter(col("doc_id") % decontamStride =!= 0)
-      .join(broadcast(evalG), Seq("g"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("eval_min").isNotNull, 1L).otherwise(0L)).as("n_hits"),
-        min(col("eval_min")).as("eval_ref"))
-    d.filter(col("doc_id") % decontamStride =!= 0).select(col("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)) === 0).as("clean"),
-        col("eval_ref"))
-      .orderBy("doc_id")
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "decontaminate" -> (decontaminate _),
     "classifier_weights" -> (classifierWeights _),
     "text_classify" -> (textClassify _),
     "doc_keywords" -> (docKeywords _),
@@ -834,36 +785,6 @@ object CurationQueries {
        |  FROM j)""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "decontaminate" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-         |                             t -> t != '') AS t
-         |  FROM documents),
-         |post AS (
-         |  SELECT doc_id, unnest(
-         |    list_distinct(CASE WHEN length(t) >= $decontamN
-         |      THEN list_transform(generate_series(1, length(t) - ${decontamN - 1}),
-         |           i -> array_to_string(t[i:i+${decontamN - 1}], ' '))
-         |      ELSE CAST([] AS VARCHAR[]) END)) AS g
-         |  FROM toks),
-         |evalg AS (
-         |  SELECT g, min(doc_id) AS eval_min FROM post
-         |  WHERE doc_id % $decontamStride = 0 GROUP BY g),
-         |agg AS (
-         |  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         |    CAST(sum(CASE WHEN e.eval_min IS NOT NULL THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_hits,
-         |    min(e.eval_min) AS eval_ref
-         |  FROM post p LEFT JOIN evalg e USING (g)
-         |  WHERE p.doc_id % $decontamStride != 0 GROUP BY p.doc_id)
-         |SELECT d.doc_id,
-         |  coalesce(a.n_grams, 0) AS n_grams,
-         |  coalesce(a.n_hits, 0) AS n_hits,
-         |  coalesce(a.n_hits, 0) = 0 AS clean,
-         |  a.eval_ref AS eval_ref
-         |FROM documents d LEFT JOIN agg a USING (doc_id)
-         |WHERE d.doc_id % $decontamStride != 0
-         |ORDER BY d.doc_id""".stripMargin,
     "feature_hash" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -464,37 +464,6 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("decontaminate: planted eval overlap flags exactly the dirty docs") {
-    val s = spark
-    import s.implicits._
-    val n = CurationQueries.decontamN
-    val stride = CurationQueries.decontamStride.toLong
-    // doc 0 and 2·stride are EVAL; 1 copies an eval 4-gram mid-text,
-    // 2 shares no gram, 3 is too short to produce any gram, 51 shares
-    // a gram with the SECOND eval doc (eval_ref must pick the smallest)
-    val evalText = "alpha beta gamma delta epsilon zeta"
-    val eval2Text = "one two three four five six"
-    val docs = Seq(
-      (0L, evalText),
-      (1L, "xx yy " + "beta gamma delta epsilon" + " zz"),
-      (2L, "p q r s t u v w"),
-      (3L, "tiny text"),
-      (51L, "aa one two three four bb"),
-      (2 * stride, eval2Text)).toDF("doc_id", "text")
-    val res = CurationQueries.decontaminateOf(docs)
-      .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getBoolean(3),
-          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
-    assert(res.keySet === Set(1L, 2L, 3L, 51L), "train docs only")
-    assert(!res(1L)._3 && res(1L)._4 === 0L, "doc 1 dirty via eval doc 0")
-    assert(res(1L)._2 === 1L, "exactly one contaminated gram")
-    assert(res(2L)._3 && res(2L)._4 === -1L, "doc 2 clean, no eval_ref")
-    assert(res(3L) === ((0L, 0L, true, -1L)),
-      s"short doc: no grams, clean (n=$n)")
-    assert(!res(51L)._3 && res(51L)._4 === 2 * stride,
-      "doc 51 dirty via the second eval doc")
-  }
-
   test("quantile_bottomk_thinned: pre-thinned scan equals windowed form") {
     // sf0.1: n_g ≈ 20k > margin·k = 4000, so the h < cutoff filter
     // genuinely bites (~96% of rows dropped before the window) — at the
