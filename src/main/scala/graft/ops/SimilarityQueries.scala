@@ -678,6 +678,57 @@ object SimilarityQueries {
       .sortWithinPartitions("src", "rank")
   }
 
+  /** Number of centers [[diversitySample]] selects. */
+  val diversityK = 16
+
+  /** DIVERSITY / CORESET sampling — greedy k-center (farthest-point
+    * traversal; the coreset selector of Sener & Savarese, ICLR'18, and
+    * the standard data-pruning/active-learning baseline): start from the
+    * smallest vec_id, then [[diversityK]]−1 times select the vector
+    * FARTHEST (max cosine distance, ties to smallest vec_id) from the
+    * already-selected set. The classic incremental form: one running
+    * `min_dist_to_set` column, each round one map (`least` with the
+    * distance to the newly picked center) + one TakeOrderedAndProject
+    * top-1 — NO n×k distance matrix, no per-round shuffle beyond the
+    * top-1 reduction. The k top-1 rows collected to the driver are loop
+    * CONTROL (k bounded rows total — the dedup-CC/k-core driver-loop
+    * precedent), never data.
+    *
+    * Greedy k-center is inherently sequential (k dependent rounds);
+    * at 100 TB that is k scans of the corpus, the textbook cost — each
+    * scan map-only against a broadcast ≤k-row center set. The 2-approx
+    * guarantee (Gonzalez '85) is what buys the scan count: no one-pass
+    * operator gives bounded coverage radius. Distances use the shared
+    * 4dp-rounded cosine, so selection order (argmax, vec_id ties) is
+    * bit-deterministic and the DuckDB oracle unrolls the identical k
+    * rounds as materialized CTEs. Output: selection rank, vec_id, and
+    * the max-min coverage radius at selection time (non-increasing in
+    * rank — the k-center invariant, pinned in AnalyticsSpec along with
+    * Scala-brute-force equality of the whole selection). */
+  def diversitySample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vectors(s, dir).select("vec_id", "e", "norm").localCheckpoint()
+    val first = v.orderBy("vec_id").limit(1)
+      .collect()(0)
+    def distTo(center: org.apache.spark.sql.Row) = {
+      val ce = center.getSeq[Double](1)
+      val cn = center.getDouble(2)
+      lit(1.0) - cosine(col("e"),
+        array(ce.map(lit): _*), col("norm"), lit(cn))
+    }
+    var d = v.withColumn("d", distTo(first)).localCheckpoint()
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, first.getLong(0), 0.0))
+    (2 to diversityK).foreach { r =>
+      val c = d.orderBy(col("d").desc, col("vec_id")).limit(1).collect()(0)
+      picks += ((r.toLong, c.getLong(0), c.getDouble(3)))
+      d = d.withColumn("d", least(col("d"), distTo(c))).localCheckpoint()
+    }
+    picks.toSeq.toDF("rank", "vec_id", "dist")
+      .select(col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy("rank")
+  }
+
   /** Cosine threshold for [[semDedup]]: tuned so the synthetic corpus
     * (weak cluster structure, near-dup pairs planted by the generator)
     * yields a non-trivial drop set at every SF. */
@@ -719,6 +770,7 @@ object SimilarityQueries {
     "knn_graph" -> (knnGraph _),
     "knn_graph_blocked" -> (knnGraphBlocked _),
     "knn_graph_ann" -> (knnGraphAnn _),
+    "diversity_sample" -> (diversitySample _),
     "ann_ivf_trained" -> (annIvfTrained _),
     "embedding_pq_trained" -> (embeddingPqTrained _),
     "embedding_pq" -> (embeddingPq _),
@@ -803,6 +855,39 @@ object SimilarityQueries {
        |      ORDER BY cosine DESC, dst) AS rank FROM sc$i)
        |  WHERE rank <= $knnK)""".stripMargin
   }
+
+  /** diversity_sample oracle: greedy k-center unrolled — center c_r is
+    * the argmax of the running min-dist table d_{r-1}; every CTE is
+    * referenced downstream ≥ twice → AS MATERIALIZED throughout. */
+  private val diversityCtes: String = {
+    val rounds = (2 to diversityK).map { r =>
+      s"""c$r AS MATERIALIZED (
+         |  SELECT vec_id, e, norm, d FROM d${r - 1}
+         |  ORDER BY d DESC, vec_id LIMIT 1),
+         |d$r AS MATERIALIZED (
+         |  SELECT x.vec_id, x.e, x.norm,
+         |    least(x.d, 1 - ${duckCos("x.e", "c.e", "x.norm", "c.norm")}) AS d
+         |  FROM d${r - 1} x CROSS JOIN c$r c)""".stripMargin
+    }.mkString(",\n")
+    s"""v AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |         sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+       |              x -> x * x), 'sum')) AS norm
+       |  FROM embeddings),
+       |c1 AS MATERIALIZED (
+       |  SELECT vec_id, e, norm FROM v ORDER BY vec_id LIMIT 1),
+       |d1 AS MATERIALIZED (
+       |  SELECT x.vec_id, x.e, x.norm,
+       |    1 - ${duckCos("x.e", "c.e", "x.norm", "c.norm")} AS d
+       |  FROM v x CROSS JOIN c1 c),
+       |$rounds""".stripMargin
+  }
+
+  private val diversitySelect: String =
+    (Seq("SELECT CAST(1 AS BIGINT) AS rank, vec_id, 0.0 AS dist FROM c1") ++
+      (2 to diversityK).map(r =>
+        s"SELECT CAST($r AS BIGINT), vec_id, round(d, 4) FROM c$r"))
+      .mkString("\nUNION ALL\n")
 
   /** knn_graph_ann oracle: cell-ring init + [[nndRounds]] unrolled
     * NN-Descent rounds. v/assign/mems/ring/g* are all referenced more
@@ -1072,6 +1157,11 @@ object SimilarityQueries {
       s"""WITH $nndCtes
          |SELECT src, rank, dst, cosine FROM g$nndRounds
          |ORDER BY src, rank""".stripMargin,
+    "diversity_sample" ->
+      s"""WITH $diversityCtes
+         |SELECT * FROM (
+         |$diversitySelect
+         |) ORDER BY rank""".stripMargin,
     "ann_ivf_trained" ->
       s"""WITH $trainedIvfCtes
          |SELECT q, rank, neighbor, cosine FROM ann

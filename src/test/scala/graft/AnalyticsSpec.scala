@@ -163,6 +163,50 @@ class AnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("diversity_sample ≡ Scala brute-force greedy k-center; radius non-increasing") {
+    import graft.ops.SimilarityQueries
+    val got = SimilarityQueries.diversitySample(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val k = SimilarityQueries.diversityK
+    assert(got.map(_._1).toSeq === (1L to k.toLong), "ranks 1..k")
+    // the k-center invariant: the coverage radius at selection time
+    // can never grow (each pick only shrinks min-dists)
+    got.drop(1).sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 + 1e-9, s"radius grew: $a -> $b")
+    }
+    // independent re-derivation: brute-force greedy over collected
+    // embeddings with the same 4dp cosine must select the SAME sequence
+    val vs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val sel = scala.collection.mutable.ArrayBuffer((1L, vs.head._1, 0.0))
+    val dist = scala.collection.mutable.Map(
+      vs.map { case (id, e) => id -> (1.0 - cos4(e, vs.head._2)) }: _*)
+    dist.remove(vs.head._1)
+    val byId = vs.toMap
+    (2 to k).foreach { r =>
+      val (cid, cd) = dist.toSeq.maxBy { case (id, d) => (d, -id) }
+      sel += ((r.toLong, cid, cd))
+      dist.remove(cid)
+      val ce = byId(cid)
+      dist.keys.foreach { id =>
+        val nd = 1.0 - cos4(byId(id), ce)
+        if (nd < dist(id)) dist(id) = nd
+      }
+    }
+    got.zip(sel).foreach { case (g, s) =>
+      assert(g._1 === s._1 && g._2 === s._2, s"selection diverged: $g vs $s")
+      assert(math.abs(g._3 - s._3) < 5e-5, s"radius diverged: $g vs $s")
+    }
+  }
+
   test("nn-descent knn graph: valid shape, recall beats the blocked twin") {
     import graft.ops.SimilarityQueries
     val exact = SimilarityQueries.queries("knn_graph")(spark, sf)
