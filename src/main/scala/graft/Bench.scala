@@ -25,7 +25,12 @@ object Bench {
     // optional comma-separated subset for local iteration (not used by the driver)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val qs = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
+    // verifyOnly twins carry an in-plan exact companion purely for the
+    // DuckDB oracle — benching them would misreport the exact path's
+    // cost under the sketch's name (their sketch-only production faces
+    // ride in benchOnly under the unsuffixed names)
+    val qs = (SparkEntry.queries -- SparkEntry.verifyOnly ++ SparkEntry.benchOnly)
+      .toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

@@ -53,7 +53,19 @@ object SparkEntry {
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rfm_segments_sketch" -> (AnalyticsQueries.rfmSegmentsSketch _),
     "ann_ivf_pq_prebuilt" -> (graft.streaming.AnnStream.annIvfPqPrebuilt _),
-    "quantile_bottomk_thinned" -> (AnalyticsQueries.quantileBottomKThinned _))
+    "quantile_bottomk_thinned" -> (AnalyticsQueries.quantileBottomKThinned _),
+    "approx_distinct" -> (AnalyticsQueries.approxDistinct _),
+    "approx_percentile" -> (AnalyticsQueries.approxPercentile _))
+
+  /** Verify-only twins — the INVERSE of [[benchOnly]]: registered in
+    * `queries` (DuckDB-oracled) but skipped by Bench, because their
+    * plans deliberately compute an EXACT companion next to a sketch so
+    * the oracle can pin the row. Timing them under the approx name
+    * would report the exact path's cost as the sketch's; Bench times
+    * the sketch-only production faces (same unsuffixed names, in
+    * [[benchOnly]]) instead. */
+  def verifyOnly: Set[String] =
+    Set("approx_distinct_check", "approx_percentile_check")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -331,18 +331,42 @@ object AnalyticsQueries {
 
   /** GK-sketch percentiles per event_type — the constant-memory twin of
     * [[percentileAgg]] (exact percentile sorts each group; the sketch is
-    * the only viable form at 100 TB). The sketch ESTIMATE is
-    * engine-specific, so the emitted row carries the EXACT interpolated
-    * percentiles plus a `within_tol` boolean proving, inside the same
-    * plan, that each estimate falls in the exact ±5%-RANK window
-    * (est_p50 ∈ [exact_p45, exact_p55], …, est_p99 ∈ [exact_p98, max]).
-    * Spark's GK merge is deterministic for fixed data, so the boolean is
-    * bit-stable and DuckDB pins the whole row as
-    * `(type, exact_p50/p90/p99, TRUE)` — a hash-exact oracle for the
-    * sketch path (the window is generous: at accuracy=10000 the rank
-    * error bound is 1e-4). The raw estimates stay observable via
-    * [[quantileBottomK]]'s hash-oracled sketch twin. */
+    * the only viable form at 100 TB). ONE aggregation pass, mergeable
+    * bounded partial state per group — at 100 TB the map-side combine
+    * ships a ~10000-entry summary per (partition, group), never the
+    * values. This sketch-only plan is the PRODUCTION face Bench times
+    * under `approx_percentile`; the estimate is engine-specific, so the
+    * DuckDB row lives on the verify-only twin
+    * [[approxPercentileCheck]], which re-runs the sketch next to the
+    * exact percentiles and attests the tolerance in-plan. The raw
+    * estimates also stay observable via [[quantileBottomK]]'s
+    * hash-oracled sketch twin. */
   def approxPercentile(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pa"))
+      .select(col("event_type"),
+        element_at(col("pa"), 1).as("est_p50"),
+        element_at(col("pa"), 2).as("est_p90"),
+        element_at(col("pa"), 3).as("est_p99"))
+      .orderBy("event_type")
+
+  /** VERIFY-ONLY twin of [[approxPercentile]] (the inverse of the
+    * benchOnly pattern: oracled by DuckDB, skipped by Bench so the
+    * benched cost is the sketch's, not the exact sort's). Re-runs the
+    * same GK sketch NEXT TO the exact interpolated percentiles and
+    * emits the exact values plus a `within_tol` boolean proving, inside
+    * the same plan, that each estimate falls in the exact ±5%-RANK
+    * window (est_p50 ∈ [exact_p45, exact_p55], …, est_p99 ∈ [exact_p98,
+    * max]). The boolean is hash-stable because the window is GENEROUS
+    * relative to the estimator, not because the merge is deterministic:
+    * QuantileSummaries merge results vary with partitioning/merge
+    * order, but at accuracy=10000 the rank error bound is ~1e-4 —
+    * orders of magnitude inside the ±5%-rank window — so any legal
+    * merge order lands inside it. DuckDB pins the whole row as
+    * `(type, exact_p50/p90/p99, TRUE)`. */
+  def approxPercentileCheck(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("event_type"))
       .agg(
@@ -455,18 +479,35 @@ object AnalyticsQueries {
   }
 
   /** HLL++ approximate distinct users per event_type — the mergeable
-    * constant-memory sketch path. The HLL ESTIMATE is engine-specific,
-    * so the row carries the EXACT distinct count plus a `within_tol`
-    * boolean comparing the estimate against it inside the same plan
-    * (|est − exact|·100 ≤ 10·exact, all BIGINT). rsd is pinned at 0.02
-    * and the gate at 10% = 5σ: rsd is a STANDARD-DEVIATION target, not
-    * a bound — the default 0.05 sketch misses 5% at NDV=1500 (sf0.1,
-    * measured), which is exactly the estimator working as specified.
-    * Spark's register-max merge is deterministic for fixed data, so
-    * DuckDB pins the full row as `(type, exact, TRUE)` — a hash-exact
-    * oracle for the sketch path. The raw estimate stays observable via
-    * [[graft.ops.ProfileQueries.kmvDistinct]]'s hash-oracled twin. */
+    * constant-memory sketch path, and the reason it exists: exact
+    * distinct-count at 100 TB shuffles every (type, user) pair; the HLL
+    * register array is a few KB per group and merges by register-max
+    * (commutative, associative — the estimate is independent of merge
+    * order). This sketch-only plan is the PRODUCTION face Bench times
+    * under `approx_distinct`; the estimate is engine-specific, so the
+    * DuckDB row lives on the verify-only twin [[approxDistinctCheck]].
+    * rsd is pinned at 0.02 (the default 0.05 sketch misses a 5% gate at
+    * NDV=1500 — sf0.1, measured). The raw estimate also stays
+    * observable via [[graft.ops.ProfileQueries.kmvDistinct]]'s
+    * hash-oracled twin. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("est"))
+      .orderBy("event_type")
+
+  /** VERIFY-ONLY twin of [[approxDistinct]] (the inverse of the
+    * benchOnly pattern: oracled by DuckDB, skipped by Bench so the
+    * benched cost is the sketch's, not the exact countDistinct's the
+    * sketch exists to avoid). Computes the same rsd=0.02 HLL next to
+    * the EXACT distinct count and emits the exact count plus a
+    * `within_tol` boolean comparing them inside the same plan
+    * (|est − exact|·100 ≤ 10·exact, all BIGINT — a 5σ gate at
+    * rsd=0.02; rsd is a STANDARD-DEVIATION target, not a bound).
+    * HLL's register-max merge is order-independent, so the boolean is
+    * bit-stable under any partitioning and DuckDB pins the full row as
+    * `(type, exact, TRUE)` — a hash-exact oracle for the sketch path. */
+  def approxDistinctCheck(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("est"),
@@ -1066,8 +1107,8 @@ object AnalyticsQueries {
     "pivot_agg" -> (pivotAgg _),
     "unpivot_metrics" -> (unpivotMetrics _),
     "salted_agg" -> (saltedAgg _),
-    "approx_distinct" -> (approxDistinct _),
-    "approx_percentile" -> (approxPercentile _),
+    "approx_distinct_check" -> (approxDistinctCheck _),
+    "approx_percentile_check" -> (approxPercentileCheck _),
     "quantile_bottomk" -> (quantileBottomK _),
     "resample_ffill" -> (resampleFfill _))
 
@@ -1096,15 +1137,17 @@ object AnalyticsQueries {
          |ORDER BY w.window_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // The sketch queries oracle their EXACT companions + a within_tol
-    // boolean the Spark plan proves about its own estimate; DuckDB pins
-    // (group, exact, TRUE) bit-for-bit. quantile_cont ≡ Spark percentile
-    // (established by rfm_segments' boundary equality).
-    "approx_distinct" ->
+    // The sketch *_check twins oracle their EXACT companions + a
+    // within_tol boolean the Spark plan proves about its own estimate;
+    // DuckDB pins (group, exact, TRUE) bit-for-bit. quantile_cont ≡
+    // Spark percentile (established by rfm_segments' boundary
+    // equality). The sketch-only production faces ride Bench as
+    // benchOnly entries under the unsuffixed names.
+    "approx_distinct_check" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_tol
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "approx_percentile" ->
+    "approx_percentile_check" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.50), 6) AS p50_exact,
         |  round(quantile_cont(value, 0.90), 6) AS p90_exact,
