@@ -586,9 +586,14 @@ object SimilarityQueries {
   /** NN-Descent refinement rounds for [[knnGraphAnn]]. Fixed (not
     * convergence-tested) so the DuckDB oracle can unroll each round as a
     * materialized CTE — the dedup_kcore fixed-round pattern. Measured on
-    * the clustered fixture (AnnTrainingSpec): recall 0.11 → 0.22 → 0.40
-    * → 0.62 → 0.80 over rounds 0-4, vs 0.44 for the blocked twin —
-    * four rounds is past the crossover with headroom. */
+    * the clustered fixture (AnnTrainingSpec) at the round-11 internal
+    * width [[nndKInner]] = 2k: recall 0.11 → 0.27 → 0.62 → 0.98 →
+    * 0.998 over rounds 0-4, vs 0.44 for the blocked twin — CONVERGED
+    * (rounds 5-9 all 0.998). The round-10 width-k run plateaued at 0.88
+    * no matter how many rounds (0.80 @ r4, 0.877 @ r6, 0.884 @ r9) —
+    * the plateau was frontier starvation, not round count, so the
+    * round-11 budget bought width instead of depth (full series in
+    * BASELINE.md). */
   val nndRounds = 4
 
   /** NN-Descent approximate kNN graph (Dong, Moses & Li, WWW'11) — the
@@ -614,6 +619,23 @@ object SimilarityQueries {
     *    per node), union the incumbent edges, dedup, re-score, keep the
     *    per-src top-k by (cosine desc, dst) — a WindowGroupLimit, k ≪
     *    the 1000 rewrite threshold.
+    *  - INCREMENTAL (Dong et al. §2.3, the "new"-flag refinement —
+    *    where NN-Descent's near-linear practical cost comes from): a
+    *    two-hop path whose BOTH edges already existed last round was
+    *    already a candidate last round and lost to the very edges that
+    *    are now the incumbents; cosines are static, so it would lose
+    *    again. Rounds ≥ 2 therefore only expand paths with ≥ 1 edge
+    *    ADDED last round (`new` = g_r anti-join g_{r−1}): candidates =
+    *    symmetric-closure(sym_new ⋈ sym_all) ∪ incumbents — one join,
+    *    since (sym_all ⋈ sym_new) is that join's transpose. This
+    *    is provably OUTPUT-IDENTICAL to full expansion (induction on
+    *    rounds: every pair dropped was in the previous round's pool,
+    *    and per-src top-k only ever compares against the incumbents,
+    *    which are retained — AnnTrainingSpec pins inc ≡ full edge-list
+    *    equality on the clustered fixture) while the per-round join
+    *    shrinks with the count of still-changing edges — the savings
+    *    that pay for the [[nndKInner]] = 2k internal width (recall
+    *    0.80 → 0.998) inside the old full-expansion wall-clock.
     *
     * TOTAL work is O(n·k²) per round — linear in n for fixed k — vs the
     * twins' n²/n^1.5; at 100 TB every stage is an equi-join/groupBy on
@@ -624,8 +646,39 @@ object SimilarityQueries {
     * the CTE-inlining blowup the oracle avoids with AS MATERIALIZED.
     * Determinism: every candidate set is an exact pair set, cosines
     * round to 4dp, ties break on dst — DuckDB unrolls the identical
-    * rounds and hash-matches the full edge list. */
-  def knnGraphAnn(s: SparkSession, dir: String): DataFrame = {
+    * incremental rounds and hash-matches the full edge list. */
+  def knnGraphAnn(s: SparkSession, dir: String): DataFrame =
+    knnGraphAnnImpl(s, dir, incremental = true)
+
+  /** Full-expansion (non-incremental) NN-Descent — test-only twin used
+    * by AnnTrainingSpec to pin the incremental ≡ full equivalence the
+    * [[knnGraphAnn]] scaladoc proves. Not registered anywhere. */
+  private[graft] def knnGraphAnnFull(s: SparkSession, dir: String): DataFrame =
+    knnGraphAnnImpl(s, dir, incremental = false)
+
+  /** Internal search width during the descent rounds: each round keeps
+    * the top-[[nndKInner]] per src and only the final output truncates
+    * to [[knnK]]. At k=5 the greedy neighbor-of-neighbor walk starves —
+    * convergence plateaus at recall 0.88 regardless of rounds
+    * (measured: 0.877 @ r6, 0.884 @ r9) because a 5-edge frontier can't
+    * hold enough cross-cluster probes; doubling the INTERNAL width
+    * (Dong et al. report recall rising steeply with K) lifts the
+    * plateau past 0.95 while the output contract stays top-5. Cost is
+    * O(n·kInner²)/round, paid mostly in round 1 — the incremental
+    * new-edge expansion shrinks later rounds. */
+  val nndKInner = 2 * knnK
+
+  /** Truncated-round variant (test/probe-only): the recall-trajectory
+    * measurements in BASELINE.md run r = 0 … [[nndRounds]]. */
+  private[graft] def knnGraphAnnRounds(s: SparkSession, dir: String,
+                                       rounds: Int,
+                                       kIn: Int = nndKInner): DataFrame =
+    knnGraphAnnImpl(s, dir, incremental = true, rounds, kIn)
+
+  private def knnGraphAnnImpl(s: SparkSession, dir: String,
+                              incremental: Boolean,
+                              rounds: Int = nndRounds,
+                              kInner: Int = nndKInner): DataFrame = {
     import graft.functions.TextFunctions.md5Long
     val v = vectors(s, dir).select("vec_id", "e", "norm")
     val a = assigned(s, dir)
@@ -659,22 +712,59 @@ object SimilarityQueries {
       val w = Window.partitionBy(col("src"))
         .orderBy(col("cosine").desc, col("dst"))
       scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= knnK)
+        .filter(col("rank") <= kInner)
     }
     val g0 = topk(score(initSym)).localCheckpoint()
-    val g = (1 to nndRounds).foldLeft(g0) { (prev, _) =>
-      val sym = prev.select(col("src").as("node"), col("dst").as("nbr"))
+    var prev = g0
+    // round-0 edges are ALL new — round 1 is a full expansion either way
+    var newE = g0.select("src", "dst")
+    (1 to rounds).foreach { r =>
+      val symAll = prev.select(col("src").as("node"), col("dst").as("nbr"))
         .union(prev.select(col("dst").as("node"), col("src").as("nbr")))
-      val s1 = sym.select(col("node").as("csrc"), col("nbr").as("mid"))
-      val s2 = sym.select(col("node").as("mid"), col("nbr").as("cdst"))
-      val cand = s1.join(s2, Seq("mid"))
+      val non =
+        if (!incremental || r == 1) {
+          // full expansion (also round 1, where new ≡ all)
+          val s1 = symAll.select(col("node").as("csrc"), col("nbr").as("mid"))
+          val s2 = symAll.select(col("node").as("mid"), col("nbr").as("cdst"))
+          s1.join(s2, Seq("mid"))
+        } else {
+          // only paths through ≥1 last-round-added edge — the dropped
+          // all-old paths provably cannot enter the top-k (see scaladoc).
+          // ONE join covers both legs: sym relations are symmetric, so
+          // the "old-then-new" leg (symAll ⋈ symNew) is exactly the
+          // TRANSPOSE of the "new-then-old" leg (symNew ⋈ symAll) — a
+          // path a→b→c with {b,c} new is c→b→a with {c,b} new read
+          // backwards. The symmetric closure is emitted by an in-place
+          // explode (no second shuffle join, no duplicated join
+          // subtree); the naive two-join union nearly doubled per-round
+          // join mass and measured SLOWER than full expansion
+          // (BASELINE.md round-11 table).
+          val symNew = newE.select(col("src").as("node"), col("dst").as("nbr"))
+            .union(newE.select(col("dst").as("node"), col("src").as("nbr")))
+          val aN = symNew.select(col("node").as("csrc"), col("nbr").as("mid"))
+          val bA = symAll.select(col("node").as("mid"), col("nbr").as("cdst"))
+          aN.join(bA, Seq("mid"))
+            .select(explode(array(
+              struct(col("csrc"), col("cdst")),
+              struct(col("cdst").as("csrc"), col("csrc").as("cdst"))))
+              .as("p"))
+            .select(col("p.csrc").as("csrc"), col("p.cdst").as("cdst"))
+        }
+      val cand = non
         .select(col("csrc").as("src"), col("cdst").as("dst"))
         .filter(col("src") =!= col("dst"))
         .union(prev.select("src", "dst"))
         .distinct()
-      topk(score(cand)).localCheckpoint()
+      val g = topk(score(cand)).localCheckpoint()
+      if (incremental && r < rounds)
+        // the next round's sym_new reads this twice → materialize (≤n·k rows)
+        newE = g.select("src", "dst")
+          .join(prev.select("src", "dst"), Seq("src", "dst"), "left_anti")
+          .localCheckpoint()
+      prev = g
     }
-    g.select("src", "rank", "dst", "cosine")
+    prev.filter(col("rank") <= knnK)
+      .select("src", "rank", "dst", "cosine")
       .sortWithinPartitions("src", "rank")
   }
 
@@ -716,15 +806,111 @@ object SimilarityQueries {
       lit(1.0) - cosine(col("e"),
         array(ce.map(lit): _*), col("norm"), lit(cn))
     }
-    var d = v.withColumn("d", distTo(first)).localCheckpoint()
+    // picked centers are REMOVED from d each round (not just driven to
+    // d=0): in a degenerate corpus where every remaining 4dp min-dist
+    // rounds to 0 before k picks, the (d desc, vec_id) argmax could
+    // otherwise re-select an existing center — the brute-force spec
+    // (and k-center semantics) remove picked points from the candidate
+    // pool, so the query must too. The filter is a 1-row predicate per
+    // round (k total), map-only.
+    var d = v.filter(col("vec_id") =!= first.getLong(0))
+      .withColumn("d", distTo(first)).localCheckpoint()
     val picks = scala.collection.mutable.ArrayBuffer(
       (1L, first.getLong(0), 0.0))
     (2 to diversityK).foreach { r =>
       val c = d.orderBy(col("d").desc, col("vec_id")).limit(1).collect()(0)
       picks += ((r.toLong, c.getLong(0), c.getDouble(3)))
-      d = d.withColumn("d", least(col("d"), distTo(c))).localCheckpoint()
+      d = d.filter(col("vec_id") =!= c.getLong(0))
+        .withColumn("d", least(col("d"), distTo(c))).localCheckpoint()
     }
     picks.toSeq.toDF("rank", "vec_id", "dist")
+      .select(col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy("rank")
+  }
+
+  /** COMPOSABLE-CORESET diversity sampling — the SCALE twin of
+    * [[diversitySample]] (pinned exact greedy k-center, k sequential
+    * corpus scans each synchronized through a driver top-1): run greedy
+    * k-center INSIDE every IVF cell in parallel (phase 1), then exact
+    * greedy over the ≤ [[diversityK]]·√n-row union of per-cell picks
+    * (phase 2) — the composable-coreset scheme of Indyk, Mahabadi,
+    * Mahdian & Mirrokni (PODS'14) with Gonzalez greedy as the per-block
+    * selector.
+    *
+    * Phase 1 is [[diversityK]] declarative rounds with NO driver
+    * round-trip: each round one per-cell window top-1 (the next center
+    * of EVERY cell at once — √n picks per scan instead of the flat
+    * twin's single global pick) and one cell-keyed equi-join to update
+    * the running min-dist. Phase 2 runs the flat twin's driver loop on
+    * the union — k bounded collects over a corpus-size-INDEPENDENT
+    * table (k·√n rows), so the sequential tail no longer scans the
+    * corpus at all. At 100 TB phase 1 partitions by `cell` (windows and
+    * joins co-located, no global exchange); the union is the only thing
+    * that ever leaves the cells.
+    *
+    * The output contract matches [[diversitySample]] (rank, vec_id,
+    * dist) with `dist` the max-min radius WITHIN the union at selection
+    * time; the coverage radius over the full corpus is bounded by a
+    * constant factor of the exact greedy's (composable-coreset
+    * guarantee; AnalyticsSpec pins the measured factor on the clustered
+    * fixture). Every step is 4dp-deterministic with vec_id tie-breaks —
+    * the DuckDB oracle unrolls both phases' fixed rounds. */
+  def diversitySampleBlocked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = assigned(s, dir).select("cell", "vec_id", "e", "norm")
+      .localCheckpoint()
+    val wFirst = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    val c1 = a.withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id").as("cid"),
+        col("e").as("ce"), col("norm").as("cn"))
+      .localCheckpoint() // feeds picks ∪ the d0 update
+    var picks = c1.select("cell", "cid", "ce", "cn")
+    var d = a.join(c1, Seq("cell"))
+      .filter(col("vec_id") =!= col("cid"))
+      .select(col("cell"), col("vec_id"), col("e"), col("norm"),
+        (lit(1.0) - cosine(col("e"), col("ce"), col("norm"), col("cn")))
+          .as("d"))
+      .localCheckpoint()
+    (2 to diversityK).foreach { _ =>
+      val wd = Window.partitionBy(col("cell"))
+        .orderBy(col("d").desc, col("vec_id"))
+      val cr = d.withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1)
+        .select(col("cell"), col("vec_id").as("cid"),
+          col("e").as("ce"), col("norm").as("cn"))
+        .localCheckpoint() // referenced by picks ∪ the d update
+      picks = picks.unionByName(cr)
+      d = d.join(cr, Seq("cell"))
+        .filter(col("vec_id") =!= col("cid"))
+        .select(col("cell"), col("vec_id"), col("e"), col("norm"),
+          least(col("d"),
+            lit(1.0) - cosine(col("e"), col("ce"), col("norm"), col("cn")))
+            .as("d"))
+        .localCheckpoint()
+    }
+    // phase 2: the flat twin's exact greedy, on the tiny union
+    val u = picks
+      .select(col("cid").as("vec_id"), col("ce").as("e"), col("cn").as("norm"))
+      .localCheckpoint()
+    val first = u.orderBy("vec_id").limit(1).collect()(0)
+    def distTo(center: org.apache.spark.sql.Row) = {
+      val ce = center.getSeq[Double](1)
+      val cn = center.getDouble(2)
+      lit(1.0) - cosine(col("e"),
+        array(ce.map(lit): _*), col("norm"), lit(cn))
+    }
+    var du = u.filter(col("vec_id") =!= first.getLong(0))
+      .withColumn("d", distTo(first)).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer(
+      (1L, first.getLong(0), 0.0))
+    (2 to diversityK).foreach { r =>
+      val c = du.orderBy(col("d").desc, col("vec_id")).limit(1).collect()(0)
+      out += ((r.toLong, c.getLong(0), c.getDouble(3)))
+      du = du.filter(col("vec_id") =!= c.getLong(0))
+        .withColumn("d", least(col("d"), distTo(c))).localCheckpoint()
+    }
+    out.toSeq.toDF("rank", "vec_id", "dist")
       .select(col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
       .orderBy("rank")
   }
@@ -771,6 +957,7 @@ object SimilarityQueries {
     "knn_graph_blocked" -> (knnGraphBlocked _),
     "knn_graph_ann" -> (knnGraphAnn _),
     "diversity_sample" -> (diversitySample _),
+    "diversity_sample_blocked" -> (diversitySampleBlocked _),
     "ann_ivf_trained" -> (annIvfTrained _),
     "embedding_pq_trained" -> (embeddingPqTrained _),
     "embedding_pq" -> (embeddingPq _),
@@ -830,19 +1017,47 @@ object SimilarityQueries {
 
   private val assignCtes = assignCtesWith(sqlSeedStride)
 
-  /** One unrolled NN-Descent round for the knn_graph_ann oracle:
-    * symmetrize g{i-1}, neighbor-of-neighbor candidates ∪ incumbents
-    * (UNION dedups — the Spark side's union+distinct), re-score, top-k.
-    * g$i is AS MATERIALIZED because round i+1 references it three times
-    * (plain CTEs inline 3^rounds-fold — the dedup_kcore lesson). */
+  /** One unrolled NN-Descent round for the knn_graph_ann oracle — the
+    * SAME incremental rounds the Spark plan runs: round 1 is the full
+    * neighbor-of-neighbor expansion (every init edge is new); rounds ≥2
+    * only expand paths through ≥1 edge added last round
+    * (`new$i = g{i-1} EXCEPT g{i-2}`), ∪ incumbents (UNION dedups —
+    * the Spark side's union+distinct), re-score, top-k. g$i / sym$i /
+    * symn$i / new$i are AS MATERIALIZED because each is referenced ≥2
+    * times downstream (plain CTEs inline 3^rounds-fold — the
+    * dedup_kcore lesson). */
   private def nndRoundCtes(i: Int): String = {
     val prev = s"g${i - 1}"
-    s"""sym$i AS (SELECT src AS node, dst AS nbr FROM $prev
-       |          UNION SELECT dst, src FROM $prev),
+    val non =
+      if (i == 1)
+        s"""sym$i AS MATERIALIZED (
+           |  SELECT src AS node, dst AS nbr FROM $prev
+           |  UNION SELECT dst, src FROM $prev),
+           |non$i AS (
+           |  SELECT a.node AS src, b.nbr AS dst
+           |  FROM sym$i a JOIN sym$i b ON a.nbr = b.node
+           |  WHERE a.node != b.nbr)""".stripMargin
+      else
+        s"""new$i AS MATERIALIZED (
+           |  SELECT src, dst FROM $prev
+           |  EXCEPT SELECT src, dst FROM g${i - 2}),
+           |sym$i AS MATERIALIZED (
+           |  SELECT src AS node, dst AS nbr FROM $prev
+           |  UNION SELECT dst, src FROM $prev),
+           |symn$i AS MATERIALIZED (
+           |  SELECT src AS node, dst AS nbr FROM new$i
+           |  UNION SELECT dst, src FROM new$i),
+           |non$i AS (
+           |  SELECT a.node AS src, b.nbr AS dst
+           |  FROM symn$i a JOIN sym$i b ON a.nbr = b.node
+           |  WHERE a.node != b.nbr
+           |  UNION
+           |  SELECT a.node, b.nbr
+           |  FROM sym$i a JOIN symn$i b ON a.nbr = b.node
+           |  WHERE a.node != b.nbr)""".stripMargin
+    s"""$non,
        |cand$i AS (
-       |  SELECT a.node AS src, b.nbr AS dst
-       |  FROM sym$i a JOIN sym$i b ON a.nbr = b.node
-       |  WHERE a.node != b.nbr
+       |  SELECT src, dst FROM non$i
        |  UNION SELECT src, dst FROM $prev),
        |sc$i AS (
        |  SELECT c.src, c.dst,
@@ -853,7 +1068,7 @@ object SimilarityQueries {
        |  SELECT src, dst, cosine, rank FROM (
        |    SELECT *, row_number() OVER (PARTITION BY src
        |      ORDER BY cosine DESC, dst) AS rank FROM sc$i)
-       |  WHERE rank <= $knnK)""".stripMargin
+       |  WHERE rank <= $nndKInner)""".stripMargin
   }
 
   /** diversity_sample oracle: greedy k-center unrolled — center c_r is
@@ -867,7 +1082,8 @@ object SimilarityQueries {
          |d$r AS MATERIALIZED (
          |  SELECT x.vec_id, x.e, x.norm,
          |    least(x.d, 1 - ${duckCos("x.e", "c.e", "x.norm", "c.norm")}) AS d
-         |  FROM d${r - 1} x CROSS JOIN c$r c)""".stripMargin
+         |  FROM d${r - 1} x CROSS JOIN c$r c
+         |  WHERE x.vec_id != c.vec_id)""".stripMargin
     }.mkString(",\n")
     s"""v AS MATERIALIZED (
        |  SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -879,7 +1095,8 @@ object SimilarityQueries {
        |d1 AS MATERIALIZED (
        |  SELECT x.vec_id, x.e, x.norm,
        |    1 - ${duckCos("x.e", "c.e", "x.norm", "c.norm")} AS d
-       |  FROM v x CROSS JOIN c1 c),
+       |  FROM v x CROSS JOIN c1 c
+       |  WHERE x.vec_id != c.vec_id),
        |$rounds""".stripMargin
   }
 
@@ -887,6 +1104,67 @@ object SimilarityQueries {
     (Seq("SELECT CAST(1 AS BIGINT) AS rank, vec_id, 0.0 AS dist FROM c1") ++
       (2 to diversityK).map(r =>
         s"SELECT CAST($r AS BIGINT), vec_id, round(d, 4) FROM c$r"))
+      .mkString("\nUNION ALL\n")
+
+  /** diversity_sample_blocked oracle: phase 1 = per-cell greedy k-center
+    * unrolled ([[diversityK]] rounds of per-cell argmax + min-dist
+    * update, over `assign`), phase 2 = the flat oracle's greedy unrolled
+    * over the union of phase-1 picks. Every CTE is referenced ≥2 times
+    * downstream → AS MATERIALIZED throughout (the dedup_kcore lesson). */
+  private val diversityBlockedCtes: String = {
+    val p1 = (2 to diversityK).map { r =>
+      s"""pc$r AS MATERIALIZED (
+         |  SELECT cell, vec_id, e, norm FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cell
+         |      ORDER BY d DESC, vec_id) AS rn FROM pd${r - 1})
+         |  WHERE rn = 1),
+         |pd$r AS MATERIALIZED (
+         |  SELECT x.cell, x.vec_id, x.e, x.norm,
+         |    least(x.d, 1 - ${duckCos("x.e", "c.e", "x.norm", "c.norm")}) AS d
+         |  FROM pd${r - 1} x JOIN pc$r c ON x.cell = c.cell
+         |  WHERE x.vec_id != c.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to diversityK)
+      .map(r => s"SELECT vec_id, e, norm FROM pc$r")
+      .mkString("\nUNION ALL\n")
+    val p2 = (2 to diversityK).map { r =>
+      s"""qc$r AS MATERIALIZED (
+         |  SELECT vec_id, e, norm, d FROM qd${r - 1}
+         |  ORDER BY d DESC, vec_id LIMIT 1),
+         |qd$r AS MATERIALIZED (
+         |  SELECT x.vec_id, x.e, x.norm,
+         |    least(x.d, 1 - ${duckCos("x.e", "c.e", "x.norm", "c.norm")}) AS d
+         |  FROM qd${r - 1} x CROSS JOIN qc$r c
+         |  WHERE x.vec_id != c.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$assignCtes,
+       |pc1 AS MATERIALIZED (
+       |  SELECT cell, vec_id, e, norm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cell
+       |      ORDER BY vec_id) AS rn FROM assign)
+       |  WHERE rn = 1),
+       |pd1 AS MATERIALIZED (
+       |  SELECT x.cell, x.vec_id, x.e, x.norm,
+       |    1 - ${duckCos("x.e", "c.e", "x.norm", "c.norm")} AS d
+       |  FROM assign x JOIN pc1 c ON x.cell = c.cell
+       |  WHERE x.vec_id != c.vec_id),
+       |$p1,
+       |uvec AS MATERIALIZED (
+       |$unionAll),
+       |qc1 AS MATERIALIZED (
+       |  SELECT vec_id, e, norm FROM uvec ORDER BY vec_id LIMIT 1),
+       |qd1 AS MATERIALIZED (
+       |  SELECT x.vec_id, x.e, x.norm,
+       |    1 - ${duckCos("x.e", "c.e", "x.norm", "c.norm")} AS d
+       |  FROM uvec x CROSS JOIN qc1 c
+       |  WHERE x.vec_id != c.vec_id),
+       |$p2""".stripMargin
+  }
+
+  private val diversityBlockedSelect: String =
+    (Seq("SELECT CAST(1 AS BIGINT) AS rank, vec_id, 0.0 AS dist FROM qc1") ++
+      (2 to diversityK).map(r =>
+        s"SELECT CAST($r AS BIGINT), vec_id, round(d, 4) FROM qc$r"))
       .mkString("\nUNION ALL\n")
 
   /** knn_graph_ann oracle: cell-ring init + [[nndRounds]] unrolled
@@ -937,7 +1215,7 @@ object SimilarityQueries {
        |  SELECT src, dst, cosine, rank FROM (
        |    SELECT *, row_number() OVER (PARTITION BY src
        |      ORDER BY cosine DESC, dst) AS rank FROM sc0)
-       |  WHERE rank <= $knnK),
+       |  WHERE rank <= $nndKInner),
        |$rounds""".stripMargin
   }
 
@@ -1156,11 +1434,17 @@ object SimilarityQueries {
     "knn_graph_ann" ->
       s"""WITH $nndCtes
          |SELECT src, rank, dst, cosine FROM g$nndRounds
+         |WHERE rank <= $knnK
          |ORDER BY src, rank""".stripMargin,
     "diversity_sample" ->
       s"""WITH $diversityCtes
          |SELECT * FROM (
          |$diversitySelect
+         |) ORDER BY rank""".stripMargin,
+    "diversity_sample_blocked" ->
+      s"""WITH $diversityBlockedCtes
+         |SELECT * FROM (
+         |$diversityBlockedSelect
          |) ORDER BY rank""".stripMargin,
     "ann_ivf_trained" ->
       s"""WITH $trainedIvfCtes

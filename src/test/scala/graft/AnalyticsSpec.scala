@@ -207,6 +207,42 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("diversity_sample_blocked: valid shape, coverage radius within factor of exact greedy") {
+    import graft.ops.SimilarityQueries
+    val exact = SimilarityQueries.diversitySample(spark, sf)
+      .collect().map(_.getLong(1))
+    val blocked = SimilarityQueries.diversitySampleBlocked(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val k = SimilarityQueries.diversityK
+    assert(blocked.map(_._1).toSeq === (1L to k.toLong), "ranks 1..k")
+    assert(blocked.map(_._2).distinct.length === k, "k distinct centers")
+    // radius non-increasing within the union
+    blocked.drop(1).sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 + 1e-9, s"radius grew: $a -> $b")
+    }
+    // corpus coverage radius: max over all vectors of min dist to the
+    // selected set — blocked must stay within a constant factor of the
+    // exact greedy (composable-coreset guarantee)
+    val vs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = vs.toMap
+    def radius(centers: Seq[Long]): Double = {
+      val ces = centers.map(byId)
+      vs.map { case (_, e) => ces.map(c => 1.0 - cos4(e, c)).min }.max
+    }
+    val rExact = radius(exact.toSeq)
+    val rBlocked = radius(blocked.map(_._2).toSeq)
+    assert(rBlocked <= 3.0 * rExact + 1e-9,
+      s"blocked corpus radius $rBlocked vs exact $rExact — must stay within 3x")
+  }
+
   test("nn-descent knn graph: valid shape, recall beats the blocked twin") {
     import graft.ops.SimilarityQueries
     val exact = SimilarityQueries.queries("knn_graph")(spark, sf)

@@ -109,7 +109,8 @@ class AnnTrainingSpec extends SparkSpec {
     // the regime the operator exists for: when embeddings cluster,
     // neighbor-of-neighbor exploration escapes the single-cell horizon
     // that caps knn_graph_blocked, at O(n·k²)/round instead of Σ|cell|²
-    // (measured here: ann 0.80 vs blocked 0.44 at nndRounds=4)
+    // (measured here: ann 0.998 at nndRounds=4, kInner=2k vs blocked
+    // 0.44; the incremental new-edge expansion pays for the width)
     def edges(df: DataFrame): Set[(Long, Long)] =
       df.select("src", "dst").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -120,8 +121,21 @@ class AnnTrainingSpec extends SparkSpec {
     val rAnn = (ann & exact).size.toDouble / exact.size
     assert(rAnn > rBlocked,
       s"nn-descent graph recall ($rAnn) must beat cell-blocked ($rBlocked)")
-    assert(rAnn >= 0.7,
-      s"nn-descent recall on clustered data should be high, got $rAnn")
+    assert(rAnn >= 0.9,
+      s"nn-descent recall on clustered data should be ≥0.9, got $rAnn")
+  }
+
+  test("incremental NN-Descent ≡ full expansion, row for row") {
+    // the scaladoc's equivalence theorem, pinned on data: dropping
+    // all-old two-hop paths (they were candidates last round and lost
+    // to the retained incumbents; cosines are static) cannot change
+    // any round's top-k — full rows (src, rank, dst, cosine) equal
+    val inc = ops.SimilarityQueries.knnGraphAnn(spark, tightDir)
+      .collect().toSet
+    val full = ops.SimilarityQueries.knnGraphAnnFull(spark, tightDir)
+      .collect().toSet
+    assert(inc == full,
+      s"incremental (${inc.size} rows) must equal full (${full.size} rows)")
   }
 
   test("training is deterministic: re-run is row-for-row identical") {
