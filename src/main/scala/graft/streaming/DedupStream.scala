@@ -77,9 +77,19 @@ object DedupStream {
       .filter(col("__rank") === 1).drop("__rank")
       .persist()
     try {
-      val novel = (if (StreamFs.listNames(s"$corpusDir/index").nonEmpty)
-        hashed.join(readIndex(spark, corpusDir), Seq("content_hash"), "left_anti")
-      else hashed).persist()
+      // anti-probe keyed by the BATCH's hash set: the broadcast
+      // semi-join filters the ever-growing index map-side down to the
+      // (≤ batch-sized) hits, which then broadcast as the anti-join's
+      // build side — the index is never shuffled, per-batch cost stays
+      // proportional to the batch + one index scan (the round-11
+      // WinnowStream review, applied to all three ingest streams)
+      val novel = (if (StreamFs.listNames(s"$corpusDir/index").nonEmpty) {
+        val hits = readIndex(spark, corpusDir)
+          .join(broadcast(hashed.select("content_hash").distinct()),
+            Seq("content_hash"), "left_semi")
+          .select("content_hash").distinct()
+        hashed.join(broadcast(hits), Seq("content_hash"), "left_anti")
+      } else hashed).persist()
       try {
         // index first, corpus last: the corpus marker is the commit point,
         // so a crash between the writes leaves an orphan index dir that

@@ -83,7 +83,17 @@ object NearDupStream {
         .filter(col("x.doc_id") > col("y.doc_id"))
         .filter(agree >= sigAgreeMin)
         .select(col("x.doc_id").as("doc_id"))
-      val indexed = bands.as("x").join(readIndex(spark, corpusDir).as("y"),
+      // probe the index BY THE BATCH'S OWN band keys: the broadcast
+      // semi-join filters the ever-growing index map-side before the
+      // signature-agreement join sees it — the index is never shuffled,
+      // per-batch cost stays proportional to the batch + one index scan
+      // (the round-11 WinnowStream review, applied to all three ingest
+      // streams). The agreement join then runs on the ≤ candidate-sized
+      // remainder, where AQE is free to pick its own strategy.
+      val idxHits = readIndex(spark, corpusDir)
+        .join(broadcast(bands.select("band", "key").distinct()),
+          Seq("band", "key"), "left_semi")
+      val indexed = bands.as("x").join(idxHits.as("y"),
         Seq("band", "key"))
         .filter(agree >= sigAgreeMin)
         .select(col("x.doc_id").as("doc_id"))

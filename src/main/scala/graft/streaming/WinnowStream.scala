@@ -13,7 +13,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * share selects a common fingerprint — recall is guaranteed, not
   * probabilistic).
   *
-  * Drop rule (integer, order-deterministic): a document is dropped when
+  * Drop rule — stream ≡ batch holds for ID-ORDERED ARRIVAL (every doc
+  * in a batch has a larger doc_id than every previously committed doc;
+  * that is the condition WinnowStreamSpec pins, and what "equals the
+  * one-shot batch operator" means below): a document is dropped when
   * at least half its winnow fingerprints already exist in the PERSISTED
   * fingerprint index or were first selected by an earlier-id document of
   * the same batch (`2·n_shared ≥ n_fingerprints`; fingerprint-less short
@@ -29,11 +32,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * index/batch=N, staged write + `_GRAFT_COMMIT` marker on the docs dir
   * as the commit point, all I/O through [[StreamFs]]).
   *
-  * Scale notes (100 TB): the probe is ONE equi-join of the batch's
-  * ~2/(w+1)-sampled fingerprints against the h-keyed index (bucketed by
-  * h at production scale → co-located probe); the index carries (doc_id,
-  * h) only — the corpus text is never rescanned, and no per-batch work
-  * touches previously committed batches' text.
+  * Scale notes (100 TB): the probe is a broadcast SEMI-join of the
+  * ever-growing h-keyed index against the batch's own distinct
+  * fingerprint set (batch-sized) — the index is filtered map-side and
+  * never shuffled, so per-batch cost is proportional to the batch plus
+  * one index scan (bucketed by h at production scale → the scan prunes
+  * too; [[DedupStream.compact]] bounds the file count). The index
+  * carries distinct (doc_id, h) only — the corpus text is never
+  * rescanned, and no per-batch work touches previously committed
+  * batches' text. Steady-state per-batch wall-clock is measured flat in
+  * BASELINE.md's round-11 table.
   */
 object WinnowStream {
 
@@ -60,7 +68,18 @@ object WinnowStream {
     val fp = TextQueries.winnowFingerprintsOf(batch)
       .select("doc_id", "h").persist()
     try {
+      // probe the index BY THE BATCH'S OWN fingerprint set: a broadcast
+      // semi-join keyed on the batch's distinct h (batch-sized) filters
+      // the index scan map-side — per-batch cost stays proportional to
+      // the BATCH, not to the ever-growing committed index. The old form
+      // (full-index select("h").distinct()) re-shuffled the whole index
+      // every batch — O(index) per batch, unbounded in steady state
+      // (round-11 steady-state table in BASELINE.md measures the fix).
+      // Index batches are written pre-distinct, so the post-filter
+      // distinct dedups only cross-batch repeats of batch-local keys.
+      val batchH = fp.select("h").distinct()
       val idxH = readIndex(spark, corpusDir)
+        .join(broadcast(batchH), Seq("h"), "left_semi")
         .select("h").distinct().withColumn("in_idx", lit(1))
       val firstB = fp.groupBy("h").agg(min(col("doc_id")).as("first_id"))
       val scored = fp
@@ -74,9 +93,13 @@ object WinnowStream {
         .filter(col("n_sh") * 2 >= col("n_fp")).select("doc_id")
       val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
       // index first (ALL docs' fingerprints — cross-batch witnesses),
-      // corpus last (kept docs only; its marker is the commit point)
+      // corpus last (kept docs only; its marker is the commit point).
+      // PRE-DISTINCT: fp repeats (doc_id, h) once per selecting window
+      // position — the probe only tests h existence, so the index
+      // stores each pair once (multiplicity stays in fp for the n_fp
+      // scoring count, where it must match the batch operator)
       DedupStream.writeAtomically(
-        fp, s"$corpusDir/index/batch=$batchId", mark = false)
+        fp.distinct(), s"$corpusDir/index/batch=$batchId", mark = false)
       DedupStream.writeAtomically(
         kept.select("doc_id", "text"),
         s"$corpusDir/docs/batch=$batchId", mark = true)

@@ -59,10 +59,13 @@ class WinnowStreamSpec extends SparkSpec {
     // index rows = the winnow fingerprint set of ALL processed docs —
     // dropped docs stay indexed as cross-batch witnesses
     val idx = WinnowStream.readIndex(spark, s"$tmp/corpus")
+    // the index is written pre-distinct (the probe only tests h
+    // existence), so compare as sets of (doc_id, h) pairs
     val fp = TextQueries.winnowFingerprintsOf(b).select("doc_id", "h")
+      .distinct()
     assert(idx.count() === fp.count())
     assert(idx.exceptAll(fp).isEmpty && fp.exceptAll(idx).isEmpty,
-      "index must hold exactly the processed fingerprints")
+      "index must hold exactly the processed fingerprint pairs")
   }
 
   test("fingerprint-less short docs always keep") {
