@@ -47,7 +47,12 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    qs.foreach { case (n, fn) => once(n, fn) } // warmup (JIT + page cache)
+    // probe knob (not used by the driver): SPARK_GRAFT_BENCH_WARMUP=0
+    // skips the untimed warmup pass. For multi-minute x100 sweep runs the
+    // JIT it buys is ~2% of one pass while doubling wall-clock; cold
+    // numbers are fine for A/B sweeps where every arm runs the same mode.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+      qs.foreach { case (n, fn) => once(n, fn) } // warmup (JIT + page cache)
     // passes are INTERLEAVED across the query set (pass loop outside):
     // this VM shows multi-second scheduler stalls, and back-to-back
     // passes of one query can all land inside a single stall window —

@@ -30,38 +30,102 @@ object IvfUtil {
     java.math.BigDecimal.valueOf(x)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Codebook decoded to primitive arrays, plus a private copy of the
+    * source bytes for sound cache validation. `uniformDim` is the shared
+    * centroid dimension, or −1 when dimensions are mixed (then EVERY
+    * query dimension mismatches some entry, so every row yields null —
+    * the original per-cell dim check's fixed point). */
+  private final class Decoded(val cells: Array[Long],
+                              val ces: Array[Array[Double]],
+                              val cns: Array[Double],
+                              val uniformDim: Int,
+                              val anyNull: Boolean)
+
+  private val scratch = new ThreadLocal[Array[Double]]
+
+  private def doDecode(cb: ArrayData): Decoded = {
+    val k = cb.numElements()
+    val cells = new Array[Long](k)
+    val ces = new Array[Array[Double]](k)
+    val cns = new Array[Double](k)
+    var anyNull = false
+    var uniformDim = -1
+    var i = 0
+    while (i < k && !anyNull) {
+      if (cb.isNullAt(i)) anyNull = true
+      else {
+        val entry = cb.getStruct(i, 3)
+        cells(i) = entry.getLong(0)
+        ces(i) = entry.getArray(1).toDoubleArray()
+        cns(i) = entry.getDouble(2)
+        if (i == 0) uniformDim = ces(0).length
+        else if (ces(i).length != uniformDim) uniformDim = -1
+      }
+      i += 1
+    }
+    new Decoded(cells, ces, cns, uniformDim, anyNull)
+  }
+
+  /** Byte-validated per-thread decode cache ([[DecodeCache]]): the old
+    * per-(row, cell) accessor walk (~5 allocations each) measured 76.6 s
+    * of the 92 s x100 assignment; decoded it is ~4 s (BASELINE.md r11). */
+  private val cache = new DecodeCache[Decoded](doDecode)
+
   /** Nearest cell of `e` over the codebook `cb` =
     * array<struct<cell bigint, ce array<double>, cn double>>: maximum
     * 4dp-rounded cosine, smallest cell id on ties — exactly the old
     * `(scos desc, cell asc)` window order. Null on an empty codebook, a
     * dimension mismatch, or a null element (a malformed centroid must
-    * not win silently). */
+    * not win silently).
+    *
+    * Two-pass selection so [[round4]] (a BigDecimal allocation) leaves
+    * the O(k) inner loop: pass 1 computes RAW cosines over the decoded
+    * primitive arrays tracking the raw maximum; pass 2 rounds only the
+    * cells within 2e-4 of it. Sound because round4 is monotone with
+    * bucket width 1e-4: round4(x) = round4(max) implies
+    * |x − max| ≤ 1e-4 + ulp slack < 2e-4, so every cell that can tie
+    * the rounded winner survives pass 1's window (for |x| large enough
+    * that ulp > 1e-4, distinct doubles can't share a rounded value and
+    * the degenerate window {max} is exact). NaN/±Inf pass through
+    * unrounded exactly as before: `Double.compare` treats NaN as the
+    * maximum, and NaN − 2e-4 = NaN keeps the candidate window
+    * NaN-only, matching the original scan order. */
   def ivfAssign(e: ArrayData, norm: Double, cb: ArrayData): java.lang.Long = {
-    val k = cb.numElements()
-    if (k == 0) return null
-    val n = e.numElements()
+    val dec = cache.get(cb)
+    val k = dec.cells.length
+    if (k == 0 || dec.anyNull) return null
+    val ea = e.toDoubleArray()
+    if (dec.uniformDim != ea.length) return null
+    var raws = scratch.get()
+    if (raws == null || raws.length < k) {
+      raws = new Array[Double](k); scratch.set(raws)
+    }
+    val n = ea.length
+    var maxRaw = Double.NegativeInfinity
+    var i = 0
+    while (i < k) {
+      val ce = dec.ces(i)
+      var d = 0.0
+      var j = 0
+      while (j < n) { d += ea(j) * ce(j); j += 1 }
+      val raw = d / (norm * dec.cns(i))
+      raws(i) = raw
+      if (java.lang.Double.compare(raw, maxRaw) > 0) maxRaw = raw
+      i += 1
+    }
+    val thr = maxRaw - 2e-4
     var bestS = Double.NegativeInfinity
     var bestC = Long.MaxValue
     var found = false
-    var i = 0
+    i = 0
     while (i < k) {
-      if (cb.isNullAt(i)) return null
-      val entry = cb.getStruct(i, 3)
-      val cell = entry.getLong(0)
-      val ce = entry.getArray(1)
-      val cn = entry.getDouble(2)
-      if (ce.numElements() != n) return null
-      var d = 0.0
-      var j = 0
-      while (j < n) { d += e.getDouble(j) * ce.getDouble(j); j += 1 }
-      val raw = d / (norm * cn)
-      // Spark's round passes NaN/±Inf through (BigDecimal would throw),
-      // and Spark's descending sort puts NaN above everything —
-      // Double.compare reproduces exactly that total order
-      val s = if (java.lang.Double.isFinite(raw)) round4(raw) else raw
-      val cmp = java.lang.Double.compare(s, bestS)
-      if (cmp > 0 || (cmp == 0 && cell < bestC)) {
-        bestS = s; bestC = cell; found = true
+      val raw = raws(i)
+      if (java.lang.Double.compare(raw, thr) >= 0) {
+        val s = if (java.lang.Double.isFinite(raw)) round4(raw) else raw
+        val cmp = java.lang.Double.compare(s, bestS)
+        if (cmp > 0 || (cmp == 0 && dec.cells(i) < bestC)) {
+          bestS = s; bestC = dec.cells(i); found = true
+        }
       }
       i += 1
     }

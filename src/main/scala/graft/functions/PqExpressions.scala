@@ -40,15 +40,46 @@ object PqUtil {
     s
   }
 
-  /** Per-subspace squared distance between vector `e` and codebook entry
-    * `c` restricted to subspace j of m (subDim = len/m), strict left fold
-    * over the subspace elements. */
-  private def subDist(e: ArrayData, c: ArrayData, j: Int, subDim: Int): Double = {
+  /** Codebook decoded to primitive arrays. `uniformDim` is the shared
+    * entry dimension (−1 when mixed — then every query length mismatches
+    * some entry and the per-row checks below yield null for any input,
+    * the original per-entry check's fixed point). A null entry keeps the
+    * original behavior of failing loudly when walked (the codebooks are
+    * `collect_list` outputs, which never contain nulls). */
+  private final class Decoded(val entries: Array[Array[Double]],
+                              val uniformDim: Int)
+
+  private def doDecode(cb: ArrayData): Decoded = {
+    val k = cb.numElements()
+    val entries = new Array[Array[Double]](k)
+    var uniformDim = -1
+    var i = 0
+    while (i < k) {
+      entries(i) = cb.getArray(i).toDoubleArray()
+      if (i == 0) uniformDim = entries(0).length
+      else if (entries(i).length != uniformDim) uniformDim = -1
+      i += 1
+    }
+    new Decoded(entries, uniformDim)
+  }
+
+  /** Byte-validated per-thread decode cache ([[DecodeCache]]) — the PQ
+    * codebook arrives as the same broadcast value on every corpus row;
+    * walking it through the generic accessors allocated m·k wrappers
+    * per encoded vector. */
+  private val cache = new DecodeCache[Decoded](doDecode)
+
+  /** Per-subspace squared distance between primitive vectors `e` and `c`
+    * restricted to subspace j of m (subDim = len/m), strict left fold
+    * over the subspace elements — bit-identical accumulation order to
+    * the HOF formulation and the DuckDB oracle. */
+  private def subDist(e: Array[Double], c: Array[Double], j: Int,
+                      subDim: Int): Double = {
     var s = 0.0
     var i = j * subDim
     val end = i + subDim
     while (i < end) {
-      val d = e.getDouble(i) - c.getDouble(i)
+      val d = e(i) - c(i)
       s += d * d
       i += 1
     }
@@ -66,8 +97,11 @@ object PqUtil {
     val len = e.numElements()
     if (m <= 0 || len % m != 0) return null
     val subDim = len / m
-    val k = cb.numElements()
+    val dec = cache.get(cb)
+    val k = dec.entries.length
     if (k == 0) return null
+    if (dec.uniformDim != len) return null
+    val ea = e.toDoubleArray()
     val codes = new Array[Any](m)
     var dsum = 0.0
     var j = 0
@@ -76,9 +110,7 @@ object PqUtil {
       var bestC = -1
       var cid = 0
       while (cid < k) {
-        val c = cb.getArray(cid)
-        if (c.numElements() != len) return null
-        val d = subDist(e, c, j, subDim)
+        val d = subDist(ea, dec.entries(cid), j, subDim)
         // strict < keeps the first (= smallest) cid on ties
         if (d < bestD) { bestD = d; bestC = cid }
         cid += 1
@@ -98,15 +130,16 @@ object PqUtil {
     val len = e.numElements()
     if (m <= 0 || len % m != 0) return null
     val subDim = len / m
-    val k = cb.numElements()
+    val dec = cache.get(cb)
+    val k = dec.entries.length
+    if (k > 0 && dec.uniformDim != len) return null
+    val ea = e.toDoubleArray()
     val lut = new Array[Any](m * k)
     var j = 0
     while (j < m) {
       var cid = 0
       while (cid < k) {
-        val c = cb.getArray(cid)
-        if (c.numElements() != len) return null
-        lut(j * k + cid) = subDist(e, c, j, subDim)
+        lut(j * k + cid) = subDist(ea, dec.entries(cid), j, subDim)
         cid += 1
       }
       j += 1

@@ -838,15 +838,23 @@ object SimilarityQueries {
     * selector.
     *
     * Phase 1 is [[diversityK]] declarative rounds with NO driver
-    * round-trip: each round one per-cell window top-1 (the next center
-    * of EVERY cell at once — √n picks per scan instead of the flat
-    * twin's single global pick) and one cell-keyed equi-join to update
-    * the running min-dist. Phase 2 runs the flat twin's driver loop on
-    * the union — k bounded collects over a corpus-size-INDEPENDENT
-    * table (k·√n rows), so the sequential tail no longer scans the
-    * corpus at all. At 100 TB phase 1 partitions by `cell` (windows and
-    * joins co-located, no global exchange); the union is the only thing
-    * that ever leaves the cells.
+    * round-trip: each round one per-cell argmax (the next center of
+    * EVERY cell at once — √n picks per scan instead of the flat twin's
+    * single global pick) and one cell-keyed broadcast join to update
+    * the running min-dist. The argmax is a `max_by` HASH AGGREGATION,
+    * not a window: a per-cell window top-1 re-shuffles and SORTS the
+    * whole embedding-carrying corpus every round (the first-cut form —
+    * measured 3.3× slower than the flat twin at every scale, BASELINE.md
+    * round-11 table), while max_by's map-side partial aggregation ships
+    * one candidate struct per (partition, cell) — ≤ 32·√n rows — per
+    * round regardless of n. The √n-row center set broadcasts back onto
+    * `d`, so each round is one corpus-width map + one √n-sized exchange.
+    * Phase 2 runs the flat twin's driver loop on the union — k bounded
+    * collects over a corpus-size-INDEPENDENT table (k·√n rows), so the
+    * sequential tail no longer scans the corpus at all. At 100 TB phase
+    * 1's partial aggs and broadcast joins are co-located with any
+    * cell-bucketed layout; the per-cell candidate structs are the only
+    * thing that ever leaves the cells.
     *
     * The output contract matches [[diversitySample]] (rank, vec_id,
     * dist) with `dist` the max-min radius WITHIN the union at selection
@@ -859,29 +867,31 @@ object SimilarityQueries {
     import s.implicits._
     val a = assigned(s, dir).select("cell", "vec_id", "e", "norm")
       .localCheckpoint()
-    val wFirst = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
-    val c1 = a.withColumn("rn", row_number().over(wFirst))
-      .filter(col("rn") === 1)
-      .select(col("cell"), col("vec_id").as("cid"),
-        col("e").as("ce"), col("norm").as("cn"))
+    // per-cell argmin/argmax as hash aggs: vec_id is unique, so the
+    // struct comparator (d, -vec_id) is a total order and min_by/max_by
+    // reproduce the (d DESC, vec_id) window rank=1 row deterministically
+    val c1 = a.groupBy(col("cell"))
+      .agg(min_by(struct(col("vec_id"), col("e"), col("norm")),
+        col("vec_id")).as("c"))
+      .select(col("cell"), col("c.vec_id").as("cid"),
+        col("c.e").as("ce"), col("c.norm").as("cn"))
       .localCheckpoint() // feeds picks ∪ the d0 update
     var picks = c1.select("cell", "cid", "ce", "cn")
-    var d = a.join(c1, Seq("cell"))
+    var d = a.join(broadcast(c1), Seq("cell"))
       .filter(col("vec_id") =!= col("cid"))
       .select(col("cell"), col("vec_id"), col("e"), col("norm"),
         (lit(1.0) - cosine(col("e"), col("ce"), col("norm"), col("cn")))
           .as("d"))
       .localCheckpoint()
     (2 to diversityK).foreach { _ =>
-      val wd = Window.partitionBy(col("cell"))
-        .orderBy(col("d").desc, col("vec_id"))
-      val cr = d.withColumn("rn", row_number().over(wd))
-        .filter(col("rn") === 1)
-        .select(col("cell"), col("vec_id").as("cid"),
-          col("e").as("ce"), col("norm").as("cn"))
+      val cr = d.groupBy(col("cell"))
+        .agg(max_by(struct(col("vec_id"), col("e"), col("norm")),
+          struct(col("d"), (-col("vec_id")).as("tie"))).as("c"))
+        .select(col("cell"), col("c.vec_id").as("cid"),
+          col("c.e").as("ce"), col("c.norm").as("cn"))
         .localCheckpoint() // referenced by picks ∪ the d update
       picks = picks.unionByName(cr)
-      d = d.join(cr, Seq("cell"))
+      d = d.join(broadcast(cr), Seq("cell"))
         .filter(col("vec_id") =!= col("cid"))
         .select(col("cell"), col("vec_id"), col("e"), col("norm"),
           least(col("d"),

@@ -793,6 +793,89 @@ class OpsSpec extends SparkSpec {
     ()
   }
 
+  test("ivf_assign kernel: rounding-window ties, NaN, null/dim guards") {
+    import graft.functions.IvfUtil
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // 1-dim vectors with norm 1 make raw cosine = the centroid value
+    def cb(entries: (Long, Array[Double], Double)*): GenericArrayData =
+      new GenericArrayData(entries.map {
+        case (cell, ce, cn) =>
+          InternalRow(cell, new GenericArrayData(ce), cn)
+      }.toArray[Any])
+    val e1 = new GenericArrayData(Array(1.0))
+    def assign(c: GenericArrayData) = IvfUtil.ivfAssign(e1, 1.0, c)
+    // plain argmax
+    assert(assign(cb((10L, Array(0.5), 1.0), (20L, Array(0.6), 1.0))) === 20L)
+    // 4dp tie: 0.91236 and 0.91239 both round to 0.9124 — the SMALLER
+    // cell wins even though the larger cell has the higher raw cosine
+    // (the two-pass window must surface both candidates)
+    assert(assign(cb((20L, Array(0.91239), 1.0),
+      (10L, Array(0.91236), 1.0))) === 10L)
+    // just over the rounding boundary: 0.91234 → 0.9123 loses to
+    // 0.91236 → 0.9124 despite being within the 2e-4 window
+    assert(assign(cb((10L, Array(0.91234), 1.0),
+      (20L, Array(0.91236), 1.0))) === 20L)
+    // NaN sorts above everything (Spark's desc order), min cell on ties
+    assert(assign(cb((30L, Array(Double.NaN), 1.0),
+      (20L, Array(0.99), 1.0), (10L, Array(Double.NaN), 1.0))) === 10L)
+    // guards: empty codebook, null entry, mixed dims, dim mismatch
+    assert(IvfUtil.ivfAssign(e1, 1.0, new GenericArrayData(Array.empty[Any])) === null)
+    assert(IvfUtil.ivfAssign(e1, 1.0, new GenericArrayData(
+      Array[Any](InternalRow(10L, new GenericArrayData(Array(0.5)), 1.0), null))) === null)
+    assert(assign(cb((10L, Array(0.5), 1.0),
+      (20L, Array(0.5, 0.5), 1.0))) === null)
+    assert(assign(cb((10L, Array(0.5, 0.5), 1.0),
+      (20L, Array(0.6, 0.6), 1.0))) === null)
+  }
+
+  test("ivf_assign decode cache survives in-place buffer reuse") {
+    import graft.functions.IvfUtil
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{UnsafeArrayData, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.Platform
+    // serialize two same-shape codebooks (only the winning cell differs)
+    val schema = StructType(Seq(StructField("cb", ArrayType(StructType(Seq(
+      StructField("cell", LongType), StructField("ce", ArrayType(DoubleType)),
+      StructField("cn", DoubleType)))))))
+    val proj = UnsafeProjection.create(schema)
+    def bytesOf(win: Long): (Array[Byte], Int) = {
+      val arr = new GenericArrayData(Array[Any](
+        InternalRow(win, new GenericArrayData(Array(0.9)), 1.0),
+        InternalRow(99L, new GenericArrayData(Array(0.1)), 1.0)))
+      val u = proj(InternalRow(arr)).getArray(0)
+        .asInstanceOf[UnsafeArrayData]
+      val b = new Array[Byte](u.getSizeInBytes)
+      Platform.copyMemory(u.getBaseObject, u.getBaseOffset, b,
+        Platform.BYTE_ARRAY_OFFSET, u.getSizeInBytes.toLong)
+      (b, u.getSizeInBytes)
+    }
+    val (bytesA, size) = bytesOf(10L)
+    val (bytesB, sizeB) = bytesOf(20L)
+    assert(size === sizeB)
+    // ONE buffer, ONE UnsafeArrayData — refilled in place between calls,
+    // the task-iterator row-reuse pattern a (base, offset, size)- or
+    // identity-keyed cache would serve stale
+    val buf = new Array[Byte](size)
+    val u = new UnsafeArrayData
+    val e1 = new GenericArrayData(Array(1.0))
+    // pointTo AFTER each refill (it caches the element-count header at
+    // call time) with identical (base, offset, size) — the row-reader
+    // reuse pattern
+    System.arraycopy(bytesA, 0, buf, 0, size)
+    u.pointTo(buf, Platform.BYTE_ARRAY_OFFSET, size)
+    assert(IvfUtil.ivfAssign(e1, 1.0, u) === 10L)
+    System.arraycopy(bytesB, 0, buf, 0, size)
+    u.pointTo(buf, Platform.BYTE_ARRAY_OFFSET, size)
+    assert(IvfUtil.ivfAssign(e1, 1.0, u) === 20L,
+      "refilled buffer must not serve the stale decoded codebook")
+    System.arraycopy(bytesA, 0, buf, 0, size)
+    u.pointTo(buf, Platform.BYTE_ARRAY_OFFSET, size)
+    assert(IvfUtil.ivfAssign(e1, 1.0, u) === 10L)
+  }
+
   test("winnow_dedup: completeness on exact dups, consistency with text_winnow") {
     val wd = TextQueries.winnowDedup(spark, sf).cache()
     assert(wd.filter(col("n_shared") > col("n_fingerprints")).isEmpty)
