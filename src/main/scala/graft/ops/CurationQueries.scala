@@ -301,6 +301,43 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Temperature-smoothed domain-mixture WEIGHTS — the upstream
+    * computation whose output [[sampleMixture]]-style downsampling
+    * consumes: smooth the corpus's natural per-language token shares
+    * toward uniform with α-temperature sampling, p_l ∝ (tokens_l)^α
+    * (Arivazhagan et al. 2019; the mT5/XLM-R low-resource-upweighting
+    * recipe, and the same move as GPT-3's hand-tuned mixture table).
+    *
+    * α is pinned at ½ so the power is IEEE `sqrt` — correctly rounded
+    * in both engines (the [[graft.ops.SimilarityQueries.seedStrideOf]]
+    * precedent), unlike a general `pow`. All shares are integer ppm via
+    * the floor-div trick: s_l = floor(√tokens_l · 10⁶) is one exact
+    * BIGINT per domain, the denominators are exact BIGINT sums, so the
+    * output is bit-reproducible across engines and row orders.
+    * `boost_ppm` = 10⁶ · temp/natural is the per-domain up/down-sampling
+    * factor a loader applies (> 10⁶ for low-resource domains).
+    *
+    * Shape at 100 TB: one corpus scan map-side combined into L partial
+    * rows (L = |languages|), a 1-row totals aggregate broadcast back
+    * onto the L-row result — nothing corpus-sized ever shuffles. */
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(s, dir).groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(whitespaceTokenCount(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("s_tok",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val tot = perLang.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("s_tok")).as("tot_s"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr("(1000000 * n_tokens) div greatest(tot_tokens, 1)")
+          .as("natural_ppm"),
+        expr("(1000000 * s_tok) div greatest(tot_s, 1)").as("temp_ppm"))
+      .withColumn("boost_ppm",
+        expr("(1000000 * temp_ppm) div greatest(natural_ppm, 1)"))
+      .orderBy("lang")
+  }
+
   /** Per-source corpus REPORT: document count, token mass, mean length,
     * language spread, and duplicate share (non-canonical docs under the
     * corpus-wide exact-dedup rule) — the per-provenance quality dashboard
@@ -738,7 +775,8 @@ object CurationQueries {
     "vocab_topk" -> (vocabTopK _),
     "text_clean" -> (textClean _),
     "doc_length_hist" -> (docLengthHist _),
-    "tfidf_top_terms" -> (tfidfTopTerms _))
+    "tfidf_top_terms" -> (tfidfTopTerms _),
+    "temperature_mixture" -> (temperatureMixture _))
 
   private val duckRate = sampleRates.toSeq.sortBy(_._1)
     .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
@@ -1125,5 +1163,25 @@ object CurationQueries {
       """SELECT lang, least(n_chars // 50, 20) AS bucket,
         |  count(*) AS n_docs, min(n_chars) AS min_chars,
         |  max(n_chars) AS max_chars, round(avg(n_chars), 6) AS avg_chars
-        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "temperature_mixture" ->
+      """WITH per AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(length(list_filter(
+        |      string_split_regex(lower(text), '\s+'), t -> t != '')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |pers AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS s_tok FROM per),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |    CAST(sum(s_tok) AS BIGINT) AS tot_s FROM pers)
+        |SELECT lang, n_docs, n_tokens,
+        |  (1000000 * n_tokens) // greatest(tot_tokens, 1) AS natural_ppm,
+        |  (1000000 * s_tok) // greatest(tot_s, 1) AS temp_ppm,
+        |  (1000000 * ((1000000 * s_tok) // greatest(tot_s, 1)))
+        |    // greatest((1000000 * n_tokens) // greatest(tot_tokens, 1), 1)
+        |    AS boost_ppm
+        |FROM pers CROSS JOIN tot ORDER BY lang""".stripMargin)
 }

@@ -311,9 +311,78 @@ object PrepQueries {
       .orderBy("doc_id")
   }
 
+  // ---- DSIR-shaped data selection ----------------------------------------
+
+  /** Hashed-bigram feature space dimension (DSIR uses 10⁴; 2¹⁰ keeps the
+    * dense λ grid comfortably broadcastable at any corpus size — the
+    * grid is B rows REGARDLESS of n). */
+  val dsirB = 1024
+
+  /** The target distribution: the corpus's English subset stands in for
+    * DSIR's high-quality target corpus (Wikipedia/books in the paper). */
+  val dsirTargetLang = "en"
+
+  /** Data Selection via Importance Resampling (DSIR; Xie et al., NeurIPS
+    * 2023), integer-exact: score every pool document by how much more
+    * probable its hashed-bigram bag is under the TARGET distribution
+    * ([[dsirTargetLang]] docs) than under the RAW pool distribution, and
+    * keep documents that lean target.
+    *
+    * The paper's per-feature weight is the log-ratio
+    * ln p_target(b) − ln p_raw(b) of Laplace-smoothed hashed-bigram
+    * unigram models; as in [[CurationQueries.textClassify]] (the same
+    * substitution, documented there), the transcendental log is replaced
+    * by integer ppm RATES — λ_b = ppm_target(b) − ppm_raw(b) with
+    * ppm(b) = (10⁶·(cnt_b+1)) div (total+B) — so scoring is bit-exact
+    * across engines and row orders. The selection rule `score > 0` is
+    * the rate-space analog of the paper's importance weight w > 1
+    * (p_target > p_raw); it needs NO global rank: selection is decided
+    * per document from the broadcast model, the shape that survives
+    * 100 TB (a top-k selection would add one quantile-threshold pass —
+    * the [[AnalyticsQueries]] sketch substrate — not a global sort).
+    *
+    * Shape at scale: ONE corpus tokenize+bigram explode, materialized
+    * once (localCheckpoint — a persisted postings table at deployment
+    * scale) feeding both the model aggregation (map-side combined to
+    * ≤ B·partitions partials) and the scoring join against the
+    * broadcast B-row λ grid; one (doc) hash aggregation; a final
+    * broadcast-probed left join back to the doc spine. No corpus-global
+    * state beyond the B-row model. */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val bg = d.select(col("doc_id"), col("lang"),
+        explode(wordNgrams(tokens(col("text")), 2)).as("g"))
+      .select(col("doc_id"), col("lang"),
+        pmod(md5Long(concat(lit("dsir:"), col("g"))), lit(dsirB.toLong))
+          .as("b"))
+      .localCheckpoint() // tokenize once: feeds the model AND the scoring
+    val cnt = bg.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === dsirTargetLang, 1L).otherwise(0L)).as("ct"))
+    val tot = cnt.agg(sum(col("cr")).as("r_tot"), sum(col("ct")).as("t_tot"))
+    // DENSE grid: buckets no bigram hashed into still carry smoothing
+    // mass, exactly like an unseen token under Laplace smoothing
+    val lam = s.range(dsirB).select(col("id").as("b"))
+      .join(cnt, Seq("b"), "left").crossJoin(broadcast(tot))
+      .select(col("b"),
+        (expr(s"(1000000 * (coalesce(ct, 0) + 1)) div (t_tot + $dsirB)")
+          - expr(s"(1000000 * (coalesce(cr, 0) + 1)) div (r_tot + $dsirB)"))
+          .as("lam"))
+    val scores = bg.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lam")).as("score"))
+    d.select("doc_id", "lang").join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (coalesce(col("score"), lit(0L)) > 0).as("selected"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dict_encode" -> (dictEncode _),
     "decontaminate" -> (decontaminate _),
+    "dsir_select" -> (dsirSelect _),
     "chunk_documents" -> (chunkDocuments _),
     "chunk_dedup" -> (chunkDedup _),
     "oov_rate" -> (oovRate _),
@@ -339,6 +408,44 @@ object PrepQueries {
        |  FROM toks)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dsir_select" ->
+      s"""WITH toksl AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |                t -> t != '') AS t
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5('dsir:' || g), 1, 15))::BIGINT % $dsirB AS b
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      unnest(list_transform(generate_series(1, length(t) - 1),
+         |        i -> array_to_string(t[i:i+1], ' '))) AS g
+         |    FROM toksl)),
+         |cnt AS (
+         |  SELECT b, count(*) AS cr,
+         |    sum(CASE WHEN lang = '$dsirTargetLang' THEN 1 ELSE 0 END) AS ct
+         |  FROM bg GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(cr) AS BIGINT) AS r_tot,
+         |    CAST(sum(ct) AS BIGINT) AS t_tot FROM cnt),
+         |lam AS (
+         |  SELECT gs.b,
+         |    ((1000000 * (coalesce(cnt.ct, 0) + 1)) // (tot.t_tot + $dsirB))
+         |    - ((1000000 * (coalesce(cnt.cr, 0) + 1)) // (tot.r_tot + $dsirB))
+         |      AS lam
+         |  FROM (SELECT unnest(range(0, $dsirB)) AS b) gs
+         |  LEFT JOIN cnt ON cnt.b = gs.b CROSS JOIN tot),
+         |scores AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(lam.lam) AS BIGINT) AS score
+         |  FROM bg JOIN lam ON lam.b = bg.b GROUP BY 1)
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(s.score, 0) AS score,
+         |  coalesce(s.score, 0) > 0 AS selected
+         |FROM documents d LEFT JOIN scores s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "dict_encode" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),

@@ -275,6 +275,78 @@ class PrepSpec extends SparkSpec {
     assert(tot._2 * 2 < tot._1, "top-K vocab must cover the majority mass")
   }
 
+  test("dsir_select ≡ Scala brute-force hashed-bigram rate model") {
+    def md5Long60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val B = PrepQueries.dsirB
+    def buckets(text: String): Seq[Long] = {
+      val t = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      t.sliding(2).filter(_.length == 2)
+        .map(bg => md5Long60("dsir:" + bg.mkString(" ")) % B).toSeq
+    }
+    val all = docs.flatMap { case (_, lang, text) =>
+      buckets(text).map(b => (b, lang))
+    }
+    val cr = all.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = all.filter(_._2 == PrepQueries.dsirTargetLang)
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val (rTot, tTot) = (all.length.toLong,
+      all.count(_._2 == PrepQueries.dsirTargetLang).toLong)
+    def lam(b: Long): Long =
+      1000000L * (ct.getOrElse(b, 0L) + 1) / (tTot + B) -
+        1000000L * (cr.getOrElse(b, 0L) + 1) / (rTot + B)
+    val expected = docs.map { case (id, lang, text) =>
+      val bs = buckets(text)
+      (id, lang, bs.length.toLong, bs.map(lam).sum)
+    }.sortBy(_._1)
+    val got = PrepQueries.dsirSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case ((id, lg, nb, sc, sel), (ei, el, en, es)) =>
+      assert((id, lg, nb, sc) === ((ei, el, en, es)), s"doc $id")
+      assert(sel === (sc > 0), s"selected must be score>0 for doc $id")
+    }
+    // the rule is discriminating on this corpus: both classes non-empty
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
+
+  test("temperature_mixture ≡ Scala brute force; smoothing flattens shares") {
+    import graft.ops.CurationQueries
+    val perLang = Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).toLowerCase.trim.split("\\s+").count(_.nonEmpty).toLong))
+      .groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    val sTok = perLang.view.mapValues { case (_, t) =>
+      math.floor(math.sqrt(t.toDouble) * 1e6).toLong
+    }.toMap
+    val totT = perLang.values.map(_._2).sum
+    val totS = sTok.values.sum
+    val expected = perLang.keys.toSeq.sorted.map { l =>
+      val (nd, nt) = perLang(l)
+      val nat = 1000000L * nt / math.max(totT, 1)
+      val tmp = 1000000L * sTok(l) / math.max(totS, 1)
+      (l, nd, nt, nat, tmp, 1000000L * tmp / math.max(nat, 1))
+    }
+    val got = CurationQueries.temperatureMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expected)
+    // α-temperature smoothing FLATTENS: the spread of temp shares is
+    // strictly inside the spread of natural shares (non-degenerate corpus)
+    val nats = got.map(_._4).filter(_ > 0)
+    val tmps = got.map(_._5).filter(_ > 0)
+    assert(tmps.max.toDouble / tmps.min <= nats.max.toDouble / nats.min)
+  }
+
   test("dataset split: exhaustive, consistent with buckets, ~90/5/5") {
     import graft.ops.CurationQueries
     val sp = CurationQueries.queries("dataset_split")(spark, sf).cache()
