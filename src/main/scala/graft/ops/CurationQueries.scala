@@ -319,7 +319,8 @@ object CurationQueries {
     *
     * Shape at 100 TB: one corpus scan map-side combined into L partial
     * rows (L = |languages|), a 1-row totals aggregate broadcast back
-    * onto the L-row result — nothing corpus-sized ever shuffles. */
+    * onto the L-row result (the PlanSpec-allowlisted provably-tiny
+    * nested-loop class) — nothing corpus-sized ever shuffles. */
   def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
     val perLang = Tables.documents(s, dir).groupBy("lang").agg(
       count(lit(1)).as("n_docs"),

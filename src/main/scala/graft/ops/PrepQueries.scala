@@ -347,7 +347,10 @@ object PrepQueries {
     * ≤ B·partitions partials) and the scoring join against the
     * broadcast B-row λ grid; one (doc) hash aggregation; a final
     * broadcast-probed left join back to the doc spine. No corpus-global
-    * state beyond the B-row model. */
+    * state beyond the B-row model. The only nested-loop join is the
+    * 1-row totals aggregate crossed onto the B-row grid build (the
+    * PlanSpec-allowlisted provably-tiny-broadcast class) — nothing
+    * corpus-sized ever meets a non-equi join. */
   def dsirSelect(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val bg = d.select(col("doc_id"), col("lang"),

@@ -359,13 +359,13 @@ class PlanSpec extends SparkSpec {
   private val nljAllowlist: Set[String] = Set(
     "ann_brute_force", "ann_ivf", "ann_ivf_pq", "ann_ivf_trained",
     "ann_pq_adc", "bm25_topk", "chi_square", "classifier_weights",
-    "copurchase_pairs", "dedup_embedding", "doc_keywords", "embedding_pq",
-    "embedding_pq_trained", "hilbert_layout", "hybrid_search",
-    "hybrid_search_ivf", "knn_graph", "knn_graph_blocked",
+    "copurchase_pairs", "dedup_embedding", "doc_keywords", "dsir_select",
+    "embedding_pq", "embedding_pq_trained", "hilbert_layout",
+    "hybrid_search", "hybrid_search_ivf", "knn_graph", "knn_graph_blocked",
     "negative_sample", "q11_important", "q22_lapsed", "rfm_segments",
     "rfm_segments_bucketed", "sample_mixture", "skew_report",
-    "text_classify", "tfidf_top_terms", "token_pmi", "zone_map",
-    "zorder_layout")
+    "temperature_mixture", "text_classify", "tfidf_top_terms", "token_pmi",
+    "zone_map", "zorder_layout")
 
   test("whole-surface plan audit: no grouped SortAggregate, no cartesian, " +
       "nested-loop joins only on the documented allowlist") {
