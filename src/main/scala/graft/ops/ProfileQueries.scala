@@ -202,10 +202,142 @@ object ProfileQueries {
       .orderBy("event_type")
   }
 
+  /** CMS geometry: depth (independent md5 hash rows) × width (buckets).
+    * Point-query error bound ε = e/w ≈ 0.27% of total token mass at
+    * w=1024, failure probability δ = e^−d ≈ 1.8% at d=4. */
+  val cmsDepth = 4
+  val cmsWidth = 1024
+  val cmsTopK = 20
+
+  /** Count–Min sketch term-frequency audit (Cormode & Muthukrishnan,
+    * J. Algorithms '05) — the POINT-QUERY member of this library's sketch
+    * family (HLL/KMV estimate distinct counts, GK/bottom-k estimate
+    * ranks; CMS answers "how often does token t occur" from constant
+    * state). Made exactly oracle-checkable the same way `kmv_distinct`
+    * pins HLL's role: hashes are the portable seeded md5-60bit, counts
+    * are BIGINT, so both engines compute the identical cell table and
+    * the identical estimates bit-for-bit.
+    *
+    * Shape at 100 TB — the production branch aggregates the d×w cell
+    * table STRAIGHT from the token stream: the groupBy key space is
+    * FIXED at d·w = 4096 cells, so map-side combine ships ≤4096 partial
+    * rows per partition no matter how large the corpus or its vocabulary
+    * grows — the entire point of CMS (the exact `vocab_topk` shuffles
+    * per-partition DISTINCT tokens, which scales with vocabulary). Cells
+    * from disjoint corpus shards ADD (linearity — spec-proven), which is
+    * what makes the sketch mergeable across executors, days, or corpora.
+    * The exact-count branch here is the AUDIT companion (same move as
+    * `approx_distinct_check`): it derives the probe set (top-k tokens)
+    * and attests, in-plan, the one-sided CMS guarantee `n_est ≥ n_exact`
+    * that holds for EVERY query key. The probe itself is a tiny
+    * (k·d)-row equi-join against the ≤4096-row cell table. */
+  private def cmsBucket(j: Column, token: Column): Column = {
+    import graft.functions.TextFunctions.md5Long
+    pmod(md5Long(concat(j.cast("string"), lit(":"), token)), lit(cmsWidth))
+  }
+
+  private val cmsJs = array((0 until cmsDepth).map(lit(_)): _*)
+
+  /** The production CMS aggregation alone: (j, bucket) → count over any
+    * token frame — exposed so the spec can prove cell LINEARITY (cells
+    * of disjoint shards add to the cells of the union), the property
+    * that makes the sketch mergeable across executors and ingest days. */
+  def cmsCells(toks: DataFrame): DataFrame =
+    toks.select(explode(cmsJs).as("j"), col("token"))
+      .withColumn("bucket", cmsBucket(col("j"), col("token")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cell"))
+
+  def vocabCms(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+    val cells = cmsCells(toks)
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token")).limit(cmsTopK)
+    top.select(col("token"), col("n_exact"), explode(cmsJs).as("j"))
+      .withColumn("bucket", cmsBucket(col("j"), col("token")))
+      .join(cells, Seq("j", "bucket"))
+      .groupBy("token", "n_exact")
+      .agg(min(col("cell")).as("n_est"))
+      .select(col("token"), col("n_exact"), col("n_est"),
+        (col("n_est") >= col("n_exact")).as("overestimate"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  /** Restricted-vocabulary size for divergence: the shared top-V tokens
+    * by corpus frequency define the comparison domain. */
+  val cdVocabK = 256
+
+  /** Per-source distribution drift — KL(source ‖ corpus) and
+    * Jensen–Shannon divergence over the corpus top-[[cdVocabK]]
+    * unigram vocabulary, add-one smoothed (Laplace) so every grid cell
+    * has positive mass. The "did this crawl snapshot / data vendor
+    * drift" monitor a training-data pipeline runs per ingest: KL spikes
+    * on a source whose token mix diverges from the pool; JS is its
+    * bounded (≤ ln 2) symmetric companion, robust when a source has
+    * near-zero overlap. Restricting to the shared top-V vocabulary is
+    * the standard move (out-of-vocab mass is ignored equally for all
+    * sources), and makes every downstream frame vocabulary-bounded.
+    *
+    * Determinism across engines: counts are exact BIGINT; each term
+    * p·ln(p/q) is one double division + one IEEE ln + one multiply,
+    * rounded to 12 dp and DECIMAL(38,12)-summed (order-independent —
+    * the same move as `bm25_topk`'s score sum); the engine-identical
+    * decimal total casts to double once at the end.
+    *
+    * Shape at 100 TB: one token explode → (source, token) hash
+    * aggregation with map-side combine (the only corpus-sized shuffle,
+    * bounded by |sources|·NDV per partition); everything after is
+    * |sources|×V ≤ a few thousand rows — the V-row vocabulary and the
+    * 1-row corpus total ride as broadcasts (the PlanSpec-allowlisted
+    * provably-tiny nested-loop class). */
+  def corpusDivergence(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+    val st = toks.groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val vocab = st.groupBy("token").agg(sum("c").as("ct"))
+      .orderBy(col("ct").desc, col("token")).limit(cdVocabK)
+    val grid = st.select("source").distinct().crossJoin(broadcast(vocab))
+    val cs = grid.join(st, Seq("source", "token"), "left")
+      .select(col("source"), col("token"), col("ct"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val ns = cs.groupBy("source").agg(sum("c").as("ns"))
+    // v = the ACTUAL vocabulary size (≤ cdVocabK — a small corpus can
+    // have fewer distinct tokens than the cap): add-one smoothing must
+    // add exactly one count per REAL vocabulary cell or p and q stop
+    // summing to 1 and Gibbs' inequality (KL ≥ 0) silently breaks —
+    // caught by the spec's bounds check on the sf0.001 fixture (31
+    // distinct tokens), where the capped denominator gave KL = −0.0996
+    val n = vocab.agg(sum("ct").as("n"), count(lit(1)).as("v"))
+    val terms = cs.join(ns, "source").crossJoin(broadcast(n))
+      .withColumn("p",
+        (col("c") + 1).cast("double") / (col("ns") + col("v")))
+      .withColumn("q",
+        (col("ct") + 1).cast("double") / (col("n") + col("v")))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .select(col("source"), col("ns"),
+        round(col("p") * log(col("p") / col("q")), 12)
+          .cast("decimal(38,12)").as("kl_t"),
+        round(col("p") * log(col("p") / col("m")), 12)
+          .cast("decimal(38,12)").as("jp_t"),
+        round(col("q") * log(col("q") / col("m")), 12)
+          .cast("decimal(38,12)").as("jq_t"))
+    terms.groupBy("source", "ns").agg(
+        round(sum("kl_t").cast("double"), 9).as("kl_nats"),
+        round((sum("jp_t") + sum("jq_t")).cast("double") / 2, 9)
+          .as("js_nats"))
+      .select(col("source"), col("ns").as("n_tokens"),
+        col("kl_nats"), col("js_nats"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_profile" -> (dataProfile _),
     "skew_report" -> (skewReport _),
     "kmv_distinct" -> (kmvDistinct _),
+    "vocab_cms" -> (vocabCms _),
+    "corpus_divergence" -> (corpusDivergence _),
     "dq_audit" -> (dqAudit _))
 
   private def colSql(name: String, minMax: String => String) =
@@ -276,6 +408,68 @@ object ProfileQueries {
          |  round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share
          |FROM c CROSS JOIN st
          |ORDER BY cnt DESC, l_suppkey LIMIT $skewTopK""".stripMargin,
+    "vocab_cms" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                t -> t != '')) AS token
+         |  FROM documents),
+         |js AS (SELECT unnest([${(0 until cmsDepth).mkString(", ")}]) AS j),
+         |cells AS (
+         |  SELECT j,
+         |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15))
+         |      ::BIGINT % $cmsWidth AS bucket,
+         |    count(*) AS cell
+         |  FROM toks CROSS JOIN js GROUP BY 1, 2),
+         |top AS (
+         |  SELECT token, count(*) AS n_exact FROM toks GROUP BY 1
+         |  ORDER BY n_exact DESC, token LIMIT $cmsTopK),
+         |probe AS (
+         |  SELECT token, n_exact, j,
+         |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15))
+         |      ::BIGINT % $cmsWidth AS bucket
+         |  FROM top CROSS JOIN js)
+         |SELECT p.token, p.n_exact, min(c.cell) AS n_est,
+         |  min(c.cell) >= p.n_exact AS overestimate
+         |FROM probe p JOIN cells c USING (j, bucket)
+         |GROUP BY 1, 2 ORDER BY n_exact DESC, token""".stripMargin,
+    "corpus_divergence" ->
+      s"""WITH toks AS (
+         |  SELECT source,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |           t -> t != '')) AS token
+         |  FROM documents),
+         |st AS (SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT token, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY 1
+         |  ORDER BY ct DESC, token LIMIT $cdVocabK),
+         |grid AS (
+         |  SELECT s.source, v.token, v.ct
+         |  FROM (SELECT DISTINCT source FROM st) s CROSS JOIN vocab v),
+         |cs AS (
+         |  SELECT g.source, g.token, g.ct, coalesce(st.c, 0) AS c
+         |  FROM grid g LEFT JOIN st
+         |    ON g.source = st.source AND g.token = st.token),
+         |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+         |       FROM cs GROUP BY 1),
+         |n AS (SELECT CAST(sum(ct) AS BIGINT) AS n,
+         |             CAST(count(*) AS BIGINT) AS v FROM vocab),
+         |pq AS (
+         |  SELECT cs.source, ns.ns,
+         |    CAST(cs.c + 1 AS DOUBLE) / (ns.ns + n.v) AS p,
+         |    CAST(cs.ct + 1 AS DOUBLE) / (n.n + n.v) AS q
+         |  FROM cs JOIN ns ON cs.source = ns.source CROSS JOIN n),
+         |terms AS (
+         |  SELECT source, ns,
+         |    CAST(round(p * ln(p / q), 12) AS DECIMAL(38,12)) AS kl_t,
+         |    CAST(round(p * ln(p / ((p + q) / 2)), 12) AS DECIMAL(38,12))
+         |      AS jp_t,
+         |    CAST(round(q * ln(q / ((p + q) / 2)), 12) AS DECIMAL(38,12))
+         |      AS jq_t
+         |  FROM pq)
+         |SELECT source, ns AS n_tokens,
+         |  round(CAST(sum(kl_t) AS DOUBLE), 9) AS kl_nats,
+         |  round(CAST(sum(jp_t) + sum(jq_t) AS DOUBLE) / 2, 9) AS js_nats
+         |FROM terms GROUP BY source, ns ORDER BY source""".stripMargin,
     "dq_audit" -> Seq(
       fkSql("fk_orders_customer", "orders", "o_custkey",
         "customer", "c_custkey"),

@@ -359,7 +359,8 @@ class PlanSpec extends SparkSpec {
   private val nljAllowlist: Set[String] = Set(
     "ann_brute_force", "ann_ivf", "ann_ivf_pq", "ann_ivf_trained",
     "ann_pq_adc", "bm25_topk", "chi_square", "classifier_weights",
-    "copurchase_pairs", "dedup_embedding", "doc_keywords", "dsir_select",
+    "copurchase_pairs", "corpus_divergence", "dedup_embedding",
+    "doc_keywords", "dsir_select",
     "embedding_pq", "embedding_pq_trained", "hilbert_layout",
     "hybrid_search", "hybrid_search_ivf", "knn_graph", "knn_graph_blocked",
     "negative_sample", "q11_important", "q22_lapsed", "rfm_segments",

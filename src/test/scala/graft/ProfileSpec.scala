@@ -99,6 +99,115 @@ class ProfileSpec extends SparkSpec {
     ()
   }
 
+  private def tokenize(text: String): Seq[String] =
+    text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+
+  private def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("vocab_cms ≡ Scala brute force; overestimate holds for EVERY token") {
+    val docs = Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val exact = docs.flatMap(tokenize).groupBy(identity)
+      .map { case (t, o) => t -> o.length.toLong }
+    // brute-force cell table + per-token min-over-rows estimate
+    val cells = new scala.collection.mutable.HashMap[(Int, Long), Long]()
+    for ((t, c) <- exact; j <- 0 until ProfileQueries.cmsDepth) {
+      val b = md5Long60(s"$j:$t") % ProfileQueries.cmsWidth
+      cells((j, b)) = cells.getOrElse((j, b), 0L) + c
+    }
+    def est(t: String): Long = (0 until ProfileQueries.cmsDepth)
+      .map(j => cells((j, md5Long60(s"$j:$t") % ProfileQueries.cmsWidth)))
+      .min
+    // the one-sided CMS guarantee, checked on the WHOLE vocabulary (the
+    // query's in-plan `overestimate` column only attests the probed top-k)
+    for ((t, c) <- exact)
+      assert(est(t) >= c, s"CMS must never underestimate: $t")
+    val expected = exact.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(ProfileQueries.cmsTopK)
+      .map { case (t, c) => (t, c, est(t), true) }
+    val got = ProfileQueries.vocabCms(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
+  test("cms cells are LINEAR: disjoint shards add to the union's cells") {
+    // the mergeability claim behind the 100 TB story — cells aggregated
+    // per executor / per ingest day combine by plain addition
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(spark, sf)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(tokens(col("text"))).as("token"))
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      ProfileQueries.cmsCells(toks(df)).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val even = cellMap(docs.filter(col("doc_id") % 2 === 0))
+    val odd = cellMap(docs.filter(col("doc_id") % 2 === 1))
+    val all = cellMap(docs)
+    val merged = (even.keySet ++ odd.keySet).map(k =>
+      k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))).toMap
+    assert(merged === all)
+  }
+
+  test("corpus_divergence ≡ Scala brute force (smoothing, rounding, sums)") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val v = ProfileQueries.cdVocabK
+    val rows = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .flatMap(r => tokenize(r.getString(1)).map(t => (r.getString(0), t)))
+    val c = rows.groupBy(identity).map { case (k, o) => k -> o.length.toLong }
+    val ct = c.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val vocab = ct.toSeq.sortBy { case (t, n) => (-n, t) }.take(v).toMap
+    val vsz = vocab.size // actual vocabulary ≤ the cap (31 at sf0.001)
+    val srcs = c.keySet.map(_._1)
+    val ns = srcs.map(s0 => s0 ->
+      vocab.keySet.toSeq.map(t => c.getOrElse((s0, t), 0L)).sum).toMap
+    val n = vocab.values.sum
+    def term(x: Double): JBD =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).bigDecimal
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = srcs.toSeq.sorted.map { s0 =>
+      var kl = new JBD(0); var jp = new JBD(0); var jq = new JBD(0)
+      for ((t, ctv) <- vocab) {
+        val p = (c.getOrElse((s0, t), 0L) + 1).toDouble / (ns(s0) + vsz)
+        val q = (ctv + 1).toDouble / (n + vsz)
+        val m = (p + q) / 2
+        kl = kl.add(term(p * math.log(p / q)))
+        jp = jp.add(term(p * math.log(p / m)))
+        jq = jq.add(term(q * math.log(q / m)))
+      }
+      (s0, ns(s0), round9(kl.doubleValue),
+        round9(jp.add(jq).doubleValue / 2))
+    }
+    val got = ProfileQueries.corpusDivergence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+    // semantic bounds: Gibbs (KL ≥ 0) and JS ≤ ln 2, modulo the ≤256·5e-13
+    // accumulated term-rounding slack
+    for ((_, _, kl, js) <- got) {
+      assert(kl >= -1e-9, "KL must be non-negative")
+      assert(js >= -1e-9 && js <= math.log(2) + 1e-9, "JS within [0, ln 2]")
+    }
+  }
+
+  test("corpus_divergence: a single-source corpus has exactly zero drift") {
+    // p ≡ q when one source carries the whole corpus, so every rounded
+    // term is ln(1)·p = 0 — the output must be EXACTLY 0.0, not merely
+    // small (catches any smoothing-denominator asymmetry)
+    val tmp = java.nio.file.Files.createTempDirectory("cdzero").toString
+    Tables.documents(spark, sf).withColumn("source", lit("only"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = ProfileQueries.corpusDivergence(spark, tmp).collect()
+    assert(r.length === 1 && r(0).getString(0) === "only")
+    assert(r(0).getDouble(2) === 0.0 && r(0).getDouble(3) === 0.0)
+  }
+
   test("kmv: sketch estimate lands within 3 standard errors at NDV >> k") {
     // synthesize an events table with a known large cardinality; the KMV
     // standard error is ~1/sqrt(k-2), so 3σ at k=64 is ~38%
