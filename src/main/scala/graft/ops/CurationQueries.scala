@@ -755,7 +755,48 @@ object CurationQueries {
        |  FROM vext v CROSS JOIN nl
        |  LEFT JOIN ctn c ON c.lang = nl.lang AND c.token = v.token)""".stripMargin
 
+  /** Blocked terms for [[blocklistFilter]]: unigrams plus space-joined
+    * bigram PHRASES (a real blocklist mixes both), and one term that never
+    * occurs in the corpus — the fixture proving the gate does not
+    * over-fire. Sorted so the matched-terms rendering is deterministic. */
+  val blockedUnigrams = Seq("dup", "slow")
+  val blockedPhrases = Seq("batch batch", "zz never zz")
+
+  /** Blocklist gate — the C4 "bad-words" document filter (Raffel et al.,
+    * JMLR 2020 §2.2 drop any page containing a term from a public
+    * blocklist): per document, every OCCURRENCE of a blocked unigram or
+    * bigram phrase is counted, the distinct matched terms are reported
+    * (the audit trail a removal decision needs), and `kept` is the C4
+    * keep/drop verdict.
+    *
+    * Shape at 100 TB: a pure codegen'd per-row projection — the blocklist
+    * is a LITERAL array (real lists are ~10³ terms; they ride into every
+    * task as part of the plan, the degenerate broadcast), matching is two
+    * `filter(..., array_contains)` higher-order functions over the token
+    * and bigram arrays, and NOTHING shuffles or aggregates: the gate runs
+    * at parquet scan speed like [[TextQueries.qualityFilter]], prunes the
+    * scan to (doc_id, text), and composes with any downstream keep-set
+    * join. Word-boundary matching (tokens, not substrings) is the C4
+    * semantics — regex alternation over 10³ terms would re-scan each char
+    * position per term; the array probe is one hash per gram. */
+  def blocklistFilter(s: SparkSession, dir: String): DataFrame = {
+    val uniLit = typedLit(blockedUnigrams)
+    val bigLit = typedLit(blockedPhrases)
+    val toks = tokens(col("text"))
+    val hitsUni = filter(toks, t => array_contains(uniLit, t))
+    val hitsBig = filter(wordNgrams(toks, 2), g => array_contains(bigLit, g))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), hitsUni.as("hu"), hitsBig.as("hb"))
+      .select(col("doc_id"),
+        (size(col("hu")) + size(col("hb"))).cast("long").as("n_hits"),
+        array_join(array_sort(array_distinct(concat(col("hu"), col("hb")))),
+          ",").as("matched"),
+        (size(col("hu")) + size(col("hb")) === 0).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "blocklist_filter" -> (blocklistFilter _),
     "classifier_weights" -> (classifierWeights _),
     "text_classify" -> (textClassify _),
     "doc_keywords" -> (docKeywords _),
@@ -823,7 +864,33 @@ object CurationQueries {
        |    AS reject_reason
        |  FROM j)""".stripMargin
 
+  private def duckList(xs: Seq[String]) =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
   val oracles: Map[String, String] = Map(
+    "blocklist_filter" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |                t -> t != '') AS t
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id,
+         |    list_filter(t, x -> list_contains(${duckList(blockedUnigrams)},
+         |                                      x)) AS hu,
+         |    list_filter(CASE WHEN length(t) >= 2
+         |        THEN list_transform(generate_series(1, length(t) - 1),
+         |             i -> array_to_string(t[i:i+1], ' '))
+         |        ELSE CAST([] AS VARCHAR[]) END,
+         |      g -> list_contains(${duckList(blockedPhrases)}, g)) AS hb
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CAST(length(hu) + length(hb) AS BIGINT) AS n_hits,
+         |  -- array_to_string on an EMPTY list is NULL in DuckDB, '' in Spark
+         |  coalesce(array_to_string(list_sort(list_distinct(hu || hb)), ','),
+         |           '') AS matched,
+         |  length(hu) + length(hb) = 0 AS kept
+         |FROM hits ORDER BY doc_id""".stripMargin,
     "feature_hash" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -74,6 +74,62 @@ object PrepQueries {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy-contamination flag threshold: Jaccard ≥ 0.5 in micro units.
+    * (Published gates run 0.5–0.8 on word n-gram shingles; the tight
+    * synthetic vocabulary makes 0.5 the discriminating choice here.) */
+  val contamJaccardTauMicro = 500000L
+
+  /** FUZZY benchmark decontamination — the near-duplicate leakage gate
+    * ([[decontaminate]] flags ANY shared n-gram; real eval-set checks,
+    * e.g. GPT-3 appendix C and the Llama 2 analysis, also ask "is some
+    * training document a light REWRITE of a benchmark item", which a
+    * single-gram hit badly over-triggers on and exact-match misses).
+    * For every training document: the benchmark document with the
+    * highest shingle-set Jaccard, that similarity (micro units), and a
+    * `contaminated` flag at [[contamJaccardTauMicro]].
+    *
+    * Shape at 100 TB — same asymmetry as [[decontaminate]]: the
+    * benchmark side is tiny by construction, so its (gram → bench_doc,
+    * |bench_sh|) POSTINGS broadcast; the corpus is scanned once, each
+    * train gram probes the broadcast map, and the only shuffle is the
+    * (train_doc, bench_doc) hit-pair count — bounded by actual overlap
+    * mass, not |corpus|×|bench|. The per-pair Jaccard
+    * `shared·10⁶ div (n_t + n_b − shared)` is BIGINT floor division
+    * (bit-equal cross-engine); argmax is a hash-aggregate max over a
+    * (jaccard, −bench_doc) struct — no window, no sort. */
+  def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val isBench = pmod(col("doc_id"), lit(benchmarkMod)) === 0
+    val shingled = docs(s, dir)
+      .select(col("doc_id"), isBench.as("is_bench"),
+        shingles(tokens(col("text")), contamNgramN).as("sh"))
+    val benchPostings = shingled.filter(col("is_bench"))
+      .select(col("doc_id").as("bench_doc"),
+        size(col("sh")).cast("long").as("n_bench"), explode(col("sh")).as("g"))
+    val train = shingled.filter(!col("is_bench"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+        col("sh"))
+    val best = train
+      .select(col("doc_id"), col("n_grams"), explode(col("sh")).as("g"))
+      .join(broadcast(benchPostings), Seq("g"))
+      .groupBy(col("doc_id"), col("bench_doc"), col("n_grams"), col("n_bench"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard_micro",
+        expr("shared * 1000000 div (n_grams + n_bench - shared)"))
+      // lexicographic struct max = highest jaccard, ties → lowest bench id
+      .groupBy("doc_id")
+      .agg(max(struct(col("jaccard_micro"), (-col("bench_doc")).as("nb"),
+        col("shared"))).as("b"))
+      .select(col("doc_id"), (-col("b.nb")).as("bench_doc"),
+        col("b.shared").as("shared"), col("b.jaccard_micro").as("jaccard_micro"))
+    train.select("doc_id", "n_grams").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("bench_doc"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        coalesce(col("jaccard_micro"), lit(0L)).as("jaccard_micro"),
+        (coalesce(col("jaccard_micro"), lit(0L)) >= contamJaccardTauMicro)
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   // ---- sliding-window chunking -------------------------------------------
 
   val chunkWindow = 32
@@ -385,6 +441,7 @@ object PrepQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dict_encode" -> (dictEncode _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "dsir_select" -> (dsirSelect _),
     "chunk_documents" -> (chunkDocuments _),
     "chunk_dedup" -> (chunkDedup _),
@@ -469,6 +526,36 @@ object PrepQueries {
         |SELECT doc_id, count(*) AS n_tokens,
         |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids
         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "decontaminate_fuzzy" ->
+      s"""WITH $toksCte, ${shCte(contamNgramN)},
+         |bench AS (
+         |  SELECT doc_id AS bench_doc, CAST(length(sh) AS BIGINT) AS n_bench,
+         |         unnest(sh) AS g
+         |  FROM sh WHERE doc_id % $benchmarkMod = 0),
+         |train AS (
+         |  SELECT doc_id, CAST(length(sh) AS BIGINT) AS n_grams, sh
+         |  FROM sh WHERE doc_id % $benchmarkMod != 0),
+         |pairs AS (
+         |  SELECT t.doc_id, b.bench_doc, t.n_grams, b.n_bench,
+         |    count(*) AS shared
+         |  FROM (SELECT doc_id, n_grams, unnest(sh) AS g FROM train) t
+         |  JOIN bench b USING (g) GROUP BY 1, 2, 3, 4),
+         |scored AS (
+         |  SELECT doc_id, bench_doc, shared,
+         |    shared * 1000000 // (n_grams + n_bench - shared) AS jaccard_micro
+         |  FROM pairs),
+         |best AS (
+         |  SELECT doc_id, bench_doc, shared, jaccard_micro FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY jaccard_micro DESC, bench_doc) AS rn
+         |    FROM scored) WHERE rn = 1)
+         |SELECT t.doc_id, t.n_grams, b.bench_doc,
+         |  coalesce(b.shared, 0) AS shared,
+         |  coalesce(b.jaccard_micro, 0) AS jaccard_micro,
+         |  coalesce(b.jaccard_micro, 0) >= $contamJaccardTauMicro
+         |    AS contaminated
+         |FROM train t LEFT JOIN best b USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "decontaminate" ->
       s"""WITH $toksCte, ${shCte(contamNgramN)},
          |bench AS (

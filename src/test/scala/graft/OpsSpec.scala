@@ -662,6 +662,30 @@ class OpsSpec extends SparkSpec {
     ()
   }
 
+  test("blocklist_filter ≡ Scala brute force; never-occurring term silent") {
+    val uni = CurationQueries.blockedUnigrams.toSet
+    val big = CurationQueries.blockedPhrases.toSet
+    val expected = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).trim.toLowerCase
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        val hu = toks.filter(uni)
+        val hb = toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+          .filter(big).toSeq
+        (r.getLong(0), (hu.size + hb.size).toLong,
+          (hu ++ hb).distinct.sorted.mkString(","),
+          hu.isEmpty && hb.isEmpty)
+      }.sortBy(_._1).toSeq
+    val got = CurationQueries.blocklistFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+      .toSeq
+    assert(got === expected)
+    // both gate faces fire, and the never-occurring phrase never matches
+    assert(got.exists(!_._4) && got.exists(_._4))
+    assert(!got.exists(_._3.contains("zz")), "absent term must never match")
+  }
+
   test("classifier: model shape, smoothing floor, total-coverage scoring") {
     val wts = CurationQueries.classifierWeights(spark, sf).cache()
     val train = Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)

@@ -129,6 +129,16 @@ class PlanSpec extends SparkSpec {
       s"benchmark gram set must broadcast into a semi probe:\n$p")
   }
 
+  test("decontaminate_fuzzy: bench postings broadcast; argmax is a hash agg") {
+    // same asymmetry as decontaminate, but an INNER broadcast probe that
+    // keeps the benchmark doc identity; best-match selection must be the
+    // struct-max hash aggregate, never a rank window (no sort at scale)
+    val p = planOf(ops.PrepQueries.queries("decontaminate_fuzzy")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark postings must broadcast:\n$p")
+    assert(!p.contains("Window"), s"argmax must be an aggregate, not a window:\n$p")
+  }
+
   test("range join: windows broadcast; probes join on the bucket key") {
     val p = planOf(ops.AnalyticsQueries.queries("range_join")(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
@@ -221,6 +231,16 @@ class PlanSpec extends SparkSpec {
     assert(!f.contains("HashAggregate"), s"rule filter must not aggregate:\n$f")
     assert(!f.contains("Exchange hashpartitioning"),
       s"rule filter must not shuffle:\n$f")
+    val readSchema = f.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan must prune to (doc_id, text):\n$readSchema")
+  }
+
+  test("blocklist_filter is a pure scan-speed projection (no aggregate, no shuffle)") {
+    val f = formatted(ops.CurationQueries.queries("blocklist_filter")(spark, sf))
+    assert(!f.contains("HashAggregate"), s"blocklist gate must not aggregate:\n$f")
+    assert(!f.contains("Exchange hashpartitioning"),
+      s"blocklist gate must not shuffle:\n$f")
     val readSchema = f.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!readSchema.contains("lang") && !readSchema.contains("source"),
       s"scan must prune to (doc_id, text):\n$readSchema")

@@ -155,6 +155,39 @@ class PrepSpec extends SparkSpec {
     assert(joined.filter(col("contaminated") =!= (col("want_n") > 0)).isEmpty)
   }
 
+  test("decontaminate_fuzzy ≡ Scala brute force (argmax, ties, flag)") {
+    import org.apache.spark.sql.Row
+    val shMap = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        shingles(tokens(col("text")), PrepQueries.contamNgramN).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val (bench, train) = shMap.partition(_._1 % PrepQueries.benchmarkMod == 0)
+    val expected = train.toSeq.sortBy(_._1).map { case (id, sh) =>
+      val cands = bench.toSeq
+        .map { case (bid, bsh) => (bid, (sh & bsh).size.toLong, bsh.size.toLong) }
+        .filter(_._2 > 0)
+        .map { case (bid, shared, nb) =>
+          (bid, shared, shared * 1000000L / (sh.size + nb - shared)) }
+      if (cands.isEmpty) (id, sh.size.toLong, null, 0L, 0L, false)
+      else {
+        val (bid, shared, jm) =
+          cands.maxBy { case (bid, _, jm) => (jm, -bid) }
+        (id, sh.size.toLong, bid, shared, jm,
+          jm >= PrepQueries.contamJaccardTauMicro)
+      }
+    }
+    val got = PrepQueries.decontaminateFuzzy(spark, sf).collect().map {
+      case Row(id: Long, n: Long, b, s: Long, j: Long, c: Boolean) =>
+        (id, n, b, s, j, c)
+    }.toSeq
+    assert(got === expected)
+    // the fixture must exercise both faces of the gate
+    assert(got.exists(_._6), "some train doc should be flagged")
+    assert(got.exists(r => !r._6 && r._4 > 0),
+      "some doc should overlap without crossing the threshold")
+  }
+
   test("bucketed range join ≡ naive cross join with the range predicate") {
     val got = AnalyticsQueries.rangeJoin(spark, sf).cache()
     val bkt = AnalyticsQueries.rangeJoinBucketSec
