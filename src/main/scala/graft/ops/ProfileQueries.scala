@@ -214,7 +214,8 @@ object ProfileQueries {
     * family (HLL/KMV estimate distinct counts, GK/bottom-k estimate
     * ranks; CMS answers "how often does token t occur" from constant
     * state). Made exactly oracle-checkable the same way `kmv_distinct`
-    * pins HLL's role: hashes are the portable seeded md5-60bit, counts
+    * pins HLL's role: row hashes derive from one portable md5 via
+    * Kirsch–Mitzenmacher double hashing (see [[cmsJBucket]]), counts
     * are BIGINT, so both engines compute the identical cell table and
     * the identical estimates bit-for-bit.
     *
@@ -231,10 +232,20 @@ object ProfileQueries {
     * and attests, in-plan, the one-sided CMS guarantee `n_est ≥ n_exact`
     * that holds for EVERY query key. The probe itself is a tiny
     * (k·d)-row equi-join against the ≤4096-row cell table. */
-  private def cmsBucket(j: Column, token: Column): Column = {
-    import graft.functions.TextFunctions.md5Long
-    pmod(md5Long(concat(j.cast("string"), lit(":"), token)), lit(cmsWidth))
-  }
+  /** Row hashes are Kirsch–Mitzenmacher DOUBLE hashing (ESA'06):
+    * bucket_j = (h1 + j·h2) mod w, where h1/h2 are the two independent
+    * 60-bit halves of ONE md5 digest per token. The naive per-row
+    * seeded-md5 form (`md5(j || token)` × d) was MEASURED 25× slower
+    * than the exact vocabulary aggregate at x100 (169.6 s vs 6.8 s for
+    * `vocab_topk`): d md5s per token is the dominant cost of the whole
+    * sketch, and K–M's guarantee is that derived rows preserve the CMS
+    * bound. Both halves parse as non-negative (60 < 63 bits), so
+    * h1 + 3·h2 < 2⁶² never overflows and `pmod`/`%` agree cross-engine. */
+  private def cmsJBucket(j: Column, h1: Column, h2: Column): Column =
+    pmod(h1 + j * h2, lit(cmsWidth.toLong))
+
+  private def cmsH(hx: Column, from: Int): Column =
+    conv(substring(hx, from, 15), 16, 10).cast("long")
 
   private val cmsJs = array((0 until cmsDepth).map(lit(_)): _*)
 
@@ -243,8 +254,10 @@ object ProfileQueries {
     * of disjoint shards add to the cells of the union), the property
     * that makes the sketch mergeable across executors and ingest days. */
   def cmsCells(toks: DataFrame): DataFrame =
-    toks.select(explode(cmsJs).as("j"), col("token"))
-      .withColumn("bucket", cmsBucket(col("j"), col("token")))
+    toks.select(md5(col("token")).as("hx"))
+      .select(cmsH(col("hx"), 1).as("h1"), cmsH(col("hx"), 16).as("h2"))
+      .select(explode(cmsJs).as("j"), col("h1"), col("h2"))
+      .select(col("j"), cmsJBucket(col("j"), col("h1"), col("h2")).as("bucket"))
       .groupBy("j", "bucket").agg(count(lit(1)).as("cell"))
 
   def vocabCms(s: SparkSession, dir: String): DataFrame = {
@@ -254,8 +267,10 @@ object ProfileQueries {
     val cells = cmsCells(toks)
     val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("token")).limit(cmsTopK)
-    top.select(col("token"), col("n_exact"), explode(cmsJs).as("j"))
-      .withColumn("bucket", cmsBucket(col("j"), col("token")))
+    top.withColumn("hx", md5(col("token")))
+      .select(col("token"), col("n_exact"), explode(cmsJs).as("j"),
+        cmsH(col("hx"), 1).as("h1"), cmsH(col("hx"), 16).as("h2"))
+      .withColumn("bucket", cmsJBucket(col("j"), col("h1"), col("h2")))
       .join(cells, Seq("j", "bucket"))
       .groupBy("token", "n_exact")
       .agg(min(col("cell")).as("n_est"))
@@ -414,19 +429,22 @@ object ProfileQueries {
          |                t -> t != '')) AS token
          |  FROM documents),
          |js AS (SELECT unnest([${(0 until cmsDepth).mkString(", ")}]) AS j),
+         |th AS (
+         |  SELECT token,
+         |    ('0x' || substr(md5(token), 1, 15))::BIGINT AS h1,
+         |    ('0x' || substr(md5(token), 16, 15))::BIGINT AS h2
+         |  FROM toks),
          |cells AS (
-         |  SELECT j,
-         |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15))
-         |      ::BIGINT % $cmsWidth AS bucket,
-         |    count(*) AS cell
-         |  FROM toks CROSS JOIN js GROUP BY 1, 2),
+         |  SELECT j, (h1 + j * h2) % $cmsWidth AS bucket, count(*) AS cell
+         |  FROM th CROSS JOIN js GROUP BY 1, 2),
          |top AS (
          |  SELECT token, count(*) AS n_exact FROM toks GROUP BY 1
          |  ORDER BY n_exact DESC, token LIMIT $cmsTopK),
          |probe AS (
          |  SELECT token, n_exact, j,
-         |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15))
-         |      ::BIGINT % $cmsWidth AS bucket
+         |    (('0x' || substr(md5(token), 1, 15))::BIGINT +
+         |     j * ('0x' || substr(md5(token), 16, 15))::BIGINT)
+         |      % $cmsWidth AS bucket
          |  FROM top CROSS JOIN js)
          |SELECT p.token, p.n_exact, min(c.cell) AS n_est,
          |  min(c.cell) >= p.n_exact AS overestimate

@@ -102,10 +102,17 @@ class ProfileSpec extends SparkSpec {
   private def tokenize(text: String): Seq[String] =
     text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
 
-  private def md5Long60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Kirsch–Mitzenmacher row bucket: (h1 + j·h2) mod w over the digest's
+    * two 60-bit halves — must mirror ProfileQueries.cmsJBucket. */
+  private def cmsBucket(j: Int, token: String): Long = {
+    val hx = md5Hex(token)
+    val h1 = java.lang.Long.parseLong(hx.substring(0, 15), 16)
+    val h2 = java.lang.Long.parseLong(hx.substring(15, 30), 16)
+    (h1 + j * h2) % ProfileQueries.cmsWidth
   }
 
   test("vocab_cms ≡ Scala brute force; overestimate holds for EVERY token") {
@@ -116,11 +123,11 @@ class ProfileSpec extends SparkSpec {
     // brute-force cell table + per-token min-over-rows estimate
     val cells = new scala.collection.mutable.HashMap[(Int, Long), Long]()
     for ((t, c) <- exact; j <- 0 until ProfileQueries.cmsDepth) {
-      val b = md5Long60(s"$j:$t") % ProfileQueries.cmsWidth
+      val b = cmsBucket(j, t)
       cells((j, b)) = cells.getOrElse((j, b), 0L) + c
     }
     def est(t: String): Long = (0 until ProfileQueries.cmsDepth)
-      .map(j => cells((j, md5Long60(s"$j:$t") % ProfileQueries.cmsWidth)))
+      .map(j => cells((j, cmsBucket(j, t))))
       .min
     // the one-sided CMS guarantee, checked on the WHOLE vocabulary (the
     // query's in-plan `overestimate` column only attests the probed top-k)
