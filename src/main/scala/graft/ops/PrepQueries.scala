@@ -95,8 +95,15 @@ object PrepQueries {
     * (train_doc, bench_doc) hit-pair count — bounded by actual overlap
     * mass, not |corpus|×|bench|. The per-pair Jaccard
     * `shared·10⁶ div (n_t + n_b − shared)` is BIGINT floor division
-    * (bit-equal cross-engine); argmax is a hash-aggregate max over a
-    * (jaccard, −bench_doc) struct — no window, no sort. */
+    * (bit-equal cross-engine); argmax is a HASH aggregate: the
+    * (jaccard desc, bench_doc asc) order packs into one 63-bit long
+    * (jaccard ≤ 10⁶ is 20 bits; bench ids get 43 — ~8.8×10¹² documents,
+    * ~880× a 100 TB corpus at 10 KB/doc), because scalar `max_by` keeps
+    * a mutable agg buffer where a struct max degrades to a grouped
+    * SortAggregate (caught by PlanSpec's whole-surface audit — the
+    * first formulation shipped exactly that). The packed key is UNIQUE
+    * per (train, bench) row, so every max_by picks the same row
+    * deterministically. */
   def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
     val isBench = pmod(col("doc_id"), lit(benchmarkMod)) === 0
     val shingled = docs(s, dir)
@@ -115,12 +122,13 @@ object PrepQueries {
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard_micro",
         expr("shared * 1000000 div (n_grams + n_bench - shared)"))
-      // lexicographic struct max = highest jaccard, ties → lowest bench id
+      // packed argmax order: highest jaccard, ties → lowest bench id
+      .withColumn("po",
+        expr("jaccard_micro * 8796093022208L + (8796093022207L - bench_doc)"))
       .groupBy("doc_id")
-      .agg(max(struct(col("jaccard_micro"), (-col("bench_doc")).as("nb"),
-        col("shared"))).as("b"))
-      .select(col("doc_id"), (-col("b.nb")).as("bench_doc"),
-        col("b.shared").as("shared"), col("b.jaccard_micro").as("jaccard_micro"))
+      .agg(max_by(col("bench_doc"), col("po")).as("bench_doc"),
+        max_by(col("shared"), col("po")).as("shared"),
+        max_by(col("jaccard_micro"), col("po")).as("jaccard_micro"))
     train.select("doc_id", "n_grams").join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"), col("bench_doc"),
         coalesce(col("shared"), lit(0L)).as("shared"),

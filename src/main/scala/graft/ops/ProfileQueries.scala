@@ -260,6 +260,16 @@ object ProfileQueries {
       .select(col("j"), cmsJBucket(col("j"), col("h1"), col("h2")).as("bucket"))
       .groupBy("j", "bucket").agg(count(lit(1)).as("cell"))
 
+  /** (j, bucket) probe rows for a frame carrying a `token` column (other
+    * columns ride along) — the READ side of the sketch, shared with the
+    * streaming face [[graft.streaming.CmsStream]]. */
+  private[graft] def cmsProbeRows(d: DataFrame): DataFrame =
+    d.withColumn("hx", md5(col("token")))
+      .withColumn("j", explode(cmsJs))
+      .withColumn("bucket",
+        cmsJBucket(col("j"), cmsH(col("hx"), 1), cmsH(col("hx"), 16)))
+      .drop("hx")
+
   def vocabCms(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.tokens
     val toks = Tables.documents(s, dir)
@@ -267,10 +277,7 @@ object ProfileQueries {
     val cells = cmsCells(toks)
     val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("token")).limit(cmsTopK)
-    top.withColumn("hx", md5(col("token")))
-      .select(col("token"), col("n_exact"), explode(cmsJs).as("j"),
-        cmsH(col("hx"), 1).as("h1"), cmsH(col("hx"), 16).as("h2"))
-      .withColumn("bucket", cmsJBucket(col("j"), col("h1"), col("h2")))
+    cmsProbeRows(top)
       .join(cells, Seq("j", "bucket"))
       .groupBy("token", "n_exact")
       .agg(min(col("cell")).as("n_est"))

@@ -137,6 +137,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"benchmark postings must broadcast:\n$p")
     assert(!p.contains("Window"), s"argmax must be an aggregate, not a window:\n$p")
+    // the packed-long max_by regression: a struct max here silently
+    // degrades to a grouped SortAggregate (immutable agg buffer)
+    assert(!p.contains("SortAggregate"),
+      s"argmax must stay a mutable-buffer hash aggregate:\n$p")
   }
 
   test("range join: windows broadcast; probes join on the bucket key") {
