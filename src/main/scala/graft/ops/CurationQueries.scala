@@ -770,28 +770,28 @@ object CurationQueries {
     * keep/drop verdict.
     *
     * Shape at 100 TB: a pure codegen'd per-row projection — the blocklist
-    * is a LITERAL array (real lists are ~10³ terms; they ride into every
-    * task as part of the plan, the degenerate broadcast), matching is two
-    * `filter(..., array_contains)` higher-order functions over the token
-    * and bigram arrays, and NOTHING shuffles or aggregates: the gate runs
-    * at parquet scan speed like [[TextQueries.qualityFilter]], prunes the
-    * scan to (doc_id, text), and composes with any downstream keep-set
-    * join. Word-boundary matching (tokens, not substrings) is the C4
-    * semantics — regex alternation over 10³ terms would re-scan each char
-    * position per term; the array probe is one hash per gram. */
+    * ships as a plan literal (real lists are ~10³ terms; the degenerate
+    * broadcast) compiled once per JVM into per-length `UTF8String` hash
+    * sets, and matching is ONE pass over the token array inside
+    * whole-stage codegen ([[graft.functions.BlocklistHits]]): NOTHING
+    * shuffles or aggregates, the gate runs at parquet scan speed like
+    * [[TextQueries.qualityFilter]], prunes the scan to (doc_id, text),
+    * and composes with any downstream keep-set join. The first
+    * formulation used `filter(…, array_contains)` HOFs + a materialized
+    * bigram array — interpreted lambdas in the hottest scan loop,
+    * measured 57.0 s at x100 against a 35.6 s plain-tokenize floor; the
+    * kernel removes both (BASELINE.md round-11 table). Word-boundary
+    * matching (tokens, not substrings) is the C4 semantics — regex
+    * alternation over 10³ terms would re-scan each char position per
+    * term; the set probe is one hash per gram. */
   def blocklistFilter(s: SparkSession, dir: String): DataFrame = {
-    val uniLit = typedLit(blockedUnigrams)
-    val bigLit = typedLit(blockedPhrases)
-    val toks = tokens(col("text"))
-    val hitsUni = filter(toks, t => array_contains(uniLit, t))
-    val hitsBig = filter(wordNgrams(toks, 2), g => array_contains(bigLit, g))
+    import graft.functions.BlocklistExpressions.Sep
+    val h = call_function("blocklist_hits", tokens(col("text")),
+      lit((blockedUnigrams ++ blockedPhrases).mkString(Sep)))
     Tables.documents(s, dir)
-      .select(col("doc_id"), hitsUni.as("hu"), hitsBig.as("hb"))
-      .select(col("doc_id"),
-        (size(col("hu")) + size(col("hb"))).cast("long").as("n_hits"),
-        array_join(array_sort(array_distinct(concat(col("hu"), col("hb")))),
-          ",").as("matched"),
-        (size(col("hu")) + size(col("hb")) === 0).as("kept"))
+      .select(col("doc_id"), h.as("h"))
+      .select(col("doc_id"), col("h.n_hits").as("n_hits"),
+        col("h.matched").as("matched"), (col("h.n_hits") === 0).as("kept"))
       .orderBy("doc_id")
   }
 
