@@ -238,6 +238,94 @@ object SimilarityQueries {
   val embeddingDim = 64
   val centroidBucket = 256
 
+  /** Power-iteration rounds for [[embeddingPca]] — fixed (not
+    * converged-to-tolerance) so the DuckDB oracle can unroll them. */
+  val pcaRounds = 4
+
+  /** Top principal component of the embedding cloud by POWER ITERATION —
+    * the first step of every embedding post-processing recipe (Mu &
+    * Viswanath, ICLR'18 "all-but-the-top": centering + removing the top
+    * PCs improves similarity tasks; also the PCA half of PCA+IVF
+    * indexing). Returns one row: n_vectors, the unit component in micro
+    * units (j-ordered, comma-joined — the [[embeddingCentroids]]
+    * rendering), the Rayleigh eigenvalue estimate λ = ‖Σᵢ x′ᵢ·sᵢ‖/n, and
+    * the explained-variance share λ/totalVar.
+    *
+    * Never materializes the d×d covariance: each round is one corpus
+    * scan computing sᵢ = ⟨xᵢ, v⟩ − ⟨μ, v⟩ (the codegen `dot_product`
+    * kernel — centering is ALGEBRAIC, the raw vectors are never
+    * rewritten) and the d partial sums Σᵢ round(sᵢ·xᵢⱼ, 9) +
+    * Σᵢ round(sᵢ, 9) via one posexplode → d-key hash aggregate
+    * (map-side combined to ≤d rows per partition; w's centering term
+    * −μⱼ·Σsᵢ applies after). Driver-side work is [[pcaRounds]]+2
+    * collects of ≤[[embeddingDim]] rows — bounded LOOP CONTROL (the
+    * diversity_sample pattern), never data.
+    *
+    * Cross-engine determinism: component sums are NANO-unit BIGINTs
+    * (`round(term·10⁹) `, the library's integer micro-unit pattern one
+    * scale up — order-independent, and 3× faster than the
+    * DECIMAL(38,9) form it replaced: decimal aggregation is interpreted
+    * above 18 digits, measured 3.55 s vs 1.26 s for the same x10 sum;
+    * safe to ~9·10⁹ unit-magnitude terms per sum, documented bound);
+    * sᵢ itself is round(fold, 9) where both engines fold the SAME 64
+    * products left-to-right (the codegen kernel here, an ordered-list
+    * `list_aggregate` in the oracle) — the norm/λ/v arithmetic is then
+    * scalar IEEE mirrored in both engines with 12dp re-rounding of v
+    * between rounds. */
+  def embeddingPca(s: SparkSession, dir: String): DataFrame = {
+    // driver-side mirror of SQL round(x, dp) (HALF_UP away from zero) and
+    // of the round-then-DECIMAL-sum idiom — the same pairing the
+    // corpus_divergence spec proved engine-identical
+    def r(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def decSum12(xs: Iterable[Double]): Double =
+      xs.map(x => BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .foldLeft(BigDecimal(0))(_ + _).toDouble
+    def nano(c: Column): Column = round(c * lit(1e9), 0).cast("long")
+    // one row-shuffle up front, reused by every round: the fixture is one
+    // small parquet file = ONE scan partition, which serialized the whole
+    // iteration (measured 1.6× CPU at x10); localCheckpoint materializes
+    // the spread ONCE so the 6 downstream jobs never re-read or re-shuffle
+    val x = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
+      .localCheckpoint()
+    val comp = x.select(posexplode(col("e")).as(Seq("j", "xj")))
+    // component means + total second moment (bounded collects: d rows, 1 row)
+    val meanRows = comp.groupBy("j")
+      .agg(sum(nano(col("xj"))).as("sx"), count(lit(1)).as("n"))
+      .collect().sortBy(_.getInt(0))
+    val n = meanRows.head.getLong(2)
+    val mean = meanRows.map(row => row.getLong(1) / 1e9 / n)
+    val sxx = comp.agg(sum(nano(col("xj") * col("xj"))))
+      .head().getLong(0) / 1e9
+    val totVar = sxx / n - decSum12(mean.map(m => m * m))
+    var v = Array.fill(embeddingDim)(r(1.0 / math.sqrt(embeddingDim), 12))
+    var lambda = 0.0
+    for (_ <- 1 to pcaRounds) {
+      var mv = 0.0
+      var k = 0
+      while (k < embeddingDim) { mv += mean(k) * v(k); k += 1 }
+      val sCol = round(
+        call_function("dot_product", col("e"), typedLit(v.toSeq)) - lit(mv), 9)
+      val wRows = x.select(sCol.as("sc"), posexplode(col("e")).as(Seq("j", "xj")))
+        .groupBy("j")
+        .agg(sum(nano(col("sc") * col("xj"))).as("swx"),
+          sum(nano(col("sc"))).as("ss"))
+        .collect().sortBy(_.getInt(0))
+      val w = wRows.map(row => row.getLong(1) / 1e9 -
+        mean(row.getInt(0)) * (row.getLong(2) / 1e9))
+      val norm = math.sqrt(decSum12(w.map(wj => wj * wj)))
+      lambda = norm / n
+      v = w.map(wj => r(wj / norm, 12))
+    }
+    import s.implicits._
+    Seq((n,
+      v.map(c => r(c * 1e6, 0).toLong).mkString(","),
+      r(lambda, 9), r(lambda / totVar, 6)))
+      .toDF("n_vectors", "v_micro", "lambda", "explained")
+  }
+
   def embeddingCentroids(s: SparkSession, dir: String): DataFrame = {
     val zeros = typedLit(Seq.fill(embeddingDim)(0.0))
     // level 1: bit-exact partial sum per (label, vec_id-bucket)
@@ -976,6 +1064,7 @@ object SimilarityQueries {
     "ann_brute_force" -> (annBruteForce _),
     "ann_ivf" -> (annIvf _),
     "embedding_centroids" -> (embeddingCentroids _),
+    "embedding_pca" -> (embeddingPca _),
     "embedding_quantize" -> (embeddingQuantize _),
     "hybrid_search" -> (hybridSearch _),
     "hybrid_search_ivf" -> (hybridSearchIvf _))
@@ -1401,7 +1490,75 @@ object SimilarityQueries {
        |         FROM $prev pq LEFT JOIN tqm$i USING (j, cid))""".stripMargin
   }
 
+  /** One unrolled power-iteration round for the [[embeddingPca]] oracle:
+    * the s-fold mirrors the codegen `dot_product` (ordered list fold),
+    * the component sums mirror the round-9/DECIMAL(38,9) aggregation,
+    * and the norm/renormalize arithmetic mirrors the driver-side loop
+    * control step by step. */
+  private def pcaRoundCtes(r: Int): String =
+    s"""vl_$r AS (SELECT list(vj ORDER BY j) AS vl FROM v_${r - 1}),
+       |mv_$r AS (
+       |  SELECT list_aggregate(list_transform(
+       |    generate_series(1, $embeddingDim), i -> ml.ml[i] * vl.vl[i]),
+       |    'sum') AS mv
+       |  FROM mlist ml CROSS JOIN vl_$r vl),
+       |s_$r AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    round(list_aggregate(list_transform(
+       |      generate_series(1, $embeddingDim), i -> e.e[i] * vl.vl[i]),
+       |      'sum') - mv.mv, 9) AS sc,
+       |    e.e AS e
+       |  FROM emb e CROSS JOIN vl_$r vl CROSS JOIN mv_$r mv),
+       |w_$r AS (
+       |  SELECT g.j,
+       |    CAST(sum(CAST(round(s.sc * s.e[g.j] * 1e9, 0) AS BIGINT))
+       |         AS BIGINT) AS swx,
+       |    CAST(sum(CAST(round(s.sc * 1e9, 0) AS BIGINT)) AS BIGINT) AS ss
+       |  FROM s_$r s CROSS JOIN js g GROUP BY g.j),
+       |wc_$r AS MATERIALIZED (
+       |  SELECT w.j, w.swx / 1e9 - st.m * (w.ss / 1e9) AS wj
+       |  FROM w_$r w JOIN stats st USING (j)),
+       |norm_$r AS (
+       |  SELECT sqrt(CAST(sum(CAST(round(wj * wj, 12) AS DECIMAL(38,12)))
+       |              AS DOUBLE)) AS nrm
+       |  FROM wc_$r),
+       |v_$r AS MATERIALIZED (
+       |  SELECT j, round(wj / nrm, 12) AS vj FROM wc_$r CROSS JOIN norm_$r)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "embedding_pca" ->
+      s"""WITH js AS (
+         |  SELECT unnest(generate_series(1, $embeddingDim)) AS j),
+         |emb AS MATERIALIZED (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |x AS MATERIALIZED (
+         |  SELECT e.vec_id, g.j, e.e[g.j] AS xj FROM emb e CROSS JOIN js g),
+         |stats AS MATERIALIZED (
+         |  SELECT j,
+         |    CAST(sum(CAST(round(xj * 1e9, 0) AS BIGINT)) AS BIGINT)
+         |      / 1e9 / count(*) AS m,
+         |    count(*) AS n
+         |  FROM x GROUP BY j),
+         |mlist AS (SELECT list(m ORDER BY j) AS ml FROM stats),
+         |nv AS (SELECT max(n) AS n FROM stats),
+         |tot AS (
+         |  SELECT CAST(sum(CAST(round(xj * xj * 1e9, 0) AS BIGINT))
+         |              AS BIGINT) / 1e9 AS sxx FROM x),
+         |meansq AS (
+         |  SELECT CAST(sum(CAST(round(m * m, 12) AS DECIMAL(38,12)))
+         |              AS DOUBLE) AS ms FROM stats),
+         |v_0 AS (SELECT j, round(1.0 / sqrt($embeddingDim), 12) AS vj FROM js),
+         |${(1 to pcaRounds).map(pcaRoundCtes).mkString(",\n")}
+         |SELECT nv.n AS n_vectors,
+         |  (SELECT string_agg(CAST(CAST(round(vj * 1e6, 0) AS BIGINT)
+         |                          AS VARCHAR), ',' ORDER BY j)
+         |   FROM v_$pcaRounds) AS v_micro,
+         |  round(norm_$pcaRounds.nrm / nv.n, 9) AS lambda,
+         |  round((norm_$pcaRounds.nrm / nv.n)
+         |        / (tot.sxx / nv.n - meansq.ms), 6) AS explained
+         |
+         |FROM nv CROSS JOIN tot CROSS JOIN meansq
+         |CROSS JOIN norm_$pcaRounds""".stripMargin,
     "semdedup" ->
       s"""WITH $assignCtes,
          |p AS (

@@ -662,6 +662,58 @@ class OpsSpec extends SparkSpec {
     ()
   }
 
+  test("embedding_pca ≡ Scala brute force; unit component; variance bounds") {
+    import SimilarityQueries.{embeddingDim => d, pcaRounds}
+    def r(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def decSum(xs: Iterable[Double], dp: Int): Double =
+      xs.map(x => BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP))
+        .foldLeft(BigDecimal(0))(_ + _).toDouble
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = vecs.length
+    // full brute-force mirror of query + oracle: nano-unit BIGINT
+    // component sums, left-fold dots, 12dp renormalize per round
+    def nano(x: Double): Long = r(x * 1e9, 0).toLong
+    val mean = (0 until d).map(j =>
+      vecs.map(x => nano(x(j))).sum / 1e9 / n).toArray
+    val totVar = vecs.flatMap(x => x.map(e => nano(e * e))).sum / 1e9 / n -
+      decSum(mean.map(m => m * m), 12)
+    var v = Array.fill(d)(r(1.0 / math.sqrt(d), 12))
+    var lambda = 0.0
+    for (_ <- 1 to pcaRounds) {
+      var mv = 0.0
+      (0 until d).foreach(k => mv += mean(k) * v(k))
+      val s = vecs.map { x =>
+        var acc = 0.0
+        (0 until d).foreach(k => acc += x(k) * v(k))
+        r(acc - mv, 9)
+      }
+      val w = (0 until d).map { j =>
+        vecs.indices.map(i => nano(s(i) * vecs(i)(j))).sum / 1e9 -
+          mean(j) * (s.map(nano).sum / 1e9)
+      }.toArray
+      val norm = math.sqrt(decSum(w.map(wj => wj * wj), 12))
+      lambda = norm / n
+      v = w.map(wj => r(wj / norm, 12))
+    }
+    val got = SimilarityQueries.embeddingPca(spark, sf).head()
+    assert(got.getLong(0) === n.toLong)
+    assert(got.getString(1) ===
+      v.map(c => r(c * 1e6, 0).toLong).mkString(","))
+    assert(got.getDouble(2) === r(lambda, 9))
+    assert(got.getDouble(3) === r(lambda / totVar, 6))
+    // semantic invariants: unit component (micro rounding slack), Rayleigh
+    // estimate within (0, totVar], and v explains at least as much
+    // variance as the best coordinate axis would suggest on average
+    val vd = got.getString(1).split(",").map(_.toLong / 1e6)
+    assert(math.abs(vd.map(c => c * c).sum - 1.0) < 1e-4)
+    assert(lambda > 0 && lambda <= totVar + 1e-9)
+    assert(lambda >= totVar / d * 0.5,
+      "top-PC estimate should not fall below half the average eigenvalue")
+  }
+
   test("blocklist_filter ≡ Scala brute force; never-occurring term silent") {
     val uni = CurationQueries.blockedUnigrams.toSet
     val big = CurationQueries.blockedPhrases.toSet
