@@ -151,6 +151,31 @@ object SimilarityQueries {
   def annIvf(s: SparkSession, dir: String): DataFrame =
     ivfSearch(seeds(s, dir), vectors(s, dir))
 
+  /** ANN QUALITY MONITOR — per-query recall@k of the IVF index against
+    * the exact brute-force neighbors: the measurement every production
+    * vector index ships with (recall is the IVF tuning target; a silent
+    * recall regression after a reindex is the classic vector-search
+    * incident). One row per query: k (actual exact-neighbor count),
+    * n_overlap, recall = n_overlap/k.
+    *
+    * Shape: composes the two existing operators and joins their
+    * (q, neighbor) sets — the join input is |queries|·k rows per side
+    * (k-bounded, never corpus-sized), so the report costs its two
+    * inputs plus a trivially small equi-join; run it on a SAMPLE of
+    * queries at production scale exactly as [[annBruteForce]] already
+    * strides them. */
+  def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteForce(s, dir).select(col("q"), col("neighbor"))
+    val approx = annIvf(s, dir).select(col("q"), col("neighbor"))
+      .withColumn("hit", lit(1))
+    exact.join(approx, Seq("q", "neighbor"), "left")
+      .groupBy("q")
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_overlap"))
+      .select(col("q"), col("k"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("k"), 6).as("recall"))
+      .orderBy("q")
+  }
+
   /** DETERMINISTIC k-means (Lloyd) training for the IVF coarse cells —
     * the upgrade from "shape-correct" seeded cells to recall-useful
     * trained ones, kept exactly oracle-checkable:
@@ -1063,6 +1088,7 @@ object SimilarityQueries {
     "ann_ivf_pq" -> (annIvfPq _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_ivf" -> (annIvf _),
+    "ann_recall_report" -> (annRecallReport _),
     "embedding_centroids" -> (embeddingCentroids _),
     "embedding_pca" -> (embeddingPca _),
     "embedding_quantize" -> (embeddingQuantize _),
@@ -1526,6 +1552,23 @@ object SimilarityQueries {
        |  SELECT j, round(wj / nrm, 12) AS vj FROM wc_$r CROSS JOIN norm_$r)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_recall_report" ->
+      s"""WITH $ivfAnnCtes,
+         |ivf AS (SELECT q, neighbor FROM ann),
+         |bscored AS (
+         |  SELECT q.vec_id AS q, v.vec_id AS neighbor,
+         |         ${duckCos("q.e", "v.e", "q.norm", "v.norm")} AS cosine
+         |  FROM v q JOIN v ON q.vec_id % $queryStride = 0
+         |                 AND q.vec_id != v.vec_id),
+         |exact AS (
+         |  SELECT q, neighbor FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q
+         |              ORDER BY cosine DESC, neighbor) AS rank
+         |    FROM bscored) WHERE rank <= $topK)
+         |SELECT e.q, count(*) AS k, count(i.neighbor) AS n_overlap,
+         |  round(CAST(count(i.neighbor) AS DOUBLE) / count(*), 6) AS recall
+         |FROM exact e LEFT JOIN ivf i USING (q, neighbor)
+         |GROUP BY e.q ORDER BY e.q""".stripMargin,
     "embedding_pca" ->
       s"""WITH js AS (
          |  SELECT unnest(generate_series(1, $embeddingDim)) AS j),

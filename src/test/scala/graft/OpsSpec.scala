@@ -122,6 +122,29 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("ann_recall_report ≡ per-query overlap of its two inputs") {
+    val exact = SimilarityQueries.annBruteForce(spark, sf)
+      .select("q", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = SimilarityQueries.annIvf(spark, sf)
+      .select("q", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = exact.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (q, ns) =>
+        val hit = ns.count(ivf)
+        (q, ns.length.toLong, hit.toLong, r6(hit.toDouble / ns.length))
+    }
+    val got = SimilarityQueries.annRecallReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expected)
+    // sanity: recall bounded, and the report covers every query exactly once
+    assert(got.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    assert(got.map(_._1).distinct.length === got.length)
+  }
+
   test("media decode: mixed-format table dispatches to the real codecs") {
     val d = MediaQueries.mediaDecode(spark, sf).cache()
     assert(d.count() === Tables.documents(spark, sf).count())
