@@ -3,7 +3,13 @@ package graft
 import graft.ops.SimilarityQueries
 import org.apache.spark.sql.functions._
 
-/** Throwaway phase-timing probe for embedding_pca (delete after use). */
+/** Dev-only phase-timing probe (test scope — the DevExplain pattern):
+  * times each embedding_pca aggregate shape in isolation, including the
+  * DECIMAL(38,9)-vs-BIGINT comparison that motivated the nano-unit
+  * rewrite (BASELINE.md round-11 "two measured fixes" table).
+  *
+  *   sbt 'Test/runMain graft.PcaPhaseProbe <dir>'
+  */
 object PcaPhaseProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
