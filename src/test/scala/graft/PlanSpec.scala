@@ -382,7 +382,10 @@ class PlanSpec extends SparkSpec {
     * the operator's scaladoc. */
   private val nljAllowlist: Set[String] = Set(
     "ann_brute_force", "ann_ivf", "ann_ivf_pq", "ann_ivf_trained",
-    "ann_pq_adc", "bm25_topk", "chi_square", "classifier_weights",
+    // ann_recall_report composes two allowlisted operators (the pinned
+    // brute baseline's broadcast-query NLJ rides along by construction)
+    "ann_pq_adc", "ann_recall_report", "bm25_topk", "chi_square",
+    "classifier_weights",
     "copurchase_pairs", "corpus_divergence", "dedup_embedding",
     "doc_keywords", "dsir_select",
     "embedding_pq", "embedding_pq_trained", "hilbert_layout",
