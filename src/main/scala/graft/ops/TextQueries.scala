@@ -94,6 +94,68 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Token budget = total corpus tokens div [[bsBudgetDenom]]. */
+  val bsBudgetDenom = 4
+  /** Quality-bucket width in micro points (5 quality points/bucket). */
+  val bsBucketMicro = 5000000L
+
+  /** TOKEN-BUDGET-CONSTRAINED corpus selection — "give me the best
+    * documents that fit a 25%-of-corpus token budget", the greedy
+    * knapsack every data-mixing recipe runs (quality-ranked selection up
+    * to a fixed token count, e.g. the quality-filtered subset sizing in
+    * the Llama/phi-style data reports): order docs by (quality desc,
+    * doc_id), select while the running token total stays ≤ budget.
+    *
+    * Shape at 100 TB — the naive form is a GLOBAL sort + global running
+    * sum (one partition sees everything). Instead, quality (integer
+    * micro points — the 6dp score ×10⁶ is exact) buckets into
+    * ≤(100/5)+1 fixed ranges; per-bucket token totals aggregate in one
+    * map-side-combined pass, and running bucket totals are a window over
+    * the ≤21-row BUCKET table (broadcast-sized, documented bounded).
+    * Buckets wholly inside the budget select map-only (true), wholly
+    * outside reject map-only (false) — only the ONE boundary bucket pays
+    * a within-bucket ordered window, whose input is that bucket's docs,
+    * not the corpus. Selection is identical to the global cumsum because
+    * buckets are contiguous quality ranges: every higher-bucket doc
+    * precedes every lower-bucket doc in greedy order. */
+  def budgetSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // localCheckpoint: the regex-heavy quality scan has THREE consumers
+    // (budget total, bucket totals, the per-doc join) — without it the
+    // scan runs three times (measured 182 s vs a 69 s single-scan floor
+    // at x100); the checkpoint is 4 small columns × n rows, paid once
+    val q = qualityScore(s, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("quality") * 1e6, 0).cast("long").as("q_micro"))
+      .withColumn("bkt", expr(s"q_micro div $bsBucketMicro"))
+      .localCheckpoint()
+    val budget = q.agg(
+      expr(s"sum(n_tokens) div $bsBudgetDenom").as("budget"))
+    // running totals over the bounded bucket table (≤21 rows: quality is
+    // capped at 100 points) — the only unpartitioned window in the plan
+    val wB = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = q.groupBy("bkt").agg(sum("n_tokens").as("btok"))
+      .withColumn("cum_before", coalesce(sum("btok").over(wB), lit(0L)))
+      .crossJoin(broadcast(budget))
+    val classed = q.join(
+      broadcast(buckets.select(col("bkt"), col("cum_before"), col("btok"),
+        col("budget"))), Seq("bkt"))
+    val isFull = col("cum_before") + col("btok") <= col("budget")
+    val isNone = col("cum_before") > col("budget")
+    val decided = classed.filter(isFull || isNone)
+      .select(col("doc_id"), col("n_tokens"), col("q_micro"),
+        isFull.as("selected"))
+    val wD = Window.partitionBy("bkt")
+      .orderBy(col("q_micro").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = classed.filter(!isFull && !isNone)
+      .withColumn("cum", col("cum_before") + sum("n_tokens").over(wD))
+      .select(col("doc_id"), col("n_tokens"), col("q_micro"),
+        (col("cum") <= col("budget")).as("selected"))
+    decided.unionByName(boundary).orderBy("doc_id")
+  }
+
   /** Document fingerprint: min-k sketch (k smallest 60-bit shingle hashes,
     * ascending) — the winnowing-style selection of a stable, order-free
     * content signature; two documents sharing most of their sketch are
@@ -548,6 +610,7 @@ object TextQueries {
     "text_token_count" -> (tokenCount _),
     "text_lang_id" -> (langId _),
     "text_quality" -> (qualityScore _),
+    "budget_select" -> (budgetSelect _),
     "text_fingerprint" -> (fingerprint _),
     "text_repetition" -> (repetition _))
 
@@ -799,6 +862,33 @@ object TextQueries {
          |SELECT doc_id, labeled_lang, pred_lang, pred_score
          |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
+    "budget_select" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS n_chars,
+         |    CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),
+         |         t -> t != '')) AS DOUBLE) AS n_tokens,
+         |    CAST(${duckCount("text", "[^A-Za-z0-9\\s]")} AS DOUBLE) AS punct,
+         |    CAST(${duckCount("lower(text)", "\\b(the|a|and|of|to)\\b")} AS DOUBLE) AS stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    CAST(round(round(least(n_tokens / 4.0, 50.0)
+         |                     + least(stop * 5.0, 30.0)
+         |                     - least(punct, 20.0) + 20.0, 6) * 1e6, 0)
+         |         AS BIGINT) AS q_micro
+         |  FROM m),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) // $bsBudgetDenom AS budget
+         |  FROM q),
+         |c AS (
+         |  SELECT doc_id, n_tokens, q_micro,
+         |    sum(n_tokens) OVER (ORDER BY q_micro DESC, doc_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM q)
+         |SELECT c.doc_id, c.n_tokens, c.q_micro,
+         |  c.cum <= t.budget AS selected
+         |FROM c CROSS JOIN tot t ORDER BY c.doc_id""".stripMargin,
     "text_quality" ->
       s"""WITH m AS (
          |  SELECT doc_id,

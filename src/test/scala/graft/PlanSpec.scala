@@ -384,8 +384,8 @@ class PlanSpec extends SparkSpec {
     "ann_brute_force", "ann_ivf", "ann_ivf_pq", "ann_ivf_trained",
     // ann_recall_report composes two allowlisted operators (the pinned
     // brute baseline's broadcast-query NLJ rides along by construction)
-    "ann_pq_adc", "ann_recall_report", "bm25_topk", "chi_square",
-    "classifier_weights",
+    "ann_pq_adc", "ann_recall_report", "bm25_topk", "budget_select",
+    "chi_square", "classifier_weights",
     "copurchase_pairs", "corpus_divergence", "dedup_embedding",
     "doc_keywords", "dsir_select",
     "embedding_pq", "embedding_pq_trained", "hilbert_layout",

@@ -155,6 +155,30 @@ class PrepSpec extends SparkSpec {
     assert(joined.filter(col("contaminated") =!= (col("want_n") > 0)).isEmpty)
   }
 
+  test("budget_select ≡ global greedy cumsum (bucket decomposition exact)") {
+    val q = TextQueries.qualityScore(spark, sf)
+      .select("doc_id", "n_tokens", "quality").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val budget = q.map(_._2).sum / TextQueries.bsBudgetDenom
+    var cum = 0L
+    val expected = q.sortBy(t => (-t._3, t._1)).map { t =>
+      cum += t._2; (t._1, t._2, t._3, cum <= budget)
+    }.sortBy(_._1).toSeq
+    val got = TextQueries.budgetSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got === expected)
+    // the budget must actually bite: both faces occur, and the selected
+    // token mass is within one document of the budget
+    assert(got.exists(_._4) && got.exists(!_._4))
+    val selTok = got.filter(_._4).map(_._2).sum
+    assert(selTok <= budget)
+    assert(budget - selTok < got.map(_._2).max,
+      "greedy fill must leave less than one max-doc of slack")
+  }
+
   test("decontaminate_fuzzy ≡ Scala brute force (argmax, ties, flag)") {
     import org.apache.spark.sql.Row
     val shMap = Tables.documents(spark, sf)
