@@ -755,12 +755,19 @@ object CurationQueries {
        |  FROM vext v CROSS JOIN nl
        |  LEFT JOIN ctn c ON c.lang = nl.lang AND c.token = v.token)""".stripMargin
 
-  /** Blocked terms for [[blocklistFilter]]: unigrams plus space-joined
-    * bigram PHRASES (a real blocklist mixes both), and one term that never
+  /** Blocked terms for [[blocklistFilter]]: unigrams, space-joined bigram
+    * PHRASES, and a trigram (a real blocklist mixes lengths — the kernel
+    * probes every distinct length present), plus one bigram that never
     * occurs in the corpus — the fixture proving the gate does not
-    * over-fire. Sorted so the matched-terms rendering is deterministic. */
+    * over-fire. The never-occurring fixture is deliberately a BIGRAM so
+    * its silence is covered by the same n-gram enumeration the oracle and
+    * the brute-force spec generate for real terms (a never-occurring term
+    * of an un-enumerated length would pass vacuously). */
   val blockedUnigrams = Seq("dup", "slow")
-  val blockedPhrases = Seq("batch batch", "zz never zz")
+  val blockedPhrases = Seq("batch batch", "zz never")
+  val blockedTrigrams = Seq("scan group big")
+  val blockedTerms: Seq[String] =
+    blockedUnigrams ++ blockedPhrases ++ blockedTrigrams
 
   /** Blocklist gate — the C4 "bad-words" document filter (Raffel et al.,
     * JMLR 2020 §2.2 drop any page containing a term from a public
@@ -787,7 +794,7 @@ object CurationQueries {
   def blocklistFilter(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.BlocklistExpressions.Sep
     val h = call_function("blocklist_hits", tokens(col("text")),
-      lit((blockedUnigrams ++ blockedPhrases).mkString(Sep)))
+      lit(blockedTerms.mkString(Sep)))
     Tables.documents(s, dir)
       .select(col("doc_id"), h.as("h"))
       .select(col("doc_id"), col("h.n_hits").as("n_hits"),
@@ -868,7 +875,24 @@ object CurationQueries {
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
-    "blocklist_filter" ->
+    "blocklist_filter" -> {
+      // one hit-list per distinct blocked-term LENGTH — the oracle
+      // enumerates exactly the n-gram lengths the kernel probes, so a
+      // term of ANY length (the trigram included) has positive coverage
+      val byLen = blockedTerms.groupBy(_.split(" ").length).toSeq.sortBy(_._1)
+      val hitCols = byLen.map { case (len, ts) =>
+        if (len == 1)
+          s"list_filter(t, x -> list_contains(${duckList(ts)}, x)) AS h1"
+        else
+          s"""list_filter(CASE WHEN length(t) >= $len
+             |        THEN list_transform(generate_series(1, length(t) - ${len - 1}),
+             |             i -> array_to_string(t[i:i+${len - 1}], ' '))
+             |        ELSE CAST([] AS VARCHAR[]) END,
+             |      g -> list_contains(${duckList(ts)}, g)) AS h$len""".stripMargin
+      }.mkString(",\n    ")
+      val hNames = byLen.map { case (len, _) => s"h$len" }
+      val total = hNames.map(h => s"length($h)").mkString(" + ")
+      val concat = hNames.mkString(" || ")
       s"""WITH toks AS (
          |  SELECT doc_id,
          |    list_filter(string_split_regex(lower(text), '\\s+'),
@@ -876,21 +900,16 @@ object CurationQueries {
          |  FROM documents),
          |hits AS (
          |  SELECT doc_id,
-         |    list_filter(t, x -> list_contains(${duckList(blockedUnigrams)},
-         |                                      x)) AS hu,
-         |    list_filter(CASE WHEN length(t) >= 2
-         |        THEN list_transform(generate_series(1, length(t) - 1),
-         |             i -> array_to_string(t[i:i+1], ' '))
-         |        ELSE CAST([] AS VARCHAR[]) END,
-         |      g -> list_contains(${duckList(blockedPhrases)}, g)) AS hb
+         |    $hitCols
          |  FROM toks)
          |SELECT doc_id,
-         |  CAST(length(hu) + length(hb) AS BIGINT) AS n_hits,
+         |  CAST($total AS BIGINT) AS n_hits,
          |  -- array_to_string on an EMPTY list is NULL in DuckDB, '' in Spark
-         |  coalesce(array_to_string(list_sort(list_distinct(hu || hb)), ','),
+         |  coalesce(array_to_string(list_sort(list_distinct($concat)), ','),
          |           '') AS matched,
-         |  length(hu) + length(hb) = 0 AS kept
-         |FROM hits ORDER BY doc_id""".stripMargin,
+         |  $total = 0 AS kept
+         |FROM hits ORDER BY doc_id""".stripMargin
+    },
     "feature_hash" ->
       s"""WITH t AS (
          |  SELECT doc_id,

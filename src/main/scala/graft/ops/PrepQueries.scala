@@ -122,9 +122,16 @@ object PrepQueries {
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard_micro",
         expr("shared * 1000000 div (n_grams + n_bench - shared)"))
-      // packed argmax order: highest jaccard, ties → lowest bench id
+      // packed argmax order: highest jaccard, ties → lowest bench id.
+      // The 43-bit bench_doc bound is GUARDED, not assumed: an id past
+      // 2^43−1 would silently corrupt the order, so assert_true makes it
+      // fail loudly instead (jaccard_micro ≤ 10⁶ needs no guard — it is
+      // structural: shared ≤ union ⇒ the floor-div is ≤ 10⁶).
       .withColumn("po",
-        expr("jaccard_micro * 8796093022208L + (8796093022207L - bench_doc)"))
+        expr("""CASE WHEN assert_true(bench_doc <= 8796093022207L,
+               |  'bench_doc exceeds the 43-bit packed-argmax bound') IS NULL
+               |THEN jaccard_micro * 8796093022208L
+               |     + (8796093022207L - bench_doc) END""".stripMargin))
       .groupBy("doc_id")
       .agg(max_by(col("bench_doc"), col("po")).as("bench_doc"),
         max_by(col("shared"), col("po")).as("shared"),

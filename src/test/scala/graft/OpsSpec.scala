@@ -738,19 +738,23 @@ class OpsSpec extends SparkSpec {
   }
 
   test("blocklist_filter ≡ Scala brute force; never-occurring term silent") {
-    val uni = CurationQueries.blockedUnigrams.toSet
-    val big = CurationQueries.blockedPhrases.toSet
+    // brute force enumerates n-grams for EVERY distinct blocked-term
+    // length — so the trigram path has positive coverage, not just the
+    // vacuous silence of a term that never occurs
+    val byLen = CurationQueries.blockedTerms
+      .groupBy(_.split(" ").length).toSeq.sortBy(_._1)
     val expected = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map { r =>
         val toks = r.getString(1).trim.toLowerCase
           .split("\\s+").filter(_.nonEmpty).toSeq
-        val hu = toks.filter(uni)
-        val hb = toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
-          .filter(big).toSeq
-        (r.getLong(0), (hu.size + hb.size).toLong,
-          (hu ++ hb).distinct.sorted.mkString(","),
-          hu.isEmpty && hb.isEmpty)
+        val hits = byLen.flatMap { case (len, ts) =>
+          val set = ts.toSet
+          toks.sliding(len).filter(_.size == len).map(_.mkString(" "))
+            .filter(set).toSeq
+        }
+        (r.getLong(0), hits.size.toLong,
+          hits.distinct.sorted.mkString(","), hits.isEmpty)
       }.sortBy(_._1).toSeq
     val got = CurationQueries.blocklistFilter(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
@@ -759,6 +763,9 @@ class OpsSpec extends SparkSpec {
     // both gate faces fire, and the never-occurring phrase never matches
     assert(got.exists(!_._4) && got.exists(_._4))
     assert(!got.exists(_._3.contains("zz")), "absent term must never match")
+    // the ≥3-token matching path fires on a real corpus occurrence
+    assert(got.exists(_._3.contains("scan group big")),
+      "trigram term must match somewhere in the corpus")
   }
 
   test("classifier: model shape, smoothing floor, total-coverage scoring") {
