@@ -908,29 +908,40 @@ object SimilarityQueries {
     * the max-min coverage radius at selection time (non-increasing in
     * rank — the k-center invariant, pinned in AnalyticsSpec along with
     * Scala-brute-force equality of the whole selection). */
-  def diversitySample(s: SparkSession, dir: String): DataFrame = {
+  def diversitySample(s: SparkSession, dir: String): DataFrame =
+    greedyKCenter(s,
+      vectors(s, dir).select("vec_id", "e", "norm").localCheckpoint(),
+      diversityK)
+
+  /** Exact Gonzalez greedy k-center over `pts(vec_id, e, norm)` — the
+    * ONE driver loop both diversity twins run ([[diversitySample]] on
+    * the corpus, [[diversitySampleBlocked]] phase 2 on the per-cell
+    * union), so the semantics can never diverge between them. The k
+    * top-1 rows collected to the driver are loop CONTROL (k bounded
+    * rows total), never data.
+    *
+    * Picked centers are REMOVED from the pool each round (not just
+    * driven to d=0): in a degenerate corpus where every remaining 4dp
+    * min-dist rounds to 0 before k picks, the (d desc, vec_id) argmax
+    * could otherwise re-select an existing center — the brute-force
+    * spec (and k-center semantics) remove picked points from the
+    * candidate pool, so the query must too. The filter is a 1-row
+    * predicate per round (k total), map-only. */
+  private def greedyKCenter(s: SparkSession, pts: DataFrame,
+      k: Int): DataFrame = {
     import s.implicits._
-    val v = vectors(s, dir).select("vec_id", "e", "norm").localCheckpoint()
-    val first = v.orderBy("vec_id").limit(1)
-      .collect()(0)
+    val first = pts.orderBy("vec_id").limit(1).collect()(0)
     def distTo(center: org.apache.spark.sql.Row) = {
       val ce = center.getSeq[Double](1)
       val cn = center.getDouble(2)
       lit(1.0) - cosine(col("e"),
         array(ce.map(lit): _*), col("norm"), lit(cn))
     }
-    // picked centers are REMOVED from d each round (not just driven to
-    // d=0): in a degenerate corpus where every remaining 4dp min-dist
-    // rounds to 0 before k picks, the (d desc, vec_id) argmax could
-    // otherwise re-select an existing center — the brute-force spec
-    // (and k-center semantics) remove picked points from the candidate
-    // pool, so the query must too. The filter is a 1-row predicate per
-    // round (k total), map-only.
-    var d = v.filter(col("vec_id") =!= first.getLong(0))
+    var d = pts.filter(col("vec_id") =!= first.getLong(0))
       .withColumn("d", distTo(first)).localCheckpoint()
     val picks = scala.collection.mutable.ArrayBuffer(
       (1L, first.getLong(0), 0.0))
-    (2 to diversityK).foreach { r =>
+    (2 to k).foreach { r =>
       val c = d.orderBy(col("d").desc, col("vec_id")).limit(1).collect()(0)
       picks += ((r.toLong, c.getLong(0), c.getDouble(3)))
       d = d.filter(col("vec_id") =!= c.getLong(0))
@@ -1012,30 +1023,11 @@ object SimilarityQueries {
             .as("d"))
         .localCheckpoint()
     }
-    // phase 2: the flat twin's exact greedy, on the tiny union
-    val u = picks
+    // phase 2: the flat twin's exact greedy ([[greedyKCenter]] — the
+    // shared loop), on the tiny corpus-size-independent union
+    greedyKCenter(s, picks
       .select(col("cid").as("vec_id"), col("ce").as("e"), col("cn").as("norm"))
-      .localCheckpoint()
-    val first = u.orderBy("vec_id").limit(1).collect()(0)
-    def distTo(center: org.apache.spark.sql.Row) = {
-      val ce = center.getSeq[Double](1)
-      val cn = center.getDouble(2)
-      lit(1.0) - cosine(col("e"),
-        array(ce.map(lit): _*), col("norm"), lit(cn))
-    }
-    var du = u.filter(col("vec_id") =!= first.getLong(0))
-      .withColumn("d", distTo(first)).localCheckpoint()
-    val out = scala.collection.mutable.ArrayBuffer(
-      (1L, first.getLong(0), 0.0))
-    (2 to diversityK).foreach { r =>
-      val c = du.orderBy(col("d").desc, col("vec_id")).limit(1).collect()(0)
-      out += ((r.toLong, c.getLong(0), c.getDouble(3)))
-      du = du.filter(col("vec_id") =!= c.getLong(0))
-        .withColumn("d", least(col("d"), distTo(c))).localCheckpoint()
-    }
-    out.toSeq.toDF("rank", "vec_id", "dist")
-      .select(col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
-      .orderBy("rank")
+      .localCheckpoint(), diversityK)
   }
 
   /** Cosine threshold for [[semDedup]]: tuned so the synthetic corpus
