@@ -694,6 +694,25 @@ object CurationQueries {
     * hash aggregate → per-doc argmax via WindowGroupLimit. No
     * corpus-global state beyond the broadcast model. */
   def textClassify(s: SparkSession, dir: String): DataFrame = {
+    val (test, scores) = clfTestScores(s, dir)
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang"))
+    scores.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .join(test.select("doc_id", "labeled_lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("labeled_lang"),
+        col("lang").as("pred_lang"), col("score"),
+        (col("lang") === col("labeled_lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** The scoring chain behind [[textClassify]], shared with
+    * [[classifierEval]]: the test spine (doc_id, labeled_lang, text)
+    * and the full per-(doc, class) integer score table — every test doc
+    * carries a score for EVERY trained class (the prior seed), so both
+    * the argmax face and any single-class gate read from the same grid. */
+  private def clfTestScores(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val d = Tables.documents(s, dir)
     val train = d.filter(col("doc_id") % 2 === 0)
     val wts = classifierWeights(s, dir)
@@ -720,15 +739,37 @@ object CurationQueries {
         .crossJoin(broadcast(priors))           // bounded ×L prior seed
         .select(col("doc_id"), col("lang"), col("w")))
       .groupBy("doc_id", "lang").agg(sum(col("w")).as("score"))
+    (test, scores)
+  }
+
+  /** GATE EVALUATION of the shipped is-English classifier gate — exact
+    * AUC (Mann–Whitney rank sum over the integer ppm en-scores) plus the
+    * confusion matrix and precision/recall/F1 of [[textClassify]]'s
+    * argmax decision (`pred_lang = 'en'`), graded against the corpus
+    * `lang` labels on the held-out odd-`doc_id` split. The
+    * threshold-tuning loop every production curation pipeline runs; the
+    * metric arithmetic is [[EvalQueries.gateEval]] (one histogram
+    * aggregate + one 4-counter aggregate; the ordered window runs over
+    * the collapsed score histogram only). The (test-doc × class) score
+    * grid feeds BOTH the en-score and the argmax decision, so it is
+    * localCheckpoint'd — two consumers would otherwise re-run the
+    * tokenize + model join twice. */
+  def classifierEval(s: SparkSession, dir: String): DataFrame = {
+    val (test, scoresRaw) = clfTestScores(s, dir)
+    val scores = scoresRaw.localCheckpoint()
     val best = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("lang"))
-    scores.withColumn("rk", row_number().over(best))
+    val pred = scores.withColumn("rk", row_number().over(best))
       .filter(col("rk") === 1)
-      .join(test.select("doc_id", "labeled_lang"), Seq("doc_id"))
-      .select(col("doc_id"), col("labeled_lang"),
-        col("lang").as("pred_lang"), col("score"),
-        (col("lang") === col("labeled_lang")).as("correct"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("lang").as("pred_lang"))
+    val en = scores.filter(col("lang") === "en")
+      .select(col("doc_id"), col("score"))
+    val scored = test.select(col("doc_id"), col("labeled_lang"))
+      .join(en, Seq("doc_id"))
+      .join(pred, Seq("doc_id"))
+      .select(col("score"), (col("labeled_lang") === "en").as("label"),
+        (col("pred_lang") === "en").as("decision"))
+    EvalQueries.gateEval("clf_en", scored)
   }
 
   /** Shared oracle CTE block ending in `wts(lang, token, cnt, w)` plus
@@ -805,6 +846,7 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "blocklist_filter" -> (blocklistFilter _),
     "classifier_weights" -> (classifierWeights _),
+    "classifier_eval" -> (classifierEval _),
     "text_classify" -> (textClassify _),
     "doc_keywords" -> (docKeywords _),
     "feature_hash" -> (featureHash _),
@@ -873,6 +915,42 @@ object CurationQueries {
 
   private def duckList(xs: Seq[String]) =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** The [[clfTestScores]] chain as CTEs, ending in the full per-(doc,
+    * class) score grid `sc` and its argmax ranking `rk` (plus `test`) —
+    * shared by the text_classify and classifier_eval oracles so the two
+    * faces replay the SAME model and scoring. */
+  private lazy val clfScoreCtes =
+    s"""$clfModelCtes,
+       |priors AS (
+       |  SELECT lang, ($clfUnit * (count(*) + 1)) //
+       |    ((SELECT count(*) FROM documents WHERE doc_id % 2 = 0) +
+       |     (SELECT count(DISTINCT lang) FROM documents
+       |      WHERE doc_id % 2 = 0)) AS w
+       |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+       |test AS (
+       |  SELECT doc_id, lang AS labeled_lang, text FROM documents
+       |  WHERE doc_id % 2 = 1),
+       |dtok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'), t -> t != '')) AS token
+       |  FROM test),
+       |vtok AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN v.token IS NULL THEN '$clfOov' ELSE d.token END
+       |      AS token
+       |  FROM dtok d LEFT JOIN vocab v ON d.token = v.token),
+       |sc AS MATERIALIZED (
+       |  SELECT doc_id, lang, CAST(sum(w) AS BIGINT) AS score FROM (
+       |    SELECT t.doc_id, w.lang, w.w
+       |    FROM vtok t JOIN wts w ON t.token = w.token
+       |    UNION ALL
+       |    SELECT t.doc_id, p.lang, p.w FROM test t CROSS JOIN priors p)
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT doc_id, lang, score, row_number() OVER
+       |    (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+       |  FROM sc)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "blocklist_filter" -> {
@@ -1040,40 +1118,20 @@ object CurationQueries {
          |  CAST(w AS BIGINT) AS w
          |FROM wts ORDER BY lang, token""".stripMargin,
     "text_classify" ->
-      s"""WITH $clfModelCtes,
-         |priors AS (
-         |  SELECT lang, ($clfUnit * (count(*) + 1)) //
-         |    ((SELECT count(*) FROM documents WHERE doc_id % 2 = 0) +
-         |     (SELECT count(DISTINCT lang) FROM documents
-         |      WHERE doc_id % 2 = 0)) AS w
-         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
-         |test AS (
-         |  SELECT doc_id, lang AS labeled_lang, text FROM documents
-         |  WHERE doc_id % 2 = 1),
-         |dtok AS (
-         |  SELECT doc_id, unnest(list_filter(
-         |    string_split_regex(lower(text), '\\s+'), t -> t != '')) AS token
-         |  FROM test),
-         |vtok AS (
-         |  SELECT d.doc_id,
-         |    CASE WHEN v.token IS NULL THEN '$clfOov' ELSE d.token END
-         |      AS token
-         |  FROM dtok d LEFT JOIN vocab v ON d.token = v.token),
-         |sc AS (
-         |  SELECT doc_id, lang, CAST(sum(w) AS BIGINT) AS score FROM (
-         |    SELECT t.doc_id, w.lang, w.w
-         |    FROM vtok t JOIN wts w ON t.token = w.token
-         |    UNION ALL
-         |    SELECT t.doc_id, p.lang, p.w FROM test t CROSS JOIN priors p)
-         |  GROUP BY 1, 2),
-         |rk AS (
-         |  SELECT doc_id, lang, score, row_number() OVER
-         |    (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
-         |  FROM sc)
+      s"""WITH $clfScoreCtes
          |SELECT r.doc_id, t.labeled_lang, r.lang AS pred_lang, r.score,
          |  r.lang = t.labeled_lang AS correct
          |FROM rk r JOIN test t USING (doc_id)
          |WHERE rk = 1 ORDER BY r.doc_id""".stripMargin,
+    "classifier_eval" ->
+      s"""WITH $clfScoreCtes,
+         |scored AS (
+         |  SELECT en.score AS score, t.labeled_lang = 'en' AS label,
+         |         r.lang = 'en' AS decision
+         |  FROM test t
+         |  JOIN sc en ON en.doc_id = t.doc_id AND en.lang = 'en'
+         |  JOIN rk r ON r.doc_id = t.doc_id AND r.rk = 1),
+         |${EvalQueries.gateEvalSql("clf_en")}""".stripMargin,
     "doc_keywords" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gate-evaluation core — grades a binary keep/drop gate against labels.
+  *
+  * The engine ships a dozen keep/drop gates (`quality_filter`,
+  * `text_classify`, `dsir_select`, `blocklist_filter`, the
+  * decontamination family); threshold tuning against held-out labels is
+  * the daily loop of corpus curation, and this is the operator that
+  * closes it: exact ROC AUC via the Mann–Whitney U statistic plus the
+  * confusion matrix and precision/recall/F1 at the gate's SHIPPED
+  * decision rule. Two faces are registered: `classifier_eval` (the
+  * Naive-Bayes is-English gate of [[CurationQueries.textClassify]]) and
+  * `dsir_eval` ([[PrepQueries.dsirSelect]]'s keep rule) — both grade
+  * against the corpus `lang` labels.
+  *
+  * Exactness: scores are integer ppm (BIGINT), so AUC reduces to integer
+  * rank arithmetic — U = #{(p,n): s_p > s_n} + ½·#{s_p = s_n}, computed
+  * from the per-score histogram as 2U = Σ_s np_s·(2·cum_nn_below + nn_s)
+  * (all BIGINT; ties get the exact ½ credit of the average-rank
+  * convention). Confusion counts are BIGINTs; the final ratios are
+  * single IEEE divisions of integers, identical in both engines (F1 uses
+  * the algebraic identity 2PR/(P+R) = 2·tp/(2·tp+fp+fn), so no
+  * intermediate rounding exists to diverge).
+  *
+  * Shape at 100 TB: one corpus-wide hash aggregate to the per-score
+  * histogram (map-side combined; ≤ NDV(score) rows — ppm scores, so the
+  * histogram is bounded by the score GRID, not the corpus) + one global
+  * confusion aggregate (4 counters). The only ordered window runs over
+  * the collapsed histogram — corpus-size-independent input, the
+  * [[CurationQueries]] budget_select boundary-bucket precedent — and the
+  * final 1-row × 1-row crossJoin is the PlanSpec-allowlisted
+  * provably-tiny broadcast class. */
+object EvalQueries {
+
+  /** Evaluate one gate. `scored` must have columns
+    * `(score: BIGINT, label: BOOLEAN, decision: BOOLEAN)` — one row per
+    * evaluated document. Returns ONE row:
+    * (gate, n_pos, n_neg, auc, tp, fp, fn, tn, precision, recall, f1).
+    * Degenerate inputs follow the standard conventions: single-class
+    * labels ⇒ auc = 0.5; an empty predicted-positive (or positive-label)
+    * set ⇒ precision (recall) = 0. */
+  def gateEval(gate: String, scoredRaw: DataFrame): DataFrame = {
+    // two consumers below (histogram + confusion) — materialize the
+    // gate's scoring pipeline ONCE (the budget_select 3-consumer lesson)
+    val scored = scoredRaw.localCheckpoint()
+    val hist = scored.groupBy("score").agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("nn"))
+    // single-partition ordered window — over the SCORE HISTOGRAM only
+    // (≤ NDV(score) rows after the map-side-combined aggregate above),
+    // never the corpus; the budget_select boundary-bucket precedent
+    val below = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = hist
+      .withColumn("cnn", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .agg(sum(col("np") * (col("cnn") * 2 + col("nn"))).as("u2"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+    val conf = scored.agg(
+      sum(when(col("decision") && col("label"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("decision") && !col("label"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("decision") && col("label"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("decision") && !col("label"), 1L).otherwise(0L)).as("tn"))
+    agg.crossJoin(conf) // 1-row × 1-row metric assembly (allowlisted)
+      .select(lit(gate).as("gate"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") * col("n_neg") === 0, lit(0.5))
+          .otherwise(round(
+            col("u2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+          .as("auc"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0, lit(0.0))
+          .otherwise(round(
+            col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("precision"),
+        when(col("tp") + col("fn") === 0, lit(0.0))
+          .otherwise(round(
+            col("tp").cast("double") / (col("tp") + col("fn")), 6))
+          .as("recall"),
+        when(col("tp") * 2 + col("fp") + col("fn") === 0, lit(0.0))
+          .otherwise(round(
+            lit(2.0) * col("tp") / (col("tp") * 2 + col("fp") + col("fn")),
+            6))
+          .as("f1"))
+  }
+
+  /** The DuckDB tail of a gate-eval oracle: expects a preceding CTE
+    * `scored(score, label, decision)` and appends the histogram /
+    * rank-sum / confusion arithmetic — the EXACT SQL mirror of
+    * [[gateEval]], shared by every gate's oracle so the two faces can
+    * never diverge. */
+  def gateEvalSql(gate: String): String =
+    s"""hist AS (
+       |  SELECT score, sum(CASE WHEN label THEN 1 ELSE 0 END) AS np,
+       |         sum(CASE WHEN label THEN 0 ELSE 1 END) AS nn
+       |  FROM scored GROUP BY 1),
+       |cum AS (
+       |  SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnn
+       |  FROM hist),
+       |agg AS (
+       |  SELECT CAST(sum(np * (cnn * 2 + nn)) AS BIGINT) AS u2,
+       |         CAST(sum(np) AS BIGINT) AS n_pos,
+       |         CAST(sum(nn) AS BIGINT) AS n_neg
+       |  FROM cum),
+       |conf AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN decision AND label THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN decision AND NOT label THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN NOT decision AND label THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN NOT decision AND NOT label THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS tn
+       |  FROM scored)
+       |SELECT '$gate' AS gate, n_pos, n_neg,
+       |  CASE WHEN n_pos * n_neg = 0 THEN 0.5
+       |       ELSE round(u2 / (2.0 * n_pos * n_neg), 6) END AS auc,
+       |  tp, fp, fn, tn,
+       |  CASE WHEN tp + fp = 0 THEN 0.0
+       |       ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+       |  CASE WHEN tp + fn = 0 THEN 0.0
+       |       ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+       |  CASE WHEN tp * 2 + fp + fn = 0 THEN 0.0
+       |       ELSE round(2.0 * tp / (tp * 2 + fp + fn), 6) END AS f1
+       |FROM agg CROSS JOIN conf""".stripMargin
+}

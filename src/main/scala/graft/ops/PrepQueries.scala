@@ -422,6 +422,18 @@ object PrepQueries {
     * 1-row totals aggregate crossed onto the B-row grid build (the
     * PlanSpec-allowlisted provably-tiny-broadcast class) — nothing
     * corpus-sized ever meets a non-equi join. */
+  /** GATE EVALUATION of [[dsirSelect]]'s keep rule (`score > 0`) against
+    * the corpus `lang` labels — positive class = [[dsirTargetLang]], the
+    * distribution DSIR is steering toward, so AUC measures how well the
+    * hashed-bigram importance weights separate target-like documents and
+    * precision/recall grade the shipped threshold. Metric arithmetic is
+    * [[EvalQueries.gateEval]] (exact Mann–Whitney over the integer ppm
+    * scores; ordered window over the collapsed histogram only). */
+  def dsirEval(s: SparkSession, dir: String): DataFrame =
+    EvalQueries.gateEval("dsir_keep", dsirSelect(s, dir)
+      .select(col("score"), (col("lang") === dsirTargetLang).as("label"),
+        col("selected").as("decision")))
+
   def dsirSelect(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val bg = d.select(col("doc_id"), col("lang"),
@@ -458,6 +470,7 @@ object PrepQueries {
     "decontaminate" -> (decontaminate _),
     "decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "dsir_select" -> (dsirSelect _),
+    "dsir_eval" -> (dsirEval _),
     "chunk_documents" -> (chunkDocuments _),
     "chunk_dedup" -> (chunkDedup _),
     "oov_rate" -> (oovRate _),
@@ -482,45 +495,60 @@ object PrepQueries {
        |      ELSE CAST([] AS VARCHAR[]) END) AS sh
        |  FROM toks)""".stripMargin
 
+  /** The [[dsirSelect]] oracle chain as CTEs ending in
+    * `scores(doc_id, n_bigrams, score)` — shared by the dsir_select and
+    * dsir_eval oracles so the gate and its evaluation replay the SAME
+    * hashed-bigram model. */
+  private lazy val dsirCtes =
+    s"""toksl AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |                t -> t != '') AS t
+       |  FROM documents),
+       |bg AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5('dsir:' || g), 1, 15))::BIGINT % $dsirB AS b
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(list_transform(generate_series(1, length(t) - 1),
+       |        i -> array_to_string(t[i:i+1], ' '))) AS g
+       |    FROM toksl)),
+       |cnt AS (
+       |  SELECT b, count(*) AS cr,
+       |    sum(CASE WHEN lang = '$dsirTargetLang' THEN 1 ELSE 0 END) AS ct
+       |  FROM bg GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(cr) AS BIGINT) AS r_tot,
+       |    CAST(sum(ct) AS BIGINT) AS t_tot FROM cnt),
+       |lam AS (
+       |  SELECT gs.b,
+       |    ((1000000 * (coalesce(cnt.ct, 0) + 1)) // (tot.t_tot + $dsirB))
+       |    - ((1000000 * (coalesce(cnt.cr, 0) + 1)) // (tot.r_tot + $dsirB))
+       |      AS lam
+       |  FROM (SELECT unnest(range(0, $dsirB)) AS b) gs
+       |  LEFT JOIN cnt ON cnt.b = gs.b CROSS JOIN tot),
+       |scores AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(lam.lam) AS BIGINT) AS score
+       |  FROM bg JOIN lam ON lam.b = bg.b GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dsir_select" ->
-      s"""WITH toksl AS (
-         |  SELECT doc_id, lang,
-         |    list_filter(string_split_regex(lower(text), '\\s+'),
-         |                t -> t != '') AS t
-         |  FROM documents),
-         |bg AS (
-         |  SELECT doc_id, lang,
-         |    ('0x' || substr(md5('dsir:' || g), 1, 15))::BIGINT % $dsirB AS b
-         |  FROM (
-         |    SELECT doc_id, lang,
-         |      unnest(list_transform(generate_series(1, length(t) - 1),
-         |        i -> array_to_string(t[i:i+1], ' '))) AS g
-         |    FROM toksl)),
-         |cnt AS (
-         |  SELECT b, count(*) AS cr,
-         |    sum(CASE WHEN lang = '$dsirTargetLang' THEN 1 ELSE 0 END) AS ct
-         |  FROM bg GROUP BY 1),
-         |tot AS (
-         |  SELECT CAST(sum(cr) AS BIGINT) AS r_tot,
-         |    CAST(sum(ct) AS BIGINT) AS t_tot FROM cnt),
-         |lam AS (
-         |  SELECT gs.b,
-         |    ((1000000 * (coalesce(cnt.ct, 0) + 1)) // (tot.t_tot + $dsirB))
-         |    - ((1000000 * (coalesce(cnt.cr, 0) + 1)) // (tot.r_tot + $dsirB))
-         |      AS lam
-         |  FROM (SELECT unnest(range(0, $dsirB)) AS b) gs
-         |  LEFT JOIN cnt ON cnt.b = gs.b CROSS JOIN tot),
-         |scores AS (
-         |  SELECT doc_id, count(*) AS n_bigrams,
-         |    CAST(sum(lam.lam) AS BIGINT) AS score
-         |  FROM bg JOIN lam ON lam.b = bg.b GROUP BY 1)
+      s"""WITH $dsirCtes
          |SELECT d.doc_id, d.lang,
          |  coalesce(s.n_bigrams, 0) AS n_bigrams,
          |  coalesce(s.score, 0) AS score,
          |  coalesce(s.score, 0) > 0 AS selected
          |FROM documents d LEFT JOIN scores s USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "dsir_eval" ->
+      s"""WITH $dsirCtes,
+         |scored AS (
+         |  SELECT coalesce(s.score, 0) AS score,
+         |         d.lang = '$dsirTargetLang' AS label,
+         |         coalesce(s.score, 0) > 0 AS decision
+         |  FROM documents d LEFT JOIN scores s USING (doc_id)),
+         |${EvalQueries.gateEvalSql("dsir_keep")}""".stripMargin,
     "dict_encode" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),

@@ -1,0 +1,86 @@
+package graft
+
+import graft.Tables
+import graft.ops.{CurationQueries, EvalQueries, PrepQueries}
+import org.apache.spark.sql.functions._
+
+/** [[graft.ops.EvalQueries]] — the gate-evaluation core (exact
+  * Mann–Whitney AUC + confusion metrics) on hand-checkable fixtures,
+  * plus consistency of the two registered gate faces. */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval1(rows: Seq[(Long, Boolean, Boolean)]) =
+    EvalQueries.gateEval("t",
+      rows.toDF("score", "label", "decision")).collect()(0)
+
+  test("perfectly separable gate scores AUC = precision = recall = f1 = 1") {
+    val r = eval1((1L to 10L).map(s => (s, s > 5, s > 5)))
+    assert(r.getDouble(3) === 1.0)                      // auc
+    assert((8 to 10).map(r.getDouble) === Seq(1.0, 1.0, 1.0))
+    assert((4 to 7).map(r.getLong) === Seq(5L, 0L, 0L, 5L)) // tp fp fn tn
+  }
+
+  test("anti-separable gate scores AUC = 0 and zero precision/recall") {
+    val r = eval1((1L to 10L).map(s => (s, s <= 5, s > 5)))
+    assert(r.getDouble(3) === 0.0)
+    assert((8 to 10).map(r.getDouble) === Seq(0.0, 0.0, 0.0))
+  }
+
+  test("label-independent scores give AUC exactly 0.5 (tie credit)") {
+    // constant score: every pos/neg pair is a tie -> U = np*nn/2 exactly
+    val r = eval1(Seq.tabulate(12)(i => (7L, i % 3 == 0, i % 2 == 0)))
+    assert(r.getDouble(3) === 0.5)
+  }
+
+  test("single-class labels degrade to the AUC = 0.5 convention") {
+    val r = eval1((1L to 6L).map(s => (s, true, s > 3)))
+    assert(r.getLong(2) === 0L && r.getDouble(3) === 0.5)   // n_neg, auc
+    assert(r.getDouble(9) === 0.5)                          // recall 3/6
+  }
+
+  test("hand-checked tie case: U counts half credit at equal scores") {
+    // pos scores {1,2,3}, neg {2}: U = 1(3>2) + 0.5(2=2) = 1.5 -> 0.5
+    val r = eval1(Seq((1L, true, true), (2L, false, false),
+      (2L, true, true), (3L, true, false)))
+    assert(r.getDouble(3) === 0.5)
+    assert((4 to 7).map(r.getLong) === Seq(2L, 0L, 1L, 1L))
+    assert(r.getDouble(8) === 1.0)        // precision 2/2
+    assert(r.getDouble(9) === 0.666667)   // recall 2/3
+    assert(r.getDouble(10) === 0.8)       // f1 = 2*2/(4+0+1)
+  }
+
+  test("AUC ≡ quadratic brute force on a deterministic mixed fixture") {
+    // hash-scattered scores/labels: exercises ties and both classes
+    val rows = (0 until 64).map { i =>
+      val score = (i * 2654435761L % 17L).abs
+      (score, i % 3 != 0, score > 8)
+    }
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val u2 = (for { p <- pos; n <- neg } yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expect = BigDecimal(u2.toDouble / (2.0 * pos.size * neg.size))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(eval1(rows).getDouble(3) === expect)
+  }
+
+  test("classifier_eval and dsir_eval rows are internally consistent") {
+    val ce = CurationQueries.classifierEval(spark, sf).collect()(0)
+    val nTest = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(ce.getLong(1) + ce.getLong(2) === nTest, "n_pos + n_neg = n_test")
+    assert((4 to 7).map(ce.getLong).sum === nTest, "confusion covers test")
+    // NOTE: no beats-chance assertion — the synthetic corpus draws text
+    // from one shared 31-word vocabulary, so lang labels are close to
+    // independent of content and gate AUC hovers around 0.5 by design;
+    // the separable/anti-separable fixtures above pin the metric itself
+    assert(ce.getDouble(3) >= 0.0 && ce.getDouble(3) <= 1.0)
+
+    val de = PrepQueries.dsirEval(spark, sf).collect()(0)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(de.getLong(1) + de.getLong(2) === nDocs)
+    assert((4 to 7).map(de.getLong).sum === nDocs)
+    assert(de.getDouble(3) >= 0.0 && de.getDouble(3) <= 1.0)
+  }
+}

@@ -386,6 +386,9 @@ class PlanSpec extends SparkSpec {
     // brute baseline's broadcast-query NLJ rides along by construction)
     "ann_pq_adc", "ann_recall_report", "bm25_topk", "budget_select",
     "chi_square", "classifier_weights",
+    // the eval faces end in EvalQueries.gateEval's 1-row × 1-row metric
+    // assembly (and classifier_eval composes text_classify's chain)
+    "classifier_eval", "dsir_eval",
     "copurchase_pairs", "corpus_divergence", "dedup_embedding",
     "doc_keywords", "dsir_select",
     "embedding_pq", "embedding_pq_trained", "hilbert_layout",
