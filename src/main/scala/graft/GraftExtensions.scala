@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BlocklistExpressions, BloomExpressions, HilbertExpressions, IvfExpressions, NormalizeExpressions, PqExpressions, QuantizeExpressions, SetSimExpressions, ShingleExpressions, SimHashExpressions, VectorExpressions, ZOrderExpressions}
+import graft.functions.{BlocklistExpressions, BloomExpressions, HilbertExpressions, HtmlExtractExpressions, IvfExpressions, NormalizeExpressions, PqExpressions, QuantizeExpressions, SetSimExpressions, ShingleExpressions, SimHashExpressions, VectorExpressions, ZOrderExpressions}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Engine extension point, wired the public way:
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(PqExpressions.pqLutDescriptor)
     ext.injectFunction(PqExpressions.pqAdcDescriptor)
     ext.injectFunction(BlocklistExpressions.blocklistHitsDescriptor)
+    ext.injectFunction(HtmlExtractExpressions.htmlExtractDescriptor)
     ext.injectFunction(BloomExpressions.bloomAggDescriptor)
     ext.injectFunction(BloomExpressions.mightContainDescriptor)
     // conf-gated (spark.graft.rangeJoin.bucketWidth): rewrites naive

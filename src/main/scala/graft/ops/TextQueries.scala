@@ -597,7 +597,47 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The markup/boilerplate block [[htmlExtract]] appends to a
+    * deterministic corpus slice (doc_id ≡ 0 mod 5) — one line per
+    * extraction rule: a 2-href nav bar (link density), a javascript
+    * notice, a 2-word footer (short line), and one REAL content line
+    * wrapped in tags with entities (must survive, decoded). */
+  private val htmlMarkup =
+    "\n<div class=\"nav\"><a href=\"/home\">Home</a> " +
+      "<a href=\"/about\">About</a></div>" +
+      "\nPlease enable javascript to continue browsing." +
+      "\nCopyright 2023" +
+      "\n<p>Paragraph text extracted from &quot;markup&quot; " +
+      "&amp; entities kept here.</p>"
+
+  /** HTML/boilerplate extraction — the FIRST real step on web crawl
+    * (C4, Raffel et al. JMLR'20 §2.2; CCNet, Wenzek et al. LREC'20):
+    * strip tags, decode entities, drop boilerplate lines (short lines,
+    * javascript notices, link-dense nav bars), keep prose. The whole
+    * recipe is the single codegen'd pass of
+    * [[graft.functions.HtmlExtractUtil]] — scan speed at 100 TB, no
+    * shuffle, no per-line lambda (the blocklist_hits lesson). The
+    * synthetic corpus is markup-free, so a deterministic slice gets
+    * [[htmlMarkup]] INJECTED (the pii_scrub pattern); plain documents
+    * must pass through byte-identical (`changed = false` here, byte
+    * equality pinned in OpsSpec), which is what makes the extractor
+    * safe to run unconditionally at the head of a pipeline. */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val injected = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"), lit(htmlMarkup)))
+      .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), injected.as("t2"))
+      .withColumn("h", call_function("html_extract", col("t2")))
+      .select(col("doc_id"), col("h.n_lines").as("n_lines"),
+        col("h.n_kept").as("n_kept"),
+        (col("h.clean") =!= col("t2")).as("changed"),
+        md5(col("h.clean")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "html_extract" -> (htmlExtract _),
     "text_winnow" -> (winnow _),
     "winnow_dedup" -> (winnowDedup _),
     "winnow_ingest" -> (winnowIngest _),
@@ -676,7 +716,46 @@ object TextQueries {
        |    AND n_stop >= $qfMinStopwords
        |    AND quality >= $qfMinQuality""".stripMargin
 
+  /** [[htmlMarkup]] as a DuckDB literal ('\n' → chr(10) so the string
+    * is byte-identical to the Spark injection). */
+  private lazy val htmlMarkupSql = htmlMarkup.split("\n", -1).drop(1)
+    .map(l => s"chr(10) || '$l'").mkString(" || ")
+
   val oracles: Map[String, String] = Map(
+    "html_extract" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || $htmlMarkupSql
+         |         ELSE text END AS t2
+         |  FROM documents),
+         |ls AS (SELECT doc_id, t2, string_split(t2, chr(10)) AS raw FROM t),
+         |-- per line: strip <...> tags to one space, decode entities
+         |-- (amp LAST), collapse space runs, trim -- then the C4 line
+         |-- rules: >= 3 words, no 'javascript', < 2 raw href attributes
+         |proc AS (
+         |  SELECT doc_id, t2, len(raw) AS n_lines,
+         |    list_transform(generate_series(1, len(raw)), i -> {
+         |      'c': trim(regexp_replace(
+         |             replace(replace(replace(replace(replace(
+         |               regexp_replace(raw[i], '<[^>]*>', ' ', 'g'),
+         |               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |               '&nbsp;', ' '), '&amp;', '&'),
+         |             ' +', ' ', 'g'), ' '),
+         |      'r': raw[i]}) AS pl
+         |  FROM ls),
+         |kept AS (
+         |  SELECT doc_id, t2, n_lines,
+         |    list_transform(list_filter(pl, p ->
+         |      length(list_filter(string_split(p.c, ' '), w -> w != '')) >= 3
+         |      AND NOT contains(lower(p.c), 'javascript')
+         |      AND (length(p.r) - length(replace(p.r, 'href', ''))) // 4 < 2),
+         |      p -> p.c) AS cl
+         |  FROM proc)
+         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |  CAST(len(cl) AS BIGINT) AS n_kept,
+         |  coalesce(array_to_string(cl, chr(10)), '') != t2 AS changed,
+         |  md5(coalesce(array_to_string(cl, chr(10)), '')) AS clean_md5
+         |FROM kept ORDER BY doc_id""".stripMargin,
     "text_compression" ->
       """WITH f AS (
         |  SELECT * FROM

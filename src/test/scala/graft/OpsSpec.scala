@@ -737,6 +737,39 @@ class OpsSpec extends SparkSpec {
       "top-PC estimate should not fall below half the average eigenvalue")
   }
 
+  test("html_extract: plain docs byte-identical; every line rule fires") {
+    import graft.functions.HtmlExtractUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    def x(s: String): (String, Long, Long) = {
+      val r = HtmlExtractUtil.extract(UTF8String.fromString(s))
+      (r.get(0, null).toString, r.getLong(1), r.getLong(2))
+    }
+    // the safety contract: markup-free prose passes through BYTE-IDENTICAL
+    val plain = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    assert(plain.nonEmpty && plain.forall(t => x(t)._1 == t))
+    // registered query: plain slice unchanged, injected slice extracts
+    val out = TextQueries.htmlExtract(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.filter(_._1 % 5 != 0).forall(!_._4), "plain docs unchanged")
+    val inj = out.filter(_._1 % 5 == 0)
+    assert(inj.nonEmpty && inj.forall(r => r._2 == 5 && r._3 == 2 && r._4),
+      "injected docs: 5 lines, exactly prose + decoded paragraph kept")
+    // kernel edges, one per rule
+    assert(x("one two <b>three</b> four")._1 === "one two three four")
+    assert(x("keep the < sign if unclosed")._1 === "keep the < sign if unclosed")
+    assert(x("amp last: &amp;lt; stays &lt; not a tag")._1
+      === "amp last: &lt; stays < not a tag")
+    assert(x("too  many   spaces here")._1 === "too many spaces here")
+    assert(x("<a href=\"x\">one two three</a> <a href=\"y\">four</a>")
+      ._3 === 0L, "2-href nav line dropped despite word count")
+    assert(x("Enable JAVASCRIPT to see more")._3 === 0L)
+    assert(x("two words")._3 === 0L, "short line dropped")
+    assert(x("") === (("", 1L, 0L)), "empty doc: one line, none kept")
+    assert(x("good line one two\nbad {x}\nmore good prose here")
+      ._1 === "good line one two\nmore good prose here")
+  }
+
   test("blocklist_filter ≡ Scala brute force; never-occurring term silent") {
     // brute force enumerates n-grams for EVERY distinct blocked-term
     // length — so the trigram path has positive coverage, not just the

@@ -250,6 +250,16 @@ class PlanSpec extends SparkSpec {
       s"scan must prune to (doc_id, text):\n$readSchema")
   }
 
+  test("html_extract is a pure scan-speed projection (no aggregate, no shuffle)") {
+    val f = formatted(ops.TextQueries.queries("html_extract")(spark, sf))
+    assert(!f.contains("HashAggregate"), s"extractor must not aggregate:\n$f")
+    assert(!f.contains("Exchange hashpartitioning"),
+      s"extractor must not shuffle:\n$f")
+    val readSchema = f.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan must prune to (doc_id, text):\n$readSchema")
+  }
+
   test("curation pipeline pays exactly one hash shuffle (the content-hash window)") {
     val p = planOf(ops.CurationQueries.queries("curation_pipeline")(spark, sf))
     val hashEx = p.linesIterator
