@@ -298,57 +298,150 @@ object SimilarityQueries {
     * scalar IEEE mirrored in both engines with 12dp re-rounding of v
     * between rounds. */
   def embeddingPca(s: SparkSession, dir: String): DataFrame = {
-    // driver-side mirror of SQL round(x, dp) (HALF_UP away from zero) and
-    // of the round-then-DECIMAL-sum idiom — the same pairing the
-    // corpus_divergence spec proved engine-identical
-    def r(x: Double, dp: Int): Double =
-      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def decSum12(xs: Iterable[Double]): Double =
-      xs.map(x => BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP))
-        .foldLeft(BigDecimal(0))(_ + _).toDouble
-    def nano(c: Column): Column = round(c * lit(1e9), 0).cast("long")
-    // one row-shuffle up front, reused by every round: the fixture is one
-    // small parquet file = ONE scan partition, which serialized the whole
-    // iteration (measured 1.6× CPU at x10); localCheckpoint materializes
-    // the spread ONCE so the 6 downstream jobs never re-read or re-shuffle
+    val (x, mean, n) = embBase(s, dir)
+    // total second moment (1-row collect) for the explained-variance ratio
+    val sxx = x.select(posexplode(col("e")).as(Seq("j", "xj")))
+      .agg(sum(nano(col("xj") * col("xj"))))
+      .head().getLong(0) / 1e9
+    val totVar = sxx / n - decSum12(mean.map(m => m * m))
+    val (v, lambda) = powerIterate(x, mean, n, Nil)
+    import s.implicits._
+    Seq((n,
+      v.map(c => rHalfUp(c * 1e6, 0).toLong).mkString(","),
+      rHalfUp(lambda, 9), rHalfUp(lambda / totVar, 6)))
+      .toDF("n_vectors", "v_micro", "lambda", "explained")
+  }
+
+  // driver-side mirror of SQL round(x, dp) (HALF_UP away from zero) and
+  // of the round-then-DECIMAL-sum idiom — the same pairing the
+  // corpus_divergence spec proved engine-identical (shared PCA/ABTT)
+  private def rHalfUp(x: Double, dp: Int): Double =
+    BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def decSum12(xs: Iterable[Double]): Double =
+    xs.map(x => BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .foldLeft(BigDecimal(0))(_ + _).toDouble
+  private def nano(c: Column): Column = round(c * lit(1e9), 0).cast("long")
+
+  /** Shared PCA/ABTT substrate: the vec_id-spread checkpointed
+    * (vec_id, e) table plus the exact component means. One row-shuffle
+    * up front, reused by every round: the fixture is one small parquet
+    * file = ONE scan partition, which serialized the whole iteration
+    * (measured 1.6× CPU at x10); localCheckpoint materializes the
+    * spread ONCE so every downstream job never re-reads or re-shuffles.
+    * The mean collect is d bounded rows — loop control, never data. */
+  private def embBase(s: SparkSession,
+      dir: String): (DataFrame, Array[Double], Long) = {
     val x = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
       .localCheckpoint()
-    val comp = x.select(posexplode(col("e")).as(Seq("j", "xj")))
-    // component means + total second moment (bounded collects: d rows, 1 row)
-    val meanRows = comp.groupBy("j")
+    val meanRows = x.select(posexplode(col("e")).as(Seq("j", "xj")))
+      .groupBy("j")
       .agg(sum(nano(col("xj"))).as("sx"), count(lit(1)).as("n"))
       .collect().sortBy(_.getInt(0))
     val n = meanRows.head.getLong(2)
     val mean = meanRows.map(row => row.getLong(1) / 1e9 / n)
-    val sxx = comp.agg(sum(nano(col("xj") * col("xj"))))
-      .head().getLong(0) / 1e9
-    val totVar = sxx / n - decSum12(mean.map(m => m * m))
-    var v = Array.fill(embeddingDim)(r(1.0 / math.sqrt(embeddingDim), 12))
+    (x, mean, n)
+  }
+
+  /** Plain left-to-right inner product of two d-vectors — mirrored by
+    * the oracle's `list_aggregate(list_transform(...), 'sum')` fold. */
+  private def fold(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var k = 0
+    while (k < a.length) { acc += a(k) * b(k); k += 1 }
+    acc
+  }
+
+  /** round(⟨e,v⟩ − μᵀv − Σ_p sp·⟨vp,v⟩, 9) — the (deflated) projection
+    * score column; empty priors ⇒ the plain centered PCA score. The
+    * centering and deflation are ALGEBRAIC (scalar driver-side folds +
+    * the per-row prior-score columns): the raw vectors are never
+    * rewritten, so deflation adds no corpus pass. */
+  private def scoreCol(v: Array[Double], mean: Array[Double],
+      priors: Seq[(Array[Double], Column)]): Column = {
+    var c = call_function("dot_product", col("e"), typedLit(v.toSeq)) -
+      lit(fold(mean, v))
+    priors.foreach { case (vp, sp) => c = c - sp * lit(fold(vp, v)) }
+    round(c, 9)
+  }
+
+  /** [[pcaRounds]] power-iteration rounds against the checkpointed x,
+    * Hotelling-DEFLATED against `priors` (already-extracted components:
+    * vector + per-row score column): each round is ONE corpus scan —
+    * the deflated score sc and the d+1+|priors| nano-unit sums
+    * (Σ sc·xⱼ per j, Σ sc, Σ sc·sp_p) ride the same posexplode hash
+    * aggregate, map-side combined to ≤d rows per partition. Returns
+    * (v, λ). Driver work is pcaRounds collects of ≤d rows — bounded
+    * LOOP CONTROL (the diversity_sample pattern), never data. */
+  private def powerIterate(x: DataFrame, mean: Array[Double], n: Long,
+      priors: Seq[(Array[Double], Column)]): (Array[Double], Double) = {
+    var v = Array.fill(embeddingDim)(
+      rHalfUp(1.0 / math.sqrt(embeddingDim), 12))
     var lambda = 0.0
     for (_ <- 1 to pcaRounds) {
-      var mv = 0.0
-      var k = 0
-      while (k < embeddingDim) { mv += mean(k) * v(k); k += 1 }
-      val sCol = round(
-        call_function("dot_product", col("e"), typedLit(v.toSeq)) - lit(mv), 9)
-      val wRows = x.select(sCol.as("sc"), posexplode(col("e")).as(Seq("j", "xj")))
-        .groupBy("j")
-        .agg(sum(nano(col("sc") * col("xj"))).as("swx"),
-          sum(nano(col("sc"))).as("ss"))
+      val spCols = priors.zipWithIndex.map {
+        case ((_, sp), i) => sp.as(s"sp$i")
+      }
+      val aggs = Seq(sum(nano(col("sc") * col("xj"))).as("swx"),
+        sum(nano(col("sc"))).as("ss")) ++
+        priors.indices.map(i =>
+          sum(nano(col("sc") * col(s"sp$i"))).as(s"ssp$i"))
+      val wRows = x.select(Seq(scoreCol(v, mean, priors).as("sc")) ++
+          spCols ++ Seq(posexplode(col("e")).as(Seq("j", "xj"))): _*)
+        .groupBy("j").agg(aggs.head, aggs.tail: _*)
         .collect().sortBy(_.getInt(0))
-      val w = wRows.map(row => row.getLong(1) / 1e9 -
-        mean(row.getInt(0)) * (row.getLong(2) / 1e9))
+      val w = wRows.map { row =>
+        var wj = row.getLong(1) / 1e9 -
+          mean(row.getInt(0)) * (row.getLong(2) / 1e9)
+        priors.zipWithIndex.foreach { case ((vp, _), i) =>
+          wj = wj - vp(row.getInt(0)) * (row.getLong(3 + i) / 1e9)
+        }
+        wj
+      }
       val norm = math.sqrt(decSum12(w.map(wj => wj * wj)))
       lambda = norm / n
-      v = w.map(wj => r(wj / norm, 12))
+      v = w.map(wj => rHalfUp(wj / norm, 12))
     }
-    import s.implicits._
-    Seq((n,
-      v.map(c => r(c * 1e6, 0).toLong).mkString(","),
-      r(lambda, 9), r(lambda / totVar, 6)))
-      .toDF("n_vectors", "v_micro", "lambda", "explained")
+    (v, lambda)
+  }
+
+  /** Components [[embeddingAbtt]] removes (the paper's m). */
+  val abttComponents = 2
+
+  /** ALL-BUT-THE-TOP corpus transform (Mu & Viswanath, ICLR'18) — the
+    * embedding-hygiene step [[embeddingPca]] only DIAGNOSES: remove the
+    * mean and the top [[abttComponents]] principal components from every
+    * embedding and emit the transformed corpus,
+    * x̃ = x − μ − Σ_c s_c·v_c with s_c the round-9 projection of the
+    * (sequentially deflated) residual onto v_c. Components come from
+    * [[powerIterate]] with Hotelling deflation — algebraically the same
+    * centering trick as the PCA face, so no deflated corpus and no
+    * covariance ever materialize; extraction costs m·[[pcaRounds]]
+    * single-scan rounds (expect ≈ m× the pca cost — BASELINE.md).
+    *
+    * The projection WRITER is the hot path (it rewrites the whole
+    * embeddings table at 100 TB): one codegen'd kernel call per row
+    * ([[graft.functions.AbttUtil]] — basis ships as a plan literal, the
+    * m+1 coefficients are per-row codegen'd dot products), no per-element
+    * lambda, no shuffle beyond [[embBase]]'s one up-front spread. Output
+    * is the micro-unit component string (the library's deterministic
+    * vector-emission convention; arrays would break the oracle
+    * comparator). The DuckDB oracle unrolls all m·pcaRounds rounds as
+    * CTEs exactly like the pca oracle and replays the projection. */
+  def embeddingAbtt(s: SparkSession, dir: String): DataFrame = {
+    val (x, mean, n) = embBase(s, dir)
+    var priors = Seq.empty[(Array[Double], Column)]
+    for (_ <- 1 to abttComponents) {
+      val (v, _) = powerIterate(x, mean, n, priors)
+      priors = priors :+ (v -> scoreCol(v, mean, priors))
+    }
+    val basis = (mean ++ priors.flatMap(_._1)).toSeq
+    val coeffs = array(lit(1.0) +: priors.map(_._2): _*)
+    x.select(col("vec_id"),
+      call_function("abtt_micro", col("e"), coeffs,
+        typedLit(basis), lit(embeddingDim)).as("e_micro"))
+      .orderBy("vec_id")
   }
 
   def embeddingCentroids(s: SparkSession, dir: String): DataFrame = {
@@ -1083,6 +1176,7 @@ object SimilarityQueries {
     "ann_recall_report" -> (annRecallReport _),
     "embedding_centroids" -> (embeddingCentroids _),
     "embedding_pca" -> (embeddingPca _),
+    "embedding_abtt" -> (embeddingAbtt _),
     "embedding_quantize" -> (embeddingQuantize _),
     "hybrid_search" -> (hybridSearch _),
     "hybrid_search_ivf" -> (hybridSearchIvf _))
@@ -1508,6 +1602,108 @@ object SimilarityQueries {
        |         FROM $prev pq LEFT JOIN tqm$i USING (j, cid))""".stripMargin
   }
 
+  /** Shared oracle base for the PCA/ABTT family: exploded components and
+    * the exact nano-unit means — the SQL replay of [[embBase]]. */
+  private val embBaseCtes =
+    s"""js AS (
+       |  SELECT unnest(generate_series(1, $embeddingDim)) AS j),
+       |emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |x AS MATERIALIZED (
+       |  SELECT e.vec_id, g.j, e.e[g.j] AS xj FROM emb e CROSS JOIN js g),
+       |stats AS MATERIALIZED (
+       |  SELECT j,
+       |    CAST(sum(CAST(round(xj * 1e9, 0) AS BIGINT)) AS BIGINT)
+       |      / 1e9 / count(*) AS m,
+       |    count(*) AS n
+       |  FROM x GROUP BY j),
+       |mlist AS (SELECT list(m ORDER BY j) AS ml FROM stats)""".stripMargin
+
+  /** Ordered-fold inner product of two list columns — the oracle mirror
+    * of the codegen `dot_product` kernel and the driver-side `fold`. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_aggregate(list_transform(
+       |      generate_series(1, $embeddingDim), i -> $a[i] * $b[i]),
+       |      'sum')""".stripMargin
+
+  /** One unrolled DEFLATED power-iteration round for the
+    * [[embeddingAbtt]] oracle — the SQL replay of [[powerIterate]]'s
+    * round for component c: candidate score with the prior components'
+    * projections subtracted (per-row prior scores ride in from asf_p),
+    * the d+1+(c−1) nano-unit sums in one grouped aggregate, and the
+    * same norm/renormalize arithmetic as the pca round. */
+  private def abttRoundCtes(c: Int, r: Int): String = {
+    val priors = 1 until c
+    val pvs = priors.map(p =>
+      s"""apv_${c}_${r}_$p AS (
+         |  SELECT ${dotSql("f.vl", "vl.vl")} AS pv
+         |  FROM avfl_$p f CROSS JOIN avl_${c}_$r vl)""".stripMargin)
+      .mkString(",\n")
+    val scDefl = priors.map(p => s" - f$p.sp * pv$p.pv").mkString
+    val scFrom = priors.map(p =>
+      s" JOIN asf_$p f$p ON f$p.vec_id = e.vec_id").mkString +
+      priors.map(p => s" CROSS JOIN apv_${c}_${r}_$p pv$p").mkString
+    val spSel = priors.map(p => s", f$p.sp AS sp$p").mkString
+    val sspAggs = priors.map(p =>
+      s""",
+         |    CAST(sum(CAST(round(s.sc * s.sp$p * 1e9, 0) AS BIGINT))
+         |         AS BIGINT) AS ssp$p""".stripMargin).mkString
+    val wDefl = priors.map(p => s" - f$p.vl[w.j] * (w.ssp$p / 1e9)").mkString
+    val wFrom = priors.map(p => s" CROSS JOIN avfl_$p f$p").mkString
+    s"""avl_${c}_$r AS (SELECT list(vj ORDER BY j) AS vl FROM av_${c}_${r - 1}),
+       |amv_${c}_$r AS (
+       |  SELECT ${dotSql("ml.ml", "vl.vl")} AS mv
+       |  FROM mlist ml CROSS JOIN avl_${c}_$r vl),
+       |${if (pvs.nonEmpty) pvs + ",\n" else ""}as_${c}_$r AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    round(${dotSql("e.e", "vl.vl")} - mv.mv$scDefl, 9) AS sc,
+       |    e.e AS e$spSel
+       |  FROM emb e CROSS JOIN avl_${c}_$r vl CROSS JOIN amv_${c}_$r mv$scFrom),
+       |aw_${c}_$r AS (
+       |  SELECT g.j,
+       |    CAST(sum(CAST(round(s.sc * s.e[g.j] * 1e9, 0) AS BIGINT))
+       |         AS BIGINT) AS swx,
+       |    CAST(sum(CAST(round(s.sc * 1e9, 0) AS BIGINT)) AS BIGINT)
+       |      AS ss$sspAggs
+       |  FROM as_${c}_$r s CROSS JOIN js g GROUP BY g.j),
+       |awc_${c}_$r AS MATERIALIZED (
+       |  SELECT w.j, w.swx / 1e9 - st.m * (w.ss / 1e9)$wDefl AS wj
+       |  FROM aw_${c}_$r w JOIN stats st USING (j)$wFrom),
+       |anorm_${c}_$r AS (
+       |  SELECT sqrt(CAST(sum(CAST(round(wj * wj, 12) AS DECIMAL(38,12)))
+       |              AS DOUBLE)) AS nrm
+       |  FROM awc_${c}_$r),
+       |av_${c}_$r AS MATERIALIZED (
+       |  SELECT j, round(wj / nrm, 12) AS vj
+       |  FROM awc_${c}_$r CROSS JOIN anorm_${c}_$r)""".stripMargin
+  }
+
+  /** Component c's FINAL vector/score CTEs for the [[embeddingAbtt]]
+    * oracle: the finished 12dp vector as a list, μᵀv_c, and the per-row
+    * round-9 score sp with the sequential prior removal — the SQL
+    * replay of the Spark side's `scoreCol(v_c, mean, priors)`. */
+  private def abttFinalCtes(c: Int): String = {
+    val priors = 1 until c
+    val pvs = priors.map(p =>
+      s"""apvf_${c}_$p AS (
+         |  SELECT ${dotSql("f.vl", "vc.vl")} AS pv
+         |  FROM avfl_$p f CROSS JOIN avfl_$c vc)""".stripMargin)
+      .mkString(",\n")
+    val defl = priors.map(p => s" - f$p.sp * pv$p.pv").mkString
+    val from = priors.map(p =>
+      s" JOIN asf_$p f$p ON f$p.vec_id = e.vec_id").mkString +
+      priors.map(p => s" CROSS JOIN apvf_${c}_$p pv$p").mkString
+    s"""avfl_$c AS MATERIALIZED (
+       |  SELECT list(vj ORDER BY j) AS vl FROM av_${c}_$pcaRounds),
+       |amvf_$c AS (
+       |  SELECT ${dotSql("ml.ml", "vc.vl")} AS mv
+       |  FROM mlist ml CROSS JOIN avfl_$c vc),
+       |${if (pvs.nonEmpty) pvs + ",\n" else ""}asf_$c AS MATERIALIZED (
+       |  SELECT e.vec_id, e.e,
+       |    round(${dotSql("e.e", "vc.vl")} - mv.mv$defl, 9) AS sp
+       |  FROM emb e CROSS JOIN avfl_$c vc CROSS JOIN amvf_$c mv$from)""".stripMargin
+  }
+
   /** One unrolled power-iteration round for the [[embeddingPca]] oracle:
     * the s-fold mirrors the codegen `dot_product` (ordered list fold),
     * the component sums mirror the round-9/DECIMAL(38,9) aggregation,
@@ -1562,19 +1758,7 @@ object SimilarityQueries {
          |FROM exact e LEFT JOIN ivf i USING (q, neighbor)
          |GROUP BY e.q ORDER BY e.q""".stripMargin,
     "embedding_pca" ->
-      s"""WITH js AS (
-         |  SELECT unnest(generate_series(1, $embeddingDim)) AS j),
-         |emb AS MATERIALIZED (
-         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |x AS MATERIALIZED (
-         |  SELECT e.vec_id, g.j, e.e[g.j] AS xj FROM emb e CROSS JOIN js g),
-         |stats AS MATERIALIZED (
-         |  SELECT j,
-         |    CAST(sum(CAST(round(xj * 1e9, 0) AS BIGINT)) AS BIGINT)
-         |      / 1e9 / count(*) AS m,
-         |    count(*) AS n
-         |  FROM x GROUP BY j),
-         |mlist AS (SELECT list(m ORDER BY j) AS ml FROM stats),
+      s"""WITH $embBaseCtes,
          |nv AS (SELECT max(n) AS n FROM stats),
          |tot AS (
          |  SELECT CAST(sum(CAST(round(xj * xj * 1e9, 0) AS BIGINT))
@@ -1594,6 +1778,30 @@ object SimilarityQueries {
          |
          |FROM nv CROSS JOIN tot CROSS JOIN meansq
          |CROSS JOIN norm_$pcaRounds""".stripMargin,
+    "embedding_abtt" -> {
+      val comps = 1 to abttComponents
+      val body = comps.map { c =>
+        (Seq(s"""av_${c}_0 AS (
+                |  SELECT j, round(1.0 / sqrt($embeddingDim), 12) AS vj
+                |  FROM js)""".stripMargin) ++
+          (1 to pcaRounds).map(r => abttRoundCtes(c, r)) :+
+          abttFinalCtes(c)).mkString(",\n")
+      }.mkString(",\n")
+      val proj = comps.map(c => s" - f$c.sp * v$c.vl[j]").mkString
+      val joins = comps.drop(1)
+        .map(c => s" JOIN asf_$c f$c ON f$c.vec_id = f1.vec_id").mkString
+      val basisJoins = comps.map(c => s" CROSS JOIN avfl_$c v$c").mkString
+      s"""WITH $embBaseCtes,
+         |$body
+         |SELECT f1.vec_id,
+         |  array_to_string(list_transform(
+         |    generate_series(1, $embeddingDim), j ->
+         |      CAST(round((f1.e[j] - ml.ml[j]$proj) * 1e6, 0) AS BIGINT)),
+         |    ',') AS e_micro
+         |FROM asf_1 f1$joins
+         |CROSS JOIN mlist ml$basisJoins
+         |ORDER BY f1.vec_id""".stripMargin
+    },
     "semdedup" ->
       s"""WITH $assignCtes,
          |p AS (

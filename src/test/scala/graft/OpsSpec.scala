@@ -737,6 +737,82 @@ class OpsSpec extends SparkSpec {
       "top-PC estimate should not fall below half the average eigenvalue")
   }
 
+  test("embedding_abtt ≡ Scala brute force; top components removed") {
+    val d = SimilarityQueries.embeddingDim
+    val m = SimilarityQueries.abttComponents
+    val rounds = SimilarityQueries.pcaRounds
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def rh(x: Double, dp: Int) =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def nano(x: Double) = rh(x * 1e9, 0).toLong
+    def decSum12(xs: Iterable[Double]) =
+      xs.map(x => BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .foldLeft(BigDecimal(0))(_ + _).toDouble
+    def fold(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var k = 0
+      while (k < d) { s += a(k) * b(k); k += 1 }
+      s
+    }
+    val n = rows.length
+    val mean = Array.tabulate(d)(j => rows.map(r => nano(r._2(j))).sum / 1e9 / n)
+    // round-9 projection score of component c for row e, with the same
+    // sequential prior removal the library's scoreCol builds
+    def score(e: Array[Double], c: Int, vs: Seq[Array[Double]]): Double = {
+      var sc = fold(e, vs(c)) - fold(mean, vs(c))
+      (0 until c).foreach(p => sc -= score(e, p, vs) * fold(vs(p), vs(c)))
+      rh(sc, 9)
+    }
+    var comps = Seq.empty[Array[Double]]
+    (0 until m).foreach { c =>
+      var v = Array.fill(d)(rh(1.0 / math.sqrt(d), 12))
+      (1 to rounds).foreach { _ =>
+        val vsCand = comps :+ v
+        val swx = Array.fill(d)(0L)
+        var ss = 0L
+        val ssp = Array.fill(c)(0L)
+        rows.foreach { case (_, e) =>
+          val sc = score(e, c, vsCand)
+          (0 until d).foreach(j => swx(j) += nano(sc * e(j)))
+          ss += nano(sc)
+          (0 until c).foreach(p => ssp(p) += nano(sc * score(e, p, comps)))
+        }
+        val w = Array.tabulate(d) { j =>
+          var wj = swx(j) / 1e9 - mean(j) * (ss / 1e9)
+          (0 until c).foreach(p => wj = wj - comps(p)(j) * (ssp(p) / 1e9))
+          wj
+        }
+        val norm = math.sqrt(decSum12(w.map(x => x * x)))
+        v = w.map(x => rh(x / norm, 12))
+      }
+      comps = comps :+ v
+    }
+    val expected = rows.map { case (id, e) =>
+      val scs = comps.indices.map(c => score(e, c, comps))
+      val micro = Array.tabulate(d) { j =>
+        var acc = e(j) - 1.0 * mean(j)
+        comps.indices.foreach(c => acc -= scs(c) * comps(c)(j))
+        rh(acc * 1e6, 0).toLong
+      }
+      (id, micro.mkString(","))
+    }.toSeq
+    val got = SimilarityQueries.embeddingAbtt(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === expected)
+    // semantic invariant: the transformed corpus carries ~no mass along
+    // the removed components (micro rounding slack only)
+    comps.foreach { v =>
+      val maxProj = got.map { case (_, s) =>
+        val xt = s.split(",").map(_.toLong / 1e6)
+        math.abs(fold(xt, v))
+      }.max
+      assert(maxProj < 2e-3,
+        s"residual projection onto a removed component: $maxProj")
+    }
+  }
+
   test("html_extract: plain docs byte-identical; every line rule fires") {
     import graft.functions.HtmlExtractUtil
     import org.apache.spark.unsafe.types.UTF8String
