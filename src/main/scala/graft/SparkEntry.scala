@@ -54,6 +54,8 @@ object SparkEntry {
     "rfm_segments_sketch" -> (AnalyticsQueries.rfmSegmentsSketch _),
     "ann_ivf_pq_prebuilt" -> (graft.streaming.AnnStream.annIvfPqPrebuilt _),
     "quantile_bottomk_thinned" -> (AnalyticsQueries.quantileBottomKThinned _),
+    "ann_recall_report_prebuilt" ->
+      (graft.streaming.AnnStream.annRecallReportPrebuilt _),
     "approx_distinct" -> (AnalyticsQueries.approxDistinct _),
     "approx_percentile" -> (AnalyticsQueries.approxPercentile _))
 

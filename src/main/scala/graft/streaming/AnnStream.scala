@@ -204,4 +204,19 @@ object AnnStream {
         col("vec_id").as("neighbor"), col("adist"))
       .orderBy("q", "rank")
   }
+
+  /** BENCH-ONLY recall monitor pointed at the COMMITTED index — what a
+    * deployment actually alarms on: [[graft.ops.SimilarityQueries
+    * .annRecallReport]] rebuilds its index per run (correct as the
+    * oracle-checkable offline tuning report, blind to committed-index
+    * staleness by construction); this face runs the IDENTICAL
+    * `recallOf` tail over [[annIvfPqPrebuilt]]'s streaming-maintained
+    * coded index, so a stale or drifted committed index shows up as a
+    * recall drop against the same strided exact truth. AnnStreamSpec
+    * pins it equal to the rebuilt IVF-PQ report while the index is
+    * fresh. */
+  def annRecallReportPrebuilt(s: SparkSession, dir: String): DataFrame =
+    SimilarityQueries.recallOf(
+      SimilarityQueries.annBruteForce(s, dir).select("q", "neighbor"),
+      annIvfPqPrebuilt(s, dir).select("q", "neighbor"))
 }

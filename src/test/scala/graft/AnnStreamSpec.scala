@@ -74,6 +74,22 @@ class AnnStreamSpec extends SparkSpec {
     assert(again === rebuild)
   }
 
+  test("committed-index recall report equals the rebuilt report when fresh") {
+    import graft.ops.SimilarityQueries
+    // the monitor-the-monitor gap closed: same recallOf tail, committed
+    // index instead of a per-run rebuild — on a fresh index the two are
+    // row-for-row equal (the prebuilt twin is search-equal to annIvfPq)
+    val exact = SimilarityQueries.annBruteForce(spark, sf)
+      .select("q", "neighbor")
+    val rebuilt = SimilarityQueries.recallOf(exact,
+        SimilarityQueries.annIvfPq(spark, sf).select("q", "neighbor"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val committed = AnnStream.annRecallReportPrebuilt(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(committed === rebuilt,
+      "fresh committed index must report the rebuild's recall")
+  }
+
   test("replaying a committed batch id is a no-op; crash debris is swept") {
     val all = corpus()
     val tmp = Files.createTempDirectory("graft-ann-replay").toString + "/index"

@@ -125,6 +125,21 @@ class AnnTrainingSpec extends SparkSpec {
       s"nn-descent recall on clustered data should be ≥0.9, got $rAnn")
   }
 
+  test("graph search recall ≥ the IVF row on a clustered corpus") {
+    // the consumer the round-11 graph build was missing: greedy
+    // best-first over the NN-Descent edges must reach the high-recall
+    // regime the IVF family can't at nprobe=4 — same queries, same
+    // exact truth, matched probe budget (√n entries ≈ nprobe·cell)
+    val truth = ops.SimilarityQueries.annBruteForce(spark, clusteredDir)
+    val ivf = recallVs(ops.SimilarityQueries.annIvf(spark, clusteredDir), truth)
+    val graph = recallVs(
+      ops.SimilarityQueries.annGraphSearch(spark, clusteredDir), truth)
+    assert(graph >= ivf,
+      s"graph-search recall ($graph) must reach the IVF row ($ivf)")
+    assert(graph >= 0.9,
+      s"graph-search recall on clustered data should be ≥0.9, got $graph")
+  }
+
   test("incremental NN-Descent ≡ full expansion, row for row") {
     // the scaladoc's equivalence theorem, pinned on data: dropping
     // all-old two-hop paths (they were candidates last round and lost

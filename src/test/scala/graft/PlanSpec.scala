@@ -394,6 +394,9 @@ class PlanSpec extends SparkSpec {
     "ann_brute_force", "ann_ivf", "ann_ivf_pq", "ann_ivf_trained",
     // ann_recall_report composes two allowlisted operators (the pinned
     // brute baseline's broadcast-query NLJ rides along by construction)
+    // ann_graph_search's entry scoring is the |Q|×√n broadcast product
+    // (the IVF probe cost) on top of the graph build's allowlisted plan
+    "ann_graph_search",
     "ann_pq_adc", "ann_recall_report", "bm25_topk", "budget_select",
     "chi_square", "classifier_weights",
     // the eval faces end in EvalQueries.gateEval's 1-row × 1-row metric
