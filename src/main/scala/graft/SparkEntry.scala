@@ -56,6 +56,7 @@ object SparkEntry {
     "quantile_bottomk_thinned" -> (AnalyticsQueries.quantileBottomKThinned _),
     "ann_recall_report_prebuilt" ->
       (graft.streaming.AnnStream.annRecallReportPrebuilt _),
+    "blocklist_filter_1k" -> (CurationQueries.blocklistFilter1k _),
     "approx_distinct" -> (AnalyticsQueries.approxDistinct _),
     "approx_percentile" -> (AnalyticsQueries.approxPercentile _))
 

@@ -832,10 +832,33 @@ object CurationQueries {
     * matching (tokens, not substrings) is the C4 semantics — regex
     * alternation over 10³ terms would re-scan each char position per
     * term; the set probe is one hash per gram. */
-  def blocklistFilter(s: SparkSession, dir: String): DataFrame = {
+  def blocklistFilter(s: SparkSession, dir: String): DataFrame =
+    blocklistWith(s, dir, blockedTerms)
+
+  /** A realistic-SIZE blocklist (~10³ terms, the C4 bad-words scale) for
+    * the bench-only [[blocklistFilter1k]] face: the real fixture terms
+    * plus 995 generated never-occurring terms spread across lengths 1–3
+    * (a real blocklist rarely fires — the cost that matters is the
+    * per-position PROBE, not the hit path). Output is therefore
+    * row-for-row [[blocklistFilter]]'s, spec-pinned; only the timed
+    * cost differs, which is exactly what the kernel's
+    * length-count-independent design claims to hold flat. */
+  val blockedTermsLarge: Seq[String] =
+    blockedTerms ++
+      (0 until 500).map(i => s"zzu$i") ++
+      (0 until 300).map(i => s"zzb$i zznever") ++
+      (0 until 195).map(i => s"zzt$i zznever zzever")
+
+  /** Bench-only 10³-term twin of [[blocklistFilter]] — see
+    * [[blockedTermsLarge]]. */
+  def blocklistFilter1k(s: SparkSession, dir: String): DataFrame =
+    blocklistWith(s, dir, blockedTermsLarge)
+
+  private def blocklistWith(s: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
     import graft.functions.BlocklistExpressions.Sep
     val h = call_function("blocklist_hits", tokens(col("text")),
-      lit(blockedTerms.mkString(Sep)))
+      lit(terms.mkString(Sep)))
     Tables.documents(s, dir)
       .select(col("doc_id"), h.as("h"))
       .select(col("doc_id"), col("h.n_hits").as("n_hits"),

@@ -875,6 +875,13 @@ class OpsSpec extends SparkSpec {
     // the ≥3-token matching path fires on a real corpus occurrence
     assert(got.exists(_._3.contains("scan group big")),
       "trigram term must match somewhere in the corpus")
+    // the bench-only 10³-term face: 995 never-occurring terms change
+    // the probe COST, never the result
+    assert(CurationQueries.blockedTermsLarge.size === 1000)
+    val big = CurationQueries.blocklistFilter1k(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+      .toSeq
+    assert(big === got, "1k-term face must be row-for-row the 5-term face")
   }
 
   test("classifier: model shape, smoothing floor, total-coverage scoring") {
