@@ -772,6 +772,20 @@ object CurationQueries {
     EvalQueries.gateEval("clf_en", scored)
   }
 
+  /** The PR CURVE of the is-English gate — one row per distinct ppm
+    * en-score grading `score ≥ threshold`, the sweep an engineer reads
+    * to PICK the threshold [[classifierEval]] then monitors. Same
+    * machinery ([[EvalQueries.prCurve]]): the corpus collapses to the
+    * score histogram, two cumulative sums in one bounded window pass. */
+  def classifierPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val (test, scores) = clfTestScores(s, dir)
+    val scored = test.select(col("doc_id"), col("labeled_lang"))
+      .join(scores.filter(col("lang") === "en")
+        .select(col("doc_id"), col("score")), Seq("doc_id"))
+      .select(col("score"), (col("labeled_lang") === "en").as("label"))
+    EvalQueries.prCurve(scored)
+  }
+
   /** Shared oracle CTE block ending in `wts(lang, token, cnt, w)` plus
     * `vocab(token)` — the DuckDB replica of [[classifierWeights]]. */
   private lazy val clfModelCtes =
@@ -870,6 +884,7 @@ object CurationQueries {
     "blocklist_filter" -> (blocklistFilter _),
     "classifier_weights" -> (classifierWeights _),
     "classifier_eval" -> (classifierEval _),
+    "classifier_pr_curve" -> (classifierPrCurve _),
     "text_classify" -> (textClassify _),
     "doc_keywords" -> (docKeywords _),
     "feature_hash" -> (featureHash _),
@@ -1155,6 +1170,13 @@ object CurationQueries {
          |  JOIN sc en ON en.doc_id = t.doc_id AND en.lang = 'en'
          |  JOIN rk r ON r.doc_id = t.doc_id AND r.rk = 1),
          |${EvalQueries.gateEvalSql("clf_en")}""".stripMargin,
+    "classifier_pr_curve" ->
+      s"""WITH $clfScoreCtes,
+         |scored AS (
+         |  SELECT en.score AS score, t.labeled_lang = 'en' AS label
+         |  FROM test t
+         |  JOIN sc en ON en.doc_id = t.doc_id AND en.lang = 'en'),
+         |${EvalQueries.prCurveSql}""".stripMargin,
     "doc_keywords" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

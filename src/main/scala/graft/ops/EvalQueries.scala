@@ -86,6 +86,82 @@ object EvalQueries {
           .as("f1"))
   }
 
+  /** PRECISION/RECALL CURVE — the full threshold sweep behind
+    * [[gateEval]]'s single shipped-threshold row: one output row per
+    * DISTINCT score, grading the rule `decision = (score ≥ threshold)`
+    * with the same integer confusion counts and the same
+    * division/rounding conventions. This is the artifact a curation
+    * engineer actually reads to PICK a threshold; [[gateEval]] then
+    * monitors the one they shipped.
+    *
+    * Shape: identical to [[gateEval]] — the corpus collapses to the
+    * per-score histogram (map-side combined), and the sweep is two
+    * cumulative sums over that histogram in ONE ordered window pass
+    * (score desc ⇒ running tp/fp; fn/tn from the broadcast totals).
+    * Output size = NDV(score), bounded by the integer score grid. */
+  def prCurve(scoredRaw: DataFrame): DataFrame = {
+    val scored = scoredRaw.localCheckpoint() // histogram + totals consumers
+    val hist = scored.groupBy("score").agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("nn"))
+    val tot = scored.agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("n_neg"))
+    // ordered window over the COLLAPSED histogram only (gateEval note)
+    val cum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("tp", sum(col("np")).over(cum))
+      .withColumn("fp", sum(col("nn")).over(cum))
+      .crossJoin(broadcast(tot)) // 1-row totals (allowlisted class)
+      .select(col("score").as("threshold"), col("tp"), col("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("n_neg") - col("fp")).as("tn"),
+        when(col("tp") + col("fp") === 0, lit(0.0))
+          .otherwise(round(
+            col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("precision"),
+        when(col("n_pos") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double") / col("n_pos"), 6))
+          .as("recall"),
+        when(col("tp") * 2 + col("fp") + (col("n_pos") - col("tp")) === 0,
+            lit(0.0))
+          .otherwise(round(lit(2.0) * col("tp") /
+            (col("tp") * 2 + col("fp") + (col("n_pos") - col("tp"))), 6))
+          .as("f1"))
+      .orderBy("threshold")
+  }
+
+  /** The DuckDB tail of a PR-curve oracle — expects `scored(score,
+    * label)`; the EXACT SQL mirror of [[prCurve]]. */
+  def prCurveSql: String =
+    s"""hist AS (
+       |  SELECT score, sum(CASE WHEN label THEN 1 ELSE 0 END) AS np,
+       |         sum(CASE WHEN label THEN 0 ELSE 1 END) AS nn
+       |  FROM scored GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |         CAST(sum(nn) AS BIGINT) AS n_neg FROM hist),
+       |cum AS (
+       |  SELECT score,
+       |    CAST(sum(np) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS tp,
+       |    CAST(sum(nn) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS fp
+       |  FROM hist)
+       |SELECT score AS threshold, tp, fp,
+       |  n_pos - tp AS fn, n_neg - fp AS tn,
+       |  CASE WHEN tp + fp = 0 THEN 0.0
+       |       ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+       |  CASE WHEN n_pos = 0 THEN 0.0
+       |       ELSE round(CAST(tp AS DOUBLE) / n_pos, 6) END AS recall,
+       |  CASE WHEN tp * 2 + fp + (n_pos - tp) = 0 THEN 0.0
+       |       ELSE round(2.0 * tp / (tp * 2 + fp + (n_pos - tp)), 6)
+       |       END AS f1
+       |FROM cum CROSS JOIN tot ORDER BY threshold""".stripMargin
+
   /** The DuckDB tail of a gate-eval oracle: expects a preceding CTE
     * `scored(score, label, decision)` and appends the histogram /
     * rank-sum / confusion arithmetic — the EXACT SQL mirror of

@@ -65,6 +65,32 @@ class EvalSpec extends SparkSpec {
     assert(eval1(rows).getDouble(3) === expect)
   }
 
+  test("prCurve ≡ quadratic brute force; recall monotone in threshold") {
+    def rh(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = (0 until 40).map { i =>
+      (i * 2654435761L % 11L, i % 3 != 0)
+    }
+    val nPos = rows.count(_._2)
+    val expect = rows.map(_._1).distinct.sorted.map { t =>
+      val tp = rows.count(r => r._2 && r._1 >= t).toLong
+      val fp = rows.count(r => !r._2 && r._1 >= t).toLong
+      val fn = nPos - tp
+      val p = if (tp + fp == 0) 0.0 else rh(tp.toDouble / (tp + fp))
+      val r = if (nPos == 0) 0.0 else rh(tp.toDouble / nPos)
+      val f1 = if (2 * tp + fp + fn == 0) 0.0
+        else rh(2.0 * tp / (2 * tp + fp + fn))
+      (t, tp, fp, fn, (rows.size - nPos) - fp, p, r, f1)
+    }
+    val got = EvalQueries.prCurve(rows.toDF("score", "label")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5), x.getDouble(6), x.getDouble(7)))
+      .toSeq
+    assert(got === expect)
+    // PR-curve shape: recall non-increasing as the threshold rises
+    assert(got.map(_._7).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
   test("classifier_eval and dsir_eval rows are internally consistent") {
     val ce = CurationQueries.classifierEval(spark, sf).collect()(0)
     val nTest = Tables.documents(spark, sf)
