@@ -57,6 +57,8 @@ object SparkEntry {
     "ann_recall_report_prebuilt" ->
       (graft.streaming.AnnStream.annRecallReportPrebuilt _),
     "blocklist_filter_1k" -> (CurationQueries.blocklistFilter1k _),
+    "ann_graph_search_prebuilt" ->
+      (SimilarityQueries.annGraphSearchPrebuilt _),
     "approx_distinct" -> (AnalyticsQueries.approxDistinct _),
     "approx_percentile" -> (AnalyticsQueries.approxPercentile _))
 

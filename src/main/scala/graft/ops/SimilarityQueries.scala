@@ -1023,22 +1023,44 @@ object SimilarityQueries {
     * Every state is an exact pair set with 4dp cosines and node
     * tie-breaks, so DuckDB unrolls the identical hops (fixed rounds,
     * dedup via max — re-scoring is idempotent). */
-  def annGraphSearch(s: SparkSession, dir: String): DataFrame = {
+  def annGraphSearch(s: SparkSession, dir: String): DataFrame =
+    searchOverGraph(s, dir, searchedEdges(s, dir))
+
+  /** The searched edge set of [[annGraphSearch]] = the kNN graph ∪ the
+    * build's own init rings, symmetrized: the pruned top-k graph on
+    * well-separated clusters keeps almost no inter-cluster edges, so
+    * greedy search strands in whichever clusters hold an entry point
+    * (measured: recall 0.51 without the rings). The md5-hash ring adds
+    * k pseudo-random LONG-RANGE edges per node — the NSW long-link
+    * ingredient (and the same edges whose absence capped the BUILD at
+    * the blocked twin's ceiling, see [[knnGraphAnn]]); the cell ring
+    * mostly duplicates kNN edges and rides along for free through the
+    * dedup. Materialized once — every hop references it. */
+  private def searchedEdges(s: SparkSession, dir: String): DataFrame = {
+    val g = knnGraphAnn(s, dir).select("src", "dst").union(nndRings(s, dir))
+    g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+  }
+
+  private val prebuiltGraphEdges =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** BENCH-ONLY steady-state twin of [[annGraphSearch]] (the
+    * [[graft.streaming.AnnStream.annIvfPqPrebuilt]] pattern): the
+    * registered query honestly pays the FULL NN-Descent build per run
+    * to stay oracle-checkable; a deployment searches a maintained graph
+    * index, so this face builds the searched edge set ONCE per sf dir
+    * (Bench's warmup pass pays it) and the timed passes report the
+    * steady-state entry-scoring + hop cost alone. AnnTrainingSpec pins
+    * row-for-row equality with the rebuild query. */
+  def annGraphSearchPrebuilt(s: SparkSession, dir: String): DataFrame =
+    searchOverGraph(s, dir,
+      prebuiltGraphEdges.getOrElseUpdate(dir, searchedEdges(s, dir)))
+
+  private def searchOverGraph(s: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.md5Long
     val v = vectors(s, dir).select("vec_id", "e", "norm").localCheckpoint()
-    // searched edge set = the kNN graph ∪ the build's own init rings:
-    // the pruned top-k graph on well-separated clusters keeps almost no
-    // inter-cluster edges, so greedy search strands in whichever
-    // clusters hold an entry point (measured: recall 0.51 without the
-    // rings). The md5-hash ring adds k pseudo-random LONG-RANGE edges
-    // per node — the NSW long-link ingredient (and the same edges whose
-    // absence capped the BUILD at the blocked twin's ceiling, see
-    // [[knnGraphAnn]]); the cell ring mostly duplicates kNN edges and
-    // rides along for free through the dedup.
-    val g = knnGraphAnn(s, dir).select("src", "dst").union(nndRings(s, dir))
-    // symmetric closure, referenced every hop → materialize once
-    val edges = g.union(g.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
     val stride = seedStrideOf(Tables.embeddings(s, dir).count())
     val entries = v.filter(
         pmod(md5Long(concat(lit("gs:"), col("vec_id").cast("string"))),

@@ -140,6 +140,20 @@ class AnnTrainingSpec extends SparkSpec {
       s"graph-search recall on clustered data should be ≥0.9, got $graph")
   }
 
+  test("prebuilt graph-search twin equals the per-run rebuild row-for-row") {
+    import spark.implicits._
+    val rebuild = ops.SimilarityQueries.annGraphSearch(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val prebuilt = ops.SimilarityQueries.annGraphSearchPrebuilt(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(prebuilt === rebuild,
+      "steady-state graph search must return the rebuild query's results")
+    // memoization: a second call reuses the same materialized edge set
+    val again = ops.SimilarityQueries.annGraphSearchPrebuilt(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(again === rebuild)
+  }
+
   test("incremental NN-Descent ≡ full expansion, row for row") {
     // the scaladoc's equivalence theorem, pinned on data: dropping
     // all-old two-hop paths (they were candidates last round and lost
