@@ -59,6 +59,8 @@ object SparkEntry {
     "blocklist_filter_1k" -> (CurationQueries.blocklistFilter1k _),
     "ann_graph_search_prebuilt" ->
       (SimilarityQueries.annGraphSearchPrebuilt _),
+    "ann_graph_search_streamed" ->
+      (graft.streaming.GraphStream.annGraphSearchStreamed _),
     "approx_distinct" -> (AnalyticsQueries.approxDistinct _),
     "approx_percentile" -> (AnalyticsQueries.approxPercentile _))
 

@@ -1057,7 +1057,7 @@ object SimilarityQueries {
     searchOverGraph(s, dir,
       prebuiltGraphEdges.getOrElseUpdate(dir, searchedEdges(s, dir)))
 
-  private def searchOverGraph(s: SparkSession, dir: String,
+  private[graft] def searchOverGraph(s: SparkSession, dir: String,
       edges: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.md5Long
     val v = vectors(s, dir).select("vec_id", "e", "norm").localCheckpoint()

@@ -1,0 +1,85 @@
+package graft
+
+import graft.streaming.{DedupStream, GraphStream, StreamFs}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[graft.streaming.GraphStream]] — streaming kNN-graph maintenance:
+  * batch-count invariance, the recall floor vs the blocked twin, the
+  * commit protocol, and live search over the streamed index. */
+class GraphStreamSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-graphstream")
+      .toString + "/index"
+
+  private def corpus: DataFrame =
+    Tables.embeddings(spark, sf).select("vec_id", "embedding")
+
+  private def ingest(parts: Int): String = {
+    val d = freshDir()
+    GraphStream.init(spark, corpus, d)
+    (0 until parts).foreach(i => GraphStream.applyMicroBatch(spark,
+      corpus.filter(pmod(col("vec_id"), lit(parts)) === i), d, i.toLong))
+    d
+  }
+
+  private def graphRows(d: String): Set[(Long, Int, Long, Double)] = {
+    import spark.implicits._
+    GraphStream.readGraph(spark, d)
+      .as[(Long, Int, Long, Double)].collect().toSet
+  }
+
+  test("batch-count invariance: 1-batch and 4-batch ingest agree row for row") {
+    // the monotone-candidates argument made data: every co-cell/co-bucket
+    // pair is generated in the batch where its later member arrives, and
+    // a global top-k edge is a fortiori in its own batch's top-k
+    val one = graphRows(ingest(1))
+    val four = graphRows(ingest(4))
+    assert(one.nonEmpty && four === one)
+  }
+
+  test("streamed graph recall ≥ the blocked twin (candidate superset)") {
+    def edges(df: DataFrame): Set[(Long, Long)] =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = edges(ops.SimilarityQueries.knnGraph(spark, sf))
+    val blocked = edges(ops.SimilarityQueries.knnGraphBlocked(spark, sf))
+    val streamed = edges(GraphStream.readGraph(spark, ingest(3)))
+    val rBlocked = (blocked & exact).size.toDouble / exact.size
+    val rStreamed = (streamed & exact).size.toDouble / exact.size
+    assert(rStreamed >= rBlocked,
+      s"superset candidates must not lose recall: $rStreamed < $rBlocked")
+  }
+
+  test("replaying a committed batch id is a no-op; crash debris is swept") {
+    val d = ingest(2)
+    val before = graphRows(d)
+    GraphStream.applyMicroBatch(spark, corpus, d, 0L) // replay: full corpus!
+    assert(graphRows(d) === before, "replayed batch must not re-ingest")
+    // unmarked (crashed) batch dir + stale tmp are swept on next batch
+    StreamFs.createMarker(s"$d/edges/batch=9/part-zzz")
+    StreamFs.createMarker(s"$d/nodes/batch=8.tmp/part-zzz")
+    GraphStream.recover(d)
+    assert(!StreamFs.exists(s"$d/edges/batch=9"))
+    assert(!StreamFs.exists(s"$d/nodes/batch=8.tmp"))
+    assert(graphRows(d) === before)
+  }
+
+  test("live search over the streamed index returns sane ranked neighbors") {
+    val out = GraphStream.searchLive(spark, sf, ingest(3)).collect()
+    val qs = out.map(_.getLong(0)).distinct
+    assert(qs.nonEmpty && qs.forall(_ % ops.SimilarityQueries.queryStride == 0))
+    // per query: ranks are 1..n contiguous, cosine non-increasing
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length))
+      val cs = sorted.map(_.getDouble(3)).toSeq
+      assert(cs.sliding(2).forall(w => w.size < 2 || w(0) >= w(1)))
+      assert(sorted.length <= ops.SimilarityQueries.topK)
+    }
+    // the memoized bench face serves the same contract
+    val bench = GraphStream.annGraphSearchStreamed(spark, sf).collect()
+    assert(bench.nonEmpty)
+  }
+}
