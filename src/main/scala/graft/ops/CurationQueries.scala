@@ -87,6 +87,43 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** CURATION FUNNEL — the per-gate attrition report over
+    * [[curationPipeline]]'s rule chain: docs/tokens caught by each
+    * sequential gate (too_short → non_en → low_quality → near_dup →
+    * kept), their corpus shares, and the running survivor count — the
+    * ops dashboard every curation pipeline publishes next to its gates.
+    * Shape: the corpus collapses to ≤5 stage rows in one hash
+    * aggregate; the funnel's cumulative sum is a window over those ≤5
+    * rows and the totals are a 1-row broadcast (allowlisted class).
+    * Counts are BIGINT; shares are single IEEE divisions rounded 6dp
+    * (the gateEval conventions). */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val stageIdx = when(col("reject_reason") === "too_short", 1)
+      .when(col("reject_reason") === "non_en", 2)
+      .when(col("reject_reason") === "low_quality", 3)
+      .when(col("reject_reason") === "near_dup", 4)
+      .otherwise(5)
+    val g = curationPipeline(s, dir)
+      .select(stageIdx.as("stage_idx"),
+        coalesce(col("reject_reason"), lit("kept")).as("stage"),
+        col("n_tokens"))
+      .groupBy("stage_idx", "stage")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val tot = g.agg(sum(col("n_docs")).as("td"),
+      sum(col("n_tokens")).as("tt"))
+    val cum = Window.orderBy("stage_idx")
+      .rowsBetween(Window.unboundedPreceding, 0) // ≤5 stage rows
+    g.crossJoin(broadcast(tot))
+      .select(col("stage_idx"), col("stage"), col("n_docs"),
+        col("n_tokens"),
+        round(col("n_docs").cast("double") / col("td"), 6).as("doc_share"),
+        round(col("n_tokens").cast("double") / col("tt"), 6)
+          .as("token_share"),
+        (col("td") - sum(when(col("stage") === "kept", 0L)
+          .otherwise(col("n_docs"))).over(cum)).as("surviving_docs"))
+      .orderBy("stage_idx")
+  }
+
   /** THE END-TO-END PIPELINE as one declarative plan — what a user of
     * this engine actually ships: curate ([[curationPipeline]]'s four
     * rules, which include exact-dedup retention) → chunk the kept
@@ -897,6 +934,7 @@ object CurationQueries {
     "pipeline_e2e" -> (pipelineE2e _),
     "group_sample" -> (groupSample _),
     "curation_pipeline" -> (curationPipeline _),
+    "curation_funnel" -> (curationFunnel _),
     "source_stats" -> (sourceStats _),
     "pack_sequences" -> (packSequences _),
     "sample_mixture" -> (sampleMixture _),
@@ -1170,6 +1208,30 @@ object CurationQueries {
          |  JOIN sc en ON en.doc_id = t.doc_id AND en.lang = 'en'
          |  JOIN rk r ON r.doc_id = t.doc_id AND r.rk = 1),
          |${EvalQueries.gateEvalSql("clf_en")}""".stripMargin,
+    "curation_funnel" ->
+      s"""WITH $curationCtes,
+         |f AS (
+         |  SELECT CASE WHEN reject_reason IS NULL THEN 'kept'
+         |              ELSE reject_reason END AS stage,
+         |    CASE reject_reason WHEN 'too_short' THEN 1 WHEN 'non_en' THEN 2
+         |      WHEN 'low_quality' THEN 3 WHEN 'near_dup' THEN 4
+         |      ELSE 5 END AS stage_idx,
+         |    n_tokens
+         |  FROM r),
+         |g AS (
+         |  SELECT stage_idx, stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM f GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+         |    CAST(sum(n_tokens) AS BIGINT) AS tt FROM g)
+         |SELECT stage_idx, stage, n_docs, n_tokens,
+         |  round(CAST(n_docs AS DOUBLE) / td, 6) AS doc_share,
+         |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
+         |  td - CAST(sum(CASE WHEN stage = 'kept' THEN 0 ELSE n_docs END)
+         |    OVER (ORDER BY stage_idx ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND CURRENT ROW) AS BIGINT) AS surviving_docs
+         |FROM g CROSS JOIN tot ORDER BY stage_idx""".stripMargin,
     "classifier_pr_curve" ->
       s"""WITH $clfScoreCtes,
          |scored AS (

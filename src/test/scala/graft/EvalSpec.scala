@@ -91,6 +91,24 @@ class EvalSpec extends SparkSpec {
     assert(got.map(_._7).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("curation_funnel: shares sum to 1, survivors strictly decrease to kept") {
+    val rows = CurationQueries.curationFunnel(spark, sf).collect()
+    assert(rows.nonEmpty && rows.map(_.getInt(0)).toSeq.sorted ===
+      rows.map(_.getInt(0)).toSeq)
+    val docShare = rows.map(_.getDouble(4)).sum
+    val tokShare = rows.map(_.getDouble(5)).sum
+    assert(math.abs(docShare - 1.0) < 1e-4 && math.abs(tokShare - 1.0) < 1e-4)
+    // the funnel invariant: survivors non-increasing, and the last
+    // (kept) row's survivors equal its own doc count
+    val surv = rows.map(_.getLong(6)).toSeq
+    assert(surv.sliding(2).forall(w => w.size < 2 || w(0) >= w(1)))
+    val kept = rows.find(_.getString(1) == "kept")
+    assert(kept.forall(k => k.getLong(6) === k.getLong(2)))
+    // totals reconcile with the per-doc pipeline
+    val n = CurationQueries.curationPipeline(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === n)
+  }
+
   test("classifier_eval and dsir_eval rows are internally consistent") {
     val ce = CurationQueries.classifierEval(spark, sf).collect()(0)
     val nTest = Tables.documents(spark, sf)

@@ -401,7 +401,7 @@ class PlanSpec extends SparkSpec {
     "chi_square", "classifier_weights",
     // the eval faces end in EvalQueries.gateEval's 1-row × 1-row metric
     // assembly (and classifier_eval composes text_classify's chain)
-    "classifier_eval", "classifier_pr_curve", "dsir_eval",
+    "classifier_eval", "classifier_pr_curve", "curation_funnel", "dsir_eval",
     "copurchase_pairs", "corpus_divergence", "dedup_embedding",
     "doc_keywords", "dsir_select",
     "embedding_pq", "embedding_pq_trained", "hilbert_layout",
