@@ -928,6 +928,23 @@ object SimilarityQueries {
     val initSym = init
       .union(init.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+    nndRefine(v, initSym, incremental, rounds, kInner)
+      .filter(col("rank") <= knnK)
+      .select("src", "rank", "dst", "cosine")
+      .sortWithinPartitions("src", "rank")
+  }
+
+  /** The NN-Descent round loop of [[knnGraphAnn]], extracted so
+    * [[graft.streaming.GraphStream.compact]] can run the same refinement
+    * over the streamed index (init = the live graph instead of the
+    * rings). `v` = (vec_id, e, norm); `initSym` must already be the
+    * symmetrized (src, dst) init pair set. Returns the final per-src
+    * top-`kInner` ranking (src, dst, cosine, rank) — callers truncate to
+    * their output k. Pure extraction: [[knnGraphAnnImpl]] is
+    * byte-for-byte the old plan (the oracle + AnnTrainingSpec pin it). */
+  private[graft] def nndRefine(v: DataFrame, initSym: DataFrame,
+                               incremental: Boolean,
+                               rounds: Int, kInner: Int): DataFrame = {
     def score(pairs: DataFrame): DataFrame = pairs
       .join(v.select(col("vec_id").as("src"), col("e").as("ea"),
         col("norm").as("na")), Seq("src"))
@@ -990,9 +1007,7 @@ object SimilarityQueries {
           .localCheckpoint()
       prev = g
     }
-    prev.filter(col("rank") <= knnK)
-      .select("src", "rank", "dst", "cosine")
-      .sortWithinPartitions("src", "rank")
+    prev
   }
 
   /** Fixed greedy-search rounds / beam width for [[annGraphSearch]].
@@ -1042,8 +1057,13 @@ object SimilarityQueries {
       .distinct().localCheckpoint()
   }
 
-  private val prebuiltGraphEdges =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // keyed by (session, dir): a localCheckpoint'd DataFrame dies with its
+  // owning session, so a cache entry from a stopped session must never be
+  // served to a new one (round-12 advice). getOrElseUpdate may still build
+  // twice under a concurrent FIRST call — acceptable for a bench-only
+  // face; the loser's checkpoint is dropped with the reference.
+  private val prebuiltGraphEdges = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
 
   /** BENCH-ONLY steady-state twin of [[annGraphSearch]] (the
     * [[graft.streaming.AnnStream.annIvfPqPrebuilt]] pattern): the
@@ -1055,7 +1075,7 @@ object SimilarityQueries {
     * row-for-row equality with the rebuild query. */
   def annGraphSearchPrebuilt(s: SparkSession, dir: String): DataFrame =
     searchOverGraph(s, dir,
-      prebuiltGraphEdges.getOrElseUpdate(dir, searchedEdges(s, dir)))
+      prebuiltGraphEdges.getOrElseUpdate((s, dir), searchedEdges(s, dir)))
 
   private[graft] def searchOverGraph(s: SparkSession, dir: String,
       edges: DataFrame): DataFrame = {

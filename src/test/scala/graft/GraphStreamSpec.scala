@@ -66,6 +66,60 @@ class GraphStreamSpec extends SparkSpec {
     assert(graphRows(d) === before)
   }
 
+  private def recallVsExact(found: DataFrame): Double = {
+    def sets(df: DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val t = sets(ops.SimilarityQueries.annBruteForce(spark, sf))
+    val a = sets(found)
+    val per = t.map { case (q, ts) =>
+      (a.getOrElse(q, Set.empty) & ts).size.toDouble / ts.size }
+    per.sum / per.size
+  }
+
+  private def dataDirs(d: String, kind: String): Seq[String] =
+    StreamFs.listNames(s"$d/$kind").filter(_.startsWith("batch="))
+      .filter(b => StreamFs.listNames(s"$d/$kind/$b")
+        .exists(_.endsWith(".parquet")))
+
+  test("compact: one data dir per kind, recall not reduced, ingest continues") {
+    val d = ingest(4)
+    val pre = recallVsExact(GraphStream.searchLive(spark, sf, d))
+    assert(dataDirs(d, "edges").size === 4)
+    GraphStream.compact(spark, d)
+    // every kind collapsed to ONE data dir; earlier committed ids stay
+    // recognizable as marker-only nodes dirs (the replay no-op check)
+    Seq("nodes", "edges", "rings").foreach(k =>
+      assert(dataDirs(d, k).size === 1, s"$k not consolidated"))
+    (0 until 4).foreach(i => assert(
+      StreamFs.exists(s"$d/nodes/batch=$i/_GRAFT_COMMIT"),
+      s"batch $i id forgotten by compaction"))
+    // NND refinement + full-membership rings: search quality only rises
+    val post = recallVsExact(GraphStream.searchLive(spark, sf, d))
+    assert(post >= pre, s"compaction dropped recall: $post < $pre")
+    // replaying a pre-compaction batch id is still a no-op
+    val rows = graphRows(d)
+    GraphStream.applyMicroBatch(spark, corpus, d, 2L)
+    assert(graphRows(d) === rows)
+    // further ingest continues against the compacted index
+    GraphStream.applyMicroBatch(spark,
+      corpus.withColumn("vec_id", col("vec_id") + 100000L), d, 9L)
+    import spark.implicits._
+    val srcs = GraphStream.readGraph(spark, d)
+      .select("src").as[Long].collect()
+    assert(srcs.exists(_ >= 100000L), "post-compaction batch not ingested")
+    assert(GraphStream.searchLive(spark, sf, d).count() > 0)
+  }
+
+  test("compact lock: a fresh lock blocks a second compaction") {
+    val d = ingest(2)
+    StreamFs.writeAtomicString(d + ".clock", "")
+    intercept[java.io.IOException](GraphStream.compact(spark, d))
+    StreamFs.delete(d + ".clock")
+    GraphStream.compact(spark, d) // and without it, compaction proceeds
+    assert(dataDirs(d, "edges").size === 1)
+  }
+
   test("live search over the streamed index returns sane ranked neighbors") {
     val out = GraphStream.searchLive(spark, sf, ingest(3)).collect()
     val qs = out.map(_.getLong(0)).distinct
