@@ -61,6 +61,8 @@ object SparkEntry {
       (SimilarityQueries.annGraphSearchPrebuilt _),
     "ann_graph_search_streamed" ->
       (graft.streaming.GraphStream.annGraphSearchStreamed _),
+    "ann_graph_search_compacted" ->
+      (graft.streaming.GraphStream.annGraphSearchCompacted _),
     "approx_distinct" -> (AnalyticsQueries.approxDistinct _),
     "approx_percentile" -> (AnalyticsQueries.approxPercentile _))
 

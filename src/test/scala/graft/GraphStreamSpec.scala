@@ -132,8 +132,13 @@ class GraphStreamSpec extends SparkSpec {
       assert(cs.sliding(2).forall(w => w.size < 2 || w(0) >= w(1)))
       assert(sorted.length <= ops.SimilarityQueries.topK)
     }
-    // the memoized bench face serves the same contract
-    val bench = GraphStream.annGraphSearchStreamed(spark, sf).collect()
-    assert(bench.nonEmpty)
+    // the memoized bench faces serve the same contract; the compacted
+    // face must not lose quality vs the uncompacted one (the compact
+    // test above pins recall ≥ on a shared index; this pins the faces)
+    val bench = GraphStream.annGraphSearchStreamed(spark, sf)
+    assert(bench.count() > 0)
+    val compacted = GraphStream.annGraphSearchCompacted(spark, sf)
+    assert(recallVsExact(compacted) >= recallVsExact(bench),
+      "compacted bench face lost recall vs the streamed face")
   }
 }
