@@ -27,14 +27,63 @@ import org.apache.spark.sql.functions._
   * intermediate rounding exists to diverge).
   *
   * Shape at 100 TB: one corpus-wide hash aggregate to the per-score
-  * histogram (map-side combined; ≤ NDV(score) rows — ppm scores, so the
-  * histogram is bounded by the score GRID, not the corpus) + one global
-  * confusion aggregate (4 counters). The only ordered window runs over
-  * the collapsed histogram — corpus-size-independent input, the
-  * [[CurationQueries]] budget_select boundary-bucket precedent — and the
-  * final 1-row × 1-row crossJoin is the PlanSpec-allowlisted
-  * provably-tiny broadcast class. */
+  * histogram (map-side combined; ≤ NDV(score) rows) + one global
+  * confusion aggregate (4 counters). The histogram is usually small
+  * (integer ppm grid), but for SUM-shaped scores on an open vocabulary
+  * — e.g. [[CurationQueries.classifierEval]]'s per-doc Σ of token
+  * weights — NDV(score) grows with the corpus, so NOTHING here may
+  * order the whole histogram in one partition. The cumulative sums both
+  * faces need therefore run as a DISTRIBUTED two-pass prefix sum
+  * ([[prefixedHistogram]]): range-partition by score, local per-
+  * partition cumsum, plus a broadcast per-partition offset table whose
+  * size is the PARTITION COUNT (a Spark config, corpus-independent) —
+  * the only single-partition ordered window left in the family runs
+  * over those P rows. The final 1-row × 1-row crossJoin is the
+  * PlanSpec-allowlisted provably-tiny broadcast class. */
 object EvalQueries {
+
+  /** The per-score (score, np, nn) histogram both faces collapse the
+    * corpus to — ONE place (round-12 verdict ask #8), so a future
+    * quantized face changes one line. */
+  private def scoreHistogram(scored: DataFrame): DataFrame =
+    scored.groupBy("score").agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("nn"))
+
+  /** DISTRIBUTED prefix sums over the score histogram — the textbook
+    * two-pass scan: (1) range-partition the histogram by score (desc
+    * for the PR sweep, asc for the rank sum), freeze the assignment
+    * with a localCheckpoint so both consumers see identical partitions,
+    * (2) per-PARTITION totals → a P-row offset table (P = shuffle
+    * partition count, corpus-INDEPENDENT) whose exclusive prefix runs
+    * in the family's only single-partition window, (3) broadcast the
+    * offsets back and add the per-partition local cumsum (a window
+    * bounded by NDV/P rows, partitioned by pid so no global order).
+    * Adds `cum_np`/`cum_nn` — INCLUSIVE prefix sums in the given score
+    * order; callers subtract the current row for the exclusive form.
+    * Exactness: integer sums reassociate freely, so the split prefix
+    * equals the single-partition window bit for bit (EvalSpec pins
+    * brute-force equality, including a high-NDV fixture). */
+  private def prefixedHistogram(hist: DataFrame, desc: Boolean): DataFrame = {
+    val parts = hist.sparkSession.sessionState.conf.numShufflePartitions
+    val ord = if (desc) col("score").desc else col("score").asc
+    val ranged = hist.repartitionByRange(parts, ord)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val byPid = Window.orderBy("pid") // P rows — the bounded window
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("pid")
+      .agg(sum("np").as("pnp"), sum("nn").as("pnn"))
+      .select(col("pid"),
+        coalesce(sum(col("pnp")).over(byPid), lit(0L)).as("off_np"),
+        coalesce(sum(col("pnn")).over(byPid), lit(0L)).as("off_nn"))
+    val local = Window.partitionBy(col("pid")).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum_np", col("off_np") + sum(col("np")).over(local))
+      .withColumn("cum_nn", col("off_nn") + sum(col("nn")).over(local))
+      .drop("pid", "off_np", "off_nn")
+  }
 
   /** Evaluate one gate. `scored` must have columns
     * `(score: BIGINT, label: BOOLEAN, decision: BOOLEAN)` — one row per
@@ -47,16 +96,11 @@ object EvalQueries {
     // two consumers below (histogram + confusion) — materialize the
     // gate's scoring pipeline ONCE (the budget_select 3-consumer lesson)
     val scored = scoredRaw.localCheckpoint()
-    val hist = scored.groupBy("score").agg(
-      sum(when(col("label"), 1L).otherwise(0L)).as("np"),
-      sum(when(col("label"), 0L).otherwise(1L)).as("nn"))
-    // single-partition ordered window — over the SCORE HISTOGRAM only
-    // (≤ NDV(score) rows after the map-side-combined aggregate above),
-    // never the corpus; the budget_select boundary-bucket precedent
-    val below = Window.orderBy("score")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val agg = hist
-      .withColumn("cnn", coalesce(sum(col("nn")).over(below), lit(0L)))
+    // cnn = #neg strictly below this score: the distributed inclusive
+    // prefix minus the row's own nn (no global ordered window — see
+    // the object scaladoc's open-vocabulary NDV note)
+    val agg = prefixedHistogram(scoreHistogram(scored), desc = false)
+      .withColumn("cnn", col("cum_nn") - col("nn"))
       .agg(sum(col("np") * (col("cnn") * 2 + col("nn"))).as("u2"),
         sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
     val conf = scored.agg(
@@ -95,24 +139,20 @@ object EvalQueries {
     * monitors the one they shipped.
     *
     * Shape: identical to [[gateEval]] — the corpus collapses to the
-    * per-score histogram (map-side combined), and the sweep is two
-    * cumulative sums over that histogram in ONE ordered window pass
-    * (score desc ⇒ running tp/fp; fn/tn from the broadcast totals).
-    * Output size = NDV(score), bounded by the integer score grid. */
+    * per-score histogram (map-side combined), and the sweep is the
+    * distributed prefix sum of [[prefixedHistogram]] in score-DESC
+    * order (running tp/fp; fn/tn from the broadcast totals). Output
+    * size = NDV(score). */
   def prCurve(scoredRaw: DataFrame): DataFrame = {
     val scored = scoredRaw.localCheckpoint() // histogram + totals consumers
-    val hist = scored.groupBy("score").agg(
-      sum(when(col("label"), 1L).otherwise(0L)).as("np"),
-      sum(when(col("label"), 0L).otherwise(1L)).as("nn"))
     val tot = scored.agg(
       sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
       sum(when(col("label"), 0L).otherwise(1L)).as("n_neg"))
-    // ordered window over the COLLAPSED histogram only (gateEval note)
-    val cum = Window.orderBy(col("score").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    hist
-      .withColumn("tp", sum(col("np")).over(cum))
-      .withColumn("fp", sum(col("nn")).over(cum))
+    // running tp/fp down the sweep = the distributed inclusive prefix
+    // in score-DESC order (no global ordered window — gateEval note)
+    prefixedHistogram(scoreHistogram(scored), desc = true)
+      .withColumnRenamed("cum_np", "tp")
+      .withColumnRenamed("cum_nn", "fp")
       .crossJoin(broadcast(tot)) // 1-row totals (allowlisted class)
       .select(col("score").as("threshold"), col("tp"), col("fp"),
         (col("n_pos") - col("tp")).as("fn"),

@@ -91,6 +91,31 @@ class EvalSpec extends SparkSpec {
     assert(got.map(_._7).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("high-NDV scores (near-unique, corpus-scale histogram) stay exact") {
+    // the open-vocabulary regime the distributed prefix sum exists for:
+    // ~n distinct scores, so the histogram is corpus-sized and a
+    // single-partition ordered window would be the bottleneck — the
+    // split cumsum must agree with quadratic brute force bit for bit
+    val rows = (0 until 2000).map { i =>
+      val score = i * 2654435761L % 999983L // near-unique (prime mod)
+      (score, i % 3 != 0, score > 500000L)
+    }
+    assert(rows.map(_._1).distinct.size > 1900) // really high NDV
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val u2 = (for { p <- pos; n <- neg } yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expect = BigDecimal(u2.toDouble / (2.0 * pos.size * neg.size))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(eval1(rows).getDouble(3) === expect)
+    // and the PR sweep's running tp at the smallest threshold = n_pos
+    val pr = EvalQueries.prCurve(
+      rows.map(r => (r._1, r._2)).toDF("score", "label")).collect()
+    assert(pr.length === rows.map(_._1).distinct.size)
+    assert(pr.head.getLong(1) === pos.size.toLong) // min threshold: all pos
+    assert(pr.map(_.getLong(1)).max === pos.size.toLong)
+  }
+
   test("curation_funnel: shares sum to 1, survivors strictly decrease to kept") {
     val rows = CurationQueries.curationFunnel(spark, sf).collect()
     assert(rows.nonEmpty && rows.map(_.getInt(0)).toSeq.sorted ===
