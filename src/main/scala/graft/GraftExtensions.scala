@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(PqExpressions.pqAdcDescriptor)
     ext.injectFunction(BlocklistExpressions.blocklistHitsDescriptor)
     ext.injectFunction(HtmlExtractExpressions.htmlExtractDescriptor)
+    ext.injectFunction(graft.functions.UrlExpressions.urlCanonDescriptor)
     ext.injectFunction(graft.functions.AbttExpressions.abttMicroDescriptor)
     ext.injectFunction(BloomExpressions.bloomAggDescriptor)
     ext.injectFunction(BloomExpressions.mightContainDescriptor)

@@ -61,6 +61,28 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** URL-level dedup — C4's FIRST dedup stage (Raffel et al. JMLR'20
+    * §2.2: one page per URL before any content hashing): group by the
+    * CANONICALIZED url ([[TextQueries.urlNormalize]]'s codegen kernel —
+    * mixed-case hosts, default ports, tracking params and fragments all
+    * collapse), smallest doc_id per group is canonical — exactly
+    * [[dedupExact]]'s window keyed on the canonical URL instead of the
+    * content hash. At 100 TB: one map-only canonicalize projection +
+    * one hash shuffle on the canonical URL (the same shape and skew
+    * profile as exact dedup; no text is read at all). */
+  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("url_canonicalize", TextQueries.syntheticUrl)
+          .as("canonical_url"))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy(col("canonical_url"))))
+      .select(col("doc_id"), col("canonical_url"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** doc_id → distinct 3-gram shingles + count (shared subplan). */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -1004,6 +1026,7 @@ object DedupQueries {
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_shared_ngrams" -> (dedupSharedNgrams _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_url" -> (dedupUrl _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -1282,6 +1305,12 @@ object DedupQueries {
          |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
          |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_url" ->
+      s"""WITH ${TextQueries.urlSynthSql}
+         |SELECT doc_id, canonical_url,
+         |  min(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
+         |  doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS keep
+         |FROM u ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH $jaccardPairsCte
          |SELECT a, b, common, jaccard FROM jpairs ORDER BY a, b""".stripMargin,

@@ -324,6 +324,98 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic per-document URL synthesis — the corpus carries no
+    * URL column (`source` is an opaque label), so, exactly like the
+    * media payloads ([[MediaQueries.mediaTable]]) and the injected
+    * accents above, each document gets a URL built from doc_id
+    * arithmetic: mixed-case schemes and hosts, explicit default and
+    * non-default ports, `utm_*`/`fbclid` tracking params, unsorted
+    * query keys, fragments. The DuckDB oracle re-synthesizes BOTH the
+    * raw url and its expected canonical form from the same arithmetic
+    * ([[urlSynthSql]]), so the Spark side's real parser
+    * ([[graft.functions.UrlCanonUtil]]) is checked end to end. By
+    * construction the canonical form is a function of doc_id mod 100
+    * (every varying residue divides 100), so a 500-doc corpus carries
+    * genuine 5-way URL aliases for [[DedupQueries]]'s `dedup_url`. */
+  private[ops] def syntheticUrl: Column = {
+    val id = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    val schemeRaw = when(id % 4 === 0, "https").when(id % 4 === 1, "HTTP")
+      .when(id % 4 === 2, "http").otherwise("HTTPS")
+    val host = concat(lit("example"), s(id % 50), lit(".com"))
+    val hostRaw = when(id % 3 === 1, upper(host)).otherwise(host)
+    val portRaw = when(id % 5 === 0,
+        when(id % 4 === 0 || id % 4 === 3, ":443").otherwise(":80"))
+      .when(id % 5 === 1, lit(":8080")).otherwise(lit(""))
+    val utm = when(id % 3 === 0,
+        concat(lit("utm_source=feed&utm_campaign=c"), s(id % 9), lit("&")))
+      .otherwise(lit(""))
+    val kept = when(id % 2 === 1, concat(lit("ref=nav&id="), s(id % 100)))
+      .otherwise(concat(lit("id="), s(id % 100)))
+    val fb = when(id % 7 === 0, concat(lit("&fbclid=F"), s(id)))
+      .otherwise(lit(""))
+    val frag = when(id % 4 === 0, concat(lit("#sec"), s(id % 5)))
+      .otherwise(lit(""))
+    concat(schemeRaw, lit("://"), hostRaw, portRaw,
+      lit("/p/"), s(id % 20), lit("?"), utm, kept, fb, frag)
+  }
+
+  /** DuckDB mirror of [[syntheticUrl]] + the EXPECTED canonical form —
+    * a CTE `u(doc_id, url, canonical_url)` over `documents`. The
+    * canonical side is recomputed from the generative parameters (the
+    * media-checksum oracle trick), not by string surgery, so any parser
+    * deviation fails the hash. */
+  // NOTE: no line in this block may BEGIN with '||' — the consuming
+  // oracle templates interpolate it and then run their own stripMargin,
+  // which would eat the first '|' of a line-leading concat operator
+  private[ops] val urlSynthSql: String =
+    """u AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 4 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTP'
+      |          WHEN 2 THEN 'http' ELSE 'HTTPS' END) || '://' ||
+      |    (CASE WHEN doc_id % 3 = 1
+      |          THEN upper('example' || CAST(doc_id % 50 AS VARCHAR) || '.com')
+      |          ELSE 'example' || CAST(doc_id % 50 AS VARCHAR) || '.com' END) ||
+      |    (CASE WHEN doc_id % 5 = 0
+      |          THEN (CASE WHEN doc_id % 4 IN (0, 3) THEN ':443' ELSE ':80' END)
+      |          WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+      |    '/p/' || CAST(doc_id % 20 AS VARCHAR) || '?' ||
+      |    (CASE WHEN doc_id % 3 = 0
+      |          THEN 'utm_source=feed&utm_campaign=c' ||
+      |               CAST(doc_id % 9 AS VARCHAR) || '&' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 1
+      |          THEN 'ref=nav&id=' || CAST(doc_id % 100 AS VARCHAR)
+      |          ELSE 'id=' || CAST(doc_id % 100 AS VARCHAR) END) ||
+      |    (CASE WHEN doc_id % 7 = 0
+      |          THEN '&fbclid=F' || CAST(doc_id AS VARCHAR) ELSE '' END) ||
+      |    (CASE WHEN doc_id % 4 = 0
+      |          THEN '#sec' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END)
+      |      AS url,
+      |    (CASE WHEN doc_id % 4 IN (0, 3) THEN 'https' ELSE 'http' END) ||
+      |    '://example' || CAST(doc_id % 50 AS VARCHAR) || '.com' ||
+      |    (CASE WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+      |    '/p/' || CAST(doc_id % 20 AS VARCHAR) ||
+      |    '?id=' || CAST(doc_id % 100 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 2 = 1 THEN '&ref=nav' ELSE '' END)
+      |      AS canonical_url
+      |  FROM documents)""".stripMargin
+
+  /** URL CANONICALIZATION — C4's stage-one preprocessing (Raffel et al.
+    * JMLR'20 §2.2 dedups Common Crawl BY URL before anything touches
+    * the text): lowercase scheme/host, strip default ports / fragments
+    * / tracking params (`utm_*`, `fbclid`, `gclid`, `msclkid`), sort
+    * the surviving query params. One codegen'd projection on the scan
+    * path ([[graft.functions.UrlCanon]] — the html_extract kernel
+    * pattern; a regex chain would be N interpreted passes), so at
+    * 100 TB this is a map-only scan: no shuffle, no state. */
+  def urlNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), syntheticUrl.as("url"))
+      .select(col("doc_id"), col("url"),
+        call_function("url_canonicalize", col("url")).as("canonical_url"))
+      .withColumn("changed", col("url") =!= col("canonical_url"))
+      .orderBy("doc_id")
+
   /** Bigram LANGUAGE-MODEL likelihood — the CCNet/KenLM-style fluency
     * filter at n=2, self-trained on the corpus: MLE p(w₂|w₁) =
     * c(w₁w₂)/c(w₁); per-document score = mean ln p over its bigram
@@ -645,6 +737,7 @@ object TextQueries {
     "quality_filter" -> (qualityFilter _),
     "text_bigram_lm" -> (bigramLm _),
     "text_normalize" -> (textNormalize _),
+    "url_normalize" -> (urlNormalize _),
     "text_compression" -> (compressionRatio _),
     "pii_scrub" -> (piiScrub _),
     "text_token_count" -> (tokenCount _),
@@ -897,6 +990,11 @@ object TextQueries {
         |SELECT doc_id, md5(strip_accents(t2)) AS norm_md5,
         |  strip_accents(t2) != t2 AS changed
         |FROM t ORDER BY doc_id""".stripMargin,
+    "url_normalize" ->
+      s"""WITH $urlSynthSql
+         |SELECT doc_id, url, canonical_url,
+         |  url != canonical_url AS changed
+         |FROM u ORDER BY doc_id""".stripMargin,
     "pii_scrub" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -846,6 +846,46 @@ class OpsSpec extends SparkSpec {
       ._1 === "good line one two\nmore good prose here")
   }
 
+  test("url_canonicalize: every rule fires; aliased URLs collide; dedup keys on them") {
+    import graft.functions.UrlCanonUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    def c(s: String): String =
+      UrlCanonUtil.canonicalize(UTF8String.fromString(s)).toString
+    // one assertion per rule, on FOREIGN urls (not the synthesized corpus)
+    assert(c("HTTPS://WWW.Example.COM/Path") === "https://www.example.com/Path",
+      "scheme+host lowercase; path case preserved")
+    assert(c("http://a.com:80/x") === "http://a.com/x", "default http port")
+    assert(c("https://a.com:443/x") === "https://a.com/x", "default https port")
+    assert(c("https://a.com:8443/x") === "https://a.com:8443/x", "non-default kept")
+    assert(c("http://a.com/x#frag") === "http://a.com/x", "fragment dropped")
+    assert(c("http://a.com/x?utm_source=s&q=1&fbclid=F&gclid=G&msclkid=M")
+      === "http://a.com/x?q=1", "tracking params stripped")
+    assert(c("http://a.com/x?b=2&a=1") === "http://a.com/x?a=1&b=2",
+      "query keys sorted")
+    assert(c("http://a.com/x?utm_source=s") === "http://a.com/x",
+      "empty residual query loses its ?")
+    assert(c("http://u:p@A.com/x") === "http://u:p@a.com/x",
+      "userinfo preserved, host still lowercased")
+    assert(c("http://[::1]:8080/x") === "http://[::1]:8080/x", "ipv6 + port")
+    assert(c("not a url") === "not a url", "non-hierarchical passes through")
+    // two ALIASES of one resource collide; a third resource does not
+    val a1 = c("HTTP://Example.com:80/p?utm_campaign=x&b=2&a=1#top")
+    val a2 = c("http://example.com/p?a=1&b=2&fbclid=zzz")
+    assert(a1 === a2 && a1 === "http://example.com/p?a=1&b=2")
+    assert(c("http://example.com/p?a=1&b=3") !== a1)
+    // the registered dedup face groups the synthesized 5-way aliases:
+    // canonical_url is a function of doc_id % 100 BY CONSTRUCTION
+    val d = DedupQueries.dedupUrl(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val byCanon = d.groupBy(_._2)
+    assert(byCanon.size === 100, s"expected 100 url groups, ${byCanon.size}")
+    assert(byCanon.values.forall(g =>
+      g.map(_._1 % 100).distinct.size === 1), "aliases share doc_id % 100")
+    assert(byCanon.values.forall(g =>
+      g.count(_._4) === 1 && g.filter(_._4).head._1 === g.map(_._1).min),
+      "exactly the min doc_id per group keeps")
+  }
+
   test("blocklist_filter ≡ Scala brute force; never-occurring term silent") {
     // brute force enumerates n-grams for EVERY distinct blocked-term
     // length — so the trigram path has positive coverage, not just the
