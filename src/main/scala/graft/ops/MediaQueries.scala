@@ -371,6 +371,13 @@ object MediaQueries {
   def encodeBmp(docId: Long): Array[Byte] = {
     val w = (8 + docId % 9).toInt
     val h = (8 + docId % 7).toInt
+    encodeBmpPixels(w, h, i => ((docId + i) % 256).toInt)
+  }
+
+  /** The BMP writer behind [[encodeBmp]], generalized over the pixel
+    * source (`px` takes the top-down row-major index) so the phash
+    * fixtures can encode TEXTURED pixmaps through the same real codec. */
+  def encodeBmpPixels(w: Int, h: Int, px: Int => Int): Array[Byte] = {
     val stride = (3 * w + 3) & ~3
     val size = 54 + stride * h
     val bb = java.nio.ByteBuffer.allocate(size)
@@ -383,7 +390,7 @@ object MediaQueries {
     for (row <- h - 1 to 0 by -1) { // bottom-up storage
       var x = 0
       while (x < w) {
-        val v = ((docId + row * w + x) % 256).toByte
+        val v = (px(row * w + x) & 0xff).toByte
         bb.put(v).put(v).put(v) // B G R
         x += 1
       }
@@ -461,9 +468,15 @@ object MediaQueries {
     * same deterministic gray ramp as [[encodeBmp]], so the oracle shares
     * the arithmetic. */
   def encodePng(docId: Long): Array[Byte] = {
-    imageIoNoDiskCache()
     val w = (8 + docId % 9).toInt
     val h = (8 + docId % 7).toInt
+    encodePngPixels(w, h, i => ((docId + i) % 256).toInt)
+  }
+
+  /** The PNG writer behind [[encodePng]], generalized over the pixel
+    * source like [[encodeBmpPixels]]. */
+  def encodePngPixels(w: Int, h: Int, px: Int => Int): Array[Byte] = {
+    imageIoNoDiskCache()
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var i = 0
@@ -471,7 +484,7 @@ object MediaQueries {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = ((docId + i) % 256).toInt
+        val v = px(i) & 0xff
         img.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1; i += 1
       }
@@ -659,6 +672,149 @@ object MediaQueries {
       .orderBy("doc_id")
   }
 
+  // ---- perceptual hashing / multimodal dedup ---------------------------
+
+  /** dHash geometry: an 11×6 sample grid → 10 horizontal gradient bits ×
+    * 6 rows = 60 bits — 60, not the textbook 64, for the same reason as
+    * [[DedupQueries.simhashBits]]: a 60-bit hash stays non-negative in a
+    * BIGINT on BOTH engines (bit 63 would sign-flip Spark's LongType and
+    * overflow DuckDB's `sum(2^bit)` packing), and it splits into the
+    * house 4×15-bit pigeonhole bands verbatim. */
+  val phashGridW = 11
+  val phashGridH = 6
+  /** Verified near-dup threshold. Measured on the motif fixture (see
+    * [[phashSigs]]): same-motif pairs have hamming mean 1.4 / max ≤ 8,
+    * cross-motif pairs mean ~32 / min ≥ 3 — ≤ 4 keeps ≥ 98% of true
+    * near-dups with (at sf0.01) zero cross-motif accidentals. */
+  val phashMaxHamming = 4
+
+  /** Per-motif textured pixel (top-down row-major index `i`), shared by
+    * the encoder and the DuckDB oracle: a multiplicative hash so the
+    * horizontal gradient SIGNS are pseudo-random (the plain doc_id ramp
+    * of [[mediaTable]] is monotone in i — every image's dHash would be
+    * near-all-ones and pairwise output O(n²); measured before switching).
+    * Documents sharing a motif differ only at sparse perturbed positions
+    * (i ≡ doc_id mod 97 → +128 gray flip), the "same image, small edit"
+    * regime perceptual hashing exists for. */
+  def texturePixel(motif: Long, docId: Long, i: Int): Int = {
+    val v = ((((i + 1).toLong * (motif * 8191L + 127L)) % 65521L) % 256L).toInt
+    if (i % 97 == (docId % 97).toInt) (v + 128) % 256 else v
+  }
+
+  /** Motif count for [[phashSigs]]: ~8 images per motif, floored at 25 —
+    * sized from the corpus (one count(), the
+    * [[SimilarityQueries.seedStrideOf]] precedent) so near-dup GROUP
+    * size stays constant as the corpus grows and total near-dup pairs
+    * scale LINEARLY (a fixed motif count would grow groups — and the
+    * pair output — quadratically with the corpus). */
+  def phashMotifs(nImages: Long): Long = math.max(25L, nImages / 8L)
+
+  /** 60-bit dHash over a decoded grayscale pixmap: nearest-neighbor
+    * sample the [[phashGridW]]×[[phashGridH]] grid, bit = left < right
+    * per horizontal neighbor pair (Krawetz's difference hash — the
+    * LAION-style perceptual dedup gate). Integer-exact: grid positions
+    * are floor divisions, so the DuckDB oracle recomputes every bit from
+    * the synthesis arithmetic. */
+  def dhash60(w: Int, h: Int, px: Array[Int]): Long = {
+    var bits = 0L
+    var yi = 0
+    while (yi < phashGridH) {
+      val gy = yi * h / phashGridH
+      var xi = 0
+      while (xi < phashGridW - 1) {
+        val l = px(gy * w + xi * w / phashGridW)
+        val r = px(gy * w + (xi + 1) * w / phashGridW)
+        if (l < r) bits |= 1L << (yi * (phashGridW - 1) + xi)
+        xi += 1
+      }
+      yi += 1
+    }
+    bits
+  }
+
+  case class PhashMeta(doc_id: Long, format: String, width: Long,
+                       height: Long, dhash: Long)
+
+  /** The textured image table → REAL encoded bytes (PNG for doc_id ≡ 0
+    * mod 3, BMP for ≡ 2; audio rows are a different modality — an
+    * amplitude fingerprint, not a pixmap hash — and are excluded), then
+    * REAL decode → grayscale pixmap → [[dhash60]]. Dimensions and
+    * texture derive from the MOTIF (doc_id mod [[phashMotifs]]), so
+    * same-motif documents are genuine near-duplicate images: same size,
+    * same texture, sparse per-document pixel edits. */
+  private def phashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nImages = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 =!= 1).count()
+    val nm = phashMotifs(nImages)
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 =!= 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        imageIoNoDiskCache()
+        it.map { id =>
+          val m = id % nm
+          val w = (8 + m % 9).toInt
+          val h = (8 + m % 7).toInt
+          val bytes =
+            if (id % 3 == 0) encodePngPixels(w, h, texturePixel(m, id, _))
+            else encodeBmpPixels(w, h, texturePixel(m, id, _))
+          // REAL decode back to the pixmap (blue channel = gray)
+          val px = new Array[Int](w * h)
+          if (id % 3 == 0) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            var i = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { px(i) = img.getRGB(x, y) & 0xff; x += 1; i += 1 }
+              y += 1
+            }
+          } else {
+            var i = 0
+            decodeBmp(id, bytes, b => { px(i) = b; i += 1 })
+          }
+          PhashMeta(id, if (id % 3 == 0) "png" else "bmp",
+            w.toLong, h.toLong, dhash60(w, h, px))
+        }
+      }.toDF()
+  }
+
+  /** Oracle-checked query: the perceptual signature table. */
+  def mediaPhash(s: SparkSession, dir: String): DataFrame =
+    phashSigs(s, dir).orderBy("doc_id")
+
+  /** PERCEPTUAL image dedup — the first gate a LAION-style multimodal
+    * pipeline runs: near-dup image pairs via the exact
+    * [[DedupQueries.dedupSimhash]] machinery over [[dhash60]] signatures
+    * (4×15-bit pigeonhole bands → candidate equi-join → exact
+    * `bit_count(xor)` verify ≤ [[phashMaxHamming]]). Same recall trade
+    * as simhash: hamming ≤ 4 across 4 bands is not pigeonhole-guaranteed
+    * a shared band; candidates are pairs agreeing on ≥ 1 band. Scale:
+    * signature build is map-only real-codec work; the join is banded
+    * equi-join with group sizes bounded by the motif design (~8), never
+    * an all-pairs product. */
+  def dedupMedia(s: SparkSession, dir: String): DataFrame = {
+    val sig = phashSigs(s, dir).localCheckpoint() // feeds both join sides
+    val chunkArr = array((0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        (shiftright(col("dhash"), c * 15) % 32768).as("key"))): _*)
+    val chunks = sig
+      .select(col("doc_id"), col("dhash"), explode(chunkArr).as("ck"))
+      .select(col("doc_id"), col("dhash"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    chunks.as("x").join(chunks.as("y"), Seq("chunk", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.dhash").as("ha"), col("y.dhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= phashMaxHamming)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_decode" -> (mediaDecode _),
     "media_jpeg_decode" -> (mediaJpegDecode _),
@@ -669,7 +825,45 @@ object MediaQueries {
     "media_wav_decode" -> (mediaWavDecode _),
     "media_bmp_decode" -> (mediaBmpDecode _),
     "media_png_decode" -> (mediaPngDecode _),
-    "media_resize" -> (mediaResize _))
+    "media_resize" -> (mediaResize _),
+    "media_phash" -> (mediaPhash _),
+    "dedup_media" -> (dedupMedia _))
+
+  /** Shared oracle CTE chain ending in `hsh(doc_id, dhash)` (+`pdim`):
+    * the DuckDB replica of [[phashSigs]] — dims/texture from the motif
+    * arithmetic, the 11×6 grid sample, gradient bits packed with
+    * bigint shifts. `pdim`/`hsh` are AS MATERIALIZED: both are
+    * referenced more than once downstream (dedup_media's 4 band legs). */
+  private val phashCte: String =
+    s"""nmv AS (
+       |  SELECT greatest(25, count(*) // 8) AS nm
+       |  FROM documents WHERE doc_id % 3 != 1),
+       |pdim AS MATERIALIZED (
+       |  SELECT doc_id, doc_id % nm AS m,
+       |    8 + (doc_id % nm) % 9 AS w, 8 + (doc_id % nm) % 7 AS h
+       |  FROM documents, nmv WHERE doc_id % 3 != 1),
+       |gxs AS (SELECT unnest(generate_series(0, ${phashGridW - 1})) AS gx),
+       |gys AS (SELECT unnest(generate_series(0, ${phashGridH - 1})) AS gy),
+       |sv AS (
+       |  SELECT d.doc_id, d.m, gy, gx,
+       |    (gy * d.h // $phashGridH) * d.w + (gx * d.w // $phashGridW) AS i
+       |  FROM pdim d CROSS JOIN gxs CROSS JOIN gys),
+       |pxv AS (
+       |  SELECT doc_id, gy, gx,
+       |    CASE WHEN i % 97 = doc_id % 97
+       |         THEN ((i + 1) * (m * 8191 + 127) % 65521 % 256 + 128) % 256
+       |         ELSE (i + 1) * (m * 8191 + 127) % 65521 % 256 END AS v
+       |  FROM sv),
+       |gbits AS (
+       |  SELECT doc_id, gy, gx, v,
+       |    lead(v) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS nxt
+       |  FROM pxv),
+       |hsh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(coalesce(sum(CASE WHEN gx < ${phashGridW - 1} AND v < nxt
+       |      THEN (CAST(1 AS BIGINT) << (gy * ${phashGridW - 1} + gx))
+       |      ELSE 0 END), 0) AS BIGINT) AS dhash
+       |  FROM gbits GROUP BY doc_id)""".stripMargin
 
   /** Shared oracle scaffolding for the mixed-format table: per-doc dims
     * + format class, and an index series long enough for both the
@@ -847,5 +1041,28 @@ object MediaQueries {
          |SELECT doc_id, format,
          |  unnest(generate_series(0, n_frames - 1, $frameStep)) AS frame_idx
          |FROM meta WHERE n_frames > 0
-         |ORDER BY doc_id, frame_idx""".stripMargin)
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "media_phash" ->
+      s"""WITH $phashCte
+         |SELECT h.doc_id,
+         |  CASE WHEN h.doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS format,
+         |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+         |  h.dhash
+         |FROM hsh h JOIN pdim d USING (doc_id) ORDER BY h.doc_id""".stripMargin,
+    "dedup_media" -> {
+      val chunkRows = (0 until 4).map { c =>
+        s"SELECT doc_id, dhash, $c AS chunk, (dhash >> ${c * 15}) % 32768 AS key FROM hsh"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $phashCte,
+         |chunks AS (
+         |  $chunkRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |         x.dhash AS ha, y.dhash AS hb
+         |  FROM chunks x JOIN chunks y
+         |    ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= $phashMaxHamming
+         |ORDER BY a, b""".stripMargin
+    })
 }

@@ -846,6 +846,51 @@ class OpsSpec extends SparkSpec {
       ._1 === "good line one two\nmore good prose here")
   }
 
+  test("media_phash: planted near-dup images collide; distinct motifs don't") {
+    import graft.ops.MediaQueries._
+    // kernel-level plant: two REAL encodes of the same motif differing
+    // only in the sparse perturbation (the near-dup pair), plus a third
+    // image from a different motif (the far pair) — through the real
+    // PNG and BMP codecs, mixed
+    def sig(motif: Long, docId: Long, png: Boolean): Long = {
+      val w = (8 + motif % 9).toInt
+      val h = (8 + motif % 7).toInt
+      val bytes =
+        if (png) encodePngPixels(w, h, texturePixel(motif, docId, _))
+        else encodeBmpPixels(w, h, texturePixel(motif, docId, _))
+      val px = new Array[Int](w * h)
+      if (png) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        var i = 0
+        (0 until h).foreach(y => (0 until w).foreach { x =>
+          px(i) = img.getRGB(x, y) & 0xff; i += 1 })
+      } else {
+        var i = 0
+        decodeBmp(docId, bytes, b => { px(i) = b; i += 1 })
+      }
+      dhash60(w, h, px)
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = ham(sig(7, 100, png = true), sig(7, 297, png = false))
+    val far = ham(sig(7, 100, png = true), sig(8, 100, png = true))
+    assert(near <= phashMaxHamming, s"same-motif pair too far: $near")
+    assert(far > phashMaxHamming, s"cross-motif pair too close: $far")
+    // identical perturbation residue => identical image => hamming 0
+    assert(ham(sig(7, 3, png = true), sig(7, 3 + 97, png = false)) === 0)
+    // registered faces: every verified pair is within threshold, pairs
+    // overwhelmingly share a motif, and signatures match the plan's dims
+    val ph = mediaPhash(spark, sf).collect()
+    assert(ph.length > 0 && ph.forall(r => r.getLong(4) >= 0 &&
+      r.getLong(4) < (1L << 60)), "60-bit non-negative hashes")
+    val nm = phashMotifs(ph.length.toLong)
+    val pairs = dedupMedia(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty && pairs.forall(_._3 <= phashMaxHamming))
+    assert(pairs.forall(p => p._1 % nm == p._2 % nm),
+      "at this sf every verified pair shares a motif")
+  }
+
   test("url_canonicalize: every rule fires; aliased URLs collide; dedup keys on them") {
     import graft.functions.UrlCanonUtil
     import org.apache.spark.unsafe.types.UTF8String
