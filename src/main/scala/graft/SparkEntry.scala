@@ -64,7 +64,8 @@ object SparkEntry {
     "ann_graph_search_compacted" ->
       (graft.streaming.GraphStream.annGraphSearchCompacted _),
     "approx_distinct" -> (AnalyticsQueries.approxDistinct _),
-    "approx_percentile" -> (AnalyticsQueries.approxPercentile _))
+    "approx_percentile" -> (AnalyticsQueries.approxPercentile _),
+    "gate_eval_live" -> (graft.streaming.EvalStream.gateEvalLiveBench _))
 
   /** Verify-only twins — the INVERSE of [[benchOnly]]: registered in
     * `queries` (DuckDB-oracled) but skipped by Bench, because their

@@ -843,15 +843,21 @@ object CurationQueries {
     * see it), labels by `lang = 'en'`, and gates at the grid midpoint.
     * Same [[EvalQueries.gateEval]] arithmetic; the only thing that
     * changes is that the histogram is as large as the corpus. */
-  def gateEvalHighNdv(s: SparkSession, dir: String): DataFrame = {
+  /** The high-NDV scored rows (score, label, decision) — shared by
+    * [[gateEvalHighNdv]] and [[graft.streaming.EvalStream]]'s bench
+    * face, so the stream monitors exactly the gate the batch face
+    * grades. */
+  def highNdvScored(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.md5Long
-    val scored = Tables.documents(s, dir).select(
+    Tables.documents(s, dir).select(
       (md5Long(concat(lit("ndv:"), col("doc_id").cast("string"),
         lit(":"), col("text"))) % 1000000000L).as("score"),
       (col("lang") === "en").as("label"))
       .withColumn("decision", col("score") >= 500000000L)
-    EvalQueries.gateEval("highndv", scored)
   }
+
+  def gateEvalHighNdv(s: SparkSession, dir: String): DataFrame =
+    EvalQueries.gateEval("highndv", highNdvScored(s, dir))
 
   /** Shared oracle CTE block ending in `wts(lang, token, cnt, w)` plus
     * `vocab(token)` — the DuckDB replica of [[classifierWeights]]. */

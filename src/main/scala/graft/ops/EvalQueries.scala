@@ -42,13 +42,21 @@ import org.apache.spark.sql.functions._
   * PlanSpec-allowlisted provably-tiny broadcast class. */
 object EvalQueries {
 
-  /** The per-score (score, np, nn) histogram both faces collapse the
-    * corpus to — ONE place (round-12 verdict ask #8), so a future
-    * quantized face changes one line. */
-  private def scoreHistogram(scored: DataFrame): DataFrame =
-    scored.groupBy("score").agg(
-      sum(when(col("label"), 1L).otherwise(0L)).as("np"),
-      sum(when(col("label"), 0L).otherwise(1L)).as("nn"))
+  /** The (score, label, decision, n) count table a scored corpus
+    * collapses to — the family's ONE shared reduction (round-12 verdict
+    * ask #8), and the exact state [[graft.streaming.EvalStream]]
+    * persists per batch: counts are LINEAR (they sum across batches —
+    * the CmsStream mergeability argument), so the streamed monitor and
+    * the batch operator literally share the code below the counts. */
+  private[graft] def scoredCounts(scored: DataFrame): DataFrame =
+    scored.groupBy("score", "label", "decision")
+      .agg(count(lit(1)).as("n"))
+
+  /** The per-score (score, np, nn) histogram over a counts table. */
+  private def scoreHistogram(counts: DataFrame): DataFrame =
+    counts.groupBy("score").agg(
+      sum(when(col("label"), col("n")).otherwise(0L)).as("np"),
+      sum(when(col("label"), 0L).otherwise(col("n"))).as("nn"))
 
   /** DISTRIBUTED prefix sums over the score histogram — the textbook
     * two-pass scan: (1) range-partition the histogram by score (desc
@@ -92,22 +100,37 @@ object EvalQueries {
     * Degenerate inputs follow the standard conventions: single-class
     * labels ⇒ auc = 0.5; an empty predicted-positive (or positive-label)
     * set ⇒ precision (recall) = 0. */
-  def gateEval(gate: String, scoredRaw: DataFrame): DataFrame = {
-    // two consumers below (histogram + confusion) — materialize the
-    // gate's scoring pipeline ONCE (the budget_select 3-consumer lesson)
-    val scored = scoredRaw.localCheckpoint()
+  def gateEval(gate: String, scoredRaw: DataFrame): DataFrame =
+    // ONE aggregate evaluates the gate's scoring pipeline; the tiny
+    // counts table is what the two consumers (histogram + confusion)
+    // re-read (the budget_select multi-consumer lesson, now paid on the
+    // collapsed state instead of the corpus)
+    gateEvalFromCounts(gate, scoredCounts(scoredRaw))
+
+  /** [[gateEval]] below the corpus collapse: `counts` is a
+    * (score, label, decision, n) table — the registered faces build it
+    * from their scored rows, [[graft.streaming.EvalStream]] from the SUM
+    * of its committed per-batch tables (linearity makes the two
+    * identical, which is the whole stream ≡ batch proof). */
+  private[graft] def gateEvalFromCounts(gate: String,
+      countsRaw: DataFrame): DataFrame = {
+    val counts = countsRaw.localCheckpoint()
     // cnn = #neg strictly below this score: the distributed inclusive
     // prefix minus the row's own nn (no global ordered window — see
     // the object scaladoc's open-vocabulary NDV note)
-    val agg = prefixedHistogram(scoreHistogram(scored), desc = false)
+    val agg = prefixedHistogram(scoreHistogram(counts), desc = false)
       .withColumn("cnn", col("cum_nn") - col("nn"))
       .agg(sum(col("np") * (col("cnn") * 2 + col("nn"))).as("u2"),
         sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
-    val conf = scored.agg(
-      sum(when(col("decision") && col("label"), 1L).otherwise(0L)).as("tp"),
-      sum(when(col("decision") && !col("label"), 1L).otherwise(0L)).as("fp"),
-      sum(when(!col("decision") && col("label"), 1L).otherwise(0L)).as("fn"),
-      sum(when(!col("decision") && !col("label"), 1L).otherwise(0L)).as("tn"))
+    val conf = counts.agg(
+      sum(when(col("decision") && col("label"), col("n")).otherwise(0L))
+        .as("tp"),
+      sum(when(col("decision") && !col("label"), col("n")).otherwise(0L))
+        .as("fp"),
+      sum(when(!col("decision") && col("label"), col("n")).otherwise(0L))
+        .as("fn"),
+      sum(when(!col("decision") && !col("label"), col("n")).otherwise(0L))
+        .as("tn"))
     agg.crossJoin(conf) // 1-row × 1-row metric assembly (allowlisted)
       .select(lit(gate).as("gate"), col("n_pos"), col("n_neg"),
         when(col("n_pos") * col("n_neg") === 0, lit(0.5))
@@ -143,14 +166,20 @@ object EvalQueries {
     * distributed prefix sum of [[prefixedHistogram]] in score-DESC
     * order (running tp/fp; fn/tn from the broadcast totals). Output
     * size = NDV(score). */
-  def prCurve(scoredRaw: DataFrame): DataFrame = {
-    val scored = scoredRaw.localCheckpoint() // histogram + totals consumers
-    val tot = scored.agg(
-      sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
-      sum(when(col("label"), 0L).otherwise(1L)).as("n_neg"))
+  def prCurve(scoredRaw: DataFrame): DataFrame =
+    prCurveFromCounts(
+      scoredRaw.withColumn("decision", lit(false)) // unused by the sweep
+        .transform(EvalQueries.scoredCounts))
+
+  /** [[prCurve]] below the corpus collapse — see [[gateEvalFromCounts]]. */
+  private[graft] def prCurveFromCounts(countsRaw: DataFrame): DataFrame = {
+    val counts = countsRaw.localCheckpoint() // histogram + totals consumers
+    val tot = counts.agg(
+      sum(when(col("label"), col("n")).otherwise(0L)).as("n_pos"),
+      sum(when(col("label"), 0L).otherwise(col("n"))).as("n_neg"))
     // running tp/fp down the sweep = the distributed inclusive prefix
     // in score-DESC order (no global ordered window — gateEval note)
-    prefixedHistogram(scoreHistogram(scored), desc = true)
+    prefixedHistogram(scoreHistogram(counts), desc = true)
       .withColumnRenamed("cum_np", "tp")
       .withColumnRenamed("cum_nn", "fp")
       .crossJoin(broadcast(tot)) // 1-row totals (allowlisted class)

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.{CurationQueries, EvalQueries}
+import graft.streaming.{EvalStream, StreamFs}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[graft.streaming.EvalStream]] — streaming gate evaluation: the
+  * merged live report must equal the batch operator EXACTLY (count
+  * linearity), replay must no-op, crash debris must sweep. */
+class EvalStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-evalstream")
+      .toString + "/state"
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  private val fixture: Seq[(Long, Boolean, Boolean)] =
+    (0 until 600).map { i =>
+      val score = i * 2654435761L % 999983L // high-NDV, ties included
+      (score % 4000, i % 3 != 0, score > 500000L)
+    }
+
+  private def scoredDf(s: Seq[(Long, Boolean, Boolean)]): DataFrame =
+    s.toDF("score", "label", "decision")
+
+  test("stream-merged gate eval ≡ one-shot batch gateEval, any batching") {
+    val batch = rows(EvalQueries.gateEval("g", scoredDf(fixture)))
+    Seq(1, 4).foreach { parts =>
+      val d = freshDir()
+      (0 until parts).foreach(i => EvalStream.applyMicroBatch(spark,
+        scoredDf(fixture.zipWithIndex.filter(_._2 % parts == i).map(_._1)),
+        d, i.toLong))
+      assert(rows(EvalStream.gateEvalLive(spark, d, "g")) === batch,
+        s"$parts-batch merged eval diverged from the batch operator")
+    }
+  }
+
+  test("live PR curve ≡ batch prCurve over the same rows") {
+    val d = freshDir()
+    (0 until 3).foreach(i => EvalStream.applyMicroBatch(spark,
+      scoredDf(fixture.zipWithIndex.filter(_._2 % 3 == i).map(_._1)),
+      d, i.toLong))
+    val batch = rows(EvalQueries.prCurve(
+      scoredDf(fixture).select("score", "label")))
+    assert(rows(EvalStream.prCurveLive(spark, d)) === batch)
+  }
+
+  test("replay no-ops; unmarked crash debris is swept") {
+    val d = freshDir()
+    EvalStream.applyMicroBatch(spark, scoredDf(fixture), d, 0L)
+    val before = rows(EvalStream.gateEvalLive(spark, d, "g"))
+    // replay the SAME batch id with different data: must not double-count
+    EvalStream.applyMicroBatch(spark, scoredDf(fixture), d, 0L)
+    assert(rows(EvalStream.gateEvalLive(spark, d, "g")) === before)
+    // a marker-less dir (crash between write and commit) is ignored by
+    // readers and swept by the next micro-batch's recover()
+    StreamFs.createMarker(s"$d/counts/batch=9/part-junk")
+    assert(rows(EvalStream.gateEvalLive(spark, d, "g")) === before)
+    EvalStream.recover(d)
+    assert(!StreamFs.exists(s"$d/counts/batch=9"))
+  }
+
+  test("bench face: live monitor equals the registered high-NDV gate row") {
+    val live = EvalStream.gateEvalLiveBench(spark, sf).collect()(0).toSeq
+    val batch = CurationQueries.gateEvalHighNdv(spark, sf).collect()(0).toSeq
+    assert(live === batch, "live monitor diverged from the batch gate")
+  }
+}
