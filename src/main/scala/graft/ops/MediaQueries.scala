@@ -266,7 +266,13 @@ object MediaQueries {
     * deterministic ramp `(d*31 + i) % 256 - 128` — arithmetic simple
     * enough for the DuckDB oracle to integrate in SQL, while the bytes
     * are a spec-complete WAV any player or library would accept. */
-  def encodeWav(docId: Long, nSamples: Int): Array[Byte] = {
+  def encodeWav(docId: Long, nSamples: Int): Array[Byte] =
+    encodeWavSamples(nSamples, i => ((docId * 31 + i) % 256 - 128).toInt)
+
+  /** The WAV writer behind [[encodeWav]], generalized over the sample
+    * source like [[encodeBmpPixels]] (the audio-fingerprint fixtures
+    * encode TEXTURED sample streams through the same real container). */
+  def encodeWavSamples(nSamples: Int, sample: Int => Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(44 + 2 * nSamples)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * nSamples)
@@ -281,7 +287,7 @@ object MediaQueries {
     bb.put("data".getBytes("US-ASCII")).putInt(2 * nSamples)
     var i = 0
     while (i < nSamples) {
-      bb.putShort(((docId * 31 + i) % 256 - 128).toShort)
+      bb.putShort(sample(i).toShort)
       i += 1
     }
     bb.array()
@@ -815,6 +821,94 @@ object MediaQueries {
       .orderBy("a", "b")
   }
 
+  // ---- audio fingerprinting / audio dedup -------------------------------
+
+  /** Textured PCM sample for the audio-fingerprint fixtures — the audio
+    * twin of [[texturePixel]]: the same multiplicative hash, offset to
+    * signed 8-bit amplitude (the mediaTable ramp is monotone-periodic —
+    * its delta signs are near-constant, the same degeneracy the image
+    * ramp had). Same-motif clips differ only at sparse perturbed sample
+    * positions. */
+  def textureSample(motif: Long, docId: Long, i: Int): Int =
+    texturePixel(motif, docId, i) - 128
+
+  /** Clip length per motif: 64–256 samples (1–4 analysis frames at the
+    * synth rate) — derived from the MOTIF so same-motif clips align. */
+  def audioFpSamples(motif: Long): Int = 64 + (motif % 193).toInt
+
+  /** 60-bit amplitude-envelope fingerprint over a decoded PCM stream:
+    * nearest-neighbor sample 61 positions, bit = sign of the successive
+    * delta — the Haitsma–Kalker audio-fingerprint scheme (ISMIR'02:
+    * sign of energy differences across frames) reduced to the amplitude
+    * envelope; 60 bits for the same BIGINT/band reasons as [[dhash60]].
+    * A real deployment would fingerprint band energies from an FFT —
+    * that swaps the sampled SIGNAL, not this operator's shape. */
+  def audioFp60(n: Int, pcm: Array[Int]): Long = {
+    var bits = 0L
+    var j = 0
+    while (j < 60) {
+      val l = pcm(j * n / 61)
+      val r = pcm((j + 1) * n / 61)
+      if (l < r) bits |= 1L << j
+      j += 1
+    }
+    bits
+  }
+
+  case class AudioFpMeta(doc_id: Long, n_samples: Long, afp: Long)
+
+  /** Textured audio → REAL WAV bytes → REAL chunk-walking decode →
+    * [[audioFp60]] — the audio rows (doc_id ≡ 1 mod 3) [[phashSigs]]
+    * excludes, fingerprinted by their own modality's kernel. Same motif
+    * design: ~8 clips per motif, corpus-scaled motif count. */
+  private def audioSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nAudio = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 1).count()
+    val nm = phashMotifs(nAudio)
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val m = id % nm
+        val n = audioFpSamples(m)
+        val bytes = encodeWavSamples(n, textureSample(m, id, _))
+        val pcm = new Array[Int](n)
+        var i = 0
+        decodeWav(id, bytes, v => { pcm(i) = v; i += 1 })
+        AudioFpMeta(id, n.toLong, audioFp60(n, pcm))
+      }).toDF()
+  }
+
+  /** Oracle-checked query: the audio fingerprint table. */
+  def mediaAudioFp(s: SparkSession, dir: String): DataFrame =
+    audioSigs(s, dir).orderBy("doc_id")
+
+  /** AUDIO near-dup dedup — [[dedupMedia]]'s machinery over
+    * [[audioFp60]] signatures (4×15-bit bands, exact hamming ≤
+    * [[phashMaxHamming]] verify). With this, every modality in the
+    * corpus (text → simhash et al., image → dhash, audio → envelope
+    * fingerprint) has a near-dup gate. */
+  def dedupAudio(s: SparkSession, dir: String): DataFrame = {
+    val sig = audioSigs(s, dir).localCheckpoint() // feeds both join sides
+    val chunkArr = array((0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        (shiftright(col("afp"), c * 15) % 32768).as("key"))): _*)
+    val chunks = sig
+      .select(col("doc_id"), col("afp"), explode(chunkArr).as("ck"))
+      .select(col("doc_id"), col("afp"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    chunks.as("x").join(chunks.as("y"), Seq("chunk", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.afp").as("ha"), col("y.afp").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= phashMaxHamming)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_decode" -> (mediaDecode _),
     "media_jpeg_decode" -> (mediaJpegDecode _),
@@ -827,7 +921,41 @@ object MediaQueries {
     "media_png_decode" -> (mediaPngDecode _),
     "media_resize" -> (mediaResize _),
     "media_phash" -> (mediaPhash _),
-    "dedup_media" -> (dedupMedia _))
+    "dedup_media" -> (dedupMedia _),
+    "media_audio_fp" -> (mediaAudioFp _),
+    "dedup_audio" -> (dedupAudio _))
+
+  /** Shared oracle CTE chain ending in `afps(doc_id, n, afp)` — the
+    * DuckDB replica of [[audioSigs]] (AS MATERIALIZED: dedup_audio's
+    * band legs read it 4×). */
+  private val audioFpCte: String =
+    s"""anm AS (
+       |  SELECT greatest(25, count(*) // 8) AS nm
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |adim AS (
+       |  SELECT doc_id, doc_id % nm AS m, 64 + (doc_id % nm) % 193 AS n
+       |  FROM documents, anm WHERE doc_id % 3 = 1),
+       |ajs AS (SELECT unnest(generate_series(0, 60)) AS j),
+       |asv AS (
+       |  SELECT d.doc_id, d.m, j, (j * d.n // 61) AS i
+       |  FROM adim d CROSS JOIN ajs),
+       |apx AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN i % 97 = doc_id % 97
+       |         THEN ((i + 1) * (m * 8191 + 127) % 65521 % 256 + 128) % 256
+       |              - 128
+       |         ELSE (i + 1) * (m * 8191 + 127) % 65521 % 256 - 128 END AS v
+       |  FROM asv),
+       |abits AS (
+       |  SELECT doc_id, j, v,
+       |    lead(v) OVER (PARTITION BY doc_id ORDER BY j) AS nxt
+       |  FROM apx),
+       |afps AS MATERIALIZED (
+       |  SELECT a.doc_id, d.n,
+       |    CAST(coalesce(sum(CASE WHEN j < 60 AND v < nxt
+       |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), 0) AS BIGINT) AS afp
+       |  FROM abits a JOIN adim d USING (doc_id)
+       |  GROUP BY a.doc_id, d.n)""".stripMargin
 
   /** Shared oracle CTE chain ending in `hsh(doc_id, dhash)` (+`pdim`):
     * the DuckDB replica of [[phashSigs]] — dims/texture from the motif
@@ -1059,6 +1187,26 @@ object MediaQueries {
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
          |         x.dhash AS ha, y.dhash AS hb
+         |  FROM chunks x JOIN chunks y
+         |    ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= $phashMaxHamming
+         |ORDER BY a, b""".stripMargin
+    },
+    "media_audio_fp" ->
+      s"""WITH $audioFpCte
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, afp
+         |FROM afps ORDER BY doc_id""".stripMargin,
+    "dedup_audio" -> {
+      val chunkRows = (0 until 4).map { c =>
+        s"SELECT doc_id, afp, $c AS chunk, (afp >> ${c * 15}) % 32768 AS key FROM afps"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $audioFpCte,
+         |chunks AS (
+         |  $chunkRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |         x.afp AS ha, y.afp AS hb
          |  FROM chunks x JOIN chunks y
          |    ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id)
          |SELECT a, b, bit_count(xor(ha, hb)) AS hamming

@@ -891,6 +891,31 @@ class OpsSpec extends SparkSpec {
       "at this sf every verified pair shares a motif")
   }
 
+  test("media_audio_fp: planted near-dup clips collide; distinct motifs don't") {
+    import graft.ops.MediaQueries._
+    def sig(motif: Long, docId: Long): Long = {
+      val n = audioFpSamples(motif)
+      val bytes = encodeWavSamples(n, textureSample(motif, docId, _))
+      val pcm = new Array[Int](n)
+      var i = 0
+      decodeWav(docId, bytes, v => { pcm(i) = v; i += 1 })
+      audioFp60(n, pcm)
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(7, 100), sig(7, 297)) <= phashMaxHamming,
+      "same-motif clips must be near")
+    assert(ham(sig(7, 100), sig(8, 100)) > phashMaxHamming,
+      "cross-motif clips must be far")
+    assert(ham(sig(7, 3), sig(7, 3 + 97)) === 0,
+      "same perturbation residue => identical clip")
+    val nm = phashMotifs(mediaAudioFp(spark, sf).count())
+    val pairs = dedupAudio(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty && pairs.forall(_._3 <= phashMaxHamming))
+    assert(pairs.forall(p => p._1 % nm == p._2 % nm),
+      "at this sf every verified pair shares a motif")
+  }
+
   test("url_canonicalize: every rule fires; aliased URLs collide; dedup keys on them") {
     import graft.functions.UrlCanonUtil
     import org.apache.spark.unsafe.types.UTF8String

@@ -400,8 +400,10 @@ class PlanSpec extends SparkSpec {
     "ann_pq_adc", "ann_recall_report", "bm25_topk", "budget_select",
     "chi_square", "classifier_weights",
     // the eval faces end in EvalQueries.gateEval's 1-row × 1-row metric
-    // assembly (and classifier_eval composes text_classify's chain)
+    // assembly (and classifier_eval composes text_classify's chain);
+    // gate_eval_highndv is the same tail over a near-unique score grid
     "classifier_eval", "classifier_pr_curve", "curation_funnel", "dsir_eval",
+    "gate_eval_highndv",
     "copurchase_pairs", "corpus_divergence", "dedup_embedding",
     "doc_keywords", "dsir_select",
     "embedding_pq", "embedding_pq_trained", "hilbert_layout",
