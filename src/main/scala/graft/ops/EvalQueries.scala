@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * the daily loop of corpus curation, and this is the operator that
   * closes it: exact ROC AUC via the Mann–Whitney U statistic plus the
   * confusion matrix and precision/recall/F1 at the gate's SHIPPED
-  * decision rule. Two faces are registered: `classifier_eval` (the
-  * Naive-Bayes is-English gate of [[CurationQueries.textClassify]]) and
-  * `dsir_eval` ([[PrepQueries.dsirSelect]]'s keep rule) — both grade
-  * against the corpus `lang` labels.
+  * decision rule. Registered faces: `classifier_eval` (the Naive-Bayes
+  * is-English gate of [[CurationQueries.textClassify]]), `dsir_eval`
+  * ([[PrepQueries.dsirSelect]]'s keep rule) — both graded against the
+  * corpus `lang` labels — and `gate_eval_highndv` (near-unique scores:
+  * the corpus-scale-histogram witness); the streaming monitor
+  * ([[graft.streaming.EvalStream]]) shares the tail below the counts
+  * collapse.
   *
   * Exactness: scores are integer ppm (BIGINT), so AUC reduces to integer
   * rank arithmetic — U = #{(p,n): s_p > s_n} + ½·#{s_p = s_n}, computed

@@ -695,15 +695,24 @@ object MediaQueries {
   val phashMaxHamming = 4
 
   /** Per-motif textured pixel (top-down row-major index `i`), shared by
-    * the encoder and the DuckDB oracle: a multiplicative hash so the
-    * horizontal gradient SIGNS are pseudo-random (the plain doc_id ramp
-    * of [[mediaTable]] is monotone in i — every image's dHash would be
-    * near-all-ones and pairwise output O(n²); measured before switching).
-    * Documents sharing a motif differ only at sparse perturbed positions
-    * (i ≡ doc_id mod 97 → +128 gray flip), the "same image, small edit"
-    * regime perceptual hashing exists for. */
+    * the encoder and the DuckDB oracle: an XOR-SHIFT-mixed integer hash
+    * so the gradient SIGNS are genuinely pseudo-random per (motif, i).
+    * Two designs were measured and REJECTED on the x100 candidate
+    * profile before this one (BASELINE.md round-13): the plain doc_id
+    * ramp (monotone in i → every dHash near-all-ones → O(n²) pairs) and
+    * a LINEAR multiplicative texture `(i+1)·(m·8191+127) mod 65521 mod
+    * 256` — linear in i means the sign pattern is decided by the
+    * multiplier's residue class, collapsing 60 nominal bits to ~2.5k
+    * distinct values per 15-bit band at 41k motifs (max band df 2057;
+    * 720M banded candidate pairs at x100, measured 376 s). The xor-mix
+    * restores near-uniform bands (max df 29, 25M pairs — linear in the
+    * corpus). Documents sharing a motif differ only at sparse perturbed
+    * positions (i ≡ doc_id mod 97 → +128 gray flip), the "same image,
+    * small edit" regime perceptual hashing exists for. */
   def texturePixel(motif: Long, docId: Long, i: Int): Int = {
-    val v = ((((i + 1).toLong * (motif * 8191L + 127L)) % 65521L) % 256L).toInt
+    val x0 = (i + 1).toLong * 2654435761L + (motif + 1L) * 40503L
+    val x = x0 ^ (x0 / 8192L)
+    val v = (x % 256L).toInt
     if (i % 97 == (docId % 97).toInt) (v + 128) % 256 else v
   }
 
@@ -760,8 +769,13 @@ object MediaQueries {
         imageIoNoDiskCache()
         it.map { id =>
           val m = id % nm
-          val w = (8 + m % 9).toInt
-          val h = (8 + m % 7).toInt
+          // dims STRICTLY WIDER than the sample grid: an image narrower
+          // than the 11-col grid repeats sampled pixels, forcing
+          // structurally-zero bits shared by every image of those dims
+          // (part of the measured band-entropy collapse — see
+          // [[texturePixel]])
+          val w = (16 + m % 17).toInt
+          val h = (8 + m % 9).toInt
           val bytes =
             if (id % 3 == 0) encodePngPixels(w, h, texturePixel(m, id, _))
             else encodeBmpPixels(w, h, texturePixel(m, id, _))
@@ -939,13 +953,16 @@ object MediaQueries {
        |asv AS (
        |  SELECT d.doc_id, d.m, j, (j * d.n // 61) AS i
        |  FROM adim d CROSS JOIN ajs),
+       |amix AS (
+       |  SELECT doc_id, j, i,
+       |    (i + 1) * 2654435761 + (m + 1) * 40503 AS x0
+       |  FROM asv),
        |apx AS (
        |  SELECT doc_id, j,
        |    CASE WHEN i % 97 = doc_id % 97
-       |         THEN ((i + 1) * (m * 8191 + 127) % 65521 % 256 + 128) % 256
-       |              - 128
-       |         ELSE (i + 1) * (m * 8191 + 127) % 65521 % 256 - 128 END AS v
-       |  FROM asv),
+       |         THEN (xor(x0, x0 // 8192) % 256 + 128) % 256 - 128
+       |         ELSE xor(x0, x0 // 8192) % 256 - 128 END AS v
+       |  FROM amix),
        |abits AS (
        |  SELECT doc_id, j, v,
        |    lead(v) OVER (PARTITION BY doc_id ORDER BY j) AS nxt
@@ -968,7 +985,7 @@ object MediaQueries {
        |  FROM documents WHERE doc_id % 3 != 1),
        |pdim AS MATERIALIZED (
        |  SELECT doc_id, doc_id % nm AS m,
-       |    8 + (doc_id % nm) % 9 AS w, 8 + (doc_id % nm) % 7 AS h
+       |    16 + (doc_id % nm) % 17 AS w, 8 + (doc_id % nm) % 9 AS h
        |  FROM documents, nmv WHERE doc_id % 3 != 1),
        |gxs AS (SELECT unnest(generate_series(0, ${phashGridW - 1})) AS gx),
        |gys AS (SELECT unnest(generate_series(0, ${phashGridH - 1})) AS gy),
@@ -976,12 +993,16 @@ object MediaQueries {
        |  SELECT d.doc_id, d.m, gy, gx,
        |    (gy * d.h // $phashGridH) * d.w + (gx * d.w // $phashGridW) AS i
        |  FROM pdim d CROSS JOIN gxs CROSS JOIN gys),
+       |pmix AS (
+       |  SELECT doc_id, gy, gx, i,
+       |    (i + 1) * 2654435761 + (m + 1) * 40503 AS x0
+       |  FROM sv),
        |pxv AS (
        |  SELECT doc_id, gy, gx,
        |    CASE WHEN i % 97 = doc_id % 97
-       |         THEN ((i + 1) * (m * 8191 + 127) % 65521 % 256 + 128) % 256
-       |         ELSE (i + 1) * (m * 8191 + 127) % 65521 % 256 END AS v
-       |  FROM sv),
+       |         THEN (xor(x0, x0 // 8192) % 256 + 128) % 256
+       |         ELSE xor(x0, x0 // 8192) % 256 END AS v
+       |  FROM pmix),
        |gbits AS (
        |  SELECT doc_id, gy, gx, v,
        |    lead(v) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS nxt
