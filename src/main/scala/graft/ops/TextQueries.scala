@@ -416,6 +416,68 @@ object TextQueries {
       .withColumn("changed", col("url") =!= col("canonical_url"))
       .orderBy("doc_id")
 
+  /** The host of each document's canonical URL — one codegen projection
+    * (canonicalize, then slice between `://` and the next `/`), shared
+    * by the two host-level operators below. Canonical host here =
+    * `example{doc_id % 50}.com` by the synthesis arithmetic, which is
+    * what the oracle recomputes. */
+  private def urlHost: Column = {
+    val canon = call_function("url_canonicalize", syntheticUrl)
+    val afterScheme = substring_index(canon, "://", -1)
+    // authority up to the path, then drop any non-default port
+    substring_index(substring_index(afterScheme, "/", 1), ":", 1)
+  }
+
+  /** HOST-LEVEL corpus statistics — the aggregation behind every
+    * domain-level curation decision (CCNet groups Common Crawl by
+    * domain for its per-domain quality view; C4 maintains domain
+    * badlists): docs, chars, mean length, languages per canonical host.
+    * One hash aggregate keyed by host (map-side combined). A hot host —
+    * real in any crawl — skews only this groupBy's reduce side; the
+    * aggregate is sum-shaped, so AQE's skew handling applies and
+    * nothing downstream re-touches per-doc rows. */
+  def urlHostStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(urlHost.as("host"), col("n_chars"), col("lang"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("n_chars")) / count(lit(1)), 6).as("mean_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("host")
+
+  /** Hosts dropped outright by [[hostFilter]] — the C4-style domain
+    * badlist (tiny, broadcast). */
+  val blockedHosts = Seq("example7.com", "example13.com")
+
+  /** DOMAIN-LEVEL document gate — the CCNet per-domain quality rule:
+    * drop a document if its host is on the badlist, or if its host's
+    * MEAN document length falls below the corpus mean (short-doc farms —
+    * link lists, tag pages — are a domain-level phenomenon; per-doc
+    * gates can't see them). Reason precedence: blocked_domain first.
+    * Shape at 100 TB: one host-keyed aggregate (the [[urlHostStats]]
+    * plan) joined back to the docs on the host key — an equi-join
+    * against a #hosts-sized side (millions of rows at crawl scale, so
+    * NOT forced broadcast; AQE picks), plus a 1-row corpus-mean
+    * broadcast. */
+  def hostFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), urlHost.as("host"), col("n_chars"))
+      .localCheckpoint() // feeds the host aggregate AND the verdict join
+    val hostMeans = docs.groupBy("host")
+      .agg((sum(col("n_chars")) / count(lit(1))).as("host_mean"))
+    val corpusMean = docs.agg(
+      (sum(col("n_chars")) / count(lit(1))).as("corpus_mean"))
+    docs.join(hostMeans, Seq("host"))
+      .crossJoin(broadcast(corpusMean)) // 1-row threshold (allowlisted)
+      .select(col("doc_id"), col("host"),
+        when(col("host").isin(blockedHosts: _*), "blocked_domain")
+          .when(col("host_mean") < col("corpus_mean"), "low_quality_host")
+          .as("reason"))
+      .withColumn("keep", col("reason").isNull)
+      .orderBy("doc_id")
+  }
+
   /** Bigram LANGUAGE-MODEL likelihood — the CCNet/KenLM-style fluency
     * filter at n=2, self-trained on the corpus: MLE p(w₂|w₁) =
     * c(w₁w₂)/c(w₁); per-document score = mean ln p over its bigram
@@ -738,6 +800,8 @@ object TextQueries {
     "text_bigram_lm" -> (bigramLm _),
     "text_normalize" -> (textNormalize _),
     "url_normalize" -> (urlNormalize _),
+    "url_host_stats" -> (urlHostStats _),
+    "host_filter" -> (hostFilter _),
     "text_compression" -> (compressionRatio _),
     "pii_scrub" -> (piiScrub _),
     "text_token_count" -> (tokenCount _),
@@ -995,6 +1059,35 @@ object TextQueries {
          |SELECT doc_id, url, canonical_url,
          |  url != canonical_url AS changed
          |FROM u ORDER BY doc_id""".stripMargin,
+    "url_host_stats" ->
+      """SELECT 'example' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS host,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "host_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'example' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS host,
+        |    n_chars
+        |  FROM documents),
+        |hm AS (
+        |  SELECT host, CAST(sum(n_chars) AS DOUBLE) / count(*) AS host_mean
+        |  FROM d GROUP BY 1),
+        |cm AS (
+        |  SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) AS corpus_mean
+        |  FROM d)
+        |SELECT doc_id, host,
+        |  CASE WHEN host IN ('example7.com', 'example13.com')
+        |         THEN 'blocked_domain'
+        |       WHEN host_mean < corpus_mean THEN 'low_quality_host'
+        |       END AS reason,
+        |  CASE WHEN host IN ('example7.com', 'example13.com') THEN FALSE
+        |       WHEN host_mean < corpus_mean THEN FALSE
+        |       ELSE TRUE END AS keep
+        |FROM d JOIN hm USING (host) CROSS JOIN cm
+        |ORDER BY doc_id""".stripMargin,
     "pii_scrub" ->
       s"""WITH t AS (
          |  SELECT doc_id,

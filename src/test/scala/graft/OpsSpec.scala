@@ -956,6 +956,41 @@ class OpsSpec extends SparkSpec {
       "exactly the min doc_id per group keeps")
   }
 
+  test("host_filter: badlist hosts always drop; mean gate splits the rest") {
+    val stats = TextQueries.urlHostStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stats.length === 50 && stats.forall(_._2 > 0))
+    val rows = TextQueries.hostFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), r.getBoolean(3)))
+    assert(rows.length === Tables.documents(spark, sf).count())
+    // badlist precedence: every doc on a blocked host drops with that reason
+    val blocked = rows.filter(r => TextQueries.blockedHosts.contains(r._2))
+    assert(blocked.nonEmpty &&
+      blocked.forall(r => r._3.contains("blocked_domain") && !r._4))
+    // the mean gate fires on SOME unblocked hosts and spares others
+    val unblocked = rows.filterNot(r => TextQueries.blockedHosts.contains(r._2))
+    assert(unblocked.exists(r => r._3.contains("low_quality_host")))
+    assert(unblocked.exists(r => r._3.isEmpty && r._4))
+    // the verdict is host-consistent: one outcome per host
+    assert(rows.groupBy(_._2).values.forall(_.map(_._3).distinct.size == 1))
+    // and it matches brute force: host mean n_chars vs the corpus mean
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byHost = docs.groupBy(d => s"example${d._1 % 50}.com")
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    rows.foreach { case (id, host, reason, keep) =>
+      val hm = byHost(host)
+      val mean = hm.map(_._2).sum.toDouble / hm.length
+      val expect =
+        if (TextQueries.blockedHosts.contains(host)) Some("blocked_domain")
+        else if (mean < corpusMean) Some("low_quality_host")
+        else None
+      assert(reason === expect && keep === expect.isEmpty, s"doc $id")
+    }
+  }
+
   test("blocklist_filter ≡ Scala brute force; never-occurring term silent") {
     // brute force enumerates n-grams for EVERY distinct blocked-term
     // length — so the trigram path has positive coverage, not just the

@@ -404,6 +404,8 @@ class PlanSpec extends SparkSpec {
     // gate_eval_highndv is the same tail over a near-unique score grid
     "classifier_eval", "classifier_pr_curve", "curation_funnel", "dsir_eval",
     "gate_eval_highndv",
+    // host_filter's 1-row corpus-mean threshold broadcast
+    "host_filter",
     "copurchase_pairs", "corpus_divergence", "dedup_embedding",
     "doc_keywords", "dsir_select",
     "embedding_pq", "embedding_pq_trained", "hilbert_layout",
