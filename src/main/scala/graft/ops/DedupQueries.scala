@@ -611,8 +611,10 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** Test seam: run the star loop over an arbitrary (a, b) pair graph. */
-  private[graft] def starLabelsForTest(s: SparkSession, pairs: DataFrame): DataFrame =
+  /** The star loop over an arbitrary (a, b) pair graph — the seam the
+    * spec drives directly and [[MediaQueries.dedupMediaClusters]] reuses
+    * over the multimodal near-dup pairs. */
+  private[graft] def starLabelsOver(s: SparkSession, pairs: DataFrame): DataFrame =
     starLabels(pairs.localCheckpoint())
 
   /** The alternating large-star/small-star loop: (doc_id, cluster_id) for

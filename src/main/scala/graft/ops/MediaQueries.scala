@@ -815,24 +815,30 @@ object MediaQueries {
     * signature build is map-only real-codec work; the join is banded
     * equi-join with group sizes bounded by the motif design (~8), never
     * an all-pairs product. */
-  def dedupMedia(s: SparkSession, dir: String): DataFrame = {
-    val sig = phashSigs(s, dir).localCheckpoint() // feeds both join sides
+  def dedupMedia(s: SparkSession, dir: String): DataFrame =
+    bandPairs(phashSigs(s, dir), "dhash").orderBy("a", "b")
+
+  /** The shared banded near-dup pair join: 4×15-bit pigeonhole bands →
+    * candidate equi-join → exact `bit_count(xor)` ≤ [[phashMaxHamming]]
+    * verify, over any (doc_id, `hashCol`) signature table — the image,
+    * audio, and cluster faces all call this one plan. */
+  private def bandPairs(sigRaw: DataFrame, hashCol: String): DataFrame = {
+    val sig = sigRaw.localCheckpoint() // feeds both join sides
     val chunkArr = array((0 until 4).map(c =>
       struct(lit(c).as("chunk"),
-        (shiftright(col("dhash"), c * 15) % 32768).as("key"))): _*)
+        (shiftright(col(hashCol), c * 15) % 32768).as("key"))): _*)
     val chunks = sig
-      .select(col("doc_id"), col("dhash"), explode(chunkArr).as("ck"))
-      .select(col("doc_id"), col("dhash"),
+      .select(col("doc_id"), col(hashCol).as("h"), explode(chunkArr).as("ck"))
+      .select(col("doc_id"), col("h"),
         col("ck.chunk").as("chunk"), col("ck.key").as("key"))
     chunks.as("x").join(chunks.as("y"), Seq("chunk", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.dhash").as("ha"), col("y.dhash").as("hb"))
+        col("x.h").as("ha"), col("y.h").as("hb"))
       .distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= phashMaxHamming)
       .select("a", "b", "hamming")
-      .orderBy("a", "b")
   }
 
   // ---- audio fingerprinting / audio dedup -------------------------------
@@ -903,24 +909,29 @@ object MediaQueries {
     * [[phashMaxHamming]] verify). With this, every modality in the
     * corpus (text → simhash et al., image → dhash, audio → envelope
     * fingerprint) has a near-dup gate. */
-  def dedupAudio(s: SparkSession, dir: String): DataFrame = {
-    val sig = audioSigs(s, dir).localCheckpoint() // feeds both join sides
-    val chunkArr = array((0 until 4).map(c =>
-      struct(lit(c).as("chunk"),
-        (shiftright(col("afp"), c * 15) % 32768).as("key"))): _*)
-    val chunks = sig
-      .select(col("doc_id"), col("afp"), explode(chunkArr).as("ck"))
-      .select(col("doc_id"), col("afp"),
-        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    chunks.as("x").join(chunks.as("y"), Seq("chunk", "key"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.afp").as("ha"), col("y.afp").as("hb"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= phashMaxHamming)
-      .select("a", "b", "hamming")
-      .orderBy("a", "b")
+  def dedupAudio(s: SparkSession, dir: String): DataFrame =
+    bandPairs(audioSigs(s, dir), "afp").orderBy("a", "b")
+
+  /** MULTIMODAL near-dup CLUSTERS — the step the pairwise faces leave
+    * open (pairs alone don't dedupe; a curation pass needs one canonical
+    * id per connected group): the large-star/small-star connected-
+    * components loop ([[DedupQueries.starLabelsOver]] — Kiveris et al.'s
+    * CC-MR, the same machinery as `dedup_cluster_star`) over the UNION
+    * of the image and audio near-dup pair sets. Image and audio doc
+    * sets are disjoint, so components never mix modalities — one
+    * operator still covers the whole media corpus, and every document
+    * gets (cluster_id, keep) with min-doc_id canonical, exactly the
+    * text clusters' contract. */
+  def dedupMediaClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = bandPairs(phashSigs(s, dir), "dhash")
+      .unionByName(bandPairs(audioSigs(s, dir), "afp"))
+      .select("a", "b")
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(DedupQueries.starLabelsOver(s, pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -937,7 +948,8 @@ object MediaQueries {
     "media_phash" -> (mediaPhash _),
     "dedup_media" -> (dedupMedia _),
     "media_audio_fp" -> (mediaAudioFp _),
-    "dedup_audio" -> (dedupAudio _))
+    "dedup_audio" -> (dedupAudio _),
+    "dedup_media_clusters" -> (dedupMediaClusters _))
 
   /** Shared oracle CTE chain ending in `afps(doc_id, n, afp)` — the
     * DuckDB replica of [[audioSigs]] (AS MATERIALIZED: dedup_audio's
@@ -1233,5 +1245,46 @@ object MediaQueries {
          |SELECT a, b, bit_count(xor(ha, hb)) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= $phashMaxHamming
          |ORDER BY a, b""".stripMargin
+    },
+    // the transitive-closure cluster oracle over the UNION of the image
+    // and audio verified pair sets (the dedup_cluster_star oracle shape)
+    "dedup_media_clusters" -> {
+      val iChunks = (0 until 4).map { c =>
+        s"SELECT doc_id, dhash, $c AS chunk, (dhash >> ${c * 15}) % 32768 AS key FROM hsh"
+      }.mkString("\n  UNION ALL ")
+      val aChunks = (0 until 4).map { c =>
+        s"SELECT doc_id, afp, $c AS chunk, (afp >> ${c * 15}) % 32768 AS key FROM afps"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE $phashCte,
+         |$audioFpCte,
+         |ichunks AS (
+         |  $iChunks),
+         |ipairs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM ichunks x JOIN ichunks y
+         |    ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.dhash, y.dhash)) <= $phashMaxHamming),
+         |achunks AS (
+         |  $aChunks),
+         |apairs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM achunks x JOIN achunks y
+         |    ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.afp, y.afp)) <= $phashMaxHamming),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM ipairs
+         |  UNION SELECT b, a FROM ipairs
+         |  UNION SELECT a, b FROM apairs
+         |  UNION SELECT b, a FROM apairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |minreach AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(mr.m, d.doc_id)) AS cluster_id,
+         |  d.doc_id = least(d.doc_id, coalesce(mr.m, d.doc_id)) AS keep
+         |FROM documents d LEFT JOIN minreach mr ON d.doc_id = mr.src
+         |ORDER BY d.doc_id""".stripMargin
     })
 }

@@ -31,8 +31,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * NDV; a year of 5-minute batches over a ppm grid is ~100M count rows,
   * one cheap sum, and the high-NDV regime rides the eval family's
   * distributed prefix sum — nothing here orders corpus-scale data in
-  * one partition. Compaction, if ever needed, is the same linearity
-  * (replace committed dirs with their sum). */
+  * one partition. [[compact]] bounds the committed-dir count: the same
+  * linearity, applied as maintenance (replace committed dirs with one
+  * dir holding their sum). */
 object EvalStream {
 
   /** Start the monitor stream: `scored` must carry
@@ -59,12 +60,60 @@ object EvalStream {
         batch.select("score", "label", "decision")), dst, mark = true)
   }
 
-  /** Sweep marker-less (crashed mid-write) batch count dirs. */
-  def recover(stateDir: String): Unit =
+  /** Sweep marker-less (crashed mid-write) batch count dirs, and
+    * complete or roll back an interrupted [[compact]] swap. */
+  def recover(stateDir: String): Unit = {
+    val cold = stateDir + ".cold"
+    val ctmp = stateDir + ".ctmp"
+    if (StreamFs.exists(cold)) {
+      if (StreamFs.exists(stateDir)) StreamFs.delete(cold) // new root live
+      else StreamFs.renameOrThrow(cold, stateDir) // crash between renames
+    }
+    val lock = stateDir + ".clock"
+    if (StreamFs.exists(ctmp) && (!StreamFs.exists(lock) || lockStale(lock)))
+      StreamFs.delete(ctmp)
     StreamFs.listNames(s"$stateDir/counts").filter(_.startsWith("batch="))
       .filterNot(b =>
         StreamFs.exists(s"$stateDir/counts/$b/${DedupStream.Marker}"))
       .foreach(b => StreamFs.delete(s"$stateDir/counts/$b"))
+  }
+
+  /** A compaction lock older than this is considered crashed. */
+  private val CompactLockStaleMs = 30L * 60 * 1000
+
+  private def lockStale(lock: String): Boolean =
+    StreamFs.modificationTime(lock)
+      .forall(_ < System.currentTimeMillis() - CompactLockStaleMs)
+
+  /** COMPACTION — the linearity the merge relies on IS the compaction:
+    * rewrite all committed per-batch count dirs into one dir holding
+    * their sum ([[readCounts]]'s own output), earlier ids surviving as
+    * marker-only dirs (the replay no-op check). Same crash-safe
+    * root-swap + `.clock` lock protocol as [[DedupStream.compact]] /
+    * [[GraphStream.compact]]; run while the ingest is idle.
+    * EvalStreamSpec pins the live report unchanged across compaction. */
+  def compact(spark: SparkSession, stateDir: String): Unit = {
+    val lock = stateDir + ".clock"
+    if (StreamFs.exists(lock) && !lockStale(lock))
+      throw new java.io.IOException(s"compaction already in progress: $lock")
+    StreamFs.writeAtomicString(lock, "")
+    try {
+      recover(stateDir)
+      val batches = committedDirs(stateDir).map(_.split('/').last)
+        .sortBy(_.stripPrefix("batch=").toLong)
+      if (batches.length <= 1) return
+      val merged = readCounts(spark, stateDir)
+      val stage = stateDir + ".ctmp"
+      StreamFs.delete(stage)
+      merged.write.parquet(s"$stage/counts/${batches.last}")
+      batches.foreach(b =>
+        StreamFs.createMarker(s"$stage/counts/$b/${DedupStream.Marker}"))
+      val old = stateDir + ".cold"
+      StreamFs.renameOrThrow(stateDir, old)
+      StreamFs.renameOrThrow(stage, stateDir)
+      StreamFs.delete(old)
+    } finally StreamFs.delete(lock)
+  }
 
   private def committedDirs(stateDir: String): Seq[String] =
     StreamFs.listNames(s"$stateDir/counts").filter(_.startsWith("batch="))

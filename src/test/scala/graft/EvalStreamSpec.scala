@@ -64,6 +64,31 @@ class EvalStreamSpec extends SparkSpec {
     assert(!StreamFs.exists(s"$d/counts/batch=9"))
   }
 
+  test("compact: one summed dir, report unchanged, ingest continues") {
+    val d = freshDir()
+    (0 until 4).foreach(i => EvalStream.applyMicroBatch(spark,
+      scoredDf(fixture.zipWithIndex.filter(_._2 % 4 == i).map(_._1)),
+      d, i.toLong))
+    val before = rows(EvalStream.gateEvalLive(spark, d, "g"))
+    EvalStream.compact(spark, d)
+    // one data dir; earlier committed ids stay recognizable (markers)
+    val dataDirs = StreamFs.listNames(s"$d/counts")
+      .filter(_.startsWith("batch="))
+      .filter(b => StreamFs.listNames(s"$d/counts/$b")
+        .exists(_.endsWith(".parquet")))
+    assert(dataDirs === Seq("batch=3"))
+    (0 until 4).foreach(i => assert(
+      StreamFs.exists(s"$d/counts/batch=$i/_GRAFT_COMMIT")))
+    assert(rows(EvalStream.gateEvalLive(spark, d, "g")) === before,
+      "compaction changed the live report")
+    // replay of a compacted-away id still no-ops; new batches land
+    EvalStream.applyMicroBatch(spark, scoredDf(fixture), d, 1L)
+    assert(rows(EvalStream.gateEvalLive(spark, d, "g")) === before)
+    EvalStream.applyMicroBatch(spark,
+      scoredDf(Seq((123456L, true, true))), d, 9L)
+    assert(rows(EvalStream.gateEvalLive(spark, d, "g")) !== before)
+  }
+
   test("bench face: live monitor equals the registered high-NDV gate row") {
     val live = EvalStream.gateEvalLiveBench(spark, sf).collect()(0).toSeq
     val batch = CurationQueries.gateEvalHighNdv(spark, sf).collect()(0).toSeq

@@ -889,6 +889,24 @@ class OpsSpec extends SparkSpec {
     assert(pairs.nonEmpty && pairs.forall(_._3 <= phashMaxHamming))
     assert(pairs.forall(p => p._1 % nm == p._2 % nm),
       "at this sf every verified pair shares a motif")
+    // the cluster face ≡ brute-force connected components over the
+    // UNION of the image and audio pair sets (min-id canonical)
+    val allPairs = pairs.map(p => (p._1, p._2)) ++
+      dedupAudio(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    allPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = dedupMediaClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.forall { case (id, cl, keep) =>
+      cl == find(id) && keep == (id == cl) })
+    assert(got.exists(g => !g._3), "some docs must fold into clusters")
   }
 
   test("media_audio_fp: planted near-dup clips collide; distinct motifs don't") {

@@ -260,7 +260,7 @@ class PrepSpec extends SparkSpec {
     import spark.implicits._
     val path = (0L until 63L).map(i => (i, i + 1))
     val twoCliques = Seq((100L, 101L), (101L, 102L), (100L, 102L))
-    val labels = DedupQueries.starLabelsForTest(
+    val labels = DedupQueries.starLabelsOver(
       spark, (path ++ twoCliques).toDF("a", "b"))
     val got = labels.as[(Long, Long)].collect().toMap
     (0L to 63L).foreach(i => assert(got(i) === 0L, s"path node $i"))
