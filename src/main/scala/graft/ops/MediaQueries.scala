@@ -688,10 +688,11 @@ object MediaQueries {
     * house 4×15-bit pigeonhole bands verbatim. */
   val phashGridW = 11
   val phashGridH = 6
-  /** Verified near-dup threshold. Measured on the motif fixture (see
-    * [[phashSigs]]): same-motif pairs have hamming mean 1.4 / max ≤ 8,
-    * cross-motif pairs mean ~32 / min ≥ 3 — ≤ 4 keeps ≥ 98% of true
-    * near-dups with (at sf0.01) zero cross-motif accidentals. */
+  /** Verified near-dup threshold. Measured on the (xor-mixed) motif
+    * fixture: same-motif pairs have hamming ≤ 5 at sf0.01 / ≤ 8 at
+    * sf0.1 with mean ~1.4, cross-motif pairs mean ~32 — ≤ 4 keeps
+    * 99.7% (sf0.01) / 98.9% (sf0.1) of true near-dups with zero
+    * cross-motif accidentals at either sf. */
   val phashMaxHamming = 4
 
   /** Per-motif textured pixel (top-down row-major index `i`), shared by
