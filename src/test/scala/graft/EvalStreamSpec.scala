@@ -64,6 +64,27 @@ class EvalStreamSpec extends SparkSpec {
     assert(!StreamFs.exists(s"$d/counts/batch=9"))
   }
 
+  test("a real StreamingQuery drives the monitor end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-evalstream-q").toString
+    val mem = MemoryStream[(Long, Boolean, Boolean)]
+    val q = EvalStream.start(spark,
+      mem.toDF().toDF("score", "label", "decision"),
+      s"$tmp/state", s"$tmp/ckpt")
+    try {
+      val (h1, h2) = fixture.splitAt(fixture.length / 2)
+      mem.addData(h1: _*)
+      q.processAllAvailable()
+      mem.addData(h2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(EvalStream.gateEvalLive(spark, s"$tmp/state", "g")) ===
+      rows(EvalQueries.gateEval("g", scoredDf(fixture))),
+      "stream-driven monitor diverged from the batch operator")
+  }
+
   test("compact: one summed dir, report unchanged, ingest continues") {
     val d = freshDir()
     (0 until 4).foreach(i => EvalStream.applyMicroBatch(spark,
