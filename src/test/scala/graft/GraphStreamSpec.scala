@@ -82,6 +82,30 @@ class GraphStreamSpec extends SparkSpec {
       .filter(b => StreamFs.listNames(s"$d/$kind/$b")
         .exists(_.endsWith(".parquet")))
 
+  test("a real StreamingQuery drives the graph ingest end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-graphstream-q").toString
+    val d = s"$tmp/index"
+    GraphStream.init(spark, corpus, d)
+    val rowsE = corpus.as[(Long, Seq[Double])].collect()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = GraphStream.start(spark,
+      mem.toDF().toDF("vec_id", "embedding"), d, s"$tmp/ckpt")
+    try {
+      val (h1, h2) = rowsE.splitAt(rowsE.length / 2)
+      mem.addData(h1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(h2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch-count invariance extends to the real stream: the live graph
+    // equals the one-shot direct ingest row for row
+    assert(graphRows(d) === graphRows(ingest(1)))
+  }
+
   test("compact: one data dir per kind, recall not reduced, ingest continues") {
     val d = ingest(4)
     val pre = recallVsExact(GraphStream.searchLive(spark, sf, d))
