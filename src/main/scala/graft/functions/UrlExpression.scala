@@ -30,8 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Everything else passes through verbatim: path (trailing-slash and
   * dot-segment semantics are site-specific, so collapsing them risks
-  * false merges), userinfo, non-default ports. A string with no `://`
-  * is not a hierarchical URL — returned unchanged. */
+  * false merges), userinfo, non-default ports. Deliberately NOT done:
+  * percent-encoding normalization (RFC 3986 §6.2.2.2 is only safe for
+  * unreserved characters and needs a reserved-set table per component)
+  * and IDN/punycode folding — both can merge distinct resources when
+  * done naively, and a dedup key must never over-merge; they belong in
+  * a site-policy layer above this syntax-based pass. A string with no
+  * `://` is not a hierarchical URL — returned unchanged. */
 object UrlCanonUtil {
 
   private def isTracking(param: String): Boolean = {
