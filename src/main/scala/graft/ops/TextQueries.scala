@@ -330,7 +330,11 @@ object TextQueries {
     * accents above, each document gets a URL built from doc_id
     * arithmetic: mixed-case schemes and hosts, explicit default and
     * non-default ports, `utm_*`/`fbclid` tracking params, unsorted
-    * query keys, fragments. The DuckDB oracle re-synthesizes BOTH the
+    * query keys, fragments, and percent-escapes in the path —
+    * unreserved ones (`%7E`/`%41` → `~`/`A`, decoded) and a reserved
+    * one (`%2f` → `%2F`, hex-uppercased only), so the §6.2.2
+    * normalization is exercised by the ORACLE, not just the property
+    * suite. The DuckDB oracle re-synthesizes BOTH the
     * raw url and its expected canonical form from the same arithmetic
     * ([[urlSynthSql]]), so the Spark side's real parser
     * ([[graft.functions.UrlCanonUtil]]) is checked end to end. By
@@ -356,8 +360,11 @@ object TextQueries {
       .otherwise(lit(""))
     val frag = when(id % 4 === 0, concat(lit("#sec"), s(id % 5)))
       .otherwise(lit(""))
+    val pathPfx = when(id % 10 === 3, lit("/p/%7Eu%41/"))
+      .when(id % 10 === 7, lit("/p/a%2fb/"))
+      .otherwise(lit("/p/"))
     concat(schemeRaw, lit("://"), hostRaw, portRaw,
-      lit("/p/"), s(id % 20), lit("?"), utm, kept, fb, frag)
+      pathPfx, s(id % 20), lit("?"), utm, kept, fb, frag)
   }
 
   /** DuckDB mirror of [[syntheticUrl]] + the EXPECTED canonical form —
@@ -379,7 +386,9 @@ object TextQueries {
       |    (CASE WHEN doc_id % 5 = 0
       |          THEN (CASE WHEN doc_id % 4 IN (0, 3) THEN ':443' ELSE ':80' END)
       |          WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
-      |    '/p/' || CAST(doc_id % 20 AS VARCHAR) || '?' ||
+      |    (CASE WHEN doc_id % 10 = 3 THEN '/p/%7Eu%41/'
+      |          WHEN doc_id % 10 = 7 THEN '/p/a%2fb/' ELSE '/p/' END) ||
+      |    CAST(doc_id % 20 AS VARCHAR) || '?' ||
       |    (CASE WHEN doc_id % 3 = 0
       |          THEN 'utm_source=feed&utm_campaign=c' ||
       |               CAST(doc_id % 9 AS VARCHAR) || '&' ELSE '' END) ||
@@ -394,7 +403,9 @@ object TextQueries {
       |    (CASE WHEN doc_id % 4 IN (0, 3) THEN 'https' ELSE 'http' END) ||
       |    '://example' || CAST(doc_id % 50 AS VARCHAR) || '.com' ||
       |    (CASE WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
-      |    '/p/' || CAST(doc_id % 20 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 10 = 3 THEN '/p/~uA/'
+      |          WHEN doc_id % 10 = 7 THEN '/p/a%2Fb/' ELSE '/p/' END) ||
+      |    CAST(doc_id % 20 AS VARCHAR) ||
       |    '?id=' || CAST(doc_id % 100 AS VARCHAR) ||
       |    (CASE WHEN doc_id % 2 = 1 THEN '&ref=nav' ELSE '' END)
       |      AS canonical_url

@@ -34,7 +34,8 @@ class UrlPropertySpec extends SparkSpec {
     host <- Gen.oneOf("Example.COM", "a.b.example.org", "www.X.net",
       "[::1]", "example7.com")
     port <- Gen.oneOf("", ":80", ":443", ":8080", ":65000")
-    path <- Gen.oneOf("", "/", "/P/x", "/a/b/c", "/trailing/")
+    path <- Gen.oneOf("", "/", "/P/x", "/a/b/c", "/trailing/",
+      "/%7Euser", "/a%2Fb", "/x%41%6a", "/bad%zz", "/cut%4")
     params <- Gen.listOfN(4, genParam)
     hasQ <- Gen.oneOf(true, false)
     frag <- Gen.oneOf("", "#top", "#Sec2")
@@ -91,5 +92,43 @@ class UrlPropertySpec extends SparkSpec {
       assert(c(withTracking) === c(noFrag),
         s"tracking param changed the key: $noFrag")
     }
+  }
+
+  test("percent-encoding: unreserved escapes decode, reserved survive uppercased, malformed pass through") {
+    // RFC 3986 §6.2.2.2 — the lossless subset only (round-13 verdict #5)
+    assert(c("http://a/%7Euser") === "http://a/~user")
+    assert(c("http://a/%7euser") === "http://a/~user")
+    assert(c("http://a/%41B%43") === "http://a/ABC")
+    assert(c("http://a/%7Euser") === c("http://a/~user"), "under-merge closed")
+    // reserved escapes are NOT decoded (%2F != /), hex uppercases
+    assert(c("http://a/x%2fy") === "http://a/x%2Fy")
+    assert(c("http://a/x%2Fy") === "http://a/x%2Fy")
+    assert(c("http://a/q?k=x%20y") === "http://a/q?k=x%20y")
+    // malformed: truncated or non-hex escapes pass through verbatim
+    assert(c("http://a/bad%zz") === "http://a/bad%zz")
+    assert(c("http://a/cut%4") === "http://a/cut%4")
+    // host decodes before the case fold (idempotence needs this order)
+    assert(c("http://ex%41mple.com/") === "http://example.com/")
+    // a tracking key can't hide behind an unreserved escape
+    assert(c("http://a/p?%75tm_source=x&id=1") === "http://a/p?id=1")
+    // every case above is a fixed point
+    Seq("http://a/%7Euser", "http://a/x%2fy", "http://a/bad%zz",
+      "http://ex%41mple.com/", "http://a/p?%75tm_source=x&id=1")
+      .foreach(u => assert(c(c(u)) === c(u), s"not idempotent: $u"))
+  }
+
+  test("scheme and port validation: non-URL prefixes and non-ASCII digits pass through") {
+    // RFC 3986 §3.1 scheme grammar — '://' inside a non-URL prefix is
+    // not a hierarchical URL (round-13 ADVICE)
+    assert(c("not a url ://host/PATH") === "not a url ://host/PATH")
+    assert(c("{\"u\":\"x\"}://Y") === "{\"u\":\"x\"}://Y")
+    assert(c("h2+.x-://HOST/p") === "h2+.x-://host/p") // valid per grammar
+    // Unicode decimal digits (e.g. Devanagari २) are not a port: the
+    // ':' suffix stays part of the host text, case-folded as such
+    val deva = "http://Host:२३/p"
+    assert(c(deva) === "http://host:२३/p")
+    // ASCII ports still parse (default stripped, non-default kept)
+    assert(c("HTTP://Host:80/p") === "http://host/p")
+    assert(c("HTTP://Host:8080/p") === "http://host:8080/p")
   }
 }
