@@ -814,25 +814,60 @@ object MediaQueries {
     * as simhash: hamming ≤ 4 across 4 bands is not pigeonhole-guaranteed
     * a shared band; candidates are pairs agreeing on ≥ 1 band. Scale:
     * signature build is map-only real-codec work; the join is banded
-    * equi-join with group sizes bounded by the motif design (~8), never
-    * an all-pairs product. */
+    * equi-join with group sizes bounded by the motif design (~8) on the
+    * fixture AND by [[maxBandDf]] in the plan — a degenerate band value
+    * on a real corpus (all-black thumbnails) cannot regenerate the
+    * round-13 720M-pair blowup. */
   def dedupMedia(s: SparkSession, dir: String): DataFrame =
     bandPairs(phashSigs(s, dir), "dhash").orderBy("a", "b")
 
+  /** Document-frequency cap on band postings — the [[DedupQueries
+    * .maxShingleDf]] rule applied to the media band join (round-13
+    * verdict #1: the 720M-pair blowup that round's fixture fix
+    * side-stepped must be impossible in the PLAN, because a real corpus
+    * HAS degenerate perceptual classes — all-black thumbnails, silent
+    * audio — whose band values go corpus-frequent). A band value held by
+    * more than this many documents is dropped from candidate generation
+    * entirely: per-key join work is then ≤ cap² (bounded, corpus-
+    * independent), and the anti-join's broadcast side is provably
+    * ≤ |postings|/cap keys. Recall cost: only pairs whose EVERY shared
+    * band is over-cap lose their candidacy — on perceptual hashes that
+    * is the near-constant junk class itself, which a curation pipeline
+    * wants gated by a quality rule, not enumerated pairwise (measured:
+    * MediaCapProbe — candidates stay linear with the cap, blow up
+    * quadratically without; healthy-fixture pairs are IDENTICAL capped
+    * vs uncapped since its max band df is ~29, MediaSpec pins this).
+    * Sized ~10× the healthy fixture's max df and ~2.5× the minhash cap:
+    * high enough that any genuinely near-dup GROUP (bounded by design)
+    * keeps all its pairs, low enough that cap² per-key work stays
+    * trivial. */
+  val maxBandDf = 256
+  private val bandCount = 4
+
   /** The shared banded near-dup pair join: 4×15-bit pigeonhole bands →
-    * candidate equi-join → exact `bit_count(xor)` ≤ [[phashMaxHamming]]
-    * verify, over any (doc_id, `hashCol`) signature table — the image,
-    * audio, and cluster faces all call this one plan. */
-  private def bandPairs(sigRaw: DataFrame, hashCol: String): DataFrame = {
-    val sig = sigRaw.localCheckpoint() // feeds both join sides
-    val chunkArr = array((0 until 4).map(c =>
+    * df-cap ([[maxBandDf]], broadcast anti-join — the
+    * [[DedupQueries.invertedIndex]] shape) → candidate equi-join →
+    * exact `bit_count(xor)` ≤ [[phashMaxHamming]] verify, over any
+    * (doc_id, `hashCol`) signature table — the image, audio, and
+    * cluster faces all call this one plan. `cap` is parameterized only
+    * for MediaSpec's capped ≡ uncapped pin. */
+  private[graft] def bandPairs(sigRaw: DataFrame, hashCol: String,
+                               cap: Long = maxBandDf): DataFrame = {
+    val chunkArr = array((0 until bandCount).map(c =>
       struct(lit(c).as("chunk"),
         (shiftright(col(hashCol), c * 15) % 32768).as("key"))): _*)
-    val chunks = sig
+    // checkpoint the POSTINGS (not the sigs): they feed the df count,
+    // the anti-join probe, and both sides of the candidate join
+    val chunks = sigRaw
       .select(col("doc_id"), col(hashCol).as("h"), explode(chunkArr).as("ck"))
       .select(col("doc_id"), col("h"),
         col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    chunks.as("x").join(chunks.as("y"), Seq("chunk", "key"))
+      .localCheckpoint()
+    val drop = chunks.groupBy(col("chunk"), col("key"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("chunk", "key")
+    val kept = chunks.join(broadcast(drop), Seq("chunk", "key"), "left_anti")
+    kept.as("x").join(kept.as("y"), Seq("chunk", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.h").as("ha"), col("y.h").as("hb"))
@@ -1216,12 +1251,16 @@ object MediaQueries {
         s"SELECT doc_id, dhash, $c AS chunk, (dhash >> ${c * 15}) % 32768 AS key FROM hsh"
       }.mkString("\n  UNION ALL ")
       s"""WITH $phashCte,
-         |chunks AS (
+         |chunks AS MATERIALIZED (
          |  $chunkRows),
+         |kept AS MATERIALIZED (
+         |  SELECT c.* FROM chunks c
+         |  JOIN (SELECT chunk, key FROM chunks GROUP BY chunk, key
+         |        HAVING count(*) <= $maxBandDf) d USING (chunk, key)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
          |         x.dhash AS ha, y.dhash AS hb
-         |  FROM chunks x JOIN chunks y
+         |  FROM kept x JOIN kept y
          |    ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id)
          |SELECT a, b, bit_count(xor(ha, hb)) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= $phashMaxHamming
@@ -1236,12 +1275,16 @@ object MediaQueries {
         s"SELECT doc_id, afp, $c AS chunk, (afp >> ${c * 15}) % 32768 AS key FROM afps"
       }.mkString("\n  UNION ALL ")
       s"""WITH $audioFpCte,
-         |chunks AS (
+         |chunks AS MATERIALIZED (
          |  $chunkRows),
+         |kept AS MATERIALIZED (
+         |  SELECT c.* FROM chunks c
+         |  JOIN (SELECT chunk, key FROM chunks GROUP BY chunk, key
+         |        HAVING count(*) <= $maxBandDf) d USING (chunk, key)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
          |         x.afp AS ha, y.afp AS hb
-         |  FROM chunks x JOIN chunks y
+         |  FROM kept x JOIN kept y
          |    ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id)
          |SELECT a, b, bit_count(xor(ha, hb)) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= $phashMaxHamming
@@ -1258,18 +1301,26 @@ object MediaQueries {
       }.mkString("\n  UNION ALL ")
       s"""WITH RECURSIVE $phashCte,
          |$audioFpCte,
-         |ichunks AS (
+         |ichunks AS MATERIALIZED (
          |  $iChunks),
+         |ikept AS MATERIALIZED (
+         |  SELECT c.* FROM ichunks c
+         |  JOIN (SELECT chunk, key FROM ichunks GROUP BY chunk, key
+         |        HAVING count(*) <= $maxBandDf) d USING (chunk, key)),
          |ipairs AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM ichunks x JOIN ichunks y
+         |  FROM ikept x JOIN ikept y
          |    ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
          |  WHERE bit_count(xor(x.dhash, y.dhash)) <= $phashMaxHamming),
-         |achunks AS (
+         |achunks AS MATERIALIZED (
          |  $aChunks),
+         |akept AS MATERIALIZED (
+         |  SELECT c.* FROM achunks c
+         |  JOIN (SELECT chunk, key FROM achunks GROUP BY chunk, key
+         |        HAVING count(*) <= $maxBandDf) d USING (chunk, key)),
          |apairs AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM achunks x JOIN achunks y
+         |  FROM akept x JOIN akept y
          |    ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
          |  WHERE bit_count(xor(x.afp, y.afp)) <= $phashMaxHamming),
          |edges AS (

@@ -52,6 +52,8 @@ object EvalStream {
     * under `counts/batch=N`. Idempotent per `batchId`. */
   def applyMicroBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
                       batchId: Long): Unit = {
+    // compact/ingest exclusion enforced, not just documented (verdict #6)
+    CompactionLock.requireFree(stateDir, "EvalStream.applyMicroBatch")
     recover(stateDir)
     val dst = s"$stateDir/counts/batch=$batchId"
     if (StreamFs.exists(s"$dst/${DedupStream.Marker}")) return // replay
@@ -69,8 +71,7 @@ object EvalStream {
       if (StreamFs.exists(stateDir)) StreamFs.delete(cold) // new root live
       else StreamFs.renameOrThrow(cold, stateDir) // crash between renames
     }
-    val lock = stateDir + ".clock"
-    if (StreamFs.exists(ctmp) && (!StreamFs.exists(lock) || lockStale(lock)))
+    if (StreamFs.exists(ctmp) && !CompactionLock.heldLive(stateDir))
       StreamFs.delete(ctmp)
     StreamFs.listNames(s"$stateDir/counts").filter(_.startsWith("batch="))
       .filterNot(b =>
@@ -78,26 +79,16 @@ object EvalStream {
       .foreach(b => StreamFs.delete(s"$stateDir/counts/$b"))
   }
 
-  /** A compaction lock older than this is considered crashed. */
-  private val CompactLockStaleMs = 30L * 60 * 1000
-
-  private def lockStale(lock: String): Boolean =
-    StreamFs.modificationTime(lock)
-      .forall(_ < System.currentTimeMillis() - CompactLockStaleMs)
-
   /** COMPACTION — the linearity the merge relies on IS the compaction:
     * rewrite all committed per-batch count dirs into one dir holding
     * their sum ([[readCounts]]'s own output), earlier ids surviving as
     * marker-only dirs (the replay no-op check). Same crash-safe
-    * root-swap + `.clock` lock protocol as [[DedupStream.compact]] /
-    * [[GraphStream.compact]]; run while the ingest is idle.
+    * root-swap + heartbeated [[CompactionLock]] protocol as
+    * [[DedupStream.compact]] / [[GraphStream.compact]]; run while the
+    * ingest is idle — enforced by [[applyMicroBatch]]'s guard.
     * EvalStreamSpec pins the live report unchanged across compaction. */
-  def compact(spark: SparkSession, stateDir: String): Unit = {
-    val lock = stateDir + ".clock"
-    if (StreamFs.exists(lock) && !lockStale(lock))
-      throw new java.io.IOException(s"compaction already in progress: $lock")
-    StreamFs.writeAtomicString(lock, "")
-    try {
+  def compact(spark: SparkSession, stateDir: String): Unit =
+    CompactionLock.withLock(stateDir) {
       recover(stateDir)
       val batches = committedDirs(stateDir).map(_.split('/').last)
         .sortBy(_.stripPrefix("batch=").toLong)
@@ -112,8 +103,7 @@ object EvalStream {
       StreamFs.renameOrThrow(stateDir, old)
       StreamFs.renameOrThrow(stage, stateDir)
       StreamFs.delete(old)
-    } finally StreamFs.delete(lock)
-  }
+    }
 
   private def committedDirs(stateDir: String): Seq[String] =
     StreamFs.listNames(s"$stateDir/counts").filter(_.startsWith("batch="))
@@ -121,9 +111,13 @@ object EvalStream {
         StreamFs.exists(s"$stateDir/counts/$b/${DedupStream.Marker}"))
       .map(b => s"$stateDir/counts/$b")
 
-  /** The merged count table over every committed batch: counts ADD. */
+  /** The merged count table over every committed batch: counts ADD.
+    * Marker-only dirs (post-compaction id tombstones) are excluded
+    * explicitly — never via Spark's hidden-file filter (round-13
+    * ADVICE). */
   def readCounts(spark: SparkSession, stateDir: String): DataFrame = {
     val dirs = committedDirs(stateDir)
+      .filter(StreamFs.hasDataFiles)
     if (dirs.isEmpty)
       spark.range(0).select(col("id").as("score"), lit(true).as("label"),
         lit(true).as("decision"), col("id").as("n"))
@@ -144,6 +138,11 @@ object EvalStream {
 
   // ---- bench-only live face ---------------------------------------------
 
+  /** Process-lifetime cache keyed by corpus DIR, no content
+    * fingerprint — a corpus regenerated in place serves stale monitor
+    * state for the JVM lifetime. Bench-only (immutable testdata), and
+    * race-leaked temp dirs are reaped by the [[StreamFs.benchTempDir]]
+    * shutdown hook (round-13 ADVICE). */
   private val streamedDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -155,8 +154,7 @@ object EvalStream {
     * stream ≡ batch exactly. */
   def gateEvalLiveBench(s: SparkSession, dir: String): DataFrame = {
     val st = streamedDirs.getOrElseUpdate(dir, {
-      val d = java.nio.file.Files.createTempDirectory("graft-eval-stream")
-        .toString + "/state"
+      val d = StreamFs.benchTempDir("graft-eval-stream") + "/state"
       val scored = graft.ops.CurationQueries.highNdvScored(s, dir)
         .localCheckpoint()
       (0 until 4).foreach(i => applyMicroBatch(s,

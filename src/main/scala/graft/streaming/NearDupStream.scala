@@ -59,6 +59,8 @@ object NearDupStream {
     * per `batchId` via the corpus commit marker. */
   def applyMicroBatch(spark: SparkSession, batch: DataFrame, corpusDir: String,
                       batchId: Long): Unit = {
+    // same layout → same compact(), so the same ingest guard (verdict #6)
+    CompactionLock.requireFree(corpusDir, "NearDupStream.applyMicroBatch")
     DedupStream.recover(corpusDir) // same layout → same orphan sweep
     if (StreamFs.exists(s"$corpusDir/docs/batch=$batchId/${DedupStream.Marker}"))
       return // replay

@@ -63,6 +63,18 @@ object StreamFs {
     else c.util.listStatus(path).map(_.getPath.getName).toSeq
   }
 
+  /** True when the directory holds at least one DATA file — anything
+    * not underscore/dot-prefixed (protocol markers, _SUCCESS, hidden
+    * files). Readers exclude marker-only batch dirs (post-compaction
+    * id tombstones) from `spark.read.parquet` paths EXPLICITLY with
+    * this, rather than leaning on Spark's hidden-file filter to skip a
+    * dir that contains only `_GRAFT_COMMIT` (round-13 ADVICE: a marker
+    * rename, a non-Spark reader, or a file-index behavior change must
+    * not break the read). A legitimately committed EMPTY batch (zero
+    * part files) is also excluded — there is nothing to read. */
+  def hasDataFiles(p: String): Boolean =
+    listNames(p).exists(n => !n.startsWith("_") && !n.startsWith("."))
+
   /** Rename failing loudly if the destination exists (every directory
     * swap in the protocols renames onto a fresh destination). */
   def renameOrThrow(src: String, dst: String): Unit =
@@ -138,6 +150,46 @@ object StreamFs {
   /** Create an (empty) commit-marker file — one atomic create/PUT; the
     * batch-dir protocols' commit point. */
   def createMarker(p: String): Unit = writeFile(p, "")
+
+  /** ATOMIC create-if-absent (CreateFlag.CREATE without OVERWRITE):
+    * throws if the path already exists — the lock-acquisition
+    * primitive [[CompactionLock]] builds on (round-13 ADVICE: the old
+    * exists()-then-create was a check-then-act race). */
+  def createExclusive(p: String): Unit = {
+    val path = new Path(p)
+    val out = fc(path).create(path, EnumSet.of(CreateFlag.CREATE),
+      Options.CreateOpts.createParent())
+    try { try out.hsync() catch { case _: Exception => () } }
+    finally out.close()
+  }
+
+  /** Bump a file's modification time to now — the lock heartbeat. */
+  def touch(p: String): Unit = touchAt(p, System.currentTimeMillis())
+
+  /** Set a file's modification time explicitly (specs age locks with
+    * this instead of sleeping through the staleness window). */
+  def touchAt(p: String, mtimeMs: Long): Unit = {
+    val path = new Path(p)
+    fc(path).setTimes(path, mtimeMs, -1L)
+  }
+
+  /** Create a process-lifetime LOCAL temp dir for the bench-only
+    * streamed-state faces, registered for recursive deletion at JVM
+    * exit — concurrent first calls that lose a cache race would
+    * otherwise leak an orphan dir for good (round-13 ADVICE). Lives
+    * here (not on the Hadoop facade): bench state is always local. */
+  def benchTempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val walk = java.nio.file.Files.walk(d)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walk.close()
+      } catch { case _: Exception => () }
+    }))
+    d.toString
+  }
 
   /** Modification time in epoch millis, when the path exists. */
   def modificationTime(p: String): Option[Long] = {

@@ -95,6 +95,25 @@ class DedupStreamSpec extends SparkSpec {
     assert(DedupStream.readCorpus(spark, corpus).count() === after.size)
   }
 
+  test("a live compaction lock blocks ingest loudly; a stale one doesn't") {
+    import graft.streaming.{CompactionLock, StreamFs}
+    val d = Files.createTempDirectory("graft-dedupstream-lk").toString + "/c"
+    DedupStream.applyMicroBatch(spark,
+      Seq(doc(1, "alpha")).toDF("doc_id", "text"), d, 0L)
+    StreamFs.writeAtomicString(d + ".clock", "")
+    intercept[IllegalStateException](DedupStream.applyMicroBatch(spark,
+      Seq(doc(2, "beta")).toDF("doc_id", "text"), d, 1L))
+    intercept[java.io.IOException](DedupStream.compact(spark, d))
+    // dead holder: no heartbeat for StaleMs ⇒ both paths proceed
+    StreamFs.touchAt(d + ".clock",
+      System.currentTimeMillis() - CompactionLock.StaleMs - 1000)
+    DedupStream.applyMicroBatch(spark,
+      Seq(doc(2, "beta")).toDF("doc_id", "text"), d, 1L)
+    DedupStream.compact(spark, d)
+    assert(!StreamFs.exists(d + ".clock"), "lock released after compact")
+    assert(DedupStream.readCorpus(spark, d).count() === 2)
+  }
+
   test("replaying a committed batch id is a no-op") {
     val tmp = Files.createTempDirectory("graft-dedupstream-replay").toString
     val b = Seq(doc(1, "a"), doc(2, "b")).toDF("doc_id", "text")

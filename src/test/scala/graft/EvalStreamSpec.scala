@@ -110,6 +110,23 @@ class EvalStreamSpec extends SparkSpec {
     assert(rows(EvalStream.gateEvalLive(spark, d, "g")) !== before)
   }
 
+  test("a live compaction lock blocks ingest loudly; a stale one doesn't") {
+    import graft.streaming.CompactionLock
+    val d = freshDir()
+    EvalStream.applyMicroBatch(spark, scoredDf(fixture.take(100)), d, 0L)
+    StreamFs.writeAtomicString(d + ".clock", "")
+    intercept[IllegalStateException](EvalStream.applyMicroBatch(spark,
+      scoredDf(fixture.drop(100)), d, 1L))
+    intercept[java.io.IOException](EvalStream.compact(spark, d))
+    StreamFs.touchAt(d + ".clock",
+      System.currentTimeMillis() - CompactionLock.StaleMs - 1000)
+    EvalStream.applyMicroBatch(spark, scoredDf(fixture.drop(100)), d, 1L)
+    val before = rows(EvalStream.gateEvalLive(spark, d, "g"))
+    EvalStream.compact(spark, d)
+    assert(!StreamFs.exists(d + ".clock"), "lock released after compact")
+    assert(rows(EvalStream.gateEvalLive(spark, d, "g")) === before)
+  }
+
   test("bench face: live monitor equals the registered high-NDV gate row") {
     val live = EvalStream.gateEvalLiveBench(spark, sf).collect()(0).toSeq
     val batch = CurationQueries.gateEvalHighNdv(spark, sf).collect()(0).toSeq

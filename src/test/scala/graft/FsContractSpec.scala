@@ -116,4 +116,30 @@ class FsContractSpec extends SparkSpec {
       Seq("user_id"), "ts", "event_id", nBuckets = 8, batchId = Some(0L))
     assert(Scd2Stream.readBucketed(spark, hist).count() === expect.count())
   }
+
+  test("CompactionLock: atomic create-if-absent, exception-safe release, stale reclaim") {
+    import graft.streaming.{CompactionLock, StreamFs}
+    val root = Files.createTempDirectory("graft-clock").toString + "/r"
+    // createExclusive is genuinely exclusive (the round-13 ADVICE fix:
+    // no exists()-then-overwrite window)
+    StreamFs.createExclusive(root + ".x")
+    intercept[Exception](StreamFs.createExclusive(root + ".x"))
+    // a holder blocks a second acquisition...
+    CompactionLock.withLock(root) {
+      intercept[java.io.IOException](CompactionLock.withLock(root) { () })
+    }
+    // ...and releases on BOTH normal and exceptional exit
+    assert(!StreamFs.exists(CompactionLock.lockPath(root)))
+    intercept[RuntimeException](
+      CompactionLock.withLock(root) { throw new RuntimeException("boom") })
+    assert(!StreamFs.exists(CompactionLock.lockPath(root)))
+    // a dead holder (no heartbeat for StaleMs) is reclaimed, a live one
+    // (recent mtime) is not
+    StreamFs.writeAtomicString(CompactionLock.lockPath(root), "")
+    StreamFs.touchAt(CompactionLock.lockPath(root),
+      System.currentTimeMillis() - CompactionLock.StaleMs - 1000)
+    var ran = false
+    CompactionLock.withLock(root) { ran = true }
+    assert(ran && !StreamFs.exists(CompactionLock.lockPath(root)))
+  }
 }

@@ -135,13 +135,24 @@ class GraphStreamSpec extends SparkSpec {
     assert(GraphStream.searchLive(spark, sf, d).count() > 0)
   }
 
-  test("compact lock: a fresh lock blocks a second compaction") {
+  test("compact lock: a fresh lock blocks compaction AND ingest; a stale one blocks neither") {
     val d = ingest(2)
     StreamFs.writeAtomicString(d + ".clock", "")
     intercept[java.io.IOException](GraphStream.compact(spark, d))
-    StreamFs.delete(d + ".clock")
-    GraphStream.compact(spark, d) // and without it, compaction proceeds
+    // verdict #6: ingest during a LIVE compaction is a loud error, not
+    // a doc contract
+    val batch = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").limit(5)
+    intercept[IllegalStateException](
+      GraphStream.applyMicroBatch(spark, batch, d, 99L))
+    // a STALE lock (holder stopped heartbeating) blocks neither path
+    val old = System.currentTimeMillis() -
+      graft.streaming.CompactionLock.StaleMs - 1000
+    StreamFs.touchAt(d + ".clock", old)
+    GraphStream.applyMicroBatch(spark, batch, d, 99L)
+    GraphStream.compact(spark, d) // reclaims the dead holder's lock
     assert(dataDirs(d, "edges").size === 1)
+    assert(!StreamFs.exists(d + ".clock"), "lock released after compact")
   }
 
   test("live search over the streamed index returns sane ranked neighbors") {

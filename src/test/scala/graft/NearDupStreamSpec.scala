@@ -87,6 +87,19 @@ class NearDupStreamSpec extends SparkSpec {
     assert(idx.select("doc_id").distinct().count() === processed)
   }
 
+  test("ingest during a live compaction lock fails loudly (shared DedupStream layout)") {
+    import graft.streaming.{CompactionLock, StreamFs}
+    val d = Files.createTempDirectory("graft-ndstream-lk").toString + "/c"
+    val docs = documents().limit(5)
+    NearDupStream.applyMicroBatch(spark, docs, d, 0L)
+    StreamFs.writeAtomicString(d + ".clock", "")
+    intercept[IllegalStateException](
+      NearDupStream.applyMicroBatch(spark, docs, d, 1L))
+    StreamFs.touchAt(d + ".clock",
+      System.currentTimeMillis() - CompactionLock.StaleMs - 1000)
+    NearDupStream.applyMicroBatch(spark, docs, d, 1L) // stale ⇒ proceeds
+  }
+
   test("cross-batch near-dup chains drop via an indexed-but-dropped witness") {
     // chain A~B (same batch: B drops) then C~B in a LATER batch: C must
     // still drop even though its witness B never reached the corpus —

@@ -909,6 +909,49 @@ class OpsSpec extends SparkSpec {
     assert(got.exists(g => !g._3), "some docs must fold into clusters")
   }
 
+  test("dedup_media df-cap: degenerate band class bounded in the PLAN; healthy pairs unchanged") {
+    import graft.ops.MediaQueries
+    import spark.implicits._
+    // 1) the cap must cost ZERO recall on the healthy corpus fixture
+    //    (max band df ~8 here, ~29 at x100 — far under maxBandDf):
+    //    capped ≡ uncapped pair set, row for row
+    val sigs = MediaQueries.mediaPhash(spark, sf).select("doc_id", "dhash")
+      .localCheckpoint()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val capped = pairSet(MediaQueries.bandPairs(sigs, "dhash"))
+    val uncapped = pairSet(
+      MediaQueries.bandPairs(sigs, "dhash", cap = Long.MaxValue))
+    assert(capped === uncapped, "cap changed healthy-fixture pairs")
+    assert(capped.nonEmpty)
+    // 2) a planted DEGENERATE class (the all-black-thumbnail regime:
+    //    one dhash value held by 300 > maxBandDf docs) contributes ZERO
+    //    pairs under the cap — and the quadratic 300*299/2 without it —
+    //    while a planted healthy near-dup pair survives both ways
+    def mix(i: Long): Long = {
+      val x0 = (i + 1) * 2654435761L + 40503L
+      (x0 ^ (x0 >>> 13)) & ((1L << 60) - 1)
+    }
+    val healthy = (100L until 600L).map(i => (i, mix(i)))
+    val near = (9000L, mix(150L) ^ 3L) // hamming 2 from doc 150
+    val degenerate = (10000L until 10300L).map(i => (i, 0x0123456789ABCL))
+    val planted = spark.createDataset(healthy ++ Seq(near) ++ degenerate)
+      .toDF("doc_id", "dhash")
+    val cappedP = pairSet(MediaQueries.bandPairs(planted, "dhash"))
+    val uncappedP = pairSet(
+      MediaQueries.bandPairs(planted, "dhash", cap = Long.MaxValue))
+    def degPairs(s: Set[(Long, Long, Int)]) =
+      s.count(p => p._1 >= 10000L && p._2 >= 10000L)
+    assert(degPairs(uncappedP) === 300 * 299 / 2,
+      "uncapped: the degenerate class IS the quadratic blowup")
+    assert(degPairs(cappedP) === 0,
+      "capped: over-cap band values generate no candidates")
+    assert(cappedP.contains((150L, 9000L, 2)) &&
+      uncappedP.contains((150L, 9000L, 2)),
+      "the healthy near-dup pair survives the cap")
+    assert(cappedP === uncappedP.filterNot(p => p._1 >= 10000L))
+  }
+
   test("media_audio_fp: planted near-dup clips collide; distinct motifs don't") {
     import graft.ops.MediaQueries._
     def sig(motif: Long, docId: Long): Long = {
