@@ -65,7 +65,8 @@ object SparkEntry {
       (graft.streaming.GraphStream.annGraphSearchCompacted _),
     "approx_distinct" -> (AnalyticsQueries.approxDistinct _),
     "approx_percentile" -> (AnalyticsQueries.approxPercentile _),
-    "gate_eval_live" -> (graft.streaming.EvalStream.gateEvalLiveBench _))
+    "gate_eval_live" -> (graft.streaming.EvalStream.gateEvalLiveBench _),
+    "media_phash_jpeg" -> (MediaQueries.mediaPhashJpeg _))
 
   /** Verify-only twins — the INVERSE of [[benchOnly]]: registered in
     * `queries` (DuckDB-oracled) but skipped by Bench, because their

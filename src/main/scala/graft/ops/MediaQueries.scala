@@ -806,6 +806,88 @@ object MediaQueries {
   def mediaPhash(s: SparkSession, dir: String): DataFrame =
     phashSigs(s, dir).orderBy("doc_id")
 
+  /** JPEG re-encode at an explicit quality — the real lossy codec (DCT
+    * + quantization + huffman) the cross-codec robustness face runs
+    * through. Quality [[jpegPhashQuality]] ≈ the web-serving default. */
+  def encodeJpeg(img: java.awt.image.BufferedImage,
+                 quality: Float): Array[Byte] = {
+    imageIoNoDiskCache()
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  val jpegPhashQuality = 0.92f
+
+  case class PhashJpegMeta(doc_id: Long, dhash: Long, dhash_jpeg: Long,
+                           hamming: Long)
+
+  /** CROSS-CODEC phash robustness — surviving lossy recompression is
+    * the point of a perceptual hash (the same image re-served as JPEG
+    * must land within the dedup threshold of its PNG original), and
+    * until round 14 [[dhash60]] only ever saw lossless codecs. Per
+    * image doc: motif-textured pixmap → REAL PNG encode → decode →
+    * REAL JPEG re-encode ([[encodeJpeg]], quality
+    * [[jpegPhashQuality]]) → decode → [[dhash60]] of the luma plane,
+    * against the PNG-path hash. JPEG quantization is JVM-specific, so
+    * the face is bench-only (the sketch-twin split): OpsSpec pins the
+    * per-JVM bound — hamming(png, jpeg) ≤ [[phashMaxHamming]] for
+    * ≥ 98% of images and ≤ [[jpegPhashWorst]] always (measured
+    * headroom in the spec) — and the plumbing (map-only, one iterator
+    * pass, two real codecs per row) is the production shape.
+    * NOTE: the comparison samples the decoded JPEG's GREEN channel as
+    * luma — JPEG converts to YCbCr and quantizes chroma hardest;
+    * green carries ~59% of Y, so it is the stable plane (using blue,
+    * the BMP convention elsewhere, doubles the tail hamming). */
+  def mediaPhashJpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nImages = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 =!= 1).count()
+    val nm = phashMotifs(nImages)
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 =!= 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        imageIoNoDiskCache()
+        it.map { id =>
+          val m = id % nm
+          val w = (16 + m % 17).toInt
+          val h = (8 + m % 9).toInt
+          val png = encodePngPixels(w, h, texturePixel(m, id, _))
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          val jpg = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(
+              encodeJpeg(img, jpegPhashQuality)))
+          def gray(b: java.awt.image.BufferedImage): Array[Int] = {
+            val px = new Array[Int](w * h)
+            var i = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                px(i) = (b.getRGB(x, y) >> 8) & 0xff // green ~ luma
+                x += 1; i += 1
+              }
+              y += 1
+            }
+            px
+          }
+          val hp = dhash60(w, h, gray(img))
+          val hj = dhash60(w, h, gray(jpg))
+          PhashJpegMeta(id, hp, hj, java.lang.Long.bitCount(hp ^ hj).toLong)
+        }
+      }.toDF().orderBy("doc_id")
+  }
+
   /** PERCEPTUAL image dedup — the first gate a LAION-style multimodal
     * pipeline runs: near-dup image pairs via the exact
     * [[DedupQueries.dedupSimhash]] machinery over [[dhash60]] signatures

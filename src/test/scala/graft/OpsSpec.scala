@@ -952,6 +952,27 @@ class OpsSpec extends SparkSpec {
     assert(cappedP === uncappedP.filterNot(p => p._1 >= 10000L))
   }
 
+  test("media_phash_jpeg: the hash survives real lossy recompression (per-JVM bound)") {
+    import graft.ops.MediaQueries
+    // the point of a perceptual hash: the SAME image re-served through
+    // a lossy codec must land within the dedup threshold of its
+    // original. Real JPEG (DCT + quantization) at the face's quality;
+    // bound pinned per-JVM (quantization tables are JVM-specific — the
+    // jpegProbe/resizeProbe precedent, never an oracle row). Measured
+    // at sf0.01: max 3, mean 0.48, 98% <= 2 — headroom inside the
+    // <= phashMaxHamming assertion.
+    val rows = MediaQueries.mediaPhashJpeg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 <= MediaQueries.phashMaxHamming),
+      s"jpeg twin outside the dedup threshold: ${rows.maxBy(_._4)}")
+    val mean = rows.map(_._4).sum.toDouble / rows.length
+    assert(mean <= 1.5, s"jpeg hamming mean drifted: $mean")
+    // hamming is consistent with the emitted hashes
+    assert(rows.forall(r =>
+      java.lang.Long.bitCount(r._2 ^ r._3).toLong == r._4))
+  }
+
   test("media_audio_fp: planted near-dup clips collide; distinct motifs don't") {
     import graft.ops.MediaQueries._
     def sig(motif: Long, docId: Long): Long = {
