@@ -859,6 +859,14 @@ object CurationQueries {
   def gateEvalHighNdv(s: SparkSession, dir: String): DataFrame =
     EvalQueries.gateEval("highndv", highNdvScored(s, dir))
 
+  /** DRIFT-window gate eval over the streaming monitor's committed
+    * state — see [[graft.streaming.EvalStream.gateEvalDriftQuery]]
+    * (deterministic 4-batch ingest of [[highNdvScored]]; window = the
+    * trailing 2 batches = `score % 4 IN (2, 3)`, which is what the
+    * oracle recomputes through the shared eval arithmetic). */
+  def gateEvalDrift(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EvalStream.gateEvalDriftQuery(s, dir)
+
   /** Shared oracle CTE block ending in `wts(lang, token, cnt, w)` plus
     * `vocab(token)` — the DuckDB replica of [[classifierWeights]]. */
   private lazy val clfModelCtes =
@@ -959,6 +967,7 @@ object CurationQueries {
     "classifier_eval" -> (classifierEval _),
     "classifier_pr_curve" -> (classifierPrCurve _),
     "gate_eval_highndv" -> (gateEvalHighNdv _),
+    "gate_eval_drift" -> (gateEvalDrift _),
     "text_classify" -> (textClassify _),
     "doc_keywords" -> (docKeywords _),
     "feature_hash" -> (featureHash _),
@@ -1286,6 +1295,18 @@ object CurationQueries {
          |      >= 500000000 AS decision
          |  FROM documents),
          |${EvalQueries.gateEvalSql("highndv")}""".stripMargin,
+    "gate_eval_drift" ->
+      s"""WITH scored AS MATERIALIZED (
+         |  SELECT ('0x' || substr(md5('ndv:' || CAST(doc_id AS VARCHAR)
+         |      || ':' || text), 1, 15))::BIGINT % 1000000000 AS score,
+         |    lang = 'en' AS label,
+         |    ('0x' || substr(md5('ndv:' || CAST(doc_id AS VARCHAR)
+         |      || ':' || text), 1, 15))::BIGINT % 1000000000
+         |      >= 500000000 AS decision
+         |  FROM documents),
+         |scored_w AS MATERIALIZED (
+         |  SELECT * FROM scored WHERE score % 4 IN (2, 3)),
+         |${EvalQueries.gateEvalDriftSql("highndv")}""".stripMargin,
     "doc_keywords" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

@@ -234,6 +234,60 @@ object EvalQueries {
        |       END AS f1
        |FROM cum CROSS JOIN tot ORDER BY threshold""".stripMargin
 
+  /** The DuckDB tail of a DRIFT oracle: expects preceding CTEs
+    * `scored(score, label, decision)` (lifetime) and `scored_w` (the
+    * window subset) and emits the one-row lifetime-vs-window report —
+    * the EXACT SQL mirror of [[graft.streaming.EvalStream
+    * .gateEvalDrift]]: both legs are the [[gateEvalSql]] arithmetic
+    * verbatim (suffixed CTE names), deltas are IEEE subtractions of
+    * the already-rounded doubles, identical in both engines. */
+  def gateEvalDriftSql(gate: String): String = {
+    def leg(sfx: String, src: String): String =
+      s"""hist$sfx AS (
+         |  SELECT score, sum(CASE WHEN label THEN 1 ELSE 0 END) AS np,
+         |         sum(CASE WHEN label THEN 0 ELSE 1 END) AS nn
+         |  FROM $src GROUP BY 1),
+         |cum$sfx AS (
+         |  SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnn
+         |  FROM hist$sfx),
+         |agg$sfx AS (
+         |  SELECT CAST(sum(np * (cnn * 2 + nn)) AS BIGINT) AS u2,
+         |         CAST(sum(np) AS BIGINT) AS n_pos,
+         |         CAST(sum(nn) AS BIGINT) AS n_neg
+         |  FROM cum$sfx),
+         |conf$sfx AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN decision AND label THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN decision AND NOT label THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN NOT decision AND label THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS fn
+         |  FROM $src),
+         |row$sfx AS (
+         |  SELECT n_pos + n_neg AS n,
+         |    CASE WHEN n_pos * n_neg = 0 THEN 0.5
+         |         ELSE round(u2 / (2.0 * n_pos * n_neg), 6) END AS auc,
+         |    CASE WHEN tp + fp = 0 THEN 0.0
+         |         ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prc,
+         |    CASE WHEN tp + fn = 0 THEN 0.0
+         |         ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec,
+         |    CASE WHEN tp * 2 + fp + fn = 0 THEN 0.0
+         |         ELSE round(2.0 * tp / (tp * 2 + fp + fn), 6) END AS f1
+         |  FROM agg$sfx CROSS JOIN conf$sfx)"""
+    s"""${leg("_l", "scored")},
+       |${leg("_w", "scored_w")}
+       |SELECT '$gate' AS gate, l.n AS n_life, w.n AS n_window,
+       |  l.auc AS auc_life, w.auc AS auc_window,
+       |  round(w.auc - l.auc, 6) AS auc_delta,
+       |  l.prc AS precision_life, w.prc AS precision_window,
+       |  l.rec AS recall_life, w.rec AS recall_window,
+       |  l.f1 AS f1_life, w.f1 AS f1_window,
+       |  round(w.f1 - l.f1, 6) AS f1_delta
+       |FROM row_l l CROSS JOIN row_w w""".stripMargin
+  }
+
   /** The DuckDB tail of a gate-eval oracle: expects a preceding CTE
     * `scored(score, label, decision)` and appends the histogram /
     * rank-sum / confusion arithmetic — the EXACT SQL mirror of

@@ -110,6 +110,60 @@ class EvalStreamSpec extends SparkSpec {
     assert(rows(EvalStream.gateEvalLive(spark, d, "g")) !== before)
   }
 
+  test("drift window ≡ batch gateEval over exactly the window's rows; deltas line up") {
+    val d = freshDir()
+    val slices = (0 until 6).map(i =>
+      fixture.zipWithIndex.filter(_._2 % 6 == i).map(_._1))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      EvalStream.applyMicroBatch(spark, scoredDf(s), d, i.toLong) }
+    // window = the trailing 2 batches' rows, nothing else
+    val winBatch = rows(EvalQueries.gateEval("g",
+      scoredDf(slices(4) ++ slices(5))))
+    assert(rows(EvalStream.gateEvalWindow(spark, d, "g", 2)) === winBatch,
+      "trailing-window report diverged from the batch operator")
+    // fewer dirs than the window: trailing-window semantics = all so far
+    assert(rows(EvalStream.gateEvalWindow(spark, d, "g", 99)) ===
+      rows(EvalStream.gateEvalLive(spark, d, "g")))
+    // the drift row is the two legs' own numbers plus exact deltas
+    val drift = EvalStream.gateEvalDrift(spark, d, "g", 2).collect().head
+    val life = EvalStream.gateEvalLive(spark, d, "g").collect().head
+    val win = EvalStream.gateEvalWindow(spark, d, "g", 2).collect().head
+    assert(drift.getAs[Long]("n_life") ===
+      life.getAs[Long]("n_pos") + life.getAs[Long]("n_neg"))
+    assert(drift.getAs[Long]("n_window") ===
+      win.getAs[Long]("n_pos") + win.getAs[Long]("n_neg"))
+    assert(drift.getAs[Double]("auc_life") === life.getAs[Double]("auc"))
+    assert(drift.getAs[Double]("auc_window") === win.getAs[Double]("auc"))
+    assert(drift.getAs[Double]("auc_delta") ===
+      BigDecimal(win.getAs[Double]("auc") - life.getAs[Double]("auc"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("compaction with keepLast ≥ window preserves the drift report exactly") {
+    val d = freshDir()
+    val slices = (0 until 6).map(i =>
+      fixture.zipWithIndex.filter(_._2 % 6 == i).map(_._1))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      EvalStream.applyMicroBatch(spark, scoredDf(s), d, i.toLong) }
+    val before = rows(EvalStream.gateEvalDrift(spark, d, "g", 2))
+    val lifeBefore = rows(EvalStream.gateEvalLive(spark, d, "g"))
+    // the drift horizon: batches 0-3 collapse, 4 and 5 carry over
+    EvalStream.compact(spark, d, keepLast = 2)
+    assert(StreamFs.listNames(s"$d/counts").count(_.startsWith("batch=")) === 6,
+      "every committed id survives as at least a tombstone")
+    assert(rows(EvalStream.gateEvalDrift(spark, d, "g", 2)) === before,
+      "window boundaries inside the horizon must survive compaction")
+    assert(rows(EvalStream.gateEvalLive(spark, d, "g")) === lifeBefore)
+    // replay of an already-compacted id still no-ops
+    EvalStream.applyMicroBatch(spark, scoredDf(slices(0)), d, 0L)
+    assert(rows(EvalStream.gateEvalLive(spark, d, "g")) === lifeBefore)
+    // a FULL merge (keepLast = 0) collapses history: the documented
+    // degradation — the trailing window now reads the single merged dir
+    EvalStream.compact(spark, d)
+    assert(rows(EvalStream.gateEvalWindow(spark, d, "g", 2)) ===
+      rows(EvalStream.gateEvalLive(spark, d, "g")))
+  }
+
   test("a live compaction lock blocks ingest loudly; a stale one doesn't") {
     import graft.streaming.CompactionLock
     val d = freshDir()

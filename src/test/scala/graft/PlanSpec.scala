@@ -404,6 +404,9 @@ class PlanSpec extends SparkSpec {
     // gate_eval_highndv is the same tail over a near-unique score grid
     "classifier_eval", "classifier_pr_curve", "curation_funnel", "dsir_eval",
     "gate_eval_highndv",
+    // gate_eval_drift: two gateEval tails (each the allowlisted 1-row
+    // metric assembly) plus the 1-row × 1-row lifetime-vs-window join
+    "gate_eval_drift",
     // host_filter's 1-row corpus-mean threshold broadcast
     "host_filter",
     "copurchase_pairs", "corpus_divergence", "dedup_embedding",
