@@ -1022,6 +1022,39 @@ object MediaQueries {
   def mediaAudioFp(s: SparkSession, dir: String): DataFrame =
     audioSigs(s, dir).orderBy("doc_id")
 
+  /** The textured MULTIMODAL payload table (doc_id, payload) — the
+    * ingest-stream face of the [[phashSigs]]/[[audioSigs]] fixtures:
+    * identical motif arithmetic and REAL encoded bytes (PNG/BMP for
+    * doc_id ≢ 1 mod 3, WAV for ≡ 1), so
+    * [[graft.streaming.MediaStream]]'s gate fingerprints exactly the
+    * corpus the batch dedup faces verify — the stream ≡ batch spec pin
+    * rests on this byte-for-byte equality. */
+  def texturedMediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val nImages = docs.filter(col("doc_id") % 3 =!= 1).count()
+    val nAudio = docs.filter(col("doc_id") % 3 === 1).count()
+    val nmI = phashMotifs(nImages)
+    val nmA = phashMotifs(nAudio)
+    docs.as[Long].mapPartitions { it =>
+      imageIoNoDiskCache()
+      it.map { id =>
+        val payload =
+          if (id % 3 == 1) {
+            val m = id % nmA
+            encodeWavSamples(audioFpSamples(m), textureSample(m, id, _))
+          } else {
+            val m = id % nmI
+            val w = (16 + m % 17).toInt
+            val h = (8 + m % 9).toInt
+            if (id % 3 == 0) encodePngPixels(w, h, texturePixel(m, id, _))
+            else encodeBmpPixels(w, h, texturePixel(m, id, _))
+          }
+        (id, payload)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
   /** AUDIO near-dup dedup — [[dedupMedia]]'s machinery over
     * [[audioFp60]] signatures (4×15-bit bands, exact hamming ≤
     * [[phashMaxHamming]] verify). With this, every modality in the
