@@ -1029,6 +1029,7 @@ object DedupQueries {
     "dedup_shared_ngrams" -> (dedupSharedNgrams _),
     "dedup_exact" -> (dedupExact _),
     "dedup_url" -> (dedupUrl _),
+    "dedup_url_stream" -> (graft.streaming.UrlStream.dedupUrlStream _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -1313,6 +1314,15 @@ object DedupQueries {
          |  min(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
          |  doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS keep
          |FROM u ORDER BY doc_id""".stripMargin,
+    // the STREAM face's admitted corpus: under id-ordered batching the
+    // first-seen canonical is the min doc_id — the batch face's keep set
+    "dedup_url_stream" ->
+      s"""WITH ${TextQueries.urlSynthSql}
+         |SELECT doc_id, url, canonical_url FROM (
+         |  SELECT doc_id, url, canonical_url,
+         |    min(doc_id) OVER (PARTITION BY canonical_url) AS cid
+         |  FROM u)
+         |WHERE doc_id = cid ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH $jaccardPairsCte
          |SELECT a, b, common, jaccard FROM jpairs ORDER BY a, b""".stripMargin,

@@ -33,7 +33,18 @@ Flags:
             join / sessionization skew), lineitem.l_partkey -> one hot
             part on every 5th line (copurchase basket skew), documents:
             every 5th doc gets source='hot_src' and every 5th word
-            replaced by 'zipfhot' (vocab/shingle-DF skew).
+            replaced by 'zipfhot' (vocab/shingle-DF skew), and — round
+            14 — every 5th doc's doc_id is REMAPPED into one residue
+            class so the doc_id-DERIVED key families feel the skew too
+            (round-13 verdict #7: URL canonicals are f(doc_id % 100),
+            media motifs f(doc_id % nm) — text skew never touched
+            them). Remapped ids sit above the original range, stepped
+            by lcm(300, nm): congruent mod 300 (=> ONE canonical URL
+            class at 20% mass for dedup_url/url_host_stats) and mod nm
+            (=> ONE image motif at 20% mass — an over-cap degenerate
+            perceptual class, which dedup_media's maxBandDf must
+            absorb), while staying unique and id%3-stable (=> all
+            'png' modality).
 
 Usage: python3 tools/make_scale.py <srcSfDir> <dstDir> [factor=10]
            [--mutate] [--skew]
@@ -133,7 +144,18 @@ def skew(tbl, name):
             texts[i] = " ".join(
                 "zipfhot" if j % 5 == 0 else w for j, w in enumerate(words))
             srcs[i] = "hot_src"
-        return set_cols(tbl, text=pa.array(texts, pa.string()),
+        # doc_id-derived key skew (see the --skew docstring): remap every
+        # 5th row's doc_id into one residue class mod lcm(300, nm), above
+        # the original id range so uniqueness holds
+        new_ids = ids.copy()
+        mask = np.arange(len(ids)) % 5 == 0
+        n_images = int(((ids[~mask] % 3) != 1).sum()) + int(mask.sum())
+        nm = max(25, n_images // 8)   # = MediaQueries.phashMotifs
+        step = int(np.lcm(300, nm))
+        base = (int(ids.max()) // step + 1) * step
+        new_ids[mask] = base + np.arange(int(mask.sum())) * step
+        return set_cols(tbl, doc_id=pa.array(new_ids, tbl["doc_id"].type),
+                        text=pa.array(texts, pa.string()),
                         source=pa.array(srcs, pa.string()),
                         n_chars=pa.array([len(t) for t in texts], pa.int64()))
     return tbl
