@@ -791,7 +791,14 @@ object CurationQueries {
     * × class) score grid feeds BOTH the en-score and the argmax
     * decision, so it is localCheckpoint'd — two consumers would
     * otherwise re-run the tokenize + model join twice. */
-  def classifierEval(s: SparkSession, dir: String): DataFrame = {
+  def classifierEval(s: SparkSession, dir: String): DataFrame =
+    EvalQueries.gateEval("clf_en", clfEnScored(s, dir))
+
+  /** The is-English gate's (score, label, decision) rows — the scored
+    * corpus [[classifierEval]] summarizes and [[classifierCalibration]]
+    * bands; extracting it is what keeps the two faces grading the SAME
+    * decisions. */
+  private def clfEnScored(s: SparkSession, dir: String): DataFrame = {
     val (test, scoresRaw) = clfTestScores(s, dir)
     val scores = scoresRaw.localCheckpoint()
     val best = Window.partitionBy(col("doc_id"))
@@ -805,7 +812,7 @@ object CurationQueries {
     // an inner join would silently drop every test doc and emit a
     // degenerate all-zero row — a missing positive class must fail
     // loudly instead (round-12 advice)
-    val scored = test.select(col("doc_id"), col("labeled_lang"))
+    test.select(col("doc_id"), col("labeled_lang"))
       .join(en, Seq("doc_id"), "left")
       .join(pred, Seq("doc_id"))
       .select(
@@ -814,8 +821,23 @@ object CurationQueries {
           col("score")).as("score"),
         (col("labeled_lang") === "en").as("label"),
         (col("pred_lang") === "en").as("decision"))
-    EvalQueries.gateEval("clf_en", scored)
   }
+
+  /** Score-band width for [[classifierCalibration]] — clfUnit/10:
+    * en-scores are Σ of per-token ppm weights, spanning ≈ 0.7–3.5 M on
+    * the fixture corpus (measured; the span tracks DOC LENGTH, not
+    * corpus size, so the band count stays ~30 at any sf). */
+  val calibrationBinWidth: Long = clfUnit / 10
+
+  /** RELIABILITY BANDS of the is-English gate — the per-score-band
+    * health table behind [[classifierEval]]'s one-row summary: where on
+    * the score axis do the 'en' label rate and the argmax decision rate
+    * sit, band by band ([[EvalQueries.calibrationReport]]). The
+    * reliability-diagram artifact of gate monitoring: a single inverted
+    * band (high score, low positive rate) is invisible in lifetime AUC. */
+  def classifierCalibration(s: SparkSession, dir: String): DataFrame =
+    EvalQueries.calibrationReport("clf_en", clfEnScored(s, dir),
+      calibrationBinWidth)
 
   /** The PR CURVE of the is-English gate — one row per distinct ppm
     * en-score grading `score ≥ threshold`, the sweep an engineer reads
@@ -858,6 +880,24 @@ object CurationQueries {
 
   def gateEvalHighNdv(s: SparkSession, dir: String): DataFrame =
     EvalQueries.gateEval("highndv", highNdvScored(s, dir))
+
+  /** PER-SOURCE gate eval — [[gateEvalHighNdv]]'s gate graded
+    * independently per corpus `source` ([[EvalQueries.gateEvalBy]]):
+    * one metric row per source, the per-slice fairness/regression view
+    * a lifetime aggregate hides. Doubles as the sliced witness of the
+    * corpus-scale-NDV regime: the scores stay near-unique WITHIN each
+    * slice, so nothing here may order a slice's histogram in one
+    * partition either. */
+  def gateEvalBySource(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    val scored = Tables.documents(s, dir).select(
+      col("source").as("slice"),
+      (md5Long(concat(lit("ndv:"), col("doc_id").cast("string"),
+        lit(":"), col("text"))) % 1000000000L).as("score"),
+      (col("lang") === "en").as("label"))
+      .withColumn("decision", col("score") >= 500000000L)
+    EvalQueries.gateEvalBy("highndv", scored)
+  }
 
   /** DRIFT-window gate eval over the streaming monitor's committed
     * state — see [[graft.streaming.EvalStream.gateEvalDriftQuery]]
@@ -966,7 +1006,9 @@ object CurationQueries {
     "classifier_weights" -> (classifierWeights _),
     "classifier_eval" -> (classifierEval _),
     "classifier_pr_curve" -> (classifierPrCurve _),
+    "classifier_calibration" -> (classifierCalibration _),
     "gate_eval_highndv" -> (gateEvalHighNdv _),
+    "gate_eval_by_source" -> (gateEvalBySource _),
     "gate_eval_drift" -> (gateEvalDrift _),
     "text_classify" -> (textClassify _),
     "doc_keywords" -> (docKeywords _),
@@ -1295,6 +1337,27 @@ object CurationQueries {
          |      >= 500000000 AS decision
          |  FROM documents),
          |${EvalQueries.gateEvalSql("highndv")}""".stripMargin,
+    "gate_eval_by_source" ->
+      s"""WITH scored AS (
+         |  SELECT source AS slice,
+         |    ('0x' || substr(md5('ndv:' || CAST(doc_id AS VARCHAR)
+         |      || ':' || text), 1, 15))::BIGINT % 1000000000 AS score,
+         |    lang = 'en' AS label,
+         |    ('0x' || substr(md5('ndv:' || CAST(doc_id AS VARCHAR)
+         |      || ':' || text), 1, 15))::BIGINT % 1000000000
+         |      >= 500000000 AS decision
+         |  FROM documents),
+         |${EvalQueries.gateEvalBySql("highndv")}""".stripMargin,
+    "classifier_calibration" ->
+      s"""WITH $clfScoreCtes,
+         |scored AS (
+         |  SELECT en.score AS score, t.labeled_lang = 'en' AS label,
+         |         r.lang = 'en' AS decision
+         |  FROM test t
+         |  JOIN sc en ON en.doc_id = t.doc_id AND en.lang = 'en'
+         |  JOIN rk r ON r.doc_id = t.doc_id AND r.rk = 1),
+         |${EvalQueries.calibrationSql("clf_en", calibrationBinWidth)}"""
+        .stripMargin,
     "gate_eval_drift" ->
       s"""WITH scored AS MATERIALIZED (
          |  SELECT ('0x' || substr(md5('ndv:' || CAST(doc_id AS VARCHAR)

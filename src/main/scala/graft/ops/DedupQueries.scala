@@ -348,7 +348,20 @@ object DedupQueries {
     * 4-way union), so the band self-join verifies candidates in-row —
     * signatures are computed once per join side and there are NO extra
     * verification joins. */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Signature-agreement floor for an LSH candidate to become a verdict
+    * (est. jaccard ≥ 8/12 ≈ 0.67 against [[jaccardThreshold]] = 0.8). */
+  val lshVerifyMin = 8
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    lshScoredPairs(s, dir)
+      .filter(col("sig_matches") >= lshVerifyMin)
+      .orderBy("a", "b")
+
+  /** The LSH candidate pairs BEFORE the [[lshVerifyMin]] verdict filter
+    * — every (a < b) pair agreeing on ≥1 band, scored by signature
+    * agreement. [[dedupMinhashLsh]] is its filtered face;
+    * [[dedupRecallReport]] grades both layers against exact truth. */
+  private def lshScoredPairs(s: SparkSession, dir: String): DataFrame = {
     // signatures materialized once (the persisted-signature-table pattern)
     val sig = minhashSigs(s, dir).select(col("doc_id"),
       array((0 until minhashK).map(k => col(s"mh$k")): _*).as("sig"))
@@ -373,8 +386,50 @@ object DedupQueries {
         matches.as("sig_matches"))
       .distinct()
       .withColumn("est_jaccard", round(col("sig_matches") / lit(minhashK.toDouble), 6))
-      .filter(col("sig_matches") >= 8)
-      .orderBy("a", "b")
+  }
+
+  /** SKETCH-RECALL MONITOR — grades the MinHash/LSH machinery against
+    * EXACT n-gram Jaccard truth on the same corpus, in one row:
+    * candidate-layer recall (did banding SURFACE the true near-dup
+    * pairs — the recall LSH banding probabilistically promises) and
+    * verdict-layer recall/precision (what the shipped ≥[[lshVerifyMin]]
+    * filter keeps of the truth / how much of what it keeps is true).
+    * The number a curation team watches before trusting a sketch-based
+    * dedup pass — the dedup twin of `ann_recall_report`, closing the
+    * same loop for the near-dup family.
+    *
+    * Shape at 100 TB: the truth side is the prefix-filtered exact pair
+    * join ([[jaccardPairs]] — linear by the df-cap + prefix-filter
+    * argument), the sketch side the banded join; both are the operators
+    * being graded, run as they ship. On a production corpus this
+    * monitor runs over a deterministic SAMPLE BLOCK (doc_id range) —
+    * recall is a ratio, not an inventory, and a block preserves the
+    * within-block pair distribution; the registered face grades the
+    * whole sf corpus. The three assembly crossJoins are 1-row × 1-row
+    * (the allowlisted class). */
+  def dedupRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val truth = jaccardPairs(s, dir).select("a", "b").localCheckpoint()
+    val cand = lshScoredPairs(s, dir).localCheckpoint()
+    val verdictN = sum(when(col("sig_matches") >= lshVerifyMin, 1L)
+      .otherwise(0L))
+    val t = truth.agg(count(lit(1)).as("n_true"))
+    val c = cand.agg(count(lit(1)).as("n_cand"),
+      coalesce(verdictN, lit(0L)).as("n_verdict"))
+    val h = cand.join(truth, Seq("a", "b")).agg(
+      count(lit(1)).as("n_cand_hit"),
+      coalesce(verdictN, lit(0L)).as("n_verdict_hit"))
+    t.crossJoin(c).crossJoin(h) // 1-row × 1-row assembly (allowlisted)
+      .select(col("n_true"), col("n_cand"), col("n_cand_hit"),
+        col("n_verdict"), col("n_verdict_hit"),
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(round(col("n_cand_hit").cast("double") / col("n_true"), 6))
+          .as("recall_cand"),
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(round(col("n_verdict_hit").cast("double") / col("n_true"), 6))
+          .as("recall_verdict"),
+        when(col("n_verdict") === 0, lit(0.0))
+          .otherwise(round(col("n_verdict_hit").cast("double") / col("n_verdict"), 6))
+          .as("precision_verdict"))
   }
 
   /** INCREMENTAL NEAR-dup: the ingestion-time twin of [[dedupMinhashLsh]]
@@ -1036,6 +1091,7 @@ object DedupQueries {
     "dedup_incremental_lsh" -> (dedupIncrementalLsh _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_recall_report" -> (dedupRecallReport _),
     "dedup_simhash_sig" -> (dedupSimhashSig _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1065,11 +1121,10 @@ object DedupQueries {
        |         list_transform(sh, s -> ${duckMd5Long("s")} % $minhashP) AS hs
        |  FROM sh)""".stripMargin
 
-  /** dedup_jaccard's full pair computation as a CTE chain ending in
-    * `jpairs(a, b, common, jaccard)` (shared with dedup_cluster). */
-  private val jaccardPairsCte =
-    s"""$hashedCte,
-       |ex AS (SELECT doc_id, n_sh, unnest(hs) AS shingle FROM hsh),
+  /** The exact-pair CTE tail (given `hsh`) ending in
+    * `jpairs(a, b, common, jaccard)`. */
+  private val jaccardPairsTail =
+    s"""ex AS (SELECT doc_id, n_sh, unnest(hs) AS shingle FROM hsh),
        |keep AS (SELECT shingle FROM ex GROUP BY shingle
        |         HAVING count(*) <= $maxShingleDf),
        |idx AS (SELECT ex.* FROM ex JOIN keep USING (shingle)),
@@ -1083,15 +1138,47 @@ object DedupQueries {
        |  GROUP BY 1, 2
        |  HAVING jaccard >= $jaccardThreshold)""".stripMargin
 
-  private val sigCte = {
+  /** dedup_jaccard's full pair computation as a CTE chain ending in
+    * `jpairs(a, b, common, jaccard)` (shared with dedup_cluster). */
+  private val jaccardPairsCte =
+    s"""$hashedCte,
+       |$jaccardPairsTail""".stripMargin
+
+  /** The MinHash-signature CTE tail (given `hsh`) ending in `sigs`. */
+  private val sigsTail = {
     val sigExprs = (0 until minhashK).map { k =>
       s"list_min(list_transform(hs, h -> (h * ${minhashA(k)} + ${minhashB(k)}) % $minhashP)) AS mh$k"
     }.mkString(",\n         ")
-    s"""$hashedCte,
-       |sigs AS (
+    s"""sigs AS (
        |  SELECT doc_id,
        |         $sigExprs
        |  FROM hsh)""".stripMargin
+  }
+
+  private val sigCte =
+    s"""$hashedCte,
+       |$sigsTail""".stripMargin
+
+  /** The LSH band/candidate CTE tail (given `sigs`) ending in
+    * `lpairs(a, b, sig_matches)` — the PRE-verdict candidate pairs. */
+  private val lshPairsTail = {
+    val bandRows = (0 until lshBands).map { bnd =>
+      val key = (0 until 3).map(r => s"mh${bnd * 3 + r}").mkString(" || '-' || ")
+      s"SELECT doc_id, $bnd AS band, $key AS key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val matches = (0 until minhashK)
+      .map(k => s"CASE WHEN xs.mh$k = ys.mh$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |lpairs AS (
+       |  SELECT a, b, $matches AS sig_matches
+       |  FROM cand JOIN sigs xs ON cand.a = xs.doc_id
+       |            JOIN sigs ys ON cand.b = ys.doc_id)""".stripMargin
   }
 
   private val simhashCte = {
@@ -1443,28 +1530,46 @@ object DedupQueries {
          |WHERE s.doc_id > mid.m
          |ORDER BY s.doc_id""".stripMargin
     },
-    "dedup_minhash_lsh" -> {
-      val bandRows = (0 until lshBands).map { bnd =>
-        val key = (0 until 3).map(r => s"mh${bnd * 3 + r}").mkString(" || '-' || ")
-        s"SELECT doc_id, $bnd AS band, $key AS key FROM sigs"
-      }.mkString("\n  UNION ALL ")
-      val matches = (0 until minhashK)
-        .map(k => s"CASE WHEN xs.mh$k = ys.mh$k THEN 1 ELSE 0 END")
-        .mkString(" + ")
+    "dedup_minhash_lsh" ->
       s"""WITH $sigCte,
-         |bands AS (
-         |  $bandRows),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-         |SELECT a, b, $matches AS sig_matches,
-         |       round(CAST($matches AS DOUBLE) / $minhashK, 6) AS est_jaccard
-         |FROM cand JOIN sigs xs ON cand.a = xs.doc_id
-         |          JOIN sigs ys ON cand.b = ys.doc_id
-         |WHERE $matches >= 8
-         |ORDER BY a, b""".stripMargin
-    },
+         |$lshPairsTail
+         |SELECT a, b, sig_matches,
+         |       round(CAST(sig_matches AS DOUBLE) / $minhashK, 6)
+         |         AS est_jaccard
+         |FROM lpairs
+         |WHERE sig_matches >= $lshVerifyMin
+         |ORDER BY a, b""".stripMargin,
+    "dedup_recall_report" ->
+      s"""WITH $hashedCte,
+         |$jaccardPairsTail,
+         |$sigsTail,
+         |$lshPairsTail,
+         |t AS (SELECT count(*) AS n_true FROM jpairs),
+         |c AS (
+         |  SELECT count(*) AS n_cand,
+         |    coalesce(sum(CASE WHEN sig_matches >= $lshVerifyMin
+         |                      THEN 1 ELSE 0 END), 0) AS n_verdict
+         |  FROM lpairs),
+         |h AS (
+         |  SELECT count(*) AS n_cand_hit,
+         |    coalesce(sum(CASE WHEN sig_matches >= $lshVerifyMin
+         |                      THEN 1 ELSE 0 END), 0) AS n_verdict_hit
+         |  FROM lpairs JOIN jpairs USING (a, b))
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(n_cand_hit AS BIGINT) AS n_cand_hit,
+         |  CAST(n_verdict AS BIGINT) AS n_verdict,
+         |  CAST(n_verdict_hit AS BIGINT) AS n_verdict_hit,
+         |  CASE WHEN n_true = 0 THEN 1.0
+         |       ELSE round(CAST(n_cand_hit AS DOUBLE) / n_true, 6)
+         |       END AS recall_cand,
+         |  CASE WHEN n_true = 0 THEN 1.0
+         |       ELSE round(CAST(n_verdict_hit AS DOUBLE) / n_true, 6)
+         |       END AS recall_verdict,
+         |  CASE WHEN n_verdict = 0 THEN 0.0
+         |       ELSE round(CAST(n_verdict_hit AS DOUBLE) / n_verdict, 6)
+         |       END AS precision_verdict
+         |FROM t CROSS JOIN c CROSS JOIN h""".stripMargin,
     "dedup_simhash_sig" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,

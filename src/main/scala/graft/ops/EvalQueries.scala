@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,7 +75,7 @@ object EvalQueries {
     * Exactness: integer sums reassociate freely, so the split prefix
     * equals the single-partition window bit for bit (EvalSpec pins
     * brute-force equality, including a high-NDV fixture). */
-  private def prefixedHistogram(hist: DataFrame, desc: Boolean): DataFrame = {
+  private[graft] def prefixedHistogram(hist: DataFrame, desc: Boolean): DataFrame = {
     val parts = hist.sparkSession.sessionState.conf.numShufflePartitions
     val ord = if (desc) col("score").desc else col("score").asc
     val ranged = hist.repartitionByRange(parts, ord)
@@ -125,36 +125,156 @@ object EvalQueries {
       .withColumn("cnn", col("cum_nn") - col("nn"))
       .agg(sum(col("np") * (col("cnn") * 2 + col("nn"))).as("u2"),
         sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
-    val conf = counts.agg(
-      sum(when(col("decision") && col("label"), col("n")).otherwise(0L))
-        .as("tp"),
-      sum(when(col("decision") && !col("label"), col("n")).otherwise(0L))
-        .as("fp"),
-      sum(when(!col("decision") && col("label"), col("n")).otherwise(0L))
-        .as("fn"),
-      sum(when(!col("decision") && !col("label"), col("n")).otherwise(0L))
-        .as("tn"))
+    val conf = counts.agg(confusionCols.head, confusionCols.tail: _*)
     agg.crossJoin(conf) // 1-row × 1-row metric assembly (allowlisted)
-      .select(lit(gate).as("gate"), col("n_pos"), col("n_neg"),
-        when(col("n_pos") * col("n_neg") === 0, lit(0.5))
-          .otherwise(round(
-            col("u2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
-          .as("auc"),
-        col("tp"), col("fp"), col("fn"), col("tn"),
-        when(col("tp") + col("fp") === 0, lit(0.0))
-          .otherwise(round(
-            col("tp").cast("double") / (col("tp") + col("fp")), 6))
-          .as("precision"),
-        when(col("tp") + col("fn") === 0, lit(0.0))
-          .otherwise(round(
-            col("tp").cast("double") / (col("tp") + col("fn")), 6))
-          .as("recall"),
-        when(col("tp") * 2 + col("fp") + col("fn") === 0, lit(0.0))
-          .otherwise(round(
-            lit(2.0) * col("tp") / (col("tp") * 2 + col("fp") + col("fn")),
-            6))
-          .as("f1"))
+      .select(lit(gate).as("gate") +: metricCols: _*)
   }
+
+  /** The four confusion counters over a (label, decision, n) count
+    * table — shared by the whole-corpus and per-slice eval tails. */
+  private def confusionCols: Seq[Column] = Seq(
+    sum(when(col("decision") && col("label"), col("n")).otherwise(0L))
+      .as("tp"),
+    sum(when(col("decision") && !col("label"), col("n")).otherwise(0L))
+      .as("fp"),
+    sum(when(!col("decision") && col("label"), col("n")).otherwise(0L))
+      .as("fn"),
+    sum(when(!col("decision") && !col("label"), col("n")).otherwise(0L))
+      .as("tn"))
+
+  /** The metric projection over assembled (u2, n_pos, n_neg, tp, fp,
+    * fn, tn) columns — the ONE place the AUC / precision / recall / F1
+    * arithmetic and its degenerate-input conventions live, so the
+    * whole-corpus and per-slice faces cannot diverge. */
+  private def metricCols: Seq[Column] = Seq(
+    col("n_pos"), col("n_neg"),
+    when(col("n_pos") * col("n_neg") === 0, lit(0.5))
+      .otherwise(round(
+        col("u2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+      .as("auc"),
+    col("tp"), col("fp"), col("fn"), col("tn"),
+    when(col("tp") + col("fp") === 0, lit(0.0))
+      .otherwise(round(
+        col("tp").cast("double") / (col("tp") + col("fp")), 6))
+      .as("precision"),
+    when(col("tp") + col("fn") === 0, lit(0.0))
+      .otherwise(round(
+        col("tp").cast("double") / (col("tp") + col("fn")), 6))
+      .as("recall"),
+    when(col("tp") * 2 + col("fp") + col("fn") === 0, lit(0.0))
+      .otherwise(round(
+        lit(2.0) * col("tp") / (col("tp") * 2 + col("fp") + col("fn")),
+        6))
+      .as("f1"))
+
+  /** PER-SLICE gate evaluation — [[gateEval]] graded independently
+    * within each value of a `slice` column (source, domain, language,
+    * length bucket): ONE row per slice with the same metric schema.
+    * "Is my gate biased against a slice of the corpus" is the fairness
+    * /regression question a lifetime aggregate structurally hides — a
+    * gate can hold AUC 0.9 overall while collapsing to 0.5 on one
+    * source whose volume is small.
+    *
+    * `scored` must have columns `(slice, score: BIGINT,
+    * label: BOOLEAN, decision: BOOLEAN)`.
+    *
+    * Shape at 100 TB: the corpus collapses to per-(slice, score)
+    * counts (map-side combined), and the rank prefix sums run as the
+    * SLICE-AWARE generalization of [[prefixedHistogram]]: range-
+    * partition by (slice, score) — each slice occupies a contiguous
+    * partition run — with per-(partition, slice) offsets whose prefix
+    * windows are bounded by the PARTITION COUNT per slice, never by
+    * NDV(score). No global ordered window at any slice cardinality;
+    * the final per-slice assembly is an equi-join on slice. */
+  private[graft] def gateEvalBy(gate: String, scoredRaw: DataFrame): DataFrame = {
+    val counts = scoredRaw.groupBy("slice", "score", "label", "decision")
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val hist = counts.groupBy("slice", "score").agg(
+      sum(when(col("label"), col("n")).otherwise(0L)).as("np"),
+      sum(when(col("label"), 0L).otherwise(col("n"))).as("nn"))
+    val agg = prefixedHistogramBy(hist)
+      .withColumn("cnn", col("cum_nn") - col("nn"))
+      .groupBy("slice").agg(
+        sum(col("np") * (col("cnn") * 2 + col("nn"))).as("u2"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+    val conf = counts.groupBy("slice").agg(confusionCols.head,
+      confusionCols.tail: _*)
+    agg.join(conf, Seq("slice")) // per-slice assembly: equi-join, ≤|slices| rows
+      .select(lit(gate).as("gate") +: col("slice") +: metricCols: _*)
+      .orderBy("slice")
+  }
+
+  /** [[prefixedHistogram]] generalized to per-slice prefix sums over a
+    * (slice, score, np, nn) histogram: range-partition by (slice,
+    * score) asc — every slice is a contiguous run of partitions, so
+    * per-(pid, slice) totals prefix-sum within slice over ≤ P pids
+    * (the offsets table holds ≤ P + |slices| − 1 rows: one per
+    * (partition, slice) incidence), and the local cumsum windows stay
+    * partition-bounded exactly as in the unsliced form. Same integer
+    * reassociation argument ⇒ bit-equal to a per-slice ordered window
+    * (EvalSpec pins it). */
+  private def prefixedHistogramBy(hist: DataFrame): DataFrame = {
+    val parts = hist.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = hist
+      .repartitionByRange(parts, col("slice").asc, col("score").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val byPid = Window.partitionBy(col("slice")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1) // ≤ P rows per slice
+    val offsets = ranged.groupBy("pid", "slice")
+      .agg(sum("np").as("pnp"), sum("nn").as("pnn"))
+      .select(col("pid"), col("slice"),
+        coalesce(sum(col("pnp")).over(byPid), lit(0L)).as("off_np"),
+        coalesce(sum(col("pnn")).over(byPid), lit(0L)).as("off_nn"))
+    val local = Window.partitionBy(col("pid"), col("slice"))
+      .orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged.join(broadcast(offsets), Seq("pid", "slice"))
+      .withColumn("cum_np", col("off_np") + sum(col("np")).over(local))
+      .withColumn("cum_nn", col("off_nn") + sum(col("nn")).over(local))
+      .drop("pid", "off_np", "off_nn")
+  }
+
+  /** SCORE-BAND RELIABILITY (calibration) REPORT — the per-band health
+    * table behind a shipped gate: bucket the score axis into fixed
+    * `binWidth` bands and report, per band, the volume, the observed
+    * positive rate, the gate's decision rate, and the mean score. The
+    * artifact an engineer reads to see WHERE on the score axis the
+    * gate's decisions and the labels disagree (reliability-diagram
+    * bins; Murphy/DeGroot calibration decomposition) — [[gateEval]]'s
+    * one-row summary can hold steady while a single band inverts.
+    *
+    * Contract: scores must be non-negative (every registered grid is —
+    * ppm rates, Σ of non-negative model weights, md5-derived grids);
+    * `div` truncation and DuckDB `//` floor agree only there.
+    *
+    * Shape at 100 TB: counts collapse (map-side) → one ≤(range/width)-
+    * row hash aggregate. The score·n dot product accumulates in
+    * DECIMAL(30,0) — BIGINT would overflow at ppm-score × trillion-doc
+    * scale. Counts are LINEAR, so the streamed monitor can serve the
+    * same report from summed batch tables ([[calibrationFromCounts]]). */
+  private[graft] def calibrationReport(gate: String, scoredRaw: DataFrame,
+      binWidth: Long): DataFrame =
+    calibrationFromCounts(gate, scoredCounts(scoredRaw), binWidth)
+
+  /** [[calibrationReport]] below the corpus collapse — see
+    * [[gateEvalFromCounts]] for the counts contract. */
+  private[graft] def calibrationFromCounts(gate: String, counts: DataFrame,
+      binWidth: Long): DataFrame =
+    counts
+      .withColumn("bin", expr(s"score div ${binWidth}L"))
+      .groupBy("bin").agg(
+        sum(col("n")).as("n"),
+        sum(when(col("label"), col("n")).otherwise(0L)).as("n_pos"),
+        sum(when(col("decision"), col("n")).otherwise(0L)).as("n_dec"),
+        sum(col("score").cast("decimal(30,0)") * col("n")).as("ssum"))
+      .select(lit(gate).as("gate"), col("bin"),
+        (col("bin") * lit(binWidth)).as("score_lo"),
+        col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(col("n_dec").cast("double") / col("n"), 6).as("dec_rate"),
+        round(col("ssum").cast("double") / col("n"), 6).as("mean_score"))
+      .orderBy("bin")
 
   /** PRECISION/RECALL CURVE — the full threshold sweep behind
     * [[gateEval]]'s single shipped-threshold row: one output row per
@@ -329,4 +449,68 @@ object EvalQueries {
        |  CASE WHEN tp * 2 + fp + fn = 0 THEN 0.0
        |       ELSE round(2.0 * tp / (tp * 2 + fp + fn), 6) END AS f1
        |FROM agg CROSS JOIN conf""".stripMargin
+
+  /** The DuckDB tail of a PER-SLICE gate-eval oracle: expects a
+    * preceding CTE `scored(slice, score, label, decision)` — the EXACT
+    * SQL mirror of [[gateEvalBy]] (the per-slice windows replace the
+    * distributed slice-aware prefix sum, bit-equal by integer
+    * reassociation). */
+  def gateEvalBySql(gate: String): String =
+    s"""hist AS (
+       |  SELECT slice, score,
+       |         sum(CASE WHEN label THEN 1 ELSE 0 END) AS np,
+       |         sum(CASE WHEN label THEN 0 ELSE 1 END) AS nn
+       |  FROM scored GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT slice, np, nn,
+       |    coalesce(sum(nn) OVER (PARTITION BY slice ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnn
+       |  FROM hist),
+       |agg AS (
+       |  SELECT slice, CAST(sum(np * (cnn * 2 + nn)) AS BIGINT) AS u2,
+       |         CAST(sum(np) AS BIGINT) AS n_pos,
+       |         CAST(sum(nn) AS BIGINT) AS n_neg
+       |  FROM cum GROUP BY 1),
+       |conf AS (
+       |  SELECT slice,
+       |    CAST(sum(CASE WHEN decision AND label THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN decision AND NOT label THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN NOT decision AND label THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN NOT decision AND NOT label THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS tn
+       |  FROM scored GROUP BY 1)
+       |SELECT '$gate' AS gate, slice, n_pos, n_neg,
+       |  CASE WHEN n_pos * n_neg = 0 THEN 0.5
+       |       ELSE round(u2 / (2.0 * n_pos * n_neg), 6) END AS auc,
+       |  tp, fp, fn, tn,
+       |  CASE WHEN tp + fp = 0 THEN 0.0
+       |       ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+       |  CASE WHEN tp + fn = 0 THEN 0.0
+       |       ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+       |  CASE WHEN tp * 2 + fp + fn = 0 THEN 0.0
+       |       ELSE round(2.0 * tp / (tp * 2 + fp + fn), 6) END AS f1
+       |FROM agg JOIN conf USING (slice) ORDER BY slice""".stripMargin
+
+  /** The DuckDB tail of a calibration oracle: expects a preceding CTE
+    * `scored(score, label, decision)` — the EXACT SQL mirror of
+    * [[calibrationReport]] (DuckDB `//` floor ≡ Spark `div` truncation
+    * on the non-negative score contract; the HUGEINT Σscore·1 equals
+    * the DECIMAL dot product exactly, both cast to DOUBLE once). */
+  def calibrationSql(gate: String, binWidth: Long): String =
+    s"""g AS (
+       |  SELECT score // $binWidth AS bin, count(*) AS n,
+       |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+       |    sum(CASE WHEN decision THEN 1 ELSE 0 END) AS n_dec,
+       |    sum(score) AS ssum
+       |  FROM scored GROUP BY 1)
+       |SELECT '$gate' AS gate, CAST(bin AS BIGINT) AS bin,
+       |  CAST(bin * $binWidth AS BIGINT) AS score_lo,
+       |  CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       |  round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+       |  round(CAST(n_dec AS DOUBLE) / n, 6) AS dec_rate,
+       |  round(CAST(ssum AS DOUBLE) / n, 6) AS mean_score
+       |FROM g ORDER BY bin""".stripMargin
 }

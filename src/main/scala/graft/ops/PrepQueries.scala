@@ -200,6 +200,56 @@ object PrepQueries {
       .orderBy("doc_id")
   }
 
+  // ---- exact-span scrub (C4 line dedup, acted on) --------------------------
+
+  val scrubSpanLen = 16
+
+  /** EXACT-SPAN SCRUB — the ACTING twin of [[chunkDedup]]: where
+    * chunk_dedup REPORTS each document's duplicated-span share, this
+    * operator REMOVES every repeated span and reassembles the cleaned
+    * text — C4's "discard all but one of any three-sentence span
+    * occurring more than once" (Raffel et al., JMLR 2020 §2.2) at a
+    * fixed [[scrubSpanLen]]-token span granularity (the fixture corpus
+    * has no sentence boundaries; a production corpus swaps the span
+    * splitter, the machinery is identical). Canonical occurrence = min
+    * (doc_id, span_idx) per span hash — every later occurrence is cut.
+    *
+    * Shape at 100 TB: one narrow span explode (`sequence` + `slice`,
+    * no overlap so spans partition the token stream), ONE shuffle on
+    * the 60-bit span hash for the first-occurrence window (span text
+    * rides along once — it must reach the reassembly anyway), one
+    * doc_id aggregate to rebuild the text in span order. Window groups
+    * are per-hash (boilerplate hashes are big groups but the window is
+    * a streaming row_number, no buffering beyond the frame row).
+    * Zero-token documents keep one empty span so they survive to the
+    * output with text_clean = '' (and dedupe among themselves —
+    * cutting an empty span is a no-op on the reassembled text). */
+  def dedupSpanScrub(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = scrubSpanLen
+    val spans = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_spans",
+        when(col("n_toks") === 0, lit(1L))
+          .otherwise(ceil(col("n_toks") / lit(L.toDouble)).cast("long")))
+      .withColumn("span_idx", explode(sequence(lit(0L), col("n_spans") - 1)))
+      .select(col("doc_id"), col("span_idx"),
+        array_join(slice(col("toks"),
+          (col("span_idx") * L + 1).cast("int"), lit(L)), " ").as("span_text"))
+      .withColumn("h", md5Long(col("span_text")))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("span_idx"))
+    spans.withColumn("keep_span", row_number().over(w) === 1)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("keep_span"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(
+          sort_array(collect_list(when(col("keep_span"),
+            struct(col("span_idx"), col("span_text")))))
+            .getField("span_text"), " ").as("text_clean"))
+      .orderBy("doc_id")
+  }
+
   // ---- vocabulary coverage (OOV rate) --------------------------------------
 
   val oovVocabSize = 20
@@ -473,6 +523,7 @@ object PrepQueries {
     "dsir_eval" -> (dsirEval _),
     "chunk_documents" -> (chunkDocuments _),
     "chunk_dedup" -> (chunkDedup _),
+    "dedup_span_scrub" -> (dedupSpanScrub _),
     "oov_rate" -> (oovRate _),
     "epoch_shuffle" -> (epochShuffle _),
     "zorder_layout" -> (zorderLayout _),
@@ -657,6 +708,33 @@ object PrepQueries {
          |  round(CAST(sum(CASE WHEN is_canonical THEN 0 ELSE 1 END) AS DOUBLE)
          |        / count(*), 6) AS dup_chunk_frac
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_span_scrub" ->
+      s"""WITH $toksCte,
+         |d AS (
+         |  SELECT doc_id, t,
+         |    CASE WHEN length(t) = 0 THEN 1
+         |      ELSE CAST(ceil(length(t) / $scrubSpanLen.0) AS BIGINT)
+         |    END AS n_spans
+         |  FROM toks),
+         |sp AS (
+         |  SELECT doc_id, i AS span_idx,
+         |    array_to_string(t[CAST(i * $scrubSpanLen + 1 AS INT)
+         |      : CAST(i * $scrubSpanLen + $scrubSpanLen AS INT)], ' ')
+         |      AS span_text
+         |  FROM d, unnest(range(0, n_spans)) AS u(i)),
+         |k AS (
+         |  SELECT doc_id, span_idx, span_text,
+         |    row_number() OVER (
+         |      PARTITION BY ('0x' || substr(md5(span_text), 1, 15))::BIGINT
+         |      ORDER BY doc_id, span_idx) = 1 AS keep_span
+         |  FROM sp)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN keep_span THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dropped,
+         |  coalesce(array_to_string(
+         |    list(span_text ORDER BY span_idx) FILTER (keep_span), ' '), '')
+         |    AS text_clean
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "oov_rate" ->
       s"""WITH $toksCte,
          |tok AS (

@@ -503,7 +503,13 @@ object TextQueries {
     * prob table joins postings ON THE GRAM (the tfidf join shape, skew
     * bounded by bigram df), one per-doc mean. ln on both engines is libm;
     * round(6) absorbs the ≤1-ulp divergence. */
-  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+  def bigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramLmScores(s, dir).orderBy("doc_id")
+
+  /** [[bigramLm]] without the presentation sort — the scored corpus
+    * [[lmPplBuckets]] consumes (a range sort it would immediately
+    * re-shuffle away is pure waste at corpus scale). */
+  private def bigramLmScores(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .localCheckpoint()
@@ -525,6 +531,51 @@ object TextQueries {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_lnp"))
+  }
+
+  /** CCNet PERPLEXITY BUCKETS — the head/middle/tail split of Wenzek
+    * et al. (LREC 2020 §4.3): score every document with the self-trained
+    * bigram LM ([[bigramLm]]'s mean ln p), cut the corpus at its exact
+    * score TERTILES, and keep head+middle (CCNet trains on them; the
+    * tail is the gibberish/wrong-language third). The model-based
+    * counterpart of the rule gates ([[qualityFilter]]) — this is the
+    * operator CCNet actually ships, with the bucket label kept so a
+    * mixture policy can also weight buckets instead of dropping.
+    *
+    * Tertile thresholds are EXACT rank statistics, not sketches: the
+    * score histogram (NDV can reach corpus scale — per-doc means are
+    * near-unique) runs through the eval family's DISTRIBUTED two-pass
+    * prefix sum ([[EvalQueries.prefixedHistogram]] — no global ordered
+    * window), and each threshold is a 1-row min-aggregate over the
+    * cumulative counts (t1 = min score with 3·cum ≥ n; t2 = min score
+    * with 3·cum ≥ 2n), broadcast back onto the corpus scan. Documents
+    * too short to have a bigram score (avg_lnp NULL) bucket as 'empty'
+    * and are dropped — CCNet has no evidence to keep them. Determinism:
+    * scores are round(,6) doubles identical in both engines, and the
+    * thresholds are mins over that same grid under integer-count
+    * conditions, so every `>=` comparison is engine-exact. */
+  def lmPplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = bigramLmScores(s, dir).localCheckpoint()
+    val hist = scored.filter(col("avg_lnp").isNotNull)
+      .groupBy(col("avg_lnp").as("score"))
+      .agg(count(lit(1)).as("np"))
+      .withColumn("nn", lit(0L))
+    val cum = EvalQueries.prefixedHistogram(hist, desc = false)
+      .localCheckpoint() // two threshold consumers + the totals row
+    val tot = cum.agg(sum(col("np")).as("n_docs"))
+    def cutAt(mult: Int, name: String) =
+      cum.crossJoin(broadcast(tot)) // 1-row totals (allowlisted class)
+        .filter(col("cum_np") * 3 >= col("n_docs") * mult)
+        .agg(min(col("score")).as(name))
+    scored
+      .crossJoin(broadcast(cutAt(1, "t1"))) // 1-row thresholds
+      .crossJoin(broadcast(cutAt(2, "t2")))
+      .select(col("doc_id"), col("avg_lnp"),
+        when(col("avg_lnp").isNull, lit("empty"))
+          .when(col("avg_lnp") >= col("t2"), lit("head"))
+          .when(col("avg_lnp") >= col("t1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .withColumn("keep", col("bucket").isin("head", "middle"))
       .orderBy("doc_id")
   }
 
@@ -809,6 +860,7 @@ object TextQueries {
     "text_entropy" -> (textEntropy _),
     "quality_filter" -> (qualityFilter _),
     "text_bigram_lm" -> (bigramLm _),
+    "lm_ppl_buckets" -> (lmPplBuckets _),
     "text_normalize" -> (textNormalize _),
     "url_normalize" -> (urlNormalize _),
     "url_host_stats" -> (urlHostStats _),
@@ -888,6 +940,33 @@ object TextQueries {
     * is byte-identical to the Spark injection). */
   private lazy val htmlMarkupSql = htmlMarkup.split("\n", -1).drop(1)
     .map(l => s"chr(10) || '$l'").mkString(" || ")
+
+  /** Shared bigram-LM oracle CTE block ending in `per(doc_id,
+    * n_bigrams, avg_lnp)` — the DuckDB replica of [[bigramLmScores]],
+    * shared by the text_bigram_lm and lm_ppl_buckets oracles so the
+    * gate grades exactly the scores the LM face reports. */
+  private lazy val bigramLmCtes =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             t -> t != '') AS t
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, length(t) - 1),
+      |           i -> array_to_string(t[i:i+1], ' '))) AS g
+      |  FROM toks WHERE length(t) >= 2),
+      |uni AS (
+      |  SELECT w1, count(*) AS c1 FROM
+      |    (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
+      |prob AS (
+      |  SELECT c2t.g, ln(CAST(c2t.c2 AS DOUBLE)) - ln(CAST(u.c1 AS DOUBLE))
+      |      AS lnp
+      |  FROM (SELECT g, count(*) AS c2 FROM big GROUP BY g) c2t
+      |  JOIN uni u ON split_part(c2t.g, ' ', 1) = u.w1),
+      |per AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams, round(avg(p.lnp), 6)
+      |      AS avg_lnp
+      |  FROM big b JOIN prob p USING (g) GROUP BY b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "html_extract" ->
@@ -1029,32 +1108,39 @@ object TextQueries {
          |  $qualityKeepSql AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
     "text_bigram_lm" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
-        |                             t -> t != '') AS t
-        |  FROM documents),
-        |big AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(generate_series(1, length(t) - 1),
-        |           i -> array_to_string(t[i:i+1], ' '))) AS g
-        |  FROM toks WHERE length(t) >= 2),
-        |uni AS (
-        |  SELECT w1, count(*) AS c1 FROM
-        |    (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
-        |prob AS (
-        |  SELECT c2t.g, ln(CAST(c2t.c2 AS DOUBLE)) - ln(CAST(u.c1 AS DOUBLE))
-        |      AS lnp
-        |  FROM (SELECT g, count(*) AS c2 FROM big GROUP BY g) c2t
-        |  JOIN uni u ON split_part(c2t.g, ' ', 1) = u.w1),
-        |per AS (
-        |  SELECT b.doc_id, count(*) AS n_bigrams, round(avg(p.lnp), 6)
-        |      AS avg_lnp
-        |  FROM big b JOIN prob p USING (g) GROUP BY b.doc_id)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  per.avg_lnp
-        |FROM documents d LEFT JOIN per USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $bigramLmCtes
+         |SELECT d.doc_id,
+         |  CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  per.avg_lnp
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "lm_ppl_buckets" ->
+      s"""WITH $bigramLmCtes,
+         |scored AS (
+         |  SELECT d.doc_id, per.avg_lnp
+         |  FROM documents d LEFT JOIN per USING (doc_id)),
+         |hist AS (
+         |  SELECT avg_lnp AS score, count(*) AS c FROM scored
+         |  WHERE avg_lnp IS NOT NULL GROUP BY 1),
+         |cum AS (
+         |  SELECT score, sum(c) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+         |  FROM hist),
+         |tot AS (SELECT sum(c) AS n_docs FROM hist),
+         |th AS (
+         |  SELECT
+         |    (SELECT min(score) FROM cum CROSS JOIN tot
+         |     WHERE cum_c * 3 >= n_docs) AS t1,
+         |    (SELECT min(score) FROM cum CROSS JOIN tot
+         |     WHERE cum_c * 3 >= n_docs * 2) AS t2)
+         |SELECT doc_id, avg_lnp,
+         |  CASE WHEN avg_lnp IS NULL THEN 'empty'
+         |       WHEN avg_lnp >= t2 THEN 'head'
+         |       WHEN avg_lnp >= t1 THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  CASE WHEN avg_lnp IS NULL THEN FALSE
+         |       WHEN avg_lnp >= t1 THEN TRUE ELSE FALSE END AS keep
+         |FROM scored CROSS JOIN th ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """WITH t AS (
         |  SELECT doc_id,

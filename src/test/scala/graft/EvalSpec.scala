@@ -134,6 +134,80 @@ class EvalSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum === n)
   }
 
+  test("gateEvalBy ≡ whole-corpus gateEval run per slice (high-NDV mix)") {
+    // near-unique scores within every slice: the sliced prefix sum runs
+    // in the same corpus-scale-histogram regime the unsliced witness
+    // pins, and must agree with filtering to each slice independently
+    val rows = (0 until 900).map { i =>
+      val score = i * 2654435761L % 999983L
+      (s"s${i % 3}", score, i % 3 != i % 2, score > 500000L)
+    }
+    val df = rows.toDF("slice", "score", "label", "decision")
+    val got = EvalQueries.gateEvalBy("g", df).collect()
+    assert(got.map(_.getString(1)).toSeq === Seq("s0", "s1", "s2"))
+    for (r <- got) {
+      val slice = r.getString(1)
+      val one = EvalQueries.gateEval("g",
+        rows.filter(_._1 == slice).map(x => (x._2, x._3, x._4))
+          .toDF("score", "label", "decision")).collect()(0)
+      // same metric schema after the slice column: compare field-wise
+      assert((2 to 11).map(r.get).toSeq === (1 to 10).map(one.get).toSeq,
+        s"slice $slice diverges")
+    }
+  }
+
+  test("gate_eval_by_source reconciles with the lifetime highndv row") {
+    val by = CurationQueries.gateEvalBySource(spark, sf).collect()
+    val life = CurationQueries.gateEvalHighNdv(spark, sf).collect()(0)
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(by.length === nSrc)
+    // confusion counters and class counts are LINEAR in the slices
+    for (i <- Seq(2, 3, 5, 6, 7, 8)) // n_pos n_neg tp fp fn tn
+      assert(by.map(_.getLong(i)).sum === life.getLong(i - 1),
+        s"column $i does not sum to the lifetime row")
+    for (r <- by) assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
+  test("calibrationReport ≡ brute-force bands; totals reconcile") {
+    val rows = (0 until 500).map { i =>
+      val score = i * 2654435761L % 100000L
+      (score, i % 3 != 0, score >= 50000L)
+    }
+    val w = 10000L
+    val got = EvalQueries.calibrationReport("g",
+      rows.toDF("score", "label", "decision"), w).collect()
+    val expect = rows.groupBy(_._1 / w).toSeq.sortBy(_._1).map {
+      case (bin, rs) =>
+        def rh(x: Double) = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (bin, bin * w, rs.size.toLong, rs.count(_._2).toLong,
+          rh(rs.count(_._2).toDouble / rs.size),
+          rh(rs.count(_._3).toDouble / rs.size),
+          rh(rs.map(_._1).sum.toDouble / rs.size))
+    }
+    assert(got.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toSeq === expect)
+    assert(got.map(_.getLong(3)).sum === rows.size.toLong)
+  }
+
+  test("classifier_calibration bands cover the test split exactly") {
+    val bands = CurationQueries.classifierCalibration(spark, sf).collect()
+    val nTest = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(bands.map(_.getLong(3)).sum === nTest)
+    // the en-label volume across bands is the lifetime n_pos
+    val ce = CurationQueries.classifierEval(spark, sf).collect()(0)
+    assert(bands.map(_.getLong(4)).sum === ce.getLong(1))
+    for (b <- bands) {
+      assert(b.getLong(4) <= b.getLong(3))
+      assert(b.getDouble(5) >= 0.0 && b.getDouble(5) <= 1.0)
+      // mean score falls inside its own band
+      assert(b.getDouble(7) >= b.getLong(2) &&
+        b.getDouble(7) < (b.getLong(1) + 1) * CurationQueries.calibrationBinWidth)
+    }
+  }
+
   test("classifier_eval and dsir_eval rows are internally consistent") {
     val ce = CurationQueries.classifierEval(spark, sf).collect()(0)
     val nTest = Tables.documents(spark, sf)

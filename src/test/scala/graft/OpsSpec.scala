@@ -1379,4 +1379,46 @@ class OpsSpec extends SparkSpec {
     dropped.unpersist(); d.unpersist()
     ()
   }
+
+  test("lm_ppl_buckets: exact tertiles, monotone buckets, CCNet keep rule") {
+    val rows = TextQueries.lmPplBuckets(spark, sf).collect()
+    val scored = TextQueries.bigramLm(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(rows.length === scored.size)
+    // bucket membership is exactly the score's position vs the tertile
+    // thresholds: every head score > every middle score > every tail score
+    def scoresOf(b: String) = rows
+      .filter(_.getString(2) == b).flatMap(r => scored(r.getLong(0)))
+    val (hd, md, tl) = (scoresOf("head"), scoresOf("middle"), scoresOf("tail"))
+    if (hd.nonEmpty && md.nonEmpty) assert(hd.min > md.max)
+    if (md.nonEmpty && tl.nonEmpty) assert(md.min > tl.max)
+    // tertile balance: cut points at ⌈n/3⌉ ranks (ties may shift a bucket
+    // by the tie-group size; near-unique means ±1 here)
+    val n = rows.count(!_.isNullAt(1))
+    assert(Seq(hd.length, md.length, tl.length).forall(c =>
+      math.abs(c - n / 3) <= n / 6 + 1), "tertiles wildly unbalanced")
+    // CCNet keep: head+middle kept, tail and empty dropped; empty ⟺ NULL
+    for (r <- rows) {
+      val b = r.getString(2)
+      assert(r.getBoolean(3) === (b == "head" || b == "middle"))
+      assert((b == "empty") === r.isNullAt(1))
+    }
+  }
+
+  test("dedup_recall_report reconciles with the graded operators") {
+    val r = DedupQueries.dedupRecallReport(spark, sf).collect()(0)
+    val nTrue = DedupQueries.dedupJaccard(spark, sf).count()
+    val nVerdict = DedupQueries.dedupMinhashLsh(spark, sf).count()
+    assert(r.getLong(0) === nTrue, "n_true = dedup_jaccard rows")
+    assert(r.getLong(3) === nVerdict, "n_verdict = dedup_minhash_lsh rows")
+    assert(r.getLong(2) <= math.min(r.getLong(0), r.getLong(1)))
+    assert(r.getLong(4) <= math.min(r.getLong(3), r.getLong(2)))
+    assert(r.getDouble(6) <= r.getDouble(5),
+      "verdict recall cannot exceed candidate recall")
+    assert(nTrue > 0, "fixture must have true near-dup pairs to grade")
+    // LSH banding at 4×3 over jaccard ≥ 0.8 pairs: candidate recall is
+    // probabilistically ~1 on this fixture — pin a sane floor, not 1.0
+    assert(r.getDouble(5) >= 0.9, s"candidate recall collapsed: $r")
+  }
 }

@@ -404,11 +404,21 @@ class PlanSpec extends SparkSpec {
     // gate_eval_highndv is the same tail over a near-unique score grid
     "classifier_eval", "classifier_pr_curve", "curation_funnel", "dsir_eval",
     "gate_eval_highndv",
+    // classifier_calibration rides the same classifier chain (the
+    // |V|×L model grid and 1-row prior broadcasts); its own tail is
+    // a pure hash aggregate
+    "classifier_calibration",
     // gate_eval_drift: two gateEval tails (each the allowlisted 1-row
     // metric assembly) plus the 1-row × 1-row lifetime-vs-window join
     "gate_eval_drift",
     // host_filter's 1-row corpus-mean threshold broadcast
     "host_filter",
+    // lm_ppl_buckets: 1-row totals + two 1-row tertile-threshold
+    // broadcasts over the distributed prefix-summed histogram
+    "lm_ppl_buckets",
+    // dedup_recall_report: three 1-row × 1-row metric-assembly joins
+    // over the graded operators' own (allowlist-clean) pair plans
+    "dedup_recall_report",
     "copurchase_pairs", "corpus_divergence", "dedup_embedding",
     "doc_keywords", "dsir_select",
     "embedding_pq", "embedding_pq_trained", "hilbert_layout",

@@ -470,4 +470,35 @@ class PrepSpec extends SparkSpec {
       .filter(col("decoded") =!= col("orig")).isEmpty,
       "id sequences must decode back to the exact token stream")
   }
+
+  test("dedup_span_scrub ≡ Scala brute-force first-occurrence span removal") {
+    import spark.implicits._
+    val L = PrepQueries.scrubSpanLen
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    // brute force: global first-occurrence over (doc_id, span_idx)-ordered
+    // fixed-length token spans, then per-doc reassembly of the kept spans
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expect = docs.map { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val spans = if (toks.isEmpty) Seq("")
+        else toks.grouped(L).map(_.mkString(" ")).toSeq
+      val kept = spans.map(sp => seen.add(sp)) // add = true iff first
+      (id, spans.size.toLong, kept.count(!_).toLong,
+        spans.zip(kept).collect { case (sp, true) => sp }.mkString(" "))
+    }.toSeq
+    val got = PrepQueries.dedupSpanScrub(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got === expect)
+    // scrub invariant: each distinct span survives exactly once corpus-wide
+    val total = expect.map(_._2).sum
+    val dropped = expect.map(_._3).sum
+    val distinctSpans = docs.flatMap { case (_, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) Seq("") else toks.grouped(L).map(_.mkString(" ")).toSeq
+    }.distinct.size
+    assert(total - dropped === distinctSpans.toLong)
+    assert(dropped > 0, "fixture must actually exercise span removal")
+  }
 }
