@@ -907,6 +907,11 @@ object CurationQueries {
   def gateEvalDrift(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EvalStream.gateEvalDriftQuery(s, dir)
 
+  /** Live calibration report over the streaming monitor's committed
+    * state — see [[graft.streaming.EvalStream.calibrationLiveQuery]]. */
+  def gateCalibrationLive(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EvalStream.calibrationLiveQuery(s, dir)
+
   /** Shared oracle CTE block ending in `wts(lang, token, cnt, w)` plus
     * `vocab(token)` — the DuckDB replica of [[classifierWeights]]. */
   private lazy val clfModelCtes =
@@ -1010,6 +1015,7 @@ object CurationQueries {
     "gate_eval_highndv" -> (gateEvalHighNdv _),
     "gate_eval_by_source" -> (gateEvalBySource _),
     "gate_eval_drift" -> (gateEvalDrift _),
+    "gate_calibration_live" -> (gateCalibrationLive _),
     "text_classify" -> (textClassify _),
     "doc_keywords" -> (docKeywords _),
     "feature_hash" -> (featureHash _),
@@ -1370,6 +1376,18 @@ object CurationQueries {
          |scored_w AS MATERIALIZED (
          |  SELECT * FROM scored WHERE score % 4 IN (2, 3)),
          |${EvalQueries.gateEvalDriftSql("highndv")}""".stripMargin,
+    "gate_calibration_live" ->
+      s"""WITH scored AS (
+         |  SELECT ('0x' || substr(md5('ndv:' || CAST(doc_id AS VARCHAR)
+         |      || ':' || text), 1, 15))::BIGINT % 1000000000 AS score,
+         |    lang = 'en' AS label,
+         |    ('0x' || substr(md5('ndv:' || CAST(doc_id AS VARCHAR)
+         |      || ':' || text), 1, 15))::BIGINT % 1000000000
+         |      >= 500000000 AS decision
+         |  FROM documents),
+         |${EvalQueries.calibrationSql("highndv",
+             graft.streaming.EvalStream.calibrationLiveBinWidth)}"""
+        .stripMargin,
     "doc_keywords" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

@@ -99,7 +99,7 @@ object SimilarityQueries {
     val cb = cents.agg(array_sort(collect_list(
       struct(col("cell"), col("ce"), col("cn")))).as("cellcb"))
     v.crossJoin(broadcast(cb)) // 1-row codebook
-      .select(col("vec_id"), col("e"), col("norm"),
+      .select(col("vec_id"), col("label"), col("e"), col("norm"),
         graft.functions.IvfFunctions
           .ivfAssign(col("e"), col("norm"), col("cellcb")).as("cell"))
       // Empty centroid table ⇒ the aggregated codebook is one row with an
@@ -150,6 +150,57 @@ object SimilarityQueries {
 
   def annIvf(s: SparkSession, dir: String): DataFrame =
     ivfSearch(seeds(s, dir), vectors(s, dir))
+
+  /** Probe width for [[annFiltered]] — 2 × [[nprobe]]: a selective
+    * filter thins every probed cell by its selectivity, so a filtered
+    * search that wants the UNFILTERED face's candidate volume per query
+    * must widen the probe by ≈ 1/selectivity (bounded here at 2× — the
+    * standard over-probe rule of filtered vector stores). */
+  val filteredNprobe: Int = 2 * nprobe
+
+  /** FILTERED ANN — metadata-constrained vector search: each query
+    * retrieves its top-k among corpus vectors sharing its `label` (the
+    * tenant / language / modality predicate every production vector
+    * store exposes). The decisive design choice is WHERE the filter
+    * runs: post-top-k filtering returns < k eligible rows (wrong);
+    * pre-filtering the corpus then rebuilding an index per predicate is
+    * a reindex per query (absurd at scale). This face runs the filter
+    * IN-CELL: probe [[filteredNprobe]] cells (over-probing compensates
+    * the filter's thinning — see [[filteredNprobe]]), apply the label
+    * predicate to the probed cells' rows BEFORE ranking, then take the
+    * per-query top-k of eligible candidates only.
+    *
+    * Shape at 100 TB: identical to [[annIvf]] — broadcast query set ×
+    * broadcast centroids for the probe, an equi-join on `cell` into the
+    * (bucketed) assignment table with the predicate folded into the
+    * join's residual filter (Spark pushes it below the ranking window),
+    * one bounded top-k window per query. The filter costs a comparison
+    * per candidate, never a second pass. */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val v = vectors(s, dir)
+    val q = v.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q"), col("label").as("qlabel"),
+        col("e").as("qe"), col("norm").as("qn"))
+    val cents = seeds(s, dir)
+    val wc = Window.partitionBy(col("q"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val probed = broadcast(q).join(broadcast(cents))
+      .select(col("q"), col("qlabel"), col("qe"), col("qn"), col("cell"),
+        cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("ccos"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= filteredNprobe)
+      .select(col("q"), col("qlabel"), col("qe"), col("qn"), col("cell"))
+    val scored = probed.join(assignedTo(cents, v), Seq("cell"))
+      .filter(col("q") =!= col("vec_id") && col("label") === col("qlabel"))
+      .select(col("q"), col("vec_id").as("neighbor"),
+        cosine(col("qe"), col("e"), col("qn"), col("norm")).as("cosine"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("q", "rank", "neighbor", "cosine")
+      .orderBy("q", "rank")
+  }
 
   /** ANN QUALITY MONITOR — per-query recall@k of the IVF index against
     * the exact brute-force neighbors: the measurement every production
@@ -1322,6 +1373,7 @@ object SimilarityQueries {
     "ann_ivf_pq" -> (annIvfPq _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_ivf" -> (annIvf _),
+    "ann_filtered" -> (annFiltered _),
     "ann_recall_report" -> (annRecallReport _),
     "embedding_centroids" -> (embeddingCentroids _),
     "embedding_pca" -> (embeddingPca _),
@@ -2168,5 +2220,28 @@ object SimilarityQueries {
     "ann_ivf" ->
       s"""WITH $ivfAnnCtes
          |SELECT q, rank, neighbor, cosine FROM ann
+         |ORDER BY q, rank""".stripMargin,
+    "ann_filtered" ->
+      s"""WITH $assignCtes,
+         |queries AS (SELECT vec_id AS q, label AS qlabel, e AS qe,
+         |                   norm AS qn
+         |            FROM v WHERE vec_id % $queryStride = 0),
+         |probed AS (
+         |  SELECT q, qlabel, qe, qn, cell,
+         |         row_number() OVER (PARTITION BY q ORDER BY
+         |           ${duckCos("qe", "ce", "qn", "cn")} DESC, cell) AS crank
+         |  FROM queries CROSS JOIN seeds),
+         |cells AS (SELECT q, qlabel, qe, qn, cell FROM probed
+         |          WHERE crank <= $filteredNprobe),
+         |scored AS (
+         |  SELECT c.q, a.vec_id AS neighbor,
+         |         ${duckCos("c.qe", "a.e", "c.qn", "a.norm")} AS cosine
+         |  FROM cells c JOIN assign a USING (cell)
+         |  JOIN v lv ON lv.vec_id = a.vec_id
+         |  WHERE c.q != a.vec_id AND lv.label = c.qlabel)
+         |SELECT q, rank, neighbor, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q
+         |            ORDER BY cosine DESC, neighbor) AS rank
+         |  FROM scored) WHERE rank <= $topK
          |ORDER BY q, rank""".stripMargin)
 }

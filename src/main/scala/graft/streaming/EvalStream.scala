@@ -170,6 +170,17 @@ object EvalStream {
   def prCurveLive(spark: SparkSession, stateDir: String): DataFrame =
     EvalQueries.prCurveFromCounts(readCounts(spark, stateDir))
 
+  /** The LIVE calibration (score-band reliability) report — the same
+    * committed counts through the batch arithmetic verbatim
+    * ([[EvalQueries.calibrationFromCounts]]): bands are sums over the
+    * count table, so the streamed report equals the batch operator on
+    * the union of ingested rows by the same linearity as the gate
+    * report. */
+  def calibrationLive(spark: SparkSession, stateDir: String, gate: String,
+                      binWidth: Long): DataFrame =
+    EvalQueries.calibrationFromCounts(gate, readCounts(spark, stateDir),
+      binWidth)
+
   /** The gate report over the trailing `lastK` batches only — the same
     * shared tail over [[readCountsWindow]]'s subset sum, so window ≡
     * the batch operator over exactly the window's rows (spec-pinned). */
@@ -252,4 +263,19 @@ object EvalStream {
     * times the dashboard-refresh cost (two subset sums + two tails). */
   def gateEvalDriftQuery(s: SparkSession, dir: String): DataFrame =
     gateEvalDrift(s, highNdvState(s, dir), "highndv", lastK = 2)
+
+  /** Band width for the registered live-calibration face: the highndv
+    * grid is uniform on [0, 1e9), so 1e9/20 gives 20 always-populated
+    * bands. */
+  val calibrationLiveBinWidth: Long = 50000000L
+
+  /** REGISTERED live-calibration face (DuckDB-oracled): the score-band
+    * reliability report served from the SAME deterministic committed
+    * monitor state as the drift face — by count linearity the report
+    * equals the batch [[EvalQueries.calibrationReport]] over all
+    * ingested rows, which is exactly what the oracle recomputes
+    * ([[EvalQueries.calibrationSql]] over the highndv scored rows). */
+  def calibrationLiveQuery(s: SparkSession, dir: String): DataFrame =
+    calibrationLive(s, highNdvState(s, dir), "highndv",
+      calibrationLiveBinWidth)
 }

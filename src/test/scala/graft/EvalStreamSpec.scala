@@ -49,6 +49,26 @@ class EvalStreamSpec extends SparkSpec {
     assert(rows(EvalStream.prCurveLive(spark, d)) === batch)
   }
 
+  test("live calibration ≡ batch calibrationReport, any batching") {
+    val batch = rows(EvalQueries.calibrationReport("g", scoredDf(fixture),
+      500L))
+    Seq(1, 5).foreach { parts =>
+      val d = freshDir()
+      (0 until parts).foreach(i => EvalStream.applyMicroBatch(spark,
+        scoredDf(fixture.zipWithIndex.filter(_._2 % parts == i).map(_._1)),
+        d, i.toLong))
+      assert(rows(EvalStream.calibrationLive(spark, d, "g", 500L)) === batch,
+        s"$parts-batch merged calibration diverged from the batch operator")
+    }
+  }
+
+  test("registered live-calibration face equals the batch report") {
+    val scored = CurationQueries.highNdvScored(spark, sf)
+    val batch = rows(EvalQueries.calibrationReport("highndv", scored,
+      EvalStream.calibrationLiveBinWidth))
+    assert(rows(EvalStream.calibrationLiveQuery(spark, sf)) === batch)
+  }
+
   test("replay no-ops; unmarked crash debris is swept") {
     val d = freshDir()
     EvalStream.applyMicroBatch(spark, scoredDf(fixture), d, 0L)

@@ -1406,6 +1406,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ann_filtered: predicate holds, ranks contiguous, top-k sound in-probe") {
+    val got = SimilarityQueries.annFiltered(spark, sf).collect()
+    assert(got.nonEmpty)
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every returned neighbor satisfies the query's metadata predicate —
+    // the property a post-top-k filter would silently break
+    for (r <- got)
+      assert(labels(r.getLong(2)) === labels(r.getLong(0)),
+        s"neighbor ${r.getLong(2)} breaks query ${r.getLong(0)}'s filter")
+    // per-query: ranks 1..n with no gaps, cosine non-increasing, k capped
+    for ((q, rs0) <- got.groupBy(_.getLong(0))) {
+      val rs = rs0.sortBy(_.getInt(1))
+      assert(rs.map(_.getInt(1)).toSeq === (1 to rs.length),
+        s"query $q has rank gaps")
+      assert(rs.length <= SimilarityQueries.topK)
+      val cos = rs.map(_.getDouble(3)).toSeq
+      assert(cos.sliding(2).forall(w => w.size < 2 || w(0) >= w(1)))
+      assert(rs.map(_.getLong(2)).distinct.length === rs.length)
+    }
+  }
+
   test("dedup_recall_report reconciles with the graded operators") {
     val r = DedupQueries.dedupRecallReport(spark, sf).collect()(0)
     val nTrue = DedupQueries.dedupJaccard(spark, sf).count()

@@ -392,6 +392,9 @@ class PlanSpec extends SparkSpec {
     * the operator's scaladoc. */
   private val nljAllowlist: Set[String] = Set(
     "ann_brute_force", "ann_ivf", "ann_ivf_pq", "ann_ivf_trained",
+    // ann_filtered: the same broadcast query-set × √n-centroid probe
+    // product as ann_ivf, with the label predicate folded in-cell
+    "ann_filtered",
     // ann_recall_report composes two allowlisted operators (the pinned
     // brute baseline's broadcast-query NLJ rides along by construction)
     // ann_graph_search's entry scoring is the |Q|×√n broadcast product
