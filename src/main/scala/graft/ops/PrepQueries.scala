@@ -224,11 +224,15 @@ object PrepQueries {
     * Zero-token documents keep one empty span so they survive to the
     * output with text_clean = '' (and dedupe among themselves —
     * cutting an empty span is a no-op on the reassembled text). */
-  def dedupSpanScrub(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def dedupSpanScrub(s: SparkSession, dir: String): DataFrame =
+    scrubAssemble(firstOccurrence(spansOf(docs(s, dir)))).orderBy("doc_id")
+
+  /** The hashed span table (doc_id, span_idx, span_text, h) of a
+    * (doc_id, text) corpus — the span splitter [[dedupSpanScrub]] and
+    * the ingest gate ([[graft.streaming.ScrubStream]]) share. */
+  private[graft] def spansOf(d: DataFrame): DataFrame = {
     val L = scrubSpanLen
-    val spans = docs(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    d.select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("n_spans",
         when(col("n_toks") === 0, lit(1L))
@@ -238,17 +242,27 @@ object PrepQueries {
         array_join(slice(col("toks"),
           (col("span_idx") * L + 1).cast("int"), lit(L)), " ").as("span_text"))
       .withColumn("h", md5Long(col("span_text")))
+  }
+
+  /** Mark each span row's global first occurrence: ONE shuffle on the
+    * 60-bit span hash, canonical = min (doc_id, span_idx). */
+  private[graft] def firstOccurrence(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("span_idx"))
     spans.withColumn("keep_span", row_number().over(w) === 1)
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_spans"),
-        sum(when(col("keep_span"), 0L).otherwise(1L)).as("n_dropped"),
-        array_join(
-          sort_array(collect_list(when(col("keep_span"),
-            struct(col("span_idx"), col("span_text")))))
-            .getField("span_text"), " ").as("text_clean"))
-      .orderBy("doc_id")
   }
+
+  /** Reassemble per-doc cleaned text from marked span rows — the shared
+    * tail that makes the batch scrub and the streamed scrub emit
+    * literally the same shape from the same `keep_span` verdicts. */
+  private[graft] def scrubAssemble(marked: DataFrame): DataFrame =
+    marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(when(col("keep_span"), 0L).otherwise(1L)).as("n_dropped"),
+      array_join(
+        sort_array(collect_list(when(col("keep_span"),
+          struct(col("span_idx"), col("span_text")))))
+          .getField("span_text"), " ").as("text_clean"))
 
   // ---- vocabulary coverage (OOV rate) --------------------------------------
 
@@ -524,6 +538,9 @@ object PrepQueries {
     "chunk_documents" -> (chunkDocuments _),
     "chunk_dedup" -> (chunkDedup _),
     "dedup_span_scrub" -> (dedupSpanScrub _),
+    "dedup_span_scrub_stream" ->
+      ((s: SparkSession, dir: String) =>
+        graft.streaming.ScrubStream.dedupSpanScrubStream(s, dir)),
     "oov_rate" -> (oovRate _),
     "epoch_shuffle" -> (epochShuffle _),
     "zorder_layout" -> (zorderLayout _),
@@ -545,6 +562,37 @@ object PrepQueries {
        |           i -> array_to_string(t[i:i+${n - 1}], ' '))
        |      ELSE CAST([] AS VARCHAR[]) END) AS sh
        |  FROM toks)""".stripMargin
+
+  /** The span-scrub oracle — shared VERBATIM by dedup_span_scrub and
+    * dedup_span_scrub_stream (id-ordered ingest makes the stream's
+    * output the batch operator's, so one SQL grades both). */
+  private lazy val spanScrubOracle =
+    s"""WITH $toksCte,
+       |d AS (
+       |  SELECT doc_id, t,
+       |    CASE WHEN length(t) = 0 THEN 1
+       |      ELSE CAST(ceil(length(t) / $scrubSpanLen.0) AS BIGINT)
+       |    END AS n_spans
+       |  FROM toks),
+       |sp AS (
+       |  SELECT doc_id, i AS span_idx,
+       |    array_to_string(t[CAST(i * $scrubSpanLen + 1 AS INT)
+       |      : CAST(i * $scrubSpanLen + $scrubSpanLen AS INT)], ' ')
+       |      AS span_text
+       |  FROM d, unnest(range(0, n_spans)) AS u(i)),
+       |k AS (
+       |  SELECT doc_id, span_idx, span_text,
+       |    row_number() OVER (
+       |      PARTITION BY ('0x' || substr(md5(span_text), 1, 15))::BIGINT
+       |      ORDER BY doc_id, span_idx) = 1 AS keep_span
+       |  FROM sp)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(CASE WHEN keep_span THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_dropped,
+       |  coalesce(array_to_string(
+       |    list(span_text ORDER BY span_idx) FILTER (keep_span), ' '), '')
+       |    AS text_clean
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The [[dsirSelect]] oracle chain as CTEs ending in
     * `scores(doc_id, n_bigrams, score)` — shared by the dsir_select and
@@ -708,33 +756,10 @@ object PrepQueries {
          |  round(CAST(sum(CASE WHEN is_canonical THEN 0 ELSE 1 END) AS DOUBLE)
          |        / count(*), 6) AS dup_chunk_frac
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "dedup_span_scrub" ->
-      s"""WITH $toksCte,
-         |d AS (
-         |  SELECT doc_id, t,
-         |    CASE WHEN length(t) = 0 THEN 1
-         |      ELSE CAST(ceil(length(t) / $scrubSpanLen.0) AS BIGINT)
-         |    END AS n_spans
-         |  FROM toks),
-         |sp AS (
-         |  SELECT doc_id, i AS span_idx,
-         |    array_to_string(t[CAST(i * $scrubSpanLen + 1 AS INT)
-         |      : CAST(i * $scrubSpanLen + $scrubSpanLen AS INT)], ' ')
-         |      AS span_text
-         |  FROM d, unnest(range(0, n_spans)) AS u(i)),
-         |k AS (
-         |  SELECT doc_id, span_idx, span_text,
-         |    row_number() OVER (
-         |      PARTITION BY ('0x' || substr(md5(span_text), 1, 15))::BIGINT
-         |      ORDER BY doc_id, span_idx) = 1 AS keep_span
-         |  FROM sp)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-         |  CAST(sum(CASE WHEN keep_span THEN 0 ELSE 1 END) AS BIGINT)
-         |    AS n_dropped,
-         |  coalesce(array_to_string(
-         |    list(span_text ORDER BY span_idx) FILTER (keep_span), ' '), '')
-         |    AS text_clean
-         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_span_scrub" -> spanScrubOracle,
+    // id-ordered 4-batch ingest ⇒ the stream's trimmed corpus IS the
+    // batch operator's output — the two faces share one oracle
+    "dedup_span_scrub_stream" -> spanScrubOracle,
     "oov_rate" ->
       s"""WITH $toksCte,
          |tok AS (
