@@ -67,7 +67,8 @@ object SparkEntry {
     "approx_percentile" -> (AnalyticsQueries.approxPercentile _),
     "gate_eval_live" -> (graft.streaming.EvalStream.gateEvalLiveBench _),
     "media_phash_jpeg" -> (MediaQueries.mediaPhashJpeg _),
-    "media_gate_probe" -> (graft.streaming.MediaStream.mediaGateProbe _))
+    "media_gate_probe" -> (graft.streaming.MediaStream.mediaGateProbe _),
+    "dedup_recall_sampled" -> (DedupQueries.dedupRecallSampled _))
 
   /** Verify-only twins — the INVERSE of [[benchOnly]]: registered in
     * `queries` (DuckDB-oracled) but skipped by Bench, because their

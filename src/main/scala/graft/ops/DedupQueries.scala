@@ -85,8 +85,10 @@ object DedupQueries {
 
   /** doc_id → distinct 3-gram shingles + count (shared subplan). */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+    shingledOf(docs(s, dir))
+
+  private def shingledOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
       .withColumn("n_sh", size(col("sh")))
 
   /** Exploded shingle-hash postings: ONE md5 per shingle (codegen'd
@@ -94,7 +96,10 @@ object DedupQueries {
     * lambdas), reduced mod [[minhashP]]. Everything downstream (jaccard
     * join keys, the whole MinHash family) is integer arithmetic on `h`. */
   private def hashPostings(s: SparkSession, dir: String): DataFrame =
-    shingled(s, dir)
+    hashPostingsOf(docs(s, dir))
+
+  private def hashPostingsOf(d: DataFrame): DataFrame =
+    shingledOf(d)
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("n_sh"),
         (md5Long(col("shingle")) % minhashP).as("h"))
@@ -122,8 +127,11 @@ object DedupQueries {
     * equi-join on the already-capped postings, whose groups are ≤ cap
     * rows — the hot keys that could skew an h-join are exactly the ones
     * the anti-join just removed. */
-  private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
-    val post = hashPostings(s, dir).localCheckpoint()
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    invertedIndexOf(docs(s, dir))
+
+  private def invertedIndexOf(d: DataFrame): DataFrame = {
+    val post = hashPostingsOf(d).localCheckpoint()
     val dfTab = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val drop = dfTab.filter(col("df") > maxShingleDf).select("h")
     post.join(broadcast(drop), Seq("h"), "left_anti")
@@ -266,7 +274,10 @@ object DedupQueries {
     * without the presentation sort (the cluster path consumes unordered
     * pairs, so it must not pay a range-partition sort). */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    pairCounts(invertedIndex(s, dir), lengthFilter = true)
+    jaccardPairsOf(docs(s, dir))
+
+  private def jaccardPairsOf(d: DataFrame): DataFrame =
+    pairCounts(invertedIndexOf(d), lengthFilter = true)
       .withColumn("jaccard",
         round(col("common") / (col("na") + col("nb") - col("common")), 6))
       .filter(col("jaccard") >= jaccardThreshold)
@@ -361,9 +372,12 @@ object DedupQueries {
     * — every (a < b) pair agreeing on ≥1 band, scored by signature
     * agreement. [[dedupMinhashLsh]] is its filtered face;
     * [[dedupRecallReport]] grades both layers against exact truth. */
-  private def lshScoredPairs(s: SparkSession, dir: String): DataFrame = {
+  private def lshScoredPairs(s: SparkSession, dir: String): DataFrame =
+    lshScoredPairsOf(docs(s, dir))
+
+  private def lshScoredPairsOf(d: DataFrame): DataFrame = {
     // signatures materialized once (the persisted-signature-table pattern)
-    val sig = minhashSigs(s, dir).select(col("doc_id"),
+    val sig = minhashSigsOf(d).select(col("doc_id"),
       array((0 until minhashK).map(k => col(s"mh$k")): _*).as("sig"))
       .localCheckpoint()
     val bandKeys = array((0 until lshBands).map(b =>
@@ -407,9 +421,28 @@ object DedupQueries {
     * within-block pair distribution; the registered face grades the
     * whole sf corpus. The three assembly crossJoins are 1-row × 1-row
     * (the allowlisted class). */
-  def dedupRecallReport(s: SparkSession, dir: String): DataFrame = {
-    val truth = jaccardPairs(s, dir).select("a", "b").localCheckpoint()
-    val cand = lshScoredPairs(s, dir).localCheckpoint()
+  def dedupRecallReport(s: SparkSession, dir: String): DataFrame =
+    recallReportOf(docs(s, dir))
+
+  /** BENCH-ONLY sample-block twin of [[dedupRecallReport]] — the shape
+    * the monitor actually runs at 100 TB: recall is a RATIO, not an
+    * inventory, so it is estimated on a deterministic contiguous
+    * doc_id block (the first quarter — a block preserves the
+    * within-block pair distribution that scattered sampling like
+    * `id % 4` would destroy, since near-dup pairs concentrate among
+    * nearby ids). Same code as the registered face over the block;
+    * Bench times what a production monitor pass costs. */
+  def dedupRecallSampled(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (lo, hi) = d.agg(min(col("doc_id")), max(col("doc_id"))).collect()
+      .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+    recallReportOf(d.filter(col("doc_id") < lo + (hi - lo + 1) / 4))
+  }
+
+  private def recallReportOf(d: DataFrame): DataFrame = {
+    val dd = d.localCheckpoint() // truth + sketch sides share the scan
+    val truth = jaccardPairsOf(dd).select("a", "b").localCheckpoint()
+    val cand = lshScoredPairsOf(dd).localCheckpoint()
     val verdictN = sum(when(col("sig_matches") >= lshVerifyMin, 1L)
       .otherwise(0L))
     val t = truth.agg(count(lit(1)).as("n_true"))
@@ -935,6 +968,60 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Synchronous label-propagation rounds — fixed so Spark and DuckDB
+    * run the identical computation, converged or not (the kCore
+    * convention; OpsSpec brute-forces the same 3 rounds). */
+  val lpIters = 3
+
+  /** LABEL-PROPAGATION COMMUNITIES over the near-dup pair graph
+    * (Raghavan et al., Phys. Rev. E 2007) — the density-sensitive
+    * complement of [[dedupCluster]]'s connectivity: connected
+    * components sweep a whole chain of borderline pairs into one
+    * cluster, while propagation labels converge within DENSE cores and
+    * leave weakly-attached bridges in their own communities — the
+    * grouping a curation pass wants when picking one representative
+    * per template farm without gluing farms bridged by a single
+    * borderline pair. Deterministic synchronous variant: every node
+    * starts as its own label; each round every node adopts the MODE
+    * over its neighbors' labels PLUS its own (self-inclusive — the
+    * pure synchronous rule oscillates forever on an isolated pair,
+    * a↔b swapping labels each round; the self vote turns that into a
+    * tie the smallest-label rule settles), ties → smallest label;
+    * isolated nodes therefore keep their own. [[lpIters]] rounds
+    * exactly.
+    *
+    * Shape at 100 TB: per round ONE edge⋈label equi-join, one
+    * (node, label) count aggregate, one per-node argmax window
+    * (bounded by the node's distinct neighbor labels ≤ degree) — the
+    * canonical distributed LPA; `localCheckpoint` pins each round like
+    * [[dedupPagerank]]. Window groups are per-node: no global order,
+    * no skew beyond max degree, which the pair graph's df-cap already
+    * bounds. */
+  def dedupLabelprop(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = jaccardPairs(s, dir).select("a", "b").localCheckpoint()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var lbl = docs(s, dir)
+      .select(col("doc_id"), col("doc_id").as("community"))
+      .localCheckpoint()
+    for (_ <- 1 to lpIters) {
+      val cand = edges
+        .join(lbl.select(col("doc_id").as("dst"), col("community")),
+          Seq("dst"))
+        .select(col("src"), col("community"))
+        .unionByName(lbl.select(col("doc_id").as("src"), col("community")))
+      lbl = cand.groupBy("src", "community").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("c").desc, col("community"))))
+        .filter(col("rk") === 1)
+        .select(col("src").as("doc_id"), col("community"))
+        .localCheckpoint()
+    }
+    lbl.orderBy("doc_id")
+  }
+
   /** Source-overlap matrix: pairwise Jaccard between each SOURCE's
     * distinct 3-shingle set — the corpus-diversity report a curation run
     * reads before deciding mixture weights (two mirrors/scrapes of the
@@ -1092,6 +1179,7 @@ object DedupQueries {
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_recall_report" -> (dedupRecallReport _),
+    "dedup_labelprop" -> (dedupLabelprop _),
     "dedup_simhash_sig" -> (dedupSimhashSig _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1217,6 +1305,22 @@ object DedupQueries {
        |  d.doc_id = least(d.doc_id, coalesce(mr.m, d.doc_id)) AS keep
        |FROM documents d LEFT JOIN minreach mr ON d.doc_id = mr.src
        |ORDER BY d.doc_id""".stripMargin
+
+  /** One unrolled synchronous label-propagation round for the
+    * [[dedupLabelprop]] oracle — mode via count-desc/label-asc
+    * row_number, isolated nodes carried by the LEFT join. */
+  private def lpStepSql(i: Int): String =
+    s"""l$i AS MATERIALIZED (
+       |  SELECT src AS doc_id, community FROM (
+       |    SELECT src, community, count(*) AS c,
+       |      row_number() OVER (PARTITION BY src
+       |        ORDER BY count(*) DESC, community) AS rk
+       |    FROM (
+       |      SELECT e.src, l.community
+       |      FROM e JOIN l${i - 1} l ON e.dst = l.doc_id
+       |      UNION ALL SELECT doc_id AS src, community FROM l${i - 1})
+       |    GROUP BY src, community)
+       |  WHERE rk = 1)""".stripMargin
 
   /** One unrolled PageRank power iteration for the [[dedupPagerank]]
     * oracle — integer floor division matches Spark's `div` exactly. */
@@ -1539,6 +1643,16 @@ object DedupQueries {
          |FROM lpairs
          |WHERE sig_matches >= $lshVerifyMin
          |ORDER BY a, b""".stripMargin,
+    "dedup_labelprop" ->
+      s"""WITH $jaccardPairsCte,
+         |e AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM jpairs
+         |  UNION ALL SELECT b, a FROM jpairs),
+         |l0 AS MATERIALIZED (
+         |  SELECT doc_id, doc_id AS community FROM documents),
+         |${(1 to lpIters).map(lpStepSql).mkString(",\n")}
+         |SELECT doc_id, community FROM l$lpIters
+         |ORDER BY doc_id""".stripMargin,
     "dedup_recall_report" ->
       s"""WITH $hashedCte,
          |$jaccardPairsTail,

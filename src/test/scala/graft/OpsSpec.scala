@@ -1429,6 +1429,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_labelprop ≡ Scala brute-force synchronous mode propagation") {
+    val pairs = DedupQueries.dedupJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must have a near-dup graph")
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    val nbrs = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    var lbl = ids.map(i => i -> i).toMap
+    for (_ <- 1 to DedupQueries.lpIters) {
+      val prev = lbl
+      lbl = ids.map { i =>
+        // self-inclusive mode: neighbors' labels plus the node's own
+        i -> (nbrs.getOrElse(i, Seq.empty).map(prev) :+ prev(i))
+          .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+          .toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val got = DedupQueries.dedupLabelprop(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === ids.map(i => (i, lbl(i))).toSeq)
+    // the partition is non-trivial on this fixture: some doc adopted
+    // another's label, and isolated docs all kept their own
+    assert(got.exists { case (i, c) => i != c })
+  }
+
+  test("dedup_recall_sampled: sane block-sample of the full monitor") {
+    val full = DedupQueries.dedupRecallReport(spark, sf).collect()(0)
+    val samp = DedupQueries.dedupRecallSampled(spark, sf).collect()(0)
+    for (i <- 0 to 4) // counts: a quarter-block can't exceed the corpus
+      assert(samp.getLong(i) <= full.getLong(i),
+        s"sampled count $i exceeds the full monitor's")
+    for (i <- 5 to 7)
+      assert(samp.getDouble(i) >= 0.0 && samp.getDouble(i) <= 1.0)
+  }
+
   test("dedup_recall_report reconciles with the graded operators") {
     val r = DedupQueries.dedupRecallReport(spark, sf).collect()(0)
     val nTrue = DedupQueries.dedupJaccard(spark, sf).count()
