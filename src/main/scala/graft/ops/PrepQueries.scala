@@ -244,12 +244,38 @@ object PrepQueries {
       .withColumn("h", md5Long(col("span_text")))
   }
 
-  /** Mark each span row's global first occurrence: ONE shuffle on the
-    * 60-bit span hash, canonical = min (doc_id, span_idx). */
+  /** Mark each span row's global first occurrence — canonical = min
+    * (doc_id, span_idx) per span hash, via a map-side-combinable MIN
+    * aggregate joined back on `h`, NOT a row_number window: real
+    * corpora carry boilerplate spans (license headers, cookie banners)
+    * at percent-level mass, and a window partitioned by `h` hands the
+    * whole hot group to ONE reducer that no optimizer can split, while
+    * the aggregate collapses it to one row per input partition before
+    * the shuffle and the join back is AQE-skew-splittable
+    * (SpanSkewProbe measures the two arms on a planted 20%-mass
+    * boilerplate span; BASELINE.md records the cells). Lexicographic
+    * pair min ≡ rank 1 of the same order — PrepSpec's brute-force pin
+    * holds unchanged.
+    *
+    * The pair is PACKED into one BIGINT (`doc_id · 2^23 + span_idx`)
+    * because Spark's min over a struct — `min(struct)` and `min_by`
+    * alike — carries a non-mutable aggregation buffer and falls back
+    * to the grouped SortAggregate the plan audit bans; a plain long
+    * min stays in HashAggregate with map-side partial combine. Packing
+    * bounds (doc_id < 2^40, spans per doc < 2^23 ≈ 134M tokens) are
+    * enforced with a fail-loud assert in the scan projection — silent
+    * overflow would silently mis-canonicalize. */
   private[graft] def firstOccurrence(spans: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("span_idx"))
-    spans.withColumn("keep_span", row_number().over(w) === 1)
+    val packed = col("doc_id") * lit(1L << 23) + col("span_idx")
+    val guarded = when(
+      assert_true(col("doc_id") >= 0 && col("doc_id") < lit(1L << 40) &&
+        col("span_idx") < lit(1L << 23),
+        lit("firstOccurrence: span pack bounds exceeded")).isNull,
+      packed)
+    val sp = spans.withColumn("p", guarded)
+    sp.join(sp.groupBy("h").agg(min(col("p")).as("fp")), Seq("h"))
+      .withColumn("keep_span", col("p") === col("fp"))
+      .drop("p", "fp")
   }
 
   /** Reassemble per-doc cleaned text from marked span rows — the shared

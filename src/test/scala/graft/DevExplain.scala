@@ -16,7 +16,7 @@ object DevExplain {
     val spark = GraftSession.builder("local[32]", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = SparkEntry.queries(name)
+    val fn = SparkEntry.queries.getOrElse(name, SparkEntry.benchOnly(name))
     fn(spark, sfDir).explain("formatted")
     fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warmup
     val times = (1 to passes).map { _ =>
