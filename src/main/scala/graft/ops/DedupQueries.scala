@@ -1019,7 +1019,10 @@ object DedupQueries {
         .select(col("src").as("doc_id"), col("community"))
         .localCheckpoint()
     }
-    lbl.orderBy("doc_id")
+    // labels are checkpointed, so a global orderBy's sampling pass
+    // would be cheap — but the comparator sorts rows itself, so
+    // partition-local presentation order suffices (house convention)
+    lbl.sortWithinPartitions("doc_id")
   }
 
   /** Source-overlap matrix: pairwise Jaccard between each SOURCE's

@@ -201,7 +201,10 @@ object EvalQueries {
       confusionCols.tail: _*)
     agg.join(conf, Seq("slice")) // per-slice assembly: equi-join, ≤|slices| rows
       .select(lit(gate).as("gate") +: col("slice") +: metricCols: _*)
-      .orderBy("slice")
+      // sortWithinPartitions: a global orderBy would sample-execute
+      // the assembly's prefix-sum child a second time for ≤|slices|
+      // output rows; the comparator sorts rows itself
+      .sortWithinPartitions("slice")
   }
 
   /** [[prefixedHistogram]] generalized to per-slice prefix sums over a
@@ -274,7 +277,10 @@ object EvalQueries {
         round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
         round(col("n_dec").cast("double") / col("n"), 6).as("dec_rate"),
         round(col("ssum").cast("double") / col("n"), 6).as("mean_score"))
-      .orderBy("bin")
+      // sortWithinPartitions: `counts` is NOT checkpointed here, so a
+      // global orderBy's sampling pass would re-execute the caller's
+      // whole scoring chain for ≤(range/width) output rows
+      .sortWithinPartitions("bin")
 
   /** PRECISION/RECALL CURVE — the full threshold sweep behind
     * [[gateEval]]'s single shipped-threshold row: one output row per

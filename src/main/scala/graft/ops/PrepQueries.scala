@@ -225,7 +225,12 @@ object PrepQueries {
     * output with text_clean = '' (and dedupe among themselves —
     * cutting an empty span is a no-op on the reassembled text). */
   def dedupSpanScrub(s: SparkSession, dir: String): DataFrame =
-    scrubAssemble(firstOccurrence(spansOf(docs(s, dir)))).orderBy("doc_id")
+    // sortWithinPartitions, not orderBy: a global sort SAMPLES its
+    // child for range bounds — the whole scrub would execute twice
+    // (the debezium_ingest lesson; measured 32.8 → ~19 s at x100) —
+    // and the oracle comparator sorts rows itself
+    scrubAssemble(firstOccurrence(spansOf(docs(s, dir))))
+      .sortWithinPartitions("doc_id")
 
   /** The hashed span table (doc_id, span_idx, span_text, h) of a
     * (doc_id, text) corpus — the span splitter [[dedupSpanScrub]] and
@@ -244,38 +249,28 @@ object PrepQueries {
       .withColumn("h", md5Long(col("span_text")))
   }
 
-  /** Mark each span row's global first occurrence — canonical = min
-    * (doc_id, span_idx) per span hash, via a map-side-combinable MIN
-    * aggregate joined back on `h`, NOT a row_number window: real
-    * corpora carry boilerplate spans (license headers, cookie banners)
-    * at percent-level mass, and a window partitioned by `h` hands the
-    * whole hot group to ONE reducer that no optimizer can split, while
-    * the aggregate collapses it to one row per input partition before
-    * the shuffle and the join back is AQE-skew-splittable
-    * (SpanSkewProbe measures the two arms on a planted 20%-mass
-    * boilerplate span; BASELINE.md records the cells). Lexicographic
-    * pair min ≡ rank 1 of the same order — PrepSpec's brute-force pin
-    * holds unchanged.
+  /** Mark each span row's global first occurrence: ONE shuffle on the
+    * 60-bit span hash, canonical = rank 1 of (doc_id, span_idx) — the
+    * [[graft.ops.DedupQueries.dedupExact]] window shape on the span
+    * grain.
     *
-    * The pair is PACKED into one BIGINT (`doc_id · 2^23 + span_idx`)
-    * because Spark's min over a struct — `min(struct)` and `min_by`
-    * alike — carries a non-mutable aggregation buffer and falls back
-    * to the grouped SortAggregate the plan audit bans; a plain long
-    * min stays in HashAggregate with map-side partial combine. Packing
-    * bounds (doc_id < 2^40, spans per doc < 2^23 ≈ 134M tokens) are
-    * enforced with a fail-loud assert in the scan projection — silent
-    * overflow would silently mis-canonicalize. */
+    * Hot-span skew was HYPOTHESIZED here and MEASURED AWAY
+    * (SpanSkewProbe, BASELINE.md round-14 cells): a boilerplate span
+    * planted on 20% of all documents is still only ~0.4% of span ROWS
+    * (docs carry ~50 spans each), `row_number` streams its window
+    * group through one reducer with no buffering, and the
+    * skew-splittable alternative — map-side-combined packed-BIGINT min
+    * joined back on `h` — pays a SECOND full scan+explode+md5 of the
+    * corpus, measuring 2× slower at every probed size (x100 planted:
+    * 11.5 s window vs 24.8 s agg+join). The window stays the shipped
+    * plan; the packed-min formulation lives in the probe as the
+    * documented fallback for a corpus whose boilerplate mass
+    * approaches the span-row scale where one reducer's group becomes
+    * a single-task ceiling. */
   private[graft] def firstOccurrence(spans: DataFrame): DataFrame = {
-    val packed = col("doc_id") * lit(1L << 23) + col("span_idx")
-    val guarded = when(
-      assert_true(col("doc_id") >= 0 && col("doc_id") < lit(1L << 40) &&
-        col("span_idx") < lit(1L << 23),
-        lit("firstOccurrence: span pack bounds exceeded")).isNull,
-      packed)
-    val sp = spans.withColumn("p", guarded)
-    sp.join(sp.groupBy("h").agg(min(col("p")).as("fp")), Seq("h"))
-      .withColumn("keep_span", col("p") === col("fp"))
-      .drop("p", "fp")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("span_idx"))
+    spans.withColumn("keep_span", row_number().over(w) === 1)
   }
 
   /** Reassemble per-doc cleaned text from marked span rows — the shared

@@ -576,7 +576,9 @@ object TextQueries {
           .when(col("avg_lnp") >= col("t1"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
       .withColumn("keep", col("bucket").isin("head", "middle"))
-      .orderBy("doc_id")
+      // presentation order only: a global orderBy would sample-execute
+      // the LM + threshold chain twice (the debezium_ingest lesson)
+      .sortWithinPartitions("doc_id")
   }
 
   /** Gopher/C4-style composite RULE filter — the document-admission gate a

@@ -143,7 +143,7 @@ class EvalSpec extends SparkSpec {
       (s"s${i % 3}", score, i % 3 != i % 2, score > 500000L)
     }
     val df = rows.toDF("slice", "score", "label", "decision")
-    val got = EvalQueries.gateEvalBy("g", df).collect()
+    val got = EvalQueries.gateEvalBy("g", df).collect().sortBy(_.getString(1))
     assert(got.map(_.getString(1)).toSeq === Seq("s0", "s1", "s2"))
     for (r <- got) {
       val slice = r.getString(1)
@@ -176,6 +176,7 @@ class EvalSpec extends SparkSpec {
     val w = 10000L
     val got = EvalQueries.calibrationReport("g",
       rows.toDF("score", "label", "decision"), w).collect()
+      .sortBy(_.getLong(1))
     val expect = rows.groupBy(_._1 / w).toSeq.sortBy(_._1).map {
       case (bin, rs) =>
         def rh(x: Double) = BigDecimal(x)

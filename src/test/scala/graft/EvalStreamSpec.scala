@@ -49,24 +49,28 @@ class EvalStreamSpec extends SparkSpec {
     assert(rows(EvalStream.prCurveLive(spark, d)) === batch)
   }
 
+  private def binSorted(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.sortBy(_.getLong(1)).map(_.toSeq)
+
   test("live calibration ≡ batch calibrationReport, any batching") {
-    val batch = rows(EvalQueries.calibrationReport("g", scoredDf(fixture),
-      500L))
+    val batch = binSorted(EvalQueries.calibrationReport("g",
+      scoredDf(fixture), 500L))
     Seq(1, 5).foreach { parts =>
       val d = freshDir()
       (0 until parts).foreach(i => EvalStream.applyMicroBatch(spark,
         scoredDf(fixture.zipWithIndex.filter(_._2 % parts == i).map(_._1)),
         d, i.toLong))
-      assert(rows(EvalStream.calibrationLive(spark, d, "g", 500L)) === batch,
+      assert(binSorted(EvalStream.calibrationLive(spark, d, "g", 500L))
+        === batch,
         s"$parts-batch merged calibration diverged from the batch operator")
     }
   }
 
   test("registered live-calibration face equals the batch report") {
     val scored = CurationQueries.highNdvScored(spark, sf)
-    val batch = rows(EvalQueries.calibrationReport("highndv", scored,
+    val batch = binSorted(EvalQueries.calibrationReport("highndv", scored,
       EvalStream.calibrationLiveBinWidth))
-    assert(rows(EvalStream.calibrationLiveQuery(spark, sf)) === batch)
+    assert(binSorted(EvalStream.calibrationLiveQuery(spark, sf)) === batch)
   }
 
   test("replay no-ops; unmarked crash debris is swept") {

@@ -1448,7 +1448,7 @@ class OpsSpec extends SparkSpec {
       }.toMap
     }
     val got = DedupQueries.dedupLabelprop(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(got === ids.map(i => (i, lbl(i))).toSeq)
     // the partition is non-trivial on this fixture: some doc adopted
     // another's label, and isolated docs all kept their own

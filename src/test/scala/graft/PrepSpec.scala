@@ -489,7 +489,7 @@ class PrepSpec extends SparkSpec {
     }.toSeq
     val got = PrepQueries.dedupSpanScrub(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
-      .toSeq
+      .sortBy(_._1).toSeq
     assert(got === expect)
     // scrub invariant: each distinct span survives exactly once corpus-wide
     val total = expect.map(_._2).sum

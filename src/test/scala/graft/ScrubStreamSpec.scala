@@ -20,7 +20,8 @@ class ScrubStreamSpec extends SparkSpec {
     Tables.documents(spark, sf).select("doc_id", "text").localCheckpoint()
 
   private lazy val batchOut: Seq[Seq[Any]] =
-    PrepQueries.dedupSpanScrub(spark, sf).collect().toSeq.map(_.toSeq)
+    PrepQueries.dedupSpanScrub(spark, sf).collect().toSeq
+      .sortBy(_.getLong(0)).map(_.toSeq)
 
   private def streamOut(d: String): Seq[Seq[Any]] =
     ScrubStream.readCorpus(spark, d).orderBy("doc_id")
@@ -77,7 +78,7 @@ class ScrubStreamSpec extends SparkSpec {
 
   test("registered face equals the batch operator row-for-row") {
     val got = ScrubStream.dedupSpanScrubStream(spark, sf)
-      .collect().toSeq.map(_.toSeq)
+      .collect().toSeq.sortBy(_.getLong(0)).map(_.toSeq)
     assert(got === batchOut)
   }
 }

@@ -17,26 +17,35 @@ import org.apache.spark.sql.functions._
   * times the scrub's first-occurrence step both ways on the same
   * planted corpus:
   *
-  *   - window:   row_number over (partition by h) — every row of the
-  *     hot hash lands in ONE window partition: a single reducer owns
-  *     hotFrac of the corpus, and no optimizer can split a window
-  *     group (the formulation shipped through round 14's first half);
-  *   - agg+join: groupBy(h).min(struct(doc_id, span_idx)) — map-side
-  *     partial min collapses the hot group to one row per input
-  *     partition BEFORE the shuffle — then an equi-join back that AQE
-  *     can skew-split. Semantically identical (lexicographic min ≡
-  *     rank-1 of the same order); PrepSpec pins the scrub against
-  *     brute force either way.
+  *   - window (SHIPPED): row_number over (partition by h) — the hot
+  *     hash's rows land in ONE window partition, but a hot span at
+  *     20% DOC mass is only ~0.4% of span ROWS and row_number streams
+  *     its group with no buffering — measured FASTER at every probed
+  *     size;
+  *   - agg+join (fallback): min over (doc_id, span_idx) packed into
+  *     one BIGINT (struct min/min_by would plan as the banned grouped
+  *     SortAggregate), map-side combined, joined back on `h` (AQE-
+  *     skew-splittable) — immune to a single-task ceiling on extreme
+  *     boilerplate mass, but it pays a SECOND full scan+explode+md5.
+  *     Semantically identical (lexicographic min ≡ rank-1 of the same
+  *     order).
   *
   * Prints min-of-2 wall seconds per formulation; BASELINE.md records
-  * the cells. */
+  * the cells and why the window stays the shipped plan. */
 object SpanSkewProbe {
 
-  /** The round-14-first-half formulation, kept HERE (test scope) only
-    * as the probe's baseline arm. */
-  private def firstOccurrenceWindow(spans: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("span_idx"))
-    spans.withColumn("keep_span", row_number().over(w) === 1)
+  /** The skew-splittable fallback arm — see the object scaladoc. */
+  private def firstOccurrencePackedMin(spans: DataFrame): DataFrame = {
+    val packed = col("doc_id") * lit(1L << 23) + col("span_idx")
+    val guarded = when(
+      assert_true(col("doc_id") >= 0 && col("doc_id") < lit(1L << 40) &&
+        col("span_idx") < lit(1L << 23),
+        lit("span pack bounds exceeded")).isNull,
+      packed)
+    val sp = spans.withColumn("p", guarded)
+    sp.join(sp.groupBy("h").agg(min(col("p")).as("fp")), Seq("h"))
+      .withColumn("keep_span", col("p") === col("fp"))
+      .drop("p", "fp")
   }
 
   def main(args: Array[String]): Unit = {
@@ -69,9 +78,9 @@ object SpanSkewProbe {
       val best = Seq(run(), run()).min
       println(f"[spanskew] $tag min=$best%.2f s")
     }
-    time("window  (single-reducer hot group)", firstOccurrenceWindow)
-    time("agg+join (map-side combined min)   ",
+    time("window  (shipped plan)             ",
       sp => PrepQueries.firstOccurrence(sp))
+    time("agg+join (packed-min fallback)     ", firstOccurrencePackedMin)
     spark.stop()
   }
 }
