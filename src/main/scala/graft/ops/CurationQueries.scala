@@ -912,6 +912,11 @@ object CurationQueries {
   def gateCalibrationLive(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EvalStream.calibrationLiveQuery(s, dir)
 
+  /** Band-grain drift over the same committed state — see
+    * [[graft.streaming.EvalStream.calibrationDriftQuery]]. */
+  def gateCalibrationDrift(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EvalStream.calibrationDriftQuery(s, dir)
+
   /** Shared oracle CTE block ending in `wts(lang, token, cnt, w)` plus
     * `vocab(token)` — the DuckDB replica of [[classifierWeights]]. */
   private lazy val clfModelCtes =
@@ -1016,6 +1021,7 @@ object CurationQueries {
     "gate_eval_by_source" -> (gateEvalBySource _),
     "gate_eval_drift" -> (gateEvalDrift _),
     "gate_calibration_live" -> (gateCalibrationLive _),
+    "gate_calibration_drift" -> (gateCalibrationDrift _),
     "text_classify" -> (textClassify _),
     "doc_keywords" -> (docKeywords _),
     "feature_hash" -> (featureHash _),
@@ -1376,6 +1382,20 @@ object CurationQueries {
          |scored_w AS MATERIALIZED (
          |  SELECT * FROM scored WHERE score % 4 IN (2, 3)),
          |${EvalQueries.gateEvalDriftSql("highndv")}""".stripMargin,
+    "gate_calibration_drift" ->
+      s"""WITH scored AS MATERIALIZED (
+         |  SELECT ('0x' || substr(md5('ndv:' || CAST(doc_id AS VARCHAR)
+         |      || ':' || text), 1, 15))::BIGINT % 1000000000 AS score,
+         |    lang = 'en' AS label,
+         |    ('0x' || substr(md5('ndv:' || CAST(doc_id AS VARCHAR)
+         |      || ':' || text), 1, 15))::BIGINT % 1000000000
+         |      >= 500000000 AS decision
+         |  FROM documents),
+         |scored_w AS MATERIALIZED (
+         |  SELECT * FROM scored WHERE score % 4 IN (2, 3)),
+         |${EvalQueries.calibrationDriftSql("highndv",
+             graft.streaming.EvalStream.calibrationLiveBinWidth)}"""
+        .stripMargin,
     "gate_calibration_live" ->
       s"""WITH scored AS (
          |  SELECT ('0x' || substr(md5('ndv:' || CAST(doc_id AS VARCHAR)

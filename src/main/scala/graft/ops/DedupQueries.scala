@@ -997,13 +997,24 @@ object DedupQueries {
     * [[dedupPagerank]]. Window groups are per-node: no global order,
     * no skew beyond max degree, which the pair graph's df-cap already
     * bounds. */
-  def dedupLabelprop(s: SparkSession, dir: String): DataFrame = {
+  def dedupLabelprop(s: SparkSession, dir: String): DataFrame =
+    // labels are checkpointed, so a global orderBy's sampling pass
+    // would be cheap — but the comparator sorts rows itself, so
+    // partition-local presentation order suffices (house convention)
+    propagateLabels(jaccardPairs(s, dir).select("a", "b"), docs(s, dir))
+      .sortWithinPartitions("doc_id")
+
+  /** The [[lpIters]]-round propagation over an (a, b) pair set —
+    * shared by the label face and [[dedupCommunitiesReport]] so the
+    * report grades exactly the partition the face emits. */
+  private def propagateLabels(pairsRaw: DataFrame,
+      allDocs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = jaccardPairs(s, dir).select("a", "b").localCheckpoint()
+    val pairs = pairsRaw.localCheckpoint()
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    var lbl = docs(s, dir)
+    var lbl = allDocs
       .select(col("doc_id"), col("doc_id").as("community"))
       .localCheckpoint()
     for (_ <- 1 to lpIters) {
@@ -1019,10 +1030,50 @@ object DedupQueries {
         .select(col("src").as("doc_id"), col("community"))
         .localCheckpoint()
     }
-    // labels are checkpointed, so a global orderBy's sampling pass
-    // would be cheap — but the comparator sorts rows itself, so
-    // partition-local presentation order suffices (house convention)
-    lbl.sortWithinPartitions("doc_id")
+    lbl
+  }
+
+  /** PER-COMMUNITY COHERENCE REPORT over the [[dedupLabelprop]]
+    * partition: members, internal pairs (both endpoints inside),
+    * external pairs (crossing — counted once per touched community)
+    * and conductance ext/(2·int + ext) — the artifact that says
+    * whether a community is a dense template farm (conductance → 0)
+    * or a chain fragment still bleeding edges to its neighbors. The
+    * community-grain roll-up of [[dedupTriangles]]' node-local
+    * clustering.
+    *
+    * Shape at 100 TB: the pair set builds ONCE (checkpointed) and
+    * feeds both the propagation and the report; the report itself is
+    * two label equi-joins onto the pairs + three community-keyed hash
+    * aggregates — all map-side combinable, output = one row per
+    * community. */
+  def dedupCommunitiesReport(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir).select("a", "b").localCheckpoint()
+    val labels = propagateLabels(pairs, docs(s, dir)).localCheckpoint()
+    val lp = pairs
+      .join(labels.select(col("doc_id").as("a"), col("community").as("ca")),
+        Seq("a"))
+      .join(labels.select(col("doc_id").as("b"), col("community").as("cb")),
+        Seq("b"))
+      .localCheckpoint() // internal + external consumers
+    val members = labels.groupBy("community")
+      .agg(count(lit(1)).as("n_members"))
+    val internal = lp.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("n_internal"))
+    val external = lp.filter(col("ca") =!= col("cb"))
+      .select(explode(array(col("ca"), col("cb"))).as("community"))
+      .groupBy("community").agg(count(lit(1)).as("n_external"))
+    members.join(internal, Seq("community"), "left")
+      .join(external, Seq("community"), "left")
+      .select(col("community"), col("n_members"),
+        coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+        coalesce(col("n_external"), lit(0L)).as("n_external"))
+      .withColumn("conductance",
+        when(col("n_internal") * 2 + col("n_external") === 0, lit(0.0))
+          .otherwise(round(col("n_external").cast("double") /
+            (col("n_internal") * 2 + col("n_external")), 6)))
+      .sortWithinPartitions("community")
   }
 
   /** Source-overlap matrix: pairwise Jaccard between each SOURCE's
@@ -1183,6 +1234,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_recall_report" -> (dedupRecallReport _),
     "dedup_labelprop" -> (dedupLabelprop _),
+    "dedup_communities_report" -> (dedupCommunitiesReport _),
     "dedup_simhash_sig" -> (dedupSimhashSig _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1656,6 +1708,38 @@ object DedupQueries {
          |${(1 to lpIters).map(lpStepSql).mkString(",\n")}
          |SELECT doc_id, community FROM l$lpIters
          |ORDER BY doc_id""".stripMargin,
+    "dedup_communities_report" ->
+      s"""WITH $jaccardPairsCte,
+         |e AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM jpairs
+         |  UNION ALL SELECT b, a FROM jpairs),
+         |l0 AS MATERIALIZED (
+         |  SELECT doc_id, doc_id AS community FROM documents),
+         |${(1 to lpIters).map(lpStepSql).mkString(",\n")},
+         |lab AS (SELECT doc_id, community FROM l$lpIters),
+         |m AS (SELECT community, count(*) AS n_members FROM lab GROUP BY 1),
+         |lp AS MATERIALIZED (
+         |  SELECT la.community AS ca, lb.community AS cb
+         |  FROM jpairs j
+         |  JOIN lab la ON j.a = la.doc_id
+         |  JOIN lab lb ON j.b = lb.doc_id),
+         |i AS (SELECT ca AS community, count(*) AS n_internal
+         |      FROM lp WHERE ca = cb GROUP BY 1),
+         |x AS (SELECT community, count(*) AS n_external FROM (
+         |        SELECT ca AS community FROM lp WHERE ca != cb
+         |        UNION ALL SELECT cb FROM lp WHERE ca != cb)
+         |      GROUP BY 1)
+         |SELECT m.community, CAST(m.n_members AS BIGINT) AS n_members,
+         |  CAST(coalesce(i.n_internal, 0) AS BIGINT) AS n_internal,
+         |  CAST(coalesce(x.n_external, 0) AS BIGINT) AS n_external,
+         |  CASE WHEN coalesce(i.n_internal, 0) * 2
+         |            + coalesce(x.n_external, 0) = 0 THEN 0.0
+         |       ELSE round(CAST(coalesce(x.n_external, 0) AS DOUBLE) /
+         |            (coalesce(i.n_internal, 0) * 2
+         |             + coalesce(x.n_external, 0)), 6)
+         |       END AS conductance
+         |FROM m LEFT JOIN i USING (community) LEFT JOIN x USING (community)
+         |ORDER BY community""".stripMargin,
     "dedup_recall_report" ->
       s"""WITH $hashedCte,
          |$jaccardPairsTail,

@@ -505,6 +505,36 @@ object EvalQueries {
     * [[calibrationReport]] (DuckDB `//` floor ≡ Spark `div` truncation
     * on the non-negative score contract; the HUGEINT Σscore·1 equals
     * the DECIMAL dot product exactly, both cast to DOUBLE once). */
+  /** The DuckDB tail of a band-grain drift oracle: expects preceding
+    * CTEs `scored(score, label, decision)` (lifetime) and `scored_w`
+    * (the window subset) — the EXACT SQL mirror of
+    * [[graft.streaming.EvalStream.calibrationDrift]] (window bins ⊆
+    * lifetime bins, LEFT join + zero-fill; deltas are IEEE
+    * subtractions of the already-rounded doubles). */
+  def calibrationDriftSql(gate: String, binWidth: Long): String = {
+    def leg(sfx: String, src: String): String =
+      s"""g$sfx AS (
+         |  SELECT score // $binWidth AS bin, count(*) AS n,
+         |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS np,
+         |    sum(CASE WHEN decision THEN 1 ELSE 0 END) AS nd
+         |  FROM $src GROUP BY 1)"""
+    s"""${leg("_l", "scored")},
+       |${leg("_w", "scored_w")}
+       |SELECT '$gate' AS gate, CAST(l.bin AS BIGINT) AS bin,
+       |  CAST(l.bin * $binWidth AS BIGINT) AS score_lo,
+       |  CAST(l.n AS BIGINT) AS n_life,
+       |  CAST(coalesce(w.n, 0) AS BIGINT) AS n_window,
+       |  round(CAST(l.np AS DOUBLE) / l.n, 6) AS pos_rate_life,
+       |  coalesce(round(CAST(w.np AS DOUBLE) / w.n, 6), 0.0)
+       |    AS pos_rate_window,
+       |  round(coalesce(round(CAST(w.np AS DOUBLE) / w.n, 6), 0.0)
+       |        - round(CAST(l.np AS DOUBLE) / l.n, 6), 6) AS pos_rate_delta,
+       |  round(CAST(l.nd AS DOUBLE) / l.n, 6) AS dec_rate_life,
+       |  coalesce(round(CAST(w.nd AS DOUBLE) / w.n, 6), 0.0)
+       |    AS dec_rate_window
+       |FROM g_l l LEFT JOIN g_w w USING (bin) ORDER BY bin""".stripMargin
+  }
+
   def calibrationSql(gate: String, binWidth: Long): String =
     s"""g AS (
        |  SELECT score // $binWidth AS bin, count(*) AS n,

@@ -202,6 +202,39 @@ object SimilarityQueries {
       .orderBy("q", "rank")
   }
 
+  /** Exact FILTERED top-k — the ground truth [[annFilteredRecall]]
+    * grades [[annFiltered]] against: per query, brute-force cosine
+    * top-k over ALL same-label vectors (no probing). The label equality
+    * is an equi-key, so even the brute baseline is a broadcast HASH
+    * join with a 1/|labels| fan-out, never a cartesian. */
+  private def annFilteredBrute(s: SparkSession, dir: String): DataFrame = {
+    val v = vectors(s, dir)
+    val q = v.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q"), col("label"),
+        col("e").as("qe"), col("norm").as("qn"))
+    val scored = broadcast(q).join(v, Seq("label"))
+      .filter(col("q") =!= col("vec_id"))
+      .select(col("q"), col("vec_id").as("neighbor"),
+        cosine(col("qe"), col("e"), col("qn"), col("norm")).as("cosine"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("q", "rank", "neighbor", "cosine")
+  }
+
+  /** RECALL MONITOR for the filtered face — per-query recall@k of
+    * [[annFiltered]] against the exact filtered ground truth: the
+    * number that tells an operator whether [[filteredNprobe]]'s
+    * over-probe actually compensates the filter's cell thinning on
+    * THEIR label distribution (a selective filter empties probed
+    * cells; recall collapses silently without this row). Same shared
+    * [[recallOf]] tail as `ann_recall_report` — every ANN face in the
+    * engine ships with its recall monitor. */
+  def annFilteredRecall(s: SparkSession, dir: String): DataFrame =
+    recallOf(annFilteredBrute(s, dir).select("q", "neighbor"),
+      annFiltered(s, dir).select("q", "neighbor"))
+
   /** ANN QUALITY MONITOR — per-query recall@k of the IVF index against
     * the exact brute-force neighbors: the measurement every production
     * vector index ships with (recall is the IVF tuning target; a silent
@@ -1374,6 +1407,7 @@ object SimilarityQueries {
     "ann_brute_force" -> (annBruteForce _),
     "ann_ivf" -> (annIvf _),
     "ann_filtered" -> (annFiltered _),
+    "ann_filtered_recall" -> (annFilteredRecall _),
     "ann_recall_report" -> (annRecallReport _),
     "embedding_centroids" -> (embeddingCentroids _),
     "embedding_pca" -> (embeddingPca _),
@@ -1653,6 +1687,33 @@ object SimilarityQueries {
        |    SELECT *, row_number() OVER (PARTITION BY q
        |              ORDER BY cosine DESC, neighbor) AS rank
        |    FROM scored) WHERE rank <= $topK)""".stripMargin
+
+  /** The FILTERED-ANN CTE chain ending in `fann(q, rank, neighbor,
+    * cosine)` — shared by the ann_filtered and ann_filtered_recall
+    * oracles so the monitor grades exactly the face's own SQL replay. */
+  private val filteredAnnCtes =
+    s"""$assignCtes,
+       |queries AS (SELECT vec_id AS q, label AS qlabel, e AS qe,
+       |                   norm AS qn
+       |            FROM v WHERE vec_id % $queryStride = 0),
+       |probed AS (
+       |  SELECT q, qlabel, qe, qn, cell,
+       |         row_number() OVER (PARTITION BY q ORDER BY
+       |           ${duckCos("qe", "ce", "qn", "cn")} DESC, cell) AS crank
+       |  FROM queries CROSS JOIN seeds),
+       |cells AS (SELECT q, qlabel, qe, qn, cell FROM probed
+       |          WHERE crank <= $filteredNprobe),
+       |fscored AS (
+       |  SELECT c.q, a.vec_id AS neighbor,
+       |         ${duckCos("c.qe", "a.e", "c.qn", "a.norm")} AS cosine
+       |  FROM cells c JOIN assign a USING (cell)
+       |  JOIN v lv ON lv.vec_id = a.vec_id
+       |  WHERE c.q != a.vec_id AND lv.label = c.qlabel),
+       |fann AS (
+       |  SELECT q, rank, neighbor, cosine FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q
+       |              ORDER BY cosine DESC, neighbor) AS rank
+       |    FROM fscored) WHERE rank <= $topK)""".stripMargin
 
   /** The quality rerank over any `ann(q, rank, neighbor, cosine)` CTE
     * chain — the SQL twin of [[qualityRerank]]. */
@@ -2222,26 +2283,25 @@ object SimilarityQueries {
          |SELECT q, rank, neighbor, cosine FROM ann
          |ORDER BY q, rank""".stripMargin,
     "ann_filtered" ->
-      s"""WITH $assignCtes,
-         |queries AS (SELECT vec_id AS q, label AS qlabel, e AS qe,
-         |                   norm AS qn
-         |            FROM v WHERE vec_id % $queryStride = 0),
-         |probed AS (
-         |  SELECT q, qlabel, qe, qn, cell,
-         |         row_number() OVER (PARTITION BY q ORDER BY
-         |           ${duckCos("qe", "ce", "qn", "cn")} DESC, cell) AS crank
-         |  FROM queries CROSS JOIN seeds),
-         |cells AS (SELECT q, qlabel, qe, qn, cell FROM probed
-         |          WHERE crank <= $filteredNprobe),
-         |scored AS (
-         |  SELECT c.q, a.vec_id AS neighbor,
-         |         ${duckCos("c.qe", "a.e", "c.qn", "a.norm")} AS cosine
-         |  FROM cells c JOIN assign a USING (cell)
-         |  JOIN v lv ON lv.vec_id = a.vec_id
-         |  WHERE c.q != a.vec_id AND lv.label = c.qlabel)
-         |SELECT q, rank, neighbor, cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q
-         |            ORDER BY cosine DESC, neighbor) AS rank
-         |  FROM scored) WHERE rank <= $topK
-         |ORDER BY q, rank""".stripMargin)
+      s"""WITH $filteredAnnCtes
+         |SELECT q, rank, neighbor, cosine FROM fann
+         |ORDER BY q, rank""".stripMargin,
+    "ann_filtered_recall" ->
+      s"""WITH $filteredAnnCtes,
+         |fbscored AS (
+         |  SELECT q.vec_id AS q, v.vec_id AS neighbor,
+         |         ${duckCos("q.e", "v.e", "q.norm", "v.norm")} AS cosine
+         |  FROM v q JOIN v ON q.vec_id % $queryStride = 0
+         |                 AND q.vec_id != v.vec_id
+         |                 AND q.label = v.label),
+         |fexact AS (
+         |  SELECT q, neighbor FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q
+         |              ORDER BY cosine DESC, neighbor) AS rank
+         |    FROM fbscored) WHERE rank <= $topK)
+         |SELECT e.q, count(*) AS k, count(i.neighbor) AS n_overlap,
+         |  round(CAST(count(i.neighbor) AS DOUBLE) / count(*), 6) AS recall
+         |FROM fexact e
+         |LEFT JOIN (SELECT q, neighbor FROM fann) i USING (q, neighbor)
+         |GROUP BY e.q ORDER BY e.q""".stripMargin)
 }

@@ -181,6 +181,38 @@ object EvalStream {
     EvalQueries.calibrationFromCounts(gate, readCounts(spark, stateDir),
       binWidth)
 
+  /** BAND-GRAIN drift — [[gateEvalDrift]]'s question asked per score
+    * band: WHICH region of the score axis is drifting? The one-row
+    * drift report can stay flat while a single band's positive rate
+    * inverts (a poisoned source entering one score region); this face
+    * puts the trailing-`lastK`-batch band table next to the lifetime
+    * one with per-band deltas. Both legs are
+    * [[EvalQueries.calibrationFromCounts]] over subset sums of the
+    * same committed count dirs — window bins are a subset of lifetime
+    * bins by construction (LEFT join + zero-fill). */
+  def calibrationDrift(spark: SparkSession, stateDir: String, gate: String,
+                       binWidth: Long, lastK: Int): DataFrame = {
+    val life = calibrationLive(spark, stateDir, gate, binWidth)
+      .select(col("bin"), col("score_lo"), col("n").as("n_life"),
+        col("pos_rate").as("pos_rate_life"),
+        col("dec_rate").as("dec_rate_life"))
+    val win = EvalQueries.calibrationFromCounts(gate,
+        readCountsWindow(spark, stateDir, lastK), binWidth)
+      .select(col("bin"), col("n").as("n_window"),
+        col("pos_rate").as("pos_rate_window"),
+        col("dec_rate").as("dec_rate_window"))
+    life.join(win, Seq("bin"), "left")
+      .select(lit(gate).as("gate"), col("bin"), col("score_lo"),
+        col("n_life"), coalesce(col("n_window"), lit(0L)).as("n_window"),
+        col("pos_rate_life"),
+        coalesce(col("pos_rate_window"), lit(0.0)).as("pos_rate_window"),
+        round(coalesce(col("pos_rate_window"), lit(0.0))
+          - col("pos_rate_life"), 6).as("pos_rate_delta"),
+        col("dec_rate_life"),
+        coalesce(col("dec_rate_window"), lit(0.0)).as("dec_rate_window"))
+      .sortWithinPartitions("bin")
+  }
+
   /** The gate report over the trailing `lastK` batches only — the same
     * shared tail over [[readCountsWindow]]'s subset sum, so window ≡
     * the batch operator over exactly the window's rows (spec-pinned). */
@@ -278,4 +310,12 @@ object EvalStream {
   def calibrationLiveQuery(s: SparkSession, dir: String): DataFrame =
     calibrationLive(s, highNdvState(s, dir), "highndv",
       calibrationLiveBinWidth)
+
+  /** REGISTERED band-grain drift face (DuckDB-oracled): trailing-2-of-4
+    * batches vs lifetime over the deterministic [[highNdvState]] — the
+    * window is `score % 4 IN (2, 3)` exactly, which the oracle
+    * recomputes through [[EvalQueries.calibrationDriftSql]]. */
+  def calibrationDriftQuery(s: SparkSession, dir: String): DataFrame =
+    calibrationDrift(s, highNdvState(s, dir), "highndv",
+      calibrationLiveBinWidth, lastK = 2)
 }

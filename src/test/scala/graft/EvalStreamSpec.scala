@@ -73,6 +73,33 @@ class EvalStreamSpec extends SparkSpec {
     assert(binSorted(EvalStream.calibrationLiveQuery(spark, sf)) === batch)
   }
 
+  test("calibration drift: window leg ≡ batch bands over the window rows") {
+    val d = freshDir()
+    (0 until 4).foreach(i => EvalStream.applyMicroBatch(spark,
+      scoredDf(fixture.filter(_._1 % 4 == i)), d, i.toLong))
+    val drift = EvalStream.calibrationDrift(spark, d, "g", 500L, lastK = 2)
+      .collect().sortBy(_.getLong(1))
+    // lifetime leg = the live face's bands
+    val life = EvalStream.calibrationLive(spark, d, "g", 500L)
+      .collect().sortBy(_.getLong(1))
+    assert(drift.map(r => (r.getLong(1), r.getLong(3), r.getDouble(5)))
+      .toSeq === life.map(r => (r.getLong(1), r.getLong(3),
+        r.getDouble(5))).toSeq)
+    // window leg = the batch report over exactly the window's rows
+    val winBatch = EvalQueries.calibrationReport("g",
+      scoredDf(fixture.filter(x => x._1 % 4 == 2 || x._1 % 4 == 3)), 500L)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getDouble(5)))
+      .toMap
+    for (r <- drift) {
+      val (nw, pw) = winBatch.getOrElse(r.getLong(1), (0L, 0.0))
+      assert(r.getLong(4) === nw, s"bin ${r.getLong(1)} n_window")
+      assert(r.getDouble(6) === pw, s"bin ${r.getLong(1)} pos_rate_window")
+      // the delta column is the subtraction of the two rounded rates
+      assert(r.getDouble(7) === BigDecimal(r.getDouble(6) - r.getDouble(5))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("replay no-ops; unmarked crash debris is swept") {
     val d = freshDir()
     EvalStream.applyMicroBatch(spark, scoredDf(fixture), d, 0L)

@@ -1429,6 +1429,52 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ann_filtered_recall: exact when the over-probe covers every cell") {
+    val rows = SimilarityQueries.annFilteredRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(1) <= SimilarityQueries.topK)     // k
+      assert(r.getLong(2) <= r.getLong(1))               // overlap ≤ k
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val n = Tables.embeddings(spark, sf).count()
+    val nCells = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % SimilarityQueries.seedStrideOf(n) === 1).count()
+    if (SimilarityQueries.filteredNprobe >= nCells)
+      // probing every cell makes filtered IVF ≡ filtered brute force:
+      // recall must be EXACTLY 1 — the monitor's own sanity anchor
+      assert(rows.forall(_.getDouble(3) === 1.0),
+        s"full probe ($nCells cells) must give perfect recall")
+  }
+
+  test("dedup_communities_report ≡ Scala brute force over the partition") {
+    val labels = DedupQueries.dedupLabelprop(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = DedupQueries.dedupJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val members = labels.values.groupBy(identity)
+      .map { case (c, xs) => c -> xs.size.toLong }
+    val internal = pairs.filter(p => labels(p._1) == labels(p._2))
+      .groupBy(p => labels(p._1)).map { case (c, xs) => c -> xs.size.toLong }
+    val external = pairs.filter(p => labels(p._1) != labels(p._2))
+      .flatMap(p => Seq(labels(p._1), labels(p._2)))
+      .groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    def rh(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = members.keys.toSeq.sorted.map { c =>
+      val (i, x) = (internal.getOrElse(c, 0L), external.getOrElse(c, 0L))
+      val cond = if (i * 2 + x == 0) 0.0 else rh(x.toDouble / (i * 2 + x))
+      (c, members(c), i, x, cond)
+    }
+    val got = DedupQueries.dedupCommunitiesReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1).toSeq
+    assert(got === expect)
+    // the fixture exercises both shapes: some dense community with
+    // internal pairs, and at least one with external (crossing) edges
+    assert(got.exists(_._3 > 0))
+  }
+
   test("dedup_labelprop ≡ Scala brute-force synchronous mode propagation") {
     val pairs = DedupQueries.dedupJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -393,8 +393,10 @@ class PlanSpec extends SparkSpec {
   private val nljAllowlist: Set[String] = Set(
     "ann_brute_force", "ann_ivf", "ann_ivf_pq", "ann_ivf_trained",
     // ann_filtered: the same broadcast query-set × √n-centroid probe
-    // product as ann_ivf, with the label predicate folded in-cell
-    "ann_filtered",
+    // product as ann_ivf, with the label predicate folded in-cell;
+    // its recall monitor composes it (the brute side joins on the
+    // label equi-key — no NLJ of its own)
+    "ann_filtered", "ann_filtered_recall",
     // ann_recall_report composes two allowlisted operators (the pinned
     // brute baseline's broadcast-query NLJ rides along by construction)
     // ann_graph_search's entry scoring is the |Q|×√n broadcast product
