@@ -68,7 +68,9 @@ object SparkEntry {
     "gate_eval_live" -> (graft.streaming.EvalStream.gateEvalLiveBench _),
     "media_phash_jpeg" -> (MediaQueries.mediaPhashJpeg _),
     "media_gate_probe" -> (graft.streaming.MediaStream.mediaGateProbe _),
-    "dedup_recall_sampled" -> (DedupQueries.dedupRecallSampled _))
+    "dedup_recall_sampled" -> (DedupQueries.dedupRecallSampled _),
+    "ann_filtered_recall_budget" ->
+      (SimilarityQueries.annFilteredRecallBudget _))
 
   /** Verify-only twins — the INVERSE of [[benchOnly]]: registered in
     * `queries` (DuckDB-oracled) but skipped by Bench, because their

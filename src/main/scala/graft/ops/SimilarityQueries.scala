@@ -235,6 +235,28 @@ object SimilarityQueries {
     recallOf(annFilteredBrute(s, dir).select("q", "neighbor"),
       annFiltered(s, dir).select("q", "neighbor"))
 
+  /** Query-stride multiplier for the BUDGETED recall monitor: the
+    * registered face grades the standard query set (2% of vectors), so
+    * its exact-truth side grows QUADRATICALLY with the corpus — the
+    * honest pinned-brute monitor class (ann_recall_report's). A
+    * production monitor fixes the QUERY BUDGET instead: recall is a
+    * ratio, a 100×-thinner deterministic query sample estimates it,
+    * and the truth side becomes linear in the corpus (fixed queries ×
+    * same-label candidates). */
+  val recallBudgetStride: Long = queryStride.toLong * 100
+
+  /** BENCH-ONLY budgeted twin of [[annFilteredRecall]] — identical
+    * rows for the queries it keeps (OpsSpec pins the subset equality);
+    * Bench times the linear-cost production shape. */
+  def annFilteredRecallBudget(s: SparkSession, dir: String): DataFrame =
+    recallOf(
+      annFilteredBrute(s, dir)
+        .filter(col("q") % recallBudgetStride === 0)
+        .select("q", "neighbor"),
+      annFiltered(s, dir)
+        .filter(col("q") % recallBudgetStride === 0)
+        .select("q", "neighbor"))
+
   /** ANN QUALITY MONITOR — per-query recall@k of the IVF index against
     * the exact brute-force neighbors: the measurement every production
     * vector index ships with (recall is the IVF tuning target; a silent

@@ -1445,6 +1445,14 @@ class OpsSpec extends SparkSpec {
       // recall must be EXACTLY 1 — the monitor's own sanity anchor
       assert(rows.forall(_.getDouble(3) === 1.0),
         s"full probe ($nCells cells) must give perfect recall")
+    // the budgeted twin is the full report restricted to its query
+    // sample — identical rows for every query it keeps
+    val budget = SimilarityQueries.annFilteredRecallBudget(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val expectB = rows.filter(
+      _.getLong(0) % SimilarityQueries.recallBudgetStride == 0)
+      .map(_.toSeq).toSeq
+    assert(budget === expectB && budget.nonEmpty)
   }
 
   test("dedup_communities_report ≡ Scala brute force over the partition") {
