@@ -1059,7 +1059,10 @@ object CurationQueries {
 
   /** The curation-rule CTE chain ending in `r(doc_id, ..., reject_reason)`
     * — shared by curation_pipeline and pipeline_e2e. */
-  private lazy val curationCtes =
+  /** `private[graft]`: the multimodal pair face's oracle
+    * (MediaQueries) replays the SAME text-gate chain, the exact mirror
+    * of its Spark side reusing [[curationPipeline]]. */
+  private[graft] lazy val curationCtes =
     s"""m AS (
        |  SELECT doc_id,
        |    CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),

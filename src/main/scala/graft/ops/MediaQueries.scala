@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1085,6 +1086,81 @@ object MediaQueries {
       .orderBy("doc_id")
   }
 
+  /** Minimum pixel count for a training-worthy pair image — the
+    * LAION-style size floor (tiny thumbnails carry no signal a vision
+    * tower can use; LAION-400M gated on min dimension the same way).
+    * Sized mid-range for the motif geometry (128–512 px) so the gate
+    * measurably fires without dominating. */
+  val minPairPixels = 256L
+
+  /** MULTIMODAL PAIR CURATION — the cross-modal verdict table a
+    * (caption, image) training-set build runs (the LAION-style filter
+    * chain, Schuhmann et al. 2021): for every image-modality document,
+    * the TEXT gates ([[CurationQueries.curationPipeline]]'s rule chain —
+    * too_short → non_en → low_quality → near_dup, reused verbatim so
+    * text semantics can never diverge between the text-only and
+    * pair-curation faces) then the IMAGE gates — a pixel-count floor
+    * ([[minPairPixels]]) and the perceptual near-dup drop (appears as
+    * the higher-doc_id side of a verified [[dedupMedia]] pair: keep
+    * first occurrence, the dedup-family convention). One row per pair
+    * with every gate's input and the final verdict — the per-row audit
+    * trail the funnel face aggregates.
+    *
+    * Scale shape: text verdict and image signatures are both corpus-wide
+    * scans joined on the doc_id equi-key (co-partitioned shuffle join —
+    * at 100 TB both sides bucket by doc_id); the drop set is the
+    * verified pair table's b-side (linear, df-capped by
+    * [[bandPairs]]) — an equi left-join, never broadcast-assumed. */
+  def multimodalPairs(s: SparkSession, dir: String): DataFrame = {
+    val text = CurationQueries.curationPipeline(s, dir)
+      .select(col("doc_id"), col("pred_lang"), col("quality"),
+        col("reject_reason").as("text_reject"))
+    val sigs = phashSigs(s, dir)
+      .select("doc_id", "format", "width", "height")
+    val dupB = bandPairs(phashSigs(s, dir), "dhash")
+      .select(col("b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val reason = coalesce(col("text_reject"),
+      when(col("width") * col("height") < minPairPixels, "image_too_small"),
+      when(col("is_dup"), "image_near_dup"))
+    sigs.join(text, Seq("doc_id"))
+      .join(dupB, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("pred_lang"), col("quality"),
+        reason.isNull.as("keep"), reason.as("reject_reason"))
+      .orderBy("doc_id")
+  }
+
+  /** PAIR-CURATION FUNNEL — [[CurationQueries.curationFunnel]]'s
+    * attrition dashboard over the multimodal gate chain: pairs caught
+    * per sequential gate, corpus shares, running survivors. The corpus
+    * collapses to ≤7 stage rows in one hash aggregate; totals are a
+    * 1-row broadcast and the cumulative sum windows over the ≤7 rows
+    * (the allowlisted funnel class). */
+  def multimodalPairFunnel(s: SparkSession, dir: String): DataFrame = {
+    val stageIdx = when(col("reject_reason") === "too_short", 1)
+      .when(col("reject_reason") === "non_en", 2)
+      .when(col("reject_reason") === "low_quality", 3)
+      .when(col("reject_reason") === "near_dup", 4)
+      .when(col("reject_reason") === "image_too_small", 5)
+      .when(col("reject_reason") === "image_near_dup", 6)
+      .otherwise(7)
+    val g = multimodalPairs(s, dir)
+      .select(stageIdx.as("stage_idx"),
+        coalesce(col("reject_reason"), lit("kept")).as("stage"))
+      .groupBy("stage_idx", "stage")
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = g.agg(sum(col("n_pairs")).as("tp"))
+    val cum = Window.orderBy("stage_idx")
+      .rowsBetween(Window.unboundedPreceding, 0) // ≤7 stage rows
+    g.crossJoin(broadcast(tot))
+      .select(col("stage_idx"), col("stage"), col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("tp"), 6).as("pair_share"),
+        (col("tp") - sum(when(col("stage") === "kept", 0L)
+          .otherwise(col("n_pairs"))).over(cum)).as("surviving_pairs"))
+      .orderBy("stage_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_decode" -> (mediaDecode _),
     "media_jpeg_decode" -> (mediaJpegDecode _),
@@ -1100,7 +1176,9 @@ object MediaQueries {
     "dedup_media" -> (dedupMedia _),
     "media_audio_fp" -> (mediaAudioFp _),
     "dedup_audio" -> (dedupAudio _),
-    "dedup_media_clusters" -> (dedupMediaClusters _))
+    "dedup_media_clusters" -> (dedupMediaClusters _),
+    "multimodal_pairs" -> (multimodalPairs _),
+    "multimodal_pair_funnel" -> (multimodalPairFunnel _))
 
   /** Shared oracle CTE chain ending in `afps(doc_id, n, afp)` — the
     * DuckDB replica of [[audioSigs]] (AS MATERIALIZED: dedup_audio's
@@ -1176,6 +1254,33 @@ object MediaQueries {
        |      THEN (CAST(1 AS BIGINT) << (gy * ${phashGridW - 1} + gx))
        |      ELSE 0 END), 0) AS BIGINT) AS dhash
        |  FROM gbits GROUP BY doc_id)""".stripMargin
+
+  /** [[phashCte]] extended through the banded near-dup join to the
+    * VERIFIED image pair set `ipairs(a, b, hamming)` — the oracle twin
+    * of `bandPairs(phashSigs, "dhash")`, shared by the dedup_media and
+    * multimodal pair oracles so the pair semantics replay identically
+    * everywhere they gate. */
+  private lazy val imagePairCtes: String = {
+    val chunkRows = (0 until bandCount).map { c =>
+      s"SELECT doc_id, dhash, $c AS chunk, (dhash >> ${c * 15}) % 32768 AS key FROM hsh"
+    }.mkString("\n  UNION ALL ")
+    s"""$phashCte,
+       |chunks AS MATERIALIZED (
+       |  $chunkRows),
+       |kept AS MATERIALIZED (
+       |  SELECT c.* FROM chunks c
+       |  JOIN (SELECT chunk, key FROM chunks GROUP BY chunk, key
+       |        HAVING count(*) <= $maxBandDf) d USING (chunk, key)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |         x.dhash AS ha, y.dhash AS hb
+       |  FROM kept x JOIN kept y
+       |    ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id),
+       |ipairs AS MATERIALIZED (
+       |  SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+       |  FROM cand WHERE bit_count(xor(ha, hb)) <= $phashMaxHamming)"""
+      .stripMargin
+  }
 
   /** Shared oracle scaffolding for the mixed-format table: per-doc dims
     * + format class, and an index series long enough for both the
@@ -1361,26 +1466,59 @@ object MediaQueries {
          |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
          |  h.dhash
          |FROM hsh h JOIN pdim d USING (doc_id) ORDER BY h.doc_id""".stripMargin,
-    "dedup_media" -> {
-      val chunkRows = (0 until 4).map { c =>
-        s"SELECT doc_id, dhash, $c AS chunk, (dhash >> ${c * 15}) % 32768 AS key FROM hsh"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH $phashCte,
-         |chunks AS MATERIALIZED (
-         |  $chunkRows),
-         |kept AS MATERIALIZED (
-         |  SELECT c.* FROM chunks c
-         |  JOIN (SELECT chunk, key FROM chunks GROUP BY chunk, key
-         |        HAVING count(*) <= $maxBandDf) d USING (chunk, key)),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-         |         x.dhash AS ha, y.dhash AS hb
-         |  FROM kept x JOIN kept y
-         |    ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id)
-         |SELECT a, b, bit_count(xor(ha, hb)) AS hamming
-         |FROM cand WHERE bit_count(xor(ha, hb)) <= $phashMaxHamming
-         |ORDER BY a, b""".stripMargin
-    },
+    "dedup_media" ->
+      s"""WITH $imagePairCtes
+         |SELECT a, b, hamming FROM ipairs ORDER BY a, b""".stripMargin,
+    "multimodal_pairs" ->
+      s"""WITH $imagePairCtes,
+         |${CurationQueries.curationCtes},
+         |dupb AS (SELECT DISTINCT b AS doc_id FROM ipairs),
+         |pg AS (
+         |  SELECT p.doc_id,
+         |    CASE WHEN p.doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS format,
+         |    CAST(p.w AS BIGINT) AS width, CAST(p.h AS BIGINT) AS height,
+         |    r.pred_lang, r.quality,
+         |    CASE WHEN r.reject_reason IS NOT NULL THEN r.reject_reason
+         |         WHEN p.w * p.h < $minPairPixels THEN 'image_too_small'
+         |         WHEN dupb.doc_id IS NOT NULL THEN 'image_near_dup'
+         |    END AS reject_reason
+         |  FROM pdim p JOIN r ON r.doc_id = p.doc_id
+         |  LEFT JOIN dupb ON dupb.doc_id = p.doc_id)
+         |SELECT doc_id, format, width, height, pred_lang, quality,
+         |  reject_reason IS NULL AS keep, reject_reason
+         |FROM pg ORDER BY doc_id""".stripMargin,
+    "multimodal_pair_funnel" ->
+      s"""WITH $imagePairCtes,
+         |${CurationQueries.curationCtes},
+         |dupb AS (SELECT DISTINCT b AS doc_id FROM ipairs),
+         |pg AS (
+         |  SELECT p.doc_id,
+         |    CASE WHEN r.reject_reason IS NOT NULL THEN r.reject_reason
+         |         WHEN p.w * p.h < $minPairPixels THEN 'image_too_small'
+         |         WHEN dupb.doc_id IS NOT NULL THEN 'image_near_dup'
+         |    END AS reject_reason
+         |  FROM pdim p JOIN r ON r.doc_id = p.doc_id
+         |  LEFT JOIN dupb ON dupb.doc_id = p.doc_id),
+         |st AS (
+         |  SELECT CASE coalesce(reject_reason, 'kept')
+         |      WHEN 'too_short' THEN 1 WHEN 'non_en' THEN 2
+         |      WHEN 'low_quality' THEN 3 WHEN 'near_dup' THEN 4
+         |      WHEN 'image_too_small' THEN 5 WHEN 'image_near_dup' THEN 6
+         |      ELSE 7 END AS stage_idx,
+         |    coalesce(reject_reason, 'kept') AS stage
+         |  FROM pg),
+         |g AS (
+         |  SELECT stage_idx, stage, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM st GROUP BY stage_idx, stage),
+         |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tp FROM g)
+         |SELECT stage_idx, stage, n_pairs,
+         |  round(CAST(n_pairs AS DOUBLE) / tp, 6) AS pair_share,
+         |  tp - CAST(sum(CASE WHEN stage = 'kept' THEN 0
+         |                     ELSE n_pairs END)
+         |       OVER (ORDER BY stage_idx
+         |             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS surviving_pairs
+         |FROM g CROSS JOIN tot ORDER BY stage_idx""".stripMargin,
     "media_audio_fp" ->
       s"""WITH $audioFpCte
          |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, afp

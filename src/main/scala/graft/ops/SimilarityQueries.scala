@@ -295,6 +295,99 @@ object SimilarityQueries {
         round(col("n_overlap").cast("double") / col("k"), 6).as("recall"))
       .orderBy("q")
 
+  /** NDCG position discounts 1/log2(rank+1) in micro units, materialized
+    * ONCE as integer literals shared verbatim by the Spark plan and the
+    * DuckDB oracle (the SQL strings interpolate these same values).
+    * IEEE log2 is not required to be correctly rounded, so evaluating
+    * the discount independently in each engine could differ in the last
+    * ulp and flip a rounded micro — constants make the metric
+    * bit-identical by construction, the all-BIGINT eval-family rule
+    * (gateEval's) applied to ranking. */
+  private[graft] val ndcgDiscountMicro: Seq[Long] =
+    (1 to topK).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Ideal-DCG prefix sums (micro): idcgPrefixMicro(m-1) = best possible
+    * DCG when exactly m relevant documents exist — exact integer sums of
+    * [[ndcgDiscountMicro]]. */
+  private[graft] val idcgPrefixMicro: Seq[Long] =
+    ndcgDiscountMicro.scanLeft(0L)(_ + _).tail
+
+  /** RETRIEVAL QUALITY REPORT — MRR@k / NDCG@k / precision@k / hit count
+    * of a retrieval stage graded against same-label relevance, per query:
+    * the ranking-quality half of the eval family (recall@k says the index
+    * FOUND the true neighbors; NDCG says the pipeline RANKED the relevant
+    * ones first — a rerank regression is invisible to recall and is
+    * exactly what this face alarms on).
+    *
+    * Relevance is the corpus' own `label` column (the ground truth the
+    * filtered-ANN family already treats as the class structure): rel=1
+    * iff the neighbor shares the query's label. All metrics are integer
+    * micro-units end to end — DCG is an integer dot product of rel
+    * against the shared literal discount table, IDCG an integer prefix
+    * sum picked by m = min(n_rel, k), MRR an exact 1e6/rank — with ONE
+    * double division (DCG/IDCG) rounded at the end, so the DuckDB oracle
+    * reproduces every row bit-for-bit.
+    *
+    * Scale shape: the graded candidate set is |queries|·k rows (never
+    * corpus-sized) and is BROADCAST onto the corpus label projection for
+    * the neighbor-label lookup; the per-label corpus counts are a
+    * |labels|-row broadcast. The only corpus-wide work is the retrieval
+    * stage itself plus one column-pruned label scan. */
+  def retrievalEval(s: SparkSession, dir: String): DataFrame =
+    rankingMetricsOf(s, dir, annBruteForce(s, dir))
+
+  /** The SAME ranking report over the IVF index's candidates — measures
+    * what the approximate index costs in ranking quality, not just recall
+    * (the tuning pair a deployment reads side by side: retrieval_eval is
+    * the ceiling, this face is the shipped index). */
+  def retrievalEvalIvf(s: SparkSession, dir: String): DataFrame =
+    rankingMetricsOf(s, dir, annIvf(s, dir))
+
+  /** Shared metric tail of [[retrievalEval]]/[[retrievalEvalIvf]] — one
+    * implementation so the exact and approximate reports can never
+    * diverge in metric semantics (the recallOf precedent). */
+  private def rankingMetricsOf(s: SparkSession, dir: String,
+      ann: DataFrame): DataFrame = {
+    val v = vectors(s, dir).select(col("vec_id"), col("label"))
+    val ql = v.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("q"), col("label"))
+    // per-label corpus sizes: |labels| rows — broadcast
+    val lc = v.groupBy("label").agg(count(lit(1)).as("cnt"))
+    val dArr = array(ndcgDiscountMicro.map(lit): _*)
+    val iArr = array(idcgPrefixMicro.map(lit): _*)
+    // neighbor-label lookup: corpus scan JOIN broadcast(|q|·k candidates)
+    val rels = v.select(col("vec_id").as("neighbor"),
+        col("label").as("nlabel"))
+      .join(broadcast(ann.select("q", "rank", "neighbor")), Seq("neighbor"))
+      .join(broadcast(ql), Seq("q"))
+      .withColumn("rel",
+        when(col("nlabel") === col("label"), 1L).otherwise(0L))
+    val agg = rels.groupBy("q", "label")
+      .agg(sum(col("rel")).as("hits"),
+        sum(col("rel") *
+          element_at(dArr, col("rank").cast("int"))).as("dcg_micro"),
+        min(when(col("rel") === 1L, col("rank"))).as("first_rank"))
+    agg.join(broadcast(lc), Seq("label"))
+      .withColumn("n_rel", col("cnt") - 1)
+      .withColumn("m", least(col("n_rel"), lit(topK.toLong)))
+      .select(col("q"), col("label"), col("n_rel"), col("hits"),
+        coalesce(round(lit(1e6) / col("first_rank")).cast("long"), lit(0L))
+          .as("mrr_micro"),
+        round(col("hits") * lit(1e6) / lit(topK)).cast("long")
+          .as("p_at_k_micro"),
+        when(col("m") > 0,
+          round(col("dcg_micro") * lit(1e6) /
+            element_at(iArr, col("m").cast("int"))).cast("long"))
+          .otherwise(lit(0L)).as("ndcg_micro"))
+      .orderBy("q")
+  }
+
+  /** Per-label embedding-centroid drift over the streaming monitor's
+    * committed state — see
+    * [[graft.streaming.EmbedStream.embeddingDriftQuery]]. */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EmbedStream.embeddingDriftQuery(s, dir)
+
   /** DETERMINISTIC k-means (Lloyd) training for the IVF coarse cells —
     * the upgrade from "shape-correct" seeded cells to recall-useful
     * trained ones, kept exactly oracle-checkable:
@@ -1431,6 +1524,9 @@ object SimilarityQueries {
     "ann_filtered" -> (annFiltered _),
     "ann_filtered_recall" -> (annFilteredRecall _),
     "ann_recall_report" -> (annRecallReport _),
+    "retrieval_eval" -> (retrievalEval _),
+    "retrieval_eval_ivf" -> (retrievalEvalIvf _),
+    "embedding_drift" -> (embeddingDrift _),
     "embedding_centroids" -> (embeddingCentroids _),
     "embedding_pca" -> (embeddingPca _),
     "embedding_abtt" -> (embeddingAbtt _),
@@ -1765,6 +1861,49 @@ object SimilarityQueries {
        |            ORDER BY score DESC, neighbor) AS rerank
        |  FROM re)
        |WHERE rerank <= $rerankK ORDER BY q, rerank""".stripMargin
+
+  /** Ranking-metrics oracle over any CTE chain ending in
+    * `ann(q, rank, neighbor, cosine)` — the SQL twin of
+    * [[rankingMetricsOf]]. The discount and ideal-DCG tables interpolate
+    * the SAME Scala constants the Spark plan broadcasts
+    * ([[ndcgDiscountMicro]]/[[idcgPrefixMicro]]), so both engines share
+    * one set of integer literals and the single rounded double division
+    * (DCG/IDCG) is bit-identical. */
+  private def rankingSql(annCtes: String) = {
+    val dRows =
+      ndcgDiscountMicro.zipWithIndex
+        .map { case (dm, i) => s"(${i + 1}, $dm)" }.mkString(", ")
+    val iRows =
+      idcgPrefixMicro.zipWithIndex
+        .map { case (im, i) => s"(${i + 1}, $im)" }.mkString(", ")
+    s"""WITH $annCtes,
+       |ql AS (SELECT vec_id AS q, label FROM v
+       |       WHERE vec_id % $queryStride = 0),
+       |lc AS (SELECT label, count(*) AS cnt FROM v GROUP BY label),
+       |disc(rank, dm) AS (VALUES $dRows),
+       |ideal(m, im) AS (VALUES $iRows),
+       |rels AS (
+       |  SELECT a.q, a.rank,
+       |         CASE WHEN nv.label = ql.label THEN 1 ELSE 0 END AS rel
+       |  FROM ann a JOIN v nv ON nv.vec_id = a.neighbor
+       |             JOIN ql ON ql.q = a.q),
+       |agg AS (
+       |  SELECT r.q, CAST(sum(r.rel) AS BIGINT) AS hits,
+       |         CAST(sum(r.rel * disc.dm) AS BIGINT) AS dcg_micro,
+       |         min(CASE WHEN r.rel = 1 THEN r.rank END) AS first_rank
+       |  FROM rels r JOIN disc ON disc.rank = r.rank GROUP BY r.q)
+       |SELECT a.q, ql.label, lc.cnt - 1 AS n_rel, a.hits,
+       |  COALESCE(CAST(round(1000000.0 / a.first_rank) AS BIGINT), 0)
+       |    AS mrr_micro,
+       |  CAST(round(a.hits * 1000000.0 / $topK) AS BIGINT) AS p_at_k_micro,
+       |  CASE WHEN least(lc.cnt - 1, $topK) > 0
+       |       THEN CAST(round(CAST(a.dcg_micro AS DOUBLE) * 1000000.0
+       |                       / i.im) AS BIGINT)
+       |       ELSE 0 END AS ndcg_micro
+       |FROM agg a JOIN ql ON ql.q = a.q JOIN lc ON lc.label = ql.label
+       |LEFT JOIN ideal i ON i.m = least(lc.cnt - 1, $topK)
+       |ORDER BY a.q""".stripMargin
+  }
 
   /** PQ CTE chain ending in `<p>sub` (every vec × subspace × centroid
     * distance) and `<p>best` (the per-(vec, subspace) argmin) over an
@@ -2254,6 +2393,59 @@ object SimilarityQueries {
          |FROM ranked WHERE rank <= $topK ORDER BY q, rank""".stripMargin,
     "hybrid_search" -> rerankSql(bruteAnnCtes),
     "hybrid_search_ivf" -> rerankSql(ivfAnnCtes),
+    "retrieval_eval" -> rankingSql(bruteAnnCtes),
+    "retrieval_eval_ivf" -> rankingSql(ivfAnnCtes),
+    // the streaming monitor's deterministic 4-batch state makes the
+    // trailing-2 window exactly `vec_id % 4 IN (2, 3)`; the oracle
+    // replays the SAME integer-micro component sums (quantization is
+    // part of the operator's definition) and the same dim-ordered
+    // cosine/norm folds
+    "embedding_drift" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS em
+         |  FROM embeddings),
+         |ds AS (SELECT unnest(generate_series(1, $embeddingDim)) AS i),
+         |comp AS (
+         |  SELECT label, vec_id, i - 1 AS dim,
+         |    CAST(round(em[i] * 1000000.0) AS BIGINT) AS xm
+         |  FROM e CROSS JOIN ds),
+         |life AS (
+         |  SELECT label, dim, CAST(sum(xm) AS BIGINT) AS sl,
+         |         CAST(count(*) AS BIGINT) AS nl
+         |  FROM comp GROUP BY label, dim),
+         |win AS (
+         |  SELECT label, dim, CAST(sum(xm) AS BIGINT) AS sw,
+         |         CAST(count(*) AS BIGINT) AS nw
+         |  FROM comp WHERE vec_id % 4 IN (2, 3) GROUP BY label, dim),
+         |jn AS (
+         |  SELECT l.label, l.dim, CAST(l.sl AS DOUBLE) AS a, l.nl,
+         |         CAST(coalesce(w.sw, 0) AS DOUBLE) AS b,
+         |         coalesce(w.nw, 0) AS nw
+         |  FROM life l LEFT JOIN win w
+         |    ON w.label = l.label AND w.dim = l.dim),
+         |g AS (
+         |  SELECT label, max(nl) AS n_life, max(nw) AS n_window,
+         |         list(a ORDER BY dim) AS av, list(b ORDER BY dim) AS bv
+         |  FROM jn GROUP BY label),
+         |m AS (
+         |  SELECT label, n_life, n_window,
+         |    list_aggregate(list_transform(generate_series(1, $embeddingDim),
+         |      i -> av[i] * bv[i]), 'sum') AS dot,
+         |    sqrt(list_aggregate(list_transform(
+         |      generate_series(1, $embeddingDim), i -> av[i] * av[i]),
+         |      'sum')) AS a2,
+         |    sqrt(list_aggregate(list_transform(
+         |      generate_series(1, $embeddingDim), i -> bv[i] * bv[i]),
+         |      'sum')) AS b2
+         |  FROM g)
+         |SELECT label, n_life, n_window,
+         |  CASE WHEN n_window > 0 AND a2 > 0 AND b2 > 0
+         |       THEN round(dot / (a2 * b2), 6) ELSE 0.0 END
+         |    AS centroid_cos,
+         |  CASE WHEN n_window > 0 AND a2 > 0
+         |       THEN round((b2 / n_window) / (a2 / n_life), 6)
+         |       ELSE 0.0 END AS norm_ratio
+         |FROM m ORDER BY label""".stripMargin,
     "embedding_quantize" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |sc AS (

@@ -1534,4 +1534,98 @@ class OpsSpec extends SparkSpec {
     // probabilistically ~1 on this fixture — pin a sane floor, not 1.0
     assert(r.getDouble(5) >= 0.9, s"candidate recall collapsed: $r")
   }
+
+  test("retrieval_eval ≡ independent MRR/NDCG recomputation from its inputs") {
+    val dir = "/root/testdata/sf0.01"
+    val labels = Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nPerLabel = labels.values.groupBy(identity).map {
+      case (l, xs) => l -> xs.size
+    }
+    val ann = SimilarityQueries.annBruteForce(spark, dir)
+      .select("q", "rank", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val d = (1 to SimilarityQueries.topK)
+      .map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+    val expected = ann.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (q, rows) =>
+        val ql = labels(q)
+        val rels = rows.sortBy(_._2).map(t => labels(t._3) == ql)
+        val hits = rels.count(identity).toLong
+        val dcg = rels.zipWithIndex.collect {
+          case (true, i) => d(i)
+        }.sum
+        val nRel = nPerLabel(ql).toLong - 1
+        val m = math.min(nRel, SimilarityQueries.topK.toLong).toInt
+        val idcg = d.take(m).sum
+        val firstRank = rels.indexOf(true) + 1
+        (q, ql, nRel, hits,
+          if (firstRank == 0) 0L else math.round(1e6 / firstRank),
+          math.round(hits * 1e6 / SimilarityQueries.topK),
+          if (m == 0) 0L else math.round(dcg * 1e6 / idcg.toDouble))
+    }
+    val got = SimilarityQueries.retrievalEval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+    // metric invariants: all micro values bounded, hits consistent
+    assert(got.forall(r => r._7 >= 0 && r._7 <= 1000000))
+    assert(got.forall(r => r._5 >= 0 && r._5 <= 1000000))
+    assert(got.forall(r => r._4 <= math.min(r._3, SimilarityQueries.topK)))
+    // and the fixture must exercise a non-trivial spread
+    assert(got.exists(_._4 > 0), "no query found any relevant neighbor")
+  }
+
+  test("retrieval_eval_ivf: same metric tail over the IVF candidates") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = SimilarityQueries.retrievalEval(spark, dir).collect()
+    val ivf = SimilarityQueries.retrievalEvalIvf(spark, dir).collect()
+    // same query set, same per-label relevance denominators
+    assert(brute.map(_.getLong(0)).toSeq === ivf.map(_.getLong(0)).toSeq)
+    assert(brute.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      ivf.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+    // macro ranking quality: the exact index is the ceiling in aggregate
+    // (per-query inversions are possible; the fixture's totals are not)
+    assert(brute.map(_.getLong(6)).sum >= ivf.map(_.getLong(6)).sum,
+      "IVF macro-NDCG exceeded the exact baseline")
+  }
+
+  test("multimodal_pairs: gate chain reconciles with its source operators") {
+    val pairs = MediaQueries.multimodalPairs(spark, sf).collect()
+    // exactly the image-modality docs, each exactly once
+    val imgDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 =!= 1).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(pairs.map(_.getLong(0)).toSet === imgDocs)
+    assert(pairs.length === imgDocs.size)
+    // text rejects replay curationPipeline verbatim
+    val textReject = CurationQueries.curationPipeline(spark, sf)
+      .select("doc_id", "reject_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // image near-dup drop set = the b-side of dedup_media's pairs
+    val dupB = MediaQueries.dedupMedia(spark, sf)
+      .select("b").collect().map(_.getLong(0)).toSet
+    pairs.foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val expect = textReject(id).orElse(
+        if (w * h < MediaQueries.minPairPixels) Some("image_too_small")
+        else if (dupB(id)) Some("image_near_dup") else None)
+      assert(Option(r.getString(7)) === expect, s"doc $id verdict")
+      assert(r.getBoolean(6) === expect.isEmpty)
+    }
+  }
+
+  test("multimodal_pair_funnel: shares sum to 1, survivors monotone") {
+    val f = MediaQueries.multimodalPairFunnel(spark, sf).collect()
+    val nPairs = MediaQueries.multimodalPairs(spark, sf).count()
+    assert(f.map(_.getLong(2)).sum === nPairs)
+    assert(math.abs(f.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    val surv = f.map(_.getLong(4))
+    assert(surv.zip(surv.tail).forall { case (a, b) => a >= b },
+      "surviving_pairs must be non-increasing down the funnel")
+    val kept = MediaQueries.multimodalPairs(spark, sf)
+      .filter(col("keep")).count()
+    assert(surv.last === kept)
+  }
 }

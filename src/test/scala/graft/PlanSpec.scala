@@ -402,6 +402,14 @@ class PlanSpec extends SparkSpec {
     // ann_graph_search's entry scoring is the |Q|×√n broadcast product
     // (the IVF probe cost) on top of the graph build's allowlisted plan
     "ann_graph_search",
+    // retrieval_eval(_ivf): the graded candidate stage is the pinned
+    // brute / IVF retrieval (their allowlisted broadcast-query NLJ
+    // rides along); the metric tail itself is equi-joins + one hash
+    // aggregate over |queries|·k rows
+    "retrieval_eval", "retrieval_eval_ivf",
+    // multimodal_pair_funnel ends in curation_funnel's 1-row totals
+    // broadcast (≤7 stage rows × 1 row)
+    "multimodal_pair_funnel",
     "ann_pq_adc", "ann_recall_report", "bm25_topk", "budget_select",
     "chi_square", "classifier_weights",
     // the eval faces end in EvalQueries.gateEval's 1-row × 1-row metric
