@@ -70,7 +70,9 @@ object SparkEntry {
     "media_gate_probe" -> (graft.streaming.MediaStream.mediaGateProbe _),
     "dedup_recall_sampled" -> (DedupQueries.dedupRecallSampled _),
     "ann_filtered_recall_budget" ->
-      (SimilarityQueries.annFilteredRecallBudget _))
+      (SimilarityQueries.annFilteredRecallBudget _),
+    "retrieval_eval_budget" ->
+      (SimilarityQueries.retrievalEvalBudget _))
 
   /** Verify-only twins — the INVERSE of [[benchOnly]]: registered in
     * `queries` (DuckDB-oracled) but skipped by Bench, because their

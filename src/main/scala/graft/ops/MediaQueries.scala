@@ -1115,9 +1115,13 @@ object MediaQueries {
     val text = CurationQueries.curationPipeline(s, dir)
       .select(col("doc_id"), col("pred_lang"), col("quality"),
         col("reject_reason").as("text_reject"))
-    val sigs = phashSigs(s, dir)
-      .select("doc_id", "format", "width", "height")
-    val dupB = bandPairs(phashSigs(s, dir), "dhash")
+    // ONE real-codec decode pass, materialized: the signature table
+    // feeds both the dims gate and the near-dup pair join — without the
+    // checkpoint the per-image PNG/BMP decode (the family's dominant
+    // cost) executes twice
+    val allSigs = phashSigs(s, dir).localCheckpoint()
+    val sigs = allSigs.select("doc_id", "format", "width", "height")
+    val dupB = bandPairs(allSigs, "dhash")
       .select(col("b").as("doc_id")).distinct()
       .withColumn("is_dup", lit(true))
     val reason = coalesce(col("text_reject"),

@@ -41,9 +41,18 @@ object SimilarityQueries {
     round(dotProduct(ea, eb) / (na * nb), 4)
 
   /** Brute-force exact top-k neighbors for each query vector. */
-  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+  def annBruteForce(s: SparkSession, dir: String): DataFrame =
+    bruteTopK(s, dir, queryStride.toLong)
+
+  /** The brute top-k at an explicit query stride — [[annBruteForce]] at
+    * the standard 2% query set; the budgeted ranking monitor thins it
+    * 100× ([[recallBudgetStride]]) so the exact-truth side goes linear
+    * in the corpus (fixed queries × corpus — the
+    * [[annFilteredRecallBudget]] class). */
+  private def bruteTopK(s: SparkSession, dir: String,
+                        stride: Long): DataFrame = {
     val v = vectors(s, dir)
-    val q = v.filter(col("vec_id") % queryStride === 0)
+    val q = v.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("q"), col("e").as("qe"), col("norm").as("qn"))
     val scored = broadcast(q).join(v, col("q") =!= col("vec_id"))
       .select(col("q"), col("vec_id").as("neighbor"),
@@ -342,6 +351,18 @@ object SimilarityQueries {
     * the ceiling, this face is the shipped index). */
   def retrievalEvalIvf(s: SparkSession, dir: String): DataFrame =
     rankingMetricsOf(s, dir, annIvf(s, dir))
+
+  /** BENCH-ONLY budgeted twin of [[retrievalEval]]: the exact-truth
+    * candidate stage graded on a 100×-thinner deterministic query
+    * sample ([[recallBudgetStride]]), making the brute side LINEAR in
+    * the corpus — the production monitor shape, exactly the
+    * [[annFilteredRecallBudget]] split (OpsSpec pins row-identity with
+    * the full report on the queries it keeps; Bench times this face,
+    * the registered one documents its quadratic cost class in
+    * BASELINE.md). The budget stride is a multiple of [[queryStride]],
+    * so the kept queries are a subset of the full report's. */
+  def retrievalEvalBudget(s: SparkSession, dir: String): DataFrame =
+    rankingMetricsOf(s, dir, bruteTopK(s, dir, recallBudgetStride))
 
   /** Shared metric tail of [[retrievalEval]]/[[retrievalEvalIvf]] — one
     * implementation so the exact and approximate reports can never

@@ -1591,6 +1591,20 @@ class OpsSpec extends SparkSpec {
       "IVF macro-NDCG exceeded the exact baseline")
   }
 
+  test("retrieval_eval_budget ≡ the full report on the queries it keeps") {
+    val dir = "/root/testdata/sf0.01"
+    val full = SimilarityQueries.retrievalEval(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    val budget = SimilarityQueries.retrievalEvalBudget(spark, dir)
+      .collect()
+    assert(budget.nonEmpty, "budget query set empty at sf0.01")
+    budget.foreach { r =>
+      assert(r.getLong(0) % SimilarityQueries.recallBudgetStride === 0L)
+      assert(full(r.getLong(0)) === r.toSeq,
+        s"budget row for q=${r.getLong(0)} diverged from the full report")
+    }
+  }
+
   test("multimodal_pairs: gate chain reconciles with its source operators") {
     val pairs = MediaQueries.multimodalPairs(spark, sf).collect()
     // exactly the image-modality docs, each exactly once
