@@ -364,11 +364,32 @@ object SimilarityQueries {
   def retrievalEvalBudget(s: SparkSession, dir: String): DataFrame =
     rankingMetricsOf(s, dir, bruteTopK(s, dir, recallBudgetStride))
 
-  /** Shared metric tail of [[retrievalEval]]/[[retrievalEvalIvf]] — one
-    * implementation so the exact and approximate reports can never
-    * diverge in metric semantics (the recallOf precedent). */
+  /** The SAME ranking report over the END-TO-END hybrid pipeline's final
+    * order ([[hybridSearchIvf]]: IVF recall + quality rerank, truncated
+    * to [[rerankK]]) — the face that actually answers "did the RERANK
+    * help or hurt?": a rerank-weight regression reorders candidates
+    * without changing the recalled set, so it is invisible to every
+    * recall monitor and to the candidate-stage NDCG; only grading the
+    * pipeline's own final ranks catches it. Graded at k = [[rerankK]]
+    * (the pipeline emits 5 results, so discounts/IDCG truncate there —
+    * comparing it to the k=10 faces on NDCG is apples-to-apples only
+    * per-k, which is why the k is in the report's denominator, not the
+    * face name). */
+  def retrievalEvalHybrid(s: SparkSession, dir: String): DataFrame =
+    rankingMetricsOf(s, dir,
+      hybridSearchIvf(s, dir)
+        .select(col("q"), col("rerank").as("rank"), col("neighbor")),
+      k = rerankK)
+
+  /** Shared metric tail of the retrieval_eval family — one
+    * implementation so the exact, approximate, and reranked reports can
+    * never diverge in metric semantics (the recallOf precedent). `k` is
+    * the graded depth: ranks are ≤ k ≤ [[topK]] (the discount/IDCG
+    * literal tables cover ranks 1..topK; a shallower face like the
+    * hybrid rerank's k = [[rerankK]] truncates both). */
   private def rankingMetricsOf(s: SparkSession, dir: String,
-      ann: DataFrame): DataFrame = {
+      ann: DataFrame, k: Int = topK): DataFrame = {
+    require(k >= 1 && k <= topK, s"graded depth $k outside 1..$topK")
     val v = vectors(s, dir).select(col("vec_id"), col("label"))
     val ql = v.filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q"), col("label"))
@@ -390,11 +411,11 @@ object SimilarityQueries {
         min(when(col("rel") === 1L, col("rank"))).as("first_rank"))
     agg.join(broadcast(lc), Seq("label"))
       .withColumn("n_rel", col("cnt") - 1)
-      .withColumn("m", least(col("n_rel"), lit(topK.toLong)))
+      .withColumn("m", least(col("n_rel"), lit(k.toLong)))
       .select(col("q"), col("label"), col("n_rel"), col("hits"),
         coalesce(round(lit(1e6) / col("first_rank")).cast("long"), lit(0L))
           .as("mrr_micro"),
-        round(col("hits") * lit(1e6) / lit(topK)).cast("long")
+        round(col("hits") * lit(1e6) / lit(k)).cast("long")
           .as("p_at_k_micro"),
         when(col("m") > 0,
           round(col("dcg_micro") * lit(1e6) /
@@ -1547,6 +1568,7 @@ object SimilarityQueries {
     "ann_recall_report" -> (annRecallReport _),
     "retrieval_eval" -> (retrievalEval _),
     "retrieval_eval_ivf" -> (retrievalEvalIvf _),
+    "retrieval_eval_hybrid" -> (retrievalEvalHybrid _),
     "embedding_drift" -> (embeddingDrift _),
     "embedding_centroids" -> (embeddingCentroids _),
     "embedding_pca" -> (embeddingPca _),
@@ -1857,7 +1879,16 @@ object SimilarityQueries {
   /** The quality rerank over any `ann(q, rank, neighbor, cosine)` CTE
     * chain — the SQL twin of [[qualityRerank]]. */
   private def rerankSql(annCtes: String) =
-    s"""WITH $annCtes,
+    s"""WITH ${rerankCtes(annCtes)}
+       |SELECT q, rerank, neighbor, cosine, quality, score FROM rr
+       |WHERE rerank <= $rerankK ORDER BY q, rerank""".stripMargin
+
+  /** The quality-rerank chain as CTEs ending in
+    * `rr(q, rerank, neighbor, cosine, quality, score)` — shared by the
+    * hybrid_search oracles and the hybrid ranking-eval oracle so the
+    * reranked order replays identically everywhere it is graded. */
+  private def rerankCtes(annCtes: String) =
+    s"""$annCtes,
        |m AS (
        |  SELECT doc_id,
        |    CAST(length(text) AS DOUBLE) AS n_chars,
@@ -1876,12 +1907,11 @@ object SimilarityQueries {
        |re AS (
        |  SELECT ann.q, ann.neighbor, ann.cosine, qual.quality,
        |         round(0.8 * ann.cosine + 0.2 * qual.quality / 100.0, 6) AS score
-       |  FROM ann JOIN qual ON ann.neighbor = qual.doc_id)
-       |SELECT q, rerank, neighbor, cosine, quality, score FROM (
+       |  FROM ann JOIN qual ON ann.neighbor = qual.doc_id),
+       |rr AS (
        |  SELECT *, row_number() OVER (PARTITION BY q
        |            ORDER BY score DESC, neighbor) AS rerank
-       |  FROM re)
-       |WHERE rerank <= $rerankK ORDER BY q, rerank""".stripMargin
+       |  FROM re)""".stripMargin
 
   /** Ranking-metrics oracle over any CTE chain ending in
     * `ann(q, rank, neighbor, cosine)` — the SQL twin of
@@ -1890,12 +1920,13 @@ object SimilarityQueries {
     * ([[ndcgDiscountMicro]]/[[idcgPrefixMicro]]), so both engines share
     * one set of integer literals and the single rounded double division
     * (DCG/IDCG) is bit-identical. */
-  private def rankingSql(annCtes: String) = {
+  private def rankingSql(annCtes: String, src: String = "ann",
+                         k: Int = topK) = {
     val dRows =
-      ndcgDiscountMicro.zipWithIndex
+      ndcgDiscountMicro.take(k).zipWithIndex
         .map { case (dm, i) => s"(${i + 1}, $dm)" }.mkString(", ")
     val iRows =
-      idcgPrefixMicro.zipWithIndex
+      idcgPrefixMicro.take(k).zipWithIndex
         .map { case (im, i) => s"(${i + 1}, $im)" }.mkString(", ")
     s"""WITH $annCtes,
        |ql AS (SELECT vec_id AS q, label FROM v
@@ -1906,7 +1937,7 @@ object SimilarityQueries {
        |rels AS (
        |  SELECT a.q, a.rank,
        |         CASE WHEN nv.label = ql.label THEN 1 ELSE 0 END AS rel
-       |  FROM ann a JOIN v nv ON nv.vec_id = a.neighbor
+       |  FROM $src a JOIN v nv ON nv.vec_id = a.neighbor
        |             JOIN ql ON ql.q = a.q),
        |agg AS (
        |  SELECT r.q, CAST(sum(r.rel) AS BIGINT) AS hits,
@@ -1916,13 +1947,13 @@ object SimilarityQueries {
        |SELECT a.q, ql.label, lc.cnt - 1 AS n_rel, a.hits,
        |  COALESCE(CAST(round(1000000.0 / a.first_rank) AS BIGINT), 0)
        |    AS mrr_micro,
-       |  CAST(round(a.hits * 1000000.0 / $topK) AS BIGINT) AS p_at_k_micro,
-       |  CASE WHEN least(lc.cnt - 1, $topK) > 0
+       |  CAST(round(a.hits * 1000000.0 / $k) AS BIGINT) AS p_at_k_micro,
+       |  CASE WHEN least(lc.cnt - 1, $k) > 0
        |       THEN CAST(round(CAST(a.dcg_micro AS DOUBLE) * 1000000.0
        |                       / i.im) AS BIGINT)
        |       ELSE 0 END AS ndcg_micro
        |FROM agg a JOIN ql ON ql.q = a.q JOIN lc ON lc.label = ql.label
-       |LEFT JOIN ideal i ON i.m = least(lc.cnt - 1, $topK)
+       |LEFT JOIN ideal i ON i.m = least(lc.cnt - 1, $k)
        |ORDER BY a.q""".stripMargin
   }
 
@@ -2416,6 +2447,13 @@ object SimilarityQueries {
     "hybrid_search_ivf" -> rerankSql(ivfAnnCtes),
     "retrieval_eval" -> rankingSql(bruteAnnCtes),
     "retrieval_eval_ivf" -> rankingSql(ivfAnnCtes),
+    // grades the PIPELINE's final order: the rerank CTE chain replayed
+    // verbatim (the hybrid_search_ivf oracle's), truncated to rerankK
+    "retrieval_eval_hybrid" -> rankingSql(
+      s"""${rerankCtes(ivfAnnCtes)},
+         |hr AS (SELECT q, rerank AS rank, neighbor FROM rr
+         |       WHERE rerank <= $rerankK)""".stripMargin,
+      src = "hr", k = rerankK),
     // the streaming monitor's deterministic 4-batch state makes the
     // trailing-2 window exactly `vec_id % 4 IN (2, 3)`; the oracle
     // replays the SAME integer-micro component sums (quantization is

@@ -1591,6 +1591,42 @@ class OpsSpec extends SparkSpec {
       "IVF macro-NDCG exceeded the exact baseline")
   }
 
+  test("retrieval_eval_hybrid ≡ independent recomputation at k=rerankK") {
+    val dir = "/root/testdata/sf0.01"
+    val labels = Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nPerLabel = labels.values.groupBy(identity).map {
+      case (l, xs) => l -> xs.size
+    }
+    val k = SimilarityQueries.rerankK
+    val d = (1 to k)
+      .map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+    val ranked = SimilarityQueries.hybridSearchIvf(spark, dir)
+      .select("q", "rerank", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expected = ranked.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (q, rows) =>
+        val ql = labels(q)
+        val rels = rows.sortBy(_._2).map(t => labels(t._3) == ql)
+        val hits = rels.count(identity).toLong
+        val dcg = rels.zipWithIndex.collect { case (true, i) => d(i) }.sum
+        val nRel = nPerLabel(ql).toLong - 1
+        val m = math.min(nRel, k.toLong).toInt
+        val firstRank = rels.indexOf(true) + 1
+        (q, ql, nRel, hits,
+          if (firstRank == 0) 0L else math.round(1e6 / firstRank),
+          math.round(hits * 1e6 / k),
+          if (m == 0) 0L else math.round(dcg * 1e6 / d.take(m).sum.toDouble))
+    }
+    val got = SimilarityQueries.retrievalEvalHybrid(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+    // the graded depth is the pipeline's own output depth
+    assert(ranked.groupBy(_._1).values.forall(_.length <= k))
+  }
+
   test("retrieval_eval_budget ≡ the full report on the queries it keeps") {
     val dir = "/root/testdata/sf0.01"
     val full = SimilarityQueries.retrievalEval(spark, dir).collect()

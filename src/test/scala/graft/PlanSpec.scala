@@ -407,6 +407,9 @@ class PlanSpec extends SparkSpec {
     // rides along); the metric tail itself is equi-joins + one hash
     // aggregate over |queries|·k rows
     "retrieval_eval", "retrieval_eval_ivf",
+    // retrieval_eval_hybrid grades hybrid_search_ivf's own (allowlisted)
+    // plan; the metric tail adds only equi-joins + a hash aggregate
+    "retrieval_eval_hybrid",
     // multimodal_pair_funnel ends in curation_funnel's 1-row totals
     // broadcast (≤7 stage rows × 1 row)
     "multimodal_pair_funnel",
