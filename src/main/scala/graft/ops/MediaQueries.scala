@@ -1165,6 +1165,40 @@ object MediaQueries {
       .orderBy("stage_idx")
   }
 
+  /** MULTIMODAL TRAINING MANIFEST — the artifact a (caption, image)
+    * trainer actually reads: the kept pairs from [[multimodalPairs]]
+    * assigned a reproducible global order by the seeded-hash epoch
+    * shuffle ([[PrepQueries.epochShuffle]]'s scheme verbatim: shard =
+    * hash mod shards, position = rank within shard — no RNG, no global
+    * sort; ordering work is per-shard), each row carrying what a data
+    * loader needs to budget a batch (caption tokens, pixel count). The
+    * text-corpus analog is `pipeline_e2e`; this face closes the same
+    * gate → manifest loop for the multimodal corpus.
+    *
+    * Scale shape: the gate chain's own cost plus one seeded-hash
+    * projection and a per-shard rank window (thousands of independent
+    * streams at corpus scale — never a global sort). */
+  def multimodalManifest(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{md5Long, whitespaceTokenCount}
+    val kept = multimodalPairs(s, dir).filter(col("keep"))
+      .select("doc_id", "format", "width", "height")
+    val caps = Tables.documents(s, dir).select(col("doc_id"),
+      whitespaceTokenCount(col("text")).cast("long").as("caption_tokens"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ph"), col("doc_id"))
+    kept.join(caps, Seq("doc_id"))
+      .withColumn("ph", md5Long(concat(
+        lit(s"pairs:${PrepQueries.epochSeed}:"),
+        col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("ph"), lit(PrepQueries.epochShards)))
+      .withColumn("pos", row_number().over(w))
+      .select(col("shard"), col("pos"), col("doc_id"), col("format"),
+        col("width"), col("height"),
+        (col("width") * col("height")).as("n_pixels"),
+        col("caption_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_decode" -> (mediaDecode _),
     "media_jpeg_decode" -> (mediaJpegDecode _),
@@ -1182,7 +1216,8 @@ object MediaQueries {
     "dedup_audio" -> (dedupAudio _),
     "dedup_media_clusters" -> (dedupMediaClusters _),
     "multimodal_pairs" -> (multimodalPairs _),
-    "multimodal_pair_funnel" -> (multimodalPairFunnel _))
+    "multimodal_pair_funnel" -> (multimodalPairFunnel _),
+    "multimodal_manifest" -> (multimodalManifest _))
 
   /** Shared oracle CTE chain ending in `afps(doc_id, n, afp)` — the
     * DuckDB replica of [[audioSigs]] (AS MATERIALIZED: dedup_audio's
@@ -1491,6 +1526,29 @@ object MediaQueries {
          |SELECT doc_id, format, width, height, pred_lang, quality,
          |  reject_reason IS NULL AS keep, reject_reason
          |FROM pg ORDER BY doc_id""".stripMargin,
+    "multimodal_manifest" ->
+      s"""WITH $imagePairCtes,
+         |${CurationQueries.curationCtes},
+         |dupb AS (SELECT DISTINCT b AS doc_id FROM ipairs),
+         |keptp AS (
+         |  SELECT p.doc_id,
+         |    CASE WHEN p.doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS format,
+         |    CAST(p.w AS BIGINT) AS width, CAST(p.h AS BIGINT) AS height,
+         |    r.n_tokens AS caption_tokens
+         |  FROM pdim p JOIN r ON r.doc_id = p.doc_id
+         |  LEFT JOIN dupb ON dupb.doc_id = p.doc_id
+         |  WHERE r.reject_reason IS NULL
+         |    AND p.w * p.h >= $minPairPixels AND dupb.doc_id IS NULL),
+         |hh AS (
+         |  SELECT *, ('0x' || substr(md5('pairs:${PrepQueries.epochSeed}:'
+         |    || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ph
+         |  FROM keptp)
+         |SELECT ph % ${PrepQueries.epochShards} AS shard,
+         |  row_number() OVER (PARTITION BY ph % ${PrepQueries.epochShards}
+         |                     ORDER BY ph, doc_id) AS pos,
+         |  doc_id, format, width, height,
+         |  width * height AS n_pixels, caption_tokens
+         |FROM hh ORDER BY doc_id""".stripMargin,
     "multimodal_pair_funnel" ->
       s"""WITH $imagePairCtes,
          |${CurationQueries.curationCtes},

@@ -1666,6 +1666,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal_manifest: exactly the kept pairs, dense shard order") {
+    val kept = MediaQueries.multimodalPairs(spark, sf)
+      .filter(col("keep")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val m = MediaQueries.multimodalManifest(spark, sf).collect()
+    assert(m.map(_.getLong(2)).toSet === kept)
+    assert(m.length === kept.size)
+    // (shard, pos) is a dense rank within each shard — a loader can
+    // stream shard files independently
+    m.groupBy(_.getLong(0)).foreach { case (shard, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to rows.length),
+        s"shard $shard positions not dense")
+    }
+    // pixel/token budgets carried per row
+    assert(m.forall(r => r.getLong(6) === r.getLong(4) * r.getLong(5)))
+    assert(m.forall(_.getLong(7) > 0))
+  }
+
   test("multimodal_pair_funnel: shares sum to 1, survivors monotone") {
     val f = MediaQueries.multimodalPairFunnel(spark, sf).collect()
     val nPairs = MediaQueries.multimodalPairs(spark, sf).count()
