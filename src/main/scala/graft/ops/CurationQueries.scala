@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,23 +67,38 @@ object CurationQueries {
   val minKeepTokens = 30L
   val minKeepQuality = 45.0
 
-  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+  /** The stateless gate scores over any (doc_id, text, ...) rows — the
+    * seam shared by [[curationPipeline]] and the ingest-time
+    * [[graft.streaming.CurationStream]], so the score arithmetic can
+    * never diverge between the batch and streaming faces. Keeps every
+    * input column. */
+  private[graft] def scoredDocs(docs: DataFrame): DataFrame = {
     val txt = col("text")
-    val base = Tables.documents(s, dir).select(
-      col("doc_id"),
-      whitespaceTokenCount(txt).cast("long").as("n_tokens"),
-      TextQueries.langBest(txt)("lang").as("pred_lang"),
-      TextQueries.qualityExpr(txt).as("quality"),
-      (col("doc_id") ===
-        min(col("doc_id")).over(Window.partitionBy(md5(txt))))
-        .as("is_canonical"))
-    val reason = when(col("n_tokens") < minKeepTokens, "too_short")
+    docs
+      .withColumn("n_tokens", whitespaceTokenCount(txt).cast("long"))
+      .withColumn("pred_lang", TextQueries.langBest(txt)("lang"))
+      .withColumn("quality", TextQueries.qualityExpr(txt))
+  }
+
+  /** The sequential rule chain over [[scoredDocs]]' columns plus a
+    * caller-supplied `is_canonical` — ONE definition of the gate order
+    * (too_short → non_en → low_quality → near_dup) for the batch
+    * pipeline (corpus-wide min-doc_id canonicality) and the streaming
+    * gate (first-arrival claims). */
+  private[graft] def rejectReason: Column =
+    when(col("n_tokens") < minKeepTokens, "too_short")
       .when(col("pred_lang") =!= "en", "non_en")
       .when(col("quality") < minKeepQuality, "low_quality")
       .when(!col("is_canonical"), "near_dup")
+
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = scoredDocs(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")))
+      .withColumn("is_canonical", col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
     base.select(col("doc_id"), col("n_tokens"), col("pred_lang"),
         col("quality"), col("is_canonical"),
-        reason.isNull.as("keep"), reason.as("reject_reason"))
+        rejectReason.isNull.as("keep"), rejectReason.as("reject_reason"))
       .orderBy("doc_id")
   }
 
@@ -97,18 +112,22 @@ object CurationQueries {
     * rows and the totals are a 1-row broadcast (allowlisted class).
     * Counts are BIGINT; shares are single IEEE divisions rounded 6dp
     * (the gateEval conventions). */
-  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
-    val stageIdx = when(col("reject_reason") === "too_short", 1)
-      .when(col("reject_reason") === "non_en", 2)
-      .when(col("reject_reason") === "low_quality", 3)
-      .when(col("reject_reason") === "near_dup", 4)
+  /** Stage index of a reject reason — the funnel's gate order, shared
+    * with [[graft.streaming.CurationStream]]'s per-batch count
+    * collapse. */
+  private[graft] def stageIdxOf(reason: Column): Column =
+    when(reason === "too_short", 1)
+      .when(reason === "non_en", 2)
+      .when(reason === "low_quality", 3)
+      .when(reason === "near_dup", 4)
       .otherwise(5)
-    val g = curationPipeline(s, dir)
-      .select(stageIdx.as("stage_idx"),
-        coalesce(col("reject_reason"), lit("kept")).as("stage"),
-        col("n_tokens"))
-      .groupBy("stage_idx", "stage")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** The funnel arithmetic over a (stage_idx, stage, n_docs, n_tokens)
+    * count table — the tail shared by the batch funnel and the
+    * streaming monitor's summed committed counts (the
+    * gateEvalFromCounts pattern: one tail, divergence structurally
+    * impossible). Counts ADD, so the tail is exact over any batching. */
+  private[graft] def funnelFromCounts(g: DataFrame): DataFrame = {
     val tot = g.agg(sum(col("n_docs")).as("td"),
       sum(col("n_tokens")).as("tt"))
     val cum = Window.orderBy("stage_idx")
@@ -123,6 +142,26 @@ object CurationQueries {
           .otherwise(col("n_docs"))).over(cum)).as("surviving_docs"))
       .orderBy("stage_idx")
   }
+
+  /** Per-stage (stage_idx, stage, n_docs, n_tokens) counts over verdict
+    * rows — the collapse [[graft.streaming.CurationStream]] commits per
+    * micro-batch. */
+  private[graft] def funnelCounts(verdicts: DataFrame): DataFrame =
+    verdicts
+      .select(stageIdxOf(col("reject_reason")).as("stage_idx"),
+        coalesce(col("reject_reason"), lit("kept")).as("stage"),
+        col("n_tokens"))
+      .groupBy("stage_idx", "stage")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  def curationFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelFromCounts(funnelCounts(curationPipeline(s, dir)))
+
+  /** The streaming monitor's live funnel over the deterministic
+    * id-ordered ingest — see
+    * [[graft.streaming.CurationStream.curationFunnelLive]]. */
+  def curationFunnelLive(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.CurationStream.curationFunnelLive(s, dir)
 
   /** THE END-TO-END PIPELINE as one declarative plan — what a user of
     * this engine actually ships: curate ([[curationPipeline]]'s four
@@ -1020,6 +1059,7 @@ object CurationQueries {
     "gate_eval_highndv" -> (gateEvalHighNdv _),
     "gate_eval_by_source" -> (gateEvalBySource _),
     "gate_eval_drift" -> (gateEvalDrift _),
+    "curation_funnel_live" -> (curationFunnelLive _),
     "gate_calibration_live" -> (gateCalibrationLive _),
     "gate_calibration_drift" -> (gateCalibrationDrift _),
     "text_classify" -> (textClassify _),
@@ -1094,6 +1134,35 @@ object CurationQueries {
 
   private def duckList(xs: Seq[String]) =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** The funnel report SQL — ONE string serving both `curation_funnel`
+    * (batch) and `curation_funnel_live` (the streamed monitor over the
+    * deterministic id-ordered ingest, which must reproduce the batch
+    * report bit-for-bit). */
+  private lazy val funnelSql =
+    s"""WITH $curationCtes,
+       |f AS (
+       |  SELECT CASE WHEN reject_reason IS NULL THEN 'kept'
+       |              ELSE reject_reason END AS stage,
+       |    CASE reject_reason WHEN 'too_short' THEN 1 WHEN 'non_en' THEN 2
+       |      WHEN 'low_quality' THEN 3 WHEN 'near_dup' THEN 4
+       |      ELSE 5 END AS stage_idx,
+       |    n_tokens
+       |  FROM r),
+       |g AS (
+       |  SELECT stage_idx, stage, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM f GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tt FROM g)
+       |SELECT stage_idx, stage, n_docs, n_tokens,
+       |  round(CAST(n_docs AS DOUBLE) / td, 6) AS doc_share,
+       |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
+       |  td - CAST(sum(CASE WHEN stage = 'kept' THEN 0 ELSE n_docs END)
+       |    OVER (ORDER BY stage_idx ROWS BETWEEN UNBOUNDED PRECEDING
+       |          AND CURRENT ROW) AS BIGINT) AS surviving_docs
+       |FROM g CROSS JOIN tot ORDER BY stage_idx""".stripMargin
 
   /** The [[clfTestScores]] chain as CTEs, ending in the full per-(doc,
     * class) score grid `sc` and its argmax ranking `rk` (plus `test`) —
@@ -1311,30 +1380,12 @@ object CurationQueries {
          |  JOIN sc en ON en.doc_id = t.doc_id AND en.lang = 'en'
          |  JOIN rk r ON r.doc_id = t.doc_id AND r.rk = 1),
          |${EvalQueries.gateEvalSql("clf_en")}""".stripMargin,
-    "curation_funnel" ->
-      s"""WITH $curationCtes,
-         |f AS (
-         |  SELECT CASE WHEN reject_reason IS NULL THEN 'kept'
-         |              ELSE reject_reason END AS stage,
-         |    CASE reject_reason WHEN 'too_short' THEN 1 WHEN 'non_en' THEN 2
-         |      WHEN 'low_quality' THEN 3 WHEN 'near_dup' THEN 4
-         |      ELSE 5 END AS stage_idx,
-         |    n_tokens
-         |  FROM r),
-         |g AS (
-         |  SELECT stage_idx, stage, CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-         |  FROM f GROUP BY 1, 2),
-         |tot AS (
-         |  SELECT CAST(sum(n_docs) AS BIGINT) AS td,
-         |    CAST(sum(n_tokens) AS BIGINT) AS tt FROM g)
-         |SELECT stage_idx, stage, n_docs, n_tokens,
-         |  round(CAST(n_docs AS DOUBLE) / td, 6) AS doc_share,
-         |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
-         |  td - CAST(sum(CASE WHEN stage = 'kept' THEN 0 ELSE n_docs END)
-         |    OVER (ORDER BY stage_idx ROWS BETWEEN UNBOUNDED PRECEDING
-         |          AND CURRENT ROW) AS BIGINT) AS surviving_docs
-         |FROM g CROSS JOIN tot ORDER BY stage_idx""".stripMargin,
+    // the streamed funnel over the deterministic id-ordered 4-batch
+    // ingest MUST reproduce the batch funnel bit-for-bit (count
+    // linearity + first-arrival ≡ min-doc_id under id-ordered
+    // batching), so its oracle IS the batch funnel's SQL
+    "curation_funnel_live" -> funnelSql,
+    "curation_funnel" -> funnelSql,
     "classifier_pr_curve" ->
       s"""WITH $clfScoreCtes,
          |scored AS (

@@ -1535,8 +1535,11 @@ class OpsSpec extends SparkSpec {
     assert(r.getDouble(5) >= 0.9, s"candidate recall collapsed: $r")
   }
 
-  test("retrieval_eval ≡ independent MRR/NDCG recomputation from its inputs") {
-    val dir = "/root/testdata/sf0.01"
+  // sf0.001 has ~50 vectors over ~10 labels, so n_rel < k for some
+  // queries — the IDCG-truncation branch (m = n_rel < k) is exercised
+  // there; sf0.01 exercises the m = k regime
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+  test(s"retrieval_eval ≡ independent MRR/NDCG recomputation ($dir)") {
     val labels = Tables.embeddings(spark, dir)
       .select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -1573,8 +1576,10 @@ class OpsSpec extends SparkSpec {
     assert(got.forall(r => r._7 >= 0 && r._7 <= 1000000))
     assert(got.forall(r => r._5 >= 0 && r._5 <= 1000000))
     assert(got.forall(r => r._4 <= math.min(r._3, SimilarityQueries.topK)))
-    // and the fixture must exercise a non-trivial spread
-    assert(got.exists(_._4 > 0), "no query found any relevant neighbor")
+    // and the larger fixture must exercise a non-trivial spread (the
+    // sf0.001 dir has a single query — spread is not guaranteed there)
+    if (dir.endsWith("sf0.01"))
+      assert(got.exists(_._4 > 0), "no query found any relevant neighbor")
   }
 
   test("retrieval_eval_ivf: same metric tail over the IVF candidates") {

@@ -419,6 +419,9 @@ class PlanSpec extends SparkSpec {
     // assembly (and classifier_eval composes text_classify's chain);
     // gate_eval_highndv is the same tail over a near-unique score grid
     "classifier_eval", "classifier_pr_curve", "curation_funnel", "dsir_eval",
+    // curation_funnel_live: the same ≤5-row × 1-row funnel-totals
+    // broadcast, served from the streaming monitor's committed counts
+    "curation_funnel_live",
     "gate_eval_highndv",
     // classifier_calibration rides the same classifier chain (the
     // |V|×L model grid and 1-row prior broadcasts); its own tail is
