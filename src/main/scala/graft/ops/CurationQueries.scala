@@ -163,6 +163,12 @@ object CurationQueries {
   def curationFunnelLive(s: SparkSession, dir: String): DataFrame =
     graft.streaming.CurationStream.curationFunnelLive(s, dir)
 
+  /** Trailing-window vs lifetime funnel drift over the same committed
+    * monitor state — see
+    * [[graft.streaming.CurationStream.curationFunnelDrift]]. */
+  def curationFunnelDrift(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.CurationStream.curationFunnelDrift(s, dir)
+
   /** THE END-TO-END PIPELINE as one declarative plan — what a user of
     * this engine actually ships: curate ([[curationPipeline]]'s four
     * rules, which include exact-dedup retention) → chunk the kept
@@ -1060,6 +1066,7 @@ object CurationQueries {
     "gate_eval_by_source" -> (gateEvalBySource _),
     "gate_eval_drift" -> (gateEvalDrift _),
     "curation_funnel_live" -> (curationFunnelLive _),
+    "curation_funnel_drift" -> (curationFunnelDrift _),
     "gate_calibration_live" -> (gateCalibrationLive _),
     "gate_calibration_drift" -> (gateCalibrationDrift _),
     "text_classify" -> (textClassify _),
@@ -1386,6 +1393,43 @@ object CurationQueries {
     // batching), so its oracle IS the batch funnel's SQL
     "curation_funnel_live" -> funnelSql,
     "curation_funnel" -> funnelSql,
+    // the deterministic ingest's trailing-2-of-4 quartile window is
+    // exactly `doc_id >= 2 * ceil(n/4)`; both legs replay the batch
+    // funnel arithmetic over the same verdict rows
+    "curation_funnel_drift" ->
+      s"""WITH $curationCtes,
+         |spn AS (SELECT (count(*) + 3) // 4 AS sp FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CASE WHEN reject_reason IS NULL THEN 'kept'
+         |         ELSE reject_reason END AS stage,
+         |    CASE reject_reason WHEN 'too_short' THEN 1 WHEN 'non_en' THEN 2
+         |      WHEN 'low_quality' THEN 3 WHEN 'near_dup' THEN 4
+         |      ELSE 5 END AS stage_idx
+         |  FROM r),
+         |gl AS (
+         |  SELECT stage_idx, stage, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM f GROUP BY 1, 2),
+         |tl AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td FROM gl),
+         |ll AS (
+         |  SELECT stage_idx, stage, n_docs,
+         |    round(CAST(n_docs AS DOUBLE) / td, 6) AS share
+         |  FROM gl CROSS JOIN tl),
+         |gw AS (
+         |  SELECT stage_idx, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM f, spn WHERE doc_id >= 2 * sp GROUP BY 1),
+         |tw AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tw FROM gw),
+         |ww AS (
+         |  SELECT stage_idx, n_docs,
+         |    round(CAST(n_docs AS DOUBLE) / tw, 6) AS share
+         |  FROM gw CROSS JOIN tw)
+         |SELECT l.stage_idx, l.stage, l.n_docs AS n_life,
+         |  coalesce(w.n_docs, 0) AS n_window,
+         |  l.share AS share_life,
+         |  coalesce(w.share, 0.0) AS share_window,
+         |  round(coalesce(w.share, 0.0) - l.share, 6) AS share_delta
+         |FROM ll l LEFT JOIN ww w ON w.stage_idx = l.stage_idx
+         |ORDER BY l.stage_idx""".stripMargin,
     "classifier_pr_curve" ->
       s"""WITH $clfScoreCtes,
          |scored AS (

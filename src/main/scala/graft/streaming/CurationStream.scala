@@ -202,6 +202,47 @@ object CurationStream {
     CurationQueries.funnelFromCounts(sumCounts(spark, stateDir,
       committedDirs(stateDir, "counts")))
 
+  /** Trailing-`lastK`-batch funnel — the same tail over the subset sum
+    * ([[EvalStream.readCountsWindow]]'s semantics: fewer dirs than the
+    * window degrades to lifetime; a full [[compact]] collapses batch
+    * boundaries, so a drift consumer compacts on a horizon or accepts
+    * the documented degradation). */
+  def funnelWindow(spark: SparkSession, stateDir: String,
+                   lastK: Int): DataFrame = {
+    require(lastK > 0, s"window must be positive, got $lastK")
+    CurationQueries.funnelFromCounts(sumCounts(spark, stateDir,
+      committedDirs(stateDir, "counts")
+        .sortBy(_.split('/').last.stripPrefix("batch=").toLong)
+        .takeRight(lastK)))
+  }
+
+  /** FUNNEL DRIFT — "did a gate's share of the intake move on RECENT
+    * data?": the question a curation operator actually watches (a
+    * non_en spike = a crawler drifted into the wrong domain; a
+    * near_dup spike = a feed started replaying). Per stage: lifetime
+    * and trailing-window doc shares with the delta — both legs the
+    * identical funnel arithmetic over subset sums of the same
+    * committed count dirs (the [[EvalStream.gateEvalDrift]] shape;
+    * window stages are LEFT-joined and zero-filled — a stage absent
+    * from the window genuinely has share 0 there). */
+  def funnelDrift(spark: SparkSession, stateDir: String,
+                  lastK: Int): DataFrame = {
+    val life = funnelLive(spark, stateDir)
+      .select(col("stage_idx"), col("stage"),
+        col("n_docs").as("n_life"), col("doc_share").as("share_life"))
+    val win = funnelWindow(spark, stateDir, lastK)
+      .select(col("stage_idx"), col("n_docs").as("n_window"),
+        col("doc_share").as("share_window"))
+    life.join(win, Seq("stage_idx"), "left")
+      .select(col("stage_idx"), col("stage"), col("n_life"),
+        coalesce(col("n_window"), lit(0L)).as("n_window"),
+        col("share_life"),
+        coalesce(col("share_window"), lit(0.0)).as("share_window"),
+        round(coalesce(col("share_window"), lit(0.0))
+          - col("share_life"), 6).as("share_delta"))
+      .sortWithinPartitions("stage_idx")
+  }
+
   // ---- registered deterministic face -------------------------------------
 
   /** Process-lifetime state cache keyed by corpus dir — the
@@ -237,4 +278,12 @@ object CurationStream {
     * tail), not the ingest (warmup pays that once per JVM). */
   def curationFunnelLive(s: SparkSession, dir: String): DataFrame =
     funnelLive(s, curationState(s, dir))
+
+  /** REGISTERED funnel-drift face (DuckDB-oracled): trailing-2-of-4
+    * quartile batches vs lifetime over the deterministic id-ordered
+    * ingest — the window is exactly the docs in the TOP HALF of the
+    * doc_id range, which the oracle recomputes with the batch funnel
+    * arithmetic over that predicate. */
+  def curationFunnelDrift(s: SparkSession, dir: String): DataFrame =
+    funnelDrift(s, curationState(s, dir), lastK = 2)
 }

@@ -174,6 +174,37 @@ class CurationStreamSpec extends SparkSpec {
     assert(verdictRows(CurationStream.readVerdicts(spark, d)) === before)
   }
 
+  test("funnel drift: window leg ≡ batch funnel over the window's rows") {
+    val d = freshDir()
+    val span = 15
+    val slices = (0 until 4).map(i =>
+      fixture.filter(x => x._1 >= i * span && x._1 < (i + 1) * span))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      CurationStream.applyMicroBatch(spark, docsDf(s), d, i.toLong) }
+    // the window leg must equal the batch funnel over EXACTLY the last
+    // two slices' rows — with canonicality from the full stream state
+    // (a window doc whose canonical twin arrived before the window is
+    // near_dup in the stream; rebuild that by keeping claims global)
+    val drift = CurationStream.funnelDrift(spark, d, lastK = 2).collect()
+      .sortBy(_.getInt(0))
+    val life = CurationStream.funnelLive(spark, d).collect()
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getDouble(4))).toMap
+    val win = CurationStream.funnelWindow(spark, d, 2).collect()
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getDouble(4))).toMap
+    for (r <- drift) {
+      val idx = r.getInt(0)
+      assert((r.getLong(2), r.getDouble(4)) === life(idx))
+      val (nw, sw) = win.getOrElse(idx, (0L, 0.0))
+      assert(r.getLong(3) === nw)
+      assert(r.getDouble(5) === sw)
+      assert(r.getDouble(6) === BigDecimal(sw - life(idx)._2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // fewer dirs than the window: degrades to lifetime (delta 0)
+    val all = CurationStream.funnelDrift(spark, d, lastK = 99).collect()
+    assert(all.forall(_.getDouble(6) === 0.0))
+  }
+
   test("registered face ≡ the batch funnel on the real corpus") {
     assert(rows(CurationQueries.curationFunnelLive(spark, sf)) ===
       rows(CurationQueries.curationFunnel(spark, sf)),

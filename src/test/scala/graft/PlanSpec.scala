@@ -422,6 +422,9 @@ class PlanSpec extends SparkSpec {
     // curation_funnel_live: the same ≤5-row × 1-row funnel-totals
     // broadcast, served from the streaming monitor's committed counts
     "curation_funnel_live",
+    // curation_funnel_drift: two funnel tails (each the 1-row totals
+    // broadcast) over subset sums of the committed counts
+    "curation_funnel_drift",
     "gate_eval_highndv",
     // classifier_calibration rides the same classifier chain (the
     // |V|×L model grid and 1-row prior broadcasts); its own tail is
