@@ -337,11 +337,14 @@ object SimilarityQueries {
     * double division (DCG/IDCG) rounded at the end, so the DuckDB oracle
     * reproduces every row bit-for-bit.
     *
-    * Scale shape: the graded candidate set is |queries|·k rows (never
-    * corpus-sized) and is BROADCAST onto the corpus label projection for
-    * the neighbor-label lookup; the per-label corpus counts are a
-    * |labels|-row broadcast. The only corpus-wide work is the retrieval
-    * stage itself plus one column-pruned label scan. */
+    * Scale shape: the graded candidate set is |queries|·k rows — SMALLER
+    * than the corpus by 5× (k/stride) but still corpus-PROPORTIONAL at
+    * the fixed query stride, so the label lookups are plain equi-joins
+    * with AQE free to broadcast when the set is actually small (forcing
+    * the broadcast would ship an n/5-row table to every executor at
+    * 100 TB — the growing-side-broadcast trap). Only the |labels|-row
+    * count table is hint-broadcast. The corpus-wide work is the
+    * retrieval stage itself plus one column-pruned label scan. */
   def retrievalEval(s: SparkSession, dir: String): DataFrame =
     rankingMetricsOf(s, dir, annBruteForce(s, dir))
 
@@ -397,11 +400,13 @@ object SimilarityQueries {
     val lc = v.groupBy("label").agg(count(lit(1)).as("cnt"))
     val dArr = array(ndcgDiscountMicro.map(lit): _*)
     val iArr = array(idcgPrefixMicro.map(lit): _*)
-    // neighbor-label lookup: corpus scan JOIN broadcast(|q|·k candidates)
+    // neighbor/query label lookups: equi-joins, strategy left to AQE —
+    // the candidate and query sets are corpus-proportional at the fixed
+    // stride, so a forced broadcast would grow with the corpus
     val rels = v.select(col("vec_id").as("neighbor"),
         col("label").as("nlabel"))
-      .join(broadcast(ann.select("q", "rank", "neighbor")), Seq("neighbor"))
-      .join(broadcast(ql), Seq("q"))
+      .join(ann.select("q", "rank", "neighbor"), Seq("neighbor"))
+      .join(ql, Seq("q"))
       .withColumn("rel",
         when(col("nlabel") === col("label"), 1L).otherwise(0L))
     val agg = rels.groupBy("q", "label")
