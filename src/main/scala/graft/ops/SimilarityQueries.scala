@@ -746,12 +746,15 @@ object SimilarityQueries {
 
   private def qualityRerank(recall: DataFrame, s: SparkSession,
                             dir: String): DataFrame = {
+    // per-document scalar table = corpus-PROPORTIONAL: no broadcast
+    // hint (the same growing-side trap as the ranking-eval lookups) —
+    // AQE broadcasts it while small, shuffle-joins at scale
     val quality = TextQueries.qualityScore(s, dir)
       .select(col("doc_id").as("neighbor"), col("quality"))
     val w = Window.partitionBy(col("q"))
       .orderBy(col("score").desc, col("neighbor"))
     recall
-      .join(broadcast(quality), Seq("neighbor"))
+      .join(quality, Seq("neighbor"))
       .withColumn("score",
         round(lit(0.8) * col("cosine") + lit(0.2) * col("quality") / lit(100.0), 6))
       .withColumn("rerank", row_number().over(w))
