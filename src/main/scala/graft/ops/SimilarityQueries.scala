@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * and an IVF (inverted-file) bucketed variant as the scale path.
   *
   * Scale design:
-  *  - The query set is small and BROADCAST; the corpus side streams
-  *    map-side (no corpus shuffle). The only shuffle is the per-query
-  *    top-k (tiny: |queries| × candidates rows reduced by the window).
+  *  - The query set is a BOUNDED BATCH ([[maxQueries]] queries max — the
+  *    stride is only the deterministic derivation of which vec_ids are
+  *    queries), so `broadcast(q)` ships ≤ a few MB to every executor at
+  *    ANY corpus size; the corpus side streams map-side (no corpus
+  *    shuffle). The only shuffle is the per-query top-k (tiny:
+  *    |queries| × candidates rows reduced by the window).
   *  - IVF: a centroid table (one row per coarse cell, here the 10 label
   *    cells seeded by each cell's min-vec_id vector — deterministic, no
   *    float-accumulation ambiguity) is broadcast; each query probes its
@@ -25,7 +28,34 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
   val topK = 10
   val nprobe = 4
-  val queryStride = 50 // vec_id % stride == 0 → query set
+  val queryStride = 50 // vec_id % stride == 0 → query-set derivation
+
+  /** FIXED query-batch budget — the constant that makes every
+    * `broadcast(q)` in this file a genuinely BOUNDED broadcast: the
+    * query set is the first [[maxQueries]] stride multiples
+    * (`vec_id % stride == 0 AND vec_id < stride·maxQueries`), never
+    * "all stride multiples". A stride alone makes |Q| = n/stride —
+    * corpus-PROPORTIONAL, so hint-broadcasting it is the growing-side
+    * trap (the round-14 rankingMetricsOf/qualityRerank lesson); with
+    * the cap, |Q| ≤ 4096 rows × (64 doubles + norm) ≈ 2.2 MB at any
+    * corpus size — a real deployment's search batch is a bounded
+    * request set for exactly this reason. Non-binding below
+    * 4096·stride vec_ids (every test/bench sf, so oracles are
+    * byte-identical to the uncapped rounds); binding above (pinned on
+    * a synthetic range in PlanSpec). */
+  val maxQueries: Int = 4096
+
+  /** The shared query-set predicate — every ANN face AND every DuckDB
+    * oracle derives queries through this one definition ([[querySqlPred]]
+    * is its SQL twin), so the cap can never drift between engines. */
+  private[graft] def queryPred(stride: Long = queryStride.toLong) =
+    col("vec_id") % stride === 0 &&
+      col("vec_id") < lit(stride * maxQueries)
+
+  /** SQL twin of [[queryPred]] over a `vec_id` column reference. */
+  private[graft] def querySqlPred(c: String,
+      stride: Long = queryStride.toLong): String =
+    s"$c % $stride = 0 AND $c < ${stride * maxQueries}"
 
   import graft.functions.VectorFunctions.dotProduct
 
@@ -45,14 +75,15 @@ object SimilarityQueries {
     bruteTopK(s, dir, queryStride.toLong)
 
   /** The brute top-k at an explicit query stride — [[annBruteForce]] at
-    * the standard 2% query set; the budgeted ranking monitor thins it
+    * the standard query batch; the budgeted ranking monitor thins it
     * 100× ([[recallBudgetStride]]) so the exact-truth side goes linear
     * in the corpus (fixed queries × corpus — the
-    * [[annFilteredRecallBudget]] class). */
+    * [[annFilteredRecallBudget]] class). `broadcast(q)` is the bounded
+    * class: [[queryPred]] caps |Q| at [[maxQueries]]. */
   private def bruteTopK(s: SparkSession, dir: String,
                         stride: Long): DataFrame = {
     val v = vectors(s, dir)
-    val q = v.filter(col("vec_id") % stride === 0)
+    val q = v.filter(queryPred(stride))
       .select(col("vec_id").as("q"), col("e").as("qe"), col("norm").as("qn"))
     val scored = broadcast(q).join(v, col("q") =!= col("vec_id"))
       .select(col("q"), col("vec_id").as("neighbor"),
@@ -127,11 +158,14 @@ object SimilarityQueries {
   /** The nprobe nearest centroid cells per query — the IVF probe set,
     * shared by [[annIvf]], [[annIvfPq]] and [[annIvfTrained]]. */
   private def probedCellsOf(cents: DataFrame, v: DataFrame): DataFrame = {
-    val q = v.filter(col("vec_id") % queryStride === 0)
+    val q = v.filter(queryPred())
       .select(col("vec_id").as("q"), col("e").as("qe"), col("norm").as("qn"))
     val wc = Window.partitionBy(col("q"))
       .orderBy(col("ccos").desc, col("cell"))
-    broadcast(q).join(broadcast(cents))
+    // bounded q broadcasts (≤ maxQueries rows); the √n centroid table
+    // STREAMS — at 2e11 vectors √n is ~450k rows ≈ 230 MB, too big to
+    // force onto every executor
+    broadcast(q).join(cents)
       .select(col("q"), col("qe"), col("qn"), col("cell"),
         cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("ccos"))
       .withColumn("crank", row_number().over(wc))
@@ -187,13 +221,14 @@ object SimilarityQueries {
     * per candidate, never a second pass. */
   def annFiltered(s: SparkSession, dir: String): DataFrame = {
     val v = vectors(s, dir)
-    val q = v.filter(col("vec_id") % queryStride === 0)
+    val q = v.filter(queryPred())
       .select(col("vec_id").as("q"), col("label").as("qlabel"),
         col("e").as("qe"), col("norm").as("qn"))
     val cents = seeds(s, dir)
     val wc = Window.partitionBy(col("q"))
       .orderBy(col("ccos").desc, col("cell"))
-    val probed = broadcast(q).join(broadcast(cents))
+    // bounded q broadcasts; the √n centroid table streams (probedCellsOf)
+    val probed = broadcast(q).join(cents)
       .select(col("q"), col("qlabel"), col("qe"), col("qn"), col("cell"),
         cosine(col("qe"), col("ce"), col("qn"), col("cn")).as("ccos"))
       .withColumn("crank", row_number().over(wc))
@@ -218,10 +253,12 @@ object SimilarityQueries {
     * join with a 1/|labels| fan-out, never a cartesian. */
   private def annFilteredBrute(s: SparkSession, dir: String): DataFrame = {
     val v = vectors(s, dir)
-    val q = v.filter(col("vec_id") % queryStride === 0)
+    val q = v.filter(queryPred())
       .select(col("vec_id").as("q"), col("label"),
         col("e").as("qe"), col("norm").as("qn"))
-    val scored = broadcast(q).join(v, Seq("label"))
+    // label is an equi-key: no hint — AQE broadcasts q while small and
+    // falls back to a shuffle join if a caller ever widens the batch
+    val scored = q.join(v, Seq("label"))
       .filter(col("q") =!= col("vec_id"))
       .select(col("q"), col("vec_id").as("neighbor"),
         cosine(col("qe"), col("e"), col("qn"), col("norm")).as("cosine"))
@@ -337,14 +374,14 @@ object SimilarityQueries {
     * double division (DCG/IDCG) rounded at the end, so the DuckDB oracle
     * reproduces every row bit-for-bit.
     *
-    * Scale shape: the graded candidate set is |queries|·k rows — SMALLER
-    * than the corpus by 5× (k/stride) but still corpus-PROPORTIONAL at
-    * the fixed query stride, so the label lookups are plain equi-joins
-    * with AQE free to broadcast when the set is actually small (forcing
-    * the broadcast would ship an n/5-row table to every executor at
-    * 100 TB — the growing-side-broadcast trap). Only the |labels|-row
-    * count table is hint-broadcast. The corpus-wide work is the
-    * retrieval stage itself plus one column-pruned label scan. */
+    * Scale shape: the graded candidate set is |queries|·k rows —
+    * bounded now that the query batch is capped at [[maxQueries]], but
+    * the label lookups stay plain equi-joins with AQE free to broadcast
+    * while small (a forced hint documented nothing and was the
+    * growing-side-broadcast trap back when |Q| was stride-proportional).
+    * Only the |labels|-row count table is hint-broadcast. The
+    * corpus-wide work is the retrieval stage itself plus one
+    * column-pruned label scan. */
   def retrievalEval(s: SparkSession, dir: String): DataFrame =
     rankingMetricsOf(s, dir, annBruteForce(s, dir))
 
@@ -394,7 +431,7 @@ object SimilarityQueries {
       ann: DataFrame, k: Int = topK): DataFrame = {
     require(k >= 1 && k <= topK, s"graded depth $k outside 1..$topK")
     val v = vectors(s, dir).select(col("vec_id"), col("label"))
-    val ql = v.filter(col("vec_id") % queryStride === 0)
+    val ql = v.filter(queryPred())
       .select(col("vec_id").as("q"), col("label"))
     // per-label corpus sizes: |labels| rows — broadcast
     val lc = v.groupBy("label").agg(count(lit(1)).as("cnt"))
@@ -942,9 +979,11 @@ object SimilarityQueries {
     val coded = v.crossJoin(cb)
       .select(col("vec_id").as("neighbor"),
         pqCode(col("e"), col("cb"), lit(pqSubspaces))("codes").as("codes"))
-    val qlut = v.filter(col("vec_id") % queryStride === 0).crossJoin(cb)
+    val qlut = v.filter(queryPred()).crossJoin(cb)
       .select(col("vec_id").as("q"),
         pqLut(col("e"), col("cb"), lit(pqSubspaces)).as("lut"))
+    // qlut is |Q|-proportional but |Q| ≤ maxQueries (queryPred), so the
+    // LUT broadcast is the bounded class: ≤4096 rows × m·ks doubles
     val scored = coded.join(broadcast(qlut), col("q") =!= col("neighbor"))
       .withColumn("ad", pqAdc(col("lut"), col("codes"), lit(pqCodebookSize)))
     val w = Window.partitionBy(col("q")).orderBy(col("ad").asc, col("neighbor"))
@@ -972,12 +1011,14 @@ object SimilarityQueries {
       .crossJoin(cb)
       .select(col("vec_id").as("neighbor"), col("cell"),
         pqCode(col("e"), col("cb"), lit(pqSubspaces))("codes").as("codes"))
-    val qlut = v.filter(col("vec_id") % queryStride === 0).crossJoin(cb)
+    val qlut = v.filter(queryPred()).crossJoin(cb)
       .select(col("vec_id").as("q"),
         pqLut(col("e"), col("cb"), lit(pqSubspaces)).as("lut"))
     val probes = probedCells(s, dir).select("q", "cell")
       .join(qlut, Seq("q"))
-    val scored = coded.join(broadcast(probes), Seq("cell"))
+    // cell is an equi-key: no hint — probes is ≤ |Q|·nprobe rows, AQE
+    // broadcasts it while small with a shuffle fallback at scale
+    val scored = coded.join(probes, Seq("cell"))
       .filter(col("q") =!= col("neighbor"))
       .withColumn("ad", pqAdc(col("lut"), col("codes"), lit(pqCodebookSize)))
     val w = Window.partitionBy(col("q")).orderBy(col("ad").asc, col("neighbor"))
@@ -1336,13 +1377,14 @@ object SimilarityQueries {
           lit(stride)) === 0)
       .select(col("vec_id").as("node"), col("e").as("ne"),
         col("norm").as("nn"))
-    val q = v.filter(col("vec_id") % queryStride === 0)
+    val q = v.filter(queryPred())
       .select(col("vec_id").as("q"), col("e").as("qe"), col("norm").as("qn"))
       .localCheckpoint() // broadcast every hop
     val nodeV = v.select(col("vec_id").as("node"), col("e").as("ne"),
       col("norm").as("nn"))
-    // entry scoring: |Q| × √n broadcast product (the IVF probe cost —
-    // the allowlisted bounded-broadcast class)
+    // entry scoring produces |Q| × √n rows; the BROADCAST side is the
+    // bounded query batch (≤ maxQueries rows — queryPred's cap) and the
+    // √n entry table STREAMS, so nothing corpus-proportional is shipped
     var state = broadcast(q).crossJoin(entries)
       .select(col("q"), col("node"),
         cosine(col("qe"), col("ne"), col("qn"), col("nn")).as("cosine"))
@@ -1354,8 +1396,10 @@ object SimilarityQueries {
         .filter(col("rk") <= searchBeam).select("q", "node")
       val nbrs = frontier.join(edges, frontier("node") === edges("src"))
         .select(col("q"), col("dst").as("node")).distinct()
+      // q is an equi-key here: no hint needed — AQE broadcasts the
+      // bounded query batch on its own
       val scored = nbrs.join(nodeV, Seq("node"))
-        .join(broadcast(q), Seq("q"))
+        .join(q, Seq("q"))
         .select(col("q"), col("node"),
           cosine(col("qe"), col("ne"), col("qn"), col("nn")).as("cosine"))
       // visited-set fold: (q, node) dedup via max — cosines are
@@ -1492,7 +1536,9 @@ object SimilarityQueries {
         col("c.e").as("ce"), col("c.norm").as("cn"))
       .localCheckpoint() // feeds picks ∪ the d0 update
     var picks = c1.select("cell", "cid", "ce", "cn")
-    var d = a.join(broadcast(c1), Seq("cell"))
+    // cell is an equi-key and the per-cell center table is √n rows: no
+    // hint — AQE broadcasts it while small, shuffle fallback at scale
+    var d = a.join(c1, Seq("cell"))
       .filter(col("vec_id") =!= col("cid"))
       .select(col("cell"), col("vec_id"), col("e"), col("norm"),
         (lit(1.0) - cosine(col("e"), col("ce"), col("norm"), col("cn")))
@@ -1506,7 +1552,7 @@ object SimilarityQueries {
           col("c.e").as("ce"), col("c.norm").as("cn"))
         .localCheckpoint() // referenced by picks ∪ the d update
       picks = picks.unionByName(cr)
-      d = d.join(broadcast(cr), Seq("cell"))
+      d = d.join(cr, Seq("cell"))
         .filter(col("vec_id") =!= col("cid"))
         .select(col("cell"), col("vec_id"), col("e"), col("norm"),
           least(col("d"),
@@ -1609,7 +1655,7 @@ object SimilarityQueries {
        |scored AS (
        |  SELECT q.vec_id AS q, v.vec_id AS neighbor,
        |         ${duckCos("q.e", "v.e", "q.norm", "v.norm")} AS cosine
-       |  FROM v q JOIN v ON q.vec_id % $queryStride = 0
+       |  FROM v q JOIN v ON ${querySqlPred("q.vec_id")}
        |                 AND q.vec_id != v.vec_id),
        |ann AS (
        |  SELECT q, rank, neighbor, cosine FROM (
@@ -1840,7 +1886,7 @@ object SimilarityQueries {
   private val ivfAnnCtes =
     s"""$assignCtes,
        |queries AS (SELECT vec_id AS q, e AS qe, norm AS qn
-       |            FROM v WHERE vec_id % $queryStride = 0),
+       |            FROM v WHERE ${querySqlPred("vec_id")}),
        |probed AS (
        |  SELECT q, qe, qn, cell,
        |         row_number() OVER (PARTITION BY q ORDER BY
@@ -1864,7 +1910,7 @@ object SimilarityQueries {
     s"""$assignCtes,
        |queries AS (SELECT vec_id AS q, label AS qlabel, e AS qe,
        |                   norm AS qn
-       |            FROM v WHERE vec_id % $queryStride = 0),
+       |            FROM v WHERE ${querySqlPred("vec_id")}),
        |probed AS (
        |  SELECT q, qlabel, qe, qn, cell,
        |         row_number() OVER (PARTITION BY q ORDER BY
@@ -1938,7 +1984,7 @@ object SimilarityQueries {
         .map { case (im, i) => s"(${i + 1}, $im)" }.mkString(", ")
     s"""WITH $annCtes,
        |ql AS (SELECT vec_id AS q, label FROM v
-       |       WHERE vec_id % $queryStride = 0),
+       |       WHERE ${querySqlPred("vec_id")}),
        |lc AS (SELECT label, count(*) AS cnt FROM v GROUP BY label),
        |disc(rank, dm) AS (VALUES $dRows),
        |ideal(m, im) AS (VALUES $iRows),
@@ -2038,7 +2084,7 @@ object SimilarityQueries {
        |             s.cell) AS r
        |    FROM v CROSS JOIN $cN s) WHERE r = 1),
        |queries AS (SELECT vec_id AS q, e AS qe, norm AS qn
-       |            FROM v WHERE vec_id % $queryStride = 0),
+       |            FROM v WHERE ${querySqlPred("vec_id")}),
        |probed AS (
        |  SELECT q, qe, qn, cell,
        |         row_number() OVER (PARTITION BY q ORDER BY
@@ -2230,7 +2276,7 @@ object SimilarityQueries {
          |bscored AS (
          |  SELECT q.vec_id AS q, v.vec_id AS neighbor,
          |         ${duckCos("q.e", "v.e", "q.norm", "v.norm")} AS cosine
-         |  FROM v q JOIN v ON q.vec_id % $queryStride = 0
+         |  FROM v q JOIN v ON ${querySqlPred("q.vec_id")}
          |                 AND q.vec_id != v.vec_id),
          |exact AS (
          |  SELECT q, neighbor FROM (
@@ -2357,7 +2403,7 @@ object SimilarityQueries {
          |  UNION SELECT dst, src FROM g$nndRounds WHERE rank <= $knnK
          |  UNION SELECT src, dst FROM ring
          |  UNION SELECT dst, src FROM ring),
-         |gq AS (SELECT vec_id AS q FROM v WHERE vec_id % $queryStride = 0),
+         |gq AS (SELECT vec_id AS q FROM v WHERE ${querySqlPred("vec_id")}),
          |gent AS (
          |  SELECT vec_id AS node FROM v
          |  WHERE ('0x' || substr(md5('gs:' || vec_id::VARCHAR), 1, 15))
@@ -2443,7 +2489,7 @@ object SimilarityQueries {
          |  SELECT l.vec_id AS q, b.vec_id AS neighbor,
          |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS ad
          |  FROM sub l JOIN best b ON l.j = b.j AND l.cid = b.cid
-         |  WHERE l.vec_id % $queryStride = 0 AND l.vec_id != b.vec_id
+         |  WHERE ${querySqlPred("l.vec_id")} AND l.vec_id != b.vec_id
          |  GROUP BY 1, 2),
          |ranked AS (
          |  SELECT q, neighbor, ad, row_number() OVER (PARTITION BY q
@@ -2572,7 +2618,7 @@ object SimilarityQueries {
          |fbscored AS (
          |  SELECT q.vec_id AS q, v.vec_id AS neighbor,
          |         ${duckCos("q.e", "v.e", "q.norm", "v.norm")} AS cosine
-         |  FROM v q JOIN v ON q.vec_id % $queryStride = 0
+         |  FROM v q JOIN v ON ${querySqlPred("q.vec_id")}
          |                 AND q.vec_id != v.vec_id
          |                 AND q.label = v.label),
          |fexact AS (

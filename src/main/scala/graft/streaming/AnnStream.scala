@@ -146,11 +146,18 @@ object AnnStream {
   /** IVF-PQ search over the live index for arbitrary query vectors
     * (q_id, embedding) → (q_id, rank, vec_id, adist). `excludeSelf`
     * drops the q_id == vec_id candidate before ranking (the corpus-query
-    * convention of [[graft.ops.SimilarityQueries.annIvfPq]]). */
+    * convention of [[graft.ops.SimilarityQueries.annIvfPq]]).
+    *
+    * `queries` is a BOUNDED request batch (the API contract — callers
+    * cap it, e.g. [[graft.ops.SimilarityQueries.maxQueries]]): it is the
+    * broadcast side of the probe, while the √n centroid table STREAMS
+    * (at 2e11 vectors √n ≈ 450k rows — too big to force onto every
+    * executor). The per-query LUT table is request-proportional, never
+    * corpus-proportional, so its broadcast is the bounded class. */
   def search(spark: SparkSession, queries: DataFrame, indexDir: String,
              topK: Int = 10, nprobe: Int = 4,
              excludeSelf: Boolean = false): DataFrame = {
-    val cents = broadcast(spark.read.parquet(s"$indexDir/meta/centroids"))
+    val cents = spark.read.parquet(s"$indexDir/meta/centroids")
     val cb = broadcast(spark.read.parquet(s"$indexDir/meta/codebook"))
     val q = withNorm(queries.select(col("q_id"),
       col("embedding").cast("array<double>").as("qe")), "qe", "qn")
@@ -196,7 +203,7 @@ object AnnStream {
       d
     })
     val q = graft.Tables.embeddings(s, dir)
-      .filter(col("vec_id") % SimilarityQueries.queryStride === 0)
+      .filter(SimilarityQueries.queryPred())
       .select(col("vec_id").as("q_id"), col("embedding"))
     search(s, q, idx, topK = SimilarityQueries.topK,
         nprobe = SimilarityQueries.nprobe, excludeSelf = true)

@@ -279,6 +279,40 @@ class PlanSpec extends SparkSpec {
       s"codebook seed selection must be a top-k, not a global sort:\n$p")
   }
 
+  test("ANN query batch is bounded: the stride cap binds at maxQueries") {
+    // the constant that makes broadcast(q) a bounded class — on a corpus
+    // big enough that stride multiples exceed the cap, exactly maxQueries
+    // queries survive, all of them the FIRST stride multiples
+    val st = ops.SimilarityQueries.queryStride.toLong
+    val cap = ops.SimilarityQueries.maxQueries
+    val ids = spark.range(0, st * cap * 3).select(col("id").as("vec_id"))
+      .filter(ops.SimilarityQueries.queryPred(st))
+      .select(col("vec_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    assert(ids.length === cap, s"cap must bind at $cap, got ${ids.length}")
+    assert(ids.forall(_ % st == 0) && ids.last < st * cap,
+      "capped query set must be the first maxQueries stride multiples")
+    // and below the cap the predicate is the plain stride (every test sf):
+    val small = spark.range(0, st * 10).select(col("id").as("vec_id"))
+      .filter(ops.SimilarityQueries.queryPred(st)).count()
+    assert(small === 10, "cap must be non-binding below maxQueries queries")
+  }
+
+  test("ANN equi seams keep a shuffle fallback (no forced query broadcast)") {
+    // round-15 rule: corpus-side equi-joins in the ANN spine carry NO
+    // broadcast hint — with auto-broadcast off they must plan as shuffle
+    // joins, proving the strategy is AQE's choice, not a forced hint that
+    // would OOM if the joined side ever grew
+    val big = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf(
+        ops.SimilarityQueries.queries("ann_filtered_recall")(spark, sf))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"the label equi-join must shuffle when broadcast is off:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", big)
+  }
+
   test("zorder layout is one scan + a 1-row bounds broadcast, no shuffle of facts") {
     val p = planOf(ops.PrepQueries.queries("zorder_layout")(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
