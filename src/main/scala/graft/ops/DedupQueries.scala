@@ -1238,7 +1238,11 @@ object DedupQueries {
     "dedup_simhash_sig" -> (dedupSimhashSig _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
-    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _))
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
+    "takedown_replay_exact" ->
+      (graft.streaming.Takedown.takedownReplayExact _),
+    "takedown_replay" -> (graft.streaming.Takedown.takedownReplay _),
+    "takedown_replay_url" -> (graft.streaming.Takedown.takedownReplayUrl _))
 
   // ---- oracles ----------------------------------------------------------
 
@@ -1549,6 +1553,41 @@ object DedupQueries {
          |FROM d a JOIN d b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
          |WHERE levenshtein(a.text, b.text) <= $fuzzyMaxRatio * greatest(a.n, b.n)
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // TAKEDOWN replays: post-takedown corpus ≡ from-scratch ingest of
+    // the SURVIVING docs (the re-election contract) — each oracle is the
+    // gate's own from-scratch SQL over `documents`/`u` minus the
+    // deterministic removal stride
+    "takedown_replay_exact" ->
+      s"""WITH surv AS (SELECT doc_id, text FROM documents
+         |              WHERE doc_id % ${graft.streaming.Takedown
+                            .replayRemovalStride} != 0)
+         |SELECT doc_id, ${duckMd5Long("text")} AS content_hash FROM (
+         |  SELECT doc_id, text,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS cid
+         |  FROM surv)
+         |WHERE doc_id = cid ORDER BY doc_id""".stripMargin,
+    "takedown_replay" -> {
+      val survSig = sigCte.replace("FROM documents", "FROM surv")
+      s"""WITH surv AS (SELECT doc_id, text FROM documents
+         |              WHERE doc_id % ${graft.streaming.Takedown
+                            .replayRemovalStride} != 0),
+         |$survSig,
+         |$lshPairsTail
+         |SELECT doc_id FROM surv
+         |WHERE doc_id NOT IN (SELECT b FROM lpairs
+         |                     WHERE sig_matches >= $lshVerifyMin)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "takedown_replay_url" ->
+      s"""WITH ${TextQueries.urlSynthSql},
+         |surv AS (SELECT doc_id, url, canonical_url FROM u
+         |         WHERE doc_id % ${graft.streaming.Takedown
+                        .replayUrlRemovalStride} != 0)
+         |SELECT doc_id, url, canonical_url FROM (
+         |  SELECT doc_id, url, canonical_url,
+         |    min(doc_id) OVER (PARTITION BY canonical_url) AS cid
+         |  FROM surv)
+         |WHERE doc_id = cid ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       s"""SELECT doc_id, ${duckMd5Long("text")} AS content_hash,
          |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

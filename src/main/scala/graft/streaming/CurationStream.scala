@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.functions.TextFunctions.md5Long
 import graft.ops.CurationQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -71,7 +70,11 @@ object CurationStream {
     if (committed(stateDir, s"batch=$batchId")) return // replay
     val scored = CurationQueries.scoredDocs(
         batch.select(col("doc_id"), col("text")))
-      .withColumn("content_hash", md5Long(col("text")))
+      // FULL 128-bit md5 hex, exactly the batch pipeline's partition key
+      // (CurationQueries md5(text)) — a 60-bit prefix hash would make
+      // stream ≡ batch only up to ~n²/2^61 prefix collisions, material
+      // at the 1e9-doc target (round-14 ADVICE); claims rows stay tiny
+      .withColumn("content_hash", md5(col("text")))
       .withColumn("__rank", row_number().over(
         Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
       .withColumn("batch_first", col("__rank") === 1).drop("__rank")
@@ -174,11 +177,13 @@ object CurationStream {
       .filter(b => committed(stateDir, b))
       .map(b => s"$stateDir/claims/$b")
 
-  private def committedDirs(stateDir: String, sub: String): Seq[String] =
+  private def committedDirsAll(stateDir: String, sub: String): Seq[String] =
     StreamFs.listNames(s"$stateDir/$sub").filter(_.startsWith("batch="))
       .filter(b => committed(stateDir, b))
       .map(b => s"$stateDir/$sub/$b")
-      .filter(StreamFs.hasDataFiles)
+
+  private def committedDirs(stateDir: String, sub: String): Seq[String] =
+    committedDirsAll(stateDir, sub).filter(StreamFs.hasDataFiles)
 
   /** Every committed verdict row so far — the stream's data output. */
   def readVerdicts(spark: SparkSession, stateDir: String): DataFrame =
@@ -188,9 +193,14 @@ object CurationStream {
 
   private def sumCounts(spark: SparkSession, stateDir: String,
                         dirs: Seq[String]): DataFrame =
-    spark.read.option("basePath", s"$stateDir/counts").parquet(dirs: _*)
-      .groupBy("stage_idx", "stage")
-      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+    if (dirs.isEmpty) // every window member was a zero-row batch
+      spark.range(0).select(col("id").cast("int").as("stage_idx"),
+        lit("").as("stage"), col("id").as("n_docs"),
+        col("id").as("n_tokens"))
+    else
+      spark.read.option("basePath", s"$stateDir/counts").parquet(dirs: _*)
+        .groupBy("stage_idx", "stage")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
 
   /** The LIVE funnel — the batch funnel arithmetic
     * ([[CurationQueries.funnelFromCounts]]) over the summed committed
@@ -210,10 +220,14 @@ object CurationStream {
   def funnelWindow(spark: SparkSession, stateDir: String,
                    lastK: Int): DataFrame = {
     require(lastK > 0, s"window must be positive, got $lastK")
+    // window membership over ALL committed batch ids first, data-file
+    // filter second — a committed zero-row batch is an empty window
+    // member, not a shift of the window into history (round-14 ADVICE)
     CurationQueries.funnelFromCounts(sumCounts(spark, stateDir,
-      committedDirs(stateDir, "counts")
+      committedDirsAll(stateDir, "counts")
         .sortBy(_.split('/').last.stripPrefix("batch=").toLong)
-        .takeRight(lastK)))
+        .takeRight(lastK)
+        .filter(StreamFs.hasDataFiles)))
   }
 
   /** FUNNEL DRIFT — "did a gate's share of the intake move on RECENT
@@ -240,7 +254,10 @@ object CurationStream {
         coalesce(col("share_window"), lit(0.0)).as("share_window"),
         round(coalesce(col("share_window"), lit(0.0))
           - col("share_life"), 6).as("share_delta"))
-      .sortWithinPartitions("stage_idx")
+      // ≤5 rows: a GLOBAL order is free here, and unlike the expensive
+      // faces' sortWithinPartitions it makes the registered face's row
+      // order deterministic (round-14 ADVICE)
+      .orderBy("stage_idx")
   }
 
   // ---- registered deterministic face -------------------------------------

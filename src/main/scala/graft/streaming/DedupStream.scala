@@ -62,8 +62,12 @@ object DedupStream {
 
   /** One micro-batch: within-batch dedup (min doc_id per hash wins, the
     * same canonical rule as the batch operators), anti-probe of the
-    * persisted index, append novel docs + their index entries. Idempotent
-    * per `batchId`: the committed marker is the replay check. */
+    * persisted index, append novel docs + their index entries; dropped
+    * docs are QUARANTINED to `drops/batch=N` (full rows) so a later
+    * [[Takedown]] can re-elect a representative when a kept canonical
+    * is removed — the gate's job is selection, not deletion (a crawl
+    * pipeline keeps the raw arrivals anyway). Idempotent per `batchId`:
+    * the committed marker is the replay check. */
   def applyMicroBatch(spark: SparkSession, batch: DataFrame, corpusDir: String,
                       batchId: Long): Unit = {
     // the compact/ingest exclusion is a loud error, not a doc contract
@@ -71,8 +75,10 @@ object DedupStream {
     CompactionLock.requireFree(corpusDir, "DedupStream.applyMicroBatch")
     recover(corpusDir)
     if (committed(corpusDir, s"batch=$batchId")) return // replay
-    val hashed = batch
+    val all = batch
       .withColumn("content_hash", md5Long(col("text")))
+      .persist()
+    val hashed = all
       .withColumn("__rank", row_number().over(
         Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
       .filter(col("__rank") === 1).drop("__rank")
@@ -92,15 +98,20 @@ object DedupStream {
         hashed.join(broadcast(hits), Seq("content_hash"), "left_anti")
       } else hashed).persist()
       try {
-        // index first, corpus last: the corpus marker is the commit point,
-        // so a crash between the writes leaves an orphan index dir that
-        // recover() sweeps — never a corpus doc missing its index
+        // index first, drops second, corpus last: the corpus marker is
+        // the commit point, so a crash between the writes leaves orphan
+        // index/drops dirs that recover() sweeps — never a corpus doc
+        // missing its index
         writeAtomically(novel.select("content_hash", "doc_id"),
           s"$corpusDir/index/batch=$batchId", mark = false)
+        writeAtomically(
+          all.join(novel.select("doc_id"), Seq("doc_id"), "left_anti")
+            .select("doc_id", "content_hash", "text"),
+          s"$corpusDir/drops/batch=$batchId", mark = false)
         writeAtomically(novel.select("doc_id", "content_hash", "text"),
           s"$corpusDir/docs/batch=$batchId", mark = true)
       } finally { novel.unpersist(); () }
-    } finally { hashed.unpersist(); () }
+    } finally { hashed.unpersist(); all.unpersist(); () }
   }
 
   /** COMPACTION — the small-files maintenance pass: a long-lived ingest
@@ -131,7 +142,8 @@ object DedupStream {
         .filter(b => committed(corpusDir, b) &&
           StreamFs.exists(s"$corpusDir/index/$b"))
         .sortBy(_.stripPrefix("batch=").toLong)
-      if (committedBatches.length <= 1) return
+      val hasTakedowns = Takedown.committedDirs(corpusDir).nonEmpty
+      if (committedBatches.length <= 1 && !hasTakedowns) return
       val target = committedBatches.last
       val stage = corpusDir + ".ctmp"
       StreamFs.delete(stage)
@@ -141,16 +153,24 @@ object DedupStream {
       // below still covers every committed id
       def dataDirs(sub: String): Seq[String] =
         committedBatches.map(b => s"$corpusDir/$sub/$b")
-          .filter(StreamFs.hasDataFiles)
-      // raw read keeps this schema-agnostic (NearDupStream shares it)
-      spark.read.option("basePath", s"$corpusDir/docs")
-        .parquet(dataDirs("docs"): _*)
-        .drop("batch")
+          .filter(d => StreamFs.exists(d) && StreamFs.hasDataFiles(d))
+      def readSub(sub: String): DataFrame =
+        spark.read.option("basePath", s"$corpusDir/$sub")
+          .parquet(dataDirs(sub): _*).drop("batch")
+      // takedowns FOLD physically here: removed rows are anti-joined
+      // out of every sub-table, promoted rows (staged by Takedown.apply
+      // in the docs/index schemas) merge into docs/index, and the staged
+      // root carries no takedown dirs — the logical tombstone view and
+      // this physical rewrite are pinned equal in TakedownSpec. The
+      // rewrite is still schema-agnostic: all gate knowledge lives in
+      // the td dirs' pre-shaped tables.
+      Takedown.view(spark, corpusDir, readSub("docs"), "docs")
         .write.parquet(s"$stage/docs/$target")
-      spark.read.option("basePath", s"$corpusDir/index")
-        .parquet(dataDirs("index"): _*)
-        .drop("batch")
+      Takedown.view(spark, corpusDir, readSub("index"), "index")
         .write.parquet(s"$stage/index/$target")
+      if (dataDirs("drops").nonEmpty)
+        Takedown.view(spark, corpusDir, readSub("drops"), "drops")
+          .write.parquet(s"$stage/drops/$target")
       StreamFs.createMarker(s"$stage/docs/$target/$Marker")
       // marker-only dirs keep every committed id recognizable on replay
       committedBatches.init.foreach { b =>
@@ -179,20 +199,31 @@ object DedupStream {
     // the stage is uncommitted — but not while a live compaction builds it
     if (StreamFs.exists(ctmp) && !CompactionLock.heldLive(corpusDir))
       StreamFs.delete(ctmp)
-    // uncommitted corpus dirs (no marker) and their index twins
+    // uncommitted corpus dirs (no marker) and their index/drops twins
     StreamFs.listNames(s"$corpusDir/docs").filter(_.startsWith("batch="))
       .foreach { b =>
         if (!committed(corpusDir, b)) {
           StreamFs.delete(s"$corpusDir/docs/$b")
           StreamFs.delete(s"$corpusDir/index/$b")
+          StreamFs.delete(s"$corpusDir/drops/$b")
         }
       }
-    // orphan index dirs: no committed corpus twin
-    StreamFs.listNames(s"$corpusDir/index").filter(_.startsWith("batch="))
-      .foreach { b =>
-        if (!committed(corpusDir, b)) StreamFs.delete(s"$corpusDir/index/$b")
+    // orphan index/drops dirs: no committed corpus twin
+    Seq("index", "drops").foreach { sub =>
+      StreamFs.listNames(s"$corpusDir/$sub").filter(_.startsWith("batch="))
+        .foreach { b =>
+          if (!committed(corpusDir, b)) StreamFs.delete(s"$corpusDir/$sub/$b")
+        }
+    }
+    // uncommitted takedowns (crash before the td marker — the single
+    // commit point of Takedown.apply) are debris
+    StreamFs.listNames(s"$corpusDir/${Takedown.Sub}")
+      .filter(_.startsWith("td="))
+      .foreach { t =>
+        if (!StreamFs.exists(s"$corpusDir/${Takedown.Sub}/$t/$Marker"))
+          StreamFs.delete(s"$corpusDir/${Takedown.Sub}/$t")
       }
-    Seq("docs", "index").foreach { sub =>
+    Seq("docs", "index", "drops", Takedown.Sub).foreach { sub =>
       StreamFs.listNames(s"$corpusDir/$sub").filter(_.endsWith(".tmp"))
         .foreach(n => StreamFs.delete(s"$corpusDir/$sub/$n"))
     }
@@ -211,10 +242,12 @@ object DedupStream {
     if (mark) StreamFs.createMarker(s"$dst/$Marker")
   }
 
-  /** The deduplicated corpus so far (committed batches only). */
+  /** The deduplicated corpus so far (committed batches only, committed
+    * takedowns applied — [[Takedown.view]]). */
   def readCorpus(spark: SparkSession, corpusDir: String): DataFrame =
-    readCommitted(spark, corpusDir, "docs",
-      Seq("doc_id", "content_hash", "text"))
+    Takedown.view(spark, corpusDir,
+      readCommitted(spark, corpusDir, "docs",
+        Seq("doc_id", "content_hash", "text")), "docs")
 
   /** The (content_hash, doc_id) index the probes run against. Only hashes
     * whose corpus twin committed count as "seen": the read lists exactly
@@ -224,7 +257,9 @@ object DedupStream {
     * directory listing is the same O(#batches) the old filter paid, paid
     * once, off the executor path. */
   def readIndex(spark: SparkSession, corpusDir: String): DataFrame =
-    readCommitted(spark, corpusDir, "index", Seq("content_hash", "doc_id"))
+    Takedown.view(spark, corpusDir,
+      readCommitted(spark, corpusDir, "index",
+        Seq("content_hash", "doc_id")), "index")
 
   private[streaming] def committedDirs(corpusDir: String,
                                        sub: String): Seq[String] =

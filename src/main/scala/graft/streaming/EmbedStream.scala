@@ -139,10 +139,14 @@ object EmbedStream {
   def readCountsWindow(spark: SparkSession, stateDir: String,
                        lastK: Int): DataFrame = {
     require(lastK > 0, s"window must be positive, got $lastK")
+    // takeRight over ALL committed ids first, THEN drop data-less dirs:
+    // a committed zero-row batch counts as an empty window member
+    // instead of shifting the window into history (round-14 ADVICE)
     sumDirs(spark, stateDir,
-      committedDirs(stateDir).filter(StreamFs.hasDataFiles)
+      committedDirs(stateDir)
         .sortBy(_.split('/').last.stripPrefix("batch=").toLong)
-        .takeRight(lastK))
+        .takeRight(lastK)
+        .filter(StreamFs.hasDataFiles))
   }
 
   private def sumDirs(spark: SparkSession, stateDir: String,

@@ -145,10 +145,16 @@ object EvalStream {
   def readCountsWindow(spark: SparkSession, stateDir: String,
                        lastK: Int): DataFrame = {
     require(lastK > 0, s"window must be positive, got $lastK")
+    // window membership over ALL committed batch ids FIRST, data-file
+    // filter second: a committed zero-row batch (its parquet write
+    // produced no part-file) is an EMPTY window member — filtering it
+    // before takeRight would silently shift the window one batch
+    // further into history (round-14 ADVICE)
     sumDirs(spark, stateDir,
-      committedDirs(stateDir).filter(StreamFs.hasDataFiles)
+      committedDirs(stateDir)
         .sortBy(_.split('/').last.stripPrefix("batch=").toLong)
-        .takeRight(lastK))
+        .takeRight(lastK)
+        .filter(StreamFs.hasDataFiles))
   }
 
   private def sumDirs(spark: SparkSession, stateDir: String,

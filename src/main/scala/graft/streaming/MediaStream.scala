@@ -178,12 +178,19 @@ object MediaStream {
     val sigs = signed(spark, batch).localCheckpoint() // decode ONCE
     val bands = bandRows(sigs).localCheckpoint() // 4 consumers
     val dropped = droppedIds(spark, bands, corpusDir)
+      .localCheckpoint() // kept anti-join + the drops quarantine
     val kept = sigs.join(dropped, Seq("doc_id"), "left_anti")
-    // index first (ALL docs' band rows — cross-batch witnesses),
-    // corpus last (kept docs only; its marker is the commit point)
+    // index first (ALL docs' band rows — cross-batch witnesses), drops
+    // second (quarantined full rows — [[Takedown]] re-elects from here
+    // when a kept canonical is later removed), corpus last (kept docs
+    // only; its marker is the commit point)
     DedupStream.writeAtomically(
       bands.select("modality", "chunk", "key", "fp", "doc_id"),
       s"$corpusDir/index/batch=$batchId", mark = false)
+    DedupStream.writeAtomically(
+      sigs.join(dropped, Seq("doc_id"), "left_semi")
+        .select("doc_id", "payload", "modality", "fp"),
+      s"$corpusDir/drops/batch=$batchId", mark = false)
     DedupStream.writeAtomically(
       kept.select("doc_id", "payload", "modality", "fp"),
       s"$corpusDir/docs/batch=$batchId", mark = true)
@@ -210,13 +217,15 @@ object MediaStream {
   def readCorpus(spark: SparkSession, corpusDir: String): DataFrame = {
     val dirs = DedupStream.committedDirs(corpusDir, "docs")
       .filter(StreamFs.hasDataFiles)
-    if (dirs.isEmpty)
-      spark.range(0).select(col("id").as("doc_id"),
-        lit(Array.empty[Byte]).as("payload"), lit("").as("modality"),
-        col("id").as("fp"))
-    else
-      spark.read.option("basePath", s"$corpusDir/docs").parquet(dirs: _*)
-        .select("doc_id", "payload", "modality", "fp")
+    val base =
+      if (dirs.isEmpty)
+        spark.range(0).select(col("id").as("doc_id"),
+          lit(Array.empty[Byte]).as("payload"), lit("").as("modality"),
+          col("id").as("fp"))
+      else
+        spark.read.option("basePath", s"$corpusDir/docs").parquet(dirs: _*)
+          .select("doc_id", "payload", "modality", "fp")
+    Takedown.view(spark, corpusDir, base, "docs")
   }
 
   /** The committed (modality, chunk, key, fp, doc_id) band index —
@@ -224,12 +233,14 @@ object MediaStream {
   def readIndex(spark: SparkSession, corpusDir: String): DataFrame = {
     val dirs = DedupStream.committedDirs(corpusDir, "index")
       .filter(StreamFs.hasDataFiles)
-    if (dirs.isEmpty)
-      spark.range(0).select(lit("").as("modality"), lit(0).as("chunk"),
-        col("id").as("key"), col("id").as("fp"), col("id").as("doc_id"))
-    else
-      spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
-        .select("modality", "chunk", "key", "fp", "doc_id")
+    val base =
+      if (dirs.isEmpty)
+        spark.range(0).select(lit("").as("modality"), lit(0).as("chunk"),
+          col("id").as("key"), col("id").as("fp"), col("id").as("doc_id"))
+      else
+        spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
+          .select("modality", "chunk", "key", "fp", "doc_id")
+    Takedown.view(spark, corpusDir, base, "index")
   }
 
   // ---- bench-only steady-state face ---------------------------------

@@ -41,7 +41,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object NearDupStream {
 
-  private val sigAgreeMin = DedupQueries.minhashK * 2 / 3 // 8 of 12
+  private[streaming] val sigAgreeMin = DedupQueries.minhashK * 2 / 3 // 8 of 12
 
   /** Start the ingest stream: `docs` must carry (doc_id long, text string). */
   def start(spark: SparkSession, docs: DataFrame, corpusDir: String,
@@ -100,27 +100,38 @@ object NearDupStream {
         .filter(agree >= sigAgreeMin)
         .select(col("x.doc_id").as("doc_id"))
       val dropped = earlier.unionByName(indexed).distinct()
+        .localCheckpoint() // kept anti-join + the drops quarantine
       val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
       // index first (ALL docs' band rows — cross-batch witnesses),
-      // corpus last (kept docs only; its marker is the commit point)
+      // drops second (quarantined full rows — [[Takedown]] re-elects
+      // from here when a kept canonical is later removed), corpus last
+      // (kept docs only; its marker is the commit point)
       DedupStream.writeAtomically(
         bands.select("doc_id", "sig", "band", "key"),
         s"$corpusDir/index/batch=$batchId", mark = false)
+      DedupStream.writeAtomically(
+        batch.join(dropped, Seq("doc_id"), "left_semi")
+          .select("doc_id", "text"),
+        s"$corpusDir/drops/batch=$batchId", mark = false)
       DedupStream.writeAtomically(
         kept.select("doc_id", "text"),
         s"$corpusDir/docs/batch=$batchId", mark = true)
     } finally { bands.unpersist(); () }
   }
 
-  /** The kept (near-dup-free) corpus so far — committed batches only. */
+  /** The kept (near-dup-free) corpus so far — committed batches only,
+    * committed takedowns applied. */
   def readCorpus(spark: SparkSession, corpusDir: String): DataFrame = {
     val dirs = DedupStream.committedDirs(corpusDir, "docs")
-    if (dirs.isEmpty)
-      spark.range(0).select(col("id").as("doc_id"),
-        lit("").as("text")).limit(0)
-    else
-      spark.read.option("basePath", s"$corpusDir/docs").parquet(dirs: _*)
-        .select("doc_id", "text")
+      .filter(StreamFs.hasDataFiles)
+    val base =
+      if (dirs.isEmpty)
+        spark.range(0).select(col("id").as("doc_id"),
+          lit("").as("text")).limit(0)
+      else
+        spark.read.option("basePath", s"$corpusDir/docs").parquet(dirs: _*)
+          .select("doc_id", "text")
+    Takedown.view(spark, corpusDir, base, "docs")
   }
 
   /** The committed (band, key, sig, doc_id) index — every processed
@@ -128,12 +139,15 @@ object NearDupStream {
     * In-list, see DedupStream.readIndex). */
   def readIndex(spark: SparkSession, corpusDir: String): DataFrame = {
     val dirs = DedupStream.committedDirs(corpusDir, "index")
-    if (dirs.isEmpty)
-      spark.range(0).select(col("id").as("doc_id"),
-        array().cast("array<bigint>").as("sig"),
-        lit(0).as("band"), lit("").as("key"))
-    else
-      spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
-        .select("doc_id", "sig", "band", "key")
+      .filter(StreamFs.hasDataFiles)
+    val base =
+      if (dirs.isEmpty)
+        spark.range(0).select(col("id").as("doc_id"),
+          array().cast("array<bigint>").as("sig"),
+          lit(0).as("band"), lit("").as("key"))
+      else
+        spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
+          .select("doc_id", "sig", "band", "key")
+    Takedown.view(spark, corpusDir, base, "index")
   }
 }

@@ -1,0 +1,401 @@
+package graft.streaming
+
+import graft.ops.{DedupQueries, MediaQueries}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TAKEDOWN / RTBF propagation through the ingest gates' dedup claims —
+  * the maintenance operation a crawl pipeline runs when content must be
+  * removed AFTER it was kept (copyright takedown, right-to-be-forgotten):
+  * every gate keeps the FIRST arrival and drops near-dups against it, so
+  * deleting the kept canonical alone silently loses the whole duplicate
+  * class and leaves the training manifests pointing at a ghost.
+  *
+  * Given a removal set of doc_ids, one [[apply]] call:
+  *
+  *  1. PURGES the removed docs from the kept corpus view and from the
+  *     committed signature/claim index (they stop acting as dedup
+  *     witnesses — their fingerprints are derived data and go with the
+  *     content);
+  *  2. RE-ELECTS a representative where a removed doc was the kept
+  *     canonical: quarantined dropped docs whose ENTIRE verified witness
+  *     set lies inside the removal set flip to kept — exactly the
+  *     verdict a from-scratch ingest of the surviving arrivals would
+  *     reach (TakedownSpec pins the equivalence per gate; the
+  *     witness-not-kept-status rule makes it a single declarative
+  *     computation, no cascade);
+  *  3. leaves everything as an O(|removals| + touched claims) TOMBSTONE
+  *     (`takedown/td=K`): readers anti-join the removed ids and union
+  *     the pre-shaped promoted rows — the corpus is never rescanned at
+  *     takedown time; the next [[DedupStream.compact]] folds the
+  *     tombstones physically and the staged root carries none.
+  *
+  * The gates quarantine dropped rows to `drops/batch=N` (full rows —
+  * selection, not deletion) precisely so step 2 has the payloads to
+  * promote. Idempotent per `takedownId`: the td-dir marker is the single
+  * commit point and the replay check; an interrupted call leaves an
+  * unmarked td dir that [[DedupStream.recover]] sweeps.
+  *
+  * CONTRACT: the witness rule is "smaller doc_id", which coincides with
+  * the gates' first-arrival canonicality exactly under the house
+  * nondecreasing-id batching convention (the same precondition every
+  * stream ≡ batch spec pins); under arbitrary arrival orders the
+  * re-elected set is still near-dup-consistent but may differ from the
+  * literal replay of that arrival order.
+  *
+  * For EXACT-key gates ([[Gate.Exact]] on content hash, [[Gate.Url]] on
+  * the canonical URL) the promoted doc also re-enters the INDEX (those
+  * indexes hold only admitted keys; without the row a future arrival of
+  * the same key would be admitted twice). Note the exact gates'
+  * re-election promotes an IDENTICAL copy — the right call for "the
+  * uploader deleted their account", the wrong one for "this content is
+  * banned"; for the latter pass the whole content class, which
+  * [[expandExactClass]] computes from the quarantine in one
+  * removal-proportional probe. */
+object Takedown {
+
+  private[streaming] val Sub = "takedown"
+
+  /** Which gate's claim semantics govern re-election. */
+  sealed trait Gate
+  object Gate {
+    /** [[DedupStream]]: exact content-hash claims. */
+    case object Exact extends Gate
+    /** [[UrlStream]]: canonical-URL claims. */
+    case object Url extends Gate
+    /** [[NearDupStream]]: MinHash/LSH near-dup claims. */
+    case object NearDup extends Gate
+    /** [[MediaStream]]: perceptual image/audio near-dup claims. */
+    case object Media extends Gate
+  }
+
+  /** Committed takedown dirs (marker = committed). */
+  private[streaming] def committedDirs(corpusDir: String): Seq[String] =
+    StreamFs.listNames(s"$corpusDir/$Sub").filter(_.startsWith("td="))
+      .filter(t => StreamFs.exists(s"$corpusDir/$Sub/$t/${DedupStream.Marker}"))
+      .map(t => s"$corpusDir/$Sub/$t")
+
+  private def subDirs(corpusDir: String, name: String): Seq[String] =
+    committedDirs(corpusDir).map(d => s"$d/$name")
+      .filter(d => StreamFs.exists(d) && StreamFs.hasDataFiles(d))
+
+  private def readSub(spark: SparkSession, corpusDir: String,
+                      name: String): Option[DataFrame] = {
+    val dirs = subDirs(corpusDir, name)
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** All removed doc_ids across committed takedowns (None = no takedown
+    * has ever run — readers stay plan-identical to the pre-takedown
+    * engine). */
+  private def removedIds(spark: SparkSession,
+                         corpusDir: String): Option[DataFrame] =
+    readSub(spark, corpusDir, "removed").map(_.select("doc_id").distinct())
+
+  /** The takedown-aware reader view of a gate sub-table: removed rows
+    * anti-joined out (the removal log is takedown-proportional, hence
+    * the broadcast is the bounded class), promoted rows unioned in —
+    * docs get the promoted doc rows, the index gets the pre-shaped
+    * promoted index rows (exact/url gates), drops lose both removed and
+    * promoted rows. Shared verbatim by the live readers and
+    * [[DedupStream.compact]]'s physical fold, so the two can never
+    * diverge (TakedownSpec pins view ≡ post-compact corpus). */
+  private[streaming] def view(spark: SparkSession, corpusDir: String,
+                              base: DataFrame, sub: String): DataFrame = {
+    val removed = removedIds(spark, corpusDir)
+    if (removed.isEmpty) return base
+    val pruned = base.join(broadcast(removed.get), Seq("doc_id"), "left_anti")
+    // a doc promoted by an EARLIER takedown can be removed by a LATER
+    // one (chained takedowns) — promoted rows pass through the same
+    // removal anti-join as the base
+    def promotedSurviving(name: String): Option[DataFrame] =
+      readSub(spark, corpusDir, name)
+        .map(_.join(broadcast(removed.get), Seq("doc_id"), "left_anti"))
+    sub match {
+      case "docs" =>
+        promotedSurviving("promoted_docs")
+          .map(p => pruned.unionByName(p.select(base.columns.map(col): _*)))
+          .getOrElse(pruned)
+      case "index" =>
+        promotedSurviving("promoted_index")
+          .map(p => pruned.unionByName(p.select(base.columns.map(col): _*)))
+          .getOrElse(pruned)
+      case "drops" =>
+        readSub(spark, corpusDir, "promoted_docs")
+          .map(p => pruned.join(broadcast(p.select("doc_id")),
+            Seq("doc_id"), "left_anti"))
+          .getOrElse(pruned)
+      case other => throw new IllegalArgumentException(s"sub-table $other")
+    }
+  }
+
+  /** The quarantined dropped rows, takedown-applied (full gate-schema
+    * rows — what re-election promotes from). */
+  private[streaming] def readDrops(spark: SparkSession,
+                                   corpusDir: String): Option[DataFrame] = {
+    val dirs = DedupStream.committedDirs(corpusDir, "drops")
+      .filter(StreamFs.hasDataFiles)
+    if (dirs.isEmpty) None
+    else Some(view(spark,
+      corpusDir, spark.read.option("basePath", s"$corpusDir/drops")
+        .parquet(dirs: _*), "drops"))
+  }
+
+  /** Expand a removal set to its full EXACT content class (every
+    * processed doc — kept or quarantined — sharing a removed doc's
+    * claim key): the production entry point for "this content is
+    * banned" takedowns on the exact gates. One removal-proportional
+    * broadcast probe of index + drops; never a corpus rescan. */
+  def expandExactClass(spark: SparkSession, corpusDir: String,
+                       removed: DataFrame, gate: Gate): DataFrame = {
+    val key = gate match {
+      case Gate.Exact => "content_hash"
+      case Gate.Url => "canonical_url"
+      case g => throw new IllegalArgumentException(
+        s"$g is not an exact-key gate")
+    }
+    val r = removed.select("doc_id").distinct()
+    val processed = readDrops(spark, corpusDir) match {
+      case Some(d) => indexOf(spark, corpusDir, gate)
+        .select(col(key), col("doc_id"))
+        .unionByName(d.select(col(key), col("doc_id")))
+      case None => indexOf(spark, corpusDir, gate)
+        .select(col(key), col("doc_id"))
+    }
+    val keys = processed.join(broadcast(r), Seq("doc_id"), "left_semi")
+      .select(key).distinct()
+    processed.join(broadcast(keys), Seq(key), "left_semi")
+      .select("doc_id").distinct()
+  }
+
+  private def indexOf(spark: SparkSession, corpusDir: String,
+                      gate: Gate): DataFrame = gate match {
+    case Gate.Exact => DedupStream.readIndex(spark, corpusDir)
+    case Gate.Url => UrlStream.readIndex(spark, corpusDir)
+    case Gate.NearDup => NearDupStream.readIndex(spark, corpusDir)
+    case Gate.Media => MediaStream.readIndex(spark, corpusDir)
+  }
+
+  /** Apply a takedown: compute re-elections against the CURRENT
+    * committed view, then commit the tombstone + promotions as
+    * `takedown/td=<takedownId>` in one marker-committed write. Safe to
+    * replay (the marker no-ops it); runs under the compaction lock like
+    * any table-maintenance pass. */
+  def apply(spark: SparkSession, corpusDir: String, removed: DataFrame,
+            gate: Gate, takedownId: Long): Unit =
+    CompactionLock.withLock(corpusDir) {
+      DedupStream.recover(corpusDir)
+      val dst = s"$corpusDir/$Sub/td=$takedownId"
+      if (StreamFs.exists(s"$dst/${DedupStream.Marker}")) return // replay
+      val r = removed.select("doc_id").distinct().localCheckpoint()
+      val (promoDocs, promoIndex) = promotions(spark, corpusDir, r, gate)
+      val tmp = dst + ".tmp"
+      StreamFs.delete(tmp)
+      r.write.parquet(s"$tmp/removed")
+      promoDocs.foreach(_.write.parquet(s"$tmp/promoted_docs"))
+      promoIndex.foreach(_.write.parquet(s"$tmp/promoted_index"))
+      StreamFs.delete(dst)
+      StreamFs.renameOrThrow(tmp, dst)
+      StreamFs.createMarker(s"$dst/${DedupStream.Marker}")
+    }
+
+  /** (promoted docs rows, promoted index rows) for this removal set —
+    * None when nothing flips (no takedown subdir written). */
+  private def promotions(spark: SparkSession, corpusDir: String,
+      r: DataFrame, gate: Gate): (Option[DataFrame], Option[DataFrame]) = {
+    val drops = readDrops(spark, corpusDir)
+    if (drops.isEmpty) return (None, None)
+    gate match {
+      case Gate.Exact =>
+        val p = exactPromotions(r, drops.get,
+          "content_hash", DedupStream.readIndex(spark, corpusDir))
+        (p, p.map(_.select("content_hash", "doc_id")))
+      case Gate.Url =>
+        val p = exactPromotions(r, drops.get,
+          "canonical_url", UrlStream.readIndex(spark, corpusDir))
+        (p, p.map(_.select("curl_hash", "canonical_url", "doc_id")))
+      case Gate.NearDup =>
+        val agree = aggregate(
+          zip_with(col("x.sig"), col("y.sig"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m)
+        (nearDupPromotions(spark, r, drops.get,
+          NearDupStream.readIndex(spark, corpusDir),
+          Seq("band", "key"), agree >= NearDupStream.sigAgreeMin,
+          capped = false), None)
+      case Gate.Media =>
+        val near = bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <=
+          MediaQueries.phashMaxHamming
+        (nearDupPromotions(spark, r, drops.get,
+          MediaStream.readIndex(spark, corpusDir),
+          Seq("modality", "chunk", "key"), near, capped = true), None)
+    }
+  }
+
+  /** Exact-key re-election: claim keys whose kept owner is removed pass
+    * to the min-id surviving quarantined holder. Removal-proportional:
+    * the affected-key set comes from one broadcast semi-probe of the
+    * index, candidates from one broadcast semi-probe of the quarantine. */
+  private def exactPromotions(r: DataFrame, drops: DataFrame, key: String,
+      index: DataFrame): Option[DataFrame] = {
+    val affected = index.join(broadcast(r), Seq("doc_id"), "left_semi")
+      .select(key).distinct()
+    val promoted = drops
+      .join(broadcast(affected), Seq(key), "left_semi")
+      .join(broadcast(r), Seq("doc_id"), "left_anti")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col("doc_id"))))
+      .filter(col("__rk") === 1).drop("__rk")
+      .localCheckpoint()
+    if (promoted.isEmpty) None else Some(promoted)
+  }
+
+  /** Near-dup re-election — the single declarative rule: a quarantined
+    * doc flips to kept iff its ENTIRE verified witness set (earlier-id
+    * processed docs colliding on a band with the verify predicate) lies
+    * inside the removal set. Witness-ness never depended on kept status
+    * (the index holds every processed doc), so there is no cascade: the
+    * from-scratch verdict of every surviving doc is decided by one pass.
+    *
+    * Cost shape: candidates come from probing the REMOVED docs' band
+    * rows (removal-proportional); the witness-existence check probes
+    * only the candidates' bands against the surviving index, map-side
+    * prefiltered by the candidates' own keys (the WinnowStream review
+    * pattern) — never a corpus rescan. `capped` applies the media gate's
+    * [[MediaQueries.maxBandDf]] history-side cap to the witness leg,
+    * mirroring the ingest plan's degenerate-class guard. */
+  private def nearDupPromotions(spark: SparkSession, r: DataFrame,
+      drops: DataFrame, index: DataFrame, bandKeys: Seq[String],
+      verified: Column, capped: Boolean): Option[DataFrame] = {
+    val idx = index.localCheckpoint() // feeds 3 probes
+    val rIdx = idx.join(broadcast(r), Seq("doc_id"), "left_semi")
+    val dropIds = drops.select("doc_id")
+      .join(broadcast(r), Seq("doc_id"), "left_anti")
+    // candidates: quarantined docs with a verified EARLIER witness in R
+    val candIds = idx.join(broadcast(dropIds), Seq("doc_id"), "left_semi")
+      .as("x").join(broadcast(rIdx).as("y"), bandKeys)
+      .filter(col("x.doc_id") > col("y.doc_id")).filter(verified)
+      .select(col("x.doc_id").as("doc_id")).distinct()
+      .localCheckpoint()
+    if (candIds.isEmpty) return None
+    val candBands = idx.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val survHits = {
+      val h = idx.join(broadcast(r), Seq("doc_id"), "left_anti")
+        .join(broadcast(candBands.select(bandKeys.map(col): _*).distinct()),
+          bandKeys, "left_semi")
+      if (!capped) h
+      else { // history-side df-cap, the MediaStream.droppedIds guard
+        val hl = h.localCheckpoint()
+        val hot = hl.groupBy(bandKeys.map(col): _*)
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > MediaQueries.maxBandDf)
+          .select(bandKeys.map(col): _*)
+        hl.join(broadcast(hot), bandKeys, "left_anti")
+      }
+    }
+    // any verified earlier witness OUTSIDE R keeps the candidate dropped
+    val witnessed = candBands.as("x").join(survHits.as("y"), bandKeys)
+      .filter(col("x.doc_id") > col("y.doc_id")).filter(verified)
+      .select(col("x.doc_id").as("doc_id")).distinct()
+    val flip = candIds.join(witnessed, Seq("doc_id"), "left_anti")
+    val promoted = drops
+      .join(broadcast(flip), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    if (promoted.isEmpty) None else Some(promoted)
+  }
+
+  // ---- registered deterministic faces ---------------------------------
+
+  /** Deterministic removal strides for the replay faces — arbitrary doc
+    * sets (kept, quarantined and never-seen ids alike), so every
+    * takedown path is exercised; interpolated verbatim into the DuckDB
+    * oracles. */
+  private[graft] val replayRemovalStride = 13L
+  private[graft] val replayUrlRemovalStride = 11L
+
+  /** Process-lifetime state cache keyed by (gate, sf dir) — the
+    * [[UrlStream]] staleness assumption and orphan story (verify/bench
+    * only; immutable testdata). Each face gets its OWN corpus dir:
+    * takedown mutates state, so sharing another face's cached ingest
+    * would poison it. */
+  private val replayDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** 4 contiguous doc_id-quartile batches (id-ordered, so stream ≡
+    * one-shot verdicts — the CurationStream convention). */
+  private def quartiles(docs: DataFrame): Seq[DataFrame] = {
+    val (lo, hi) = docs.agg(min("doc_id"), max("doc_id")).collect()
+      .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+    val span = hi - lo + 1
+    (0 until 4).map(i => docs.filter(col("doc_id") >= lo + i * span / 4 &&
+      col("doc_id") < lo + (i + 1) * span / 4 + (if (i == 3) 1 else 0)))
+  }
+
+  private def replayState(s: SparkSession, dir: String, kind: String,
+      docs: DataFrame, stride: Long, gate: Gate)(
+      ingest: (DataFrame, Long) => Unit): String =
+    replayDirs.getOrElseUpdate((kind, dir), {
+      val docsCp = docs.localCheckpoint()
+      quartiles(docsCp).zipWithIndex.foreach { case (b, i) =>
+        ingest(b, i.toLong)
+      }
+      val d = replayDirsBase(kind)
+      apply(s, d, docsCp.filter(col("doc_id") % stride === 0)
+        .select("doc_id"), gate, takedownId = 0L)
+      d
+    })
+
+  // the ingest closure needs the dir before getOrElseUpdate returns it
+  private val pendingDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def replayDirsBase(kind: String): String =
+    pendingDirs.getOrElseUpdate(kind,
+      StreamFs.benchTempDir(s"graft-takedown-$kind") + "/corpus")
+
+  /** REGISTERED + DuckDB-oracled — the EXACT gate under takedown:
+    * ingest `documents` through [[DedupStream]] in 4 id-ordered
+    * batches, remove every [[replayRemovalStride]]-th doc_id, return
+    * the post-takedown kept corpus. The oracle is a from-scratch exact
+    * dedup over the SURVIVING docs — re-election must hand a removed
+    * canonical's claim to the min-id surviving twin, or the rows
+    * diverge. */
+  def takedownReplayExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
+    val st = replayState(s, dir, "exact", docs, replayRemovalStride,
+      Gate.Exact)((b, i) =>
+      DedupStream.applyMicroBatch(s, b, replayDirsBase("exact"), i))
+    DedupStream.readCorpus(s, st).select("doc_id", "content_hash")
+      .orderBy("doc_id")
+  }
+
+  /** REGISTERED + DuckDB-oracled — the NEAR-DUP gate under takedown
+    * ([[NearDupStream]], MinHash/LSH): same deterministic ingest +
+    * removal, output the kept doc ids. The oracle replays the LSH
+    * verdict machinery (the dedup_minhash oracle's own CTEs) over the
+    * surviving docs: a quarantined doc whose only verified witnesses
+    * were removed MUST reappear. */
+  def takedownReplay(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
+    val st = replayState(s, dir, "neardup", docs, replayRemovalStride,
+      Gate.NearDup)((b, i) =>
+      NearDupStream.applyMicroBatch(s, b, replayDirsBase("neardup"), i))
+    NearDupStream.readCorpus(s, st).select("doc_id").orderBy("doc_id")
+  }
+
+  /** REGISTERED + DuckDB-oracled — the URL gate under takedown: the
+    * admitted corpus after removing every
+    * [[replayUrlRemovalStride]]-th doc_id; the canonical claim passes
+    * to the min-id surviving holder (who re-enters the index — a
+    * re-arrival of the same canonical stays rejected, pinned in
+    * TakedownSpec). */
+  def takedownReplayUrl(s: SparkSession, dir: String): DataFrame = {
+    val urls = graft.ops.TextQueries.urlNormalize(s, dir)
+      .select("doc_id", "url")
+    val st = replayState(s, dir, "url", urls, replayUrlRemovalStride,
+      Gate.Url)((b, i) =>
+      UrlStream.applyMicroBatch(s, b, replayDirsBase("url"), i))
+    UrlStream.readCorpus(s, st).orderBy("doc_id")
+  }
+}

@@ -62,17 +62,19 @@ object UrlStream {
     if (StreamFs.exists(
         s"$corpusDir/docs/batch=$batchId/${DedupStream.Marker}"))
       return // replay
-    val canon = batch
+    val all = batch
       .withColumn("canonical_url",
         call_function("url_canonicalize", col("url")))
-      .withColumn("__rank", row_number().over(
-        Window.partitionBy(col("canonical_url")).orderBy(col("doc_id"))))
-      .filter(col("__rank") === 1).drop("__rank")
       // the index shuffle key: canonicals are long strings, so the
       // probe joins ride a 60-bit prefilter hash and verify on the
       // string in-row (collisions cannot over-merge — the string
       // equality is the admission test)
       .withColumn("curl_hash", md5Long(col("canonical_url")))
+      .persist()
+    val canon = all
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col("canonical_url")).orderBy(col("doc_id"))))
+      .filter(col("__rank") === 1).drop("__rank")
       .persist()
     try {
       val novel =
@@ -85,41 +87,53 @@ object UrlStream {
             "left_anti")
         } else canon).persist()
       try {
-        // index first, corpus last — the corpus marker is the commit
-        // point; a crash between leaves an orphan index dir that
+        // index first, drops second (quarantined full rows — [[Takedown]]
+        // re-elects from here), corpus last — the corpus marker is the
+        // commit point; a crash between leaves orphan dirs that
         // recover() sweeps
         DedupStream.writeAtomically(
           novel.select("curl_hash", "canonical_url", "doc_id"),
           s"$corpusDir/index/batch=$batchId", mark = false)
         DedupStream.writeAtomically(
+          all.join(novel.select("doc_id"), Seq("doc_id"), "left_anti")
+            .select("doc_id", "url", "canonical_url", "curl_hash"),
+          s"$corpusDir/drops/batch=$batchId", mark = false)
+        DedupStream.writeAtomically(
           novel.select("doc_id", "url", "canonical_url"),
           s"$corpusDir/docs/batch=$batchId", mark = true)
       } finally { novel.unpersist(); () }
-    } finally { canon.unpersist(); () }
+    } finally { canon.unpersist(); all.unpersist(); () }
   }
 
-  /** The admitted (canonical-unique) corpus so far. */
+  /** The admitted (canonical-unique) corpus so far — committed
+    * takedowns applied. */
   def readCorpus(spark: SparkSession, corpusDir: String): DataFrame = {
     val dirs = DedupStream.committedDirs(corpusDir, "docs")
       .filter(StreamFs.hasDataFiles)
-    if (dirs.isEmpty)
-      spark.range(0).select(col("id").as("doc_id"), lit("").as("url"),
-        lit("").as("canonical_url"))
-    else
-      spark.read.option("basePath", s"$corpusDir/docs").parquet(dirs: _*)
-        .select("doc_id", "url", "canonical_url")
+    val base =
+      if (dirs.isEmpty)
+        spark.range(0).select(col("id").as("doc_id"), lit("").as("url"),
+          lit("").as("canonical_url"))
+      else
+        spark.read.option("basePath", s"$corpusDir/docs").parquet(dirs: _*)
+          .select("doc_id", "url", "canonical_url")
+    Takedown.view(spark, corpusDir, base, "docs")
   }
 
-  /** The committed (curl_hash, canonical_url, doc_id) index. */
+  /** The committed (curl_hash, canonical_url, doc_id) index — committed
+    * takedowns applied (a removed canonical's claim passes to the
+    * promoted representative's row). */
   def readIndex(spark: SparkSession, corpusDir: String): DataFrame = {
     val dirs = DedupStream.committedDirs(corpusDir, "index")
       .filter(StreamFs.hasDataFiles)
-    if (dirs.isEmpty)
-      spark.range(0).select(col("id").as("curl_hash"),
-        lit("").as("canonical_url"), col("id").as("doc_id"))
-    else
-      spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
-        .select("curl_hash", "canonical_url", "doc_id")
+    val base =
+      if (dirs.isEmpty)
+        spark.range(0).select(col("id").as("curl_hash"),
+          lit("").as("canonical_url"), col("id").as("doc_id"))
+      else
+        spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
+          .select("curl_hash", "canonical_url", "doc_id")
+    Takedown.view(spark, corpusDir, base, "index")
   }
 
   // ---- registered face ------------------------------------------------

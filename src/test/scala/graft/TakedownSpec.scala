@@ -1,0 +1,181 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.MediaQueries
+import graft.streaming.{DedupStream, MediaStream, NearDupStream, Takedown,
+  UrlStream}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Takedown/RTBF propagation through the dedup claims: the contract is
+  * REPLAY EQUIVALENCE — after `Takedown.apply(removals)`, every gate's
+  * kept corpus equals a from-scratch ingest of the surviving arrivals
+  * (re-election hands a removed canonical's claim to the doc a fresh
+  * run would have kept), removed docs stop witnessing, promoted docs
+  * re-enter the exact-key indexes, the operation is idempotent per
+  * takedown id, and compaction folds the tombstones physically without
+  * changing the view. */
+class TakedownSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/corpus"
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("doc_id").as[Long].collect().toSet
+
+  private def docsOf(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  // ---- near-dup gate: replay equivalence on the real corpus ----------
+
+  test("near-dup gate: post-takedown corpus == from-scratch ingest of survivors") {
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+      .localCheckpoint()
+    val cut = all.agg(max("doc_id")).first().getLong(0)
+    val dir = tmp("graft-td-neardup")
+    Seq((-1L, cut / 3), (cut / 3, 2 * cut / 3), (2 * cut / 3, cut))
+      .zipWithIndex.foreach { case ((lo, hi), i) =>
+        NearDupStream.applyMicroBatch(spark,
+          all.filter(col("doc_id") > lo && col("doc_id") <= hi), dir,
+          i.toLong)
+      }
+    val removals = all.filter(col("doc_id") % 13 === 0).select("doc_id")
+    Takedown(spark, dir, removals, Takedown.Gate.NearDup, takedownId = 0L)
+    val after = ids(NearDupStream.readCorpus(spark, dir))
+    // from-scratch: one-shot ingest of the survivors into a fresh dir
+    val fresh = tmp("graft-td-neardup-fresh")
+    NearDupStream.applyMicroBatch(spark,
+      all.join(removals, Seq("doc_id"), "left_anti"), fresh, 0L)
+    val replay = ids(NearDupStream.readCorpus(spark, fresh))
+    assert(after === replay,
+      s"diverged: only-takedown=${(after -- replay).toSeq.sorted.take(5)} " +
+        s"only-replay=${(replay -- after).toSeq.sorted.take(5)}")
+    // the takedown genuinely promoted something (the corpus has near-dup
+    // classes crossing the removal stride) and removed docs are gone
+    assert(after.intersect(ids(removals)).isEmpty, "removed ids must purge")
+  }
+
+  // ---- exact gate: promotion, suppression, chained takedowns ----------
+
+  test("exact gate: claim re-election, index re-entry, chained takedowns") {
+    val dir = tmp("graft-td-exact")
+    DedupStream.applyMicroBatch(spark,
+      docsOf(1L -> "xx", 2L -> "yy", 3L -> "zz"), dir, 0L)
+    DedupStream.applyMicroBatch(spark,
+      docsOf(5L -> "xx", 6L -> "yy", 9L -> "xx"), dir, 1L)
+    assert(ids(DedupStream.readCorpus(spark, dir)) === Set(1L, 2L, 3L))
+    // remove the "xx" canonical: the min-id quarantined twin (5) flips
+    Takedown(spark, dir, Seq(1L).toDF("doc_id"), Takedown.Gate.Exact, 0L)
+    assert(ids(DedupStream.readCorpus(spark, dir)) === Set(2L, 3L, 5L))
+    // the promoted doc re-entered the index: a fresh identical arrival
+    // is rejected against it
+    DedupStream.applyMicroBatch(spark, docsOf(20L -> "xx"), dir, 2L)
+    assert(ids(DedupStream.readCorpus(spark, dir)) === Set(2L, 3L, 5L),
+      "re-arrival of a re-elected claim key must stay rejected")
+    // chained takedown: removing the promoted rep re-elects the next
+    // surviving quarantined holder (9, then 20 — min id wins)
+    Takedown(spark, dir, Seq(5L).toDF("doc_id"), Takedown.Gate.Exact, 1L)
+    assert(ids(DedupStream.readCorpus(spark, dir)) === Set(2L, 3L, 9L))
+    // removing the WHOLE class (expandExactClass) empties it; a new
+    // arrival of that content is admitted again
+    val cls = Takedown.expandExactClass(spark, dir,
+      Seq(9L).toDF("doc_id"), Takedown.Gate.Exact)
+    assert(ids(cls) === Set(9L, 20L), "class expansion finds quarantined twins")
+    Takedown(spark, dir, cls, Takedown.Gate.Exact, 2L)
+    assert(ids(DedupStream.readCorpus(spark, dir)) === Set(2L, 3L))
+    DedupStream.applyMicroBatch(spark, docsOf(30L -> "xx"), dir, 3L)
+    assert(ids(DedupStream.readCorpus(spark, dir)) === Set(2L, 3L, 30L),
+      "an emptied class admits fresh content")
+  }
+
+  test("takedown is idempotent per id; replay of the same td is a no-op") {
+    val dir = tmp("graft-td-idem")
+    DedupStream.applyMicroBatch(spark,
+      docsOf(1L -> "xx", 5L -> "xx", 7L -> "yy"), dir, 0L)
+    Takedown(spark, dir, Seq(1L).toDF("doc_id"), Takedown.Gate.Exact, 0L)
+    val once = ids(DedupStream.readCorpus(spark, dir))
+    Takedown(spark, dir, Seq(1L).toDF("doc_id"), Takedown.Gate.Exact, 0L)
+    assert(ids(DedupStream.readCorpus(spark, dir)) === once)
+    assert(once === Set(5L, 7L))
+  }
+
+  // ---- URL gate -------------------------------------------------------
+
+  test("url gate: canonical claim passes to the min-id surviving holder") {
+    val dir = tmp("graft-td-url")
+    val urls = Seq(
+      1L -> "https://example.com/a?utm_source=x",
+      4L -> "https://example.com/a",
+      6L -> "https://EXAMPLE.com/a/",
+      2L -> "https://example.com/b").toDF("doc_id", "url")
+    UrlStream.applyMicroBatch(spark, urls, dir, 0L)
+    val kept0 = ids(UrlStream.readCorpus(spark, dir))
+    assert(kept0.contains(1L) && kept0.contains(2L),
+      s"min-id per canonical must win at ingest, got $kept0")
+    assert(!kept0.contains(4L), "4 shares 1's canonical and must drop")
+    Takedown(spark, dir, Seq(1L).toDF("doc_id"), Takedown.Gate.Url, 0L)
+    val kept1 = ids(UrlStream.readCorpus(spark, dir))
+    assert(kept1.contains(4L) && !kept1.contains(1L),
+      s"the canonical claim must pass to doc 4, got $kept1")
+    // promoted doc's index row guards re-admission
+    UrlStream.applyMicroBatch(spark,
+      Seq(9L -> "https://example.com/a").toDF("doc_id", "url"), dir, 1L)
+    assert(!ids(UrlStream.readCorpus(spark, dir)).contains(9L),
+      "a re-arrival of the re-elected canonical must stay rejected")
+  }
+
+  // ---- media gate -----------------------------------------------------
+
+  test("media gate: post-takedown corpus == from-scratch ingest of survivors") {
+    val media = MediaQueries.texturedMediaTable(spark, sf).localCheckpoint()
+    val dir = tmp("graft-td-media")
+    // id-ordered halves: the gates' canonicality is FIRST-ARRIVAL, which
+    // coincides with the takedown witness rule (smaller doc_id wins)
+    // exactly under nondecreasing id batching — the house ingest
+    // convention every stream spec pins
+    val cut = media.agg(max("doc_id")).first().getLong(0) / 2
+    MediaStream.applyMicroBatch(spark,
+      media.filter(col("doc_id") <= cut), dir, 0L)
+    MediaStream.applyMicroBatch(spark,
+      media.filter(col("doc_id") > cut), dir, 1L)
+    val removals = media.filter(col("doc_id") % 7 === 0).select("doc_id")
+    Takedown(spark, dir, removals, Takedown.Gate.Media, 0L)
+    val after = ids(MediaStream.readCorpus(spark, dir))
+    val fresh = tmp("graft-td-media-fresh")
+    MediaStream.applyMicroBatch(spark,
+      media.join(removals, Seq("doc_id"), "left_anti"), fresh, 0L)
+    assert(after === ids(MediaStream.readCorpus(spark, fresh)))
+  }
+
+  // ---- compaction folds tombstones physically --------------------------
+
+  test("compact folds takedowns: same view, no td dirs, quarantine rewritten") {
+    val dir = tmp("graft-td-compact")
+    DedupStream.applyMicroBatch(spark,
+      docsOf(1L -> "xx", 5L -> "xx", 7L -> "yy"), dir, 0L)
+    DedupStream.applyMicroBatch(spark,
+      docsOf(8L -> "yy", 9L -> "zz", 11L -> "xx"), dir, 1L)
+    Takedown(spark, dir, Seq(1L, 7L).toDF("doc_id"),
+      Takedown.Gate.Exact, 0L)
+    val before = DedupStream.readCorpus(spark, dir)
+      .select("doc_id", "content_hash", "text").as[(Long, Long, String)]
+      .collect().toSet
+    DedupStream.compact(spark, dir)
+    val after = DedupStream.readCorpus(spark, dir)
+      .select("doc_id", "content_hash", "text").as[(Long, Long, String)]
+      .collect().toSet
+    assert(after === before, "compaction must not change the corpus view")
+    assert(new java.io.File(s"$dir/takedown").listFiles() == null ||
+      !new java.io.File(s"$dir/takedown").listFiles().exists(
+        _.getName.startsWith("td=")),
+      "compaction must fold takedown dirs away")
+    // the fold kept the quarantine consistent: a takedown AFTER
+    // compaction still re-elects correctly
+    Takedown(spark, dir, Seq(5L).toDF("doc_id"), Takedown.Gate.Exact, 1L)
+    assert(ids(DedupStream.readCorpus(spark, dir)) === Set(8L, 9L, 11L),
+      "post-compact re-election must promote the surviving xx twin (11)")
+  }
+}
