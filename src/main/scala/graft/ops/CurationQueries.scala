@@ -567,12 +567,14 @@ object CurationQueries {
     * projection except canonicality's content-hash window — exactly one
     * shuffle total at any corpus size ([[pipelineE2e]]'s cheaper,
     * manifest-shaped sibling). */
-  def trainingManifest(s: SparkSession, dir: String): DataFrame = {
+  def trainingManifest(s: SparkSession, dir: String): DataFrame =
+    trainingManifestOf(Tables.documents(s, dir))
+
+  private def trainingManifestOf(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val canonical = col("doc_id") ===
       min(col("doc_id")).over(Window.partitionBy(col("content_hash")))
-    Tables.documents(s, dir)
-      .withColumn("content_hash", md5Long(col("text")))
+    d.withColumn("content_hash", md5Long(col("text")))
       .select(col("doc_id"), splitCol.as("split"),
         whitespaceTokenCount(col("text")).cast("long").as("n_tokens"),
         canonical.as("is_canonical"),
@@ -580,6 +582,20 @@ object CurationQueries {
       .withColumn("keep", col("is_canonical") && col("keep_quality"))
       .orderBy("doc_id")
   }
+
+  /** TAKEDOWN MANIFEST REWRITE — the training manifest re-emitted
+    * WITHOUT a removal set (the [[graft.streaming.Takedown]] replay
+    * faces' deterministic stride): removed rows vanish AND canonicality
+    * is recomputed over the survivors, so a removed canonical's keep
+    * flag passes to its min-id surviving twin — a trainer reading the
+    * rewritten manifest never references removed content and never
+    * loses a duplicate class that still has a legal representative.
+    * Cost is one manifest-sized metadata pass (no text beyond the
+    * hash/quality projections the manifest always paid), never
+    * takedown-count-dependent re-aggregation. */
+  def takedownManifest(s: SparkSession, dir: String): DataFrame =
+    trainingManifestOf(Tables.documents(s, dir).filter(
+      col("doc_id") % graft.streaming.Takedown.replayRemovalStride =!= 0))
 
   /** PMI collocations — which token pairs CO-OCCUR in documents more
     * than independence predicts: pmi = ln(n_ab·N / (df_a·df_b)) over
@@ -1075,6 +1091,7 @@ object CurationQueries {
     "negative_sample" -> (negativeSample _),
     "token_pmi" -> (tokenPmi _),
     "training_manifest" -> (trainingManifest _),
+    "takedown_manifest" -> (takedownManifest _),
     "dataset_split" -> (datasetSplit _),
     "sample_weighted" -> (sampleWeighted _),
     "bm25_topk" -> (bm25Topk _),
@@ -1206,6 +1223,37 @@ object CurationQueries {
        |  SELECT doc_id, lang, score, row_number() OVER
        |    (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
        |  FROM sc)""".stripMargin
+
+  /** The training-manifest SQL over an arbitrary doc source — shared by
+    * training_manifest (`documents`) and takedown_manifest (the
+    * survivors CTE), so the rewrite face replays the identical manifest
+    * semantics. `prefix` carries the extra leading CTE(s). */
+  private def manifestOracleSql(prefix: String, src: String): String = {
+    val cases = splitBuckets.init
+      .map { case (n, hi) => s"WHEN bucket < $hi THEN '$n'" }
+      .mkString(" ")
+    s"""WITH $prefix${TextQueries.qualityCtes
+            .replace("FROM documents", s"FROM $src")},
+       |sp AS (
+       |  SELECT doc_id, CASE $cases ELSE '${splitBuckets.last._1}' END
+       |    AS split
+       |  FROM (SELECT doc_id,
+       |          ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+       |           1, 15))::BIGINT % 100 AS bucket
+       |        FROM $src)),
+       |c AS (
+       |  SELECT doc_id,
+       |    doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+       |      AS is_canonical
+       |  FROM $src)
+       |SELECT f.doc_id, sp.split,
+       |  CAST(f.n_tokens AS BIGINT) AS n_tokens,
+       |  c.is_canonical,
+       |  ${TextQueries.qualityKeepSql} AS keep_quality,
+       |  c.is_canonical AND (${TextQueries.qualityKeepSql}) AS keep
+       |FROM f JOIN sp USING (doc_id) JOIN c USING (doc_id)
+       |ORDER BY f.doc_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "blocklist_filter" -> {
@@ -1575,31 +1623,15 @@ object CurationQueries {
          |  CAST(length(list_filter(string_split_regex(lower(clean_text), '\\s+'),
          |       t -> t != '')) AS BIGINT) AS clean_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
-    "training_manifest" -> {
-      val cases = splitBuckets.init
-        .map { case (n, hi) => s"WHEN bucket < $hi THEN '$n'" }
-        .mkString(" ")
-      s"""WITH ${TextQueries.qualityCtes},
-         |sp AS (
-         |  SELECT doc_id, CASE $cases ELSE '${splitBuckets.last._1}' END
-         |    AS split
-         |  FROM (SELECT doc_id,
-         |          ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
-         |           1, 15))::BIGINT % 100 AS bucket
-         |        FROM documents)),
-         |c AS (
-         |  SELECT doc_id,
-         |    doc_id = min(doc_id) OVER (PARTITION BY md5(text))
-         |      AS is_canonical
-         |  FROM documents)
-         |SELECT f.doc_id, sp.split,
-         |  CAST(f.n_tokens AS BIGINT) AS n_tokens,
-         |  c.is_canonical,
-         |  ${TextQueries.qualityKeepSql} AS keep_quality,
-         |  c.is_canonical AND (${TextQueries.qualityKeepSql}) AS keep
-         |FROM f JOIN sp USING (doc_id) JOIN c USING (doc_id)
-         |ORDER BY f.doc_id""".stripMargin
-    },
+    "training_manifest" -> manifestOracleSql("", "documents"),
+    // the takedown rewrite: the SAME manifest SQL over the survivors —
+    // canonicality recomputed, so a removed canonical's keep passes to
+    // its min-id surviving twin
+    "takedown_manifest" -> manifestOracleSql(
+      s"""surv AS (SELECT doc_id, text FROM documents
+         |         WHERE doc_id % ${graft.streaming.Takedown
+                        .replayRemovalStride} != 0),
+         |""".stripMargin, "surv"),
     "dataset_split" -> {
       val cases = splitBuckets.init
         .map { case (n, hi) => s"WHEN bucket < $hi THEN '$n'" }

@@ -1226,6 +1226,7 @@ object DedupQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_url" -> (dedupUrl _),
     "dedup_url_stream" -> (graft.streaming.UrlStream.dedupUrlStream _),
+    "url_gate_drift" -> (graft.streaming.UrlStream.urlGateDriftQuery _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -1608,6 +1609,37 @@ object DedupQueries {
          |    min(doc_id) OVER (PARTITION BY canonical_url) AS cid
          |  FROM u)
          |WHERE doc_id = cid ORDER BY doc_id""".stripMargin,
+    // the URL gate's per-batch tallies under the 4-quartile id-ordered
+    // ingest: admitted ⇔ min doc_id per canonical; the trailing-2
+    // window ⇔ the top half of the doc_id range
+    "url_gate_drift" ->
+      s"""WITH ${TextQueries.urlSynthSql},
+         |adm AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY
+         |      canonical_url) THEN 1 ELSE 0 END AS admitted
+         |  FROM u),
+         |bnds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM u),
+         |life AS (
+         |  SELECT count(*) AS n_life,
+         |    CAST(sum(admitted) AS BIGINT) AS n_admitted_life
+         |  FROM adm),
+         |win AS (
+         |  SELECT count(*) AS n_window,
+         |    CAST(sum(admitted) AS BIGINT) AS n_admitted_window
+         |  FROM adm, bnds
+         |  WHERE doc_id >= lo + (2 * (hi - lo + 1)) // 4)
+         |SELECT n_life, n_admitted_life,
+         |  round(n_admitted_life / CAST(greatest(n_life, 1) AS DOUBLE), 6)
+         |    AS admit_rate_life,
+         |  n_window, n_admitted_window,
+         |  round(n_admitted_window /
+         |    CAST(greatest(n_window, 1) AS DOUBLE), 6) AS admit_rate_window,
+         |  round(round(n_admitted_window /
+         |      CAST(greatest(n_window, 1) AS DOUBLE), 6)
+         |    - round(n_admitted_life /
+         |      CAST(greatest(n_life, 1) AS DOUBLE), 6), 6) AS admit_delta
+         |FROM life CROSS JOIN win""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH $jaccardPairsCte
          |SELECT a, b, common, jaccard FROM jpairs ORDER BY a, b""".stripMargin,

@@ -1217,7 +1217,9 @@ object MediaQueries {
     "dedup_media_clusters" -> (dedupMediaClusters _),
     "multimodal_pairs" -> (multimodalPairs _),
     "multimodal_pair_funnel" -> (multimodalPairFunnel _),
-    "multimodal_manifest" -> (multimodalManifest _))
+    "multimodal_manifest" -> (multimodalManifest _),
+    "media_gate_drift" ->
+      (graft.streaming.MediaStream.mediaGateDriftQuery _))
 
   /** Shared oracle CTE chain ending in `afps(doc_id, n, afp)` — the
     * DuckDB replica of [[audioSigs]] (AS MATERIALIZED: dedup_audio's
@@ -1508,6 +1510,64 @@ object MediaQueries {
     "dedup_media" ->
       s"""WITH $imagePairCtes
          |SELECT a, b, hamming FROM ipairs ORDER BY a, b""".stripMargin,
+    // the STREAM gate's per-batch tallies under the deterministic
+    // 4-quartile id-ordered ingest: dropped(d) ⇔ d is the higher id of
+    // a verified image/audio pair (the MediaStreamSpec-pinned stream ≡
+    // batch contract); the trailing-2 window is exactly the top half of
+    // the doc_id range
+    "media_gate_drift" -> {
+      val achunkRows = (0 until 4).map { c =>
+        s"SELECT doc_id, afp, $c AS chunk, (afp >> ${c * 15}) % 32768 AS key FROM afps"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $imagePairCtes,
+         |$audioFpCte,
+         |achunks AS MATERIALIZED (
+         |  $achunkRows),
+         |akept AS MATERIALIZED (
+         |  SELECT c.* FROM achunks c
+         |  JOIN (SELECT chunk, key FROM achunks GROUP BY chunk, key
+         |        HAVING count(*) <= $maxBandDf) d USING (chunk, key)),
+         |apairs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM akept x JOIN akept y
+         |    ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.afp, y.afp)) <= $phashMaxHamming),
+         |droppedd AS (
+         |  SELECT DISTINCT b AS doc_id FROM
+         |    (SELECT b FROM ipairs UNION ALL SELECT b FROM apairs)),
+         |verd AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 3 = 1 THEN 'aud' ELSE 'img' END
+         |      AS modality,
+         |    CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dropped
+         |  FROM documents d LEFT JOIN droppedd dr USING (doc_id)),
+         |bnds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+         |         FROM documents),
+         |life AS (
+         |  SELECT modality, count(*) AS n_life,
+         |    CAST(sum(dropped) AS BIGINT) AS n_dropped_life
+         |  FROM verd GROUP BY modality),
+         |win AS (
+         |  SELECT modality, count(*) AS n_window,
+         |    CAST(sum(dropped) AS BIGINT) AS n_dropped_window
+         |  FROM verd, bnds
+         |  WHERE doc_id >= lo + (2 * (hi - lo + 1)) // 4
+         |  GROUP BY modality)
+         |SELECT l.modality, l.n_life, l.n_dropped_life,
+         |  round(l.n_dropped_life / CAST(l.n_life AS DOUBLE), 6)
+         |    AS drop_rate_life,
+         |  coalesce(w.n_window, 0) AS n_window,
+         |  coalesce(w.n_dropped_window, 0) AS n_dropped_window,
+         |  round(coalesce(w.n_dropped_window, 0) /
+         |    CAST(greatest(coalesce(w.n_window, 0), 1) AS DOUBLE), 6)
+         |    AS drop_rate_window,
+         |  round(round(coalesce(w.n_dropped_window, 0) /
+         |      CAST(greatest(coalesce(w.n_window, 0), 1) AS DOUBLE), 6)
+         |    - round(l.n_dropped_life / CAST(l.n_life AS DOUBLE), 6), 6)
+         |    AS drop_delta
+         |FROM life l LEFT JOIN win w USING (modality)
+         |ORDER BY l.modality""".stripMargin
+    },
     "multimodal_pairs" ->
       s"""WITH $imagePairCtes,
          |${CurationQueries.curationCtes},

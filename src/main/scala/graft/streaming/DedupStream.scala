@@ -171,6 +171,11 @@ object DedupStream {
       if (dataDirs("drops").nonEmpty)
         Takedown.view(spark, corpusDir, readSub("drops"), "drops")
           .write.parquet(s"$stage/drops/$target")
+      // counts rows are ADDITIVE and ingest-time history: concatenate
+      // (readers sum at read time; takedowns deliberately don't touch
+      // them — see MediaStream.mediaGateDrift)
+      if (dataDirs("counts").nonEmpty)
+        readSub("counts").write.parquet(s"$stage/counts/$target")
       StreamFs.createMarker(s"$stage/docs/$target/$Marker")
       // marker-only dirs keep every committed id recognizable on replay
       committedBatches.init.foreach { b =>
@@ -208,8 +213,8 @@ object DedupStream {
           StreamFs.delete(s"$corpusDir/drops/$b")
         }
       }
-    // orphan index/drops dirs: no committed corpus twin
-    Seq("index", "drops").foreach { sub =>
+    // orphan index/drops/counts dirs: no committed corpus twin
+    Seq("index", "drops", "counts").foreach { sub =>
       StreamFs.listNames(s"$corpusDir/$sub").filter(_.startsWith("batch="))
         .foreach { b =>
           if (!committed(corpusDir, b)) StreamFs.delete(s"$corpusDir/$sub/$b")
@@ -223,7 +228,7 @@ object DedupStream {
         if (!StreamFs.exists(s"$corpusDir/${Takedown.Sub}/$t/$Marker"))
           StreamFs.delete(s"$corpusDir/${Takedown.Sub}/$t")
       }
-    Seq("docs", "index", "drops", Takedown.Sub).foreach { sub =>
+    Seq("docs", "index", "drops", "counts", Takedown.Sub).foreach { sub =>
       StreamFs.listNames(s"$corpusDir/$sub").filter(_.endsWith(".tmp"))
         .foreach(n => StreamFs.delete(s"$corpusDir/$sub/$n"))
     }

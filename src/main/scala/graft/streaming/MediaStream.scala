@@ -182,8 +182,9 @@ object MediaStream {
     val kept = sigs.join(dropped, Seq("doc_id"), "left_anti")
     // index first (ALL docs' band rows — cross-batch witnesses), drops
     // second (quarantined full rows — [[Takedown]] re-elects from here
-    // when a kept canonical is later removed), corpus last (kept docs
-    // only; its marker is the commit point)
+    // when a kept canonical is later removed), counts third (the
+    // per-batch gate tally the drift monitor subset-sums), corpus last
+    // (kept docs only; its marker is the commit point)
     DedupStream.writeAtomically(
       bands.select("modality", "chunk", "key", "fp", "doc_id"),
       s"$corpusDir/index/batch=$batchId", mark = false)
@@ -191,6 +192,12 @@ object MediaStream {
       sigs.join(dropped, Seq("doc_id"), "left_semi")
         .select("doc_id", "payload", "modality", "fp"),
       s"$corpusDir/drops/batch=$batchId", mark = false)
+    DedupStream.writeAtomically(
+      sigs.join(dropped.withColumn("__hit", lit(1)), Seq("doc_id"), "left")
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n_processed"),
+          count(col("__hit")).as("n_dropped")),
+      s"$corpusDir/counts/batch=$batchId", mark = false)
     DedupStream.writeAtomically(
       kept.select("doc_id", "payload", "modality", "fp"),
       s"$corpusDir/docs/batch=$batchId", mark = true)
@@ -241,6 +248,104 @@ object MediaStream {
         spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
           .select("modality", "chunk", "key", "fp", "doc_id")
     Takedown.view(spark, corpusDir, base, "index")
+  }
+
+  // ---- per-batch gate counts + drift ---------------------------------
+
+  private def countDirsAll(corpusDir: String): Seq[String] =
+    StreamFs.listNames(s"$corpusDir/counts").filter(_.startsWith("batch="))
+      .filter(b => StreamFs.exists(
+        s"$corpusDir/docs/$b/${DedupStream.Marker}"))
+      .map(b => s"$corpusDir/counts/$b")
+
+  private def sumCounts(spark: SparkSession, corpusDir: String,
+                        dirs: Seq[String]): DataFrame =
+    if (dirs.isEmpty)
+      spark.range(0).select(lit("").as("modality"),
+        col("id").as("n_processed"), col("id").as("n_dropped"))
+    else
+      spark.read.option("basePath", s"$corpusDir/counts").parquet(dirs: _*)
+        .groupBy("modality")
+        .agg(sum("n_processed").as("n_processed"),
+          sum("n_dropped").as("n_dropped"))
+
+  /** Lifetime per-modality gate tally — counts ADD, so this reads the
+    * ≤2-row committed count tables, never the corpus or the payloads. */
+  def readCounts(spark: SparkSession, corpusDir: String): DataFrame =
+    sumCounts(spark, corpusDir,
+      countDirsAll(corpusDir).filter(StreamFs.hasDataFiles))
+
+  /** Trailing-`lastK` tally — window membership over ALL committed
+    * batch ids first, data-file filter second (a committed zero-row
+    * batch is an empty window member; the round-14 ADVICE rule). */
+  def readCountsWindow(spark: SparkSession, corpusDir: String,
+                       lastK: Int): DataFrame = {
+    require(lastK > 0, s"window must be positive, got $lastK")
+    sumCounts(spark, corpusDir,
+      countDirsAll(corpusDir)
+        .sortBy(_.split('/').last.stripPrefix("batch=").toLong)
+        .takeRight(lastK)
+        .filter(StreamFs.hasDataFiles))
+  }
+
+  /** MEDIA GATE DRIFT — "did the image/audio near-dup drop rate spike
+    * this crawl?": per modality, lifetime vs trailing-`lastK`-batch
+    * drop rates with the delta — the [[EvalStream.gateEvalDrift]]
+    * subset-sum shape over this gate's committed count dirs (window
+    * stages LEFT-joined and zero-filled). Corpus-size-independent: the
+    * dashboard reads ≤2-row tables per committed batch dir. Counts are
+    * ingest-time history, deliberately NOT rewritten by [[Takedown]]
+    * (the monitor reports what the gate DID, not the corpus as it now
+    * stands). */
+  def mediaGateDrift(spark: SparkSession, corpusDir: String,
+                     lastK: Int): DataFrame = {
+    val life = readCounts(spark, corpusDir)
+      .select(col("modality"), col("n_processed").as("n_life"),
+        col("n_dropped").as("n_dropped_life"))
+    val win = readCountsWindow(spark, corpusDir, lastK)
+      .select(col("modality"), col("n_processed").as("n_window"),
+        col("n_dropped").as("n_dropped_window"))
+    life.join(win, Seq("modality"), "left")
+      .select(col("modality"), col("n_life"), col("n_dropped_life"),
+        round(col("n_dropped_life").cast("double") / col("n_life"), 6)
+          .as("drop_rate_life"),
+        coalesce(col("n_window"), lit(0L)).as("n_window"),
+        coalesce(col("n_dropped_window"), lit(0L)).as("n_dropped_window"),
+        round(coalesce(col("n_dropped_window"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_window"), lit(0L)), lit(1L)), 6)
+          .as("drop_rate_window"))
+      .withColumn("drop_delta",
+        round(col("drop_rate_window") - col("drop_rate_life"), 6))
+      .orderBy("modality") // 2 rows — a global order is free
+  }
+
+  /** Process-lifetime state for the drift face: the textured corpus
+    * ingested in 4 CONTIGUOUS doc_id-quartile batches (id-ordered, so
+    * the per-batch verdicts are the batch faces' own — the oracle
+    * recomputes each quartile's tally from the dedup_media/dedup_audio
+    * pair SQL). Separate from [[mediaGateProbe]]'s stride-batched
+    * state on purpose: this face's oracle needs id-ordered batches. */
+  private val driftDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** REGISTERED + DuckDB-oracled: trailing-2-of-4 quartile batches vs
+    * lifetime drop rate by modality. Bench times the dashboard refresh
+    * (the ≤2-row count reads), not the ingest (warmup pays it once). */
+  def mediaGateDriftQuery(s: SparkSession, dir: String): DataFrame = {
+    val media = MediaQueries.texturedMediaTable(s, dir)
+    val st = driftDirs.getOrElseUpdate(dir, {
+      val d = StreamFs.benchTempDir("graft-media-drift") + "/corpus"
+      val m = media.localCheckpoint()
+      val (lo, hi) = m.agg(min("doc_id"), max("doc_id")).collect()
+        .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+      val span = hi - lo + 1
+      (0 until 4).foreach(i => applyMicroBatch(s,
+        m.filter(col("doc_id") >= lo + i * span / 4 &&
+          col("doc_id") < lo + (i + 1) * span / 4 + (if (i == 3) 1 else 0)),
+        d, i.toLong))
+      d
+    })
+    mediaGateDrift(s, st, lastK = 2)
   }
 
   // ---- bench-only steady-state face ---------------------------------

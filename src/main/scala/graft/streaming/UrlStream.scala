@@ -98,6 +98,12 @@ object UrlStream {
           all.join(novel.select("doc_id"), Seq("doc_id"), "left_anti")
             .select("doc_id", "url", "canonical_url", "curl_hash"),
           s"$corpusDir/drops/batch=$batchId", mark = false)
+        // per-batch gate tally (1 row × 1 row assembly) — the drift
+        // monitor subset-sums these, never the corpus
+        DedupStream.writeAtomically(
+          all.agg(count(lit(1)).as("n_processed"))
+            .crossJoin(novel.agg(count(lit(1)).as("n_admitted"))),
+          s"$corpusDir/counts/batch=$batchId", mark = false)
         DedupStream.writeAtomically(
           novel.select("doc_id", "url", "canonical_url"),
           s"$corpusDir/docs/batch=$batchId", mark = true)
@@ -136,6 +142,67 @@ object UrlStream {
     Takedown.view(spark, corpusDir, base, "index")
   }
 
+  // ---- per-batch gate counts + drift ---------------------------------
+
+  private def countDirsAll(corpusDir: String): Seq[String] =
+    StreamFs.listNames(s"$corpusDir/counts").filter(_.startsWith("batch="))
+      .filter(b => StreamFs.exists(
+        s"$corpusDir/docs/$b/${DedupStream.Marker}"))
+      .map(b => s"$corpusDir/counts/$b")
+
+  private def sumCounts(spark: SparkSession, corpusDir: String,
+                        dirs: Seq[String]): DataFrame =
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("n_processed"),
+        col("id").as("n_admitted"))
+    else
+      spark.read.option("basePath", s"$corpusDir/counts").parquet(dirs: _*)
+        .agg(sum("n_processed").as("n_processed"),
+          sum("n_admitted").as("n_admitted"))
+
+  /** URL GATE DRIFT — "did the URL-dup admission rate move on recent
+    * crawls?" (a collapsing admit rate = a feed started replaying; a
+    * jump = a new domain came online): ONE row, lifetime vs
+    * trailing-`lastK`-batch admit rates with the delta, subset sums
+    * over the committed 1-row count tables ([[EvalStream.gateEvalDrift]]
+    * shape; window over ALL committed ids first, data-file filter
+    * second — the round-14 ADVICE rule). Corpus-size-independent. */
+  def urlGateDrift(spark: SparkSession, corpusDir: String,
+                   lastK: Int): DataFrame = {
+    require(lastK > 0, s"window must be positive, got $lastK")
+    val life = sumCounts(spark, corpusDir,
+      countDirsAll(corpusDir).filter(StreamFs.hasDataFiles))
+      .select(col("n_processed").as("n_life"),
+        col("n_admitted").as("n_admitted_life"))
+    val win = sumCounts(spark, corpusDir,
+      countDirsAll(corpusDir)
+        .sortBy(_.split('/').last.stripPrefix("batch=").toLong)
+        .takeRight(lastK)
+        .filter(StreamFs.hasDataFiles))
+      .select(col("n_processed").as("n_window"),
+        col("n_admitted").as("n_admitted_window"))
+    life.crossJoin(win) // 1 row × 1 row
+      .select(col("n_life"), col("n_admitted_life"),
+        round(col("n_admitted_life").cast("double") /
+          greatest(col("n_life"), lit(1L)), 6).as("admit_rate_life"),
+        coalesce(col("n_window"), lit(0L)).as("n_window"),
+        coalesce(col("n_admitted_window"), lit(0L)).as("n_admitted_window"),
+        round(coalesce(col("n_admitted_window"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_window"), lit(0L)), lit(1L)), 6)
+          .as("admit_rate_window"))
+      .withColumn("admit_delta",
+        round(col("admit_rate_window") - col("admit_rate_life"), 6))
+  }
+
+  /** REGISTERED + DuckDB-oracled: trailing-2-of-4 quartile batches vs
+    * lifetime admit rate over the deterministic id-ordered ingest
+    * ([[dedupUrlStream]]'s own state — same cache, so Verify builds it
+    * once); the oracle recomputes both tallies from the synthesis
+    * arithmetic (admitted ⇔ min doc_id per canonical; window ⇔ the top
+    * half of the doc_id range). */
+  def urlGateDriftQuery(s: SparkSession, dir: String): DataFrame =
+    urlGateDrift(s, urlState(s, dir), lastK = 2)
+
   // ---- registered face ------------------------------------------------
 
   /** Same staleness assumption and orphan story as the other bench
@@ -149,8 +216,14 @@ object UrlStream {
     * exactly what the oracle recomputes from the synthesis arithmetic).
     * State builds once per (JVM, dir); Verify sees the deterministic
     * corpus, Bench times the committed-corpus read. */
-  def dedupUrlStream(s: SparkSession, dir: String): DataFrame = {
-    val st = streamedDirs.getOrElseUpdate(dir, {
+  def dedupUrlStream(s: SparkSession, dir: String): DataFrame =
+    readCorpus(s, urlState(s, dir)).orderBy("doc_id")
+
+  /** The deterministic 4-quartile ingest state, built once per
+    * (JVM, dir) — shared by [[dedupUrlStream]] and
+    * [[urlGateDriftQuery]]. */
+  private def urlState(s: SparkSession, dir: String): String =
+    streamedDirs.getOrElseUpdate(dir, {
       val d = StreamFs.benchTempDir("graft-url-stream") + "/corpus"
       val urls = graft.ops.TextQueries.urlNormalize(s, dir)
         .select("doc_id", "url").localCheckpoint()
@@ -164,6 +237,4 @@ object UrlStream {
       }
       d
     })
-    readCorpus(s, st).orderBy("doc_id")
-  }
 }
