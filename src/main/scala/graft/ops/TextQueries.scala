@@ -213,18 +213,60 @@ object TextQueries {
   }
 
   /** PII detection + redaction — the anonymization pass every public-data
-    * training pipeline runs before anything else: count and redact emails
-    * and IPv4 addresses, flag documents that carried any. Pure codegen'd
-    * regex projections (regexp_extract_all + regexp_replace), so the scrub
-    * runs at parquet scan speed at 100 TB — no shuffle, no UDF.
+    * training pipeline runs before anything else: count and redact emails,
+    * IPv4 and IPv6 addresses, E.164 phone numbers, and Luhn-validated
+    * card-shaped numbers; flag documents that carried any. Pure codegen'd
+    * regex/array projections (regexp_extract_all + regexp_replace + a
+    * declarative Luhn fold), so the scrub runs at parquet scan speed at
+    * 100 TB — no shuffle, no UDF, per-rule counts for the audit trail.
     *
-    * The synthetic corpus is PII-free, so a deterministic slice gets PII
-    * INJECTED first (emails on doc_id ≡ 0 (mod 7), IPs on ≡ 0 (mod 11)) —
-    * the detectors must then find exactly those and the scrubbed text must
-    * hash-match the oracle's redaction (md5 keeps the compared result
-    * small; the full scrubbed text is what a real pipeline would emit). */
+    * Detector scope, stated precisely (the no-over-fire contract, edge
+    * cases pinned in OpsSpec):
+    *  - phone: strict E.164 — literal `+` then 8-15 digits, so dates,
+    *    timestamps and long ids never fire;
+    *  - ipv6: ≥5 colon groups (full or trailing-compressed) — `12:30:45`
+    *    has three groups and never fires; leading-compressed `::1` forms
+    *    are documented out of scope;
+    *  - card: 13-16 digit runs COUNTED only when the Luhn checksum
+    *    passes (n_cards is the validated audit count), while the scrub
+    *    masks EVERY such run — over-scrubbing is the safe direction for
+    *    redaction, over-counting is not for the audit.
+    *
+    * The synthetic corpus is PII-free, so deterministic slices get PII
+    * INJECTED first (first matching rule wins: email mod 7, IPv4 mod 11,
+    * phone mod 13, IPv6 mod 17, a Luhn-VALID card mod 19 and a Luhn-
+    * INVALID near-twin mod 23 — the invalid plant exercises the checksum
+    * rejecting a 16-digit run) — the detectors must then find exactly
+    * those and the scrubbed text must hash-match the oracle's redaction
+    * (md5 keeps the compared result small; the full scrubbed text is
+    * what a real pipeline would emit). */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+[1-9]\\d{7,14}\\b"
+  val ipv6Re = "\\b(?:[0-9A-Fa-f]{1,4}:){4,7}(?:[0-9A-Fa-f]{1,4}\\b|:)"
+  val cardRe = "\\b\\d{13,16}\\b"
+
+  /** Luhn-valid plant and its checksum-broken near-twin (last digit
+    * bumped) — shared with the oracle SQL. */
+  private val luhnValidPlant = "4539578763621486"
+  private val luhnInvalidPlant = "4539578763621487"
+
+  /** Declarative Luhn checksum over a digit-string column: from the
+    * RIGHT, double every second digit (−9 when >9), sum, check mod 10 —
+    * transform + aggregate stay inside codegen. */
+  private def luhnValid(s: Column): Column = {
+    val digits = filter(split(reverse(s), ""), ch => ch =!= "")
+    val total = aggregate(
+      zip_with(digits,
+        sequence(lit(0), size(digits) - 1),
+        (ch, i) => {
+          val d = ch.cast("int")
+          when(i % 2 === 0, d)
+            .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+        }),
+      lit(0), (acc, x) => acc + x)
+    total % 10 === 0
+  }
 
   def piiScrub(s: SparkSession, dir: String): DataFrame = {
     val injected = when(pmod(col("doc_id"), lit(7)) === 0,
@@ -234,20 +276,45 @@ object TextQueries {
         concat(col("text"), lit(" served from 10."),
           pmod(col("doc_id"), lit(256)), lit(".0."),
           pmod(col("doc_id"), lit(100))))
+      .when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(col("text"), lit(" call +14155550"),
+          pmod(col("doc_id"), lit(100))))
+      .when(pmod(col("doc_id"), lit(17)) === 0,
+        concat(col("text"), lit(" node 2001:db8:85a3:8d3:1319:8a2e:370:"),
+          pmod(col("doc_id"), lit(9999))))
+      .when(pmod(col("doc_id"), lit(19)) === 0,
+        concat(col("text"), lit(s" card $luhnValidPlant")))
+      .when(pmod(col("doc_id"), lit(23)) === 0,
+        concat(col("text"), lit(s" ref $luhnInvalidPlant")))
       .otherwise(col("text"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), injected.as("t2"))
-      .select(col("doc_id"),
+    piiScrubOf(Tables.documents(s, dir)
+      .select(col("doc_id"), injected.as("t2")))
+  }
+
+  /** The detector/redaction body over (doc_id, t2) — the registered
+    * face plants fixtures first; OpsSpec drives this seam with crafted
+    * edge strings (timestamps, long ids, checksum-broken cards). */
+  private[graft] def piiScrubOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
         size(regexp_extract_all(col("t2"), lit(emailRe), lit(0))).cast("long")
           .as("n_emails"),
         size(regexp_extract_all(col("t2"), lit(ipv4Re), lit(0))).cast("long")
           .as("n_ips"),
-        md5(regexp_replace(regexp_replace(col("t2"), emailRe, "[EMAIL]"),
-          ipv4Re, "[IP]")).as("scrub_md5"))
-      .withColumn("has_pii", (col("n_emails") + col("n_ips")) > 0)
-      .select("doc_id", "n_emails", "n_ips", "has_pii", "scrub_md5")
+        size(regexp_extract_all(col("t2"), lit(phoneRe), lit(0))).cast("long")
+          .as("n_phones"),
+        size(regexp_extract_all(col("t2"), lit(ipv6Re), lit(0))).cast("long")
+          .as("n_ipv6"),
+        size(filter(regexp_extract_all(col("t2"), lit(cardRe), lit(0)),
+          x => luhnValid(x))).cast("long").as("n_cards"),
+        md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(col("t2"),
+            emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), ipv6Re, "[IPV6]"),
+          ipv4Re, "[IP]"), cardRe, "[NUM]")).as("scrub_md5"))
+      .withColumn("has_pii", (col("n_emails") + col("n_ips") +
+        col("n_phones") + col("n_ipv6") + col("n_cards")) > 0)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "n_ipv6",
+        "n_cards", "has_pii", "scrub_md5")
       .orderBy("doc_id")
-  }
 
   /** Compression-ratio quality signal — the classic cheap boilerplate/spam
     * detector (highly repetitive text deflates far below prose; Gopher and
@@ -1187,7 +1254,14 @@ object TextQueries {
         |       ELSE TRUE END AS keep
         |FROM d JOIN hm USING (host) CROSS JOIN cm
         |ORDER BY doc_id""".stripMargin,
-    "pii_scrub" ->
+    "pii_scrub" -> {
+      val luhnDigit = "CAST(substr(reverse(x), i, 1) AS INTEGER)"
+      val luhnSum =
+        s"""list_aggregate(list_transform(generate_series(1, length(x)),
+           |    i -> CASE WHEN (i - 1) % 2 = 0 THEN $luhnDigit
+           |         ELSE CASE WHEN $luhnDigit * 2 > 9
+           |              THEN $luhnDigit * 2 - 9
+           |              ELSE $luhnDigit * 2 END END), 'sum')""".stripMargin
       s"""WITH t AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 7 = 0
@@ -1196,17 +1270,37 @@ object TextQueries {
          |         WHEN doc_id % 11 = 0
          |           THEN text || ' served from 10.' || (doc_id % 256) ||
          |                '.0.' || (doc_id % 100)
+         |         WHEN doc_id % 13 = 0
+         |           THEN text || ' call +14155550' || (doc_id % 100)
+         |         WHEN doc_id % 17 = 0
+         |           THEN text || ' node 2001:db8:85a3:8d3:1319:8a2e:370:'
+         |                || (doc_id % 9999)
+         |         WHEN doc_id % 19 = 0 THEN text || ' card $luhnValidPlant'
+         |         WHEN doc_id % 23 = 0 THEN text || ' ref $luhnInvalidPlant'
          |         ELSE text END AS t2
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CAST(length(regexp_extract_all(t2, '$emailRe')) AS BIGINT)
-         |    AS n_emails,
-         |  CAST(length(regexp_extract_all(t2, '$ipv4Re')) AS BIGINT) AS n_ips,
-         |  (length(regexp_extract_all(t2, '$emailRe'))
-         |   + length(regexp_extract_all(t2, '$ipv4Re'))) > 0 AS has_pii,
-         |  md5(regexp_replace(regexp_replace(t2, '$emailRe', '[EMAIL]', 'g'),
-         |      '$ipv4Re', '[IP]', 'g')) AS scrub_md5
-         |FROM t ORDER BY doc_id""".stripMargin,
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, t2,
+         |    CAST(length(regexp_extract_all(t2, '$emailRe')) AS BIGINT)
+         |      AS n_emails,
+         |    CAST(length(regexp_extract_all(t2, '$ipv4Re')) AS BIGINT)
+         |      AS n_ips,
+         |    CAST(length(regexp_extract_all(t2, '$phoneRe')) AS BIGINT)
+         |      AS n_phones,
+         |    CAST(length(regexp_extract_all(t2, '$ipv6Re')) AS BIGINT)
+         |      AS n_ipv6,
+         |    CAST(length(list_filter(regexp_extract_all(t2, '$cardRe'),
+         |      x -> $luhnSum % 10 = 0)) AS BIGINT) AS n_cards
+         |  FROM t)
+         |SELECT doc_id, n_emails, n_ips, n_phones, n_ipv6, n_cards,
+         |  (n_emails + n_ips + n_phones + n_ipv6 + n_cards) > 0 AS has_pii,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(t2,
+         |      '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[PHONE]', 'g'),
+         |    '$ipv6Re', '[IPV6]', 'g'), '$ipv4Re', '[IP]', 'g'),
+         |    '$cardRe', '[NUM]', 'g')) AS scrub_md5
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     "text_token_count" ->
       s"""SELECT doc_id,
          |  CAST(length(list_filter(string_split_regex(lower(text), '\\s+'),

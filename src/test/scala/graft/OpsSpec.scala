@@ -1701,4 +1701,33 @@ class OpsSpec extends SparkSpec {
       .filter(col("keep")).count()
     assert(surv.last === kept)
   }
+
+  test("pii detectors: positives fire once, dates/longs/bad checksums never") {
+    import spark.implicits._
+    val rows = TextQueries.piiScrubOf(Seq(
+      // over-fire probes: timestamp (3 colon groups), date, a 12-digit
+      // id (too short for a card), a 16-digit run FAILING Luhn, a bare
+      // long number without '+' (not a phone)
+      1L -> ("meeting 2026-08-16 12:30:45 order 123456789012 " +
+        "ref 4539578763621487 seq 99999999"),
+      // true positives, one of each type
+      2L -> "mail a.b@example.org now",
+      3L -> "from 192.168.10.20 today",
+      4L -> "call +14155550123 now",
+      5L -> "node 2001:db8:85a3:8d3:1319:8a2e:370:7348 up",
+      6L -> "card 4539578763621486 on file").toDF("doc_id", "t2"))
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "n_ipv6",
+        "n_cards", "has_pii")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(rows(0) === ((1L, 0L, 0L, 0L, 0L, 0L, false)),
+      s"dates/timestamps/long ids/bad checksums must not fire: ${rows(0)}")
+    assert(rows(1)._2 === 1L && rows(2)._3 === 1L && rows(3)._4 === 1L &&
+      rows(4)._5 === 1L && rows(5)._6 === 1L,
+      s"each positive must fire its own detector exactly once: ${rows.toSeq}")
+    assert(rows.drop(1).forall(_._7), "positives must flag has_pii")
+    // the detectors stay mutually exclusive on these shapes
+    assert(rows.drop(1).map(r => r._2 + r._3 + r._4 + r._5 + r._6)
+      .forall(_ === 1L), s"no cross-detector double fire: ${rows.toSeq}")
+  }
 }
