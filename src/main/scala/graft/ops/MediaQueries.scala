@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1141,19 +1141,35 @@ object MediaQueries {
     * collapses to ≤7 stage rows in one hash aggregate; totals are a
     * 1-row broadcast and the cumulative sum windows over the ≤7 rows
     * (the allowlisted funnel class). */
-  def multimodalPairFunnel(s: SparkSession, dir: String): DataFrame = {
-    val stageIdx = when(col("reject_reason") === "too_short", 1)
-      .when(col("reject_reason") === "non_en", 2)
-      .when(col("reject_reason") === "low_quality", 3)
-      .when(col("reject_reason") === "near_dup", 4)
-      .when(col("reject_reason") === "image_too_small", 5)
-      .when(col("reject_reason") === "image_near_dup", 6)
+  def multimodalPairFunnel(s: SparkSession, dir: String): DataFrame =
+    pairFunnelFromCounts(pairFunnelCounts(multimodalPairs(s, dir)))
+
+  /** Stage index of a pair reject reason — the 7-stage gate order,
+    * shared with [[graft.streaming.PairStream]]'s per-batch count
+    * collapse (the [[CurationQueries.stageIdxOf]] pattern). */
+  private[graft] def pairStageIdxOf(reason: Column): Column =
+    when(reason === "too_short", 1)
+      .when(reason === "non_en", 2)
+      .when(reason === "low_quality", 3)
+      .when(reason === "near_dup", 4)
+      .when(reason === "image_too_small", 5)
+      .when(reason === "image_near_dup", 6)
       .otherwise(7)
-    val g = multimodalPairs(s, dir)
-      .select(stageIdx.as("stage_idx"),
+
+  /** Per-stage (stage_idx, stage, n_pairs) counts over pair verdict
+    * rows — what the streaming gate commits per micro-batch. */
+  private[graft] def pairFunnelCounts(verdicts: DataFrame): DataFrame =
+    verdicts
+      .select(pairStageIdxOf(col("reject_reason")).as("stage_idx"),
         coalesce(col("reject_reason"), lit("kept")).as("stage"))
       .groupBy("stage_idx", "stage")
       .agg(count(lit(1)).as("n_pairs"))
+
+  /** The pair-funnel arithmetic over a (stage_idx, stage, n_pairs)
+    * count table — ONE tail shared by the batch funnel and the
+    * streaming monitor's summed committed counts, so live ≡ batch is
+    * structural (counts ADD). */
+  private[graft] def pairFunnelFromCounts(g: DataFrame): DataFrame = {
     val tot = g.agg(sum(col("n_pairs")).as("tp"))
     val cum = Window.orderBy("stage_idx")
       .rowsBetween(Window.unboundedPreceding, 0) // ≤7 stage rows
@@ -1219,7 +1235,11 @@ object MediaQueries {
     "multimodal_pair_funnel" -> (multimodalPairFunnel _),
     "multimodal_manifest" -> (multimodalManifest _),
     "media_gate_drift" ->
-      (graft.streaming.MediaStream.mediaGateDriftQuery _))
+      (graft.streaming.MediaStream.mediaGateDriftQuery _),
+    "multimodal_funnel_live" ->
+      (graft.streaming.PairStream.multimodalFunnelLive _),
+    "multimodal_funnel_drift" ->
+      (graft.streaming.PairStream.multimodalFunnelDrift _))
 
   /** Shared oracle CTE chain ending in `afps(doc_id, n, afp)` — the
     * DuckDB replica of [[audioSigs]] (AS MATERIALIZED: dedup_audio's
@@ -1322,6 +1342,51 @@ object MediaQueries {
        |  FROM cand WHERE bit_count(xor(ha, hb)) <= $phashMaxHamming)"""
       .stripMargin
   }
+
+  /** The pair VERDICT CTE chain ending in `pg(doc_id, ..., reject_reason)`
+    * — the batch gate replay shared by the multimodal_pairs, funnel,
+    * manifest, live-funnel and funnel-drift oracles. */
+  private lazy val pairVerdictCtes: String =
+    s"""$imagePairCtes,
+       |${CurationQueries.curationCtes},
+       |dupb AS (SELECT DISTINCT b AS doc_id FROM ipairs),
+       |pg AS (
+       |  SELECT p.doc_id,
+       |    CASE WHEN r.reject_reason IS NOT NULL THEN r.reject_reason
+       |         WHEN p.w * p.h < $minPairPixels THEN 'image_too_small'
+       |         WHEN dupb.doc_id IS NOT NULL THEN 'image_near_dup'
+       |    END AS reject_reason
+       |  FROM pdim p JOIN r ON r.doc_id = p.doc_id
+       |  LEFT JOIN dupb ON dupb.doc_id = p.doc_id)""".stripMargin
+
+  /** SQL stage mapping of [[pairStageIdxOf]]. */
+  private val pairStageCaseSql: String =
+    """CASE coalesce(reject_reason, 'kept')
+      |      WHEN 'too_short' THEN 1 WHEN 'non_en' THEN 2
+      |      WHEN 'low_quality' THEN 3 WHEN 'near_dup' THEN 4
+      |      WHEN 'image_too_small' THEN 5 WHEN 'image_near_dup' THEN 6
+      |      ELSE 7 END""".stripMargin
+
+  /** The pair-funnel SQL — shared verbatim by the batch face and the
+    * streaming live face. */
+  private lazy val pairFunnelOracleSql: String =
+    s"""WITH $pairVerdictCtes,
+       |st AS (
+       |  SELECT $pairStageCaseSql AS stage_idx,
+       |    coalesce(reject_reason, 'kept') AS stage
+       |  FROM pg),
+       |g AS (
+       |  SELECT stage_idx, stage, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM st GROUP BY stage_idx, stage),
+       |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tp FROM g)
+       |SELECT stage_idx, stage, n_pairs,
+       |  round(CAST(n_pairs AS DOUBLE) / tp, 6) AS pair_share,
+       |  tp - CAST(sum(CASE WHEN stage = 'kept' THEN 0
+       |                     ELSE n_pairs END)
+       |       OVER (ORDER BY stage_idx
+       |             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS surviving_pairs
+       |FROM g CROSS JOIN tot ORDER BY stage_idx""".stripMargin
 
   /** Shared oracle scaffolding for the mixed-format table: per-doc dims
     * + format class, and an index series long enough for both the
@@ -1609,38 +1674,39 @@ object MediaQueries {
          |  doc_id, format, width, height,
          |  width * height AS n_pixels, caption_tokens
          |FROM hh ORDER BY doc_id""".stripMargin,
-    "multimodal_pair_funnel" ->
-      s"""WITH $imagePairCtes,
-         |${CurationQueries.curationCtes},
-         |dupb AS (SELECT DISTINCT b AS doc_id FROM ipairs),
-         |pg AS (
-         |  SELECT p.doc_id,
-         |    CASE WHEN r.reject_reason IS NOT NULL THEN r.reject_reason
-         |         WHEN p.w * p.h < $minPairPixels THEN 'image_too_small'
-         |         WHEN dupb.doc_id IS NOT NULL THEN 'image_near_dup'
-         |    END AS reject_reason
-         |  FROM pdim p JOIN r ON r.doc_id = p.doc_id
-         |  LEFT JOIN dupb ON dupb.doc_id = p.doc_id),
-         |st AS (
-         |  SELECT CASE coalesce(reject_reason, 'kept')
-         |      WHEN 'too_short' THEN 1 WHEN 'non_en' THEN 2
-         |      WHEN 'low_quality' THEN 3 WHEN 'near_dup' THEN 4
-         |      WHEN 'image_too_small' THEN 5 WHEN 'image_near_dup' THEN 6
-         |      ELSE 7 END AS stage_idx,
+    "multimodal_pair_funnel" -> pairFunnelOracleSql,
+    // the STREAMING gate's live funnel replays the batch funnel SQL
+    // verbatim (counts ADD — the curation_funnel_live precedent)
+    "multimodal_funnel_live" -> pairFunnelOracleSql,
+    "multimodal_funnel_drift" ->
+      s"""WITH $pairVerdictCtes,
+         |bnds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+         |         FROM documents),
+         |stl AS (
+         |  SELECT $pairStageCaseSql AS stage_idx,
          |    coalesce(reject_reason, 'kept') AS stage
          |  FROM pg),
-         |g AS (
-         |  SELECT stage_idx, stage, CAST(count(*) AS BIGINT) AS n_pairs
-         |  FROM st GROUP BY stage_idx, stage),
-         |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tp FROM g)
-         |SELECT stage_idx, stage, n_pairs,
-         |  round(CAST(n_pairs AS DOUBLE) / tp, 6) AS pair_share,
-         |  tp - CAST(sum(CASE WHEN stage = 'kept' THEN 0
-         |                     ELSE n_pairs END)
-         |       OVER (ORDER BY stage_idx
-         |             ROWS UNBOUNDED PRECEDING) AS BIGINT)
-         |    AS surviving_pairs
-         |FROM g CROSS JOIN tot ORDER BY stage_idx""".stripMargin,
+         |gl AS (SELECT stage_idx, stage,
+         |         CAST(count(*) AS BIGINT) AS n_life
+         |       FROM stl GROUP BY stage_idx, stage),
+         |totl AS (SELECT CAST(sum(n_life) AS BIGINT) AS tl FROM gl),
+         |stw AS (
+         |  SELECT $pairStageCaseSql AS stage_idx
+         |  FROM pg, bnds WHERE doc_id >= lo + (2 * (hi - lo + 1)) // 4),
+         |gw AS (SELECT stage_idx, CAST(count(*) AS BIGINT) AS n_window
+         |       FROM stw GROUP BY stage_idx),
+         |totw AS (SELECT CAST(sum(n_window) AS BIGINT) AS tw FROM gw)
+         |SELECT l.stage_idx, l.stage, l.n_life,
+         |  coalesce(w.n_window, 0) AS n_window,
+         |  round(CAST(l.n_life AS DOUBLE) / totl.tl, 6) AS share_life,
+         |  coalesce(round(CAST(w.n_window AS DOUBLE) / totw.tw, 6), 0.0)
+         |    AS share_window,
+         |  round(coalesce(round(CAST(w.n_window AS DOUBLE) / totw.tw, 6),
+         |      0.0) - round(CAST(l.n_life AS DOUBLE) / totl.tl, 6), 6)
+         |    AS share_delta
+         |FROM gl l CROSS JOIN totl CROSS JOIN totw
+         |LEFT JOIN gw w ON w.stage_idx = l.stage_idx
+         |ORDER BY l.stage_idx""".stripMargin,
     "media_audio_fp" ->
       s"""WITH $audioFpCte
          |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, afp
