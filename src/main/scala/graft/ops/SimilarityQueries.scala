@@ -1367,11 +1367,37 @@ object SimilarityQueries {
     searchOverGraph(s, dir,
       prebuiltGraphEdges.getOrElseUpdate((s, dir), searchedEdges(s, dir)))
 
+  /** Coarse-entry factor for the descent face: the entry layer shrinks
+    * to √n/[[hnswEntryMult]] nodes (a NESTED subsample — md5 % (m·stride)
+    * hits ⊂ md5 % stride hits, the HNSW layer property) and ONE extra
+    * greedy round walks back down. */
+  val hnswEntryMult = 8
+
+  /** BENCH-ONLY HNSW-style DESCENT twin of [[annGraphSearchPrebuilt]]:
+    * the flat face scores every query against the full √n entry ring —
+    * at 2e11 nodes that is ~450k cosines PER QUERY, the dominant
+    * steady-state term once the index is prebuilt (round-14 verdict #8).
+    * This face enters at a [[hnswEntryMult]]×-coarser nested layer
+    * (√n/8 entries) and spends one extra hop descending — trading the
+    * corpus-growth-proportional entry term for one more
+    * frontier-bounded round (≤ beam·degree rows per query, independent
+    * of n). Same greedy machinery, same edge set, same visited-set
+    * fold; AnnTrainingSpec pins recall ≥ the flat face on the clustered
+    * fixture, and BASELINE.md records where the crossover sits (at
+    * bench scale the √n term is small, so the win is the SHAPE — entry
+    * cost O(√n/m + rounds·beam·2k) per query instead of O(√n)). */
+  def annGraphSearchHnsw(s: SparkSession, dir: String): DataFrame =
+    searchOverGraph(s, dir,
+      prebuiltGraphEdges.getOrElseUpdate((s, dir), searchedEdges(s, dir)),
+      entryStrideMult = hnswEntryMult, rounds = searchRounds + 1)
+
   private[graft] def searchOverGraph(s: SparkSession, dir: String,
-      edges: DataFrame): DataFrame = {
+      edges: DataFrame, entryStrideMult: Int = 1,
+      rounds: Int = searchRounds): DataFrame = {
     import graft.functions.TextFunctions.md5Long
     val v = vectors(s, dir).select("vec_id", "e", "norm").localCheckpoint()
-    val stride = seedStrideOf(Tables.embeddings(s, dir).count())
+    val stride = entryStrideMult *
+      seedStrideOf(Tables.embeddings(s, dir).count())
     val entries = v.filter(
         pmod(md5Long(concat(lit("gs:"), col("vec_id").cast("string"))),
           lit(stride)) === 0)
@@ -1391,7 +1417,7 @@ object SimilarityQueries {
       .localCheckpoint()
     val byScore = Window.partitionBy(col("q"))
       .orderBy(col("cosine").desc, col("node"))
-    (1 to searchRounds).foreach { _ =>
+    (1 to rounds).foreach { _ =>
       val frontier = state.withColumn("rk", row_number().over(byScore))
         .filter(col("rk") <= searchBeam).select("q", "node")
       val nbrs = frontier.join(edges, frontier("node") === edges("src"))

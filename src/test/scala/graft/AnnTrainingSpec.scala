@@ -140,6 +140,19 @@ class AnnTrainingSpec extends SparkSpec {
       s"graph-search recall on clustered data should be ≥0.9, got $graph")
   }
 
+  test("hnsw descent: coarse-entry search holds the flat face's recall on clustered data") {
+    // verdict #8: the flat face scores |Q|×√n entries; the descent face
+    // enters at a nested 8×-coarser layer and spends one extra
+    // frontier-bounded hop — the recall must survive the thinner entry
+    val truth = ops.SimilarityQueries.annBruteForce(spark, clusteredDir)
+    val flat = recallVs(
+      ops.SimilarityQueries.annGraphSearch(spark, clusteredDir), truth)
+    val hnsw = recallVs(
+      ops.SimilarityQueries.annGraphSearchHnsw(spark, clusteredDir), truth)
+    assert(hnsw >= flat,
+      s"descent recall ($hnsw) must hold the flat face's ($flat)")
+  }
+
   test("prebuilt graph-search twin equals the per-run rebuild row-for-row") {
     import spark.implicits._
     val rebuild = ops.SimilarityQueries.annGraphSearch(spark, sf)

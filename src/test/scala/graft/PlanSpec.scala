@@ -467,6 +467,11 @@ class PlanSpec extends SparkSpec {
     // gate_eval_drift: two gateEval tails (each the allowlisted 1-row
     // metric assembly) plus the 1-row × 1-row lifetime-vs-window join
     "gate_eval_drift",
+    // round-15 counts-backed monitors: the ≤7-row funnel/count tables
+    // crossJoin their 1-row totals (pairFunnelFromCounts) and
+    // url_gate_drift assembles two 1-row tallies — the same 1-row
+    // assembly class as the funnel faces above
+    "multimodal_funnel_live", "multimodal_funnel_drift", "url_gate_drift",
     // host_filter's 1-row corpus-mean threshold broadcast
     "host_filter",
     // lm_ppl_buckets: 1-row totals + two 1-row tertile-threshold

@@ -1,0 +1,56 @@
+package graft
+
+/** Dev-only probe (test scope): does `Takedown.apply` cost scale with
+  * the REMOVAL SET or the corpus? Ingests the documents table through
+  * the exact and near-dup gates at two corpus scales, then times
+  * apply() with the SAME fixed 50-doc removal set at each — flat wall
+  * time across a 10× corpus = the tombstone design's claim, measured.
+  *
+  *   sbt 'Test/runMain graft.TakedownCostProbe <x10dir> <x100dir>'
+  */
+object TakedownCostProbe {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/tmp/graft_scale/x10", "/tmp/graft_scale/x100")
+    val spark = GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.streaming.{DedupStream, NearDupStream, Takedown}
+    for (dir <- dirs) {
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+        .localCheckpoint()
+      val n = docs.count()
+      // fixed 50-id removal set: the first 50 multiples of 101 — present
+      // at every scale, mixed kept/dropped
+      val removals = docs.filter(col("doc_id") % 101 === 0)
+        .orderBy("doc_id").limit(50).select("doc_id").localCheckpoint()
+      for ((gateName, gate, ingest) <- Seq(
+        ("exact", Takedown.Gate.Exact,
+          (b: org.apache.spark.sql.DataFrame, d: String, i: Long) =>
+            DedupStream.applyMicroBatch(spark, b, d, i)),
+        ("neardup", Takedown.Gate.NearDup,
+          (b: org.apache.spark.sql.DataFrame, d: String, i: Long) =>
+            NearDupStream.applyMicroBatch(spark, b, d, i)))) {
+        val corpus = java.nio.file.Files
+          .createTempDirectory(s"graft-tdcost-$gateName").toString + "/c"
+        val t0 = System.nanoTime()
+        val (lo, hi) = docs.agg(min("doc_id"), max("doc_id")).collect()
+          .headOption.map(r => (r.getLong(0), r.getLong(1)))
+          .getOrElse((0L, 0L))
+        val span = hi - lo + 1
+        (0 until 4).foreach(i => ingest(
+          docs.filter(col("doc_id") >= lo + i * span / 4 &&
+            col("doc_id") < lo + (i + 1) * span / 4 +
+              (if (i == 3) 1 else 0)), corpus, i.toLong))
+        val tIngest = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        Takedown(spark, corpus, removals, gate, takedownId = 0L)
+        val tApply = (System.nanoTime() - t1) / 1e9
+        println(f"[tdcost] dir=$dir gate=$gateName n=$n " +
+          f"ingest=$tIngest%.1f s apply(50 ids)=$tApply%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
