@@ -1083,6 +1083,8 @@ object CurationQueries {
     "gate_eval_drift" -> (gateEvalDrift _),
     "curation_funnel_live" -> (curationFunnelLive _),
     "curation_funnel_drift" -> (curationFunnelDrift _),
+    "takedown_replay_curation" ->
+      (graft.streaming.CurationStream.takedownReplayCuration _),
     "gate_calibration_live" -> (gateCalibrationLive _),
     "gate_calibration_drift" -> (gateCalibrationDrift _),
     "text_classify" -> (textClassify _),
@@ -1362,6 +1364,16 @@ object CurationQueries {
          |FROM p ORDER BY doc_id, chunk_idx""".stripMargin,
     "curation_pipeline" ->
       s"""WITH $curationCtes
+         |SELECT doc_id, n_tokens, pred_lang, quality, is_canonical,
+         |  reject_reason IS NULL AS keep, reject_reason
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // post-takedown verdicts ≡ the pipeline's own SQL over the
+    // SURVIVORS (claim re-election + the stateless-outcome correction)
+    "takedown_replay_curation" ->
+      s"""WITH surv AS (SELECT doc_id, text FROM documents
+         |              WHERE doc_id % ${graft.streaming.Takedown
+                            .replayRemovalStride} != 0),
+         |${curationCtes.replace("FROM documents", "FROM surv")}
          |SELECT doc_id, n_tokens, pred_lang, quality, is_canonical,
          |  reject_reason IS NULL AS keep, reject_reason
          |FROM r ORDER BY doc_id""".stripMargin,

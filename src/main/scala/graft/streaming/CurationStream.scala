@@ -80,23 +80,28 @@ object CurationStream {
       .withColumn("batch_first", col("__rank") === 1).drop("__rank")
       .persist()
     try {
-      // probe committed claims, batch-keyed (semi → broadcast anti)
-      val hasClaims = StreamFs.listNames(s"$stateDir/claims").nonEmpty
-      val withCanon = (if (hasClaims) {
-        val hits = spark.read.parquet(
-            claimDirs(stateDir).filter(StreamFs.hasDataFiles): _*)
-          .join(broadcast(scored.select("content_hash").distinct()),
-            Seq("content_hash"), "left_semi")
-          .select("content_hash").distinct().withColumn("__hit", lit(true))
-        scored.join(broadcast(hits), Seq("content_hash"), "left")
-          .withColumn("is_canonical",
-            col("batch_first") && col("__hit").isNull)
-          .drop("__hit")
-      } else scored.withColumn("is_canonical", col("batch_first")))
-        .persist()
+      // probe committed claims, batch-keyed (semi → broadcast anti);
+      // readClaims applies committed takedowns, so a removed doc's
+      // claim no longer rejects arrivals and a re-elected owner's does
+      val withCanon = (readClaims(spark, stateDir) match {
+        case Some(claims) =>
+          val hits = claims
+            .join(broadcast(scored.select("content_hash").distinct()),
+              Seq("content_hash"), "left_semi")
+            .select("content_hash").distinct()
+            .withColumn("__hit", lit(true))
+          scored.join(broadcast(hits), Seq("content_hash"), "left")
+            .withColumn("is_canonical",
+              col("batch_first") && col("__hit").isNull)
+            .drop("__hit")
+        case None => scored.withColumn("is_canonical", col("batch_first"))
+      }).persist()
       try {
-        val verdicts = withCanon.select(col("doc_id"), col("n_tokens"),
-          col("pred_lang"), col("quality"), col("is_canonical"),
+        // content_hash rides the verdict row so a later takedown can
+        // re-elect claims among same-hash survivors without the text
+        val verdicts = withCanon.select(col("doc_id"), col("content_hash"),
+          col("n_tokens"), col("pred_lang"), col("quality"),
+          col("is_canonical"),
           CurationQueries.rejectReason.isNull.as("keep"),
           CurationQueries.rejectReason.as("reject_reason"))
         // claims first, counts second, verdicts (with marker) last:
@@ -134,6 +139,13 @@ object CurationStream {
       StreamFs.listNames(s"$stateDir/$sub").filter(_.endsWith(".tmp"))
         .foreach(n => StreamFs.delete(s"$stateDir/$sub/$n"))
     }
+    // uncommitted takedowns (crash before the td marker) are debris
+    StreamFs.listNames(s"$stateDir/$TdSub")
+      .foreach { t =>
+        if (t.endsWith(".tmp") || (t.startsWith("td=") &&
+            !StreamFs.exists(s"$stateDir/$TdSub/$t/${DedupStream.Marker}")))
+          StreamFs.delete(s"$stateDir/$TdSub/$t")
+      }
   }
 
   /** Merge all committed batch dirs into the highest id per sub-table,
@@ -147,17 +159,16 @@ object CurationStream {
         .filter(_.startsWith("batch="))
         .filter(b => committed(stateDir, b))
         .sortBy(_.stripPrefix("batch=").toLong)
-      if (batches.length <= 1) return
+      if (batches.length <= 1 && committedTdDirs(stateDir).isEmpty) return
       val target = batches.last
       val stage = stateDir + ".ctmp"
       StreamFs.delete(stage)
-      Seq("verdicts", "claims").foreach { sub =>
-        val dirs = batches.map(b => s"$stateDir/$sub/$b")
-          .filter(StreamFs.hasDataFiles)
-        spark.read.option("basePath", s"$stateDir/$sub")
-          .parquet(dirs: _*).drop("batch")
-          .write.parquet(s"$stage/$sub/$target")
-      }
+      // the reader views ARE the fold: committed takedowns apply during
+      // the rewrite and the staged root carries no td dirs
+      readVerdicts(spark, stateDir)
+        .write.parquet(s"$stage/verdicts/$target")
+      readClaims(spark, stateDir).foreach(
+        _.write.parquet(s"$stage/claims/$target"))
       // counts COLLAPSE under the sum, not just concatenate
       sumCounts(spark, stateDir,
           batches.map(b => s"$stateDir/counts/$b")
@@ -185,11 +196,119 @@ object CurationStream {
   private def committedDirs(stateDir: String, sub: String): Seq[String] =
     committedDirsAll(stateDir, sub).filter(StreamFs.hasDataFiles)
 
-  /** Every committed verdict row so far — the stream's data output. */
-  def readVerdicts(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.option("basePath", s"$stateDir/verdicts")
+  /** Every committed verdict row so far — the stream's data output,
+    * committed takedowns applied: removed docs gone, re-elected claim
+    * owners carrying their CORRECTED (stateless-outcome) verdicts. */
+  def readVerdicts(spark: SparkSession, stateDir: String): DataFrame = {
+    val base = spark.read.option("basePath", s"$stateDir/verdicts")
       .parquet(committedDirs(stateDir, "verdicts"): _*)
       .drop("batch")
+    (readTd(spark, stateDir, "removed"), readTd(spark, stateDir,
+        "corrected")) match {
+      case (None, _) => base
+      case (Some(rm), corr) =>
+        val r = rm.select("doc_id").distinct()
+        val pruned = base.join(broadcast(r), Seq("doc_id"), "left_anti")
+        corr match {
+          case None => pruned
+          case Some(c) =>
+            val cs = c.join(broadcast(r), Seq("doc_id"), "left_anti")
+            pruned.join(broadcast(cs.select("doc_id")),
+                Seq("doc_id"), "left_anti")
+              .unionByName(cs.select(pruned.columns.map(col): _*))
+        }
+    }
+  }
+
+  // ---- takedown (the corpus gates' Takedown, claims-layout flavor) ----
+
+  private val TdSub = "takedown"
+
+  private def committedTdDirs(stateDir: String): Seq[String] =
+    StreamFs.listNames(s"$stateDir/$TdSub").filter(_.startsWith("td="))
+      .filter(t => StreamFs.exists(
+        s"$stateDir/$TdSub/$t/${DedupStream.Marker}"))
+      .map(t => s"$stateDir/$TdSub/$t")
+
+  private def readTd(spark: SparkSession, stateDir: String,
+                     sub: String): Option[DataFrame] = {
+    val dirs = committedTdDirs(stateDir).map(d => s"$d/$sub")
+      .filter(d => StreamFs.exists(d) && StreamFs.hasDataFiles(d))
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** The committed claim rows, takedowns applied: removed docs' claims
+    * vanish (they stop rejecting arrivals of their hash) and re-elected
+    * owners' claims take their place (arrivals of a class that still
+    * has a representative stay rejected). None ⇔ no committed claims. */
+  private def readClaims(spark: SparkSession,
+                         stateDir: String): Option[DataFrame] = {
+    val dirs = claimDirs(stateDir).filter(StreamFs.hasDataFiles)
+    if (dirs.isEmpty) return None
+    val base = spark.read.parquet(dirs: _*)
+      .select("content_hash", "doc_id")
+    Some((readTd(spark, stateDir, "removed"), readTd(spark, stateDir,
+        "corrected")) match {
+      case (None, _) => base
+      case (Some(rm), corr) =>
+        val r = rm.select("doc_id").distinct()
+        val pruned = base.join(broadcast(r), Seq("doc_id"), "left_anti")
+        corr match {
+          case None => pruned
+          case Some(c) => pruned.unionByName(
+            c.join(broadcast(r), Seq("doc_id"), "left_anti")
+              .select("content_hash", "doc_id"))
+        }
+    })
+  }
+
+  /** TAKEDOWN over the curation monitor's claims + verdicts — the
+    * [[Takedown]] semantics on this stream's layout: given a removal
+    * set, removed docs' verdict rows and claims vanish; where a removed
+    * doc OWNED a claim, the claim passes to the min-id surviving
+    * same-hash doc, whose verdict is CORRECTED to its stateless outcome
+    * (is_canonical = true, so near_dup can no longer fire — exactly the
+    * verdict a from-scratch ingest of the survivors reaches; verdicts
+    * carry n_tokens/pred_lang/quality, so no text is re-read).
+    *
+    * Funnel COUNTS are deliberately untouched: the live funnel is the
+    * INGEST monitor and reports what the gate did (the media/url
+    * gate-counts stance); the post-takedown corpus truth is
+    * [[readVerdicts]], and `takedown_replay_curation` pins it against
+    * the batch pipeline's own SQL over the survivors. Idempotent per
+    * `takedownId` (td marker = commit point); cost ∝ |removals| +
+    * touched claims (broadcast probes over the verdict rows — never the
+    * corpus text). */
+  def applyTakedown(spark: SparkSession, stateDir: String,
+                    removed: DataFrame, takedownId: Long): Unit =
+    CompactionLock.withLock(stateDir) {
+      recover(stateDir)
+      val dst = s"$stateDir/$TdSub/td=$takedownId"
+      if (StreamFs.exists(s"$dst/${DedupStream.Marker}")) return // replay
+      val r = removed.select("doc_id").distinct().localCheckpoint()
+      val v = readVerdicts(spark, stateDir).localCheckpoint()
+      val affected = v.join(broadcast(r), Seq("doc_id"), "left_semi")
+        .filter(col("is_canonical")).select("content_hash").distinct()
+      val corrected = v
+        .join(broadcast(affected), Seq("content_hash"), "left_semi")
+        .join(broadcast(r), Seq("doc_id"), "left_anti")
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+        .filter(col("__rk") === 1)
+        .drop("__rk", "is_canonical", "keep", "reject_reason")
+        .withColumn("is_canonical", lit(true))
+        .withColumn("reject_reason", CurationQueries.rejectReason)
+        .withColumn("keep", col("reject_reason").isNull)
+        .select(v.columns.map(col): _*)
+        .localCheckpoint()
+      val tmp = dst + ".tmp"
+      StreamFs.delete(tmp)
+      r.write.parquet(s"$tmp/removed")
+      if (!corrected.isEmpty) corrected.write.parquet(s"$tmp/corrected")
+      StreamFs.delete(dst)
+      StreamFs.renameOrThrow(tmp, dst)
+      StreamFs.createMarker(s"$dst/${DedupStream.Marker}")
+    }
 
   private def sumCounts(spark: SparkSession, stateDir: String,
                         dirs: Seq[String]): DataFrame =
@@ -286,6 +405,41 @@ object CurationStream {
           col("doc_id") < (i + 1) * span), d, i.toLong))
       d
     })
+
+  /** Separate state cache for the takedown face — applyTakedown
+    * mutates, so it must never share [[curationState]]'s ingest. */
+  private val takedownDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** REGISTERED + DuckDB-oracled — the curation monitor under takedown:
+    * the deterministic 4-quartile ingest, then a takedown of every
+    * 13th doc_id (the [[Takedown.replayRemovalStride]] the corpus-gate
+    * replay faces share); the post-takedown verdicts must equal the
+    * batch curationPipeline's own SQL over the SURVIVING docs — claim
+    * re-election hands a removed canonical's hash to the min-id
+    * surviving twin and flips its verdict to the stateless outcome, or
+    * the rows diverge. */
+  def takedownReplayCuration(s: SparkSession, dir: String): DataFrame = {
+    val st = takedownDirs.getOrElseUpdate(dir, {
+      val d = StreamFs.benchTempDir("graft-curation-takedown") + "/state"
+      val docs = graft.Tables.documents(s, dir)
+        .select("doc_id", "text").localCheckpoint()
+      val n = docs.count()
+      val span = math.max(1L, (n + 3) / 4)
+      (0 until 4).foreach(i => applyMicroBatch(s,
+        docs.filter(col("doc_id") >= i * span &&
+          col("doc_id") < (i + 1) * span), d, i.toLong))
+      applyTakedown(s, d,
+        docs.filter(col("doc_id") %
+          Takedown.replayRemovalStride === 0).select("doc_id"),
+        takedownId = 0L)
+      d
+    })
+    readVerdicts(s, st)
+      .select("doc_id", "n_tokens", "pred_lang", "quality",
+        "is_canonical", "keep", "reject_reason")
+      .orderBy("doc_id")
+  }
 
   /** REGISTERED live-funnel face (DuckDB-oracled): the streaming
     * monitor's funnel over the deterministic id-ordered ingest — the

@@ -78,7 +78,8 @@ class CurationStreamSpec extends SparkSpec {
     val v = CurationStream.readVerdicts(spark, d).collect()
     // exactly one canonical per content hash
     val byText = fixture.toMap
-    val canon = v.filter(_.getBoolean(4)).map(r => byText(r.getLong(0)))
+    val canon = v.filter(_.getAs[Boolean]("is_canonical"))
+      .map(r => byText(r.getAs[Long]("doc_id")))
     assert(canon.distinct.length === canon.length,
       "two canonicals for one content hash")
     // ids 0, 20, 40 share one text; 20 and 40 arrive in batch 0 (within
@@ -86,7 +87,8 @@ class CurationStreamSpec extends SparkSpec {
     // first-arrival convention makes 20 canonical and 0 a near-dup
     // DESPITE its lower doc_id (the documented divergence from the
     // batch operator on out-of-order input)
-    val vm = v.map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val vm = v.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Boolean]("is_canonical")).toMap
     assert(vm(20L), "first-arrival doc must claim the hash")
     assert(!vm(40L), "same-batch higher id must lose to the batch min")
     assert(!vm(0L), "a late-arriving lower id must lose the claim")
@@ -154,7 +156,8 @@ class CurationStreamSpec extends SparkSpec {
       docsDf(Seq((900L, fixture(5)._2))), d, 9L)
     val v900 = CurationStream.readVerdicts(spark, d)
       .filter(col("doc_id") === 900L).collect()
-    assert(v900.length === 1 && !v900.head.getBoolean(4),
+    assert(v900.length === 1 &&
+      !v900.head.getAs[Boolean]("is_canonical"),
       "a post-compaction dup must still lose to the compacted claim")
   }
 

@@ -138,7 +138,9 @@ class StreamPropertySpec extends SparkSpec {
         col("pred_lang"), col("quality"), col("is_canonical"),
         CurationQueries.rejectReason.isNull.as("keep"),
         CurationQueries.rejectReason.as("reject_reason"))
-      assert(rows(CurationStream.readVerdicts(spark, d).orderBy("doc_id"))
+      assert(rows(CurationStream.readVerdicts(spark, d)
+          .drop("content_hash") // the round-15 takedown bookkeeping column
+          .orderBy("doc_id"))
         === rows(batch.orderBy("doc_id")),
         s"stream verdicts diverged for ${slices.length} id-ordered splits")
       assert(rows(CurationStream.funnelLive(spark, d)) ===

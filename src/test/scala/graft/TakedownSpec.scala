@@ -150,6 +150,54 @@ class TakedownSpec extends SparkSpec {
     assert(after === ids(MediaStream.readCorpus(spark, fresh)))
   }
 
+  // ---- curation gate (claims + verdicts layout) ------------------------
+
+  test("curation gate: claim re-election, verdict correction, compaction fold") {
+    import graft.streaming.CurationStream
+    val long = "the quick brown fox jumps over the lazy dog again and " +
+      "again and then some more words to pass the too short gate " +
+      "easily the quick brown fox jumps over the lazy dog once more"
+    val dir = Files.createTempDirectory("graft-td-curation").toString +
+      "/state"
+    CurationStream.applyMicroBatch(spark,
+      docsOf(1L -> long, 2L -> "too short"), dir, 0L)
+    CurationStream.applyMicroBatch(spark,
+      docsOf(5L -> long, 7L -> long), dir, 1L)
+    def verdictOf(id: Long): (Boolean, Boolean, String) =
+      CurationStream.readVerdicts(spark, dir)
+        .filter(col("doc_id") === id)
+        .select("is_canonical", "keep", "reject_reason")
+        .as[(Boolean, Boolean, String)].collect()(0)
+    assert(verdictOf(1L)._2 && verdictOf(5L)._3 === "near_dup")
+    // remove the canonical: the min-id surviving twin (5) takes the
+    // claim and its verdict corrects to the stateless outcome (keep)
+    CurationStream.applyTakedown(spark, dir, Seq(1L).toDF("doc_id"), 0L)
+    val v5 = verdictOf(5L)
+    assert(v5._1 && v5._2 && v5._3 == null,
+      s"doc 5 must become the kept canonical, got $v5")
+    assert(verdictOf(7L)._3 === "near_dup", "doc 7 stays rejected (5 < 7)")
+    assert(CurationStream.readVerdicts(spark, dir)
+      .filter(col("doc_id") === 1L).isEmpty, "removed doc purged")
+    // a NEW arrival of the same content stays rejected — the claim
+    // passed to 5, it did not evaporate
+    CurationStream.applyMicroBatch(spark, docsOf(9L -> long), dir, 2L)
+    assert(verdictOf(9L)._3 === "near_dup",
+      "re-arrival of a re-elected claim must stay near_dup")
+    // compaction folds the takedown physically: same verdicts view
+    val before = CurationStream.readVerdicts(spark, dir)
+      .select("doc_id", "is_canonical", "keep")
+      .as[(Long, Boolean, Boolean)].collect().toSet
+    CurationStream.compact(spark, dir)
+    val after = CurationStream.readVerdicts(spark, dir)
+      .select("doc_id", "is_canonical", "keep")
+      .as[(Long, Boolean, Boolean)].collect().toSet
+    assert(after === before, "compaction must not change the verdict view")
+    assert(new java.io.File(s"$dir/takedown").listFiles() == null ||
+      !new java.io.File(s"$dir/takedown").listFiles().exists(
+        _.getName.startsWith("td=")),
+      "compaction must fold curation takedown dirs away")
+  }
+
   // ---- compaction folds tombstones physically --------------------------
 
   test("compact folds takedowns: same view, no td dirs, quarantine rewritten") {
