@@ -159,6 +159,7 @@ object CurationStream {
         .filter(_.startsWith("batch="))
         .filter(b => committed(stateDir, b))
         .sortBy(_.stripPrefix("batch=").toLong)
+      if (batches.isEmpty) return // removal-only td, nothing to fold
       if (batches.length <= 1 && committedTdDirs(stateDir).isEmpty) return
       val target = batches.last
       val stage = stateDir + ".ctmp"

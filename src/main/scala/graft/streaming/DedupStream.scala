@@ -143,6 +143,9 @@ object DedupStream {
           StreamFs.exists(s"$corpusDir/index/$b"))
         .sortBy(_.stripPrefix("batch=").toLong)
       val hasTakedowns = Takedown.committedDirs(corpusDir).nonEmpty
+      // a takedown can exist against an all-swept corpus (removal-only
+      // tombstone); with no committed batch there is nothing to fold
+      if (committedBatches.isEmpty) return
       if (committedBatches.length <= 1 && !hasTakedowns) return
       val target = committedBatches.last
       val stage = corpusDir + ".ctmp"
