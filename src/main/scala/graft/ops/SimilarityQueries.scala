@@ -50,12 +50,21 @@ object SimilarityQueries {
     * is its SQL twin), so the cap can never drift between engines. */
   private[graft] def queryPred(stride: Long = queryStride.toLong) =
     col("vec_id") % stride === 0 &&
-      col("vec_id") < lit(stride * maxQueries)
+      col("vec_id") < lit(math.min(stride, queryStride.toLong) * maxQueries)
 
-  /** SQL twin of [[queryPred]] over a `vec_id` column reference. */
+  /** SQL twin of [[queryPred]] over a `vec_id` column reference.
+    *
+    * The id window is `min(stride, queryStride)·maxQueries` — SHARED by
+    * every stride ≥ [[queryStride]], so a budget-thinned query set
+    * (stride = k·queryStride) is a true SUBSET of the standard capped
+    * set: above the binding scale the thinned faces keep ≤ maxQueries/k
+    * queries instead of scoring up to maxQueries extra queries that a
+    * downstream join silently drops (round-15 ADVICE). Strides BELOW
+    * queryStride tighten the window proportionally, so |Q| ≤ maxQueries
+    * always. */
   private[graft] def querySqlPred(c: String,
       stride: Long = queryStride.toLong): String =
-    s"$c % $stride = 0 AND $c < ${stride * maxQueries}"
+    s"$c % $stride = 0 AND $c < ${math.min(stride, queryStride.toLong) * maxQueries}"
 
   import graft.functions.VectorFunctions.dotProduct
 

@@ -425,11 +425,13 @@ object CurationStream {
       val d = StreamFs.benchTempDir("graft-curation-takedown") + "/state"
       val docs = graft.Tables.documents(s, dir)
         .select("doc_id", "text").localCheckpoint()
-      val n = docs.count()
-      val span = math.max(1L, (n + 3) / 4)
-      (0 until 4).foreach(i => applyMicroBatch(s,
-        docs.filter(col("doc_id") >= i * span &&
-          col("doc_id") < (i + 1) * span), d, i.toLong))
+      // min/max-derived quartiles (the Takedown.quartiles convention) —
+      // the count-based split assumed 0-based contiguous ids and would
+      // silently never ingest docs past 4·span on an offset or sparse
+      // corpus (round-15 ADVICE)
+      Takedown.quartiles(docs).zipWithIndex.foreach { case (b, i) =>
+        applyMicroBatch(s, b, d, i.toLong)
+      }
       applyTakedown(s, d,
         docs.filter(col("doc_id") %
           Takedown.replayRemovalStride === 0).select("doc_id"),

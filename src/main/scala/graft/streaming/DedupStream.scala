@@ -166,11 +166,20 @@ object DedupStream {
       // root carries no takedown dirs — the logical tombstone view and
       // this physical rewrite are pinned equal in TakedownSpec. The
       // rewrite is still schema-agnostic: all gate knowledge lives in
-      // the td dirs' pre-shaped tables.
-      Takedown.view(spark, corpusDir, readSub("docs"), "docs")
-        .write.parquet(s"$stage/docs/$target")
-      Takedown.view(spark, corpusDir, readSub("index"), "index")
-        .write.parquet(s"$stage/index/$target")
+      // the td dirs' pre-shaped tables. An ALL-SWEPT base (every
+      // committed dir marker-only after a takedown removed everything +
+      // a prior compact) has no parquet to read — parquet(Nil) throws —
+      // so the fold degrades to just the surviving promoted rows
+      // (round-15 ADVICE).
+      def foldSub(sub: String, promotedName: String): Unit =
+        if (dataDirs(sub).nonEmpty)
+          Takedown.view(spark, corpusDir, readSub(sub), sub)
+            .write.parquet(s"$stage/$sub/$target")
+        else
+          Takedown.promotedSurvivors(spark, corpusDir, promotedName)
+            .foreach(_.write.parquet(s"$stage/$sub/$target"))
+      foldSub("docs", "promoted_docs")
+      foldSub("index", "promoted_index")
       if (dataDirs("drops").nonEmpty)
         Takedown.view(spark, corpusDir, readSub("drops"), "drops")
           .write.parquet(s"$stage/drops/$target")

@@ -106,12 +106,8 @@ object Takedown {
     val removed = removedIds(spark, corpusDir)
     if (removed.isEmpty) return base
     val pruned = base.join(broadcast(removed.get), Seq("doc_id"), "left_anti")
-    // a doc promoted by an EARLIER takedown can be removed by a LATER
-    // one (chained takedowns) — promoted rows pass through the same
-    // removal anti-join as the base
     def promotedSurviving(name: String): Option[DataFrame] =
-      readSub(spark, corpusDir, name)
-        .map(_.join(broadcast(removed.get), Seq("doc_id"), "left_anti"))
+      promotedSurvivors(spark, corpusDir, name)
     sub match {
       case "docs" =>
         promotedSurviving("promoted_docs")
@@ -129,6 +125,19 @@ object Takedown {
       case other => throw new IllegalArgumentException(s"sub-table $other")
     }
   }
+
+  /** Promoted rows of `name` (promoted_docs / promoted_index) that
+    * survive every committed removal — a doc promoted by an EARLIER
+    * takedown can be removed by a LATER one (chained takedowns), so
+    * promoted rows pass through the same removal anti-join as the base.
+    * Shared by [[view]] and by [[DedupStream.compact]]'s all-swept-base
+    * path (where there is no base to fold the promotions into). */
+  private[streaming] def promotedSurvivors(spark: SparkSession,
+      corpusDir: String, name: String): Option[DataFrame] =
+    removedIds(spark, corpusDir).flatMap { r =>
+      readSub(spark, corpusDir, name)
+        .map(_.join(broadcast(r), Seq("doc_id"), "left_anti"))
+    }
 
   /** The quarantined dropped rows, takedown-applied (full gate-schema
     * rows — what re-election promotes from). */
@@ -324,8 +333,10 @@ object Takedown {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** 4 contiguous doc_id-quartile batches (id-ordered, so stream ≡
-    * one-shot verdicts — the CurationStream convention). */
-  private def quartiles(docs: DataFrame): Seq[DataFrame] = {
+    * one-shot verdicts — the CurationStream convention). min/max-based,
+    * so sparse or offset id spaces still ingest every doc (the
+    * count-based split silently skipped ids ≥ 4·span). */
+  private[streaming] def quartiles(docs: DataFrame): Seq[DataFrame] = {
     val (lo, hi) = docs.agg(min("doc_id"), max("doc_id")).collect()
       .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
     val span = hi - lo + 1
@@ -341,17 +352,20 @@ object Takedown {
       quartiles(docsCp).zipWithIndex.foreach { case (b, i) =>
         ingest(b, i.toLong)
       }
-      val d = replayDirsBase(kind)
+      val d = replayDirsBase(kind, dir)
       apply(s, d, docsCp.filter(col("doc_id") % stride === 0)
         .select("doc_id"), gate, takedownId = 0L)
       d
     })
 
-  // the ingest closure needs the dir before getOrElseUpdate returns it
+  // the ingest closure needs the dir before getOrElseUpdate returns it;
+  // keyed by (kind, INPUT dir) like replayDirs itself — a kind-only key
+  // would silently replay the first dir's temp corpus when a second
+  // scale dir runs in the same JVM (round-15 ADVICE)
   private val pendingDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private def replayDirsBase(kind: String): String =
-    pendingDirs.getOrElseUpdate(kind,
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private[streaming] def replayDirsBase(kind: String, dir: String): String =
+    pendingDirs.getOrElseUpdate((kind, dir),
       StreamFs.benchTempDir(s"graft-takedown-$kind") + "/corpus")
 
   /** REGISTERED + DuckDB-oracled — the EXACT gate under takedown:
@@ -365,7 +379,7 @@ object Takedown {
     val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
     val st = replayState(s, dir, "exact", docs, replayRemovalStride,
       Gate.Exact)((b, i) =>
-      DedupStream.applyMicroBatch(s, b, replayDirsBase("exact"), i))
+      DedupStream.applyMicroBatch(s, b, replayDirsBase("exact", dir), i))
     DedupStream.readCorpus(s, st).select("doc_id", "content_hash")
       .orderBy("doc_id")
   }
@@ -380,7 +394,7 @@ object Takedown {
     val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
     val st = replayState(s, dir, "neardup", docs, replayRemovalStride,
       Gate.NearDup)((b, i) =>
-      NearDupStream.applyMicroBatch(s, b, replayDirsBase("neardup"), i))
+      NearDupStream.applyMicroBatch(s, b, replayDirsBase("neardup", dir), i))
     NearDupStream.readCorpus(s, st).select("doc_id").orderBy("doc_id")
   }
 
@@ -395,7 +409,7 @@ object Takedown {
       .select("doc_id", "url")
     val st = replayState(s, dir, "url", urls, replayUrlRemovalStride,
       Gate.Url)((b, i) =>
-      UrlStream.applyMicroBatch(s, b, replayDirsBase("url"), i))
+      UrlStream.applyMicroBatch(s, b, replayDirsBase("url", dir), i))
     UrlStream.readCorpus(s, st).orderBy("doc_id")
   }
 }
