@@ -27,8 +27,11 @@ import org.apache.spark.sql.functions._
   *  - Embedding near-dup: brute-force is the correctness baseline;
   *    blocking joins belong to SimilarityQueries' IVF path.
   *
-  * All hashes are the portable md5-60bit (TextFunctions.md5Long) so every
-  * operator has an exact DuckDB oracle.
+  * Hash conventions: EXACT dedup keys are the full 128-bit md5 hex (a
+  * prefix key would falsely merge novel docs at 1e9-doc scale); the
+  * similarity families (minhash/simhash/shingles) ride the portable
+  * md5-60bit (TextFunctions.md5Long), where collisions are part of the
+  * approximation by design. Both have exact DuckDB oracles.
   */
 object DedupQueries {
   val maxShingleDf = 100
@@ -49,11 +52,13 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id", "text")
 
-  /** Exact dedup: canonical = min doc_id per 60-bit content hash. */
+  /** Exact dedup: canonical = min doc_id per FULL 128-bit md5 content
+    * hash (hex string — the exact gates' key; a 60-bit prefix would
+    * falsely merge ~n^2/2^61 novel docs at 1e9-doc scale). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docs(s, dir)
-      .withColumn("content_hash", md5Long(col("text")))
+      .withColumn("content_hash", md5(col("text")))
       .withColumn("canonical_id",
         min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
       .select(col("doc_id"), col("content_hash"),
@@ -307,7 +312,7 @@ object DedupQueries {
     * (hash → canonical id) table bucketed by hash, the batch equi-joins
     * it on the hash — batch-sized work, never a corpus rescan. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).withColumn("content_hash", md5Long(col("text")))
+    val d = docs(s, dir).withColumn("content_hash", md5(col("text")))
     val mid = d.agg(max(col("doc_id"))).first().getLong(0) / 2
     val corpusIndex = d.filter(col("doc_id") <= mid)
       .groupBy("content_hash").agg(min(col("doc_id")).as("dup_of"))
@@ -1562,7 +1567,7 @@ object DedupQueries {
       s"""WITH surv AS (SELECT doc_id, text FROM documents
          |              WHERE doc_id % ${graft.streaming.Takedown
                             .replayRemovalStride} != 0)
-         |SELECT doc_id, ${duckMd5Long("text")} AS content_hash FROM (
+         |SELECT doc_id, md5(text) AS content_hash FROM (
          |  SELECT doc_id, text,
          |    min(doc_id) OVER (PARTITION BY md5(text)) AS cid
          |  FROM surv)
@@ -1590,7 +1595,7 @@ object DedupQueries {
          |  FROM surv)
          |WHERE doc_id = cid ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
-      s"""SELECT doc_id, ${duckMd5Long("text")} AS content_hash,
+      s"""SELECT doc_id, md5(text) AS content_hash,
          |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
          |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
          |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1710,7 +1715,7 @@ object DedupQueries {
          |FROM documents d LEFT JOIN per_doc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "dedup_incremental" ->
-      s"""WITH d AS (SELECT doc_id, ${duckMd5Long("text")} AS content_hash
+      s"""WITH d AS (SELECT doc_id, md5(text) AS content_hash
          |           FROM documents),
          |mid AS (SELECT max(doc_id) // 2 AS m FROM d),
          |corpus AS (

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.functions.TextFunctions.md5Long
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -75,8 +74,13 @@ object DedupStream {
     CompactionLock.requireFree(corpusDir, "DedupStream.applyMicroBatch")
     recover(corpusDir)
     if (committed(corpusDir, s"batch=$batchId")) return // replay
+    // FULL 128-bit md5 hex as the claim/index key (the CurationStream
+    // rule, round-15 verdict #3): a 60-bit prefix key silently FALSELY
+    // REJECTS ~n^2/2^61 novel docs at the 1e9-doc target — data loss for
+    // an exact gate. 60-bit keys stay where collisions are by design
+    // (minhash/simhash/sketch families).
     val all = batch
-      .withColumn("content_hash", md5Long(col("text")))
+      .withColumn("content_hash", md5(col("text")))
       .persist()
     val hashed = all
       .withColumn("__rank", row_number().over(
@@ -295,6 +299,7 @@ object DedupStream {
       import org.apache.spark.sql.types._
       val schema = StructType(cols.map {
         case "text" => StructField("text", StringType)
+        case "content_hash" => StructField("content_hash", StringType)
         case c => StructField(c, LongType)
       })
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -2,7 +2,6 @@ package graft
 
 import java.nio.file.Files
 
-import graft.functions.TextFunctions.md5Long
 import graft.streaming.DedupStream
 import org.apache.spark.sql.functions._
 
@@ -39,12 +38,12 @@ class DedupStreamSpec extends SparkSpec {
       (8L, "delta"), (9L, "epsilon")))
     // the index is exactly the corpus's hash set
     val idx = DedupStream.readIndex(spark, s"$tmp/corpus")
-    val corpusHashes = corpus.select("content_hash").as[Long].collect().sorted
-    assert(idx.select("content_hash").as[Long].collect().sorted
+    val corpusHashes = corpus.select("content_hash").as[String].collect().sorted
+    assert(idx.select("content_hash").as[String].collect().sorted
       .sameElements(corpusHashes))
-    // and hashes really are the canonical 60-bit content hash
+    // and hashes really are the full 128-bit md5 content hash
     val recomputed = corpus
-      .filter(col("content_hash") =!= md5Long(col("text"))).count()
+      .filter(col("content_hash") =!= md5(col("text"))).count()
     assert(recomputed === 0)
   }
 
@@ -63,13 +62,13 @@ class DedupStreamSpec extends SparkSpec {
     val before = DedupStream.readCorpus(spark, corpus)
       .select("doc_id", "text").as[(Long, String)].collect().toSet
     val idxBefore = DedupStream.readIndex(spark, corpus)
-      .as[(Long, Long)].collect().toSet
+      .as[(String, Long)].collect().toSet
     DedupStream.compact(spark, corpus)
     // content identical, through the same readers
     assert(DedupStream.readCorpus(spark, corpus)
       .select("doc_id", "text").as[(Long, String)].collect().toSet === before)
     assert(DedupStream.readIndex(spark, corpus)
-      .as[(Long, Long)].collect().toSet === idxBefore)
+      .as[(String, Long)].collect().toSet === idxBefore)
     // exactly one batch dir still holds files; the rest are empty markers
     def dataDirs(sub: String) = new java.io.File(s"$corpus/$sub").listFiles()
       .filter(_.getName.startsWith("batch=")).toSeq
@@ -129,7 +128,7 @@ class DedupStreamSpec extends SparkSpec {
     DedupStream.applyMicroBatch(spark,
       Seq(doc(1, "a")).toDF("doc_id", "text"), corpusDir, batchId = 0L)
     // simulate the crash window: batch 1's index committed, corpus not
-    Seq((99L, 123L)).toDF("content_hash", "doc_id")
+    Seq(("no-corpus-twin", 123L)).toDF("content_hash", "doc_id")
       .write.parquet(s"$corpusDir/index/batch=1")
     // a hash that never reached the corpus must not block future ingest
     DedupStream.recover(corpusDir)

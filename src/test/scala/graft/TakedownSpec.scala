@@ -209,11 +209,11 @@ class TakedownSpec extends SparkSpec {
     Takedown(spark, dir, Seq(1L, 7L).toDF("doc_id"),
       Takedown.Gate.Exact, 0L)
     val before = DedupStream.readCorpus(spark, dir)
-      .select("doc_id", "content_hash", "text").as[(Long, Long, String)]
+      .select("doc_id", "content_hash", "text").as[(Long, String, String)]
       .collect().toSet
     DedupStream.compact(spark, dir)
     val after = DedupStream.readCorpus(spark, dir)
-      .select("doc_id", "content_hash", "text").as[(Long, Long, String)]
+      .select("doc_id", "content_hash", "text").as[(Long, String, String)]
       .collect().toSet
     assert(after === before, "compaction must not change the corpus view")
     assert(new java.io.File(s"$dir/takedown").listFiles() == null ||
