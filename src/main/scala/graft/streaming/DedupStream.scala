@@ -106,11 +106,18 @@ object DedupStream {
         // the commit point, so a crash between the writes leaves orphan
         // index/drops dirs that recover() sweeps — never a corpus doc
         // missing its index
-        writeAtomically(novel.select("content_hash", "doc_id"),
+        // arrival_seq (= the committing batch id, monotone per gate)
+        // rides every index/drops row so [[Takedown]] re-election can
+        // replay the TRUE arrival order under ANY batching, and the
+        // ordering survives compaction's single-dir fold (round-15
+        // verdict #5 — the partition dir alone dies with compact)
+        writeAtomically(novel.select("content_hash", "doc_id")
+            .withColumn("arrival_seq", lit(batchId)),
           s"$corpusDir/index/batch=$batchId", mark = false)
         writeAtomically(
           all.join(novel.select("doc_id"), Seq("doc_id"), "left_anti")
-            .select("doc_id", "content_hash", "text"),
+            .select("doc_id", "content_hash", "text")
+            .withColumn("arrival_seq", lit(batchId)),
           s"$corpusDir/drops/batch=$batchId", mark = false)
         writeAtomically(novel.select("doc_id", "content_hash", "text"),
           s"$corpusDir/docs/batch=$batchId", mark = true)
@@ -280,7 +287,7 @@ object DedupStream {
   def readIndex(spark: SparkSession, corpusDir: String): DataFrame =
     Takedown.view(spark, corpusDir,
       readCommitted(spark, corpusDir, "index",
-        Seq("content_hash", "doc_id")), "index")
+        Seq("content_hash", "doc_id", "arrival_seq")), "index")
 
   private[streaming] def committedDirs(corpusDir: String,
                                        sub: String): Seq[String] =

@@ -185,12 +185,16 @@ object MediaStream {
     // when a kept canonical is later removed), counts third (the
     // per-batch gate tally the drift monitor subset-sums), corpus last
     // (kept docs only; its marker is the commit point)
+    // arrival_seq: the true-arrival-order witness key — see
+    // DedupStream.applyMicroBatch
     DedupStream.writeAtomically(
-      bands.select("modality", "chunk", "key", "fp", "doc_id"),
+      bands.select("modality", "chunk", "key", "fp", "doc_id")
+        .withColumn("arrival_seq", lit(batchId)),
       s"$corpusDir/index/batch=$batchId", mark = false)
     DedupStream.writeAtomically(
       sigs.join(dropped, Seq("doc_id"), "left_semi")
-        .select("doc_id", "payload", "modality", "fp"),
+        .select("doc_id", "payload", "modality", "fp")
+        .withColumn("arrival_seq", lit(batchId)),
       s"$corpusDir/drops/batch=$batchId", mark = false)
     DedupStream.writeAtomically(
       sigs.join(dropped.withColumn("__hit", lit(1)), Seq("doc_id"), "left")
@@ -243,10 +247,11 @@ object MediaStream {
     val base =
       if (dirs.isEmpty)
         spark.range(0).select(lit("").as("modality"), lit(0).as("chunk"),
-          col("id").as("key"), col("id").as("fp"), col("id").as("doc_id"))
+          col("id").as("key"), col("id").as("fp"), col("id").as("doc_id"),
+          col("id").as("arrival_seq"))
       else
         spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
-          .select("modality", "chunk", "key", "fp", "doc_id")
+          .select("modality", "chunk", "key", "fp", "doc_id", "arrival_seq")
     Takedown.view(spark, corpusDir, base, "index")
   }
 

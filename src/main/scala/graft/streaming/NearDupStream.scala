@@ -106,12 +106,16 @@ object NearDupStream {
       // drops second (quarantined full rows — [[Takedown]] re-elects
       // from here when a kept canonical is later removed), corpus last
       // (kept docs only; its marker is the commit point)
+      // arrival_seq: the true-arrival-order witness key — see
+      // DedupStream.applyMicroBatch
       DedupStream.writeAtomically(
-        bands.select("doc_id", "sig", "band", "key"),
+        bands.select("doc_id", "sig", "band", "key")
+          .withColumn("arrival_seq", lit(batchId)),
         s"$corpusDir/index/batch=$batchId", mark = false)
       DedupStream.writeAtomically(
         batch.join(dropped, Seq("doc_id"), "left_semi")
-          .select("doc_id", "text"),
+          .select("doc_id", "text")
+          .withColumn("arrival_seq", lit(batchId)),
         s"$corpusDir/drops/batch=$batchId", mark = false)
       DedupStream.writeAtomically(
         kept.select("doc_id", "text"),
@@ -144,10 +148,10 @@ object NearDupStream {
       if (dirs.isEmpty)
         spark.range(0).select(col("id").as("doc_id"),
           array().cast("array<bigint>").as("sig"),
-          lit(0).as("band"), lit("").as("key"))
+          lit(0).as("band"), lit("").as("key"), col("id").as("arrival_seq"))
       else
         spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
-          .select("doc_id", "sig", "band", "key")
+          .select("doc_id", "sig", "band", "key", "arrival_seq")
     Takedown.view(spark, corpusDir, base, "index")
   }
 }

@@ -37,12 +37,13 @@ import org.apache.spark.sql.functions._
   * commit point and the replay check; an interrupted call leaves an
   * unmarked td dir that [[DedupStream.recover]] sweeps.
   *
-  * CONTRACT: the witness rule is "smaller doc_id", which coincides with
-  * the gates' first-arrival canonicality exactly under the house
-  * nondecreasing-id batching convention (the same precondition every
-  * stream ≡ batch spec pins); under arbitrary arrival orders the
-  * re-elected set is still near-dup-consistent but may differ from the
-  * literal replay of that arrival order.
+  * The witness rule replays the TRUE arrival order: every index/drops
+  * row records `arrival_seq` (the committing batch id, monotone per
+  * gate) at write time, and "earlier" means lexicographic
+  * (arrival_seq, doc_id) — the gates' first-arrival canonicality under
+  * ANY batching, not just the house nondecreasing-id convention
+  * (TakedownSpec pins an out-of-order-arrival replay). The column rides
+  * the rows, so the ordering survives compaction's single-dir fold.
   *
   * For EXACT-key gates ([[Gate.Exact]] on content hash, [[Gate.Url]] on
   * the canonical URL) the promoted doc also re-enters the INDEX (those
@@ -178,6 +179,14 @@ object Takedown {
       .select("doc_id").distinct()
   }
 
+  /** "x arrived after y": the lexicographic (arrival_seq, doc_id)
+    * order over two aliased row sets — the literal replay order (within
+    * a batch the gates canonicalize by min doc_id). */
+  private def arrivedAfter: Column =
+    col("x.arrival_seq") > col("y.arrival_seq") ||
+      (col("x.arrival_seq") === col("y.arrival_seq") &&
+        col("x.doc_id") > col("y.doc_id"))
+
   private def indexOf(spark: SparkSession, corpusDir: String,
                       gate: Gate): DataFrame = gate match {
     case Gate.Exact => DedupStream.readIndex(spark, corpusDir)
@@ -219,11 +228,12 @@ object Takedown {
       case Gate.Exact =>
         val p = exactPromotions(r, drops.get,
           "content_hash", DedupStream.readIndex(spark, corpusDir))
-        (p, p.map(_.select("content_hash", "doc_id")))
+        (p, p.map(_.select("content_hash", "doc_id", "arrival_seq")))
       case Gate.Url =>
         val p = exactPromotions(r, drops.get,
           "canonical_url", UrlStream.readIndex(spark, corpusDir))
-        (p, p.map(_.select("curl_hash", "canonical_url", "doc_id")))
+        (p, p.map(_.select("curl_hash", "canonical_url", "doc_id",
+          "arrival_seq")))
       case Gate.NearDup =>
         val agree = aggregate(
           zip_with(col("x.sig"), col("y.sig"),
@@ -243,8 +253,9 @@ object Takedown {
   }
 
   /** Exact-key re-election: claim keys whose kept owner is removed pass
-    * to the min-id surviving quarantined holder. Removal-proportional:
-    * the affected-key set comes from one broadcast semi-probe of the
+    * to the EARLIEST-ARRIVING surviving quarantined holder — the literal
+    * replay of (arrival_seq, doc_id). Removal-proportional: the
+    * affected-key set comes from one broadcast semi-probe of the
     * index, candidates from one broadcast semi-probe of the quarantine. */
   private def exactPromotions(r: DataFrame, drops: DataFrame, key: String,
       index: DataFrame): Option[DataFrame] = {
@@ -254,16 +265,18 @@ object Takedown {
       .join(broadcast(affected), Seq(key), "left_semi")
       .join(broadcast(r), Seq("doc_id"), "left_anti")
       .withColumn("__rk", row_number().over(
-        Window.partitionBy(col(key)).orderBy(col("doc_id"))))
+        Window.partitionBy(col(key))
+          .orderBy(col("arrival_seq"), col("doc_id"))))
       .filter(col("__rk") === 1).drop("__rk")
       .localCheckpoint()
     if (promoted.isEmpty) None else Some(promoted)
   }
 
   /** Near-dup re-election — the single declarative rule: a quarantined
-    * doc flips to kept iff its ENTIRE verified witness set (earlier-id
-    * processed docs colliding on a band with the verify predicate) lies
-    * inside the removal set. Witness-ness never depended on kept status
+    * doc flips to kept iff its ENTIRE verified witness set
+    * (earlier-ARRIVED processed docs colliding on a band with the
+    * verify predicate, by the persisted (arrival_seq, doc_id) order)
+    * lies inside the removal set. Witness-ness never depended on kept status
     * (the index holds every processed doc), so there is no cascade: the
     * from-scratch verdict of every surviving doc is decided by one pass.
     *
@@ -281,10 +294,11 @@ object Takedown {
     val rIdx = idx.join(broadcast(r), Seq("doc_id"), "left_semi")
     val dropIds = drops.select("doc_id")
       .join(broadcast(r), Seq("doc_id"), "left_anti")
-    // candidates: quarantined docs with a verified EARLIER witness in R
+    // candidates: quarantined docs with a verified EARLIER-ARRIVED
+    // witness in R (the replay order, not the id proxy)
     val candIds = idx.join(broadcast(dropIds), Seq("doc_id"), "left_semi")
       .as("x").join(broadcast(rIdx).as("y"), bandKeys)
-      .filter(col("x.doc_id") > col("y.doc_id")).filter(verified)
+      .filter(arrivedAfter).filter(verified)
       .select(col("x.doc_id").as("doc_id")).distinct()
       .localCheckpoint()
     if (candIds.isEmpty) return None
@@ -304,9 +318,10 @@ object Takedown {
         hl.join(broadcast(hot), bandKeys, "left_anti")
       }
     }
-    // any verified earlier witness OUTSIDE R keeps the candidate dropped
+    // any verified earlier-arrived witness OUTSIDE R keeps the
+    // candidate dropped
     val witnessed = candBands.as("x").join(survHits.as("y"), bandKeys)
-      .filter(col("x.doc_id") > col("y.doc_id")).filter(verified)
+      .filter(arrivedAfter).filter(verified)
       .select(col("x.doc_id").as("doc_id")).distinct()
     val flip = candIds.join(witnessed, Seq("doc_id"), "left_anti")
     val promoted = drops

@@ -91,12 +91,16 @@ object UrlStream {
         // re-elects from here), corpus last — the corpus marker is the
         // commit point; a crash between leaves orphan dirs that
         // recover() sweeps
+        // arrival_seq: the true-arrival-order witness key — see
+        // DedupStream.applyMicroBatch
         DedupStream.writeAtomically(
-          novel.select("curl_hash", "canonical_url", "doc_id"),
+          novel.select("curl_hash", "canonical_url", "doc_id")
+            .withColumn("arrival_seq", lit(batchId)),
           s"$corpusDir/index/batch=$batchId", mark = false)
         DedupStream.writeAtomically(
           all.join(novel.select("doc_id"), Seq("doc_id"), "left_anti")
-            .select("doc_id", "url", "canonical_url", "curl_hash"),
+            .select("doc_id", "url", "canonical_url", "curl_hash")
+            .withColumn("arrival_seq", lit(batchId)),
           s"$corpusDir/drops/batch=$batchId", mark = false)
         // per-batch gate tally (1 row × 1 row assembly) — the drift
         // monitor subset-sums these, never the corpus
@@ -135,10 +139,11 @@ object UrlStream {
     val base =
       if (dirs.isEmpty)
         spark.range(0).select(col("id").as("curl_hash"),
-          lit("").as("canonical_url"), col("id").as("doc_id"))
+          lit("").as("canonical_url"), col("id").as("doc_id"),
+          col("id").as("arrival_seq"))
       else
         spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
-          .select("curl_hash", "canonical_url", "doc_id")
+          .select("curl_hash", "canonical_url", "doc_id", "arrival_seq")
     Takedown.view(spark, corpusDir, base, "index")
   }
 

@@ -62,13 +62,13 @@ class DedupStreamSpec extends SparkSpec {
     val before = DedupStream.readCorpus(spark, corpus)
       .select("doc_id", "text").as[(Long, String)].collect().toSet
     val idxBefore = DedupStream.readIndex(spark, corpus)
-      .as[(String, Long)].collect().toSet
+      .as[(String, Long, Long)].collect().toSet
     DedupStream.compact(spark, corpus)
     // content identical, through the same readers
     assert(DedupStream.readCorpus(spark, corpus)
       .select("doc_id", "text").as[(Long, String)].collect().toSet === before)
     assert(DedupStream.readIndex(spark, corpus)
-      .as[(String, Long)].collect().toSet === idxBefore)
+      .as[(String, Long, Long)].collect().toSet === idxBefore)
     // exactly one batch dir still holds files; the rest are empty markers
     def dataDirs(sub: String) = new java.io.File(s"$corpus/$sub").listFiles()
       .filter(_.getName.startsWith("batch=")).toSeq

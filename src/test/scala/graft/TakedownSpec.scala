@@ -198,6 +198,37 @@ class TakedownSpec extends SparkSpec {
       "compaction must fold curation takedown dirs away")
   }
 
+  // ---- out-of-order arrival: re-election replays the TRUE order -------
+
+  test("exact gate: out-of-order arrival — re-election follows arrival_seq, not doc_id") {
+    val dir = tmp("graft-td-ooo-exact")
+    // ids arrive out of order across batches: 10 first, then 7, then 2
+    DedupStream.applyMicroBatch(spark, docsOf(10L -> "xx", 11L -> "yy"), dir, 0L)
+    DedupStream.applyMicroBatch(spark, docsOf(7L -> "xx"), dir, 1L)
+    DedupStream.applyMicroBatch(spark, docsOf(2L -> "xx"), dir, 2L)
+    assert(ids(DedupStream.readCorpus(spark, dir)) === Set(10L, 11L))
+    Takedown(spark, dir, Seq(10L).toDF("doc_id"), Takedown.Gate.Exact, 0L)
+    // literal replay of the surviving arrival order keeps 7 (arrived in
+    // batch 1, before 2's batch 2) — the doc_id proxy would pick 2
+    assert(ids(DedupStream.readCorpus(spark, dir)) === Set(11L, 7L),
+      "the claim must pass to the earliest-ARRIVED survivor")
+  }
+
+  test("near-dup gate: out-of-order arrival — witness order is arrival order") {
+    val dir = tmp("graft-td-ooo-neardup")
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    NearDupStream.applyMicroBatch(spark, docsOf(10L -> t), dir, 0L)
+    NearDupStream.applyMicroBatch(spark, docsOf(7L -> t), dir, 1L)
+    NearDupStream.applyMicroBatch(spark, docsOf(2L -> t), dir, 2L)
+    assert(ids(NearDupStream.readCorpus(spark, dir)) === Set(10L))
+    Takedown(spark, dir, Seq(10L).toDF("doc_id"), Takedown.Gate.NearDup, 0L)
+    // replay of survivors in arrival order: 7 (batch 1) re-ingests first
+    // and keeps; 2 (batch 2) still drops against the surviving 7. The
+    // doc_id proxy would instead promote 2 and keep 7 dropped.
+    assert(ids(NearDupStream.readCorpus(spark, dir)) === Set(7L),
+      "re-election must replay the true arrival order")
+  }
+
   // ---- compaction folds tombstones physically --------------------------
 
   test("compact folds takedowns: same view, no td dirs, quarantine rewritten") {
