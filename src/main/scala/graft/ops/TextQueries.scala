@@ -926,6 +926,8 @@ object TextQueries {
     "text_winnow" -> (winnow _),
     "winnow_dedup" -> (winnowDedup _),
     "winnow_ingest" -> (winnowIngest _),
+    "takedown_replay_winnow" ->
+      (graft.streaming.Takedown.takedownReplayWinnow _),
     "text_entropy" -> (textEntropy _),
     "quality_filter" -> (qualityFilter _),
     "text_bigram_lm" -> (bigramLm _),
@@ -1140,6 +1142,28 @@ object TextQueries {
          |    AS keep
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // post-takedown corpus ≡ from-scratch winnow ingest of the SURVIVING
+    // docs (the re-election contract): the winnow_ingest CTEs verbatim
+    // over `surv` — a quarantined doc whose shared ratio drops below
+    // half without the removed witnesses must reappear
+    "takedown_replay_winnow" -> {
+      val survFp = winnowFpCtes.replace("FROM documents", "FROM surv")
+      s"""WITH surv AS (SELECT doc_id, text FROM documents
+         |              WHERE doc_id % ${graft.streaming.Takedown
+                            .replayRemovalStride} != 0),
+         |$survFp,
+         |fs AS (SELECT h, min(doc_id) AS first_id FROM fp GROUP BY 1),
+         |agg AS (
+         |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+         |    CAST(sum(CASE WHEN fs.first_id < f.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_shared_prior
+         |  FROM fp f JOIN fs USING (h) GROUP BY 1)
+         |SELECT d.doc_id
+         |FROM surv d LEFT JOIN agg a USING (doc_id)
+         |WHERE coalesce(a.n_fingerprints, 0) = 0 OR
+         |  2 * coalesce(a.n_shared_prior, 0) < coalesce(a.n_fingerprints, 0)
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "text_entropy" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -69,6 +69,9 @@ object Takedown {
     case object NearDup extends Gate
     /** [[MediaStream]]: perceptual image/audio near-dup claims. */
     case object Media extends Gate
+    /** [[WinnowStream]]: MOSS winnow-fingerprint shared-substring
+      * claims (threshold recount, not witness-set membership). */
+    case object Winnow extends Gate
   }
 
   /** Committed takedown dirs (marker = committed). */
@@ -193,6 +196,7 @@ object Takedown {
     case Gate.Url => UrlStream.readIndex(spark, corpusDir)
     case Gate.NearDup => NearDupStream.readIndex(spark, corpusDir)
     case Gate.Media => MediaStream.readIndex(spark, corpusDir)
+    case Gate.Winnow => WinnowStream.readIndex(spark, corpusDir)
   }
 
   /** Apply a takedown: compute re-elections against the CURRENT
@@ -249,6 +253,9 @@ object Takedown {
         (nearDupPromotions(spark, r, drops.get,
           MediaStream.readIndex(spark, corpusDir),
           Seq("modality", "chunk", "key"), near, capped = true), None)
+      case Gate.Winnow =>
+        (winnowPromotions(spark, r, drops.get,
+          WinnowStream.readIndex(spark, corpusDir)), None)
     }
   }
 
@@ -329,6 +336,66 @@ object Takedown {
       .localCheckpoint()
     if (promoted.isEmpty) None else Some(promoted)
   }
+
+  /** Winnow re-election — a THRESHOLD RECOUNT, not witness-set
+    * membership: the winnow gate drops a doc when ≥ half its selected
+    * fingerprints were already selected by an earlier-arrived processed
+    * doc, so removing witnesses shifts a RATIO, and the candidate flips
+    * iff its recounted `2·n_shared < n_fingerprints` over the SURVIVING
+    * index — exactly the verdict a from-scratch ingest of the survivors
+    * reaches (kept docs only gain margin when witnesses vanish, so no
+    * kept doc ever flips back: the same no-cascade monotonicity as the
+    * membership gates).
+    *
+    * Cost shape: candidates = quarantined docs sharing ≥1 fingerprint
+    * with a removed earlier-arrived doc (one removal-proportional probe
+    * of the index); their fingerprints are RE-DERIVED from the
+    * quarantined text (candidate-proportional — multiplicity per
+    * selected position must match the gate's count, and the index is
+    * deliberately distinct); the recount probes the surviving index
+    * map-side prefiltered by the candidates' own fingerprint keys. */
+  private def winnowPromotions(spark: SparkSession, r: DataFrame,
+      drops: DataFrame, index: DataFrame): Option[DataFrame] = {
+    val idx = index.localCheckpoint() // feeds 3 probes
+    val rIdx = idxOfRemoved(idx, r)
+    val dropIds = drops.select("doc_id")
+      .join(broadcast(r), Seq("doc_id"), "left_anti")
+    val candIds = idx.join(broadcast(dropIds), Seq("doc_id"), "left_semi")
+      .as("x").join(broadcast(rIdx).as("y"), Seq("h"))
+      .filter(arrivedAfter)
+      .select(col("x.doc_id").as("doc_id")).distinct()
+      .localCheckpoint()
+    if (candIds.isEmpty) return None
+    val candDocs = drops
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select("doc_id", "text", "arrival_seq").localCheckpoint()
+    val candFp = graft.ops.TextQueries
+      .winnowFingerprintsOf(candDocs.select("doc_id", "text"))
+      .select("doc_id", "h") // one row per selected position
+      .join(candDocs.select("doc_id", "arrival_seq"), Seq("doc_id"))
+    val firstSurv = idx.join(broadcast(r), Seq("doc_id"), "left_anti")
+      .join(broadcast(candFp.select("h").distinct()), Seq("h"), "left_semi")
+      .groupBy("h")
+      .agg(min(struct(col("arrival_seq"), col("doc_id"))).as("first"))
+    val scored = candFp.join(firstSurv, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("first").isNotNull &&
+          (col("first.arrival_seq") < col("arrival_seq") ||
+            (col("first.arrival_seq") === col("arrival_seq") &&
+              col("first.doc_id") < col("doc_id"))), 1L)
+          .otherwise(0L)).as("n_sh"))
+    val flip = scored.filter(col("n_sh") * 2 < col("n_fp")).select("doc_id")
+    val promoted = drops
+      .join(broadcast(flip), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    if (promoted.isEmpty) None else Some(promoted)
+  }
+
+  /** The removed docs' index rows (the removal-proportional probe key
+    * set shared by the winnow and near-dup candidate scans). */
+  private def idxOfRemoved(idx: DataFrame, r: DataFrame): DataFrame =
+    idx.join(broadcast(r), Seq("doc_id"), "left_semi")
 
   // ---- registered deterministic faces ---------------------------------
 
@@ -426,5 +493,20 @@ object Takedown {
       Gate.Url)((b, i) =>
       UrlStream.applyMicroBatch(s, b, replayDirsBase("url", dir), i))
     UrlStream.readCorpus(s, st).orderBy("doc_id")
+  }
+
+  /** REGISTERED + DuckDB-oracled — the WINNOW gate under takedown
+    * ([[WinnowStream]], MOSS fingerprints): same deterministic ingest +
+    * removal, output the kept doc ids. The oracle replays the winnow
+    * ingest rule (the winnow_ingest oracle's own CTEs) over the
+    * surviving docs: a quarantined doc whose shared-fingerprint ratio
+    * falls below half once the removed witnesses' fingerprints are
+    * purged MUST reappear. */
+  def takedownReplayWinnow(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
+    val st = replayState(s, dir, "winnow", docs, replayRemovalStride,
+      Gate.Winnow)((b, i) =>
+      WinnowStream.applyMicroBatch(s, b, replayDirsBase("winnow", dir), i))
+    WinnowStream.readCorpus(s, st).select("doc_id").orderBy("doc_id")
   }
 }

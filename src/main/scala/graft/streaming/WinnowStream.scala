@@ -62,6 +62,8 @@ object WinnowStream {
     * marker. */
   def applyMicroBatch(spark: SparkSession, batch: DataFrame, corpusDir: String,
                       batchId: Long): Unit = {
+    // same layout → same compact() + Takedown, so the same ingest guard
+    CompactionLock.requireFree(corpusDir, "WinnowStream.applyMicroBatch")
     DedupStream.recover(corpusDir) // same layout → same orphan sweep
     if (StreamFs.exists(s"$corpusDir/docs/batch=$batchId/${DedupStream.Marker}"))
       return // replay
@@ -99,33 +101,53 @@ object WinnowStream {
       // stores each pair once (multiplicity stays in fp for the n_fp
       // scoring count, where it must match the batch operator)
       DedupStream.writeAtomically(
-        fp.distinct(), s"$corpusDir/index/batch=$batchId", mark = false)
+        fp.distinct().withColumn("arrival_seq", lit(batchId)),
+        s"$corpusDir/index/batch=$batchId", mark = false)
+      // drops QUARANTINE (full rows): a later [[Takedown]] re-counts a
+      // dropped doc's shared-fingerprint verdict from this text when the
+      // witnesses that dropped it are removed — selection, not deletion
+      DedupStream.writeAtomically(
+        batch.join(dropped, Seq("doc_id"), "left_semi")
+          .select("doc_id", "text")
+          .withColumn("arrival_seq", lit(batchId)),
+        s"$corpusDir/drops/batch=$batchId", mark = false)
       DedupStream.writeAtomically(
         kept.select("doc_id", "text"),
         s"$corpusDir/docs/batch=$batchId", mark = true)
     } finally { fp.unpersist(); () }
   }
 
-  /** The kept corpus so far — committed batches only. */
+  /** The kept corpus so far — committed batches only, committed
+    * takedowns applied ([[Takedown.view]]: removed docs gone, re-counted
+    * promoted docs unioned in). */
   def readCorpus(spark: SparkSession, corpusDir: String): DataFrame = {
     val dirs = DedupStream.committedDirs(corpusDir, "docs")
-    if (dirs.isEmpty)
-      spark.range(0).select(col("id").as("doc_id"),
-        lit("").as("text")).limit(0)
-    else
-      spark.read.option("basePath", s"$corpusDir/docs").parquet(dirs: _*)
-        .select("doc_id", "text")
+      .filter(StreamFs.hasDataFiles)
+    val base =
+      if (dirs.isEmpty)
+        spark.range(0).select(col("id").as("doc_id"),
+          lit("").as("text")).limit(0)
+      else
+        spark.read.option("basePath", s"$corpusDir/docs").parquet(dirs: _*)
+          .select("doc_id", "text")
+    Takedown.view(spark, corpusDir, base, "docs")
   }
 
-  /** The committed (doc_id, h) fingerprint index — every processed
-    * document of every committed batch. */
+  /** The committed (doc_id, h, arrival_seq) fingerprint index — every
+    * processed document of every committed batch, committed takedowns
+    * applied: a removed doc's fingerprints are DERIVED DATA and go with
+    * the content — they stop witnessing future arrivals the moment the
+    * tombstone commits. */
   def readIndex(spark: SparkSession, corpusDir: String): DataFrame = {
     val dirs = DedupStream.committedDirs(corpusDir, "index")
-    if (dirs.isEmpty)
-      spark.range(0).select(col("id").as("doc_id"), col("id").as("h"))
-        .limit(0)
-    else
-      spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
-        .select("doc_id", "h")
+      .filter(StreamFs.hasDataFiles)
+    val base =
+      if (dirs.isEmpty)
+        spark.range(0).select(col("id").as("doc_id"), col("id").as("h"),
+          col("id").as("arrival_seq")).limit(0)
+      else
+        spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
+          .select("doc_id", "h", "arrival_seq")
+    Takedown.view(spark, corpusDir, base, "index")
   }
 }

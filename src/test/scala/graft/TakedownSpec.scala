@@ -198,6 +198,44 @@ class TakedownSpec extends SparkSpec {
       "compaction must fold curation takedown dirs away")
   }
 
+  // ---- winnow gate: threshold recount on the real corpus --------------
+
+  test("winnow gate: post-takedown corpus == from-scratch ingest of survivors") {
+    import graft.streaming.WinnowStream
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+      .localCheckpoint()
+    val cut = all.agg(max("doc_id")).first().getLong(0)
+    val dir = tmp("graft-td-winnow")
+    Seq((-1L, cut / 3), (cut / 3, 2 * cut / 3), (2 * cut / 3, cut))
+      .zipWithIndex.foreach { case ((lo, hi), i) =>
+        WinnowStream.applyMicroBatch(spark,
+          all.filter(col("doc_id") > lo && col("doc_id") <= hi), dir,
+          i.toLong)
+      }
+    val removals = all.filter(col("doc_id") % 13 === 0).select("doc_id")
+      .localCheckpoint()
+    Takedown(spark, dir, removals, Takedown.Gate.Winnow, takedownId = 0L)
+    val after = ids(WinnowStream.readCorpus(spark, dir))
+    val fresh = tmp("graft-td-winnow-fresh")
+    WinnowStream.applyMicroBatch(spark,
+      all.join(removals, Seq("doc_id"), "left_anti"), fresh, 0L)
+    val replay = ids(WinnowStream.readCorpus(spark, fresh))
+    assert(after === replay,
+      s"diverged: only-takedown=${(after -- replay).toSeq.sorted.take(5)} " +
+        s"only-replay=${(replay -- after).toSeq.sorted.take(5)}")
+    assert(after.intersect(ids(removals)).isEmpty, "removed ids must purge")
+    // fingerprints are derived data: removed docs' index rows are gone
+    assert(WinnowStream.readIndex(spark, dir)
+      .join(removals, Seq("doc_id"), "left_semi").isEmpty,
+      "a removed doc's fingerprints must stop witnessing")
+    // and the fold is physical: compact leaves the same view, no td dirs
+    graft.streaming.DedupStream.compact(spark, dir)
+    assert(ids(WinnowStream.readCorpus(spark, dir)) === after)
+    assert(!new java.io.File(s"$dir/takedown").exists() ||
+      new java.io.File(s"$dir/takedown").listFiles().forall(
+        !_.getName.startsWith("td=")))
+  }
+
   // ---- out-of-order arrival: re-election replays the TRUE order -------
 
   test("exact gate: out-of-order arrival — re-election follows arrival_seq, not doc_id") {

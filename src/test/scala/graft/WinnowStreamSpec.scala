@@ -59,6 +59,7 @@ class WinnowStreamSpec extends SparkSpec {
     // index rows = the winnow fingerprint set of ALL processed docs —
     // dropped docs stay indexed as cross-batch witnesses
     val idx = WinnowStream.readIndex(spark, s"$tmp/corpus")
+      .select("doc_id", "h")
     // the index is written pre-distinct (the probe only tests h
     // existence), so compare as sets of (doc_id, h) pairs
     val fp = TextQueries.winnowFingerprintsOf(b).select("doc_id", "h")
