@@ -1665,7 +1665,9 @@ object SimilarityQueries {
     "ann_graph_search" -> (annGraphSearch _),
     "embedding_quantize" -> (embeddingQuantize _),
     "hybrid_search" -> (hybridSearch _),
-    "hybrid_search_ivf" -> (hybridSearchIvf _))
+    "hybrid_search_ivf" -> (hybridSearchIvf _),
+    "takedown_replay_ann" ->
+      (graft.streaming.AnnStream.takedownReplayAnn _))
 
   /** The √n seed stride as a DuckDB scalar subquery — the oracle twin of
     * [[seedStrideOf]] (identical IEEE sqrt/ceil rounding). */
@@ -2503,6 +2505,46 @@ object SimilarityQueries {
          |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "ann_ivf_pq" ->
       s"""WITH $ivfAnnCtes,
+         |${pqCteChain("pq")},
+         |adc AS (
+         |  SELECT c.q, a.vec_id AS neighbor,
+         |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS ad
+         |  FROM cells c JOIN assign a USING (cell)
+         |  JOIN pqbest b ON b.vec_id = a.vec_id
+         |  JOIN pqsub l ON l.vec_id = c.q AND l.j = b.j AND l.cid = b.cid
+         |  WHERE c.q != a.vec_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT q, neighbor, ad, row_number() OVER (PARTITION BY q
+         |      ORDER BY ad, neighbor) AS rank
+         |  FROM adc)
+         |SELECT q, rank, neighbor, round(ad, 6) AS adist
+         |FROM ranked WHERE rank <= $topK ORDER BY q, rank""".stripMargin,
+    // the ANN index under takedown: corpus + queries restricted to the
+    // survivors, meta (seeds/codebook) still the full-bootstrap
+    // train-once derivation — the ann_ivf_pq chain otherwise verbatim
+    "takedown_replay_ann" ->
+      s"""WITH $vCte,
+         |surv AS (SELECT * FROM v
+         |         WHERE vec_id % ${graft.streaming.Takedown
+                        .replayRemovalStride} != 0),
+         |seeds AS (SELECT vec_id AS cell, e AS ce, norm AS cn
+         |          FROM v WHERE vec_id % $sqlSeedStride = 1),
+         |assign AS (
+         |  SELECT vec_id, e, norm, cell FROM (
+         |    SELECT sv.vec_id, sv.e, sv.norm, s.cell,
+         |           row_number() OVER (PARTITION BY sv.vec_id ORDER BY
+         |             ${duckCos("sv.e", "s.ce", "sv.norm", "s.cn")} DESC,
+         |             s.cell) AS r
+         |    FROM surv sv CROSS JOIN seeds s) WHERE r = 1),
+         |queries AS (SELECT vec_id AS q, e AS qe, norm AS qn
+         |            FROM surv WHERE ${querySqlPred("vec_id")}),
+         |probed AS (
+         |  SELECT q, qe, qn, cell,
+         |         row_number() OVER (PARTITION BY q ORDER BY
+         |           ${duckCos("qe", "ce", "qn", "cn")} DESC, cell) AS crank
+         |  FROM queries CROSS JOIN seeds),
+         |cells AS (SELECT q, qe, qn, cell FROM probed WHERE crank <= $nprobe),
          |${pqCteChain("pq")},
          |adc AS (
          |  SELECT c.q, a.vec_id AS neighbor,

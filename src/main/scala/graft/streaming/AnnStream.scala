@@ -95,6 +95,7 @@ object AnnStream {
     * Idempotent per `batchId` via the commit marker. */
   def applyMicroBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
                       batchId: Long): Unit = {
+    CompactionLock.requireFree(indexDir, "AnnStream.applyMicroBatch")
     recover(indexDir)
     val dst = s"$indexDir/coded/batch=$batchId"
     if (StreamFs.exists(s"$dst/${DedupStream.Marker}")) return // replay
@@ -119,28 +120,121 @@ object AnnStream {
     StreamFs.createMarker(s"$dst/${DedupStream.Marker}")
   }
 
-  /** Sweep unmarked (crashed) coded batch dirs and stale temp dirs. */
+  /** Sweep unmarked (crashed) coded batch dirs, stale temp dirs,
+    * uncommitted takedown dirs, and complete or roll back an
+    * interrupted [[compact]] swap. Safe to call any time. */
   def recover(indexDir: String): Unit = {
+    val cold = indexDir + ".cold"
+    val ctmp = indexDir + ".ctmp"
+    if (StreamFs.exists(cold)) {
+      if (StreamFs.exists(indexDir)) StreamFs.delete(cold) // new root live
+      else StreamFs.renameOrThrow(cold, indexDir) // crash between renames
+    }
+    if (StreamFs.exists(ctmp) && !CompactionLock.heldLive(indexDir))
+      StreamFs.delete(ctmp)
     StreamFs.listNames(s"$indexDir/coded").foreach { n =>
       val p = s"$indexDir/coded/$n"
       if (n.endsWith(".tmp")) StreamFs.delete(p)
       else if (n.startsWith("batch=") &&
         !StreamFs.exists(s"$p/${DedupStream.Marker}")) StreamFs.delete(p)
     }
+    StreamFs.listNames(s"$indexDir/${Takedown.Sub}").foreach { t =>
+      val p = s"$indexDir/${Takedown.Sub}/$t"
+      if (t.endsWith(".tmp") || (t.startsWith("td=") &&
+          !StreamFs.exists(s"$p/${DedupStream.Marker}")))
+        StreamFs.delete(p)
+    }
   }
 
-  /** The live coded corpus (committed batches only): (vec_id, cell, codes). */
+  /** TAKEDOWN over the coded index — the RTBF reach into DERIVED data:
+    * a removed doc's PQ codes are compressed projections of its
+    * embedding, which is itself derived personal data, so they go with
+    * the content. Removal-only (every vector is indexed
+    * unconditionally — no re-election exists): one
+    * removal-proportional tombstone under `takedown/td=K`; [[readCoded]]
+    * anti-joins it and the next [[compact]] folds it physically.
+    * Idempotent per takedownId; cost ∝ |removals|, never a corpus scan.
+    *
+    * CAVEAT (documented, deliberate): the TRAINED META is kept — the
+    * FAISS `remove_ids` convention. Coarse centroids here are seed
+    * vectors, so a removal set that contains a seed or a codebook
+    * vector leaves that one raw embedding in meta; check
+    * [[metaRetainsRemoved]] and rebuild the index (re-[[init]] from the
+    * surviving corpus) when it fires — retraining is a full recode by
+    * definition, not a tombstone. */
+  def applyTakedown(spark: SparkSession, indexDir: String,
+                    removed: DataFrame, takedownId: Long): Unit =
+    Takedown.apply(spark, indexDir,
+      removed.select(col("vec_id").as("doc_id")),
+      Takedown.Gate.Ann, takedownId)
+
+  /** Does the trained meta (seed centroids / PQ codebook — actual
+    * corpus vectors under the deterministic policy) retain any removed
+    * vector? True ⇒ an RTBF-complete deployment re-inits from the
+    * surviving corpus instead of tombstoning. */
+  def metaRetainsRemoved(spark: SparkSession, indexDir: String,
+                         removed: DataFrame): Boolean = {
+    val r = broadcast(removed.select(col("vec_id")).distinct())
+    spark.read.parquet(s"$indexDir/meta/centroids")
+      .select(col("cell").as("vec_id")).join(r, Seq("vec_id"), "left_semi")
+      .limit(1).count() > 0
+  }
+
+  /** COMPACTION — fold the per-batch coded dirs into the single
+    * highest-committed batch dir (cell-partitioned, as written) with
+    * committed takedowns applied physically: the staged root carries no
+    * takedown dirs and no removed vector's codes. Earlier committed ids
+    * survive as marker-only dirs (the replay no-op check); meta is
+    * carried verbatim. The [[DedupStream.compact]] rename-aside swap +
+    * heartbeated lock protocol; [[recover]] completes or rolls back. */
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    CompactionLock.withLock(indexDir) {
+      recover(indexDir)
+      val batches = StreamFs.listNames(s"$indexDir/coded")
+        .filter(_.startsWith("batch="))
+        .filter(b => StreamFs.exists(
+          s"$indexDir/coded/$b/${DedupStream.Marker}"))
+        .sortBy(_.stripPrefix("batch=").toLong)
+      if (batches.isEmpty) return
+      if (batches.length <= 1 &&
+        Takedown.committedDirs(indexDir).isEmpty) return
+      val target = batches.last
+      val stage = indexDir + ".ctmp"
+      StreamFs.delete(stage)
+      // the reader view IS the fold (takedowns applied)
+      readCoded(spark, indexDir)
+        .write.partitionBy("cell").parquet(s"$stage/coded/$target")
+      StreamFs.createMarker(s"$stage/coded/$target/${DedupStream.Marker}")
+      batches.init.foreach(b =>
+        StreamFs.createMarker(s"$stage/coded/$b/${DedupStream.Marker}"))
+      Seq("centroids", "codebook").foreach { m =>
+        spark.read.parquet(s"$indexDir/meta/$m")
+          .write.parquet(s"$stage/meta/$m")
+        StreamFs.createMarker(s"$stage/meta/$m/${DedupStream.Marker}")
+      }
+      val old = indexDir + ".cold"
+      StreamFs.renameOrThrow(indexDir, old)
+      StreamFs.renameOrThrow(stage, indexDir)
+      StreamFs.delete(old)
+    }
+
+  /** The live coded corpus (committed batches only, committed takedowns
+    * applied): (vec_id, cell, codes). */
   def readCoded(spark: SparkSession, indexDir: String): DataFrame = {
     val dirs = StreamFs.listNames(s"$indexDir/coded")
       .filter(_.startsWith("batch="))
       .filter(b => StreamFs.exists(s"$indexDir/coded/$b/${DedupStream.Marker}"))
       .map(b => s"$indexDir/coded/$b")
-    if (dirs.isEmpty)
-      spark.range(0).select(col("id").as("vec_id"),
-        lit(0L).as("cell"), array().cast("array<int>").as("codes"))
-    else
-      spark.read.option("basePath", s"$indexDir/coded").parquet(dirs: _*)
-        .select(col("vec_id"), col("cell").cast("long").as("cell"), col("codes"))
+      .filter(StreamFs.hasDataFiles) // post-compaction marker-only ids
+    val base =
+      if (dirs.isEmpty)
+        spark.range(0).select(col("id").as("vec_id"),
+          lit(0L).as("cell"), array().cast("array<int>").as("codes"))
+      else
+        spark.read.option("basePath", s"$indexDir/coded").parquet(dirs: _*)
+          .select(col("vec_id"), col("cell").cast("long").as("cell"),
+            col("codes"))
+    Takedown.removedView(spark, indexDir, base, Seq("vec_id"))
   }
 
   /** IVF-PQ search over the live index for arbitrary query vectors
@@ -204,6 +298,46 @@ object AnnStream {
     })
     val q = graft.Tables.embeddings(s, dir)
       .filter(SimilarityQueries.queryPred())
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    search(s, q, idx, topK = SimilarityQueries.topK,
+        nprobe = SimilarityQueries.nprobe, excludeSelf = true)
+      .select(col("q_id").as("q"), col("rank"),
+        col("vec_id").as("neighbor"), col("adist"))
+      .orderBy("q", "rank")
+  }
+
+  /** Separate state cache for the takedown face — [[applyTakedown]]
+    * mutates, so it must never share [[annIvfPqPrebuilt]]'s index. */
+  private val takedownDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** REGISTERED + DuckDB-oracled — the ANN INDEX under takedown: train
+    * meta on the full bootstrap, ingest the corpus in 4 batches, remove
+    * every [[Takedown.replayRemovalStride]]-th vec_id (tombstone only —
+    * cost ∝ removals), then search the SURVIVING standard query batch
+    * against the post-takedown index. The oracle is the ann_ivf_pq SQL
+    * with corpus and queries restricted to the survivors and meta still
+    * derived from the full bootstrap (the train-once contract): a
+    * removed vector must neither be returned as a neighbor nor queried,
+    * and the backfilled rank-k rows must match a from-scratch
+    * survivors-only ingest bit-for-bit (codes depend only on
+    * (vector, meta) — AnnStreamSpec pins the index-level equality). */
+  def takedownReplayAnn(s: SparkSession, dir: String): DataFrame = {
+    val stride = Takedown.replayRemovalStride
+    val idx = takedownDirs.getOrElseUpdate(dir, {
+      val d = StreamFs.benchTempDir("graft-ann-takedown") + "/index"
+      val corpus = graft.Tables.embeddings(s, dir)
+        .select("vec_id", "embedding").localCheckpoint()
+      init(s, corpus, d)
+      (0 until 4).foreach(i => applyMicroBatch(s,
+        corpus.filter(pmod(col("vec_id"), lit(4)) === i), d, i.toLong))
+      applyTakedown(s, d,
+        corpus.filter(col("vec_id") % stride === 0).select("vec_id"),
+        takedownId = 0L)
+      d
+    })
+    val q = graft.Tables.embeddings(s, dir)
+      .filter(SimilarityQueries.queryPred() && col("vec_id") % stride =!= 0)
       .select(col("vec_id").as("q_id"), col("embedding"))
     search(s, q, idx, topK = SimilarityQueries.topK,
         nprobe = SimilarityQueries.nprobe, excludeSelf = true)

@@ -72,6 +72,15 @@ object Takedown {
     /** [[WinnowStream]]: MOSS winnow-fingerprint shared-substring
       * claims (threshold recount, not witness-set membership). */
     case object Winnow extends Gate
+    /** [[AnnStream]]: the IVF-PQ coded vector index — removal-only (every
+      * vector is indexed unconditionally, so removing one can never flip
+      * another's membership; no re-election exists to compute). */
+    case object Ann extends Gate
+    /** [[GraphStream]]: kNN-graph nodes/edges/rings — removal-only; the
+      * next [[GraphStream.compact]] re-derives edges and rings over the
+      * surviving membership (backfilling top-k slots a removed neighbor
+      * held), restoring exact rebuild equivalence. */
+    case object Graph extends Gate
   }
 
   /** Committed takedown dirs (marker = committed). */
@@ -96,6 +105,21 @@ object Takedown {
   private def removedIds(spark: SparkSession,
                          corpusDir: String): Option[DataFrame] =
     readSub(spark, corpusDir, "removed").map(_.select("doc_id").distinct())
+
+  /** The whole-row tombstone view for the DERIVED-DATA indexes (ANN
+    * coded corpus, graph nodes/edges/rings): anti-join `base` against
+    * the committed removal log on each of `idCols` (edges carry the id
+    * at both endpoints). The removal log is takedown-proportional, so
+    * the broadcasts are the bounded class; with no committed takedown
+    * the plan is identical to the pre-takedown engine. */
+  private[streaming] def removedView(spark: SparkSession, corpusDir: String,
+      base: DataFrame, idCols: Seq[String]): DataFrame =
+    removedIds(spark, corpusDir) match {
+      case None => base
+      case Some(r) =>
+        idCols.foldLeft(base)((b, c) => b.join(
+          broadcast(r.withColumnRenamed("doc_id", c)), Seq(c), "left_anti"))
+    }
 
   /** The takedown-aware reader view of a gate sub-table: removed rows
     * anti-joined out (the removal log is takedown-proportional, hence
@@ -197,6 +221,8 @@ object Takedown {
     case Gate.NearDup => NearDupStream.readIndex(spark, corpusDir)
     case Gate.Media => MediaStream.readIndex(spark, corpusDir)
     case Gate.Winnow => WinnowStream.readIndex(spark, corpusDir)
+    case other => throw new IllegalArgumentException(
+      s"$other has no claim index")
   }
 
   /** Apply a takedown: compute re-elections against the CURRENT
@@ -256,6 +282,9 @@ object Takedown {
       case Gate.Winnow =>
         (winnowPromotions(spark, r, drops.get,
           WinnowStream.readIndex(spark, corpusDir)), None)
+      // removal-only indexes: every vector is admitted unconditionally,
+      // so there is no dropped state to re-elect from
+      case Gate.Ann | Gate.Graph => (None, None)
     }
   }
 

@@ -90,6 +90,46 @@ class AnnStreamSpec extends SparkSpec {
       "fresh committed index must report the rebuild's recall")
   }
 
+  test("takedown purges codes; post-takedown index == survivors-only ingest; compact folds") {
+    val all = corpus().cache()
+    val removed = all.filter(col("vec_id") % 13 === 0).select("vec_id")
+      .localCheckpoint()
+    val td = Files.createTempDirectory("graft-ann-td").toString + "/index"
+    AnnStream.init(spark, all, td)
+    (0 until 3).foreach(i => AnnStream.applyMicroBatch(spark,
+      all.filter(pmod(col("vec_id"), lit(3)) === i), td, i.toLong))
+    AnnStream.applyTakedown(spark, td, removed, takedownId = 0L)
+    def codedSet(d: String) = AnnStream.readCoded(spark, d)
+      .select(col("vec_id"), col("cell"),
+        concat_ws(",", col("codes").cast("array<string>")).as("c"))
+      .as[(Long, Long, String)].collect().toSet
+    // same meta, survivors-only ingest from scratch — identical index
+    val fresh = Files.createTempDirectory("graft-ann-td-fresh").toString +
+      "/index"
+    AnnStream.init(spark, all, fresh) // train-once: same full bootstrap
+    AnnStream.applyMicroBatch(spark,
+      all.join(removed, Seq("vec_id"), "left_anti"), fresh, 0L)
+    val after = codedSet(td)
+    assert(after === codedSet(fresh),
+      "post-takedown coded corpus must equal a survivors-only rebuild")
+    assert(after.forall(_._1 % 13 != 0), "removed vectors' codes must purge")
+    // idempotent replay
+    AnnStream.applyTakedown(spark, td, removed, takedownId = 0L)
+    assert(codedSet(td) === after)
+    // compact folds physically: same view, no td dirs, and the staged
+    // parquet genuinely carries no removed vector's codes
+    AnnStream.compact(spark, td)
+    assert(codedSet(td) === after)
+    assert(!new java.io.File(s"$td/takedown").exists() ||
+      new java.io.File(s"$td/takedown").listFiles().forall(
+        !_.getName.startsWith("td=")))
+    val raw = spark.read.parquet(s"$td/coded/batch=2")
+      .select("vec_id").as[Long].collect().toSet
+    assert(raw.forall(_ % 13 != 0), "the physical fold must drop removed rows")
+    // ingest continues after compaction
+    AnnStream.applyMicroBatch(spark, all.limit(0), td, 3L)
+  }
+
   test("replaying a committed batch id is a no-op; crash debris is swept") {
     val all = corpus()
     val tmp = Files.createTempDirectory("graft-ann-replay").toString + "/index"
