@@ -98,12 +98,16 @@ object GraphStream {
       }
       .start()
 
-  /** The committed node table (vec_id, cell, hbkt, e, norm). */
+  /** The committed node table (vec_id, cell, hbkt, e, norm) — committed
+    * takedowns applied: a removed doc's raw embedding is the most direct
+    * derived data of all and leaves the node table the moment the
+    * tombstone commits. */
   def readNodes(spark: SparkSession, indexDir: String): DataFrame =
-    readBatches(spark, indexDir, "nodes").getOrElse(
-      spark.range(0).select(col("id").as("vec_id"), lit(0L).as("cell"),
-        lit(0L).as("hbkt"), array().cast("array<double>").as("e"),
-        lit(0.0).as("norm")))
+    Takedown.removedView(spark, indexDir,
+      readBatches(spark, indexDir, "nodes").getOrElse(
+        spark.range(0).select(col("id").as("vec_id"), lit(0L).as("cell"),
+          lit(0L).as("hbkt"), array().cast("array<double>").as("e"),
+          lit(0.0).as("norm"))), Seq("vec_id"))
 
   /** A batch id is committed exactly when its NODES dir carries the
     * marker — the single batch-level commit point (edges/rings are
@@ -240,7 +244,32 @@ object GraphStream {
           StreamFs.delete(p)
       }
     }
+    StreamFs.listNames(s"$indexDir/${Takedown.Sub}").foreach { t =>
+      val p = s"$indexDir/${Takedown.Sub}/$t"
+      if (t.endsWith(".tmp") || (t.startsWith("td=") &&
+          !StreamFs.exists(s"$p/${DedupStream.Marker}")))
+        StreamFs.delete(p)
+    }
   }
+
+  /** TAKEDOWN over the graph index — removal-only tombstone (every
+    * vector is a node unconditionally; no re-election exists): removed
+    * ids leave the node table, and every committed edge or ring link
+    * TOUCHING a removed id leaves the adjacency ([[readGraph]] /
+    * [[searchLive]] anti-join both endpoints). Between the takedown and
+    * the next [[compact]], the live graph is a correct-but-degraded
+    * LOWER BOUND: per-batch candidate files only kept each src's local
+    * top-k, so a slot a removed neighbor held is not backfilled until
+    * compact regenerates candidates over the surviving membership —
+    * search never returns a removed doc, recall may dip, and the
+    * maintenance pass restores exact rebuild equivalence
+    * (GraphStreamSpec pins it). Idempotent per takedownId; cost ∝
+    * |removals| at takedown time. */
+  def applyTakedown(spark: SparkSession, indexDir: String,
+                    removed: DataFrame, takedownId: Long): Unit =
+    Takedown.apply(spark, indexDir,
+      removed.select(col("vec_id").as("doc_id")),
+      Takedown.Gate.Graph, takedownId)
 
   /** COMPACTION + REFINEMENT — the graph twin of [[DedupStream.compact]],
     * and the maintenance pass the object scaladoc promises: a long-lived
@@ -289,7 +318,16 @@ object GraphStream {
       // committed node table — materialize it once
       val nodes = readNodes(spark, indexDir).localCheckpoint()
       val v = nodes.select("vec_id", "e", "norm")
-      val live = readGraph(spark, indexDir).select("src", "dst")
+      // after a takedown the per-batch candidate files have lost the
+      // removed endpoints but not the candidates the batch-local top-k
+      // cut — regenerate candidates over the SURVIVING membership (the
+      // from-scratch ingest's own edge set, so post-compact ==
+      // rebuild-over-survivors exactly); without takedowns the live
+      // graph IS that set (monotone-candidates argument), no regen cost
+      val live =
+        if (Takedown.committedDirs(indexDir).nonEmpty)
+          candidateEdges(nodes).select("src", "dst")
+        else readGraph(spark, indexDir).select("src", "dst")
       val rings = fullRings(nodes).localCheckpoint() // ring write + init
       val init = live.unionByName(rings)
       val initSym = init
@@ -335,16 +373,48 @@ object GraphStream {
       .select("src", "dst")
   }
 
+  /** Candidate edges over the FULL membership: per-src top-k of the
+    * co-cell ∪ co-bucket pairs — exactly the union every batching of
+    * the same membership accumulates (each pair is generated in the
+    * batch where its later member arrives), i.e. the from-scratch
+    * ingest's edge set. [[compact]] regenerates from this after a
+    * takedown so top-k slots a removed neighbor held are BACKFILLED as
+    * a survivors-only rebuild would fill them. */
+  private def candidateEdges(nodes: DataFrame): DataFrame = {
+    def leg(key: String): DataFrame = {
+      val a = nodes.select(col(key).as("k"), col("vec_id").as("av"),
+        col("e").as("ae"), col("norm").as("an"))
+      val b = nodes.select(col(key).as("k"), col("vec_id").as("bv"),
+        col("e").as("be"), col("norm").as("bn"))
+      a.join(b, Seq("k")).filter(col("av") < col("bv"))
+        .select(col("av"), col("bv"),
+          cos(col("ae"), col("be"), col("an"), col("bn")).as("cosine"))
+    }
+    val pairs = leg("cell").unionByName(leg("hbkt"))
+      .select(explode(array(
+        struct(col("av").as("src"), col("bv").as("dst"), col("cosine")),
+        struct(col("bv").as("src"), col("av").as("dst"), col("cosine"))))
+        .as("p"))
+      .select(col("p.src"), col("p.dst"), col("p.cosine"))
+      .distinct()
+    val wTop = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    pairs.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= kNN).select("src", "dst", "cosine")
+  }
+
   /** The LIVE adjacency: global per-src top-k over every committed
     * batch's candidate edges — exact by the monotone-candidates
-    * argument in the object scaladoc. */
+    * argument in the object scaladoc; committed takedowns applied
+    * (edges touching a removed id at either endpoint vanish). */
   def readGraph(spark: SparkSession, indexDir: String): DataFrame = {
     val edges = readBatches(spark, indexDir, "edges").getOrElse(
       return spark.range(0).select(col("id").as("src"),
         lit(1).as("rank"), col("id").as("dst"), lit(0.0).as("cosine")))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cosine").desc, col("dst"))
-    edges.select("src", "dst", "cosine").distinct()
+    Takedown.removedView(spark, indexDir, edges, Seq("src", "dst"))
+      .select("src", "dst", "cosine").distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kNN)
       .select("src", "rank", "dst", "cosine")
@@ -357,10 +427,11 @@ object GraphStream {
   def searchLive(spark: SparkSession, dir: String,
       indexDir: String): DataFrame = {
     val g = readGraph(spark, indexDir).select("src", "dst")
-      .unionByName(readBatches(spark, indexDir, "rings")
-        .map(_.select("src", "dst"))
-        .getOrElse(spark.range(0).select(col("id").as("src"),
-          col("id").as("dst"))))
+      .unionByName(Takedown.removedView(spark, indexDir,
+        readBatches(spark, indexDir, "rings")
+          .map(_.select("src", "dst"))
+          .getOrElse(spark.range(0).select(col("id").as("src"),
+            col("id").as("dst"))), Seq("src", "dst")))
     val edges = g.union(g.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     SimilarityQueries.searchOverGraph(spark, dir, edges)

@@ -155,6 +155,45 @@ class GraphStreamSpec extends SparkSpec {
     assert(!StreamFs.exists(d + ".clock"), "lock released after compact")
   }
 
+  test("takedown: live view never returns removed; compact == survivors-only rebuild") {
+    import spark.implicits._
+    val all = corpus.localCheckpoint()
+    val removed = all.filter(col("vec_id") % 13 === 0).select("vec_id")
+      .localCheckpoint()
+    val d = ingest(3)
+    GraphStream.applyTakedown(spark, d, removed, takedownId = 0L)
+    val rIds = removed.as[Long].collect().toSet
+    // the live (pre-compact) view: removed ids gone from nodes, edges,
+    // and search results — a correct lower bound until maintenance
+    assert(GraphStream.readNodes(spark, d)
+      .join(removed, Seq("vec_id"), "left_semi").isEmpty)
+    val liveGraph = GraphStream.readGraph(spark, d)
+      .select("src", "dst").as[(Long, Long)].collect()
+    assert(liveGraph.forall { case (s0, d0) =>
+      !rIds.contains(s0) && !rIds.contains(d0) })
+    val liveHits = GraphStream.searchLive(spark, sf, d)
+      .select("neighbor").as[Long].collect()
+    assert(liveHits.forall(!rIds.contains(_)),
+      "search must never return a removed doc")
+    // compact restores exact rebuild equivalence: same meta (train-once
+    // full bootstrap), survivors-only one-shot ingest, both compacted
+    GraphStream.compact(spark, d)
+    val fresh = freshDir()
+    GraphStream.init(spark, corpus, fresh)
+    GraphStream.applyMicroBatch(spark,
+      all.join(removed, Seq("vec_id"), "left_anti"), fresh, 0L)
+    GraphStream.compact(spark, fresh)
+    assert(graphRows(d) === graphRows(fresh),
+      "post-takedown compact must equal a survivors-only rebuild")
+    def hits(dir: String) = GraphStream.searchLive(spark, sf, dir)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(hits(d) === hits(fresh))
+    // the fold is physical: no td dirs survive the swap
+    assert(!new java.io.File(s"$d/takedown").exists() ||
+      new java.io.File(s"$d/takedown").listFiles().forall(
+        !_.getName.startsWith("td=")))
+  }
+
   test("live search over the streamed index returns sane ranked neighbors") {
     val out = GraphStream.searchLive(spark, sf, ingest(3)).collect()
     val qs = out.map(_.getLong(0)).distinct
