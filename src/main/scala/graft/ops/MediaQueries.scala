@@ -1239,7 +1239,9 @@ object MediaQueries {
     "multimodal_funnel_live" ->
       (graft.streaming.PairStream.multimodalFunnelLive _),
     "multimodal_funnel_drift" ->
-      (graft.streaming.PairStream.multimodalFunnelDrift _))
+      (graft.streaming.PairStream.multimodalFunnelDrift _),
+    "takedown_replay_pairs" ->
+      (graft.streaming.PairStream.takedownReplayPairs _))
 
   /** Shared oracle CTE chain ending in `afps(doc_id, n, afp)` — the
     * DuckDB replica of [[audioSigs]] (AS MATERIALIZED: dedup_audio's
@@ -1651,6 +1653,39 @@ object MediaQueries {
          |SELECT doc_id, format, width, height, pred_lang, quality,
          |  reject_reason IS NULL AS keep, reject_reason
          |FROM pg ORDER BY doc_id""".stripMargin,
+    // the PAIR gate under takedown: the multimodal_pairs verdict chain
+    // over the SURVIVORS. Image payloads are content-determined, so the
+    // signature synthesis (nmv/pdim/hsh) stays FULL-corpus; the near-dup
+    // join, the text gates and canonicality run over survivors only.
+    "takedown_replay_pairs" -> {
+      val stride = graft.streaming.Takedown.replayRemovalStride
+      val survPairs = imagePairCtes
+        .replace("FROM hsh", "FROM hshs")
+        .replace("chunks AS MATERIALIZED (",
+          s"hshs AS (SELECT * FROM hsh WHERE doc_id % $stride != 0),\n" +
+            "chunks AS MATERIALIZED (")
+      val survCuration = CurationQueries.curationCtes
+        .replace("FROM documents", "FROM surv")
+      s"""WITH surv AS (SELECT doc_id, text FROM documents
+         |              WHERE doc_id % $stride != 0),
+         |$survPairs,
+         |$survCuration,
+         |dupb AS (SELECT DISTINCT b AS doc_id FROM ipairs),
+         |pg AS (
+         |  SELECT p.doc_id,
+         |    CASE WHEN p.doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS format,
+         |    CAST(p.w AS BIGINT) AS width, CAST(p.h AS BIGINT) AS height,
+         |    r.pred_lang, r.quality,
+         |    CASE WHEN r.reject_reason IS NOT NULL THEN r.reject_reason
+         |         WHEN p.w * p.h < $minPairPixels THEN 'image_too_small'
+         |         WHEN dupb.doc_id IS NOT NULL THEN 'image_near_dup'
+         |    END AS reject_reason
+         |  FROM pdim p JOIN r ON r.doc_id = p.doc_id
+         |  LEFT JOIN dupb ON dupb.doc_id = p.doc_id)
+         |SELECT doc_id, format, width, height, pred_lang, quality,
+         |  reject_reason IS NULL AS keep, reject_reason
+         |FROM pg ORDER BY doc_id""".stripMargin
+    },
     "multimodal_manifest" ->
       s"""WITH $imagePairCtes,
          |${CurationQueries.curationCtes},

@@ -169,18 +169,21 @@ object PairStream {
       .withColumn("batch_first", col("__rank") === 1).drop("__rank")
       .persist()
     try {
-      val claimDirs = committedDirs(stateDir, "claims")
-      val withCanon = (if (claimDirs.nonEmpty) {
-        val hits = spark.read.parquet(claimDirs: _*)
-          .join(broadcast(scored.select("content_hash").distinct()),
-            Seq("content_hash"), "left_semi")
-          .select("content_hash").distinct().withColumn("__hit", lit(true))
-        scored.join(broadcast(hits), Seq("content_hash"), "left")
-          .withColumn("is_canonical",
-            col("batch_first") && col("__hit").isNull)
-          .drop("__hit")
-      } else scored.withColumn("is_canonical", col("batch_first")))
-        .persist()
+      // probe committed claims, batch-keyed (semi -> broadcast anti);
+      // readClaims applies committed takedowns, so a removed doc's
+      // claim no longer rejects arrivals and a re-elected owner's does
+      val withCanon = (readClaims(spark, stateDir) match {
+        case Some(claims) =>
+          val hits = claims
+            .join(broadcast(scored.select("content_hash").distinct()),
+              Seq("content_hash"), "left_semi")
+            .select("content_hash").distinct().withColumn("__hit", lit(true))
+          scored.join(broadcast(hits), Seq("content_hash"), "left")
+            .withColumn("is_canonical",
+              col("batch_first") && col("__hit").isNull)
+            .drop("__hit")
+        case None => scored.withColumn("is_canonical", col("batch_first"))
+      }).persist()
       try {
         val textVerdicts = withCanon.select(col("doc_id"),
           col("pred_lang"), col("quality"),
@@ -201,13 +204,22 @@ object PairStream {
           .select(col("doc_id"), col("format"), col("width"),
             col("height"), col("pred_lang"), col("quality"),
             reason.isNull.as("keep"), reason.as("reject_reason"))
-        // claims + index + counts first, verdicts (with marker) last
+        // claims + index + counts first, verdicts (with marker) last.
+        // Claims store EVERY processed doc's text facts (the NearDup
+        // every-processed-doc-indexed convention, widened from the old
+        // canonical-only rows): hash existence still gates arrivals, and
+        // a later [[applyTakedown]] can re-elect a removed canonical's
+        // hash to ANY surviving holder — including a text-only doc the
+        // old layout recorded nowhere — and recompute the stateless
+        // verdict from the persisted facts without re-reading text.
         DedupStream.writeAtomically(
-          withCanon.filter(col("is_canonical"))
-            .select("content_hash", "doc_id"),
+          withCanon.select("content_hash", "doc_id", "n_tokens",
+              "pred_lang", "quality", "is_canonical")
+            .withColumn("arrival_seq", lit(batchId)),
           s"$stateDir/claims/batch=$batchId", mark = false)
         DedupStream.writeAtomically(
-          bands.select("chunk", "key", "dhash", "doc_id"),
+          bands.select("chunk", "key", "dhash", "doc_id")
+            .withColumn("arrival_seq", lit(batchId)),
           s"$stateDir/index/batch=$batchId", mark = false)
         DedupStream.writeAtomically(
           MediaQueries.pairFunnelCounts(verdicts),
@@ -220,7 +232,7 @@ object PairStream {
 
   /** Sweep crash debris — claims/index/counts without a committed
     * verdicts twin, stale temps. */
-  def recover(stateDir: String): Unit =
+  def recover(stateDir: String): Unit = {
     Seq("verdicts", "claims", "index", "counts").foreach { sub =>
       StreamFs.listNames(s"$stateDir/$sub").filter(_.startsWith("batch="))
         .foreach { b =>
@@ -229,6 +241,13 @@ object PairStream {
       StreamFs.listNames(s"$stateDir/$sub").filter(_.endsWith(".tmp"))
         .foreach(n => StreamFs.delete(s"$stateDir/$sub/$n"))
     }
+    StreamFs.listNames(s"$stateDir/${Takedown.Sub}").foreach { t =>
+      val p = s"$stateDir/${Takedown.Sub}/$t"
+      if (t.endsWith(".tmp") || (t.startsWith("td=") &&
+          !StreamFs.exists(s"$p/$Marker")))
+        StreamFs.delete(p)
+    }
+  }
 
   private def committedDirs(stateDir: String, sub: String): Seq[String] =
     StreamFs.listNames(s"$stateDir/$sub").filter(_.startsWith("batch="))
@@ -241,22 +260,191 @@ object PairStream {
       .filter(b => committed(stateDir, b))
       .map(b => s"$stateDir/$sub/$b")
 
-  /** The committed image band index (every processed image). */
+  /** The committed image band index (every processed image) — committed
+    * takedowns applied: a removed image's perceptual bands are derived
+    * data and stop witnessing the moment the tombstone commits. */
   private def readIndex(spark: SparkSession, stateDir: String): DataFrame = {
     val dirs = committedDirs(stateDir, "index")
-    if (dirs.isEmpty)
-      spark.range(0).select(lit(0).as("chunk"), col("id").as("key"),
-        col("id").as("dhash"), col("id").as("doc_id"))
-    else
-      spark.read.option("basePath", s"$stateDir/index").parquet(dirs: _*)
-        .select("chunk", "key", "dhash", "doc_id")
+    val base =
+      if (dirs.isEmpty)
+        spark.range(0).select(lit(0).as("chunk"), col("id").as("key"),
+          col("id").as("dhash"), col("id").as("doc_id"),
+          col("id").as("arrival_seq"))
+      else
+        spark.read.option("basePath", s"$stateDir/index").parquet(dirs: _*)
+          .select("chunk", "key", "dhash", "doc_id", "arrival_seq")
+    Takedown.removedView(spark, stateDir, base, Seq("doc_id"))
   }
 
-  /** Every committed pair verdict so far — the stream's data output. */
-  def readVerdicts(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.option("basePath", s"$stateDir/verdicts")
+  /** The committed claims view — EVERY processed doc's (content_hash,
+    * doc_id, n_tokens, pred_lang, quality, is_canonical, arrival_seq),
+    * committed takedowns applied: removed docs' rows vanish (their hash
+    * stops rejecting arrivals) and re-elected owners' rows replace
+    * their originals with is_canonical flipped. None = no committed
+    * claims yet. */
+  private def readClaims(spark: SparkSession,
+                         stateDir: String): Option[DataFrame] = {
+    val dirs = committedDirs(stateDir, "claims")
+    if (dirs.isEmpty) return None
+    val base = spark.read.option("basePath", s"$stateDir/claims")
+      .parquet(dirs: _*).drop("batch")
+    Some((readTd(spark, stateDir, "removed"),
+        readTd(spark, stateDir, "promoted_claims")) match {
+      case (None, _) => base
+      case (Some(rm), promo) =>
+        val r = rm.select("doc_id").distinct()
+        val pruned = base.join(broadcast(r), Seq("doc_id"), "left_anti")
+        promo match {
+          case None => pruned
+          case Some(p) =>
+            val ps = p.join(broadcast(r), Seq("doc_id"), "left_anti")
+            pruned.join(broadcast(ps.select("doc_id")),
+                Seq("doc_id"), "left_anti")
+              .unionByName(ps.select(pruned.columns.map(col): _*))
+        }
+    })
+  }
+
+  private def readTd(spark: SparkSession, stateDir: String,
+                     sub: String): Option[DataFrame] = {
+    val dirs = StreamFs.listNames(s"$stateDir/${Takedown.Sub}")
+      .filter(_.startsWith("td="))
+      .filter(t => StreamFs.exists(
+        s"$stateDir/${Takedown.Sub}/$t/$Marker"))
+      .map(t => s"$stateDir/${Takedown.Sub}/$t/$sub")
+      .filter(d => StreamFs.exists(d) && StreamFs.hasDataFiles(d))
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Every committed pair verdict so far — the stream's data output,
+    * committed takedowns applied: removed docs gone, corrected verdicts
+    * (claim re-election on the caption side + near-dup re-election on
+    * the image side, one pass) replacing their originals. */
+  def readVerdicts(spark: SparkSession, stateDir: String): DataFrame = {
+    val base = spark.read.option("basePath", s"$stateDir/verdicts")
       .parquet(committedDirs(stateDir, "verdicts"): _*)
       .drop("batch")
+    (readTd(spark, stateDir, "removed"),
+        readTd(spark, stateDir, "corrected")) match {
+      case (None, _) => base
+      case (Some(rm), corr) =>
+        val r = rm.select("doc_id").distinct()
+        val pruned = base.join(broadcast(r), Seq("doc_id"), "left_anti")
+        corr match {
+          case None => pruned
+          case Some(c) =>
+            val cs = c.join(broadcast(r), Seq("doc_id"), "left_anti")
+            pruned.join(broadcast(cs.select("doc_id")),
+                Seq("doc_id"), "left_anti")
+              .unionByName(cs.select(pruned.columns.map(col): _*))
+        }
+    }
+  }
+
+  // ---- takedown (caption-claims + image near-dup, one correction pass)
+
+  /** TAKEDOWN over the pair gate — the round-15 builder follow-on: one
+    * pass corrects BOTH modalities. Given a removal set,
+    *
+    *  1. removed docs' verdict rows, claims and band-index rows vanish
+    *     (hashes stop rejecting arrivals, bands stop witnessing);
+    *  2. TEXT side: a removed canonical's content_hash passes to the
+    *     earliest-arrived surviving holder (pair OR text-only doc — the
+    *     all-docs claims make the election corpus-true), recorded as a
+    *     promoted claim;
+    *  3. IMAGE side: pair docs whose verified earlier witnesses
+    *     intersect the removal set are re-checked against the SURVIVING
+    *     index ([[Takedown.nearDupWitnessed]], df-capped);
+    *  4. every touched PAIR doc gets ONE corrected verdict — the full
+    *     gate chain (stateless text rules over the persisted facts, the
+    *     dims floor, the re-checked image near-dup) replayed from state,
+    *     never from payloads — exactly the verdict a from-scratch ingest
+    *     of the survivors reaches (`takedown_replay_pairs` pins it
+    *     against the batch multimodal_pairs SQL over survivors).
+    *
+    * Keeps only monotone corrections (a kept pair can never flip to
+    * rejected — removals only remove witnesses), so candidates =
+    * promoted owners ∪ witness-touched rejects covers every row a
+    * replay would change. Funnel counts stay ingest history BY DESIGN
+    * (the CurationStream stance). Idempotent per takedownId; cost ∝
+    * |removals| + touched claims/bands. */
+  def applyTakedown(spark: SparkSession, stateDir: String,
+                    removed: DataFrame, takedownId: Long): Unit =
+    CompactionLock.withLock(stateDir) {
+      recover(stateDir)
+      val dst = s"$stateDir/${Takedown.Sub}/td=$takedownId"
+      if (StreamFs.exists(s"$dst/$Marker")) return // replay
+      val r = removed.select("doc_id").distinct().localCheckpoint()
+      val claims = readClaims(spark, stateDir)
+        .getOrElse(return).localCheckpoint()
+      // text: affected hashes = classes whose CURRENT canonical is
+      // removed; new owner = earliest-arrived surviving holder
+      val affected = claims.filter(col("is_canonical"))
+        .join(broadcast(r), Seq("doc_id"), "left_semi")
+        .select("content_hash").distinct()
+      val promotedClaims = claims
+        .join(broadcast(affected), Seq("content_hash"), "left_semi")
+        .join(broadcast(r), Seq("doc_id"), "left_anti")
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("content_hash"))
+            .orderBy(col("arrival_seq"), col("doc_id"))))
+        .filter(col("__rk") === 1).drop("__rk", "is_canonical")
+        .withColumn("is_canonical", lit(true))
+        .select(claims.columns.map(col): _*)
+        .localCheckpoint()
+      // image: rejects whose verified earlier witnesses intersect R
+      val v = readVerdicts(spark, stateDir).localCheckpoint()
+      val idx = readIndex(spark, stateDir).localCheckpoint()
+      val near = bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))) <=
+        MediaQueries.phashMaxHamming
+      val rejected = v.filter(!col("keep")).select("doc_id")
+        .join(broadcast(r), Seq("doc_id"), "left_anti")
+      val imageTouched = Takedown.nearDupTouched(spark, r, rejected, idx,
+        bandKeys, near)
+      val candIds = promotedClaims.select("doc_id")
+        .unionByName(imageTouched).distinct().localCheckpoint()
+      val corrected =
+        if (candIds.isEmpty) None
+        else {
+          val stillDup = Takedown.nearDupWitnessed(spark, r, candIds, idx,
+            bandKeys, near, capped = true)
+          // post-takedown canonical facts: base minus removed, promoted
+          // rows replacing their originals
+          val postClaims = claims
+            .join(broadcast(r), Seq("doc_id"), "left_anti")
+            .join(broadcast(promotedClaims.select("doc_id")),
+              Seq("doc_id"), "left_anti")
+            .unionByName(promotedClaims)
+          val candFacts = postClaims
+            .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+            .select("doc_id", "n_tokens", "pred_lang", "quality",
+              "is_canonical")
+          val reason = coalesce(
+            CurationQueries.rejectReason,
+            when(col("width") * col("height") <
+              MediaQueries.minPairPixels, "image_too_small"),
+            when(col("__dup"), "image_near_dup"))
+          val c = v.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+            .drop("keep", "reject_reason", "pred_lang", "quality")
+            .join(candFacts, Seq("doc_id"))
+            .join(broadcast(stillDup.withColumn("__dup", lit(true))),
+              Seq("doc_id"), "left")
+            .withColumn("reject_reason", reason)
+            .withColumn("keep", col("reject_reason").isNull)
+            .select(v.columns.map(col): _*)
+            .localCheckpoint()
+          if (c.isEmpty) None else Some(c)
+        }
+      val tmp = dst + ".tmp"
+      StreamFs.delete(tmp)
+      r.write.parquet(s"$tmp/removed")
+      if (!promotedClaims.isEmpty)
+        promotedClaims.write.parquet(s"$tmp/promoted_claims")
+      corrected.foreach(_.write.parquet(s"$tmp/corrected"))
+      StreamFs.delete(dst)
+      StreamFs.renameOrThrow(tmp, dst)
+      StreamFs.createMarker(s"$dst/$Marker")
+    }
 
   private def sumCounts(spark: SparkSession, stateDir: String,
                         dirs: Seq[String]): DataFrame =
@@ -341,6 +529,41 @@ object PairStream {
     * tail) — the batch face re-decodes the corpus per refresh. */
   def multimodalFunnelLive(s: SparkSession, dir: String): DataFrame =
     pairFunnelLive(s, pairState(s, dir))
+
+  /** Separate state cache for the takedown face — [[applyTakedown]]
+    * mutates, so it must never share [[pairState]]'s ingest. */
+  private val takedownStateDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** REGISTERED + DuckDB-oracled — the PAIR gate under takedown: the
+    * deterministic 4-quartile pair ingest, then a takedown of every
+    * [[Takedown.replayRemovalStride]]-th doc_id; the post-takedown
+    * verdicts must equal the batch multimodal_pairs SQL over the
+    * SURVIVING docs — caption-claim re-election (to pair or text-only
+    * survivors alike) and image near-dup re-election in one correction
+    * pass, or the rows diverge. */
+  def takedownReplayPairs(s: SparkSession, dir: String): DataFrame = {
+    val st = takedownStateDirs.getOrElseUpdate(dir, {
+      val d = StreamFs.benchTempDir("graft-pair-takedown") + "/state"
+      val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
+        .join(MediaQueries.texturedMediaTable(s, dir)
+          .filter(col("doc_id") % 3 =!= 1), Seq("doc_id"), "left")
+        .select("doc_id", "text", "payload")
+        .localCheckpoint()
+      Takedown.quartiles(docs).zipWithIndex.foreach { case (b, i) =>
+        applyMicroBatch(s, b, d, i.toLong)
+      }
+      applyTakedown(s, d,
+        docs.filter(col("doc_id") %
+          Takedown.replayRemovalStride === 0).select("doc_id"),
+        takedownId = 0L)
+      d
+    })
+    readVerdicts(s, st)
+      .select("doc_id", "format", "width", "height", "pred_lang",
+        "quality", "keep", "reject_reason")
+      .orderBy("doc_id")
+  }
 
   /** REGISTERED pair-funnel drift face (DuckDB-oracled):
     * trailing-2-of-4 quartile batches vs lifetime — the window is the

@@ -209,7 +209,7 @@ object Takedown {
   /** "x arrived after y": the lexicographic (arrival_seq, doc_id)
     * order over two aliased row sets — the literal replay order (within
     * a batch the gates canonicalize by min doc_id). */
-  private def arrivedAfter: Column =
+  private[streaming] def arrivedAfter: Column =
     col("x.arrival_seq") > col("y.arrival_seq") ||
       (col("x.arrival_seq") === col("y.arrival_seq") &&
         col("x.doc_id") > col("y.doc_id"))
@@ -327,17 +327,44 @@ object Takedown {
       drops: DataFrame, index: DataFrame, bandKeys: Seq[String],
       verified: Column, capped: Boolean): Option[DataFrame] = {
     val idx = index.localCheckpoint() // feeds 3 probes
-    val rIdx = idx.join(broadcast(r), Seq("doc_id"), "left_semi")
     val dropIds = drops.select("doc_id")
       .join(broadcast(r), Seq("doc_id"), "left_anti")
-    // candidates: quarantined docs with a verified EARLIER-ARRIVED
-    // witness in R (the replay order, not the id proxy)
-    val candIds = idx.join(broadcast(dropIds), Seq("doc_id"), "left_semi")
+    val candIds = nearDupTouched(spark, r, dropIds, idx, bandKeys,
+      verified).localCheckpoint()
+    if (candIds.isEmpty) return None
+    // any verified earlier-arrived witness OUTSIDE R keeps the
+    // candidate dropped
+    val witnessed = nearDupWitnessed(spark, r, candIds, idx, bandKeys,
+      verified, capped)
+    val flip = candIds.join(witnessed, Seq("doc_id"), "left_anti")
+    val promoted = drops
+      .join(broadcast(flip), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    if (promoted.isEmpty) None else Some(promoted)
+  }
+
+  /** The `eligible` ids with ≥ 1 verified EARLIER-ARRIVED witness IN the
+    * removal set — the removal-proportional candidate probe of the
+    * near-dup family ([[graft.streaming.PairStream.applyTakedown]]
+    * shares it for the image leg of the pair gate). */
+  private[streaming] def nearDupTouched(spark: SparkSession, r: DataFrame,
+      eligible: DataFrame, idx: DataFrame, bandKeys: Seq[String],
+      verified: Column): DataFrame = {
+    val rIdx = idx.join(broadcast(r), Seq("doc_id"), "left_semi")
+    idx.join(broadcast(eligible), Seq("doc_id"), "left_semi")
       .as("x").join(broadcast(rIdx).as("y"), bandKeys)
       .filter(arrivedAfter).filter(verified)
       .select(col("x.doc_id").as("doc_id")).distinct()
-      .localCheckpoint()
-    if (candIds.isEmpty) return None
+  }
+
+  /** The `candIds` with ≥ 1 verified earlier-arrived witness OUTSIDE the
+    * removal set — the witness-existence half of re-election, map-side
+    * prefiltered by the candidates' own band keys (the WinnowStream
+    * review pattern); `capped` applies [[MediaQueries.maxBandDf]] to the
+    * history side, mirroring the ingest plan's degenerate-class guard. */
+  private[streaming] def nearDupWitnessed(spark: SparkSession, r: DataFrame,
+      candIds: DataFrame, idx: DataFrame, bandKeys: Seq[String],
+      verified: Column, capped: Boolean): DataFrame = {
     val candBands = idx.join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .localCheckpoint()
     val survHits = {
@@ -354,16 +381,9 @@ object Takedown {
         hl.join(broadcast(hot), bandKeys, "left_anti")
       }
     }
-    // any verified earlier-arrived witness OUTSIDE R keeps the
-    // candidate dropped
-    val witnessed = candBands.as("x").join(survHits.as("y"), bandKeys)
+    candBands.as("x").join(survHits.as("y"), bandKeys)
       .filter(arrivedAfter).filter(verified)
       .select(col("x.doc_id").as("doc_id")).distinct()
-    val flip = candIds.join(witnessed, Seq("doc_id"), "left_anti")
-    val promoted = drops
-      .join(broadcast(flip), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    if (promoted.isEmpty) None else Some(promoted)
   }
 
   /** Winnow re-election — a THRESHOLD RECOUNT, not witness-set

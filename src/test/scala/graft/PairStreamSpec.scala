@@ -86,6 +86,44 @@ class PairStreamSpec extends SparkSpec {
       "the caption claim of the text-only doc must reject the image twin")
   }
 
+  test("takedown: post-takedown verdicts == from-scratch pair ingest of survivors") {
+    val docs = pairInput().localCheckpoint()
+    val removals = docs.filter(col("doc_id") % 13 === 0).select("doc_id")
+      .localCheckpoint()
+    val dir = ingest(docs, 3)
+    PairStream.applyTakedown(spark, dir, removals, takedownId = 0L)
+    def rows(d: String) = PairStream.readVerdicts(spark, d)
+      .select("doc_id", "format", "width", "height", "pred_lang",
+        "quality", "keep", "reject_reason")
+      .as[(Long, String, Long, Long, String, Double, Boolean,
+        Option[String])].collect().toSet
+    val after = rows(dir)
+    // from-scratch: one-shot pair ingest of the SURVIVORS only — both
+    // modalities must re-elect (caption claims to any surviving holder,
+    // image near-dups against surviving witnesses)
+    val fresh = ingest(docs.join(removals, Seq("doc_id"), "left_anti"), 1)
+    assert(after === rows(fresh),
+      s"diverged: only-takedown=${(after -- rows(fresh)).take(3)} " +
+        s"only-replay=${(rows(fresh) -- after).take(3)}")
+    assert(after.forall(_._1 % 13 != 0), "removed docs must purge")
+    // idempotent replay
+    PairStream.applyTakedown(spark, dir, removals, takedownId = 0L)
+    assert(rows(dir) === after)
+    // a re-arrival of a surviving doc's caption stays rejected: the
+    // post-takedown claims view still holds the class
+    val probe = docs
+      .filter(col("doc_id") % 13 =!= 0 && col("payload").isNotNull)
+      .orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("payload"))
+    PairStream.applyMicroBatch(spark, probe, dir, 3L)
+    val probed = PairStream.readVerdicts(spark, dir)
+      .filter(col("doc_id") >= 1000000L)
+      .select("reject_reason").as[Option[String]].collect()
+    assert(probed.length === 1 && probed.head.nonEmpty,
+      "a duplicate caption must stay gated after the takedown")
+  }
+
   test("replaying a committed batch id is a no-op") {
     val docs = pairInput().filter(col("doc_id") < 100).localCheckpoint()
     val dir = Files.createTempDirectory("graft-pair-replay").toString +
