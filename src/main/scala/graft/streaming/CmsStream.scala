@@ -51,6 +51,7 @@ object CmsStream {
     * them under `cells/batch=N`. Idempotent per `batchId`. */
   def applyMicroBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
                       batchId: Long): Unit = {
+    CompactionLock.requireFree(stateDir, "CmsStream.applyMicroBatch")
     recover(stateDir)
     val dst = s"$stateDir/cells/batch=$batchId"
     if (StreamFs.exists(s"$dst/${DedupStream.Marker}")) return // replay
@@ -59,19 +60,111 @@ object CmsStream {
       mark = true)
   }
 
-  /** Sweep marker-less (crashed mid-write) batch cell dirs. */
-  def recover(stateDir: String): Unit =
+  /** Sweep marker-less (crashed mid-write) batch cell dirs and
+    * uncommitted takedown manifests. */
+  def recover(stateDir: String): Unit = {
+    // compaction swap recovery first (the DedupStream.recover protocol)
+    val cold = stateDir + ".cold"
+    val ctmp = stateDir + ".ctmp"
+    if (StreamFs.exists(cold)) {
+      if (StreamFs.exists(stateDir)) StreamFs.delete(cold)
+      else StreamFs.renameOrThrow(cold, stateDir)
+    }
+    if (StreamFs.exists(ctmp) && !CompactionLock.heldLive(stateDir))
+      StreamFs.delete(ctmp)
     StreamFs.listNames(s"$stateDir/cells").filter(_.startsWith("batch="))
       .filterNot(b =>
         StreamFs.exists(s"$stateDir/cells/$b/${DedupStream.Marker}"))
       .foreach(b => StreamFs.delete(s"$stateDir/cells/$b"))
+    StreamFs.listNames(s"$stateDir/${Takedown.Sub}").foreach { t =>
+      val p = s"$stateDir/${Takedown.Sub}/$t"
+      if (t.endsWith(".tmp") || (t.startsWith("td=") &&
+          !StreamFs.exists(s"$p/${DedupStream.Marker}")))
+        StreamFs.delete(p)
+    }
+  }
 
-  private def committedCellDirs(stateDir: String): Seq[String] =
+  // ---- takedown: batch-grain subtraction by LINEARITY ------------------
+
+  /** TAKEDOWN over the sketch — the monitor-counts answer the corpus
+    * gates deliberately don't give ("counts stay ingest history BY
+    * DESIGN" is now a CHOICE per monitor, not a limitation): CMS cells
+    * are linear, and the per-batch cell tables are retained, so a
+    * removed batch's contribution is subtractable EXACTLY — and
+    * exclusion of its cell table from the merge IS that subtraction,
+    * with no arithmetic at all. Batch-grain because the sketch never
+    * persisted per-document state (that blindness is its whole cost
+    * model); a deployment that must forget finer than a batch keys its
+    * micro-batches accordingly. The one-sided CMS guarantee survives:
+    * the merged estimate still dominates every surviving batch's truth.
+    * Idempotent per takedownId (marker = commit point, the house
+    * protocol); cost = one manifest write, independent of corpus AND of
+    * removal size. */
+  def applyTakedown(spark: SparkSession, stateDir: String,
+                    removedBatchIds: Seq[Long], takedownId: Long): Unit = {
+    recover(stateDir)
+    val dst = s"$stateDir/${Takedown.Sub}/td=$takedownId"
+    if (StreamFs.exists(s"$dst/${DedupStream.Marker}")) return // replay
+    val tmp = dst + ".tmp"
+    StreamFs.delete(tmp)
+    StreamFs.writeAtomicString(s"$tmp/removed_batches",
+      removedBatchIds.distinct.sorted.mkString("\n"))
+    StreamFs.delete(dst)
+    StreamFs.renameOrThrow(tmp, dst)
+    StreamFs.createMarker(s"$dst/${DedupStream.Marker}")
+  }
+
+  /** Batch ids removed by every committed takedown. */
+  private def removedBatches(stateDir: String): Set[Long] =
+    StreamFs.listNames(s"$stateDir/${Takedown.Sub}")
+      .filter(_.startsWith("td="))
+      .filter(t => StreamFs.exists(
+        s"$stateDir/${Takedown.Sub}/$t/${DedupStream.Marker}"))
+      .flatMap(t => StreamFs.readString(
+        s"$stateDir/${Takedown.Sub}/$t/removed_batches").toSeq)
+      .flatMap(_.split('\n')).filter(_.nonEmpty).map(_.toLong).toSet
+
+  private def committedCellDirs(stateDir: String): Seq[String] = {
+    val removed = removedBatches(stateDir)
     StreamFs.listNames(s"$stateDir/cells").filter(_.startsWith("batch="))
       .filter(b => StreamFs.exists(s"$stateDir/cells/$b/${DedupStream.Marker}"))
+      .filterNot(b => removed.contains(b.stripPrefix("batch=").toLong))
       .map(b => s"$stateDir/cells/$b")
+      .filter(StreamFs.hasDataFiles) // post-compaction marker-only ids
+  }
 
-  /** The merged sketch over every committed batch: cells ADD. */
+  /** COMPACTION — sum the surviving batches' cells into the single
+    * highest-id batch dir (the same linearity the read uses), leave
+    * earlier committed ids as marker-only tombstones, and fold
+    * takedowns physically: removed batches' cells are simply not in the
+    * sum, and the staged root carries no takedown dirs. */
+  def compact(spark: SparkSession, stateDir: String): Unit =
+    CompactionLock.withLock(stateDir) {
+      recover(stateDir)
+      val all = StreamFs.listNames(s"$stateDir/cells")
+        .filter(_.startsWith("batch="))
+        .filter(b => StreamFs.exists(
+          s"$stateDir/cells/$b/${DedupStream.Marker}"))
+        .sortBy(_.stripPrefix("batch=").toLong)
+      val hasTd = StreamFs.listNames(s"$stateDir/${Takedown.Sub}")
+        .exists(_.startsWith("td="))
+      if (all.isEmpty) return
+      if (all.length <= 1 && !hasTd) return
+      val target = all.last
+      val stage = stateDir + ".ctmp"
+      StreamFs.delete(stage)
+      readSketch(spark, stateDir) // the takedown-aware merged cells
+        .write.parquet(s"$stage/cells/$target")
+      all.foreach(b =>
+        StreamFs.createMarker(s"$stage/cells/$b/${DedupStream.Marker}"))
+      val old = stateDir + ".cold"
+      StreamFs.renameOrThrow(stateDir, old)
+      StreamFs.renameOrThrow(stage, stateDir)
+      StreamFs.delete(old)
+    }
+
+  /** The merged sketch over every committed, non-removed batch: cells
+    * ADD (and, for takedowns, un-add by exclusion). */
   def readSketch(spark: SparkSession, stateDir: String): DataFrame = {
     val dirs = committedCellDirs(stateDir)
     if (dirs.isEmpty)

@@ -48,6 +48,45 @@ class CmsStreamSpec extends SparkSpec {
     ()
   }
 
+  test("takedown subtracts a batch exactly; compact folds it physically") {
+    val all = documents().cache()
+    val cut = all.agg(max("doc_id")).first().getLong(0)
+    val splits = Seq((-1L, cut / 3), (cut / 3, 2 * cut / 3), (2 * cut / 3, cut))
+      .map { case (lo, hi) =>
+        all.filter(col("doc_id") > lo && col("doc_id") <= hi) }
+    val tmp = Files.createTempDirectory("graft-cms-td").toString
+    splits.zipWithIndex.foreach { case (b, i) =>
+      CmsStream.applyMicroBatch(spark, b, tmp, batchId = i.toLong)
+    }
+    CmsStream.applyTakedown(spark, tmp, Seq(1L), takedownId = 0L)
+    // post-takedown sketch ≡ a from-scratch sketch over the SURVIVING
+    // batches' docs (linearity: exclusion IS subtraction)
+    val survToks = splits(0).union(splits(2))
+      .select(explode(tokens(col("text"))).as("token"))
+    val fromScratch = cellMap(ProfileQueries.cmsCells(survToks))
+    val after = cellMap(CmsStream.readSketch(spark, tmp))
+    assert(after === fromScratch,
+      "post-takedown sketch must equal a survivors-only rebuild")
+    // idempotent replay
+    CmsStream.applyTakedown(spark, tmp, Seq(1L), takedownId = 0L)
+    assert(cellMap(CmsStream.readSketch(spark, tmp)) === after)
+    // compact: same merged cells through the same reader, td dirs gone,
+    // the removed batch's cells physically absent from the staged root
+    CmsStream.compact(spark, tmp)
+    assert(cellMap(CmsStream.readSketch(spark, tmp)) === after)
+    assert(!new java.io.File(s"$tmp/takedown").exists() ||
+      new java.io.File(s"$tmp/takedown").listFiles().forall(
+        !_.getName.startsWith("td=")))
+    // ingest continues; the compacted + new cells still merge linearly
+    CmsStream.applyMicroBatch(spark, splits(1), tmp, batchId = 3L)
+    val allToks = splits(0).union(splits(2)).union(splits(1))
+      .select(explode(tokens(col("text"))).as("token"))
+    assert(cellMap(CmsStream.readSketch(spark, tmp)) ===
+      cellMap(ProfileQueries.cmsCells(allToks)))
+    all.unpersist()
+    ()
+  }
+
   test("replay is a no-op; marker-less crash debris is swept") {
     val tmp = Files.createTempDirectory("graft-cms-replay").toString
     val b = documents().filter(col("doc_id") < 50).cache()
