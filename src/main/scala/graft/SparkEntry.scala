@@ -63,8 +63,6 @@ object SparkEntry {
       (graft.streaming.GraphStream.annGraphSearchStreamed _),
     "ann_graph_search_compacted" ->
       (graft.streaming.GraphStream.annGraphSearchCompacted _),
-    "ann_graph_search_hnsw" ->
-      (SimilarityQueries.annGraphSearchHnsw _),
     "approx_distinct" -> (AnalyticsQueries.approxDistinct _),
     "approx_percentile" -> (AnalyticsQueries.approxPercentile _),
     "gate_eval_live" -> (graft.streaming.EvalStream.gateEvalLiveBench _),
