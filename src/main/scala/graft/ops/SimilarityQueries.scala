@@ -166,8 +166,9 @@ object SimilarityQueries {
     * synthetic corpus has weak cluster structure; see OpsSpec). */
   /** The nprobe nearest centroid cells per query — the IVF probe set,
     * shared by [[annIvf]], [[annIvfPq]] and [[annIvfTrained]]. */
-  private def probedCellsOf(cents: DataFrame, v: DataFrame): DataFrame = {
-    val q = v.filter(queryPred())
+  private def probedCellsOf(cents: DataFrame, v: DataFrame,
+      qstride: Long = queryStride.toLong): DataFrame = {
+    val q = v.filter(queryPred(qstride))
       .select(col("vec_id").as("q"), col("e").as("qe"), col("norm").as("qn"))
     val wc = Window.partitionBy(col("q"))
       .orderBy(col("ccos").desc, col("cell"))
@@ -187,8 +188,10 @@ object SimilarityQueries {
 
   /** IVF search against an arbitrary centroid table: probe, score within
     * the probed cells at full precision, per-query top-k. */
-  private def ivfSearch(cents: DataFrame, v: DataFrame): DataFrame = {
-    val scored = probedCellsOf(cents, v).join(assignedTo(cents, v), Seq("cell"))
+  private def ivfSearch(cents: DataFrame, v: DataFrame,
+      qstride: Long = queryStride.toLong): DataFrame = {
+    val scored = probedCellsOf(cents, v, qstride)
+      .join(assignedTo(cents, v), Seq("cell"))
       .filter(col("q") =!= col("vec_id"))
       .select(col("q"), col("vec_id").as("neighbor"),
         cosine(col("qe"), col("e"), col("qn"), col("norm")).as("cosine"))
@@ -202,6 +205,35 @@ object SimilarityQueries {
 
   def annIvf(s: SparkSession, dir: String): DataFrame =
     ivfSearch(seeds(s, dir), vectors(s, dir))
+
+  /** Replication factor of the CAP-BINDING fixture: id-shifted
+    * exact-duplicate replicas expand the id space past
+    * [[maxQueries]] at every test sf (500 vectors × 10 > 4096). */
+  val capBindReplicas = 10
+
+  /** REGISTERED + DuckDB-oracled CAP-BINDING fixture — the
+    * [[maxQueries]] ceiling witnessed UNDER THE ORACLE, not only
+    * plan-pinned on a synthetic range (round-15 verdict #7): the corpus
+    * is expanded by [[capBindReplicas]] id-shifted replicas and queried
+    * at stride 1, so the eligible stride multiples (= the whole
+    * expanded id space) EXCEED the cap and queryPred genuinely
+    * truncates at 4096 queries — the linear production regime every
+    * ann face enters above 204.8k vectors. The oracle replays the
+    * identical expansion, √(R·n) seed geometry, and capped query window
+    * in SQL; a cap that silently widened or shifted would diverge row
+    * one. */
+  def annIvfCapped(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    val v = vectors(s, dir).crossJoin(
+        s.range(capBindReplicas).select(col("id").as("__k")))
+      .select((col("vec_id") + col("__k") * n).as("vec_id"), col("label"),
+        col("e"), col("norm"))
+    val stride = seedStrideOf(n * capBindReplicas)
+    val cents = v.filter(col("vec_id") % stride === 1)
+      .select(col("vec_id").as("cell"), col("e").as("ce"),
+        col("norm").as("cn"))
+    ivfSearch(cents, v, qstride = 1L)
+  }
 
   /** Probe width for [[annFiltered]] — 2 × [[nprobe]]: a selective
     * filter thins every probed cell by its selectivity, so a filtered
@@ -1671,7 +1703,8 @@ object SimilarityQueries {
     "hybrid_search_ivf" -> (hybridSearchIvf _),
     "takedown_replay_ann" ->
       (graft.streaming.AnnStream.takedownReplayAnn _),
-    "ann_graph_search_hnsw" -> (annGraphSearchHnsw _))
+    "ann_graph_search_hnsw" -> (annGraphSearchHnsw _),
+    "ann_ivf_capped" -> (annIvfCapped _))
 
   /** The √n seed stride as a DuckDB scalar subquery — the oracle twin of
     * [[seedStrideOf]] (identical IEEE sqrt/ceil rounding). */
@@ -2576,6 +2609,41 @@ object SimilarityQueries {
          |  FROM adc)
          |SELECT q, rank, neighbor, round(ad, 6) AS adist
          |FROM ranked WHERE rank <= $topK ORDER BY q, rank""".stripMargin,
+    // the cap-binding fixture: identical expansion + capped window in SQL
+    "ann_ivf_capped" -> {
+      val vbase = vCte.replace("v AS (", "vbase AS (")
+      s"""WITH $vbase,
+         |v AS (
+         |  SELECT vb.vec_id + r.k * (SELECT count(*) FROM vbase) AS vec_id,
+         |         vb.label, vb.e, vb.norm
+         |  FROM vbase vb
+         |  CROSS JOIN generate_series(0, ${capBindReplicas - 1}) AS r(k)),
+         |seeds AS (SELECT vec_id AS cell, e AS ce, norm AS cn
+         |          FROM v WHERE vec_id % $sqlSeedStride = 1),
+         |assign AS (
+         |  SELECT vec_id, e, norm, cell FROM (
+         |    SELECT v.vec_id, v.e, v.norm, s.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             ${duckCos("v.e", "s.ce", "v.norm", "s.cn")} DESC,
+         |             s.cell) AS r
+         |    FROM v CROSS JOIN seeds s) WHERE r = 1),
+         |queries AS (SELECT vec_id AS q, e AS qe, norm AS qn
+         |            FROM v WHERE ${querySqlPred("vec_id", 1L)}),
+         |probed AS (
+         |  SELECT q, qe, qn, cell,
+         |         row_number() OVER (PARTITION BY q ORDER BY
+         |           ${duckCos("qe", "ce", "qn", "cn")} DESC, cell) AS crank
+         |  FROM queries CROSS JOIN seeds),
+         |cells AS (SELECT q, qe, qn, cell FROM probed WHERE crank <= $nprobe),
+         |scored AS (
+         |  SELECT c.q, a.vec_id AS neighbor,
+         |         ${duckCos("c.qe", "a.e", "c.qn", "a.norm")} AS cosine
+         |  FROM cells c JOIN assign a USING (cell) WHERE c.q != a.vec_id)
+         |SELECT q, rank, neighbor, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q
+         |            ORDER BY cosine DESC, neighbor) AS rank
+         |  FROM scored) WHERE rank <= $topK ORDER BY q, rank""".stripMargin
+    },
     "ann_pq_adc" ->
       s"""WITH $pqCtes,
          |adc AS (
