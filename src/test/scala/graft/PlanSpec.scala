@@ -447,6 +447,17 @@ class PlanSpec extends SparkSpec {
     // multimodal_pair_funnel ends in curation_funnel's 1-row totals
     // broadcast (≤7 stage rows × 1 row)
     "multimodal_pair_funnel",
+    // ann_graph_search_hnsw: the same bounded entry-scoring product at
+    // the 8×-coarser nested layer (|Q| × √n/8)
+    "ann_graph_search_hnsw",
+    // takedown_replay_ann searches the post-takedown AnnStream index —
+    // the ann_ivf_pq plan class (1-row codebook crossJoins + the
+    // bounded-query × streaming-centroid probe product)
+    "takedown_replay_ann",
+    // ann_ivf_capped: ann_ivf's plan over the replica-expanded corpus —
+    // the extra crossJoin is the 10-row replica table, and the probe
+    // product is the CAPPED query batch (4096) × √(R·n) centroids
+    "ann_ivf_capped",
     "ann_pq_adc", "ann_recall_report", "bm25_topk", "budget_select",
     "chi_square", "classifier_weights",
     // the eval faces end in EvalQueries.gateEval's 1-row × 1-row metric
