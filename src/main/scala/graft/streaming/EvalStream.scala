@@ -77,7 +77,47 @@ object EvalStream {
       .filterNot(b =>
         StreamFs.exists(s"$stateDir/counts/$b/${DedupStream.Marker}"))
       .foreach(b => StreamFs.delete(s"$stateDir/counts/$b"))
+    StreamFs.listNames(s"$stateDir/${Takedown.Sub}").foreach { t =>
+      val p = s"$stateDir/${Takedown.Sub}/$t"
+      if (t.endsWith(".tmp") || (t.startsWith("td=") &&
+          !StreamFs.exists(s"$p/${DedupStream.Marker}")))
+        StreamFs.delete(p)
+    }
   }
+
+  // ---- takedown: batch-grain count subtraction (the CmsStream fold) ----
+
+  /** TAKEDOWN over the evaluation counts — [[CmsStream.applyTakedown]]'s
+    * batch-grain subtraction applied to the gate monitor: count tables
+    * are linear and retained per batch, so EXCLUDING a removed batch
+    * from the merge subtracts its contribution exactly. The batch ID
+    * stays committed (replays still no-op, and trailing windows keep
+    * their TIMELINE — the removed batch becomes an EMPTY window member,
+    * the committed-zero-row-batch convention, rather than shifting the
+    * window into history). Idempotent per takedownId; cost = one
+    * manifest write. */
+  def applyTakedown(spark: SparkSession, stateDir: String,
+                    removedBatchIds: Seq[Long], takedownId: Long): Unit = {
+    recover(stateDir)
+    val dst = s"$stateDir/${Takedown.Sub}/td=$takedownId"
+    if (StreamFs.exists(s"$dst/${DedupStream.Marker}")) return // replay
+    val tmp = dst + ".tmp"
+    StreamFs.delete(tmp)
+    StreamFs.writeAtomicString(s"$tmp/removed_batches",
+      removedBatchIds.distinct.sorted.mkString("\n"))
+    StreamFs.delete(dst)
+    StreamFs.renameOrThrow(tmp, dst)
+    StreamFs.createMarker(s"$dst/${DedupStream.Marker}")
+  }
+
+  private def removedBatches(stateDir: String): Set[Long] =
+    StreamFs.listNames(s"$stateDir/${Takedown.Sub}")
+      .filter(_.startsWith("td="))
+      .filter(t => StreamFs.exists(
+        s"$stateDir/${Takedown.Sub}/$t/${DedupStream.Marker}"))
+      .flatMap(t => StreamFs.readString(
+        s"$stateDir/${Takedown.Sub}/$t/removed_batches").toSeq)
+      .flatMap(_.split('\n')).filter(_.nonEmpty).map(_.toLong).toSet
 
   /** COMPACTION — the linearity the merge relies on IS the compaction:
     * rewrite committed per-batch count dirs into one dir holding their
@@ -100,17 +140,21 @@ object EvalStream {
       val batches = committedDirs(stateDir).map(_.split('/').last)
         .sortBy(_.stripPrefix("batch=").toLong)
       val merge = batches.dropRight(keepLast)
-      if (merge.length <= 1) return
+      val hasTd = removedBatches(stateDir).nonEmpty
+      if (merge.length <= 1 && !hasTd) return
+      // takedowns FOLD here: removed batches' cells are simply not in
+      // the merged sum (and not carried in the horizon), their ids stay
+      // marker-only, and the staged root carries no takedown dirs
       val merged = sumDirs(spark, stateDir,
-        merge.map(b => s"$stateDir/counts/$b").filter(StreamFs.hasDataFiles))
+        dataDirsOf(stateDir, merge.map(b => s"$stateDir/counts/$b")))
       val stage = stateDir + ".ctmp"
       StreamFs.delete(stage)
-      merged.write.parquet(s"$stage/counts/${merge.last}")
+      if (merge.nonEmpty) merged.write.parquet(s"$stage/counts/${merge.last}")
       // horizon dirs carry over with their data (small count tables —
       // one read+write each); merged ids become marker-only tombstones
       batches.takeRight(keepLast).foreach { b =>
         val src = s"$stateDir/counts/$b"
-        if (StreamFs.hasDataFiles(src))
+        if (dataDirsOf(stateDir, Seq(src)).nonEmpty)
           spark.read.parquet(src).write.parquet(s"$stage/counts/$b")
       }
       batches.foreach(b =>
@@ -121,11 +165,23 @@ object EvalStream {
       StreamFs.delete(old)
     }
 
+  /** Committed batch dirs — the TIMELINE membership (window positions,
+    * compaction markers). Takedown-removed ids stay members here; only
+    * [[dataDirsOf]] drops their data. */
   private def committedDirs(stateDir: String): Seq[String] =
     StreamFs.listNames(s"$stateDir/counts").filter(_.startsWith("batch="))
       .filter(b =>
         StreamFs.exists(s"$stateDir/counts/$b/${DedupStream.Marker}"))
       .map(b => s"$stateDir/counts/$b")
+
+  /** The readable subset of a dir list: data files present AND not
+    * removed by a committed takedown (batch-grain subtraction). */
+  private def dataDirsOf(stateDir: String, dirs: Seq[String]): Seq[String] = {
+    val removed = removedBatches(stateDir)
+    dirs.filterNot(d =>
+        removed.contains(d.split('/').last.stripPrefix("batch=").toLong))
+      .filter(StreamFs.hasDataFiles)
+  }
 
   /** The merged count table over every committed batch: counts ADD.
     * Marker-only dirs (post-compaction id tombstones) are excluded
@@ -133,7 +189,7 @@ object EvalStream {
     * ADVICE). */
   def readCounts(spark: SparkSession, stateDir: String): DataFrame =
     sumDirs(spark, stateDir,
-      committedDirs(stateDir).filter(StreamFs.hasDataFiles))
+      dataDirsOf(stateDir, committedDirs(stateDir)))
 
   /** Merged counts over the LAST `lastK` committed data dirs by batch
     * id — count linearity makes a trailing window a SUBSET sum over
@@ -151,10 +207,10 @@ object EvalStream {
     // before takeRight would silently shift the window one batch
     // further into history (round-14 ADVICE)
     sumDirs(spark, stateDir,
-      committedDirs(stateDir)
-        .sortBy(_.split('/').last.stripPrefix("batch=").toLong)
-        .takeRight(lastK)
-        .filter(StreamFs.hasDataFiles))
+      dataDirsOf(stateDir,
+        committedDirs(stateDir)
+          .sortBy(_.split('/').last.stripPrefix("batch=").toLong)
+          .takeRight(lastK)))
   }
 
   private def sumDirs(spark: SparkSession, stateDir: String,

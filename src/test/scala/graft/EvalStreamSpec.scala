@@ -100,6 +100,42 @@ class EvalStreamSpec extends SparkSpec {
     }
   }
 
+  test("takedown subtracts a batch; window timeline keeps its positions; compact folds") {
+    val parts = 3
+    val slices = (0 until parts).map(i =>
+      fixture.zipWithIndex.filter(_._2 % parts == i).map(_._1))
+    val d = freshDir()
+    slices.zipWithIndex.foreach { case (sl, i) =>
+      EvalStream.applyMicroBatch(spark, scoredDf(sl), d, i.toLong)
+    }
+    EvalStream.applyTakedown(spark, d, Seq(1L), takedownId = 0L)
+    // post-takedown live report ≡ the batch operator over SURVIVING rows
+    val surv = rows(EvalQueries.gateEval("g",
+      scoredDf(slices(0) ++ slices(2))))
+    assert(rows(EvalStream.gateEvalLive(spark, d, "g")) === surv,
+      "post-takedown eval must equal a survivors-only rebuild")
+    // idempotent replay
+    EvalStream.applyTakedown(spark, d, Seq(1L), takedownId = 0L)
+    assert(rows(EvalStream.gateEvalLive(spark, d, "g")) === surv)
+    // trailing window keeps its TIMELINE: last-2 = batches {1, 2}, with
+    // the removed batch 1 an EMPTY member — i.e. exactly batch 2's rows
+    val w2 = rows(EvalQueries.gateEvalFromCounts("g",
+      EvalQueries.scoredCounts(scoredDf(slices(2)))))
+    assert(rows(EvalQueries.gateEvalFromCounts("g",
+      EvalStream.readCountsWindow(spark, d, lastK = 2))) === w2,
+      "a removed batch must be an empty window member, not a shift")
+    // compact folds physically: same report, no td dirs survive
+    EvalStream.compact(spark, d)
+    assert(rows(EvalStream.gateEvalLive(spark, d, "g")) === surv)
+    assert(!new java.io.File(s"$d/takedown").exists() ||
+      new java.io.File(s"$d/takedown").listFiles().forall(
+        !_.getName.startsWith("td=")))
+    // the removed id stays committed: a replay of batch 1 still no-ops
+    EvalStream.applyMicroBatch(spark, scoredDf(slices(1)), d, 1L)
+    assert(rows(EvalStream.gateEvalLive(spark, d, "g")) === surv,
+      "a removed batch id must stay replay-recognizable after compact")
+  }
+
   test("replay no-ops; unmarked crash debris is swept") {
     val d = freshDir()
     EvalStream.applyMicroBatch(spark, scoredDf(fixture), d, 0L)
