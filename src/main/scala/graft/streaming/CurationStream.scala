@@ -287,7 +287,10 @@ object CurationStream {
       val dst = s"$stateDir/$TdSub/td=$takedownId"
       if (StreamFs.exists(s"$dst/${DedupStream.Marker}")) return // replay
       val r = removed.select("doc_id").distinct().localCheckpoint()
-      val v = readVerdicts(spark, stateDir).localCheckpoint()
+      // parquet-backed: both probes below re-scan it map-side filtered
+      // by a removal-proportional broadcast — never materialized whole
+      // (a localCheckpoint here is a corpus-proportional write)
+      val v = readVerdicts(spark, stateDir)
       val affected = v.join(broadcast(r), Seq("doc_id"), "left_semi")
         .filter(col("is_canonical")).select("content_hash").distinct()
       val corrected = v

@@ -326,7 +326,11 @@ object Takedown {
   private def nearDupPromotions(spark: SparkSession, r: DataFrame,
       drops: DataFrame, index: DataFrame, bandKeys: Seq[String],
       verified: Column, capped: Boolean): Option[DataFrame] = {
-    val idx = index.localCheckpoint() // feeds 3 probes
+    // parquet-backed: each probe re-scans it MAP-SIDE FILTERED by a
+    // removal-proportional broadcast — cheaper at every scale than
+    // materializing the full index once (a localCheckpoint here is a
+    // corpus-proportional write; three pruned columnar scans are not)
+    val idx = index
     val dropIds = drops.select("doc_id")
       .join(broadcast(r), Seq("doc_id"), "left_anti")
     val candIds = nearDupTouched(spark, r, dropIds, idx, bandKeys,
@@ -350,11 +354,18 @@ object Takedown {
   private[streaming] def nearDupTouched(spark: SparkSession, r: DataFrame,
       eligible: DataFrame, idx: DataFrame, bandKeys: Seq[String],
       verified: Column): DataFrame = {
+    // every broadcast is keyed by the REMOVAL side: rIdx (the removed
+    // docs' band rows) drives one map-side-filtered index scan, and the
+    // touched set it yields (bounded by the removed bands' df, the same
+    // class every later promotion probe already broadcasts) prunes the
+    // eligible scan. The quarantine — corpus-proportional in the worst
+    // case — is never collected or broadcast.
     val rIdx = idx.join(broadcast(r), Seq("doc_id"), "left_semi")
-    idx.join(broadcast(eligible), Seq("doc_id"), "left_semi")
-      .as("x").join(broadcast(rIdx).as("y"), bandKeys)
+      .localCheckpoint()
+    val touched = idx.as("x").join(broadcast(rIdx).as("y"), bandKeys)
       .filter(arrivedAfter).filter(verified)
       .select(col("x.doc_id").as("doc_id")).distinct()
+    eligible.join(broadcast(touched), Seq("doc_id"), "left_semi")
   }
 
   /** The `candIds` with ≥ 1 verified earlier-arrived witness OUTSIDE the
@@ -396,43 +407,63 @@ object Takedown {
     * kept doc ever flips back: the same no-cascade monotonicity as the
     * membership gates).
     *
-    * Cost shape: candidates = quarantined docs sharing ≥1 fingerprint
-    * with a removed earlier-arrived doc (one removal-proportional probe
-    * of the index); their fingerprints are RE-DERIVED from the
-    * quarantined text (candidate-proportional — multiplicity per
-    * selected position must match the gate's count, and the index is
-    * deliberately distinct); the recount probes the surviving index
-    * map-side prefiltered by the candidates' own fingerprint keys. */
+    * Cost shape — PURE INDEX ARITHMETIC, no text is ever re-read (the
+    * index carries each pair's positional multiplicity `cnt`, so the
+    * recount's weights are exact):
+    *
+    *  1. AFFECTED classes: a class's "shared" contribution to any doc
+    *     can flip to "novel" only if EVERY earlier selector is removed
+    *     — in particular its GLOBAL FIRST selector. So affected =
+    *     classes whose first selector ∈ R: one map-side scan of the
+    *     index pruned to R's own class keys, partial-aggregated to ≤
+    *     |R's classes| groups. (The round-16 probe measured why this
+    *     filter matters: on a 500k-doc corpus, "shares ≥ 1 class with
+    *     R" touched 83% of the quarantine — 143 s of re-fingerprinting
+    *     — while "first selector removed" is removal-proportional.)
+    *  2. Candidates: quarantined docs holding ≥ 1 affected class —
+    *     bounded by the affected classes' document frequency, the
+    *     exact set whose verdicts can move.
+    *  3. Recount: the candidates' own index rows (cnt-weighted) vs the
+    *     surviving first selector per class, map-side prefiltered by
+    *     the candidates' class keys; flip iff 2·n_sh < n_fp. */
   private def winnowPromotions(spark: SparkSession, r: DataFrame,
       drops: DataFrame, index: DataFrame): Option[DataFrame] = {
-    val idx = index.localCheckpoint() // feeds 3 probes
-    val rIdx = idxOfRemoved(idx, r)
-    val dropIds = drops.select("doc_id")
-      .join(broadcast(r), Seq("doc_id"), "left_anti")
-    val candIds = idx.join(broadcast(dropIds), Seq("doc_id"), "left_semi")
-      .as("x").join(broadcast(rIdx).as("y"), Seq("h"))
-      .filter(arrivedAfter)
-      .select(col("x.doc_id").as("doc_id")).distinct()
-      .localCheckpoint()
-    if (candIds.isEmpty) return None
-    val candDocs = drops
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .select("doc_id", "text", "arrival_seq").localCheckpoint()
-    val candFp = graft.ops.TextQueries
-      .winnowFingerprintsOf(candDocs.select("doc_id", "text"))
-      .select("doc_id", "h") // one row per selected position
-      .join(candDocs.select("doc_id", "arrival_seq"), Seq("doc_id"))
-    val firstSurv = idx.join(broadcast(r), Seq("doc_id"), "left_anti")
-      .join(broadcast(candFp.select("h").distinct()), Seq("h"), "left_semi")
+    // parquet-backed, never materialized whole (see nearDupPromotions):
+    // every probe is one columnar scan filtered map-side by a bounded
+    // broadcast
+    val idx = index
+    val rIdx = idxOfRemoved(idx, r).localCheckpoint()
+    val rH = rIdx.select("h").distinct()
+    val affected = idx.join(broadcast(rH), Seq("h"), "left_semi")
       .groupBy("h")
       .agg(min(struct(col("arrival_seq"), col("doc_id"))).as("first"))
-    val scored = candFp.join(firstSurv, Seq("h"), "left")
+      .select(col("h"), col("first.doc_id").as("__fdoc"))
+      .join(broadcast(r.withColumnRenamed("doc_id", "__fdoc")),
+        Seq("__fdoc"), "left_semi")
+      .select("h").localCheckpoint()
+    if (affected.isEmpty) return None
+    val dropIds = drops.select("doc_id")
+      .join(broadcast(r), Seq("doc_id"), "left_anti")
+    val holders = idx.join(broadcast(affected), Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    val candIds = dropIds
+      .join(broadcast(holders), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    if (candIds.isEmpty) return None
+    val candRows = idx.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val firstSurv = idx.join(broadcast(r), Seq("doc_id"), "left_anti")
+      .join(broadcast(candRows.select("h").distinct()), Seq("h"),
+        "left_semi")
+      .groupBy("h")
+      .agg(min(struct(col("arrival_seq"), col("doc_id"))).as("first"))
+    val scored = candRows.join(firstSurv, Seq("h"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fp"),
+      .agg(sum(col("cnt")).as("n_fp"),
         sum(when(col("first").isNotNull &&
           (col("first.arrival_seq") < col("arrival_seq") ||
             (col("first.arrival_seq") === col("arrival_seq") &&
-              col("first.doc_id") < col("doc_id"))), 1L)
+              col("first.doc_id") < col("doc_id"))), col("cnt"))
           .otherwise(0L)).as("n_sh"))
     val flip = scored.filter(col("n_sh") * 2 < col("n_fp")).select("doc_id")
     val promoted = drops
@@ -467,7 +498,7 @@ object Takedown {
     * one-shot verdicts — the CurationStream convention). min/max-based,
     * so sparse or offset id spaces still ingest every doc (the
     * count-based split silently skipped ids ≥ 4·span). */
-  private[streaming] def quartiles(docs: DataFrame): Seq[DataFrame] = {
+  private[graft] def quartiles(docs: DataFrame): Seq[DataFrame] = {
     val (lo, hi) = docs.agg(min("doc_id"), max("doc_id")).collect()
       .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
     val span = hi - lo + 1
@@ -557,5 +588,72 @@ object Takedown {
       Gate.Winnow)((b, i) =>
       WinnowStream.applyMicroBatch(s, b, replayDirsBase("winnow", dir), i))
     WinnowStream.readCorpus(s, st).select("doc_id").orderBy("doc_id")
+  }
+
+  // ---- compliance: the physical end state, verified ---------------------
+
+  /** The id-carrying column names [[retentionScan]] probes — every
+    * identity/endpoint column the engine's state tables use. `cell`
+    * is deliberately absent: a cell id in a surviving vector's coded
+    * row is an assignment label, not the removed doc's data (the seed
+    * VECTOR behind it is the [[AnnStream.metaRetainsRemoved]] edge
+    * case, flagged separately). */
+  private[graft] val RetentionIdCols = Seq("doc_id", "vec_id", "src", "dst")
+
+  /** COMPLIANCE SCAN — the end state RTBF promises, verified on the
+    * BYTES rather than through the reader views: walk every parquet
+    * data directory under a state root (batch dirs, takedown
+    * promotions, corrected rows — everything except `removed/`
+    * tombstone logs, which are the suppression list a deployment
+    * lawfully retains, and `meta/`, whose seed-vector edge case
+    * [[AnnStream.metaRetainsRemoved]] reports) and count physical rows
+    * referencing a removed id through any [[RetentionIdCols]] column.
+    * Returns one (sub_table, n_rows, n_referencing) row per scanned
+    * directory. Before a gate's compact() the logical views hide
+    * removed rows but the bytes remain (n_referencing > 0 — the scan
+    * provably bites); AFTER the fold every count is zero
+    * (RetentionAuditSpec pins both, per gate).
+    *
+    * The per-directory driver loop is bounded by the directory count —
+    * post-compact a handful — and each count is one distributed
+    * anti-join probe, removal-proportional broadcast, map-side. A
+    * maintenance/audit pass, not a hot path. */
+  def retentionScan(spark: SparkSession, stateDir: String,
+                    removed: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val r = removed.select(col(removed.columns.head).as("__rid"))
+      .distinct().localCheckpoint()
+    val root = java.nio.file.Paths.get(stateDir)
+    // collapse value-partitioned subdirs (e.g. coded/batch=N/cell=K)
+    // into their batch dir so the driver loop stays bounded by the
+    // BATCH directory count, not the partition fan-out
+    def unit(p: java.nio.file.Path): java.nio.file.Path = {
+      var d = p
+      while (d.getParent != null && d != root && {
+          val n = d.getFileName.toString
+          n.contains("=") && !n.startsWith("batch=") && !n.startsWith("td=")
+        }) d = d.getParent
+      d
+    }
+    val leaves = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(p))
+      .map(p => unit(p.getParent)).toSeq.distinct
+      .filterNot { d =>
+        val rel = root.relativize(d).toString
+        rel.split('/').contains("removed") || rel.split('/').contains("meta")
+      }
+      .sortBy(d => root.relativize(d).toString)
+    val rows = leaves.map { d =>
+      val rel = root.relativize(d).toString
+      val df = spark.read.parquet(d.toString)
+      val idCols = df.columns.filter(RetentionIdCols.contains(_)).toSeq
+      val total = df.count()
+      val clean = idCols.foldLeft(df)((acc, c) =>
+        acc.join(broadcast(r.withColumnRenamed("__rid", c)),
+          Seq(c), "left_anti")).count()
+      (rel, total, total - clean)
+    }
+    spark.createDataFrame(rows).toDF("sub_table", "n_rows", "n_referencing")
   }
 }

@@ -96,12 +96,16 @@ object WinnowStream {
       val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
       // index first (ALL docs' fingerprints — cross-batch witnesses),
       // corpus last (kept docs only; its marker is the commit point).
-      // PRE-DISTINCT: fp repeats (doc_id, h) once per selecting window
-      // position — the probe only tests h existence, so the index
-      // stores each pair once (multiplicity stays in fp for the n_fp
-      // scoring count, where it must match the batch operator)
+      // One row per (doc_id, h) — the probe only tests h existence —
+      // with the POSITIONAL MULTIPLICITY as `cnt`: fp repeats a pair
+      // once per selecting window position, and carrying the count in
+      // the index lets a later [[Takedown]] re-run the threshold
+      // recount as pure index arithmetic, never re-reading text (the
+      // round-16 probe measured the re-fingerprint leg at 143 s for a
+      // 50-doc removal on a 500k-doc corpus — all of it avoidable)
       DedupStream.writeAtomically(
-        fp.distinct().withColumn("arrival_seq", lit(batchId)),
+        fp.groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+          .withColumn("arrival_seq", lit(batchId)),
         s"$corpusDir/index/batch=$batchId", mark = false)
       // drops QUARANTINE (full rows): a later [[Takedown]] re-counts a
       // dropped doc's shared-fingerprint verdict from this text when the
@@ -133,21 +137,23 @@ object WinnowStream {
     Takedown.view(spark, corpusDir, base, "docs")
   }
 
-  /** The committed (doc_id, h, arrival_seq) fingerprint index — every
-    * processed document of every committed batch, committed takedowns
-    * applied: a removed doc's fingerprints are DERIVED DATA and go with
-    * the content — they stop witnessing future arrivals the moment the
-    * tombstone commits. */
+  /** The committed (doc_id, h, cnt, arrival_seq) fingerprint index —
+    * every processed document of every committed batch, committed
+    * takedowns applied: a removed doc's fingerprints are DERIVED DATA
+    * and go with the content — they stop witnessing future arrivals
+    * the moment the tombstone commits. `cnt` is the selected-position
+    * multiplicity of the pair (the takedown recount's exact n_fp/n_sh
+    * weights). */
   def readIndex(spark: SparkSession, corpusDir: String): DataFrame = {
     val dirs = DedupStream.committedDirs(corpusDir, "index")
       .filter(StreamFs.hasDataFiles)
     val base =
       if (dirs.isEmpty)
         spark.range(0).select(col("id").as("doc_id"), col("id").as("h"),
-          col("id").as("arrival_seq")).limit(0)
+          col("id").as("cnt"), col("id").as("arrival_seq")).limit(0)
       else
         spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
-          .select("doc_id", "h", "arrival_seq")
+          .select("doc_id", "h", "cnt", "arrival_seq")
     Takedown.view(spark, corpusDir, base, "index")
   }
 }
