@@ -562,6 +562,9 @@ object PrepQueries {
     "dedup_span_scrub_stream" ->
       ((s: SparkSession, dir: String) =>
         graft.streaming.ScrubStream.dedupSpanScrubStream(s, dir)),
+    "takedown_replay_scrub" ->
+      ((s: SparkSession, dir: String) =>
+        graft.streaming.ScrubStream.takedownReplayScrub(s, dir)),
     "oov_rate" -> (oovRate _),
     "epoch_shuffle" -> (epochShuffle _),
     "zorder_layout" -> (zorderLayout _),
@@ -781,6 +784,18 @@ object PrepQueries {
     // id-ordered 4-batch ingest ⇒ the stream's trimmed corpus IS the
     // batch operator's output — the two faces share one oracle
     "dedup_span_scrub_stream" -> spanScrubOracle,
+    // post-takedown trimmed corpus ≡ the batch scrub of the SURVIVING
+    // docs (span restitution contract): the spanScrubOracle CTEs
+    // verbatim over `surv` — a span whose first carrier is removed must
+    // reappear in the earliest surviving holder's text_clean
+    "takedown_replay_scrub" -> {
+      s"""WITH surv AS (SELECT doc_id, text FROM documents
+         |              WHERE doc_id % ${graft.streaming.Takedown
+                            .replayRemovalStride} != 0),
+         |""".stripMargin +
+        spanScrubOracle.stripPrefix("WITH ")
+          .replace("FROM documents", "FROM surv")
+    },
     "oov_rate" ->
       s"""WITH $toksCte,
          |tok AS (

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.ops.PrepQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -20,11 +21,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * occurrences (the batch operator's window, batch-sized), anti-probe
   * the PERSISTED span-hash index, reassemble cleaned text through the
   * shared tail ([[PrepQueries.scrubAssemble]]), commit the batch's
-  * novel span hashes. The index key is the 60-bit span hash ALONE —
-  * unlike [[UrlStream]]'s canonical strings this loses nothing: the
-  * batch operator itself canonicalizes BY the hash (its
-  * first-occurrence window partitions on `h`), so hash-keyed state is
-  * the batch semantics, at 8 bytes per distinct span.
+  * novel span hashes. The index PROBE is by the 60-bit span hash ALONE
+  * — the batch operator itself canonicalizes BY the hash (its
+  * first-occurrence window partitions on `h`), so hash-keyed probing is
+  * the batch semantics; each index row also records its OWNING first
+  * occurrence (doc_id, arrival_seq) so a takedown can re-elect span
+  * ownership (below) without rescanning any text.
   *
   * Under id-ordered batching the concatenated scrubbed output is
   * EXACTLY the batch operator on the full corpus (global first
@@ -33,16 +35,47 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * `dedup_span_scrub_stream` face pins it against the batch face's own
   * DuckDB oracle).
   *
-  * Storage layout, marker commit protocol, idempotent replay, crash
-  * sweep, compaction ([[DedupStream.compact]], schema-agnostic) and the
-  * [[CompactionLock]] ingest guard are [[DedupStream]]'s verbatim.
+  * TAKEDOWN — span RESTITUTION, the trim-gate flavor of the removal
+  * story (the whole-doc gates re-ELECT quarantined docs; a trim gate
+  * must re-elect quarantined SPANS): removing a document removes its
+  * trimmed output AND its claim to the spans it was first to carry. A
+  * span class whose first occurrence is removed passes to the earliest
+  * surviving occurrence — by the persisted (arrival_seq, doc_id,
+  * span_idx) order, the literal replay — and the new owner's cleaned
+  * text REGAINS that span. To make restitution possible without
+  * re-reading any removed payload, every document that loses ≥ 1 span
+  * at ingest quarantines its FULL span table (kept + trimmed rows,
+  * `drops/batch=N`) — the "selection, not deletion" stance the
+  * whole-doc gates apply to whole documents, applied to the span
+  * grain. A corrected document's text is reassembled from those
+  * quarantined spans with keep verdicts recomputed from the
+  * post-takedown OWNERSHIP view (never from the stale stored
+  * verdicts), so stacked takedowns stay replay-exact at any depth.
+  * `takedown_replay_scrub` pins the post-takedown corpus against the
+  * batch operator's own SQL over the survivors; ScrubStreamSpec pins
+  * restitution, stacked ownership chains, idempotent replay, and the
+  * physical [[compact]] fold.
+  *
+  * Storage layout, marker commit protocol, idempotent replay and crash
+  * sweep ([[DedupStream.recover]], takedown debris included) and the
+  * [[CompactionLock]] ingest guard are [[DedupStream]]'s verbatim;
+  * [[compact]] is this gate's own fold because corrected documents
+  * REPLACE their originals (the [[PairStream]] corrected-rows
+  * semantics) rather than unioning in as the whole-doc gates' promoted
+  * quarantine rows do.
   *
   * Scale notes (100 TB): the span explode is narrow; the only batch
   * shuffle is the within-batch window on `h`; the index probe is ONE
   * equi-join pre-filtered map-side by a broadcast semi-join on the
   * batch's own distinct hashes — the ever-growing index is never
   * shuffled, the batch side is. Steady-state ingest cost is batch-sized
-  * regardless of history. */
+  * regardless of history. Takedown cost is removal-proportional in the
+  * same way: affected span classes come from one broadcast semi-probe
+  * of the index by the removed ids; election candidates from one
+  * index-then-drops probe keyed by those classes; nothing
+  * corpus-proportional is ever broadcast, collected, or rewritten
+  * (the physical rewrite is [[compact]]'s job, amortized across
+  * takedowns). */
 object ScrubStream {
 
   /** Start the ingest stream: `docs` must carry
@@ -58,8 +91,9 @@ object ScrubStream {
       .start()
 
   /** One micro-batch: split, mark batch-first spans, anti-probe the
-    * index, emit trimmed docs, commit novel span hashes. Idempotent per
-    * `batchId` via the docs commit marker. */
+    * index, emit trimmed docs, commit novel span hashes (owner-
+    * attributed) and the trimmed docs' quarantined span tables.
+    * Idempotent per `batchId` via the docs commit marker. */
   def applyMicroBatch(spark: SparkSession, batch: DataFrame,
                       corpusDir: String, batchId: Long): Unit = {
     CompactionLock.requireFree(corpusDir, "ScrubStream.applyMicroBatch")
@@ -87,11 +121,24 @@ object ScrubStream {
           col("first_in_batch") && col("__seen").isNull)
         .persist()
       try {
-        // index first, docs last — the docs marker is the commit point;
-        // a crash between leaves an orphan index dir recover() sweeps
+        // index / drops first, docs last — the docs marker is the
+        // commit point; a crash between leaves orphan index/drops dirs
+        // recover() sweeps. Index rows carry their owning first
+        // occurrence; kept = first_in_batch ∧ unseen is unique per h.
         DedupStream.writeAtomically(
-          marked.filter(col("keep_span")).select("h").distinct(),
+          marked.filter(col("keep_span")).select("h", "doc_id")
+            .withColumn("arrival_seq", lit(batchId)),
           s"$corpusDir/index/batch=$batchId", mark = false)
+        // quarantine: the FULL span table of every doc that lost ≥ 1
+        // span — restitution reassembles corrected text from these
+        // rows, so no takedown ever re-reads a payload
+        DedupStream.writeAtomically(
+          marked.join(
+              marked.filter(!col("keep_span")).select("doc_id").distinct(),
+              Seq("doc_id"), "left_semi")
+            .select("doc_id", "span_idx", "span_text", "h", "keep_span")
+            .withColumn("arrival_seq", lit(batchId)),
+          s"$corpusDir/drops/batch=$batchId", mark = false)
         DedupStream.writeAtomically(
           PrepQueries.scrubAssemble(
             marked.select("doc_id", "span_idx", "span_text", "keep_span")),
@@ -100,29 +147,231 @@ object ScrubStream {
     } finally { spans.unpersist(); () }
   }
 
+  // ---- takedown-aware readers -----------------------------------------
+
+  private def committedDataDirs(corpusDir: String,
+                                sub: String): Seq[String] =
+    DedupStream.committedDirs(corpusDir, sub).filter(StreamFs.hasDataFiles)
+
+  /** Committed takedown sub-tables (removed / promoted_index /
+    * corrected), unioned across td dirs. */
+  private def readTd(spark: SparkSession, corpusDir: String,
+                     sub: String): Option[DataFrame] = {
+    val dirs = StreamFs.listNames(s"$corpusDir/${Takedown.Sub}")
+      .filter(_.startsWith("td="))
+      .filter(t => StreamFs.exists(
+        s"$corpusDir/${Takedown.Sub}/$t/${DedupStream.Marker}"))
+      .map(t => s"$corpusDir/${Takedown.Sub}/$t/$sub")
+      .filter(d => StreamFs.exists(d) && StreamFs.hasDataFiles(d))
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  private def removedAll(spark: SparkSession,
+                         corpusDir: String): Option[DataFrame] =
+    readTd(spark, corpusDir, "removed").map(_.select("doc_id").distinct())
+
   /** The trimmed corpus so far: (doc_id, n_spans, n_dropped,
-    * text_clean) — one row per ingested document. */
+    * text_clean) — one row per surviving ingested document, committed
+    * takedowns applied: removed docs gone, corrected (restituted) rows
+    * replacing their originals, the LATEST correction per doc winning
+    * (stacked takedowns touch a doc once per affected class). */
   def readCorpus(spark: SparkSession, corpusDir: String): DataFrame = {
-    val dirs = DedupStream.committedDirs(corpusDir, "docs")
-      .filter(StreamFs.hasDataFiles)
-    if (dirs.isEmpty)
-      spark.range(0).select(col("id").as("doc_id"), col("id").as("n_spans"),
-        col("id").as("n_dropped"), lit("").as("text_clean"))
-    else
-      spark.read.option("basePath", s"$corpusDir/docs").parquet(dirs: _*)
-        .select("doc_id", "n_spans", "n_dropped", "text_clean")
+    val dirs = committedDataDirs(corpusDir, "docs")
+    val base =
+      if (dirs.isEmpty)
+        spark.range(0).select(col("id").as("doc_id"),
+          col("id").as("n_spans"), col("id").as("n_dropped"),
+          lit("").as("text_clean"))
+      else
+        spark.read.option("basePath", s"$corpusDir/docs").parquet(dirs: _*)
+          .select("doc_id", "n_spans", "n_dropped", "text_clean")
+    (removedAll(spark, corpusDir), correctedLatest(spark, corpusDir)) match {
+      case (None, _) => base
+      case (Some(r), corr) =>
+        val pruned = base.join(broadcast(r), Seq("doc_id"), "left_anti")
+        corr match {
+          case None => pruned
+          case Some(c) =>
+            val cs = c.join(broadcast(r), Seq("doc_id"), "left_anti")
+            pruned.join(broadcast(cs.select("doc_id")),
+                Seq("doc_id"), "left_anti")
+              .unionByName(cs.select(pruned.columns.map(col): _*))
+        }
+    }
   }
 
-  /** The committed span-hash index. */
-  def readIndex(spark: SparkSession, corpusDir: String): DataFrame = {
-    val dirs = DedupStream.committedDirs(corpusDir, "index")
-      .filter(StreamFs.hasDataFiles)
-    if (dirs.isEmpty) spark.range(0).select(col("id").as("h"))
-    else spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
-      .select("h")
+  /** Latest corrected row per doc across committed takedowns (td_seq
+    * desc — a doc corrected by td 0 and again by td 2 reads as td 2's
+    * reassembly, which recomputed EVERY span verdict from the then-
+    * current ownership view). */
+  private def correctedLatest(spark: SparkSession,
+                              corpusDir: String): Option[DataFrame] =
+    readTd(spark, corpusDir, "corrected").map { c =>
+      c.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("td_seq").desc)))
+        .filter(col("__rk") === 1).drop("__rk", "td_seq")
+    }
+
+  /** The owner-attributed span-class index (h, doc_id, arrival_seq),
+    * committed takedowns applied: a removed owner's claim vanishes and
+    * the re-elected surviving owner's row stands in — so the ingest
+    * probe readmits a span class with no surviving holder, exactly as
+    * a from-scratch ingest of the survivors would. */
+  private[streaming] def readIndexFull(spark: SparkSession,
+                                       corpusDir: String): DataFrame = {
+    val dirs = committedDataDirs(corpusDir, "index")
+    val base =
+      if (dirs.isEmpty)
+        spark.range(0).select(col("id").as("h"), col("id").as("doc_id"),
+          col("id").as("arrival_seq"))
+      else
+        spark.read.option("basePath", s"$corpusDir/index").parquet(dirs: _*)
+          .select("h", "doc_id", "arrival_seq")
+    removedAll(spark, corpusDir) match {
+      case None => base
+      case Some(r) =>
+        val pruned = base.join(broadcast(r), Seq("doc_id"), "left_anti")
+        readTd(spark, corpusDir, "promoted_index") match {
+          case None => pruned
+          // a promoted owner removed by a LATER takedown prunes too
+          case Some(p) => pruned.unionByName(
+            p.join(broadcast(r), Seq("doc_id"), "left_anti")
+              .select("h", "doc_id", "arrival_seq"))
+        }
+    }
   }
 
-  // ---- registered face ------------------------------------------------
+  /** The committed span-class probe view (h only — the ingest probe's
+    * shape). */
+  def readIndex(spark: SparkSession, corpusDir: String): DataFrame =
+    readIndexFull(spark, corpusDir).select("h")
+
+  /** Quarantined span tables of removal survivors (removed docs' rows
+    * are gone with their text — the quarantine is itself personal
+    * data). Stored keep verdicts are ingest history; corrections
+    * recompute them from ownership, so stale `keep_span` on a restored
+    * span is harmless (its doc can only be re-touched via classes whose
+    * CURRENT owner is removed, and it owns that class). */
+  private def readDropsView(spark: SparkSession,
+                            corpusDir: String): Option[DataFrame] = {
+    val dirs = committedDataDirs(corpusDir, "drops")
+    if (dirs.isEmpty) return None
+    val base = spark.read.option("basePath", s"$corpusDir/drops")
+      .parquet(dirs: _*)
+      .select("doc_id", "span_idx", "span_text", "h", "keep_span",
+        "arrival_seq")
+    Some(removedAll(spark, corpusDir) match {
+      case None => base
+      case Some(r) => base.join(broadcast(r), Seq("doc_id"), "left_anti")
+    })
+  }
+
+  // ---- takedown ---------------------------------------------------------
+
+  /** TAKEDOWN — remove documents and re-elect span ownership (scaladoc
+    * above). Writes `takedown/td=<id>/{removed,promoted_index,corrected}`
+    * in one marker-committed pass; idempotent per takedownId. Cost ∝
+    * |removals| + affected span classes: every index/drops probe below
+    * is map-side filtered by a removal-proportional broadcast. */
+  def applyTakedown(spark: SparkSession, corpusDir: String,
+                    removed: DataFrame, takedownId: Long): Unit =
+    CompactionLock.withLock(corpusDir) {
+      DedupStream.recover(corpusDir)
+      val dst = s"$corpusDir/${Takedown.Sub}/td=$takedownId"
+      if (StreamFs.exists(s"$dst/${DedupStream.Marker}")) return // replay
+      val r = removed.select("doc_id").distinct().localCheckpoint()
+      val idxFull = readIndexFull(spark, corpusDir)
+      // span classes whose CURRENT owner is removed — the affected set
+      val affected = idxFull.join(broadcast(r), Seq("doc_id"), "left_semi")
+        .select("h").distinct().localCheckpoint()
+      val promoted = readDropsView(spark, corpusDir) match {
+        case None => None
+        case Some(drops) =>
+          // election: earliest surviving occurrence per affected class,
+          // by the persisted arrival order — candidates are trimmed
+          // occurrences (the removed owner held the only kept one)
+          val cands = drops.filter(!col("keep_span"))
+            .join(broadcast(affected), Seq("h"), "left_semi")
+            .join(broadcast(r), Seq("doc_id"), "left_anti")
+          val p = cands.withColumn("__rk", row_number().over(
+              Window.partitionBy(col("h"))
+                .orderBy(col("arrival_seq"), col("doc_id"), col("span_idx"))))
+            .filter(col("__rk") === 1)
+            .select("h", "doc_id", "arrival_seq").localCheckpoint()
+          if (p.isEmpty) None else Some(p)
+      }
+      val corrected = promoted.flatMap { p =>
+        val ids = p.select("doc_id").distinct()
+        readDropsView(spark, corpusDir).flatMap { drops =>
+          // reassemble each new owner from its quarantined span table,
+          // verdicts recomputed from the POST-takedown ownership view:
+          // keep ⟺ this doc owns the class ∧ this is its first
+          // occurrence of it (within-doc repeats stay trimmed)
+          val dDocs = drops.join(broadcast(ids), Seq("doc_id"), "left_semi")
+          val own = idxFull.join(broadcast(r), Seq("doc_id"), "left_anti")
+            .unionByName(p)
+            .join(broadcast(ids), Seq("doc_id"), "left_semi")
+            .select(col("h"), col("doc_id")).withColumn("__own", lit(1))
+          val firstOcc = dDocs.groupBy("doc_id", "h")
+            .agg(min(col("span_idx")).as("__first_idx"))
+          val rm = dDocs
+            .join(firstOcc, Seq("doc_id", "h"))
+            .join(own, Seq("h", "doc_id"), "left")
+            .withColumn("keep_span",
+              col("__own").isNotNull && col("span_idx") === col("__first_idx"))
+          val c = PrepQueries.scrubAssemble(
+              rm.select("doc_id", "span_idx", "span_text", "keep_span"))
+            .withColumn("td_seq", lit(takedownId)).localCheckpoint()
+          if (c.isEmpty) None else Some(c)
+        }
+      }
+      val tmp = dst + ".tmp"
+      StreamFs.delete(tmp)
+      r.write.parquet(s"$tmp/removed")
+      promoted.foreach(_.write.parquet(s"$tmp/promoted_index"))
+      corrected.foreach(_.write.parquet(s"$tmp/corrected"))
+      StreamFs.delete(dst)
+      StreamFs.renameOrThrow(tmp, dst)
+      StreamFs.createMarker(s"$dst/${DedupStream.Marker}")
+    }
+
+  /** COMPACTION — [[DedupStream.compact]]'s rename-aside protocol with
+    * this gate's own fold (corrected docs REPLACE originals; the
+    * whole-doc fold would keep the pre-restitution text): docs =
+    * [[readCorpus]], index = [[readIndexFull]], drops =
+    * [[readDropsView]], all written into the single highest committed
+    * batch dir; earlier ids stay as marker-only dirs; the staged root
+    * carries no takedown dirs. */
+  def compact(spark: SparkSession, corpusDir: String): Unit =
+    CompactionLock.withLock(corpusDir) {
+      DedupStream.recover(corpusDir)
+      val committedBatches = StreamFs.listNames(s"$corpusDir/docs")
+        .filter(_.startsWith("batch="))
+        .filter(b => StreamFs.exists(
+          s"$corpusDir/docs/$b/${DedupStream.Marker}"))
+        .sortBy(_.stripPrefix("batch=").toLong)
+      val hasTakedowns = Takedown.committedDirs(corpusDir).nonEmpty
+      if (committedBatches.isEmpty) return
+      if (committedBatches.length <= 1 && !hasTakedowns) return
+      val target = committedBatches.last
+      val stage = corpusDir + ".ctmp"
+      StreamFs.delete(stage)
+      readCorpus(spark, corpusDir).write.parquet(s"$stage/docs/$target")
+      readIndexFull(spark, corpusDir).write.parquet(s"$stage/index/$target")
+      readDropsView(spark, corpusDir)
+        .foreach(_.write.parquet(s"$stage/drops/$target"))
+      StreamFs.createMarker(s"$stage/docs/$target/${DedupStream.Marker}")
+      committedBatches.init.foreach { b =>
+        StreamFs.mkdirs(s"$stage/index/$b")
+        StreamFs.createMarker(s"$stage/docs/$b/${DedupStream.Marker}")
+      }
+      val old = corpusDir + ".cold"
+      StreamFs.renameOrThrow(corpusDir, old)
+      StreamFs.renameOrThrow(stage, corpusDir)
+      StreamFs.delete(old)
+    }
+
+  // ---- registered faces -----------------------------------------------
 
   /** Same staleness assumption and orphan story as the other bench
     * states (GraphStream note). */
@@ -140,14 +389,39 @@ object ScrubStream {
       val d = StreamFs.benchTempDir("graft-scrub-stream") + "/corpus"
       val docs = graft.Tables.documents(s, dir)
         .select("doc_id", "text").localCheckpoint()
-      val (lo, hi) = docs.agg(min("doc_id"), max("doc_id")).collect()
-        .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
-      val span = hi - lo + 1
-      (0 until 4).foreach { i =>
-        val b = docs.filter(col("doc_id") >= lo + i * span / 4 &&
-          col("doc_id") < lo + (i + 1) * span / 4 + (if (i == 3) 1 else 0))
+      Takedown.quartiles(docs).zipWithIndex.foreach { case (b, i) =>
         applyMicroBatch(s, b, d, i.toLong)
       }
+      d
+    })
+    readCorpus(s, st).orderBy("doc_id")
+  }
+
+  /** Separate state cache for the takedown face — [[applyTakedown]]
+    * mutates, so it must never share [[dedupSpanScrubStream]]'s
+    * ingest. */
+  private val takedownStateDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** REGISTERED + DuckDB-oracled — the span gate under takedown: the
+    * deterministic 4-quartile ingest, then a takedown of every
+    * [[Takedown.replayRemovalStride]]-th doc_id; the post-takedown
+    * corpus must equal the batch dedup_span_scrub SQL over the
+    * SURVIVING docs — removed docs gone AND their first-carried spans
+    * restituted to the earliest surviving holders, or the rows
+    * diverge. */
+  def takedownReplayScrub(s: SparkSession, dir: String): DataFrame = {
+    val st = takedownStateDirs.getOrElseUpdate(dir, {
+      val d = StreamFs.benchTempDir("graft-scrub-takedown") + "/corpus"
+      val docs = graft.Tables.documents(s, dir)
+        .select("doc_id", "text").localCheckpoint()
+      Takedown.quartiles(docs).zipWithIndex.foreach { case (b, i) =>
+        applyMicroBatch(s, b, d, i.toLong)
+      }
+      applyTakedown(s, d,
+        docs.filter(col("doc_id") %
+          Takedown.replayRemovalStride === 0).select("doc_id"),
+        takedownId = 0L)
       d
     })
     readCorpus(s, st).orderBy("doc_id")

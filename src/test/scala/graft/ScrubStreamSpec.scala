@@ -81,4 +81,74 @@ class ScrubStreamSpec extends SparkSpec {
       .collect().toSeq.sortBy(_.getLong(0)).map(_.toSeq)
     assert(got === batchOut)
   }
+
+  // ---- takedown: span restitution ---------------------------------------
+
+  test("takedown restitutes a removed owner's span; stacked chains and " +
+      "re-admission replay exactly") {
+    import spark.implicits._
+    val S = (0 until PrepQueries.scrubSpanLen).map("s" + _).mkString(" ")
+    def doc(id: Long, text: String) = Seq((id, text)).toDF("doc_id", "text")
+    def corpus(d: String): Map[Long, (Long, Long, String)] =
+      ScrubStream.readCorpus(spark, d).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getString(3)))).toMap
+    val d = freshDir()
+    ScrubStream.applyMicroBatch(spark, doc(10, S), d, 0L)
+    ScrubStream.applyMicroBatch(spark, doc(20, S + " btail"), d, 1L)
+    ScrubStream.applyMicroBatch(spark, doc(30, S + " ctail"), d, 2L)
+    assert(corpus(d) === Map(
+      10L -> ((1L, 0L, S)), 20L -> ((2L, 1L, "btail")),
+      30L -> ((2L, 1L, "ctail"))))
+    // removing the owner restitutes S to B (earliest survivor), not C
+    ScrubStream.applyTakedown(spark, d, Seq(10L).toDF("doc_id"), 0L)
+    val post = corpus(d)
+    assert(post === Map(
+      20L -> ((2L, 0L, S + " btail")), 30L -> ((2L, 1L, "ctail"))))
+    // replaying a committed takedownId with DIFFERENT data must no-op
+    ScrubStream.applyTakedown(spark, d, Seq(30L).toDF("doc_id"), 0L)
+    assert(corpus(d) === post)
+    // stacked: removing the PROMOTED owner passes S on to C
+    ScrubStream.applyTakedown(spark, d, Seq(20L).toDF("doc_id"), 1L)
+    assert(corpus(d) === Map(30L -> ((2L, 0L, S + " ctail"))))
+    // full-class removal re-opens the class: a later arrival keeps S
+    ScrubStream.applyTakedown(spark, d, Seq(30L).toDF("doc_id"), 2L)
+    ScrubStream.applyMicroBatch(spark, doc(40, S + " dtail"), d, 3L)
+    assert(corpus(d) === Map(40L -> ((2L, 0L, S + " dtail"))))
+  }
+
+  test("post-takedown corpus ≡ from-scratch survivors ingest; compact " +
+      "folds physically and later takedowns still elect") {
+    val d = freshDir()
+    ingestSplit(d, 3)
+    val rm = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    ScrubStream.applyTakedown(spark, d, rm, 0L)
+    val view = streamOut(d)
+    // from-scratch twin: the SAME 3-way id bounds over the survivors
+    def survIngest(mods: Seq[Long]): Seq[Seq[Any]] = {
+      val d2 = freshDir()
+      val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      val bounds = (1 until 3).map(i => ids(i * ids.length / 3))
+      val ranges = (Long.MinValue +: bounds) :+ Long.MaxValue
+      val surv = mods.foldLeft(docs)((b, m) => b.filter(col("doc_id") % m =!= 0))
+      ranges.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        ScrubStream.applyMicroBatch(spark,
+          surv.filter(col("doc_id") >= lo && col("doc_id") < hi), d2, i.toLong)
+      }
+      streamOut(d2)
+    }
+    assert(view === survIngest(Seq(7L)),
+      "takedown view diverged from the survivors-only rebuild")
+    assert(view.exists(_(2).asInstanceOf[Long] > 0),
+      "fixture must still drop spans after the takedown")
+    ScrubStream.compact(spark, d)
+    assert(streamOut(d) === view, "compact changed the corpus")
+    assert(StreamFs.listNames(s"$d/takedown").isEmpty,
+      "compact left takedown dirs behind")
+    // election from the FOLDED index/drops (owners survive the fold)
+    val rm2 = docs.filter(col("doc_id") % 11 === 0).select("doc_id")
+    ScrubStream.applyTakedown(spark, d, rm2, 7L)
+    assert(streamOut(d) === survIngest(Seq(7L, 11L)),
+      "post-compact takedown diverged from the survivors-only rebuild")
+  }
 }
