@@ -1694,6 +1694,9 @@ object SimilarityQueries {
     "retrieval_eval_ivf" -> (retrievalEvalIvf _),
     "retrieval_eval_hybrid" -> (retrievalEvalHybrid _),
     "embedding_drift" -> (embeddingDrift _),
+    "takedown_replay_embed" ->
+      ((s: SparkSession, dir: String) =>
+        graft.streaming.EmbedStream.takedownReplayEmbed(s, dir)),
     "embedding_centroids" -> (embeddingCentroids _),
     "embedding_pca" -> (embeddingPca _),
     "embedding_abtt" -> (embeddingAbtt _),
@@ -2394,6 +2397,57 @@ object SimilarityQueries {
        |v_$r AS MATERIALIZED (
        |  SELECT j, round(wj / nrm, 12) AS vj FROM wc_$r CROSS JOIN norm_$r)""".stripMargin
 
+  /** The embedding-drift oracle chain, parameterized by a survivor
+    * predicate over `embeddings` — "" for the plain monitor face,
+    * a WHERE clause for the takedown replay (the oracle replays the
+    * SAME integer-micro sums over the survivors). */
+  private def embeddingDriftOracle(pred: String): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS em
+       |  FROM embeddings $pred),
+       |ds AS (SELECT unnest(generate_series(1, $embeddingDim)) AS i),
+         |comp AS (
+         |  SELECT label, vec_id, i - 1 AS dim,
+         |    CAST(round(em[i] * 1000000.0) AS BIGINT) AS xm
+         |  FROM e CROSS JOIN ds),
+         |life AS (
+         |  SELECT label, dim, CAST(sum(xm) AS BIGINT) AS sl,
+         |         CAST(count(*) AS BIGINT) AS nl
+         |  FROM comp GROUP BY label, dim),
+         |win AS (
+         |  SELECT label, dim, CAST(sum(xm) AS BIGINT) AS sw,
+         |         CAST(count(*) AS BIGINT) AS nw
+         |  FROM comp WHERE vec_id % 4 IN (2, 3) GROUP BY label, dim),
+         |jn AS (
+         |  SELECT l.label, l.dim, CAST(l.sl AS DOUBLE) AS a, l.nl,
+         |         CAST(coalesce(w.sw, 0) AS DOUBLE) AS b,
+         |         coalesce(w.nw, 0) AS nw
+         |  FROM life l LEFT JOIN win w
+         |    ON w.label = l.label AND w.dim = l.dim),
+         |g AS (
+         |  SELECT label, max(nl) AS n_life, max(nw) AS n_window,
+         |         list(a ORDER BY dim) AS av, list(b ORDER BY dim) AS bv
+         |  FROM jn GROUP BY label),
+         |m AS (
+         |  SELECT label, n_life, n_window,
+         |    list_aggregate(list_transform(generate_series(1, $embeddingDim),
+         |      i -> av[i] * bv[i]), 'sum') AS dot,
+         |    sqrt(list_aggregate(list_transform(
+         |      generate_series(1, $embeddingDim), i -> av[i] * av[i]),
+         |      'sum')) AS a2,
+         |    sqrt(list_aggregate(list_transform(
+         |      generate_series(1, $embeddingDim), i -> bv[i] * bv[i]),
+         |      'sum')) AS b2
+         |  FROM g)
+         |SELECT label, n_life, n_window,
+         |  CASE WHEN n_window > 0 AND a2 > 0 AND b2 > 0
+         |       THEN round(dot / (a2 * b2), 6) ELSE 0.0 END
+         |    AS centroid_cos,
+         |  CASE WHEN n_window > 0 AND a2 > 0
+         |       THEN round((b2 / n_window) / (a2 / n_life), 6)
+         |       ELSE 0.0 END AS norm_ratio
+         |FROM m ORDER BY label""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_recall_report" ->
       s"""WITH $ivfAnnCtes,
@@ -2674,52 +2728,12 @@ object SimilarityQueries {
     // replays the SAME integer-micro component sums (quantization is
     // part of the operator's definition) and the same dim-ordered
     // cosine/norm folds
-    "embedding_drift" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, label, embedding::DOUBLE[] AS em
-         |  FROM embeddings),
-         |ds AS (SELECT unnest(generate_series(1, $embeddingDim)) AS i),
-         |comp AS (
-         |  SELECT label, vec_id, i - 1 AS dim,
-         |    CAST(round(em[i] * 1000000.0) AS BIGINT) AS xm
-         |  FROM e CROSS JOIN ds),
-         |life AS (
-         |  SELECT label, dim, CAST(sum(xm) AS BIGINT) AS sl,
-         |         CAST(count(*) AS BIGINT) AS nl
-         |  FROM comp GROUP BY label, dim),
-         |win AS (
-         |  SELECT label, dim, CAST(sum(xm) AS BIGINT) AS sw,
-         |         CAST(count(*) AS BIGINT) AS nw
-         |  FROM comp WHERE vec_id % 4 IN (2, 3) GROUP BY label, dim),
-         |jn AS (
-         |  SELECT l.label, l.dim, CAST(l.sl AS DOUBLE) AS a, l.nl,
-         |         CAST(coalesce(w.sw, 0) AS DOUBLE) AS b,
-         |         coalesce(w.nw, 0) AS nw
-         |  FROM life l LEFT JOIN win w
-         |    ON w.label = l.label AND w.dim = l.dim),
-         |g AS (
-         |  SELECT label, max(nl) AS n_life, max(nw) AS n_window,
-         |         list(a ORDER BY dim) AS av, list(b ORDER BY dim) AS bv
-         |  FROM jn GROUP BY label),
-         |m AS (
-         |  SELECT label, n_life, n_window,
-         |    list_aggregate(list_transform(generate_series(1, $embeddingDim),
-         |      i -> av[i] * bv[i]), 'sum') AS dot,
-         |    sqrt(list_aggregate(list_transform(
-         |      generate_series(1, $embeddingDim), i -> av[i] * av[i]),
-         |      'sum')) AS a2,
-         |    sqrt(list_aggregate(list_transform(
-         |      generate_series(1, $embeddingDim), i -> bv[i] * bv[i]),
-         |      'sum')) AS b2
-         |  FROM g)
-         |SELECT label, n_life, n_window,
-         |  CASE WHEN n_window > 0 AND a2 > 0 AND b2 > 0
-         |       THEN round(dot / (a2 * b2), 6) ELSE 0.0 END
-         |    AS centroid_cos,
-         |  CASE WHEN n_window > 0 AND a2 > 0
-         |       THEN round((b2 / n_window) / (a2 / n_life), 6)
-         |       ELSE 0.0 END AS norm_ratio
-         |FROM m ORDER BY label""".stripMargin,
+    "embedding_drift" -> embeddingDriftOracle(""),
+    // the monitor under doc-grain takedown: the SAME replay over the
+    // survivors — exact integer-micro subtraction or the rows diverge
+    "takedown_replay_embed" -> embeddingDriftOracle(
+      s"WHERE vec_id % ${graft.streaming.Takedown.replayRemovalStride}" +
+        " != 0"),
     "embedding_quantize" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |sc AS (

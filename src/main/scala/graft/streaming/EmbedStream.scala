@@ -86,7 +86,100 @@ object EmbedStream {
       .filterNot(b =>
         StreamFs.exists(s"$stateDir/counts/$b/${DedupStream.Marker}"))
       .foreach(b => StreamFs.delete(s"$stateDir/counts/$b"))
+    StreamFs.listNames(s"$stateDir/${Takedown.Sub}").foreach { t =>
+      val p = s"$stateDir/${Takedown.Sub}/$t"
+      if (t.endsWith(".tmp") || (t.startsWith("td=") &&
+          !StreamFs.exists(s"$p/${DedupStream.Marker}")))
+        StreamFs.delete(p)
+    }
   }
+
+  // ---- takedown: doc-grain subtraction by integer linearity ------------
+
+  /** TAKEDOWN over the centroid monitor — DOC-GRAIN, unlike the
+    * batch-grain [[CmsStream]]/[[EvalStream]] folds, because this
+    * monitor's state is LINEAR in documents, not just in batches: the
+    * per-batch cell is a sum of per-document integer-micro
+    * contributions, so subtracting a removed document's quantized
+    * components is EXACT (the same `round(x·1e6)` each ingest added —
+    * bit-identical cancellation, no epsilon). The monitor never stored
+    * the documents, so the CALLER supplies the removed rows' (doc_id,
+    * batch, label, embedding) — an RTBF request names its docs, and the
+    * source gate's `arrival_seq` names the batch.
+    *
+    * The correction is written as NEGATED cell tables PER BATCH
+    * (`takedown/td=<id>/cells/batch=N`), so trailing windows subtract
+    * exactly the removed mass that fell INSIDE the window — timelines
+    * never shift (the zero-row-batch stance). A doc already removed by
+    * an earlier committed takedown is skipped (the per-td removed-id
+    * log makes resubmission a no-op, not a double subtraction), and a
+    * correction against an uncommitted batch id fails loudly rather
+    * than corrupting a sum that batch never joined. Idempotent per
+    * takedownId; cost ∝ |removed| (one narrow explode + a ≤ |labels|·dim
+    * aggregate), never the corpus. */
+  def applyTakedown(spark: SparkSession, stateDir: String,
+                    removed: DataFrame, takedownId: Long): Unit =
+    CompactionLock.withLock(stateDir) {
+      recover(stateDir)
+      val dst = s"$stateDir/${Takedown.Sub}/td=$takedownId"
+      if (StreamFs.exists(s"$dst/${DedupStream.Marker}")) return // replay
+      val ids = committedDirs(stateDir)
+        .map(_.split('/').last.stripPrefix("batch=").toLong).toSet
+      val r = removed.select("doc_id", "batch", "label", "embedding")
+        .localCheckpoint()
+      val badBatch = r.select("batch").distinct().collect()
+        .map(_.getLong(0)).filterNot(ids)
+      require(badBatch.isEmpty,
+        s"takedown targets uncommitted batch ids ${badBatch.toSeq.sorted}")
+      // resubmission guard: drop docs an earlier committed td removed
+      val fresh = priorRemoved(spark, stateDir) match {
+        case None => r
+        case Some(prev) =>
+          r.join(broadcast(prev), Seq("doc_id"), "left_anti")
+      }
+      val neg = fresh
+        .select(col("batch"), col("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "x")))
+        .groupBy("batch", "label", "dim")
+        .agg((-sum(round(col("x") * 1e6).cast("long"))).as("s_micro"),
+          (-count(lit(1))).as("n"))
+      val tmp = dst + ".tmp"
+      StreamFs.delete(tmp)
+      fresh.select("doc_id").distinct().write.parquet(s"$tmp/removed")
+      neg.write.partitionBy("batch").parquet(s"$tmp/cells")
+      StreamFs.delete(dst)
+      StreamFs.renameOrThrow(tmp, dst)
+      StreamFs.createMarker(s"$dst/${DedupStream.Marker}")
+    }
+
+  /** doc_ids removed by every COMMITTED takedown so far. */
+  private def priorRemoved(spark: SparkSession,
+                           stateDir: String): Option[DataFrame] = {
+    val dirs = StreamFs.listNames(s"$stateDir/${Takedown.Sub}")
+      .filter(_.startsWith("td="))
+      .filter(t => StreamFs.exists(
+        s"$stateDir/${Takedown.Sub}/$t/${DedupStream.Marker}"))
+      .map(t => s"$stateDir/${Takedown.Sub}/$t/removed")
+      .filter(d => StreamFs.exists(d) && StreamFs.hasDataFiles(d))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*).select("doc_id").distinct())
+  }
+
+  /** Committed negated-correction cell dirs restricted to the batch ids
+    * a reader is summing — window subtraction stays window-true. */
+  private def tdCellDirs(stateDir: String, ids: Set[Long]): Seq[String] =
+    StreamFs.listNames(s"$stateDir/${Takedown.Sub}")
+      .filter(_.startsWith("td="))
+      .filter(t => StreamFs.exists(
+        s"$stateDir/${Takedown.Sub}/$t/${DedupStream.Marker}"))
+      .flatMap { t =>
+        StreamFs.listNames(s"$stateDir/${Takedown.Sub}/$t/cells")
+          .filter(_.startsWith("batch="))
+          .filter(b => ids.contains(b.stripPrefix("batch=").toLong))
+          .map(b => s"$stateDir/${Takedown.Sub}/$t/cells/$b")
+      }
+      .filter(StreamFs.hasDataFiles)
 
   /** Merge committed per-batch dirs older than the `keepLast` horizon
     * into one summed dir — [[EvalStream.compact]]'s linearity-as-
@@ -99,20 +192,35 @@ object EmbedStream {
       recover(stateDir)
       val batches = committedDirs(stateDir).map(_.split('/').last)
         .sortBy(_.stripPrefix("batch=").toLong)
+      val tds = StreamFs.listNames(s"$stateDir/${Takedown.Sub}")
+        .filter(_.startsWith("td="))
+        .filter(t => StreamFs.exists(
+          s"$stateDir/${Takedown.Sub}/$t/${DedupStream.Marker}"))
       val merge = batches.dropRight(keepLast)
-      if (merge.length <= 1) return
-      val merged = sumDirs(spark, stateDir,
-        merge.map(b => s"$stateDir/counts/$b").filter(StreamFs.hasDataFiles))
+      if (merge.length <= 1 && tds.isEmpty) return
       val stage = stateDir + ".ctmp"
       StreamFs.delete(stage)
-      merged.write.parquet(s"$stage/counts/${merge.last}")
-      batches.takeRight(keepLast).foreach { b =>
-        val src = s"$stateDir/counts/$b"
-        if (StreamFs.hasDataFiles(src))
-          spark.read.parquet(src).write.parquet(s"$stage/counts/$b")
-      }
+      // takedowns FOLD physically: every written dir is the base+
+      // correction sum for its batch ids; fully-cancelled cells vanish
+      def fold(names: Seq[String], target: String): Unit =
+        if (names.nonEmpty) sumWithTd(spark, stateDir,
+            names.map(b => s"$stateDir/counts/$b"))
+          .write.parquet(s"$stage/counts/$target")
+      fold(merge, if (merge.nonEmpty) merge.last else "")
+      batches.takeRight(keepLast).foreach(b => fold(Seq(b), b))
       batches.foreach(b =>
         StreamFs.createMarker(s"$stage/counts/$b/${DedupStream.Marker}"))
+      // td ids stay replay-recognizable; removed-id logs survive so the
+      // resubmission guard keeps holding after the fold
+      tds.foreach { t =>
+        val rm = s"$stateDir/${Takedown.Sub}/$t/removed"
+        if (StreamFs.exists(rm) && StreamFs.hasDataFiles(rm))
+          spark.read.parquet(rm).write
+            .parquet(s"$stage/${Takedown.Sub}/$t/removed")
+        else StreamFs.mkdirs(s"$stage/${Takedown.Sub}/$t")
+        StreamFs.createMarker(
+          s"$stage/${Takedown.Sub}/$t/${DedupStream.Marker}")
+      }
       val old = stateDir + ".cold"
       StreamFs.renameOrThrow(stateDir, old)
       StreamFs.renameOrThrow(stage, stateDir)
@@ -127,10 +235,9 @@ object EmbedStream {
 
   /** Merged component sums over every committed batch (marker-only
     * tombstones excluded explicitly, never via the hidden-file
-    * filter). */
+    * filter), committed takedown corrections folded in. */
   def readCounts(spark: SparkSession, stateDir: String): DataFrame =
-    sumDirs(spark, stateDir,
-      committedDirs(stateDir).filter(StreamFs.hasDataFiles))
+    sumWithTd(spark, stateDir, committedDirs(stateDir))
 
   /** Merged sums over the trailing `lastK` committed data dirs —
     * integer linearity makes the window a subset sum
@@ -142,23 +249,41 @@ object EmbedStream {
     // takeRight over ALL committed ids first, THEN drop data-less dirs:
     // a committed zero-row batch counts as an empty window member
     // instead of shifting the window into history (round-14 ADVICE)
-    sumDirs(spark, stateDir,
+    sumWithTd(spark, stateDir,
       committedDirs(stateDir)
         .sortBy(_.split('/').last.stripPrefix("batch=").toLong)
-        .takeRight(lastK)
-        .filter(StreamFs.hasDataFiles))
+        .takeRight(lastK))
   }
 
-  private def sumDirs(spark: SparkSession, stateDir: String,
-                      dirs: Seq[String]): DataFrame =
-    if (dirs.isEmpty)
+  /** The effective component sums of a batch-dir member set: base cells
+    * plus the committed takedown corrections FOR THOSE BATCH IDS (so a
+    * window subtracts exactly the removed mass that fell inside it).
+    * Fully-cancelled cells (n = 0 ⇒ every integer contribution
+    * cancelled ⇒ s_micro = 0 too) drop out, exactly as a survivors-only
+    * rebuild never emits them. */
+  private def sumWithTd(spark: SparkSession, stateDir: String,
+                        memberDirs: Seq[String]): DataFrame = {
+    val ids = memberDirs
+      .map(_.split('/').last.stripPrefix("batch=").toLong).toSet
+    val base = memberDirs.filter(StreamFs.hasDataFiles)
+    val tds = tdCellDirs(stateDir, ids)
+    val parts = Seq(
+      if (base.isEmpty) None
+      else Some(spark.read.option("basePath", s"$stateDir/counts")
+        .parquet(base: _*).select("label", "dim", "s_micro", "n")),
+      if (tds.isEmpty) None
+      else Some(spark.read.parquet(tds: _*)
+        .select("label", "dim", "s_micro", "n"))).flatten
+    if (parts.isEmpty)
       spark.range(0).select(col("id").cast("int").as("label"),
         col("id").cast("int").as("dim"), col("id").as("s_micro"),
         col("id").as("n"))
     else
-      spark.read.option("basePath", s"$stateDir/counts").parquet(dirs: _*)
+      parts.reduce(_.unionByName(_))
         .groupBy("label", "dim")
         .agg(sum("s_micro").as("s_micro"), sum("n").as("n"))
+        .filter(col("n") =!= 0)
+  }
 
   /** The drift report over two component-sum tables: per label, the
     * cosine between the window and lifetime centroids and the ratio of
@@ -236,4 +361,34 @@ object EmbedStream {
     * subset sums over committed count dirs + a ≤|labels| fold). */
   def embeddingDriftQuery(s: SparkSession, dir: String): DataFrame =
     embeddingDriftLive(s, embedState(s, dir), lastK = 2)
+
+  /** Separate state cache for the takedown face — [[applyTakedown]]
+    * mutates, so it must never share [[embedState]]'s ingest. */
+  private val takedownStateDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** REGISTERED + DuckDB-oracled — the centroid monitor under DOC-GRAIN
+    * takedown: the deterministic 4-batch ingest, then a takedown of
+    * every [[Takedown.replayRemovalStride]]-th vec_id (batch = vec_id
+    * mod 4, the id its ingest actually fell in); the post-takedown
+    * drift report must equal the oracle's survivors-only replay of the
+    * integer-micro sums — lifetime AND trailing-window legs both, or
+    * the subtraction missed (or double-counted) mass. */
+  def takedownReplayEmbed(s: SparkSession, dir: String): DataFrame = {
+    val st = takedownStateDirs.getOrElseUpdate(dir, {
+      val d = StreamFs.benchTempDir("graft-embed-takedown") + "/state"
+      val vecs = graft.Tables.embeddings(s, dir)
+        .select("vec_id", "label", "embedding").localCheckpoint()
+      (0 until 4).foreach(i => applyMicroBatch(s,
+        vecs.filter(pmod(col("vec_id"), lit(4)) === i), d, i.toLong))
+      applyTakedown(s, d,
+        vecs.filter(col("vec_id") % Takedown.replayRemovalStride === 0)
+          .select(col("vec_id").as("doc_id"),
+            pmod(col("vec_id"), lit(4)).cast("long").as("batch"),
+            col("label"), col("embedding")),
+        takedownId = 0L)
+      d
+    })
+    embeddingDriftLive(s, st, lastK = 2)
+  }
 }

@@ -145,6 +145,66 @@ class EmbedStreamSpec extends SparkSpec {
     assert(rows(EmbedStream.embeddingDriftLive(spark, d, 99)) === before)
   }
 
+  test("doc-grain takedown: exact subtraction, resubmission guard, " +
+      "loud bad-batch, compact fold") {
+    val d = freshDir()
+    val slices = (0 until 4).map(i => fixture.filter(_._1 % 4 == i))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      EmbedStream.applyMicroBatch(spark, vecsDf(s), d, i.toLong) }
+    val removed = fixture.filter(_._1 % 13 == 0)
+    val removedDf = removed
+      .map { case (id, lab, e) => (id, id % 4, lab, e) }
+      .toDF("doc_id", "batch", "label", "embedding")
+    EmbedStream.applyTakedown(spark, d, removedDf, 0L)
+    val surv = fixture.filter(_._1 % 13 != 0)
+    val survWin = surv.filter(v => v._1 % 4 == 2 || v._1 % 4 == 3)
+    val post = rows(EmbedStream.embeddingDriftLive(spark, d, 2))
+    assert(post === batchDrift(surv, survWin),
+      "post-takedown drift diverged from the survivors-only rebuild")
+    // replaying the committed td id no-ops
+    EmbedStream.applyTakedown(spark, d, removedDf, 0L)
+    assert(rows(EmbedStream.embeddingDriftLive(spark, d, 2)) === post)
+    // resubmitting already-removed docs in a LATER td must not
+    // subtract twice
+    EmbedStream.applyTakedown(spark, d, removedDf.limit(5), 1L)
+    assert(rows(EmbedStream.embeddingDriftLive(spark, d, 2)) === post,
+      "resubmission double-subtracted")
+    // a correction against a batch that never committed fails loudly
+    intercept[IllegalArgumentException](EmbedStream.applyTakedown(spark, d,
+      Seq((9999L, 9L, 0, Array.fill(8)(1f)))
+        .toDF("doc_id", "batch", "label", "embedding"), 2L))
+    // compact folds the corrections physically, report unchanged, and
+    // the resubmission guard survives the fold
+    EmbedStream.compact(spark, d, keepLast = 2)
+    assert(rows(EmbedStream.embeddingDriftLive(spark, d, 2)) === post,
+      "compact changed the post-takedown report")
+    EmbedStream.applyTakedown(spark, d, removedDf.limit(5), 3L)
+    assert(rows(EmbedStream.embeddingDriftLive(spark, d, 2)) === post,
+      "resubmission guard lost across compact")
+    // a FRESH doc-grain takedown still lands after the fold
+    val more = fixture.filter(_._1 % 13 != 0).take(1)
+      .map { case (id, lab, e) => (id, id % 4, lab, e) }
+    EmbedStream.applyTakedown(spark, d,
+      more.toDF("doc_id", "batch", "label", "embedding"), 4L)
+    val surv2 = surv.filterNot(v => v._1 == more.head._1)
+    assert(rows(EmbedStream.embeddingDriftLive(spark, d, 2)) ===
+      batchDrift(surv2, surv2.filter(v => v._1 % 4 == 2 || v._1 % 4 == 3)),
+      "post-compact takedown diverged")
+  }
+
+  test("removing a label's every doc removes its row, as a rebuild would") {
+    val d = freshDir()
+    EmbedStream.applyMicroBatch(spark, vecsDf(fixture), d, 0L)
+    val lab3 = fixture.filter(_._2 == 3)
+    EmbedStream.applyTakedown(spark, d,
+      lab3.map { case (id, lab, e) => (id, 0L, lab, e) }
+        .toDF("doc_id", "batch", "label", "embedding"), 0L)
+    val surv = fixture.filter(_._2 != 3)
+    val got = rows(EmbedStream.embeddingDriftLive(spark, d, 1))
+    assert(got === batchDrift(surv, surv))
+    assert(!got.exists(_.head == 3), "fully-cancelled label row leaked")
+  }
+
   test("registered face ≡ batch twin over the vec_id%4 window") {
     val vecs = Tables.embeddings(spark, sf)
       .select("vec_id", "label", "embedding")
