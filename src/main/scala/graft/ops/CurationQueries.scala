@@ -1081,6 +1081,9 @@ object CurationQueries {
     "gate_eval_highndv" -> (gateEvalHighNdv _),
     "gate_eval_by_source" -> (gateEvalBySource _),
     "gate_eval_drift" -> (gateEvalDrift _),
+    "takedown_replay_eval" ->
+      ((s: SparkSession, dir: String) =>
+        graft.streaming.EvalStream.takedownReplayEval(s, dir)),
     "curation_funnel_live" -> (curationFunnelLive _),
     "curation_funnel_drift" -> (curationFunnelDrift _),
     "takedown_replay_curation" ->
@@ -1539,6 +1542,23 @@ object CurationQueries {
          |  FROM documents),
          |scored_w AS MATERIALIZED (
          |  SELECT * FROM scored WHERE score % 4 IN (2, 3)),
+         |${EvalQueries.gateEvalDriftSql("highndv")}""".stripMargin,
+    // the monitor under batch-grain takedown: lifetime = the surviving
+    // batches (score % 4 != 1), window = the last two batch ids (the
+    // removed id was never a window member) — exclusion IS subtraction
+    "takedown_replay_eval" ->
+      s"""WITH scored_all AS MATERIALIZED (
+         |  SELECT ('0x' || substr(md5('ndv:' || CAST(doc_id AS VARCHAR)
+         |      || ':' || text), 1, 15))::BIGINT % 1000000000 AS score,
+         |    lang = 'en' AS label,
+         |    ('0x' || substr(md5('ndv:' || CAST(doc_id AS VARCHAR)
+         |      || ':' || text), 1, 15))::BIGINT % 1000000000
+         |      >= 500000000 AS decision
+         |  FROM documents),
+         |scored AS MATERIALIZED (
+         |  SELECT * FROM scored_all WHERE score % 4 != 1),
+         |scored_w AS MATERIALIZED (
+         |  SELECT * FROM scored_all WHERE score % 4 IN (2, 3)),
          |${EvalQueries.gateEvalDriftSql("highndv")}""".stripMargin,
     "gate_calibration_drift" ->
       s"""WITH scored AS MATERIALIZED (

@@ -359,6 +359,9 @@ object ProfileQueries {
     "skew_report" -> (skewReport _),
     "kmv_distinct" -> (kmvDistinct _),
     "vocab_cms" -> (vocabCms _),
+    "takedown_replay_cms" ->
+      ((s: SparkSession, dir: String) =>
+        graft.streaming.CmsStream.takedownReplayCms(s, dir)),
     "corpus_divergence" -> (corpusDivergence _),
     "dq_audit" -> (dqAudit _))
 
@@ -395,6 +398,38 @@ object ProfileQueries {
        |  sum(CASE WHEN $violated THEN 1 ELSE 0 END) = 0 AS passed
        |FROM $from""".stripMargin
 
+  /** The vocab_cms oracle chain, parameterized by a survivor predicate
+    * over `documents` — "" for the one-shot sketch face, a WHERE clause
+    * for the streaming takedown replay (batch-grain subtraction must
+    * reproduce the one-shot sketch of the survivors by linearity). */
+  private def vocabCmsOracle(pred: String): String =
+    s"""WITH toks AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                t -> t != '')) AS token
+         |  FROM documents $pred),
+         |js AS (SELECT unnest([${(0 until cmsDepth).mkString(", ")}]) AS j),
+         |th AS (
+         |  SELECT token,
+         |    ('0x' || substr(md5(token), 1, 15))::BIGINT AS h1,
+         |    ('0x' || substr(md5(token), 16, 15))::BIGINT AS h2
+         |  FROM toks),
+         |cells AS (
+         |  SELECT j, (h1 + j * h2) % $cmsWidth AS bucket, count(*) AS cell
+         |  FROM th CROSS JOIN js GROUP BY 1, 2),
+         |top AS (
+         |  SELECT token, count(*) AS n_exact FROM toks GROUP BY 1
+         |  ORDER BY n_exact DESC, token LIMIT $cmsTopK),
+         |probe AS (
+         |  SELECT token, n_exact, j,
+         |    (('0x' || substr(md5(token), 1, 15))::BIGINT +
+         |     j * ('0x' || substr(md5(token), 16, 15))::BIGINT)
+         |      % $cmsWidth AS bucket
+         |  FROM top CROSS JOIN js)
+         |SELECT p.token, p.n_exact, min(c.cell) AS n_est,
+         |  min(c.cell) >= p.n_exact AS overestimate
+         |FROM probe p JOIN cells c USING (j, bucket)
+         |GROUP BY 1, 2 ORDER BY n_exact DESC, token""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "kmv_distinct" ->
       s"""WITH dh AS (
@@ -430,33 +465,8 @@ object ProfileQueries {
          |  round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share
          |FROM c CROSS JOIN st
          |ORDER BY cnt DESC, l_suppkey LIMIT $skewTopK""".stripMargin,
-    "vocab_cms" ->
-      s"""WITH toks AS (
-         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-         |                t -> t != '')) AS token
-         |  FROM documents),
-         |js AS (SELECT unnest([${(0 until cmsDepth).mkString(", ")}]) AS j),
-         |th AS (
-         |  SELECT token,
-         |    ('0x' || substr(md5(token), 1, 15))::BIGINT AS h1,
-         |    ('0x' || substr(md5(token), 16, 15))::BIGINT AS h2
-         |  FROM toks),
-         |cells AS (
-         |  SELECT j, (h1 + j * h2) % $cmsWidth AS bucket, count(*) AS cell
-         |  FROM th CROSS JOIN js GROUP BY 1, 2),
-         |top AS (
-         |  SELECT token, count(*) AS n_exact FROM toks GROUP BY 1
-         |  ORDER BY n_exact DESC, token LIMIT $cmsTopK),
-         |probe AS (
-         |  SELECT token, n_exact, j,
-         |    (('0x' || substr(md5(token), 1, 15))::BIGINT +
-         |     j * ('0x' || substr(md5(token), 16, 15))::BIGINT)
-         |      % $cmsWidth AS bucket
-         |  FROM top CROSS JOIN js)
-         |SELECT p.token, p.n_exact, min(c.cell) AS n_est,
-         |  min(c.cell) >= p.n_exact AS overestimate
-         |FROM probe p JOIN cells c USING (j, bucket)
-         |GROUP BY 1, 2 ORDER BY n_exact DESC, token""".stripMargin,
+    "vocab_cms" -> vocabCmsOracle(""),
+    "takedown_replay_cms" -> vocabCmsOracle("WHERE doc_id % 4 != 1"),
     "corpus_divergence" ->
       s"""WITH toks AS (
          |  SELECT source,

@@ -186,4 +186,44 @@ object CmsStream {
       .join(broadcast(readSketch(spark, stateDir)), Seq("j", "bucket"), "left")
       .groupBy("token")
       .agg(min(coalesce(col("cell"), lit(0L))).as("n_est"))
+
+  // ---- registered takedown face -----------------------------------------
+
+  /** Same staleness assumption and orphan story as the other bench
+    * states (GraphStream note); own cache because [[applyTakedown]]
+    * mutates. */
+  private val takedownStateDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** REGISTERED + DuckDB-oracled — the sketch under batch-grain
+    * takedown: 4 deterministic batches (doc_id mod 4), batch 1 removed;
+    * the post-takedown estimates of the SURVIVORS' top-K tokens must
+    * equal the one-shot vocab_cms chain over the surviving docs — the
+    * linearity claim ("exclusion IS subtraction") graded end to end by
+    * the driver, not only spec-pinned. */
+  def takedownReplayCms(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val st = takedownStateDirs.getOrElseUpdate(dir, {
+      val d = StreamFs.benchTempDir("graft-cms-takedown") + "/state"
+      val docs = graft.Tables.documents(s, dir)
+        .select("doc_id", "text").localCheckpoint()
+      (0 until 4).foreach(i => applyMicroBatch(s,
+        docs.filter(pmod(col("doc_id"), lit(4)) === i), d, i.toLong))
+      applyTakedown(s, d, Seq(1L), takedownId = 0L)
+      d
+    })
+    val toks = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 =!= 1)
+      .select(explode(tokens(col("text"))).as("token"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token"))
+      .limit(ProfileQueries.cmsTopK)
+    ProfileQueries.cmsProbeRows(top)
+      .join(broadcast(readSketch(s, st)), Seq("j", "bucket"), "left")
+      .groupBy("token", "n_exact")
+      .agg(min(coalesce(col("cell"), lit(0L))).as("n_est"))
+      .select(col("token"), col("n_exact"), col("n_est"),
+        (col("n_est") >= col("n_exact")).as("overestimate"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
 }

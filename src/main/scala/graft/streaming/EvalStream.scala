@@ -380,4 +380,30 @@ object EvalStream {
   def calibrationDriftQuery(s: SparkSession, dir: String): DataFrame =
     calibrationDrift(s, highNdvState(s, dir), "highndv",
       calibrationLiveBinWidth, lastK = 2)
+
+  /** Separate state cache for the takedown face — [[applyTakedown]]
+    * mutates, so it must never share [[highNdvState]]'s ingest. */
+  private val takedownStateDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** REGISTERED + DuckDB-oracled — the gate monitor under BATCH-GRAIN
+    * takedown: the deterministic 4-batch ingest (score mod 4), batch 1
+    * removed; the post-takedown drift report must equal the oracle's
+    * replay over the SURVIVING batches' rows (`score % 4 != 1`
+    * lifetime, `score % 4 IN (2, 3)` window — the removed batch is an
+    * empty window MEMBER, never a shift of the window into history).
+    * Count-subtraction-by-exclusion graded end to end by the driver,
+    * not only spec-pinned. */
+  def takedownReplayEval(s: SparkSession, dir: String): DataFrame = {
+    val st = takedownStateDirs.getOrElseUpdate(dir, {
+      val d = StreamFs.benchTempDir("graft-eval-takedown") + "/state"
+      val scored = graft.ops.CurationQueries.highNdvScored(s, dir)
+        .localCheckpoint()
+      (0 until 4).foreach(i => applyMicroBatch(s,
+        scored.filter(pmod(col("score"), lit(4)) === i), d, i.toLong))
+      applyTakedown(s, d, Seq(1L), takedownId = 0L)
+      d
+    })
+    gateEvalDrift(s, st, "highndv", lastK = 2)
+  }
 }
