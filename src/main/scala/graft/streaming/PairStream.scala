@@ -375,8 +375,11 @@ object PairStream {
       val dst = s"$stateDir/${Takedown.Sub}/td=$takedownId"
       if (StreamFs.exists(s"$dst/$Marker")) return // replay
       val r = removed.select("doc_id").distinct().localCheckpoint()
-      val claims = readClaims(spark, stateDir)
-        .getOrElse(return).localCheckpoint()
+      // claims / verdicts / index stay parquet-backed: every probe
+      // below re-scans them map-side filtered by removal-proportional
+      // broadcasts — materializing any of them whole (localCheckpoint)
+      // would be a corpus-proportional write per takedown
+      val claims = readClaims(spark, stateDir).getOrElse(return)
       // text: affected hashes = classes whose CURRENT canonical is
       // removed; new owner = earliest-arrived surviving holder
       val affected = claims.filter(col("is_canonical"))
@@ -393,8 +396,8 @@ object PairStream {
         .select(claims.columns.map(col): _*)
         .localCheckpoint()
       // image: rejects whose verified earlier witnesses intersect R
-      val v = readVerdicts(spark, stateDir).localCheckpoint()
-      val idx = readIndex(spark, stateDir).localCheckpoint()
+      val v = readVerdicts(spark, stateDir)
+      val idx = readIndex(spark, stateDir)
       val near = bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))) <=
         MediaQueries.phashMaxHamming
       val rejected = v.filter(!col("keep")).select("doc_id")
@@ -444,6 +447,51 @@ object PairStream {
       StreamFs.delete(dst)
       StreamFs.renameOrThrow(tmp, dst)
       StreamFs.createMarker(s"$dst/$Marker")
+    }
+
+  /** COMPACTION — the pair gate's physical takedown fold
+    * ([[CurationStream.compact]]'s views-are-the-fold pass over this
+    * stream's four sub-tables): verdicts/claims/index rewritten through
+    * their takedown-aware readers into the single highest committed
+    * batch dir (removed docs' bytes GONE — the [[Takedown.retentionScan]]
+    * zero), counts collapsed under the sum (ingest history, takedowns
+    * deliberately don't touch them), the staged root carrying no td
+    * dirs, earlier ids surviving as marker-only tombstones. Same
+    * heartbeated lock and crash-safe root swap as every other gate. */
+  def compact(spark: SparkSession, stateDir: String): Unit =
+    CompactionLock.withLock(stateDir) {
+      recover(stateDir)
+      val batches = StreamFs.listNames(s"$stateDir/verdicts")
+        .filter(_.startsWith("batch="))
+        .filter(b => committed(stateDir, b))
+        .sortBy(_.stripPrefix("batch=").toLong)
+      val tds = StreamFs.listNames(s"$stateDir/${Takedown.Sub}")
+        .filter(_.startsWith("td="))
+        .filter(t => StreamFs.exists(
+          s"$stateDir/${Takedown.Sub}/$t/$Marker"))
+      if (batches.isEmpty) return // removal-only td, nothing to fold
+      if (batches.length <= 1 && tds.isEmpty) return
+      val target = batches.last
+      val stage = stateDir + ".ctmp"
+      StreamFs.delete(stage)
+      readVerdicts(spark, stateDir)
+        .write.parquet(s"$stage/verdicts/$target")
+      readClaims(spark, stateDir).foreach(
+        _.write.parquet(s"$stage/claims/$target"))
+      readIndex(spark, stateDir)
+        .write.parquet(s"$stage/index/$target")
+      val countDirs = committedDirsAll(stateDir, "counts")
+        .filter(StreamFs.hasDataFiles)
+      if (countDirs.nonEmpty)
+        sumCounts(spark, stateDir, countDirs)
+          .write.parquet(s"$stage/counts/$target")
+      StreamFs.createMarker(s"$stage/verdicts/$target/$Marker")
+      batches.init.foreach(b =>
+        StreamFs.createMarker(s"$stage/verdicts/$b/$Marker"))
+      val old = stateDir + ".cold"
+      StreamFs.renameOrThrow(stateDir, old)
+      StreamFs.renameOrThrow(stage, stateDir)
+      StreamFs.delete(old)
     }
 
   private def sumCounts(spark: SparkSession, stateDir: String,

@@ -122,6 +122,50 @@ object TakedownCostProbe {
       println(f"[tdcost] dir=$dir gate=pairs n=$n " +
         f"ingest=$tIngest%.1f s apply(50 ids)=$tApply%.2f s")
     }
+    // ---- round-16 gates: span restitution + centroid-monitor subtraction
+    for (dir <- dirs) {
+      import graft.streaming.{EmbedStream, ScrubStream}
+      locally {
+        val docs = Tables.documents(spark, dir).select("doc_id", "text")
+          .localCheckpoint()
+        val n = docs.count()
+        val removals = docs.filter(col("doc_id") % 101 === 0)
+          .orderBy("doc_id").limit(50).select("doc_id").localCheckpoint()
+        val c = java.nio.file.Files
+          .createTempDirectory("graft-tdcost-scrub").toString + "/c"
+        val t0 = System.nanoTime()
+        graft.streaming.Takedown.quartiles(docs).zipWithIndex.foreach {
+          case (b, i) => ScrubStream.applyMicroBatch(spark, b, c, i.toLong)
+        }
+        val tIngest = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        ScrubStream.applyTakedown(spark, c, removals, takedownId = 0L)
+        val tApply = (System.nanoTime() - t1) / 1e9
+        println(f"[tdcost] dir=$dir gate=scrub n=$n " +
+          f"ingest=$tIngest%.1f s apply(50 ids)=$tApply%.2f s")
+      }
+      locally {
+        val vecs = Tables.embeddings(spark, dir)
+          .select("vec_id", "label", "embedding").localCheckpoint()
+        val nv = vecs.count()
+        val st = java.nio.file.Files
+          .createTempDirectory("graft-tdcost-embed").toString + "/state"
+        val t0 = System.nanoTime()
+        (0 until 4).foreach(i => EmbedStream.applyMicroBatch(spark,
+          vecs.filter(pmod(col("vec_id"), lit(4)) === i), st, i.toLong))
+        val tIngest = (System.nanoTime() - t0) / 1e9
+        val rm = vecs.filter(col("vec_id") % 101 === 0)
+          .orderBy("vec_id").limit(50)
+          .select(col("vec_id").as("doc_id"),
+            pmod(col("vec_id"), lit(4)).cast("long").as("batch"),
+            col("label"), col("embedding"))
+        val t1 = System.nanoTime()
+        EmbedStream.applyTakedown(spark, st, rm, takedownId = 0L)
+        val tApply = (System.nanoTime() - t1) / 1e9
+        println(f"[tdcost] dir=$dir gate=embed n=$nv " +
+          f"ingest=$tIngest%.1f s apply(50 ids)=$tApply%.2f s")
+      }
+    }
     spark.stop()
   }
 }
