@@ -550,6 +550,88 @@ object PrepQueries {
       .orderBy("doc_id")
   }
 
+  // ---- sequence packing (concat-and-chunk) ---------------------------------
+
+  /** Context length for [[sequencePack]] — tokens per training
+    * sequence. */
+  val packContextLen = 256L
+
+  /** SEQUENCE PACKING — the concat-and-chunk layout every LLM training
+    * run performs last: documents are concatenated in a deterministic
+    * global order (doc_id — compose with [[epochShuffle]] for a
+    * shuffled epoch) and the token stream is cut into fixed
+    * [[packContextLen]]-token bins; a document whose tokens straddle a
+    * cut spans several bins. Emits one row per document: its global
+    * token offset, first/last bin and span width — the placement table
+    * a packer materializes so any worker can slice its bins without
+    * coordination. A zero-token document attaches to the bin at its
+    * offset (span 1, zero tokens), so every doc_id stays addressable.
+    *
+    * Shape at 100 TB: the global running offset is the ONLY global
+    * state, and it runs as the [[graft.ops.EvalQueries]] two-pass
+    * distributed prefix sum — range-partition by doc_id, per-partition
+    * totals to a P-row offset table (P = shuffle partitions,
+    * corpus-independent — the family's single bounded window),
+    * broadcast back, add the per-partition local cumsum. Integer sums
+    * reassociate freely, so the split prefix equals a single global
+    * window bit for bit (PackSpec pins it). No global sort of data
+    * rows, no corpus-wide window, nothing driver-side. */
+  def sequencePack(s: SparkSession, dir: String): DataFrame =
+    packOf(docs(s, dir)).sortWithinPartitions("doc_id")
+
+  private[graft] def packOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val C = packContextLen
+    val parts = d.sparkSession.sessionState.conf.numShufflePartitions
+    val nt = d.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // two-pass distributed EXCLUSIVE prefix sum in doc_id order (the
+    // prefixedHistogram pattern; localCheckpoint freezes the sampled
+    // range assignment for the two consumers)
+    val ranged = nt.repartitionByRange(parts, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val byPid = Window.orderBy("pid") // P rows — the bounded window
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("pid").agg(sum("n_tokens").as("pt"))
+      .select(col("pid"),
+        coalesce(sum(col("pt")).over(byPid), lit(0L)).as("off"))
+    val local = Window.partitionBy(col("pid")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offsets), Seq("pid"))
+      .withColumn("start", col("off") +
+        coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+      .withColumn("first_bin", expr(s"start div $C"))
+      .withColumn("last_bin",
+        expr(s"(start + greatest(n_tokens, 1) - 1) div $C"))
+      .select(col("doc_id"), col("n_tokens"), col("start"),
+        col("first_bin"), col("last_bin"),
+        (col("last_bin") - col("first_bin") + 1).as("n_bins"))
+  }
+
+  /** PACK MANIFEST — the per-bin side of [[sequencePack]]: how many
+    * documents and tokens land in each [[packContextLen]]-token bin,
+    * how many documents START there, and how many of its documents
+    * straddle a bin boundary (the attention-masking / document-leakage
+    * accounting a packed-training config needs). Row count is linear
+    * in documents + total_tokens/C — the explode is over each doc's
+    * spanned bins, never a cross product. */
+  def packManifest(s: SparkSession, dir: String): DataFrame = {
+    val C = packContextLen
+    packOf(docs(s, dir))
+      .withColumn("bin_id",
+        explode(sequence(col("first_bin"), col("last_bin"))))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("start") + col("n_tokens"), (col("bin_id") + 1) * C) -
+          greatest(col("start"), col("bin_id") * C)).as("n_tokens"),
+        sum(when(col("first_bin") === col("bin_id"), 1L).otherwise(0L))
+          .as("n_started"),
+        sum(when(col("last_bin") > col("first_bin"), 1L).otherwise(0L))
+          .as("n_crossing"))
+      .sortWithinPartitions("bin_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dict_encode" -> (dictEncode _),
     "decontaminate" -> (decontaminate _),
@@ -566,6 +648,8 @@ object PrepQueries {
       ((s: SparkSession, dir: String) =>
         graft.streaming.ScrubStream.takedownReplayScrub(s, dir)),
     "oov_rate" -> (oovRate _),
+    "sequence_pack" -> (sequencePack _),
+    "pack_manifest" -> (packManifest _),
     "epoch_shuffle" -> (epochShuffle _),
     "zorder_layout" -> (zorderLayout _),
     "hilbert_layout" -> (hilbertLayout _),
@@ -796,6 +880,56 @@ object PrepQueries {
         spanScrubOracle.stripPrefix("WITH ")
           .replace("FROM documents", "FROM surv")
     },
+    // concat-and-chunk placement: the oracle's single global window is
+    // the brute-force twin of the engine's two-pass distributed prefix
+    // sum — integer sums reassociate, so they agree bit for bit
+    "sequence_pack" ->
+      s"""WITH $toksCte,
+         |nt AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_tokens
+         |       FROM toks),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS start
+         |  FROM nt)
+         |SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start,
+         |  CAST(start // $packContextLen AS BIGINT) AS first_bin,
+         |  CAST((start + greatest(n_tokens, 1) - 1) // $packContextLen
+         |    AS BIGINT) AS last_bin,
+         |  CAST((start + greatest(n_tokens, 1) - 1) // $packContextLen
+         |    - start // $packContextLen + 1 AS BIGINT) AS n_bins
+         |FROM o ORDER BY doc_id""".stripMargin,
+    "pack_manifest" ->
+      s"""WITH $toksCte,
+         |nt AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_tokens
+         |       FROM toks),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS start
+         |  FROM nt),
+         |b AS (
+         |  SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start,
+         |    CAST(start // $packContextLen AS BIGINT) AS first_bin,
+         |    CAST((start + greatest(n_tokens, 1) - 1) // $packContextLen
+         |      AS BIGINT) AS last_bin
+         |  FROM o),
+         |sp AS (
+         |  SELECT doc_id, n_tokens, start, first_bin, last_bin,
+         |         u.b AS bin_id
+         |  FROM b, unnest(generate_series(first_bin, last_bin)) AS u(b))
+         |SELECT CAST(bin_id AS BIGINT) AS bin_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(least(start + n_tokens, (bin_id + 1) * $packContextLen)
+         |    - greatest(start, bin_id * $packContextLen)) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(sum(CASE WHEN first_bin = bin_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_started,
+         |  CAST(sum(CASE WHEN last_bin > first_bin THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_crossing
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
     "oov_rate" ->
       s"""WITH $toksCte,
          |tok AS (

@@ -478,6 +478,9 @@ class PlanSpec extends SparkSpec {
     // gate_eval_drift: two gateEval tails (each the allowlisted 1-row
     // metric assembly) plus the 1-row × 1-row lifetime-vs-window join
     "gate_eval_drift",
+    // takedown_replay_eval wraps the same gateEvalDrift 1-row assembly
+    // over the post-takedown monitor state
+    "takedown_replay_eval",
     // round-15 counts-backed monitors: the ≤7-row funnel/count tables
     // crossJoin their 1-row totals (pairFunnelFromCounts) and
     // url_gate_drift assembles two 1-row tallies — the same 1-row
