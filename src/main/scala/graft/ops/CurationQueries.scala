@@ -914,6 +914,132 @@ object CurationQueries {
     EvalQueries.prCurve(scored)
   }
 
+  // ---- discriminative trainer: deterministic logistic GD -----------------
+
+  /** Hashed feature dimension (+1 bias bucket = [[clfGdDim]]),
+    * iteration count, and the integer step rule for
+    * [[clfGdTrain]]. */
+  val clfGdDim = 64
+  val clfGdIters = 3
+
+  /** Step damping η = 1/[[clfGdStepDiv]] — a D-bucket presence row has
+    * ~D active features, so an undamped mean-gradient step moves each
+    * MARGIN by ~D× the per-weight step and diverges (measured: loss
+    * 173 → 624 over 3 iterations at η = 1; at η = 1/8 it descends
+    * 173.3 → 165.6, the train prior's entropy — the optimum on a
+    * corpus whose labels carry no bag-of-words signal beyond the
+    * prior). */
+  val clfGdStepDiv = 8L
+
+  /** Per-doc hashed BINARY bag-of-words features for the GD trainer:
+    * (doc_id, y, bucket, cnt = 1) over the even-doc_id train half —
+    * presence, not counts, so the margin stays in the sigmoid's live
+    * range (raw counts saturate a 64-bucket hashed space immediately) —
+    * plus one bias bucket ([[clfGdDim]]) per doc. */
+  private def clfGdFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    val train = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"),
+        col("text"))
+    val tok = train
+      .select(col("doc_id"), col("y"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"), col("y"),
+        pmod(md5Long(concat(lit("gd:"), col("token"))), lit(clfGdDim))
+          .as("bucket"))
+      .distinct().withColumn("cnt", lit(1L))
+    tok.unionByName(train.select(col("doc_id"), col("y"),
+      lit(clfGdDim.toLong).as("bucket"), lit(1L).as("cnt")))
+  }
+
+  /** DISCRIMINATIVE trainer — batch logistic regression by
+    * DETERMINISTIC gradient descent, the fastText-style quality/lang
+    * filter trained IN the engine (the generative twin is
+    * [[classifierWeights]]' Naive Bayes). Reproducibility across
+    * engines, reruns, and row orders is the design center, because a
+    * training-data gate that trains differently on every run is not
+    * auditable:
+    *
+    *  - weights live in INTEGER MICRO units; the per-doc margin
+    *    s = Σ cnt·w is an exact BIGINT sum;
+    *  - the only float per (doc, iteration) is the sigmoid, frozen
+    *    immediately as p9 = round(σ(s/1e6)·1e9) — a BIGINT; the
+    *    per-(doc,bucket) gradient term (p9 − y·1e9)·cnt is then exact
+    *    integer arithmetic, and the bucket gradient Σ over docs
+    *    REASSOCIATES FREELY (the integer-micro house rule — no float
+    *    accumulation order anywhere);
+    *  - the step is symmetric-truncating integer division,
+    *    w ← w − sign(G)·(|G| div (N·1000·[[clfGdStepDiv]])) — the
+    *    damped mean gradient in micro units, written identically in
+    *    both engines, so the DuckDB oracle replays ALL [[clfGdIters]]
+    *    iterations bit for bit as unrolled CTEs.
+    *
+    * Shape at 100 TB: per iteration, one broadcast of the (D+1)-row
+    * weight table, one feature-table aggregate per doc, one join back
+    * on doc_id, one bucket aggregate — T shuffles of the hashed
+    * feature table, nothing driver-side beyond the (D+1)-row weight
+    * collect (the bounded-scalar class, like the k-means centroid
+    * loop). Returns (bucket, w_micro) sorted by bucket. */
+  def clfGdTrain(s: SparkSession, dir: String): DataFrame =
+    clfGdWeights(s, dir).orderBy("bucket")
+
+  private def clfGdWeights(s: SparkSession, dir: String): DataFrame = {
+    val xb = clfGdFeatures(s, dir).localCheckpoint()
+    val n = xb.select("doc_id").distinct().count()
+    var w: Map[Long, Long] =
+      (0L to clfGdDim.toLong).map(_ -> 0L).toMap
+    for (_ <- 1 to clfGdIters) {
+      val wDf = broadcast(s.createDataFrame(
+        w.toSeq.sortBy(_._1)).toDF("bucket", "w"))
+      val scoredDocs = xb.join(wDf, Seq("bucket"))
+        .groupBy("doc_id", "y")
+        .agg(sum(col("cnt") * col("w")).as("s_micro"))
+        .withColumn("p9",
+          round(lit(1.0) / (lit(1.0) +
+            exp(-(col("s_micro").cast("double") / 1e6))) * 1e9, 0)
+            .cast("long"))
+        .select(col("doc_id"), (col("p9") - col("y") * 1000000000L).as("e9"))
+      val grad = xb.join(scoredDocs, Seq("doc_id"))
+        .groupBy("bucket")
+        .agg(sum(col("e9") * col("cnt")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val div = n * 1000L * clfGdStepDiv
+      w = w.map { case (b, wb) =>
+        val g = grad.getOrElse(b, 0L)
+        val step = if (g >= 0) g / div else -((-g) / div)
+        b -> (wb - step)
+      }
+    }
+    s.createDataFrame(w.toSeq.sortBy(_._1)).toDF("bucket", "w_micro")
+  }
+
+  /** Held-out scoring of the GD-trained gate: the odd-doc_id half
+    * scored with [[clfGdTrain]]'s final weights — (doc_id, score_micro,
+    * decision = margin > 0, label). The discriminative twin of
+    * [[textClassify]]'s held-out argmax, and the scored table
+    * [[EvalQueries.gateEval]]-style monitors consume. */
+  def clfGdScores(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    val wDf = broadcast(clfGdWeights(s, dir)
+      .withColumnRenamed("w_micro", "w"))
+    val test = Tables.documents(s, dir).filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), (col("lang") === "en").as("label"), col("text"))
+    val xb = test
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"),
+        pmod(md5Long(concat(lit("gd:"), col("token"))), lit(clfGdDim))
+          .as("bucket"))
+      .distinct().withColumn("cnt", lit(1L))
+      .unionByName(test.select(col("doc_id"),
+        lit(clfGdDim.toLong).as("bucket"), lit(1L).as("cnt")))
+    xb.join(wDf, Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("w")).as("score_micro"))
+      .join(test.select("doc_id", "label"), Seq("doc_id"))
+      .select(col("doc_id"), col("score_micro"),
+        (col("score_micro") > 0).as("decision"), col("label"))
+      .orderBy("doc_id")
+  }
+
   /** HIGH-NDV gate eval — the open-vocabulary witness for the eval
     * family's distributed prefix sum ([[EvalQueries]] object scaladoc):
     * the corpus faces above collapse to a few hundred distinct ppm
@@ -1073,6 +1199,8 @@ object CurationQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "clf_gd_train" -> (clfGdTrain _),
+    "clf_gd_scores" -> (clfGdScores _),
     "blocklist_filter" -> (blocklistFilter _),
     "classifier_weights" -> (classifierWeights _),
     "classifier_eval" -> (classifierEval _),
@@ -1260,7 +1388,88 @@ object CurationQueries {
        |ORDER BY f.doc_id""".stripMargin
   }
 
+  /** The [[clfGdTrain]] oracle chain — every GD iteration unrolled as
+    * CTEs (the house power-iteration `v_$r` pattern): integer-micro
+    * weights, the sigmoid frozen as p9 the instant it is computed, the
+    * symmetric-truncating integer step — the oracle replays the
+    * trainer bit for bit, which is the auditability claim itself. */
+  private def clfGdCtes: String = {
+    val D = clfGdDim
+    val head =
+      s"""tr AS (
+         |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y, text
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |tokt AS (
+         |  SELECT doc_id, y,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |           t -> t != '')) AS token
+         |  FROM tr),
+         |xb AS MATERIALIZED (
+         |  SELECT doc_id, y, bucket, CAST(1 AS BIGINT) AS cnt
+         |  FROM (SELECT DISTINCT doc_id, y,
+         |          ('0x' || substr(md5('gd:' || token), 1, 15))::BIGINT
+         |            % $D AS bucket
+         |        FROM tokt)
+         |  UNION ALL
+         |  SELECT doc_id, y, $D, CAST(1 AS BIGINT) FROM tr),
+         |nn AS (SELECT count(DISTINCT doc_id) AS n FROM xb),
+         |w_0 AS (
+         |  SELECT unnest(generate_series(0, $D)) AS bucket,
+         |         CAST(0 AS BIGINT) AS w)""".stripMargin
+    val iters = (1 to clfGdIters).map { t =>
+      s"""s_$t AS (
+         |  SELECT x.doc_id, x.y, CAST(sum(x.cnt * w.w) AS BIGINT) AS sm
+         |  FROM xb x JOIN w_${t - 1} w USING (bucket) GROUP BY 1, 2),
+         |e_$t AS (
+         |  SELECT doc_id,
+         |    CAST(round(1.0 / (1.0 + exp(-(sm / 1000000.0)))
+         |      * 1000000000) AS BIGINT) - y * 1000000000 AS e9
+         |  FROM s_$t),
+         |g_$t AS (
+         |  SELECT bucket, CAST(sum(e9 * cnt) AS BIGINT) AS g
+         |  FROM xb JOIN e_$t USING (doc_id) GROUP BY 1),
+         |w_$t AS (
+         |  SELECT w.bucket,
+         |    w.w - (CASE WHEN coalesce(g.g, 0) >= 0
+         |           THEN coalesce(g.g, 0) // (n * 1000 * $clfGdStepDiv)
+         |           ELSE -((-coalesce(g.g, 0))
+         |                  // (n * 1000 * $clfGdStepDiv)) END) AS w
+         |  FROM w_${t - 1} w LEFT JOIN g_$t g USING (bucket)
+         |  CROSS JOIN nn)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
+    "clf_gd_train" ->
+      s"""WITH $clfGdCtes
+         |SELECT bucket, w AS w_micro FROM w_$clfGdIters
+         |ORDER BY bucket""".stripMargin,
+    "clf_gd_scores" ->
+      s"""WITH $clfGdCtes,
+         |te AS (
+         |  SELECT doc_id, lang = 'en' AS label, text
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |tet AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |           t -> t != '')) AS token
+         |  FROM te),
+         |texb AS (
+         |  SELECT doc_id, bucket, CAST(1 AS BIGINT) AS cnt
+         |  FROM (SELECT DISTINCT doc_id,
+         |          ('0x' || substr(md5('gd:' || token), 1, 15))::BIGINT
+         |            % $clfGdDim AS bucket
+         |        FROM tet)
+         |  UNION ALL
+         |  SELECT doc_id, $clfGdDim, CAST(1 AS BIGINT) FROM te),
+         |sc AS (
+         |  SELECT x.doc_id, CAST(sum(x.cnt * w.w) AS BIGINT)
+         |    AS score_micro
+         |  FROM texb x JOIN w_$clfGdIters w USING (bucket) GROUP BY 1)
+         |SELECT t.doc_id, s.score_micro, s.score_micro > 0 AS decision,
+         |       t.label
+         |FROM te t JOIN sc s USING (doc_id) ORDER BY doc_id""".stripMargin,
     "blocklist_filter" -> {
       // one hit-list per distinct blocked-term LENGTH — the oracle
       // enumerates exactly the n-gram lengths the kernel probes, so a
