@@ -579,7 +579,12 @@ object PrepQueries {
   def sequencePack(s: SparkSession, dir: String): DataFrame =
     packOf(docs(s, dir)).sortWithinPartitions("doc_id")
 
-  private[graft] def packOf(d: DataFrame): DataFrame = {
+  private[graft] def packOf(d: DataFrame): DataFrame = packOfFrom(d, 0L)
+
+  /** [[packOf]] with the token stream starting at `offset` — the
+    * incremental form [[graft.streaming.PackStream]] extends placement
+    * with, one committed batch at a time. */
+  private[graft] def packOfFrom(d: DataFrame, offset: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val C = packContextLen
     val parts = d.sparkSession.sessionState.conf.numShufflePartitions
@@ -599,7 +604,7 @@ object PrepQueries {
     val local = Window.partitionBy(col("pid")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     ranged.join(broadcast(offsets), Seq("pid"))
-      .withColumn("start", col("off") +
+      .withColumn("start", lit(offset) + col("off") +
         coalesce(sum(col("n_tokens")).over(local), lit(0L)))
       .withColumn("first_bin", expr(s"start div $C"))
       .withColumn("last_bin",
@@ -649,6 +654,9 @@ object PrepQueries {
         graft.streaming.ScrubStream.takedownReplayScrub(s, dir)),
     "oov_rate" -> (oovRate _),
     "sequence_pack" -> (sequencePack _),
+    "sequence_pack_stream" ->
+      ((s: SparkSession, dir: String) =>
+        graft.streaming.PackStream.sequencePackStream(s, dir)),
     "pack_manifest" -> (packManifest _),
     "epoch_shuffle" -> (epochShuffle _),
     "zorder_layout" -> (zorderLayout _),
@@ -738,6 +746,27 @@ object PrepQueries {
        |  SELECT doc_id, count(*) AS n_bigrams,
        |    CAST(sum(lam.lam) AS BIGINT) AS score
        |  FROM bg JOIN lam ON lam.b = bg.b GROUP BY 1)""".stripMargin
+
+  /** Shared verbatim by sequence_pack and sequence_pack_stream —
+    * id-ordered ingest makes the stream's committed placement the
+    * batch operator's output, so one SQL grades both. */
+  private lazy val sequencePackOracle: String =
+    s"""WITH $toksCte,
+         |nt AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_tokens
+         |       FROM toks),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS start
+         |  FROM nt)
+         |SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start,
+         |  CAST(start // $packContextLen AS BIGINT) AS first_bin,
+         |  CAST((start + greatest(n_tokens, 1) - 1) // $packContextLen
+         |    AS BIGINT) AS last_bin,
+         |  CAST((start + greatest(n_tokens, 1) - 1) // $packContextLen
+         |    - start // $packContextLen + 1 AS BIGINT) AS n_bins
+         |FROM o ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dsir_select" ->
@@ -883,23 +912,8 @@ object PrepQueries {
     // concat-and-chunk placement: the oracle's single global window is
     // the brute-force twin of the engine's two-pass distributed prefix
     // sum — integer sums reassociate, so they agree bit for bit
-    "sequence_pack" ->
-      s"""WITH $toksCte,
-         |nt AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_tokens
-         |       FROM toks),
-         |o AS (
-         |  SELECT doc_id, n_tokens,
-         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS start
-         |  FROM nt)
-         |SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start,
-         |  CAST(start // $packContextLen AS BIGINT) AS first_bin,
-         |  CAST((start + greatest(n_tokens, 1) - 1) // $packContextLen
-         |    AS BIGINT) AS last_bin,
-         |  CAST((start + greatest(n_tokens, 1) - 1) // $packContextLen
-         |    - start // $packContextLen + 1 AS BIGINT) AS n_bins
-         |FROM o ORDER BY doc_id""".stripMargin,
+    "sequence_pack" -> sequencePackOracle,
+    "sequence_pack_stream" -> sequencePackOracle,
     "pack_manifest" ->
       s"""WITH $toksCte,
          |nt AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_tokens
