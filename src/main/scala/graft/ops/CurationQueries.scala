@@ -1037,7 +1037,10 @@ object CurationQueries {
       .join(test.select("doc_id", "label"), Seq("doc_id"))
       .select(col("doc_id"), col("score_micro"),
         (col("score_micro") > 0).as("decision"), col("label"))
-      .orderBy("doc_id")
+      // sortWithinPartitions: a global orderBy SAMPLES its child for
+      // range bounds and the scoring chain would execute twice (the
+      // debezium lesson); the oracle comparator sorts rows itself
+      .sortWithinPartitions("doc_id")
   }
 
   /** HIGH-NDV gate eval — the open-vocabulary witness for the eval
