@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BlocklistExpressions, BloomExpressions, HilbertExpressions, HtmlExtractExpressions, IvfExpressions, NormalizeExpressions, PqExpressions, QuantizeExpressions, SetSimExpressions, ShingleExpressions, SimHashExpressions, VectorExpressions, ZOrderExpressions}
+import graft.functions.{BlocklistExpressions, BloomExpressions, HilbertExpressions, HtmlExtractExpressions, IvfExpressions, NormalizeExpressions, PqExpressions, QuantizeExpressions, SetSimExpressions, ShingleExpressions, SimHashExpressions, TokenStatsExpressions, VectorExpressions, WinnowExpressions, ZOrderExpressions}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Engine extension point, wired the public way:
@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.AbttExpressions.abttMicroDescriptor)
     ext.injectFunction(BloomExpressions.bloomAggDescriptor)
     ext.injectFunction(BloomExpressions.mightContainDescriptor)
+    ext.injectFunction(WinnowExpressions.md5LongsDescriptor)
+    ext.injectFunction(WinnowExpressions.gramMd5sDescriptor)
+    ext.injectFunction(WinnowExpressions.winnowFpsDescriptor)
+    ext.injectFunction(WinnowExpressions.winnowSummaryDescriptor)
+    ext.injectFunction(TokenStatsExpressions.entropyStatsDescriptor)
+    ext.injectFunction(TokenStatsExpressions.repetitionStatsDescriptor)
     // conf-gated (spark.graft.rangeJoin.bucketWidth): rewrites naive
     // inequality-only range joins into the bucketed equi-join form
     ext.injectOptimizerRule(graft.plans.RangeJoinBucketing(_))

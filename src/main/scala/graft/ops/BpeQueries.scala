@@ -196,18 +196,25 @@ object BpeQueries {
     * what an LLM data loader actually consumes — this is the
     * encode-everywhere face of the trained tokenizer. */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    // round-16 (guide §2.4): ONE doc_id aggregate replaces the former TWO
+    // join arms (count + head), each of which re-ran the whole docTokens
+    // subtree (the explode→model-join pipeline executed twice). The
+    // row_number window stays (it bounds the collected structs to
+    // encodeHead per doc — collect_list skips the when()'s nulls); the
+    // count rides the same aggregate, so docTokens runs exactly once.
     val toks = docTokens(s, dir)
       .withColumn("tidx", row_number().over(
         Window.partitionBy("doc_id").orderBy("widx", "pos")))
-    val counts = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-    val head = toks.filter(col("tidx") <= encodeHead)
+    val agg = toks
       .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("tidx"), col("id")))).as("ts"))
-      .select(col("doc_id"),
-        concat_ws(",", transform(col("ts"), _("id").cast("string"))).as("ids_csv"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_sort(collect_list(when(col("tidx") <= encodeHead,
+          struct(col("tidx"), col("id"))))).as("ts"))
+      .select(col("doc_id"), col("n_tokens"),
+        concat_ws(",", transform(col("ts"),
+          _("id").cast("string"))).as("ids_csv"))
     Tables.documents(s, dir).select("doc_id")
-      .join(counts, Seq("doc_id"), "left")
-      .join(head, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("ids_csv"), lit("")).as("ids_csv"))

@@ -249,7 +249,9 @@ object CurationQueries {
       cleaned.as("clean_text"),
       removed.cast("long").as("stopwords_removed"),
       whitespaceTokenCount(cleaned).cast("long").as("clean_tokens"))
-      .orderBy("doc_id")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id")
   }
 
   /** Corpus shape: 50-char-wide histogram of document lengths (bucket 20+

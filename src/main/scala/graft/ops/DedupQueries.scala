@@ -1142,12 +1142,14 @@ object DedupQueries {
   def substringDedup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
+    // per-position hashes from the codegen'd gram_md5s kernel (round-16
+    // optimization, guide §1.2 per-task work): one incremental md5 per
+    // byte-slice instead of substring-copy → md5 → 32-char hex → conv
+    // per gram; identical 60-bit values, pinned by the unchanged oracle
     val wins = d.filter(length(col("text")) >= ssdWindow)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (ssdWindow - 1)))
-          .as("pos"))
-      .select(col("doc_id"), col("pos"),
-        md5Long(expr(s"substring(text, pos, $ssdWindow)")).as("h"))
+      .select(col("doc_id"),
+        posexplode(call_function("gram_md5s", col("text"), lit(ssdWindow))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
       .localCheckpoint() // postings feed both the count and the fan-back
     val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("h")
@@ -1192,11 +1194,9 @@ object DedupQueries {
   def substringDedupSampled(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val sel = d.filter(length(col("text")) >= ssdWindow)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (ssdWindow - 1)))
-          .as("pos"))
       .select(col("doc_id"),
-        md5Long(expr(s"substring(text, pos, $ssdWindow)")).as("h"))
+        explode(call_function("gram_md5s", col("text"), lit(ssdWindow)))
+          .as("h"))
       .filter(col("h") % ssdSampleMod === 0)
       .localCheckpoint() // feeds both the count and the fan-back
     val dupH = sel.groupBy(col("h")).agg(count(lit(1)).as("c"))

@@ -132,7 +132,9 @@ object MediaQueries {
   /** Oracle-checked query: the mixed-format media table through the
     * format-sniffing real-codec decode dispatch. */
   def mediaDecode(s: SparkSession, dir: String): DataFrame =
-    decode(s, mediaTable(s, dir)).orderBy("doc_id")
+    // sortWithinPartitions: comparator sorts rows; a global orderBy would
+    // re-run the map-only pipeline for range-bound sampling (round-16)
+    decode(s, mediaTable(s, dir)).sortWithinPartitions("doc_id")
 
   /** Frame sampling from REAL decoded metadata: every [[frameStep]]-th
     * frame per media row — images contribute their single frame, audio
@@ -146,7 +148,9 @@ object MediaQueries {
       .select(col("doc_id"), col("format"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(frameStep)))
           .as("frame_idx"))
-      .orderBy("doc_id", "frame_idx")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id", "frame_idx")
 
   case class FeatureRow(doc_id: Long, format: String, features: String)
 
@@ -192,7 +196,9 @@ object MediaQueries {
         imageIoNoDiskCache()
         it.map(m => featuresAny(m.doc_id, m.payload))
       }.toDF()
-      .orderBy("doc_id")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id")
   }
 
   case class ResampleRow(doc_id: Long, format: String, in_w: Long,
@@ -250,7 +256,9 @@ object MediaQueries {
         imageIoNoDiskCache()
         it.map(m => resampleAny(m.doc_id, m.payload))
       }.toDF()
-      .orderBy("doc_id")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id")
   }
 
   // ---- REAL audio codec: RIFF/WAVE PCM (pure JVM — no external codec) --
@@ -360,7 +368,9 @@ object MediaQueries {
       .mapPartitions(_.map { case (id, n) => WavRow(id, encodeWav(id, n.toInt)) })
       .mapPartitions(_.map(r => decodeWav(r.doc_id, r.wav)))
       .toDF()
-      .orderBy("doc_id")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id")
   }
 
   // ---- REAL image codec: uncompressed 24-bit BMP (pure JVM) -----------
@@ -452,7 +462,9 @@ object MediaQueries {
       .mapPartitions(_.map(id => BmpRow(id, encodeBmp(id))))
       .mapPartitions(_.map(r => decodeBmp(r.doc_id, r.bmp)))
       .toDF()
-      .orderBy("doc_id")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id")
   }
 
   // ---- REAL compressed-image codec: PNG via the JDK's ImageIO ---------
@@ -538,7 +550,9 @@ object MediaQueries {
       .mapPartitions(_.map(id => PngRow(id, encodePng(id))))
       .mapPartitions(_.map(r => decodePng(r.doc_id, r.png)))
       .toDF()
-      .orderBy("doc_id")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id")
   }
 
   case class JpegMeta(doc_id: Long, width: Long, height: Long,
@@ -584,7 +598,9 @@ object MediaQueries {
         JpegMeta(id, w, h, w * h)
       })
       .toDF()
-      .orderBy("doc_id")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id")
   }
 
   case class ResizeMeta(doc_id: Long, width: Long, height: Long,
@@ -645,7 +661,9 @@ object MediaQueries {
         ResizeMeta(id, w, h, ow, oh)
       })
       .toDF()
-      .orderBy("doc_id")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id")
   }
 
   case class HistRow(doc_id: Long, features: String)
@@ -676,7 +694,9 @@ object MediaQueries {
         HistRow(id, hist.mkString(","))
       })
       .toDF()
-      .orderBy("doc_id")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id")
   }
 
   // ---- perceptual hashing / multimodal dedup ---------------------------
@@ -805,7 +825,9 @@ object MediaQueries {
 
   /** Oracle-checked query: the perceptual signature table. */
   def mediaPhash(s: SparkSession, dir: String): DataFrame =
-    phashSigs(s, dir).orderBy("doc_id")
+    // sortWithinPartitions: comparator sorts rows; a global orderBy would
+    // re-run the map-only pipeline for range-bound sampling (round-16)
+    phashSigs(s, dir).sortWithinPartitions("doc_id")
 
   /** JPEG re-encode at an explicit quality — the real lossy codec (DCT
     * + quantization + huffman) the cross-codec robustness face runs
@@ -1021,7 +1043,9 @@ object MediaQueries {
 
   /** Oracle-checked query: the audio fingerprint table. */
   def mediaAudioFp(s: SparkSession, dir: String): DataFrame =
-    audioSigs(s, dir).orderBy("doc_id")
+    // sortWithinPartitions: comparator sorts rows; a global orderBy would
+    // re-run the map-only pipeline for range-bound sampling (round-16)
+    audioSigs(s, dir).sortWithinPartitions("doc_id")
 
   /** The textured MULTIMODAL payload table (doc_id, payload) — the
     * ingest-stream face of the [[phashSigs]]/[[audioSigs]] fixtures:

@@ -22,7 +22,9 @@ object TextQueries {
       col("doc_id"),
       whitespaceTokenCount(col("text")).cast("long").as("ws_tokens"),
       bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
-      .orderBy(col("doc_id"))
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions(col("doc_id"))
 
   /** Stopword-hit language ID. Each language scores by occurrences of its
     * marker words (word-boundary regex count over the lowered text);
@@ -60,7 +62,9 @@ object TextQueries {
       col("doc_id"), col("lang").as("labeled_lang"),
       best("lang").as("pred_lang"),
       best("score").cast("long").as("pred_score"))
-      .orderBy(col("doc_id"))
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions(col("doc_id"))
   }
 
   /** The composite 0-100 quality score over a text column — reused by
@@ -91,7 +95,9 @@ object TextQueries {
       col("doc_id"), nTokens.cast("long").as("n_tokens"),
       punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
       meanWordLen.as("mean_word_len"), score.as("quality"))
-      .orderBy(col("doc_id"))
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions(col("doc_id"))
   }
 
   /** Token budget = total corpus tokens div [[bsBudgetDenom]]. */
@@ -162,13 +168,18 @@ object TextQueries {
     * near-duplicates. Exposed as the sketch's elements for oracle
     * comparability. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    // round-16: md5_longs kernel instead of the interpreted
+    // transform(_, md5Long) HOF (guide §1.2 per-task work), and
+    // sortWithinPartitions instead of a global orderBy whose range
+    // sampling re-ran the whole hash pipeline (the comparator sorts rows
+    // itself; same values either way)
     val sketch = slice(
-      array_sort(transform(shingles(tokens(col("text")), 3), sh => md5Long(sh))),
+      array_sort(call_function("md5_longs", shingles(tokens(col("text")), 3))),
       1, 8)
     Tables.documents(s, dir).select(
       col("doc_id"),
       concat_ws(",", transform(sketch, _.cast("string"))).as("sketch"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   /** Gopher-style within-document repetition signals — the standard
@@ -187,30 +198,26 @@ object TextQueries {
     * followed by one doc_id-keyed pivot agg. The n-gram explode is the
     * codegen'd [[graft.functions.WordNgrams]] multiset kernel (distinct
     * shingles would erase exactly the signal measured here). */
-  def repetition(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .localCheckpoint()
-    val grams = Seq(1, 2, 3).map(n => base.select(col("doc_id"),
-        lit(n).as("n"), explode(wordNgrams(col("t"), n)).as("g")))
-      .reduce(_ unionByName _)
-    val stats = grams.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n").agg(
-        sum(col("c")).as("total"), count(lit(1)).as("dis"),
-        max(col("c")).as("maxc"),
-        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
-    def pick(n: Int, c: String): Column =
-      first(when(col("n") === n, col(c)), ignoreNulls = true)
-    stats.groupBy("doc_id").agg(
-      pick(1, "total").as("n_tokens"),
-      round(lit(1.0) - pick(1, "dis") / pick(1, "total"), 6)
-        .as("dup_token_frac"),
-      round(coalesce(pick(2, "maxc") / pick(2, "total"), lit(0.0)), 6)
-        .as("top_bigram_frac"),
-      round(coalesce(pick(3, "dup") / pick(3, "total"), lit(0.0)), 6)
-        .as("dup_trigram_frac"))
-      .orderBy("doc_id")
-  }
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    // round-16 (guide §2.4): the 1/2/3-gram counts are per-document, yet
+    // the relational form exploded 3× the token stream and shuffled it
+    // all on (doc_id, n, gram) + a second doc-keyed pivot aggregate. The
+    // repetition_stats kernel counts the three multisets in one local
+    // pass per document (exact integers; null total2/total3 for
+    // bigram-less docs reproduce the pivot's nulls → same coalesce(0.0)).
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("repetition_stats", tokens(col("text"))).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"),
+        col("st.total1").as("n_tokens"),
+        round(lit(1.0) - col("st.dis1") / col("st.total1"), 6)
+          .as("dup_token_frac"),
+        round(coalesce(col("st.max2") / col("st.total2"), lit(0.0)), 6)
+          .as("top_bigram_frac"),
+        round(coalesce(col("st.dup3") / col("st.total3"), lit(0.0)), 6)
+          .as("dup_trigram_frac"))
+      .sortWithinPartitions("doc_id")
 
   /** PII detection + redaction — the anonymization pass every public-data
     * training pipeline runs before anything else: count and redact emails,
@@ -314,7 +321,9 @@ object TextQueries {
         col("n_phones") + col("n_ipv6") + col("n_cards")) > 0)
       .select("doc_id", "n_emails", "n_ips", "n_phones", "n_ipv6",
         "n_cards", "has_pii", "scrub_md5")
-      .orderBy("doc_id")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id")
 
   /** Compression-ratio quality signal — the classic cheap boilerplate/spam
     * detector (highly repetitive text deflates far below prose; Gopher and
@@ -366,7 +375,9 @@ object TextQueries {
         expr("deflate_bytes * 100 DIV greatest(raw_bytes, 1L)")
           .as("ratio_pct"))
       .withColumn("low_entropy", col("ratio_pct") < 35)
-      .orderBy("doc_id")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id")
   }
 
   /** Unicode normalization (accent strip, NFD→drop marks→NFC) — the pass
@@ -388,7 +399,9 @@ object TextQueries {
       .select(col("doc_id"),
         md5(stripAccentsNfc(col("t2"))).as("norm_md5"),
         (stripAccentsNfc(col("t2")) =!= col("t2")).as("changed"))
-      .orderBy("doc_id")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id")
   }
 
   /** Deterministic per-document URL synthesis — the corpus carries no
@@ -492,7 +505,9 @@ object TextQueries {
       .select(col("doc_id"), col("url"),
         call_function("url_canonicalize", col("url")).as("canonical_url"))
       .withColumn("changed", col("url") =!= col("canonical_url"))
-      .orderBy("doc_id")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id")
 
   /** The host of each document's canonical URL — one codegen projection
     * (canonicalize, then slice between `://` and the next `/`), shared
@@ -711,7 +726,9 @@ object TextQueries {
       rLen.as("r_len"), rWordlen.as("r_wordlen"), rRepeat.as("r_repeat"),
       rStop.as("r_stop"), rQuality.as("r_quality"),
       (rLen && rWordlen && rRepeat && rStop && rQuality).as("keep"))
-      .orderBy("doc_id")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id")
   }
 
   /** Per-document unigram Shannon entropy — the information-density QC
@@ -729,22 +746,27 @@ object TextQueries {
     textEntropyOf(Tables.documents(s, dir))
 
   def textEntropyOf(docsDf: DataFrame): DataFrame = {
-    val tf = docsDf
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("n_tokens"),
-      count(lit(1)).as("n_distinct"))
-    val p = col("tf").cast("double") / col("n_tokens").cast("double")
-    tf.join(dl, Seq("doc_id"))
-      .withColumn("term", round(-(p * log(p)), 9))
-      .groupBy("doc_id", "n_tokens", "n_distinct")
-      .agg(sum(col("term").cast("decimal(28,9)")).as("hsum"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        round(col("hsum").cast("double"), 6).as("entropy"),
-        round(when(col("n_tokens") > 1,
-          col("hsum").cast("double") / log(col("n_tokens").cast("double")))
+    // round-16 (guide §2.4): the per-document Shannon entropy needed NO
+    // cross-document state, yet the relational form shuffled every token
+    // on (doc_id, token) twice (tf groupBy + doc-length groupBy + join).
+    // The entropy_stats kernel folds the whole tf pass into the scan —
+    // exact integer counts, the per-distinct-token term frozen at the
+    // identical round(_, 9) before an exact integer-nanos sum (the same
+    // free-reassociation argument as the decimal(28,9) sum it replaces).
+    // hsum_nanos/1e9 as double == the old decimal→double cast: both are
+    // one correctly-rounded IEEE operation from the same exact rational.
+    val hsumD = col("st.hsum_nanos").cast("double") / lit(1e9)
+    docsDf
+      .select(col("doc_id"),
+        call_function("entropy_stats", tokens(col("text"))).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+        col("st.n_distinct").as("n_distinct"),
+        round(hsumD, 6).as("entropy"),
+        round(when(col("st.n_tokens") > 1,
+          hsumD / log(col("st.n_tokens").cast("double")))
           .otherwise(lit(0.0)), 6).as("norm_entropy"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** Winnowing gram length (chars) and hash-window size; expected
@@ -765,27 +787,20 @@ object TextQueries {
     * [[DedupQueries.substringDedupSampled]]): two documents sharing any
     * substring of length ≥ winnowW + winnowK − 1 share at least one
     * selected fingerprint — deterministic, not just in expectation.
-    * Shape: one linear doc-keyed shuffle of gram hashes + a
-    * doc-partitioned window pass; no global window, no all-pairs term,
-    * so at 100 TB it runs at scan speed like substring_dedup's postings
-    * pass. */
-  def winnowFingerprintsOf(docsDf: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docsDf.filter(length(col("text")) >= winnowK)
+    * Shape: a ZERO-SHUFFLE scan projection — the whole gram-hash +
+    * sliding-min + distinct pass is the codegen'd
+    * [[graft.functions.WinnowFps]] kernel (round-16 optimization,
+    * guide §2.4/§1.2: the relational form shuffled EVERY gram hash
+    * doc-keyed and sorted it for the window; the kernel computes the
+    * identical selected set — pinned by OpsSpec fixtures and the
+    * unchanged DuckDB oracles — inside the scan, and only the
+    * 2/(w+1)-sampled fingerprints ever leave the map side). */
+  def winnowFingerprintsOf(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - (winnowK - 1)))
-          .as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("pos"),
-        md5Long(expr(s"substring(text, pos, $winnowK)")).as("h"))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(-(winnowW - 1), Window.currentRow)
-    grams
-      .select(col("doc_id"),
-        min(struct(col("h"), (-col("pos")).as("npos"))).over(win).as("m"))
-      .select(col("doc_id"), col("m.h").as("h"), (-col("m.npos")).as("pos"))
-      .distinct()
-  }
+        explode(call_function("winnow_fps", col("text"),
+          lit(winnowK), lit(winnowW))).as("fp"))
+      .select(col("doc_id"), col("fp.h").as("h"), col("fp.pos").as("pos"))
 
   /** Per-document winnowing fingerprint summary: gram count, selected
     * count, density (≈ 2/(w+1) on random text; bounded in [1/w, 1]
@@ -794,24 +809,26 @@ object TextQueries {
   def winnow(s: SparkSession, dir: String): DataFrame =
     winnowOf(Tables.documents(s, dir))
 
-  def winnowOf(docsDf: DataFrame): DataFrame = {
-    val agg = winnowFingerprintsOf(docsDf).groupBy("doc_id").agg(
-      count(lit(1)).as("n_selected"),
-      concat_ws(",",
-        transform(slice(array_sort(collect_set(col("h"))), 1, 8),
-          _.cast("string"))).as("sketch"))
-    docsDf.select(col("doc_id"),
-      greatest(length(col("text")) - (winnowK - 1), lit(0))
-        .cast("long").as("n_grams"))
-      .join(agg, Seq("doc_id"), "left")
+  def winnowOf(docsDf: DataFrame): DataFrame =
+    // single-scan projection: the [[graft.functions.WinnowSummary]] kernel
+    // folds the per-doc selected set to (n_selected, 8-smallest-distinct
+    // sketch) inline, so the former groupBy + fan-back join (and their
+    // exchanges) vanish entirely; sortWithinPartitions because the
+    // comparator sorts rows itself and a global orderBy would sample the
+    // child for range bounds, running the kernel twice (round-15 lesson)
+    docsDf
+      .select(col("doc_id"),
+        greatest(length(col("text")) - (winnowK - 1), lit(0))
+          .cast("long").as("n_grams"),
+        call_function("winnow_summary", col("text"),
+          lit(winnowK), lit(winnowW), lit(8)).as("s"))
       .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("s.n_selected"), lit(0L)).as("n_selected"),
         when(col("n_grams") === 0, lit(0.0))
-          .otherwise(round(coalesce(col("n_selected"), lit(0L)) /
+          .otherwise(round(coalesce(col("s.n_selected"), lit(0L)) /
             col("n_grams").cast("double"), 6)).as("density"),
-        coalesce(col("sketch"), lit("")).as("sketch"))
-      .orderBy("doc_id")
-  }
+        coalesce(col("s.sketch"), lit("")).as("sketch"))
+      .sortWithinPartitions("doc_id")
 
   /** Cross-document duplication signal on the winnowed fingerprints —
     * MOSS proper (Schleimer et al. §4): a fingerprint selected in ≥ 2
@@ -918,7 +935,9 @@ object TextQueries {
         col("h.n_kept").as("n_kept"),
         (col("h.clean") =!= col("t2")).as("changed"),
         md5(col("h.clean")).as("clean_md5"))
-      .orderBy("doc_id")
+      // sortWithinPartitions: comparator sorts rows; a global orderBy would
+      // re-run the map-only pipeline for range-bound sampling (round-16)
+      .sortWithinPartitions("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
